@@ -1,0 +1,76 @@
+package graft.analytics
+
+import graft.tgraph.backed.Transfers.cents
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP building blocks over the TPC-H-ish tables — the analytical side
+  * of the engine (the reference's evaluation queries are aggregations
+  * over transactional state; these are the same shapes over the star
+  * schema, written so Catalyst gets pushdown + broadcast).
+  *
+  * All money aggregates are exact int64 cents (order-independent, see
+  * SURVEY.md §5).
+  */
+object Analytics {
+
+  /** TPC-H Q1 shape: pricing summary with pushed-down date filter. */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(shipBefore).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty_milli",
+        round(lit(1000.0) * col("sum_qty") / col("count_order")).cast("bigint"))
+
+  /** TPC-H Q3 shape: top revenue orders for one segment. The customer
+    * dimension is explicitly broadcast — it is orders' small side at
+    * every scale factor (1.5M rows at SF100 ≈ a few hundred MB would
+    * switch to shuffle join; AQE handles that cutover).
+    */
+  def topOrders(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String, k: Int): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val revenue = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    lineitem
+      .join(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey").as("orderkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("revenue_cents"))
+  }
+
+  /** Star join: revenue per region — all three dims broadcast. */
+  def regionRevenue(
+      orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+
+  /** Top-k per group via ranked window (deterministic tiebreak). */
+  def topKPerGroup(
+      df: DataFrame, groupCol: Column, orderCol: Column,
+      tiebreak: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol.desc, tiebreak)
+    df.withColumn("rnk", row_number().over(w).cast("bigint")).filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.evaluation
+
+import graft.tables.Tables
+import graft.tgraph._
+import graft.tgraph.backed.Transfers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The bank use case — the reference's `evaluation/BankUseCase.java`
+  * (transfers → withdrawal+deposit movements → `balances` state →
+  * close) plus `evaluation/ConsistencyCheck.java` (money conservation).
+  *
+  * Invariants (per-branch `StateFunction.invariant` analogs, declared as
+  * Columns so votes stay in codegen):
+  *  - withdrawal branch aborts when amount > 150 (insufficient-funds
+  *    analog of the reference's non-negative-balance invariant, made
+  *    stateless so the DuckDB oracle is expressible);
+  *  - deposit branch aborts when the destination is the frozen account.
+  * A transaction commits iff every branch votes COMMIT (2PC reduce).
+  */
+object Bank {
+  val NameSpace = "balances"
+  val FrozenAccount = 13L
+  val MaxAmountCents = 15000L
+
+  /** The pipeline's abort condition on a movement row. */
+  private def abortIf =
+    (col("kind") === "W" && col("delta_cents") < -MaxAmountCents) ||
+      (col("kind") === "D" && col("acct") === FrozenAccount)
+
+  final case class Graph(
+      env: TransactionEnvironment,
+      transfers: DataFrame,
+      movements: TStream,
+      state: StateStream,
+      result: TGraphResult)
+
+  /** Build the full transactional graph over `events` at `dir`. */
+  def graph(
+      spark: SparkSession,
+      dir: String,
+      isolation: IsolationLevel = IsolationLevel.PL3): Graph = {
+    val env = TransactionEnvironment(isolation = isolation)
+    val transfers = Transfers.fromEvents(Tables.load(spark, dir, "events"))
+    val opened = env.open(transfers, col("tid"))
+    val movements = opened.flatMap(Transfers.movements)
+    val state = movements
+      .keyBy(col("acct"))
+      .state(NameSpace, col("acct"), col("delta_cents"), abortIf, Seq("ts"))
+    val result = env.close(state)
+    Graph(env, transfers, movements, state, result)
+  }
+
+  /** Account balances at the given isolation level, in exact cents. */
+  def balances(g: Graph, isolation: IsolationLevel): DataFrame =
+    g.result.balances(NameSpace, isolation)
+      .select(
+        col("key").as("acct"),
+        col("value").as("balance_cents"),
+        col("n_updates"))
+
+  /** ConsistencyCheck: committed money must be conserved (net 0). */
+  def consistencyCheck(g: Graph): DataFrame = {
+    val votes = g.result.voteNames
+    val counts = votes.agg(
+      count(lit(1)).as("n_tx"),
+      sum(when(col("vote") === "COMMIT", 1L).otherwise(0L)).as("n_commit"),
+      sum(when(col("vote") =!= "COMMIT", 1L).otherwise(0L)).as("n_abort"))
+    val net = g.result
+      .visibleUpdates(NameSpace, IsolationLevel.PL3)
+      .agg(coalesce(sum(col("delta")), lit(0L)).as("net_cents"))
+    counts.crossJoin(net)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for LLM-data pipelines: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard.
+  *
+  * Scale design: candidate generation is ALWAYS a bucketed equi-join
+  * (shuffle on a band/bucket hash) — never an all-pairs cross join. At
+  * 100 TB the shuffle volume is O(n · bands), and each bucket is small
+  * by construction (hash of r minhash rows); skewed buckets (e.g. empty
+  * documents) can be salted or capped upstream.
+  */
+object Dedup {
+
+  /** Exact dedup: group on the md5 of the normal form, keep the lowest
+    * id. One shuffle on the fingerprint; map-side partial agg applies.
+    */
+  def exact(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs
+      .select(TextAnalysis.fingerprintMd5(textCol).as("fingerprint"), idCol.as("doc_id"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** k-shingles (k consecutive tokens, space-joined). Higher-order
+    * functions only — no explode, no shuffle.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: numHashes seeded murmur3 mins over the shingle
+    * set. `hash(shingle, seed)` reuses Spark's codegen'd murmur3 — the
+    * seed column perturbs the hash exactly like an independent hash
+    * function family. Per-row array fold; no shuffle.
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val sh = shingles(text, shingleSize)
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      aggregate(sh, lit(Int.MaxValue),
+        (acc, s) => least(acc, hash(s, seed))))
+  }
+
+  /** Candidate near-duplicate pairs via LSH: equi-join on
+    * (band_id, band_hash) — a shuffle on the bucket key, NEVER a cross
+    * join — deduped to (a < b) pairs with the estimated Jaccard =
+    * fraction of equal signature positions.
+    */
+  def nearDuplicateCandidates(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs.select(
+      idCol.as("doc_id"),
+      minHashSignature(textCol, numHashes, shingleSize).as("sig"))
+    val banded = withSig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_id"), col("band_hash"))
+    val b = banded.select(
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (doc_a, doc_b):
+    * verification step after LSH. Joins the shingle sets back — the
+    * candidate set is tiny relative to the corpus, so this is two
+    * broadcast-able joins plus one per-pair array op.
+    */
+  def jaccardVerify(
+      candidates: DataFrame,
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(
+      idCol.as("doc_id"),
+      array_distinct(shingles(textCol, shingleSize)).as("sh"))
+    candidates
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over token murmur3 hashes: per-bit majority vote,
+    * folded with higher-order functions (per-row, no shuffle).
+    */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // bit i of a 32-bit hash, via a mask (shiftright only takes a
+    // literal shift, the lambda variable `i` is a Column): 2^i as long.
+    def mask(i: Column) = pow(lit(2.0), i).cast("long")
+    val bits = transform(sequence(lit(0), lit(31)), i =>
+      when(
+        aggregate(toks, lit(0),
+          (acc, t) => acc +
+            when(hash(t).cast("bigint").bitwiseAND(mask(i)) =!= 0, 1).otherwise(-1))
+          > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(31)), (b, i) => b * mask(i)),
+      lit(0L), _ + _)
+  }
+}

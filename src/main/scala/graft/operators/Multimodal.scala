@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus a decode/feature-extract stage.
+  *
+  * The Spark-side plumbing is real (schema, batched per-partition
+  * processing, deterministic chunking); the actual media decode is
+  * STUBBED (no image/audio libs in this container) behind
+  * [[StubDecoder]], which produces deterministic fake features from the
+  * payload bytes — swap in a real decoder per modality in production.
+  *
+  * Per-partition batch processing (`mapPartitions` over an iterator) is
+  * the Scala analog of `mapInPandas`: the decoder amortizes model/codec
+  * init once per partition, which is the property that matters at
+  * 100 TB.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, feature: Array[Float])
+
+  /** Text/binary columns → media records (payload = utf-8 bytes here;
+    * real pipelines read binary parquet columns the same way).
+    */
+  def asMedia(docs: DataFrame, idCol: Column, payload: Column, mime: String): DataFrame =
+    docs.select(
+      idCol.cast("bigint").as("doc_id"),
+      payload.cast("binary").as("payload"),
+      lit(mime).as("mime"))
+
+  /** Declarative metadata over the binary payload (no decode needed):
+    * byte size, 256-byte chunk count, header hash. All codegen'd.
+    */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("mime"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"),
+      floor((octet_length(col("payload")).cast("bigint") + 255) / 256.0).cast("bigint")
+        .as("chunk_count"),
+      md5(substring(col("payload"), 1, 64)).as("header_md5"))
+
+  /** Deterministic fake decoder — the STUB. A real implementation would
+    * decode the codec here; everything around it (batching, schema,
+    * partition shape) is production-real.
+    */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val n = payload.length
+      val width = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
+      val height = 16 + (n % 64)
+      val feature = Array.tabulate(8) { i =>
+        if (n == 0) 0f
+        else payload(i % n).toFloat / 127f
+      }
+      (width, height, feature)
+    }
+  }
+
+  /** Decode + feature-extract, batched per partition (mapInPandas
+    * analog). Returns a typed Dataset; downstream joins/aggregations
+    * stay in Catalyst.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition init of the (stub) decoder happens here once
+      it.map { r =>
+        val (w, h, f) = StubDecoder.decode(r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, f)
+      }
+    }
+  }
+}

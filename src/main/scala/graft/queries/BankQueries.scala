@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.evaluation.Bank
+import graft.tables.Tables
+import graft.tgraph._
+import graft.tgraph.durability.{Snapshots, Wal}
+import graft.tgraph.query.StateQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness queries for the transactional core (SURVEY.md §2 rows
+  * 1-22), each with a DuckDB oracle over the same parquet tables.
+  *
+  * Determinism rules (see SURVEY.md §5): money in exact int64 cents,
+  * every DuckDB integer `sum` cast back to BIGINT (DuckDB widens to
+  * HUGEINT), dates as DATE, explicit ORDER BY everywhere.
+  */
+object BankQueries {
+
+  private val Watermark = "2024-01-08 00:00:00"
+
+  /** Shared oracle prefix: events → transfers → movements → votes →
+    * committed movements (mirrors Bank.graph exactly).
+    */
+  private val OraclePrefix: String =
+    """WITH tx AS (
+      |  SELECT event_id AS tid, ts, CAST(user_id AS BIGINT) AS from_acct,
+      |         CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) % 20 AS BIGINT) AS to_acct,
+      |         value AS amount
+      |  FROM events),
+      |mv AS (
+      |  SELECT tid, ts, from_acct AS acct, -CAST(round(amount*100) AS BIGINT) AS delta_cents, 'W' AS kind, 0 AS branch FROM tx
+      |  UNION ALL
+      |  SELECT tid, ts, to_acct AS acct, CAST(round(amount*100) AS BIGINT) AS delta_cents, 'D' AS kind, 1 AS branch FROM tx),
+      |votes AS (
+      |  SELECT tid, min(CASE WHEN (kind='W' AND delta_cents < -15000) OR (kind='D' AND acct=13) THEN 0 ELSE 2 END) AS v
+      |  FROM mv GROUP BY tid),
+      |cmv AS (
+      |  SELECT mv.* FROM mv JOIN votes ON mv.tid = votes.tid WHERE votes.v = 2),
+      |bal AS (
+      |  SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS balance_cents, count(*) AS n_updates
+      |  FROM cmv GROUP BY acct)
+      |""".stripMargin
+
+  private def g(spark: SparkSession, dir: String) = Bank.graph(spark, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_map" -> ((s, dir) => {
+      val graph = g(s, dir)
+      graph.env
+        .open(graph.transfers, col("tid"))
+        .map(
+          "amount_cents" -> graft.tgraph.backed.Transfers.cents(col("amount")),
+          "fee_cents" -> graft.tgraph.backed.Transfers.cents(col("amount") * 0.01))
+        .df
+        .select("tid", "from_acct", "to_acct", "amount_cents", "fee_cents")
+        .orderBy("tid")
+    }),
+    "t_flatmap" -> ((s, dir) => {
+      g(s, dir).movements.df
+        .select(
+          col(TStream.TidCol).as("tid"), col(TStream.BranchCol).as("branch"),
+          col("acct"), col("delta_cents"), col("kind"))
+        .orderBy("tid", "branch")
+    }),
+    "t_filter" -> ((s, dir) => {
+      g(s, dir).movements
+        .filter(col("kind") === "D" && col("delta_cents") >= 5000)
+        .df
+        .select(col(TStream.TidCol).as("tid"), col("acct"), col("delta_cents"))
+        .orderBy("tid")
+    }),
+    "t_window_user" -> ((s, dir) => {
+      g(s, dir).movements
+        .keyBy(col("acct"))
+        .window(col("ts"), "day",
+          count(lit(1)).as("n_moves"), sum(col("delta_cents")).as("net_cents"))
+        .orderBy("acct", "day")
+    }),
+    "t_window_global" -> ((s, dir) => {
+      g(s, dir).movements
+        .window(col("ts"), "day",
+          countDistinct(col(TStream.TidCol)).as("n_tx"),
+          sum(abs(col("delta_cents"))).as("gross_cents"))
+        .orderBy("day")
+    }),
+    "t_2pc_votes" -> ((s, dir) => g(s, dir).result.voteNames.orderBy("tid")),
+    "t_state_balances_pl3" -> ((s, dir) =>
+      Bank.balances(g(s, dir), IsolationLevel.PL3).orderBy("acct")),
+    "t_isolation_pl0" -> ((s, dir) =>
+      Bank.balances(g(s, dir), IsolationLevel.PL0).orderBy("acct")),
+    "t_state_versions" -> ((s, dir) => {
+      g(s, dir).result
+        .versions(Bank.NameSpace)
+        .select(
+          col("key").as("acct"), col("version").cast("bigint").as("version"),
+          col(TStream.TidCol).as("tid"), col(TStream.BranchCol).cast("bigint").as("branch"),
+          col("delta").as("delta_cents"), col("value").as("value_cents"))
+        .orderBy("acct", "version")
+    }),
+    "t_pl4_deps" -> ((s, dir) =>
+      StateQueries.dependencies(g(s, dir).state.updates).orderBy("tid")),
+    "t_consistency_check" -> ((s, dir) => Bank.consistencyCheck(g(s, dir))),
+    "t_query_point" -> ((s, dir) => {
+      val snap = g(s, dir).result.balances(Bank.NameSpace, IsolationLevel.PL3)
+      StateQueries.pointQuery(snap, Seq(0L, 1L, 2L, 3L, 4L))
+        .select(col("key").as("acct"), col("value").as("balance_cents"))
+        .orderBy("acct")
+    }),
+    "t_query_predicate" -> ((s, dir) => {
+      val snap = g(s, dir).result.balances(Bank.NameSpace, IsolationLevel.PL3)
+      StateQueries.predicateQuery(snap, col("value") < 0)
+        .select(col("key").as("acct"), col("value").as("balance_cents"))
+        .orderBy("acct")
+    }),
+    "t_query_multistate" -> ((s, dir) => {
+      val graph = g(s, dir)
+      val balances = graph.result.balances(Bank.NameSpace, IsolationLevel.PL3)
+      val activity = Tables.load(s, dir, "events")
+        .groupBy(col("user_id").cast("bigint").as("key"))
+        .agg(count(lit(1)).as("value"))
+      StateQueries.multiStateQuery(Map("balances" -> balances, "activity" -> activity))
+        .orderBy("namespace", "key")
+    }),
+    "t_watermark_snapshot" -> ((s, dir) => {
+      StateQueries
+        .watermarkSnapshot(
+          g(s, dir).result, Bank.NameSpace,
+          col("ts"), lit(Watermark).cast("timestamp"))
+        .select(col("key").as("acct"), col("value").as("balance_cents"), col("n_updates"))
+        .orderBy("acct")
+    }),
+    "t_wal" -> ((s, dir) => {
+      Wal.entries(g(s, dir).result, Bank.NameSpace)
+        .select(
+          col("lsn").cast("bigint").as("lsn"), col("tid"),
+          col("branch").cast("bigint").as("branch"),
+          col("key").as("acct"), col("delta").as("delta_cents"))
+        .orderBy("lsn")
+    }),
+    "t_snapshot_recovery" -> ((s, dir) => {
+      val graph = g(s, dir)
+      val wm = lit(Watermark).cast("timestamp")
+      val snap = Snapshots.take(graph.result, Bank.NameSpace, col("ts"), wm)
+      val tail = Snapshots.tail(graph.result, Bank.NameSpace, col("ts"), wm)
+      Snapshots.recover(snap, tail)
+        .select(col("key").as("acct"), col("value").as("recovered_cents"))
+        .orderBy("acct")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_map" -> (OraclePrefix +
+      """SELECT tid, from_acct, to_acct,
+        |  CAST(round(amount*100) AS BIGINT) AS amount_cents,
+        |  CAST(round(amount*0.01*100) AS BIGINT) AS fee_cents
+        |FROM tx ORDER BY tid""".stripMargin),
+    "t_flatmap" -> (OraclePrefix +
+      "SELECT tid, branch, acct, delta_cents, kind FROM mv ORDER BY tid, branch"),
+    "t_filter" -> (OraclePrefix +
+      "SELECT tid, acct, delta_cents FROM mv WHERE kind='D' AND delta_cents >= 5000 ORDER BY tid"),
+    "t_window_user" -> (OraclePrefix +
+      """SELECT acct, CAST(ts AS DATE) AS day, count(*) AS n_moves,
+        |  CAST(sum(delta_cents) AS BIGINT) AS net_cents
+        |FROM mv GROUP BY acct, CAST(ts AS DATE) ORDER BY acct, day""".stripMargin),
+    "t_window_global" -> (OraclePrefix +
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT tid) AS n_tx,
+        |  CAST(sum(abs(delta_cents)) AS BIGINT) AS gross_cents
+        |FROM mv GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin),
+    "t_2pc_votes" -> (OraclePrefix +
+      "SELECT tid, CASE WHEN v = 2 THEN 'COMMIT' ELSE 'ABORT' END AS vote FROM votes ORDER BY tid"),
+    "t_state_balances_pl3" -> (OraclePrefix +
+      "SELECT acct, balance_cents, n_updates FROM bal ORDER BY acct"),
+    "t_isolation_pl0" -> (OraclePrefix +
+      """SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS balance_cents, count(*) AS n_updates
+        |FROM mv GROUP BY acct ORDER BY acct""".stripMargin),
+    "t_state_versions" -> (OraclePrefix +
+      """SELECT acct,
+        |  CAST(row_number() OVER (PARTITION BY acct ORDER BY ts, tid, branch) AS BIGINT) AS version,
+        |  tid, CAST(branch AS BIGINT) AS branch, delta_cents,
+        |  CAST(sum(delta_cents) OVER (PARTITION BY acct ORDER BY ts, tid, branch
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS value_cents
+        |FROM cmv ORDER BY acct, version""".stripMargin),
+    "t_pl4_deps" -> (OraclePrefix +
+      """SELECT tid, CAST(sum(dep) AS BIGINT) AS dep_count FROM (
+        |  SELECT tid, count(*) OVER (PARTITION BY acct ORDER BY tid
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dep
+        |  FROM mv) GROUP BY tid ORDER BY tid""".stripMargin),
+    "t_consistency_check" -> (OraclePrefix +
+      """SELECT count(*) AS n_tx,
+        |  CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_commit,
+        |  CAST(sum(CASE WHEN v <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_abort,
+        |  (SELECT CAST(coalesce(sum(delta_cents), 0) AS BIGINT) FROM cmv) AS net_cents
+        |FROM votes""".stripMargin),
+    "t_query_point" -> (OraclePrefix +
+      "SELECT acct, balance_cents FROM bal WHERE acct IN (0,1,2,3,4) ORDER BY acct"),
+    "t_query_predicate" -> (OraclePrefix +
+      "SELECT acct, balance_cents FROM bal WHERE balance_cents < 0 ORDER BY acct"),
+    "t_query_multistate" -> (OraclePrefix +
+      """SELECT * FROM (
+        |  SELECT 'balances' AS namespace, acct AS key, balance_cents AS value FROM bal
+        |  UNION ALL
+        |  SELECT 'activity' AS namespace, CAST(user_id AS BIGINT) AS key, count(*) AS value
+        |  FROM events GROUP BY user_id)
+        |ORDER BY namespace, key""".stripMargin),
+    "t_watermark_snapshot" -> (OraclePrefix +
+      s"""SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS balance_cents, count(*) AS n_updates
+         |FROM cmv WHERE ts <= TIMESTAMP '$Watermark' GROUP BY acct ORDER BY acct""".stripMargin),
+    "t_wal" -> (OraclePrefix +
+      """SELECT CAST(row_number() OVER (ORDER BY tid, branch) AS BIGINT) AS lsn,
+        |  tid, CAST(branch AS BIGINT) AS branch, acct, delta_cents
+        |FROM cmv ORDER BY lsn""".stripMargin),
+    "t_snapshot_recovery" -> (OraclePrefix +
+      "SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS recovered_cents FROM cmv GROUP BY acct ORDER BY acct")
+  )
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline correctness queries (SURVEY.md §2 rows 23-33).
+  * SQL-expressible ops get DuckDB oracles; hash-based ops (minhash,
+  * simhash, LSH, langid) register rows-only queries — their semantics
+  * are verified by scalatest specs against exact baselines.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("fingerprint")),
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextAnalysis.charsNoSpace(col("text")).cast("bigint").as("chars_nospace"),
+        TextAnalysis.avgTokenLenMilli(col("text")).as("avg_token_len_milli"))
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.stopwordHits(col("text")).cast("bigint").as("stop_hits"),
+        TextAnalysis.qualityMilli(col("text")).as("quality_milli"),
+        TextAnalysis.qualityBand(col("text")).as("quality_band"))
+        .orderBy("doc_id")),
+    // rows-only (hash-based; spec-verified):
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.predictedLang(col("text")).as("predicted_lang"),
+        TextAnalysis.predictedLangConfidenceMilli(col("text")).as("confidence_milli"))
+        .orderBy("doc_id")),
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sig = Dedup.minHashSignature(col("text"), 16, 3)
+      docs(s, dir).select(
+        col("doc_id"),
+        hash(sig).cast("bigint").as("sig_hash"),
+        element_at(sig, 1).cast("bigint").as("mh0"))
+        .orderBy("doc_id")
+    }),
+    "simhash_sig" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Dedup.simHash(col("text")).as("simhash"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id")),
+    "ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        k = 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
+        .orderBy("qid", "rnk")
+    }),
+    // oracle-checked:
+    "ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        k = 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
+        .orderBy("qid", "rnk")
+    }),
+    "emb_label_stats" -> ((s, dir) =>
+      embs(s, dir)
+        .select(col("label"),
+          aggregate(Similarity.quantize(col("embedding")), lit(0L), (a, x) => a + x * x)
+            .as("norm_q"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("norm_q")).as("sum_norm_q"))
+        .orderBy("label")),
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(
+        Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "text/plain"))
+        .select(col("doc_id"), col("n_bytes"), col("chunk_count"), col("header_md5"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS chars_nospace,
+        |  CAST(round(1000.0 * length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |       / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avg_token_len_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       t -> t = 'the' OR t = 'a')) AS BIGINT) AS stop_hits,
+        |  CAST(round(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       t -> t = 'the' OR t = 'a'))
+        |       / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS quality_milli,
+        |  CASE
+        |    WHEN round(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         t -> t = 'the' OR t = 'a'))
+        |         / len(string_split_regex(trim(text), '\s+'))) >= 100 THEN 'high'
+        |    WHEN round(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         t -> t = 'the' OR t = 'a'))
+        |         / len(string_split_regex(trim(text), '\s+'))) >= 30 THEN 'medium'
+        |    ELSE 'low' END AS quality_band
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
+        |exploded AS (
+        |  SELECT qid, cid,
+        |    CAST(round(CAST(UNNEST(qvec) AS DOUBLE) * 1000) AS BIGINT) AS qv,
+        |    CAST(round(CAST(UNNEST(cvec) AS DOUBLE) * 1000) AS BIGINT) AS cv
+        |  FROM q, c WHERE qid <> cid),
+        |dots AS (SELECT qid, cid, CAST(sum(qv * cv) AS BIGINT) AS dot_q
+        |  FROM exploded GROUP BY qid, cid),
+        |ranked AS (SELECT qid, cid, dot_q,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
+        |  FROM dots)
+        |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "emb_label_stats" ->
+      """SELECT label, count(*) AS n,
+        |  CAST(sum(norm_q) AS BIGINT) AS sum_norm_q
+        |FROM (
+        |  SELECT label,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm_q
+        |  FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(floor((strlen(text) + 255) / 256.0) AS BIGINT) AS chunk_count,
+        |  md5(substring(text, 1, 64)) AS header_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,42 @@
+package graft.tgraph
+
+/** Isolation levels, mirroring the reference's
+  * `tgraph/IsolationLevel.java:6` (PL0..PL4, `gte` = ordinal order).
+  *
+  * Batch-deterministic semantics in graft:
+  *  - PL0: dirty reads — state folds apply every update, aborted
+  *    transactions included.
+  *  - PL1/PL2: committed-only visibility (in a deterministic batch fold
+  *    the lost-update/read-skew distinction collapses; both read the
+  *    committed prefix).
+  *  - PL3: committed updates, serialized per key in (order, tid, branch)
+  *    order — what the window fold computes.
+  *  - PL4: PL3 plus dependency tracking (see
+  *    `StateQueries.dependencies`), mirroring
+  *    `state/PL4DependencyTrackingStrategy.java`.
+  */
+sealed abstract class IsolationLevel(val ordinal: Int) {
+  def gte(other: IsolationLevel): Boolean = ordinal >= other.ordinal
+  /** Aborted writes visible to reads at this level? Only PL0. */
+  def readsUncommitted: Boolean = ordinal == 0
+}
+
+object IsolationLevel {
+  case object PL0 extends IsolationLevel(0)
+  case object PL1 extends IsolationLevel(1)
+  case object PL2 extends IsolationLevel(2)
+  case object PL3 extends IsolationLevel(3)
+  case object PL4 extends IsolationLevel(4)
+  val values: Seq[IsolationLevel] = Seq(PL0, PL1, PL2, PL3, PL4)
+}
+
+/** Concurrency-control strategy, mirroring `tgraph/twopc/Strategy` usage
+  * (`OptimisticTransactionExecutor` / `PessimisticTransactionExecutor`).
+  * In graft's deterministic replay both produce the same serial order;
+  * the flag selects the typed executor's conflict-handling path.
+  */
+sealed trait Strategy
+object Strategy {
+  case object Optimistic extends Strategy
+  case object Pessimistic extends Strategy
+}

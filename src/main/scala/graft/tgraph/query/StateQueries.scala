@@ -1,0 +1,75 @@
+package graft.tgraph.query
+
+import graft.tgraph.{IsolationLevel, TGraphResult, TStream}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Queryable state — the reference's `tgraph/query/` package
+  * (`Query.java:14` point/key-set queries, `PredicateQuery.java`,
+  * `MultiStateQuery.java`, `QueryResultMerger.java`,
+  * `WatermarkAssigner.java`).
+  *
+  * In graft a state snapshot is a DataFrame `(key, value, ...)`; queries
+  * are Catalyst filters over it — a point query prunes on the key
+  * (partition/file pruning at scale), a predicate query filters on the
+  * value, a multi-state query unions namespaces. The reference's
+  * QueryResultMerger (merging per-shard partial results) is Spark's own
+  * shuffle-merge; nothing to hand-roll.
+  */
+object StateQueries {
+
+  /** Point / key-set query (`Query.addKey`): prune to the given keys. */
+  def pointQuery(snapshot: DataFrame, keys: Seq[Long]): DataFrame =
+    snapshot.filter(col("key").isin(keys: _*))
+
+  /** Predicate query (`PredicateQuery.QueryPredicate`): arbitrary
+    * predicate over the state value.
+    */
+  def predicateQuery(snapshot: DataFrame, predicate: Column): DataFrame =
+    snapshot.filter(predicate)
+
+  /** Multi-namespace query (`MultiStateQuery.java`): union of per-
+    * namespace snapshots tagged with their namespace.
+    */
+  def multiStateQuery(snapshots: Map[String, DataFrame]): DataFrame =
+    snapshots
+      .map { case (ns, df) =>
+        df.select(lit(ns).as("namespace"), col("key"), col("value"))
+      }
+      .reduce(_ union _)
+
+  /** Watermark-bounded visibility (`WatermarkAssigner` +
+    * `TotalOrderEnforcer`): the state fold restricted to transactions
+    * with event time <= watermark. Filtering BEFORE the fold pushes the
+    * predicate to the scan.
+    */
+  def watermarkSnapshot(
+      result: TGraphResult,
+      nameSpace: String,
+      timeCol: Column,
+      watermark: Column): DataFrame =
+    result
+      .visibleUpdates(nameSpace, IsolationLevel.PL3)
+      .filter(timeCol <= watermark)
+      .groupBy(col("key"))
+      .agg(sum(col("delta")).as("value"), count(lit(1)).as("n_updates"))
+
+  /** PL4 dependency tracking
+    * (`state/PL4DependencyTrackingStrategy.java`): for each transaction,
+    * how many earlier writes touched the keys it writes. Computed with a
+    * RANGE window (strictly-earlier tids) — no self-join, one shuffle on
+    * the state key, then a re-aggregation by tid.
+    */
+  def dependencies(updates: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("key"))
+      .orderBy(col(TStream.TidCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    updates
+      .withColumn("__dep", count(lit(1)).over(w))
+      .groupBy(col(TStream.TidCol))
+      .agg(sum(col("__dep")).as("dep_count"))
+      .select(col(TStream.TidCol).as("tid"), col("dep_count"))
+  }
+}

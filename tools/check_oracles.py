@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local oracle cross-check: mimics the driver's DuckDB compare.
+
+Usage: python3 tools/check_oracles.py <sf_dir> <verify_out_dir>
+Compares each <out>/<name> parquet against the oracle SQL in
+<out>/oracle_sql.json run by DuckDB over <sf_dir>/*.parquet.
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(f)[: -len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+ok, bad = [], []
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = pq.read_table(d).to_pandas()
+    if name not in oracles:
+        status = f"rows-only ({len(spark_df)} rows)"
+        (ok if len(spark_df) > 0 else bad).append((name, status))
+        continue
+    try:
+        duck_df = con.execute(oracles[name]).df()
+    except Exception as e:
+        bad.append((name, f"oracle SQL error: {e}"))
+        continue
+    s = spark_df[sorted(spark_df.columns)]
+    k = duck_df[sorted(duck_df.columns)] if set(duck_df.columns) == set(spark_df.columns) else None
+    if k is None:
+        bad.append((name, f"column mismatch spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))
+        continue
+    if len(s) != len(k):
+        bad.append((name, f"row count spark={len(s)} duck={len(k)}"))
+        continue
+    s2 = s.sort_values(by=list(s.columns), ignore_index=True)
+    k2 = k.sort_values(by=list(k.columns), ignore_index=True)
+    mismatched = []
+    for c in s.columns:
+        a, b = s2[c], k2[c]
+        try:
+            if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+                eq = pd.to_datetime(a).astype("datetime64[us]").equals(
+                    pd.to_datetime(b).astype("datetime64[us]"))
+            else:
+                eq = a.astype(object).equals(b.astype(object))
+        except Exception as e:
+            eq = False
+        if not eq:
+            mismatched.append(c)
+    if mismatched:
+        bad.append((name, f"value mismatch in cols {mismatched}; spark dtypes={dict(s.dtypes.astype(str))} duck={dict(k.dtypes.astype(str))}"))
+        for c in mismatched[:2]:
+            diff = s2[s2[c].astype(object) != k2[c].astype(object)]
+            print(f"--- {name}.{c}: first diffs\nspark:\n{s2.loc[diff.index[:3]]}\nduck:\n{k2.loc[diff.index[:3]]}")
+    else:
+        ok.append((name, f"MATCH ({len(s)} rows)"))
+
+print(f"\n== OK ({len(ok)}) ==")
+for n, m in ok:
+    print(f"  {n}: {m}")
+print(f"\n== BAD ({len(bad)}) ==")
+for n, m in bad:
+    print(f"  {n}: {m}")
+sys.exit(1 if bad else 0)
