@@ -56,32 +56,42 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** Sign-LSH bucket key: the sign pattern of the first `bits`
-    * components (a random-hyperplane LSH with axis-aligned planes —
-    * deterministic and engine-independent). Vectors in the same bucket
-    * are similarity candidates.
+  /** Sign-LSH bucket keys, one per hash table: table `t` hashes the
+    * sign pattern of components [t·bits, t·bits+bits) (random-
+    * hyperplane LSH with axis-aligned planes — deterministic and
+    * engine-independent). Vectors sharing a bucket in ANY table are
+    * candidates; more tables = higher recall at the same per-table
+    * pruning factor.
     */
-  def signBucket(vec: Column, bits: Int): Column =
-    aggregate(
-      zip_with(slice(vec, 1, bits), sequence(lit(0), lit(bits - 1)),
-        (x, i) => when(x >= 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
-      lit(0L), _ + _)
+  def signBuckets(vec: Column, bits: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(
+        zip_with(slice(vec, t * lit(bits) + 1, lit(bits)), sequence(lit(0), lit(bits - 1)),
+          (x, i) => when(x >= 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
+        lit(0L), _ + _))
 
-  /** LSH-bucketed ANN: join query and candidate sides on the bucket key
-    * (equi-join — shuffle on bucket, no cartesian), then exact rerank
-    * within buckets. Recall is traded for the pruning factor; the spec
-    * measures it against [[bruteForceTopK]].
+  /** Multi-table LSH ANN: explode per-table buckets, equi-join on
+    * (table, bucket) — a shuffle on the bucket key, no cartesian —
+    * dedupe candidate pairs, exact rerank within the candidate set.
+    * Recall/pruning is tuned by (bits, tables); the spec measures
+    * recall against [[bruteForceTopK]].
     */
   def lshTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)
       k: Int,
-      bits: Int = 8): DataFrame = {
-    val qb = queries.withColumn("bucket", signBucket(col("qvec"), bits))
-    val cb = candidates.withColumn("bucket", signBucket(col("cvec"), bits))
+      bits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val qb = queries.select(
+      col("qid"), col("qvec"),
+      posexplode(signBuckets(col("qvec"), bits, tables)).as(Seq("tbl", "bucket")))
+    val cb = candidates.select(
+      col("cid"), col("cvec"),
+      posexplode(signBuckets(col("cvec"), bits, tables)).as(Seq("tbl", "bucket")))
     val scored = cb
-      .join(broadcast(qb), Seq("bucket"))
+      .join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
     scored

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two near-duplicate pairs + unrelated docs
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (2L, "completely different content about spark catalyst optimizer internals here"),
+    (3L, "completely different content about spark catalyst optimizer internals there"),
+    (4L, "nothing in common with any other document in this tiny corpus at all"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normal forms") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .filter(col("n_dups") > 1)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L)))
+  }
+
+  test("LSH candidates find near-dup pairs without a cartesian join") {
+    val cands = Dedup.nearDuplicateCandidates(docs, col("text"), col("doc_id"))
+    assert(!cands.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val pairs = cands.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 5L))) // high-sim pair bucketed
+    assert(pairs.contains((0L, 5L))) // exact dup always collides
+  }
+
+  test("minhash estimate tracks exact jaccard for verified candidates") {
+    val cands = Dedup.nearDuplicateCandidates(docs, col("text"), col("doc_id"))
+    val verified = Dedup.jaccardVerify(cands, docs, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val exactDup = verified.find(p => p._1 == 0L && p._2 == 5L)
+    assert(exactDup.exists(_._3 == 1.0))
+    verified.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
+  }
+
+  test("simhash: near-dups are closer in hamming distance than unrelated docs") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(0L) == sigs(5L)) // identical text, identical simhash
+    assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(4L)))
+  }
+
+  test("rolling hash is order-sensitive, bag-of-words hash is not") {
+    val pair = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha")).toDF("doc_id", "text")
+    val rh = pair.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(rh(0) != rh(1))
+  }
+}

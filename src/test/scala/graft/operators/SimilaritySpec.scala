@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine and quantized dot agree with manual math") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f), 4L, Array(0.0f, 1.0f))
+    ).toDF("qid", "qvec", "cid", "cvec")
+    val out = df.select(
+      col("qid"),
+      Similarity.cosine(col("qvec"), col("cvec")).as("cos"),
+      Similarity.dotQ(col("qvec"), col("cvec")).as("dot"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(math.abs(out(0)._2 - 1.0) < 1e-9 && out(0)._3 == 1000L * 1000L)
+    assert(math.abs(out(1)._2) < 1e-9 && out(1)._3 == 0L)
+  }
+
+  test("LSH top-k achieves useful recall vs brute force on real embeddings") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val brute = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, c, 5, bits = 4, tables = 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 8 tables of 4-bit sign-LSH: ~16x per-table pruning, unioned
+    assert(recall > 0.3, s"recall=$recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("no cartesian product in either ANN plan") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val lshPlan = Similarity.lshTopK(q, c, 5).queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct"))
+  }
+}
