@@ -55,6 +55,29 @@ object StateQueries {
       .groupBy(col("key"))
       .agg(sum(col("delta")).as("value"), count(lit(1)).as("n_updates"))
 
+  /** Query suppliers — the reference's `RandomQuerySupplier` /
+    * `FrequencyQuerySupplier` (`tgraph/query/QuerySource.java`):
+    * deterministic sampled key sets to drive point-query workloads.
+    * Sampling by seeded hash order keeps the choice reproducible across
+    * engines and runs (no RNG state on executors).
+    */
+  def sampleKeys(snapshot: DataFrame, n: Int, seed: Int): Seq[Long] =
+    snapshot
+      .select(col("key").cast("bigint"))
+      .orderBy(hash(col("key"), lit(seed)), col("key"))
+      .limit(n)
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+
+  /** A frequency-driven stream of point queries (queryRate analog):
+    * one sampled key-set per tick. Driver-side plumbing; each query
+    * itself is a distributed pruned scan.
+    */
+  def querySupplier(
+      snapshot: DataFrame, avgSize: Int, seed: Int): Iterator[DataFrame] =
+    Iterator.from(0).map(i => pointQuery(snapshot, sampleKeys(snapshot, avgSize, seed + i)))
+
   /** PL4 dependency tracking
     * (`state/PL4DependencyTrackingStrategy.java`): for each transaction,
     * how many earlier writes touched the keys it writes. Computed with a

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.evaluation.Bank
+import graft.tables.Tables
+import graft.tgraph.IsolationLevel
+import graft.tgraph.backed.Transfers
+import graft.metrics.Metrics
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+final case class Tx(tid: Long, from_acct: Long, to_acct: Long, amount: Double)
+
+class StreamingBankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming bank pipeline converges to the batch/declarative balances") {
+    implicit val sqlCtx = spark.sqlContext
+    val transfers = Transfers.fromEvents(Tables.load(spark, Sf0001, "events"))
+      .select(col("tid"), col("from_acct"), col("to_acct"), col("amount"))
+      .as[Tx].collect()
+
+    val input = MemoryStream[Tx]
+    val stream = StreamingBank.balances(spark, input.toDF())
+    val q = stream.writeStream
+      .format("memory").queryName("bank_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // feed in three micro-batches to exercise cross-batch state
+      transfers.grouped(400).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // last committed version per account = final balance
+      val streamed = spark.table("bank_stream")
+        .groupBy(col("key"))
+        .agg(max_by(col("value"), col("version")).as("balance"))
+        .as[(Long, Long)].collect().toMap
+
+      val declarative = Bank.balances(Bank.graph(spark, Sf0001), IsolationLevel.PL3)
+        .select("acct", "balance_cents").as[(Long, Long)].collect().toMap
+      assert(streamed == declarative)
+
+      // streaming metrics flow straight from QueryProgress
+      val reports = q.recentProgress.map(Metrics.fromProgress)
+      assert(reports.map(_.inputRows).sum >= transfers.length)
+    } finally q.stop()
+  }
+}
