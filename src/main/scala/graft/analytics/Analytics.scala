@@ -66,6 +66,25 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         sum(cents(col("o_totalprice"))).as("revenue_cents"))
 
+  /** Gap-based sessionization: a new session starts after `gapSeconds`
+    * of inactivity per key. Two windows over one shuffle (same
+    * partitioning/order), all codegen'd — the standard scalable
+    * formulation (lag → flag → running sum).
+    */
+  def sessionize(
+      df: DataFrame, key: Column, time: Column, tiebreak: Column,
+      gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(time, tiebreak)
+    val micros = unix_micros(time)
+    val gap = micros - lag(micros, 1).over(w)
+    df.withColumn("__new",
+      when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
   /** Top-k per group via ranked window (deterministic tiebreak). */
   def topKPerGroup(
       df: DataFrame, groupCol: Column, orderCol: Column,

@@ -24,9 +24,19 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("bigint"))
 
-  /** Exact int64 dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
+  /** Exact int64 dot product of two quantized vectors — higher-order-
+    * function form (engine-portable definition; the spec checks the
+    * native kernel against it).
+    */
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(quantize(a), quantize(b), _ * _), lit(0L), _ + _)
+
+  /** The same dot product through the native codegen'd Catalyst
+    * expression ([[graft.functions.QuantizedDot]]) — the hot-path
+    * kernel used by the top-k operators.
+    */
+  def dotQ(a: Column, b: Column): Column =
+    graft.functions.QuantizedDot(a, b)
 
   /** Double-precision cosine similarity (library use; not oracle-safe). */
   def cosine(a: Column, b: Column): Column = {
