@@ -138,6 +138,23 @@ object BankQueries {
           col("key").as("acct"), col("delta").as("delta_cents"))
         .orderBy("lsn")
     }),
+    // Single-partition updates (the reference's SinglePartitionUpdate /
+    // DepositsAndWithdrawalsGenerator): one-key transactions that skip
+    // the 2PC fork — state() with a never-aborting invariant.
+    "t_spu_updates" -> ((s, dir) => {
+      val env = TransactionEnvironment()
+      val events = Tables.load(s, dir, "events")
+      val delta = when(col("event_type").isin("purchase", "error"),
+        -graft.tgraph.backed.Transfers.cents(col("value")))
+        .otherwise(graft.tgraph.backed.Transfers.cents(col("value")))
+      val st = env.open(events, col("event_id"))
+        .map("delta_cents" -> delta)
+        .keyBy(col("user_id"))
+        .state("spu", col("user_id").cast("bigint"), col("delta_cents"), lit(false), Seq("ts"))
+      env.close(st).balances("spu")
+        .select(col("key").as("acct"), col("value").as("balance_cents"), col("n_updates"))
+        .orderBy("acct")
+    }),
     "t_snapshot_recovery" -> ((s, dir) => {
       val graph = g(s, dir)
       val wm = lit(Watermark).cast("timestamp")
@@ -210,6 +227,13 @@ object BankQueries {
       """SELECT CAST(row_number() OVER (ORDER BY tid, branch) AS BIGINT) AS lsn,
         |  tid, CAST(branch AS BIGINT) AS branch, acct, delta_cents
         |FROM cmv ORDER BY lsn""".stripMargin),
+    "t_spu_updates" ->
+      """SELECT CAST(user_id AS BIGINT) AS acct,
+        |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
+        |       THEN -CAST(round(value*100) AS BIGINT)
+        |       ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS balance_cents,
+        |  count(*) AS n_updates
+        |FROM events GROUP BY user_id ORDER BY acct""".stripMargin,
     "t_snapshot_recovery" -> (OraclePrefix +
       "SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS recovered_cents FROM cmv GROUP BY acct ORDER BY acct")
   )
