@@ -85,6 +85,10 @@ object Analytics {
       .drop("__new")
   }
 
+  /** TPC-H Q6 through the SQL surface (same text as the oracle). */
+  def sqlQ6(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    SqlInterface.sql(spark, dir, SqlInterface.TpchQ6)
+
   /** Top-k per group via ranked window (deterministic tiebreak). */
   def topKPerGroup(
       df: DataFrame, groupCol: Column, orderCol: Column,

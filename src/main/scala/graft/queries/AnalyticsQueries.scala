@@ -77,6 +77,7 @@ object AnalyticsQueries {
           count(col("o_orderkey")).as("n_orders"),
           coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("total_cents"))
         .orderBy("c_custkey")),
+    "q6_sql" -> ((s, dir) => Analytics.sqlQ6(s, dir)),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
@@ -169,6 +170,7 @@ object AnalyticsQueries {
         |  CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_cents
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q6_sql" -> graft.analytics.SqlInterface.TpchQ6,
     "q_rollup" ->
       """SELECT coalesce(n_name, 'ALL') AS nation, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -84,7 +84,26 @@ object BankQueries {
           sum(abs(col("delta_cents"))).as("gross_cents"))
         .orderBy("day")
     }),
-    "t_2pc_votes" -> ((s, dir) => g(s, dir).result.voteNames.orderBy("tid")),
+    "t_2pc_votes" -> ((s, dir) =>
+      g(s, dir).result.voteNames.select("tid", "vote").orderBy("tid")),
+    // REPLAY vote path: transactions in the deterministic "conflict
+    // zone" (tid % 10 == 0) vote REPLAY at the state operator; close
+    // resolves surviving REPLAYs to COMMIT (retry succeeds) unless an
+    // abort branch dominates — mirrors Vote.merge + replay loop.
+    "t_2pc_replay" -> ((s, dir) => {
+      val env = TransactionEnvironment()
+      val transfers = graft.tgraph.backed.Transfers.fromEvents(
+        Tables.load(s, dir, "events"))
+      val movements = env.open(transfers, col("tid"))
+        .flatMap(graft.tgraph.backed.Transfers.movements)
+      val st = movements.state(
+        "balances", col("acct"), col("delta_cents"),
+        abortIf = (col("kind") === "W" && col("delta_cents") < -15000) ||
+          (col("kind") === "D" && col("acct") === 13),
+        orderBy = Seq("ts"),
+        replayIf = pmod(col(TStream.TidCol), lit(10)) === 0)
+      env.close(st).voteNames.orderBy("tid")
+    }),
     "t_state_balances_pl3" -> ((s, dir) =>
       Bank.balances(g(s, dir), IsolationLevel.PL3).orderBy("acct")),
     "t_isolation_pl0" -> ((s, dir) =>
@@ -186,6 +205,10 @@ object BankQueries {
         |FROM mv GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin),
     "t_2pc_votes" -> (OraclePrefix +
       "SELECT tid, CASE WHEN v = 2 THEN 'COMMIT' ELSE 'ABORT' END AS vote FROM votes ORDER BY tid"),
+    "t_2pc_replay" -> (OraclePrefix +
+      """SELECT tid, CASE WHEN v = 2 THEN 'COMMIT' ELSE 'ABORT' END AS vote,
+        |  (v = 2 AND tid % 10 = 0) AS replayed
+        |FROM votes ORDER BY tid""".stripMargin),
     "t_state_balances_pl3" -> (OraclePrefix +
       "SELECT acct, balance_cents, n_updates FROM bal ORDER BY acct"),
     "t_isolation_pl0" -> (OraclePrefix +

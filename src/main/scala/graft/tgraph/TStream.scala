@@ -91,14 +91,17 @@ final class TStream private[tgraph] (
       key: Column,
       delta: Column,
       abortIf: Column,
-      orderBy: Seq[String]): StateStream = {
+      orderBy: Seq[String],
+      replayIf: Column = lit(false)): StateStream = {
     val updates = df.select(
       Seq(
         col(TidCol),
         col(BranchCol),
         key.as("key"),
         delta.as("delta"),
-        when(abortIf, lit(Vote.Abort)).otherwise(lit(Vote.Commit)).as("__branch_vote")
+        when(abortIf, lit(Vote.Abort))
+          .when(replayIf, lit(Vote.Replay))
+          .otherwise(lit(Vote.Commit)).as("__branch_vote")
       ) ++ orderBy.map(col): _*)
     new StateStream(env, nameSpace, updates, orderBy)
   }

@@ -61,17 +61,29 @@ final class TGraphResult private[tgraph] (
     streams.find(_.nameSpace == nameSpace).getOrElse(
       throw new IllegalArgumentException(s"unknown namespace $nameSpace"))
 
-  /** Final votes as (tid, vote-name) — the output of the close operator. */
-  def voteNames: DataFrame =
+  /** Vote resolution: a transaction whose merged vote is REPLAY had no
+    * aborting branch (ABORT=0 would dominate the min), i.e. only a
+    * transient conflict — the reference replays it through the graph
+    * until it commits or aborts; deterministic replay of a conflict-
+    * free transaction commits. So resolved(REPLAY) = COMMIT, and the
+    * REPLAY verdict survives as the `replayed` flag.
+    */
+  private def resolved: DataFrame =
     finalVotes.select(
+      col(TidCol),
+      when(col(VoteCol) === Vote.Replay, Vote.Commit).otherwise(col(VoteCol)).as(VoteCol),
+      (col(VoteCol) === Vote.Replay).as("__replayed"))
+
+  /** Final votes as (tid, vote-name, replayed) — the close output. */
+  def voteNames: DataFrame =
+    resolved.select(
       col(TidCol).as("tid"),
-      when(col(VoteCol) === Vote.Commit, "COMMIT")
-        .when(col(VoteCol) === Vote.Replay, "REPLAY")
-        .otherwise("ABORT").as("vote"))
+      when(col(VoteCol) === Vote.Commit, "COMMIT").otherwise("ABORT").as("vote"),
+      col("__replayed").as("replayed"))
 
   /** Updates of `nameSpace` visible at `isolation` (default: env's). */
   def visibleUpdates(nameSpace: String, isolation: IsolationLevel = env.isolation): DataFrame =
-    stream(nameSpace).visible(finalVotes, isolation)
+    stream(nameSpace).visible(resolved.drop("__replayed"), isolation)
 
   /** Committed-state fold: key → final value (sum of visible deltas).
     * Single shuffle on the state key; partial aggregation map-side.
@@ -83,5 +95,5 @@ final class TGraphResult private[tgraph] (
 
   /** Per-key version chain (the versioned object store). */
   def versions(nameSpace: String, isolation: IsolationLevel = env.isolation): DataFrame =
-    stream(nameSpace).versionChain(finalVotes, isolation)
+    stream(nameSpace).versionChain(resolved.drop("__replayed"), isolation)
 }

@@ -49,4 +49,40 @@ class StreamingBankSpec extends SparkSpec {
       assert(reports.map(_.inputRows).sum >= transfers.length)
     } finally q.stop()
   }
+
+  test("streaming state survives a checkpointed restart (kill mid-stream, recover)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val transfers = Transfers.fromEvents(Tables.load(spark, Sf0001, "events"))
+      .select(col("tid"), col("from_acct"), col("to_acct"), col("amount"))
+      .as[Tx].collect()
+    val (first, second) = transfers.splitAt(transfers.length / 2)
+
+    val input = MemoryStream[Tx]
+    def start() = StreamingBank.balances(spark, input.toDF())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val q1 = start()
+    input.addData(first.toSeq)
+    q1.processAllAvailable()
+    q1.stop() // "crash"
+
+    val q2 = start() // recover from checkpoint
+    input.addData(second.toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val recovered = spark.read.parquet(s"$dir/out")
+      .groupBy(col("key"))
+      .agg(max_by(col("value"), col("version")).as("balance"))
+      .as[(Long, Long)].collect().toMap
+    val declarative = Bank.balances(Bank.graph(spark, Sf0001), IsolationLevel.PL3)
+      .select("acct", "balance_cents").as[(Long, Long)].collect().toMap
+    assert(recovered == declarative)
+  }
 }

@@ -45,7 +45,8 @@ class TStreamSpec extends SparkSpec {
         struct(col("amount").as("v")),
         struct((col("amount") * 2).as("v"))))
       .state("ns", lit(0L), col("v"), col("v") > 100, Seq())
-    val votes = env.close(s).voteNames.as[(Long, String)].collect().toMap
+    val votes = env.close(s).voteNames
+      .select("tid", "vote").as[(Long, String)].collect().toMap
     assert(votes == Map(1L -> "COMMIT", 2L -> "ABORT"))
   }
 
