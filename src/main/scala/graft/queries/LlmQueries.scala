@@ -33,6 +33,14 @@ object LlmQueries {
         TextAnalysis.qualityMilli(col("text")).as("quality_milli"),
         TextAnalysis.qualityBand(col("text")).as("quality_band"))
         .orderBy("doc_id")),
+    // the shingle machinery under minhash, oracle-checked:
+    "text_shingles" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(Dedup.shingles(col("text"), 3)).cast("bigint").as("n_shingles"),
+        size(array_distinct(Dedup.shingles(col("text"), 3))).cast("bigint")
+          .as("n_distinct_shingles"))
+        .orderBy("doc_id")),
     // rows-only (hash-based; spec-verified):
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(
@@ -116,6 +124,18 @@ object LlmQueries {
         |         / len(string_split_regex(trim(text), '\s+'))) >= 30 THEN 'medium'
         |    ELSE 'low' END AS quality_band
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_shingles" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
+        |  FROM t)
+        |SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct_shingles
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
