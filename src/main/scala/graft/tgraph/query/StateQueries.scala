@@ -78,6 +78,18 @@ object StateQueries {
       snapshot: DataFrame, avgSize: Int, seed: Int): Iterator[DataFrame] =
     Iterator.from(0).map(i => pointQuery(snapshot, sampleKeys(snapshot, avgSize, seed + i)))
 
+  /** Queryable LIVE streaming state — the online analog of the
+    * reference's state servers answering point/predicate queries
+    * against running operators: Spark's state-store data source reads
+    * the checkpointed state of a (running or stopped) streaming query
+    * directly. Point/predicate queries compose on top as ordinary
+    * pruned scans.
+    */
+  def streamingState(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointLocation: String): DataFrame =
+    spark.read.format("statestore").load(checkpointLocation)
+
   /** PL4 dependency tracking
     * (`state/PL4DependencyTrackingStrategy.java`): for each transaction,
     * how many earlier writes touched the keys it writes. Computed with a

@@ -84,5 +84,23 @@ class StreamingBankSpec extends SparkSpec {
     val declarative = Bank.balances(Bank.graph(spark, Sf0001), IsolationLevel.PL3)
       .select("acct", "balance_cents").as[(Long, Long)].collect().toMap
     assert(recovered == declarative)
+
+    // queryable LIVE state: read the checkpointed state store directly
+    // (the reference's state-server point queries against a running job)
+    val live = graft.tgraph.query.StateQueries.streamingState(spark, s"$dir/ckpt")
+    assert(live.count() > 0)
+    val liveKeys = live.select(col("key.value").cast("long")).as[Long].collect().toSet
+    assert(liveKeys == declarative.keySet)
+  }
+
+  test("rate-style TransferSource is deterministic and feeds the pipeline") {
+    val src = graft.sources.TransferSource.batch(spark, 1000)
+    val a = src.agg(sum(col("amount")), countDistinct(col("from_acct"))).head()
+    val b = graft.sources.TransferSource.batch(spark, 1000)
+      .agg(sum(col("amount")), countDistinct(col("from_acct"))).head()
+    assert(a == b) // reproducible workload
+    assert(src.filter(col("from_acct") === col("to_acct")).count() == 0)
+    val balances = StreamingBank.balances(spark, src).collect()
+    assert(balances.nonEmpty)
   }
 }
