@@ -80,6 +80,52 @@ object Similarity {
           (x, i) => when(x >= 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
         lit(0L), _ + _))
 
+  /** Elementwise centroids per cell (exact int64 milli sums → means):
+    * the IVF coarse quantizer's codebook, built with one explode +
+    * one shuffle on (cell, position). Input (cell, vec); output
+    * (cell, pos, mean_milli).
+    */
+  def centroids(df: DataFrame, cell: Column, vec: Column): DataFrame =
+    df.select(cell.as("cell"), posexplode(quantize(vec)).as(Seq("pos", "q")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+
+  /** IVF-style ANN: assign every vector to its nearest centroid
+    * (broadcast codebook — one pass, no shuffle of the big side), then
+    * search only within the query's cell: the equi-join on `cell`
+    * replaces the full scan, trading recall for a |cells|-fold pruning.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      codebook: DataFrame, // (cell, pos, mean_milli)
+      k: Int): DataFrame = {
+    // codebook rows -> one array per cell, position-ordered
+    val cells = codebook
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
+        e => e.getField("mean_milli")).as("cvec_milli"))
+    def assign(df: DataFrame, id: String, vec: String, out: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cells))
+        .withColumn("__score",
+          aggregate(zip_with(quantize(col(vec)), col("cvec_milli"), _ * _), lit(0L), _ + _))
+      val w = Window.partitionBy(col(id)).orderBy(col("__score").desc, col("cell"))
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .drop("__score", "__r", "cvec_milli").withColumnRenamed("cell", out)
+    }
+    val qa = assign(queries, "qid", "qvec", "qcell")
+    val ca = assign(candidates, "cid", "cvec", "ccell")
+    val scored = ca
+      .join(broadcast(qa), col("qcell") === col("ccell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Multi-table LSH ANN: explode per-table buckets, equi-join on
     * (table, bucket) — a shuffle on the bucket key, no cartesian —
     * dedupe candidate pairs, exact rerank within the candidate set.

@@ -81,6 +81,21 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
+    "emb_centroids" -> ((s, dir) =>
+      Similarity.centroids(embs(s, dir), col("label"), col("embedding"))
+        .select(col("cell").as("label"), col("pos").cast("bigint").as("pos"),
+          col("mean_milli"))
+        .orderBy("label", "pos")),
+    "ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val codebook = Similarity.centroids(e, col("label"), col("embedding"))
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        codebook, k = 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
+        .orderBy("qid", "rnk")
+    }),
     "emb_label_stats" -> ((s, dir) =>
       embs(s, dir)
         .select(col("label"),
@@ -150,6 +165,15 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
         |  FROM dots)
         |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "emb_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+        |    CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |  CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "emb_label_stats" ->
       """SELECT label, count(*) AS n,
         |  CAST(sum(norm_q) AS BIGINT) AS sum_norm_q

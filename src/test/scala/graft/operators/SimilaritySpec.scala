@@ -36,6 +36,23 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF search finds neighbors within the query's cell") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val codebook = Similarity.centroids(e, col("label"), col("embedding"))
+    assert(codebook.count() == 10 * 64) // 10 cells x 64 dims
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val ivf = Similarity.ivfTopK(q, c, codebook, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val brute = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // 10-cell coarse quantizer ~ 10x pruning; must beat random (0.1)
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("no cartesian product in either ANN plan") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 5)
