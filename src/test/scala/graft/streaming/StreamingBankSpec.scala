@@ -93,6 +93,33 @@ class StreamingBankSpec extends SparkSpec {
     assert(liveKeys == declarative.keySet)
   }
 
+  test("watermarked windowed aggregation over the transfer stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tx]
+    // event-time = one synthetic minute per 10 tids
+    val withTime = input.toDF()
+      .withColumn("ts", expr("timestamp_micros(1704067200000000 + tid * 6000000)"))
+    val windowed = withTime
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("to_acct"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+    val q = windowed.writeStream
+      .format("memory").queryName("windowed_transfers")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val txs = (0L until 300L).map(i => Tx(i, i % 7, (i + 1) % 20, 10.0 + (i % 5)))
+      input.addData(txs.take(150)); q.processAllAvailable()
+      input.addData(txs.drop(150)); q.processAllAvailable()
+      // close the last window so append mode emits it
+      input.addData(Tx(10000L, 0L, 1L, 1.0)); q.processAllAvailable()
+      val out = spark.table("windowed_transfers")
+      assert(out.count() > 0)
+      val n = out.agg(sum(col("n"))).as[Long].head()
+      assert(n == 300L) // every pre-watermark transfer landed in a window
+    } finally q.stop()
+  }
+
   test("rate-style TransferSource is deterministic and feeds the pipeline") {
     val src = graft.sources.TransferSource.batch(spark, 1000)
     val a = src.agg(sum(col("amount")), countDistinct(col("from_acct"))).head()
