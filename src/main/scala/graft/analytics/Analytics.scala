@@ -85,6 +85,35 @@ object Analytics {
       .drop("__new")
   }
 
+  /** As-of join: enrich each left row with the latest right value whose
+    * time is <= the left row's time, per key. Composed from built-ins
+    * (preference (a)): union both sides, one window pass per key with
+    * right rows sorting before left rows at equal times, `last(...,
+    * ignoreNulls)` carries the value forward. ONE shuffle on the key —
+    * no range join, no per-row lookup; this is the scalable spelling
+    * of the operator (DuckDB's native ASOF JOIN is the oracle).
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: Column, rightTime: Column,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vType = right.schema(valueCol).dataType
+    val r = right.select(
+      col(key), rightTime.as("__t"), lit(1).as("__isr"), col(valueCol).as("__v"))
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__isr", lit(0))
+      .withColumn("__v", lit(null).cast(vType))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(valueCol + "_asof", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0)
+      .drop("__t", "__isr", "__v")
+  }
+
   /** TPC-H Q6 through the SQL surface (same text as the oracle). */
   def sqlQ6(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     SqlInterface.sql(spark, dir, SqlInterface.TpchQ6)

@@ -94,8 +94,10 @@ object QuantizedDot {
   * function at runtime.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotQDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRewrite)
+  }
 }
 
 object GraftFunctions {

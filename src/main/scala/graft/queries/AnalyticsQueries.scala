@@ -78,6 +78,29 @@ object AnalyticsQueries {
           coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("total_cents"))
         .orderBy("c_custkey")),
     "q6_sql" -> ((s, dir) => Analytics.sqlQ6(s, dir)),
+    // as-of join: each event enriched with the user's end-of-prior-day
+    // cumulative balance (snapshots derived from the same events table)
+    "q_asof_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val daily = events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("day_cents"))
+      val snapshots = daily
+        .withColumn("snap_ts",
+          date_add(col("day"), 1).cast("timestamp"))
+        .withColumn("cum_cents",
+          sum(col("day_cents")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("day"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("snap_ts"), col("cum_cents"))
+      Analytics.asOfJoin(
+        events.select(col("event_id"), col("user_id"), col("ts"), cents(col("value")).as("value_cents")),
+        snapshots, "user_id", col("ts"), col("snap_ts"), "cum_cents")
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          coalesce(col("cum_cents_asof"), lit(0L)).as("prev_balance_cents"))
+        .orderBy("event_id")
+    }),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
@@ -171,6 +194,24 @@ object AnalyticsQueries {
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q6_sql" -> graft.analytics.SqlInterface.TpchQ6,
+    "q_asof_join" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |snapshots AS (
+        |  SELECT user_id,
+        |    CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS snap_ts,
+        |    CAST(sum(day_cents) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM daily)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(round(e.value*100) AS BIGINT) AS value_cents,
+        |  coalesce(s.cum_cents, 0) AS prev_balance_cents
+        |FROM events e
+        |ASOF LEFT JOIN snapshots s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(n_name, 'ALL') AS nation, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
