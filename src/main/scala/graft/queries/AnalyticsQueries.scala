@@ -101,6 +101,22 @@ object AnalyticsQueries {
           coalesce(col("cum_cents_asof"), lit(0L)).as("prev_balance_cents"))
         .orderBy("event_id")
     }),
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("median_value"),
+          expr("percentile(value, 0.9)").as("p90_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+    "q_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .except(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day")))
+        .orderBy("user_id", "day")
+    }),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
@@ -212,6 +228,17 @@ object AnalyticsQueries {
         |ASOF LEFT JOIN snapshots s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS median_value,
+        |  quantile_cont(value, 0.9) AS p90_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_except" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(n_name, 'ALL') AS nation, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
