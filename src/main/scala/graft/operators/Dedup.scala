@@ -104,6 +104,28 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicates: sign-LSH bucketing (same
+    * machinery as ANN — shuffle on the bucket key, never all-pairs),
+    * within-bucket self-join, exact cosine rerank against a threshold.
+    * The semantic-dedup step of an LLM data pipeline.
+    */
+  def embeddingNearDups(
+      df: DataFrame, id: Column, vec: Column,
+      minCosineMilli: Long, bits: Int = 8, tables: Int = 4): DataFrame = {
+    import Similarity.{cosine, signBuckets}
+    val b = df.select(
+      id.as("id"), vec.as("v"),
+      posexplode(signBuckets(vec, bits, tables)).as(Seq("tbl", "bucket")))
+    val l = b.select(col("id").as("id_a"), col("v").as("v_a"), col("tbl"), col("bucket"))
+    val r = b.select(col("id").as("id_b"), col("v").as("v_b"), col("tbl"), col("bucket"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_milli", round(cosine(col("v_a"), col("v_b")) * 1000).cast("bigint"))
+      .filter(col("cos_milli") >= minCosineMilli)
+      .select(col("id_a"), col("id_b"), col("cos_milli"))
+  }
+
   /** 32-bit SimHash over token murmur3 hashes: per-bit majority vote,
     * folded with higher-order functions (per-row, no shuffle).
     */

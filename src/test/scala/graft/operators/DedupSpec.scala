@@ -48,6 +48,20 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(4L)))
   }
 
+  test("embedding-cosine near-dups find planted duplicates, not noise") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(x => x + 0.01f) // ~cos 1.0
+    val rows = Seq((0L, base), (1L, nearDup)) ++ (2L to 40L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(
+      df, col("vec_id"), col("embedding"), minCosineMilli = 950)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.size < 5) // random gaussians almost never collide at 0.95
+  }
+
   test("rolling hash is order-sensitive, bag-of-words hash is not") {
     val pair = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha")).toDF("doc_id", "text")
     val rh = pair.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
