@@ -49,8 +49,14 @@ final class TStream private[tgraph] (
     */
   def flatMap(gen: Column): TStream = {
     val out = df
-      .select(col(TidCol), posexplode(gen).as(Seq("__pos", "__elem")))
-      .select(col(TidCol), col("__pos").cast("int").as(BranchCol), col("__elem.*"))
+      .select(col(TidCol), col(BranchCol), posexplode(gen).as(Seq("__pos", "__elem")))
+      // compose the branch path (the reference's nested BatchID,
+      // `tgraph/BatchID.java`): chained flatMaps keep unique
+      // (tid, branch) identities for fan-outs < 1000 per level.
+      // Level 1 (branch 0) stays = pos, so flat pipelines are unchanged.
+      .select(col(TidCol),
+        (col(BranchCol) * 1000 + col("__pos")).cast("int").as(BranchCol),
+        col("__elem.*"))
     copy(out, keys = Nil)
   }
 

@@ -37,6 +37,16 @@ class TStreamSpec extends SparkSpec {
     assert(rows.take(2).toSeq == Seq((1L, 0, 10.0), (1L, 1, -10.0)))
   }
 
+  test("chained flatMaps keep unique branch identities (nested BatchID)") {
+    val s = opened
+      .flatMap(array(struct(col("amount").as("v")), struct((-col("amount")).as("v"))))
+      .flatMap(array(struct(col("v").as("w")), struct((col("v") * 2).as("w"))))
+    val ids = s.df.select("__tid", "__branch").as[(Long, Int)].collect()
+    assert(ids.length == 12) // 3 tx x 2 x 2 branches... per tid 4 unique
+    assert(ids.distinct.length == 12)
+    assert(ids.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 1, 1000, 1001))
+  }
+
   test("vote merge is worst-of (min) per transaction") {
     val env = TransactionEnvironment()
     val df = Seq((1L, 5.0), (2L, 500.0)).toDF("id", "amount")
