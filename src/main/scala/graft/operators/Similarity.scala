@@ -100,22 +100,30 @@ object Similarity {
       candidates: DataFrame, // (cid, cvec)
       codebook: DataFrame, // (cell, pos, mean_milli)
       k: Int): DataFrame = {
-    // codebook rows -> one array per cell, position-ordered
-    val cells = codebook
+    // A codebook is small by construction (|cells| x dims); collect it
+    // once and inline it as a literal, making cell assignment a pure
+    // narrow projection — no join, no window, no shuffle on the big
+    // side (the k-means-style broadcast-the-centroids pattern).
+    val cb: Array[(Any, Array[Long])] = codebook
       .groupBy(col("cell"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
         e => e.getField("mean_milli")).as("cvec_milli"))
-    def assign(df: DataFrame, id: String, vec: String, out: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(cells))
-        .withColumn("__score",
-          aggregate(zip_with(quantize(col(vec)), col("cvec_milli"), _ * _), lit(0L), _ + _))
-      val w = Window.partitionBy(col(id)).orderBy(col("__score").desc, col("cell"))
-      scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-        .drop("__score", "__r", "cvec_milli").withColumnRenamed("cell", out)
-    }
-    val qa = assign(queries, "qid", "qvec", "qcell")
-    val ca = assign(candidates, "cid", "cvec", "ccell")
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Long](1).toArray))
+    val cellsLit = array(cb.map { case (cell, vec) =>
+      struct(lit(cell).as("cell"), typedLit(vec.toSeq).as("cvec_milli"))
+    }.toIndexedSeq: _*)
+    // argmax by (score, cell): struct ordering compares score first
+    def assign(vec: String, out: String): Column =
+      array_max(transform(cellsLit, c =>
+        struct(
+          aggregate(zip_with(quantize(col(vec)), c.getField("cvec_milli"), _ * _),
+            lit(0L), _ + _).as("score"),
+          c.getField("cell").as("cell"))))
+        .getField("cell").as(out)
+    val qa = queries.withColumn("qcell", assign("qvec", "qcell"))
+    val ca = candidates.withColumn("ccell", assign("cvec", "ccell"))
     val scored = ca
       .join(broadcast(qa), col("qcell") === col("ccell"))
       .filter(col("qid") =!= col("cid"))
