@@ -62,6 +62,40 @@ object Multimodal {
     }
   }
 
+  /** Deterministic stand-ins for the remaining media transforms — the
+    * Spark-side shape (schema, per-partition batching) is the real
+    * part; the pixel/PCM math is the stub:
+    *  - resize: scale the fake (width, height) and re-derive features;
+    *  - frameSample: one record per sampled frame index (video → frame
+    *    stream, the explode-shaped op a real pipeline runs).
+    */
+  def resize(
+      spark: SparkSession, feats: Dataset[MediaFeatures],
+      maxSide: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    feats.map { f =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+      f.copy(
+        width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, feature: Array[Float])
+
+  def frameSample(
+      spark: SparkSession, media: DataFrame, everyNth: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, _, feature) = StubDecoder.decode(r.payload)
+        val nFrames = math.max(1, r.payload.length / 64) // fake frame count
+        (0 until nFrames by everyNth).map(i =>
+          Frame(r.doc_id, i, feature.map(_ * (1.0f + i))))
+      }
+    }
+  }
+
   /** Decode + feature-extract, batched per partition (mapInPandas
     * analog). Returns a typed Dataset; downstream joins/aggregations
     * stay in Catalyst.
