@@ -16,6 +16,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 300L, 2L), (2L, 2L, 1L)))
   }
 
+  test("resize caps the longest side, frame sampling strides frames") {
+    val docs = Seq((1L, "x" * 1000), (2L, "y" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "video/fake")
+    val feats = Multimodal.decodeFeatures(spark, media)
+    val resized = Multimodal.resize(spark, feats, maxSide = 32).collect()
+    assert(resized.forall(f => math.max(f.width, f.height) <= 32))
+    assert(resized.forall(f => f.width >= 1 && f.height >= 1))
+    val frames = Multimodal.frameSample(spark, media, everyNth = 3).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).length == math.ceil((1000 / 64).toDouble / 3).toInt)
+    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq == (0 until 1000 / 64 by 3).toSeq)
+    assert(byDoc(2L).length == 1) // 100/64 = 1 fake frame
+  }
+
   test("stub decoder produces deterministic features with a stable schema") {
     val docs = Tables.load(spark, Sf0001, "documents").limit(20)
     val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "image/fake")
