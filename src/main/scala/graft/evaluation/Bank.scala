@@ -75,6 +75,48 @@ object Bank {
         col("value").as("balance_cents"),
         col("n_updates"))
 
+  /** The reference's true sequential invariant
+    * (`evaluation/BankUseCase.java` Balances: start at 100, reject
+    * updates driving the balance negative — commit of tx N depends on
+    * the state left by tx 1..N-1). Runs on the typed executor
+    * ([[graft.tgraph.state.StateOperator.runBatch]]); the DuckDB
+    * oracle replays the identical serial schedule with a recursive
+    * CTE.
+    */
+  final case class AcctDelta(acct: Long, tid: Long, delta: Long)
+
+  final class CentsBalances(start: Long)
+      extends graft.tgraph.state.StateFunction[AcctDelta, Long] {
+    def defaultValue: Long = start
+    def copyValue(v: Long): Long = v
+    def invariant(v: Long): Boolean = v >= 0
+    def apply(d: AcctDelta, h: graft.tgraph.state.ObjectHandler[Long]): Unit =
+      h.write(h.read() + d.delta)
+  }
+
+  val StartCents = 10000L
+
+  def sequentialBalances(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deltas = Tables.load(spark, dir, "events")
+      .select(
+        col("user_id").cast("bigint").as("acct"),
+        col("event_id").as("tid"),
+        when(col("event_type").isin("purchase", "error"),
+          -graft.tgraph.backed.Transfers.cents(col("value")))
+          .otherwise(graft.tgraph.backed.Transfers.cents(col("value"))).as("delta"))
+      .as[AcctDelta]
+    graft.tgraph.state.StateOperator
+      .runBatch[AcctDelta, Long, Long](deltas, _.acct, _.tid, new CentsBalances(StartCents))
+      .toDF()
+      .groupBy(col("key").as("acct"))
+      .agg(
+        max_by(col("value"), col("tid")).as("balance_cents"),
+        sum(when(col("committed"), 1L).otherwise(0L)).as("n_committed"),
+        count(lit(1)).as("n_events"))
+      .select(col("acct"), col("balance_cents"), col("n_committed"), col("n_events"))
+  }
+
   /** ConsistencyCheck: committed money must be conserved (net 0). */
   def consistencyCheck(g: Graph): DataFrame = {
     val votes = g.result.voteNames

@@ -157,6 +157,10 @@ object BankQueries {
           col("key").as("acct"), col("delta").as("delta_cents"))
         .orderBy("lsn")
     }),
+    // The reference's true sequential invariant on the typed executor;
+    // oracle replays the same serial schedule via a recursive CTE.
+    "t_state_sequential" -> ((s, dir) =>
+      graft.evaluation.Bank.sequentialBalances(s, dir).orderBy("acct")),
     // Single-partition updates (the reference's SinglePartitionUpdate /
     // DepositsAndWithdrawalsGenerator): one-key transactions that skip
     // the 2PC fork — state() with a never-aborting invariant.
@@ -250,6 +254,29 @@ object BankQueries {
       """SELECT CAST(row_number() OVER (ORDER BY tid, branch) AS BIGINT) AS lsn,
         |  tid, CAST(branch AS BIGINT) AS branch, acct, delta_cents
         |FROM cmv ORDER BY lsn""".stripMargin),
+    "t_state_sequential" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
+        |    CASE WHEN event_type IN ('purchase','error')
+        |         THEN -CAST(round(value*100) AS BIGINT)
+        |         ELSE CAST(round(value*100) AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT acct, rn, tid,
+        |    CASE WHEN 10000 + delta >= 0 THEN 10000 + delta ELSE 10000 END AS bal,
+        |    CASE WHEN 10000 + delta >= 0 THEN 1 ELSE 0 END AS c
+        |  FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.acct, m.rn, m.tid,
+        |    CASE WHEN rec.bal + m.delta >= 0 THEN rec.bal + m.delta ELSE rec.bal END,
+        |    CASE WHEN rec.bal + m.delta >= 0 THEN 1 ELSE 0 END
+        |  FROM rec JOIN m ON m.acct = rec.acct AND m.rn = rec.rn + 1)
+        |SELECT acct,
+        |  CAST(max_by(bal, rn) AS BIGINT) AS balance_cents,
+        |  CAST(sum(c) AS BIGINT) AS n_committed,
+        |  count(*) AS n_events
+        |FROM rec GROUP BY acct ORDER BY acct""".stripMargin,
     "t_spu_updates" ->
       """SELECT CAST(user_id AS BIGINT) AS acct,
         |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
