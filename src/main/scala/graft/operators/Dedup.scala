@@ -104,6 +104,33 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** SimHash near-duplicates via pigeonhole banding (the classic
+    * simhash dedup construction): split the 32-bit simhash into 4
+    * bytes — any pair within Hamming distance <= 3 must agree on at
+    * least one byte — bucket-join on (byte index, byte value), then
+    * exact `bit_count(xor)` rerank. Shuffle on the byte buckets only;
+    * never all-pairs.
+    */
+  def simhashNearDups(
+      docs: DataFrame, textCol: Column, idCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = docs.select(idCol.as("doc_id"), simHash(textCol).as("sh"))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)), i =>
+        // byte i of the 32-bit simhash: floor(sh / 256^i) mod 256
+        pmod(floor(col("sh") / pow(lit(256.0), i)).cast("long"), lit(256L))))
+        .as(Seq("band", "byte")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("byte"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("byte"))
+    a.join(b, Seq("band", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Embedding-cosine near-duplicates: sign-LSH bucketing (same
     * machinery as ANN — shuffle on the bucket key, never all-pairs),
     * within-bucket self-join, exact cosine rerank against a threshold.

@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(4L)))
   }
 
+  test("simhash pigeonhole banding finds low-hamming pairs without all-pairs") {
+    val pairs = Dedup.simhashNearDups(docs, col("text"), col("doc_id"), maxHamming = 3)
+    assert(!pairs.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val found = pairs.select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    // exact dup pair (0,5) has hamming 0 and must be found
+    assert(found.exists(p => p._1 == 0L && p._2 == 5L && p._3 == 0L))
+    assert(found.forall(_._3 <= 3))
+  }
+
   test("embedding-cosine near-dups find planted duplicates, not noise") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
