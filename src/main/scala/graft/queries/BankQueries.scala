@@ -77,6 +77,20 @@ object BankQueries {
           count(lit(1)).as("n_moves"), sum(col("delta_cents")).as("net_cents"))
         .orderBy("acct", "day")
     }),
+    // Spark's native tumbling window() (struct window path of
+    // TStream.window) — epoch-aligned 1-day windows == calendar days in UTC
+    "t_window_native" -> ((s, dir) => {
+      val env = TransactionEnvironment()
+      val opened = env.open(Tables.load(s, dir, "events"), col("event_id"))
+      opened
+        .keyBy(col("event_type"))
+        .window(col("ts"), "1 day",
+          count(lit(1)).as("n"),
+          sum(graft.tgraph.backed.Transfers.cents(col("value"))).as("sum_cents"))
+        .select(col("event_type"), to_date(col("window.start")).as("day"),
+          col("n"), col("sum_cents"))
+        .orderBy("event_type", "day")
+    }),
     "t_window_global" -> ((s, dir) => {
       g(s, dir).movements
         .window(col("ts"), "day",
@@ -203,6 +217,11 @@ object BankQueries {
       """SELECT acct, CAST(ts AS DATE) AS day, count(*) AS n_moves,
         |  CAST(sum(delta_cents) AS BIGINT) AS net_cents
         |FROM mv GROUP BY acct, CAST(ts AS DATE) ORDER BY acct, day""".stripMargin),
+    "t_window_native" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin,
     "t_window_global" -> (OraclePrefix +
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT tid) AS n_tx,
         |  CAST(sum(abs(delta_cents)) AS BIGINT) AS gross_cents
