@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import scala.collection.mutable
+
+/** A whole custom operator (preference order (c): LogicalPlan +
+  * Strategy + physical exec): top-k rows per group WITHOUT a window
+  * sort.
+  *
+  * The window formulation (`row_number over (partition by g order by
+  * o)`) sorts every group completely — a hot key with 10⁹ rows sorts
+  * 10⁹ rows to keep 3. This operator keeps a bounded k-heap per group
+  * per partition instead: memory O(groups·k), time O(n log k), and the
+  * only exchange is the clustering the operator itself declares via
+  * `requiredChildDistribution` (Spark inserts exactly one hash
+  * shuffle — or none if the child is already clustered, e.g. bucketed
+  * tables).
+  */
+final case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    orderExpr: Expression,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+final case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    orderExpr: Expression,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val ordering = TypeUtils.getInterpretedOrdering(orderExpr.dataType)
+    child.execute().mapPartitions { rows =>
+      val groupProj = UnsafeProjection.create(groupExprs, childOutput)
+      val orderEval = UnsafeProjection.create(Seq(orderExpr), childOutput)
+      // min-heap of size k per group: root = weakest survivor
+      implicit val heapOrd: Ordering[(Any, UnsafeRow)] =
+        Ordering.fromLessThan((a, b) => ordering.gt(a._1, b._1))
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, UnsafeRow)]]
+      rows.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.getOrElseUpdate(
+          key.copy(), mutable.PriorityQueue.empty[(Any, UnsafeRow)])
+        val v = orderEval(row).get(0, orderExpr.dataType)
+        if (heap.size < k) {
+          heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
+        } else if (ordering.gt(v, heap.head._1)) {
+          heap.dequeue()
+          heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        val drained = mutable.ArrayBuffer.empty[UnsafeRow]
+        while (heap.nonEmpty) drained += heap.dequeue()._2
+        drained.reverseIterator.map(r => r.asInstanceOf[InternalRow])
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Register the strategy (idempotent) and build the operator. */
+  def perGroup(df: DataFrame, groupCols: Seq[Column], orderCol: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    val child = Bridge.logicalPlan(df)
+    // resolve the Column expressions against the child plan
+    val resolved = Bridge.ofRows(spark,
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        child.output, child)) // no-op, just to reuse analysis
+    val analyzed = Bridge.logicalPlan(resolved.select(groupCols :+ orderCol: _*))
+    val exprs = analyzed.expressions.flatMap {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => Seq(a.child)
+      case e: Expression => Seq(e)
+    }
+    Bridge.ofRows(spark, TopKPerGroup(
+      exprs.init.toSeq, exprs.last, k, Bridge.logicalPlan(resolved)))
+  }
+}
