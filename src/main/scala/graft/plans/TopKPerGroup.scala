@@ -60,7 +60,13 @@ final case class TopKPerGroupExec(
         val key = groupProj(row)
         val heap = heaps.getOrElseUpdate(
           key.copy(), mutable.PriorityQueue.empty[(Any, UnsafeRow)])
-        val v = orderEval(row).get(0, orderExpr.dataType)
+        // copy non-primitive order values: the projection reuses its
+        // buffer, so structs/strings would alias the latest row
+        val v = orderEval(row).get(0, orderExpr.dataType) match {
+          case u: UnsafeRow => u.copy()
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case other => other
+        }
         if (heap.size < k) {
           heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
         } else if (ordering.gt(v, heap.head._1)) {

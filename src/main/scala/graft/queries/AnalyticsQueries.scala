@@ -32,6 +32,14 @@ object AnalyticsQueries {
         .select(col("p_brand"), col("rnk"), col("p_partkey"),
           cents(col("p_retailprice")).as("price_cents"))
         .orderBy("p_brand", "rnk")),
+    // the custom TopKPerGroup physical operator under the oracle gate
+    // (struct order-key carries the deterministic tiebreak)
+    "q_topk_custom" -> ((s, dir) =>
+      graft.plans.TopK.perGroup(
+        t(s, dir, "part"), Seq(col("p_brand")),
+        struct(col("p_retailprice"), col("p_partkey")), 3)
+        .select(col("p_brand"), col("p_partkey"), cents(col("p_retailprice")).as("price_cents"))
+        .orderBy("p_brand", "p_partkey")),
     "q_supplier_volume" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
@@ -169,6 +177,15 @@ object AnalyticsQueries {
         |      ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
         |  FROM part)
         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT p_brand, p_partkey,
+        |  CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey DESC) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand, p_partkey""".stripMargin,
     "q_supplier_volume" ->
       """SELECT s_name, count(*) AS n_items,
         |  CAST(CAST(sum(l_quantity) AS DOUBLE) AS BIGINT) AS qty_total,
