@@ -77,6 +77,17 @@ class TStreamSpec extends SparkSpec {
     assert(check._4 == 0L)
   }
 
+  test("state fold partitions on the state key (bounded shuffles)") {
+    val g = Bank.graph(spark, Sf0001)
+    val plan = Bank.balances(g, IsolationLevel.PL3).queryExecution.executedPlan.toString
+    // the fold's aggregation clusters on the state key...
+    assert(plan.contains("hashpartitioning(key"), plan)
+    // ...and the whole pipeline needs at most 3 exchanges end-to-end
+    // (votes by tid, vote join, fold by key) — never one per operator
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"$exchanges exchanges in:\n$plan")
+  }
+
   test("version chains are dense per key and fold to the balance") {
     val g = Bank.graph(spark, Sf0001)
     val versions = g.result.versions(Bank.NameSpace)
