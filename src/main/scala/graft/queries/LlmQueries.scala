@@ -41,6 +41,9 @@ object LlmQueries {
         size(array_distinct(Dedup.shingles(col("text"), 3))).cast("bigint")
           .as("n_distinct_shingles"))
         .orderBy("doc_id")),
+    // one-pass data-quality profile (approx_distinct is HLL -> rows-only)
+    "profile_documents" -> ((s, dir) =>
+      graft.operators.Profiler.profile(docs(s, dir)).orderBy("column")),
     // rows-only (hash-based; spec-verified):
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(
