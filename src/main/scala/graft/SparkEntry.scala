@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.BankQueries.queries ++
+      graft.queries.PurchaseQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.LlmQueries.queries
 
@@ -29,6 +30,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.BankQueries.oracles ++
+      graft.queries.PurchaseQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
       graft.queries.LlmQueries.oracles
 }

@@ -35,15 +35,16 @@ object Bank {
       state: StateStream,
       result: TGraphResult)
 
-  private val memo = scala.collection.concurrent.TrieMap[(Int, String), Graph]()
+  private val memo = GraphMemo[Graph]()
 
   /** Build the full transactional graph over `events` at `dir`.
     *
-    * Memoized per (session, dir) with the two small shared
-    * intermediates persisted — the final vote table (commit metadata,
-    * one row per transaction) and the update log. Every query over the
-    * graph reuses them instead of re-reducing votes; the analog of the
-    * reference keeping commit state resident in its state servers.
+    * Memoized per (session, dir) — weakly on the session, see
+    * [[GraphMemo]] — with the two small shared intermediates persisted:
+    * the final vote table (commit metadata, one row per transaction) and
+    * the update log. Every query over the graph reuses them instead of
+    * re-reducing votes; the analog of the reference keeping commit state
+    * resident in its state servers.
     */
   def graph(
       spark: SparkSession,
@@ -63,9 +64,15 @@ object Bank {
       Graph(env, transfers, movements, state, result)
     }
     if (isolation == IsolationLevel.PL3)
-      memo.getOrElseUpdate((System.identityHashCode(spark), dir), build)
+      memo.getOrElseUpdate(spark, dir, build, g => {
+        g.state.updates.unpersist()
+        g.result.finalVotes.unpersist()
+      })
     else build
   }
+
+  /** Drop + unpersist every graph cached for `spark`. */
+  def invalidate(spark: SparkSession): Unit = memo.invalidate(spark)
 
   /** Account balances at the given isolation level, in exact cents. */
   def balances(g: Graph, isolation: IsolationLevel): DataFrame =

@@ -101,9 +101,10 @@ object BankQueries {
     "t_2pc_votes" -> ((s, dir) =>
       g(s, dir).result.voteNames.select("tid", "vote").orderBy("tid")),
     // REPLAY vote path: transactions in the deterministic "conflict
-    // zone" (tid % 10 == 0) vote REPLAY at the state operator; close
-    // resolves surviving REPLAYs to COMMIT (retry succeeds) unless an
-    // abort branch dominates — mirrors Vote.merge + replay loop.
+    // zone" (tid % 10 == 0) vote REPLAY at the state operator. REPLAY
+    // dominates the merge (reference Vote.merge matrix) so even an
+    // ABORT+REPLAY mix goes through replay; resolution then re-fires
+    // deterministic aborts and clears transient replays.
     "t_2pc_replay" -> ((s, dir) => {
       val env = TransactionEnvironment()
       val transfers = graft.tgraph.backed.Transfers.fromEvents(
@@ -145,15 +146,6 @@ object BankQueries {
       StateQueries.predicateQuery(snap, col("value") < 0)
         .select(col("key").as("acct"), col("value").as("balance_cents"))
         .orderBy("acct")
-    }),
-    "t_query_multistate" -> ((s, dir) => {
-      val graph = g(s, dir)
-      val balances = graph.result.balances(Bank.NameSpace, IsolationLevel.PL3)
-      val activity = Tables.load(s, dir, "events")
-        .groupBy(col("user_id").cast("bigint").as("key"))
-        .agg(count(lit(1)).as("value"))
-      StateQueries.multiStateQuery(Map("balances" -> balances, "activity" -> activity))
-        .orderBy("namespace", "key")
     }),
     "t_watermark_snapshot" -> ((s, dir) => {
       StateQueries
@@ -228,10 +220,17 @@ object BankQueries {
         |FROM mv GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin),
     "t_2pc_votes" -> (OraclePrefix +
       "SELECT tid, CASE WHEN v = 2 THEN 'COMMIT' ELSE 'ABORT' END AS vote FROM votes ORDER BY tid"),
+    // replayed = any branch voted REPLAY (tid in the conflict zone AND
+    // not itself aborting) — reference semantics: REPLAY dominates the
+    // merge even alongside an ABORT branch, so the tx goes through
+    // replay before its (deterministic) abort re-fires.
     "t_2pc_replay" -> (OraclePrefix +
-      """SELECT tid, CASE WHEN v = 2 THEN 'COMMIT' ELSE 'ABORT' END AS vote,
-        |  (v = 2 AND tid % 10 = 0) AS replayed
-        |FROM votes ORDER BY tid""".stripMargin),
+      """SELECT tid, CASE WHEN v = 2 THEN 'COMMIT' ELSE 'ABORT' END AS vote, r AS replayed FROM (
+        |  SELECT tid,
+        |    min(CASE WHEN (kind='W' AND delta_cents < -15000) OR (kind='D' AND acct=13) THEN 0 ELSE 2 END) AS v,
+        |    bool_or(NOT ((kind='W' AND delta_cents < -15000) OR (kind='D' AND acct=13)) AND tid % 10 = 0) AS r
+        |  FROM mv GROUP BY tid)
+        |ORDER BY tid""".stripMargin),
     "t_state_balances_pl3" -> (OraclePrefix +
       "SELECT acct, balance_cents, n_updates FROM bal ORDER BY acct"),
     "t_isolation_pl0" -> (OraclePrefix +
@@ -259,13 +258,6 @@ object BankQueries {
       "SELECT acct, balance_cents FROM bal WHERE acct IN (0,1,2,3,4) ORDER BY acct"),
     "t_query_predicate" -> (OraclePrefix +
       "SELECT acct, balance_cents FROM bal WHERE balance_cents < 0 ORDER BY acct"),
-    "t_query_multistate" -> (OraclePrefix +
-      """SELECT * FROM (
-        |  SELECT 'balances' AS namespace, acct AS key, balance_cents AS value FROM bal
-        |  UNION ALL
-        |  SELECT 'activity' AS namespace, CAST(user_id AS BIGINT) AS key, count(*) AS value
-        |  FROM events GROUP BY user_id)
-        |ORDER BY namespace, key""".stripMargin),
     "t_watermark_snapshot" -> (OraclePrefix +
       s"""SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS balance_cents, count(*) AS n_updates
          |FROM cmv WHERE ts <= TIMESTAMP '$Watermark' GROUP BY acct ORDER BY acct""".stripMargin),

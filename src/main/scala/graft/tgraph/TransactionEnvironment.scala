@@ -33,14 +33,25 @@ final case class TransactionEnvironment(
       Nil)
 
   /** Close the graph: 2PC vote reduction over every participating state
-    * stream. Returns the closed graph with final per-transaction votes.
+    * stream — votes from ALL namespaces of the transaction merge into one
+    * commit decision (the reference's `twopc/ReduceVotesFunction.java`
+    * across state operators). Returns the closed graph with final
+    * per-transaction votes.
+    *
+    * `__vote` is the reference-merged vote (min under REPLAY < ABORT <
+    * COMMIT — [[Vote.merge]] parity); the `__had_abort`/`__had_replay`
+    * flags carry what replay resolution needs (see
+    * [[TGraphResult.resolved]]).
     */
   def close(streams: StateStream*): TGraphResult = {
     val votes = streams
       .map(_.branchVotes)
       .reduce(_ union _)
       .groupBy(col(TidCol))
-      .agg(min(col(VoteCol)).as(VoteCol))
+      .agg(
+        min(col(VoteCol)).as(VoteCol),
+        max((col(VoteCol) === Vote.Abort).cast("int")).as("__had_abort"),
+        max((col(VoteCol) === Vote.Replay).cast("int")).as("__had_replay"))
     new TGraphResult(this, streams, votes)
   }
 }
@@ -61,18 +72,20 @@ final class TGraphResult private[tgraph] (
     streams.find(_.nameSpace == nameSpace).getOrElse(
       throw new IllegalArgumentException(s"unknown namespace $nameSpace"))
 
-  /** Vote resolution: a transaction whose merged vote is REPLAY had no
-    * aborting branch (ABORT=0 would dominate the min), i.e. only a
-    * transient conflict — the reference replays it through the graph
-    * until it commits or aborts; deterministic replay of a conflict-
-    * free transaction commits. So resolved(REPLAY) = COMMIT, and the
-    * REPLAY verdict survives as the `replayed` flag.
+  /** Vote resolution — what the reference's replay loop converges to.
+    * A REPLAY verdict (which dominates the merge, `tgraph/Vote.java:10`)
+    * sends the transaction back through the graph; on deterministic
+    * replay the abort conditions re-fire and the transient (replay)
+    * conditions clear. So the fixed point is: ABORT iff any branch voted
+    * ABORT, COMMIT otherwise; a transaction that had any REPLAY branch
+    * went through replay and keeps the `replayed` flag (even when it
+    * ultimately aborts — the reference replays ABORT+REPLAY mixes too).
     */
-  private def resolved: DataFrame =
+  private[tgraph] def resolved: DataFrame =
     finalVotes.select(
       col(TidCol),
-      when(col(VoteCol) === Vote.Replay, Vote.Commit).otherwise(col(VoteCol)).as(VoteCol),
-      (col(VoteCol) === Vote.Replay).as("__replayed"))
+      when(col("__had_abort") === 1, Vote.Abort).otherwise(Vote.Commit).as(VoteCol),
+      (col("__had_replay") === 1).as("__replayed"))
 
   /** Final votes as (tid, vote-name, replayed) — the close output. */
   def voteNames: DataFrame =

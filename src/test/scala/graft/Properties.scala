@@ -16,7 +16,7 @@ object GraftProperties extends Properties("graft") {
       Vote.merge(a, b) == Vote.merge(b, a) &&
       Vote.merge(Vote.merge(a, b), c) == Vote.merge(a, Vote.merge(b, c)) &&
       Vote.merge(a, a) == a &&
-      Vote.merge(a, Vote.Abort) == Vote.Abort && // ABORT absorbs
+      Vote.merge(a, Vote.Replay) == Vote.Replay && // REPLAY absorbs (reference matrix)
       Vote.merge(a, Vote.Commit) == a // COMMIT is identity
     }
 

@@ -3,7 +3,9 @@ package graft.tgraph
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Parity with the reference's `tgraph/Vote.java:6` merge matrix:
-  * REPLAY wins over COMMIT, ABORT wins over everything.
+  * REPLAY wins over everything (`this == REPLAY -> REPLAY`, and
+  * `x.merge(REPLAY) -> REPLAY` since REPLAY is not COMMIT), ABORT wins
+  * over COMMIT. Replay resolution happens after the merge, at close.
   */
 class VoteSpec extends AnyFunSuite {
   import Vote._
@@ -13,8 +15,8 @@ class VoteSpec extends AnyFunSuite {
     assert(merge(Commit, Commit) == Commit)
     assert(merge(Commit, Replay) == Replay)
     assert(merge(Replay, Commit) == Replay)
-    assert(merge(Replay, Abort) == Abort)
-    assert(merge(Abort, Replay) == Abort)
+    assert(merge(Replay, Abort) == Replay)
+    assert(merge(Abort, Replay) == Replay)
     assert(merge(Abort, Commit) == Abort)
     assert(merge(Abort, Abort) == Abort)
     // associative + commutative (what lets it run as a min-aggregate)
