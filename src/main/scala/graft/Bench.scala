@@ -25,7 +25,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-micro-batch latency percentiles for the streaming
+    // transactional pipeline (LatencyTracker analog)
+    val latency =
+      try graft.streaming.StreamingBank.latencyProbe(spark).toJsonFragment
+      catch { case _: Throwable => """"stream_latency_ms":{}""" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$latency,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,7 +103,16 @@ object Bank {
 
   val StartCents = 10000L
 
-  def sequentialBalances(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-key serial fold at the given isolation level. PL3 is the
+    * serializable history (invariant reads the running value); PL1
+    * validates on the stale open-snapshot read — the lost-update
+    * anomaly read-committed admits — so its output provably differs
+    * from PL3 on the same input (the PL1-vs-PL3 boundary).
+    */
+  def sequentialBalances(
+      spark: SparkSession,
+      dir: String,
+      isolation: IsolationLevel = IsolationLevel.PL3): DataFrame = {
     import spark.implicits._
     val deltas = Tables.load(spark, dir, "events")
       .select(
@@ -114,7 +123,8 @@ object Bank {
           .otherwise(graft.tgraph.backed.Transfers.cents(col("value"))).as("delta"))
       .as[AcctDelta]
     graft.tgraph.state.StateOperator
-      .runBatch[AcctDelta, Long, Long](deltas, _.acct, _.tid, new CentsBalances(StartCents))
+      .runBatch[AcctDelta, Long, Long](
+        deltas, _.acct, _.tid, new CentsBalances(StartCents), isolation = isolation)
       .toDF()
       .groupBy(col("key").as("acct"))
       .agg(

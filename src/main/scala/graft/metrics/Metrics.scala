@@ -1,7 +1,7 @@
 package graft.metrics
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQueryProgress
+import org.apache.spark.sql.streaming.{StreamingQueryListener, StreamingQueryProgress}
 
 /** Metrics — the reference's `metrics/` package (`Throughput.java`,
   * `TimeDelta.java`, `Report.java`) re-expressed for Spark:
@@ -51,4 +51,39 @@ object Metrics {
   /** One-line JSON report (the reference's Report.toJson analog). */
   def reportJson(name: String, t: Throughput): String =
     s"""{"name":"$name","records":${t.records},"seconds":${t.seconds},"per_second":${t.perSecond}}"""
+
+  /** Per-micro-batch latency collector — the analog of the reference's
+    * `evaluation/LatencyTrackerStart/End.java` + `metrics/TimeDelta.java`
+    * pair: in a micro-batch engine the record's start→end latency is
+    * bounded by its batch's processing duration, which the engine
+    * already meters on every progress event; this listener just
+    * accumulates them for percentile reporting.
+    */
+  final class LatencyCollector extends StreamingQueryListener {
+    private val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      if (e.progress.numInputRows > 0) durations.add(e.progress.batchDuration)
+
+    def samples: Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      durations.iterator().asScala.map(_.longValue()).toSeq
+    }
+    /** Nearest-rank percentile over the collected batch durations. */
+    def percentileMs(p: Double): Long = {
+      val s = samples.sorted
+      if (s.isEmpty) -1L
+      else s(math.min(s.length - 1, math.max(0, math.ceil(p / 100.0 * s.length).toInt - 1)))
+    }
+    def summary: LatencySummary =
+      LatencySummary(samples.length, percentileMs(50), percentileMs(95),
+        percentileMs(99), if (samples.isEmpty) -1L else samples.max)
+  }
+
+  final case class LatencySummary(
+      batches: Int, p50Ms: Long, p95Ms: Long, p99Ms: Long, maxMs: Long) {
+    def toJsonFragment: String =
+      s""""stream_latency_ms":{"batches":$batches,"p50":$p50Ms,"p95":$p95Ms,"p99":$p99Ms,"max":$maxMs}"""
+  }
 }

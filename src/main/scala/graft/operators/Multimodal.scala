@@ -47,12 +47,15 @@ object Multimodal {
 
   /** Deterministic fake decoder — the STUB. A real implementation would
     * decode the codec here; everything around it (batching, schema,
-    * partition shape) is production-real.
+    * partition shape) is production-real. The fake dimensions are
+    * derived from the byte length alone so the decode → resize →
+    * frame-sample chain is SQL-expressible and the DuckDB oracle can
+    * check it end-to-end (`multimodal_resize`, `multimodal_frames`).
     */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       val n = payload.length
-      val width = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
+      val width = 16 + ((7 * n) % 64)
       val height = 16 + (n % 64)
       val feature = Array.tabulate(8) { i =>
         if (n == 0) 0f

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -101,9 +102,12 @@ object Similarity {
       codebook: DataFrame, // (cell, pos, mean_milli)
       k: Int): DataFrame = {
     // A codebook is small by construction (|cells| x dims); collect it
-    // once and inline it as a literal, making cell assignment a pure
-    // narrow projection — no join, no window, no shuffle on the big
-    // side (the k-means-style broadcast-the-centroids pattern).
+    // once and inline it as ONE array<struct> literal, making cell
+    // assignment a pure narrow projection — no join, no window, no
+    // shuffle on the big side (the k-means-style broadcast-the-
+    // centroids pattern). A single Literal node (data, not |cells|*dims
+    // struct expressions) keeps Janino compile time flat no matter the
+    // codebook size.
     val cb: Array[(Any, Array[Long])] = codebook
       .groupBy(col("cell"))
       .agg(transform(
@@ -111,9 +115,14 @@ object Similarity {
         e => e.getField("mean_milli")).as("cvec_milli"))
       .collect()
       .map(r => (r.get(0), r.getSeq[Long](1).toArray))
-    val cellsLit = array(cb.map { case (cell, vec) =>
-      struct(lit(cell).as("cell"), typedLit(vec.toSeq).as("cvec_milli"))
-    }.toIndexedSeq: _*)
+    val entryType = types.StructType(Seq(
+      types.StructField("cell", codebook.schema("cell").dataType, nullable = false),
+      types.StructField("cvec_milli",
+        types.ArrayType(types.LongType, containsNull = false), nullable = false)))
+    val cellsLit = org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cb.toIndexedSeq.map { case (cell, vec) => org.apache.spark.sql.Row(cell, vec.toSeq) },
+        types.ArrayType(entryType, containsNull = false)))
     // argmax by (score, cell): struct ordering compares score first
     def assign(vec: String, out: String): Column =
       array_max(transform(cellsLit, c =>

@@ -167,6 +167,14 @@ object BankQueries {
     // oracle replays the same serial schedule via a recursive CTE.
     "t_state_sequential" -> ((s, dir) =>
       graft.evaluation.Bank.sequentialBalances(s, dir).orderBy("acct")),
+    // The PL1-vs-PL3 boundary: same workload, invariant validated on
+    // the stale open-snapshot read (read-committed) — lost updates are
+    // admitted, so commit decisions and balances provably differ from
+    // t_state_sequential (the PL3 serial history). The isolation
+    // lattice is operational, not decorative.
+    "t_isolation_pl1" -> ((s, dir) =>
+      graft.evaluation.Bank
+        .sequentialBalances(s, dir, IsolationLevel.PL1).orderBy("acct")),
     // Single-partition updates (the reference's SinglePartitionUpdate /
     // DepositsAndWithdrawalsGenerator): one-key transactions that skip
     // the 2PC fork — state() with a never-aborting invariant.
@@ -182,6 +190,21 @@ object BankQueries {
         .state("spu", col("user_id").cast("bigint"), col("delta_cents"), lit(false), Seq("ts"))
       env.close(st).balances("spu")
         .select(col("key").as("acct"), col("value").as("balance_cents"), col("n_updates"))
+        .orderBy("acct")
+    }),
+    // The reference's BankUseCaseNoT: the same open → fork → keyed fold
+    // topology with NO votes, NO 2PC join, NO state versioning — the
+    // baseline the transaction overhead is measured against (its bench
+    // time vs the transactional queries').
+    "t_no_tx_baseline" -> ((s, dir) => {
+      val env = TransactionEnvironment()
+      val transfers = graft.tgraph.backed.Transfers.fromEvents(
+        Tables.load(s, dir, "events"))
+      env.open(transfers, col("tid"))
+        .flatMap(graft.tgraph.backed.Transfers.movements)
+        .df
+        .groupBy(col("acct"))
+        .agg(sum(col("delta_cents")).as("balance_cents"), count(lit(1)).as("n_updates"))
         .orderBy("acct")
     }),
     "t_snapshot_recovery" -> ((s, dir) => {
@@ -288,6 +311,21 @@ object BankQueries {
         |  CAST(sum(c) AS BIGINT) AS n_committed,
         |  count(*) AS n_events
         |FROM rec GROUP BY acct ORDER BY acct""".stripMargin,
+    // PL1: commit decided on the stale snapshot read (start balance),
+    // write applied blindly — no recursion needed, unlike PL3's serial
+    // recursive CTE above.
+    "t_isolation_pl1" ->
+      """WITH m AS (
+        |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
+        |    CASE WHEN event_type IN ('purchase','error')
+        |         THEN -CAST(round(value*100) AS BIGINT)
+        |         ELSE CAST(round(value*100) AS BIGINT) END AS delta
+        |  FROM events)
+        |SELECT acct,
+        |  CAST(10000 + sum(CASE WHEN 10000 + delta >= 0 THEN delta ELSE 0 END) AS BIGINT) AS balance_cents,
+        |  CAST(sum(CASE WHEN 10000 + delta >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_committed,
+        |  count(*) AS n_events
+        |FROM m GROUP BY acct ORDER BY acct""".stripMargin,
     "t_spu_updates" ->
       """SELECT CAST(user_id AS BIGINT) AS acct,
         |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
@@ -295,6 +333,9 @@ object BankQueries {
         |       ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS balance_cents,
         |  count(*) AS n_updates
         |FROM events GROUP BY user_id ORDER BY acct""".stripMargin,
+    "t_no_tx_baseline" -> (OraclePrefix +
+      """SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS balance_cents, count(*) AS n_updates
+        |FROM mv GROUP BY acct ORDER BY acct""".stripMargin),
     "t_snapshot_recovery" -> (OraclePrefix +
       "SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS recovered_cents FROM cmv GROUP BY acct ORDER BY acct")
   )

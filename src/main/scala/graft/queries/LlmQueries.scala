@@ -41,10 +41,13 @@ object LlmQueries {
         size(array_distinct(Dedup.shingles(col("text"), 3))).cast("bigint")
           .as("n_distinct_shingles"))
         .orderBy("doc_id")),
-    // one-pass data-quality profile (approx_distinct is HLL -> rows-only)
+    // one-pass data-quality profile — the deterministic columns are
+    // oracle-checked; the HLL distinct estimate (engine-specific by
+    // nature) is column-pruned out of this plan and verified by spec.
     "profile_documents" -> ((s, dir) =>
-      graft.operators.Profiler.profile(docs(s, dir)).orderBy("column")),
-    // rows-only (hash-based; spec-verified):
+      graft.operators.Profiler.profile(docs(s, dir))
+        .select("column", "type", "n_rows", "n_nulls", "min_value", "max_value")
+        .orderBy("column")),
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -111,7 +114,32 @@ object LlmQueries {
       Multimodal.metadata(
         Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "text/plain"))
         .select(col("doc_id"), col("n_bytes"), col("chunk_count"), col("header_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // semantic dedup (sign-LSH bucketing + exact cosine rerank) — the
+    // candidate set is LSH-dependent, so rows-only + recall spec
+    "dedup_embedding" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDups(
+        embs(s, dir), col("vec_id"), col("embedding"),
+        minCosineMilli = 350, bits = 4, tables = 8)
+        .orderBy("id_a", "id_b")),
+    // decode → resize through the per-partition (stub) decoder; the
+    // dimension math is SQL-expressible so the oracle checks the whole
+    // chain end-to-end
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "text/plain")
+      Multimodal.resize(s, Multimodal.decodeFeatures(s, media), maxSide = 32)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+    // decode → frame-sample (video → frame stream shape)
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "text/plain")
+      Multimodal.frameSample(s, media, everyNth = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,10 +215,82 @@ object LlmQueries {
         |           * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm_q
         |  FROM embeddings)
         |GROUP BY label ORDER BY label""".stripMargin,
+    // per-column profile over documents' fixed schema, hand-unrolled
+    // (the Spark side derives the same rows generically from df.schema)
+    "profile_documents" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", 'bigint' AS "type", count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', 'string', count(*),
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', 'string', count(*),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', 'string', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', 'bigint', count(*),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |ORDER BY "column"""".stripMargin,
+    // marker-profile language ID: per-language score = 1000 * marker-hit
+    // ratio (zh: non-ascii charset ratio); argmax with ties to the
+    // lexicographically greatest language — exactly Spark's
+    // array_max(struct(score, lang)) ordering.
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(round(1000.0 * len(list_filter(toks, w -> w IN ('der','die','und','das','ist'))) / len(toks)) AS BIGINT) AS s_de,
+        |    CAST(round(1000.0 * len(list_filter(toks, w -> w IN ('the','and','of','to','is'))) / len(toks)) AS BIGINT) AS s_en,
+        |    CAST(round(1000.0 * len(list_filter(toks, w -> w IN ('el','de','que','los','las'))) / len(toks)) AS BIGINT) AS s_es,
+        |    CAST(round(1000.0 * len(list_filter(toks, w -> w IN ('le','la','et','les','des'))) / len(toks)) AS BIGINT) AS s_fr,
+        |    CAST(round(1000.0 * (length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) + 1) / (length(text) + 1)) AS BIGINT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |    WHEN s_en >= s_de THEN 'en'
+        |    ELSE 'de' END AS predicted_lang,
+        |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS confidence_milli
+        |FROM s ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(floor((strlen(text) + 255) / 256.0) AS BIGINT) AS chunk_count,
         |  md5(substring(text, 1, 64)) AS header_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // stub decode dims: w0 = 16 + (7n mod 64), h0 = 16 + (n mod 64);
+    // resize: scale = min(1, 32/max(w0,h0)), trunc toward zero, floor 1
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+        |    16 + ((7 * strlen(text)) % 64) AS w0,
+        |    16 + (strlen(text) % 64) AS h0
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n, w0, h0,
+        |    least(1.0, 32.0 / greatest(w0, h0)) AS scale
+        |  FROM m)
+        |SELECT doc_id, n AS n_bytes,
+        |  CAST(greatest(1, CAST(floor(w0 * scale) AS BIGINT)) AS INTEGER) AS width,
+        |  CAST(greatest(1, CAST(floor(h0 * scale) AS BIGINT)) AS INTEGER) AS height
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // stub frame count = max(1, n div 64); sampled every 4th index
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(UNNEST(generate_series(0, nf - 1, 4)) AS INTEGER) AS frame_idx
+        |FROM (SELECT doc_id, greatest(1, strlen(text) // 64) AS nf FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

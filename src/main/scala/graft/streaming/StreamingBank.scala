@@ -29,6 +29,87 @@ object StreamingBank {
 
   final case class StreamMovement(acct: Long, tid: Long, delta: Long)
 
+  final case class ProbeTx(tid: Long, from_acct: Long, to_acct: Long, amount: Double)
+
+  /** Drive the streaming transactional pipeline through `batches`
+    * micro-batches and collect per-batch latency percentiles — the
+    * reference's latency-tracker evaluation
+    * (`evaluation/LatencyTrackerStart/End.java`) on Spark's own
+    * progress metering. Deterministic workload from
+    * [[graft.sources.TransferSource]].
+    */
+  def latencyProbe(
+      spark: SparkSession,
+      batches: Int = 10,
+      rowsPerBatch: Int = 2000): graft.metrics.Metrics.LatencySummary = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = graft.sources.TransferSource
+      .batch(spark, batches.toLong * rowsPerBatch)
+      .select("tid", "from_acct", "to_acct", "amount")
+      .as[ProbeTx].collect()
+    val collector = new graft.metrics.Metrics.LatencyCollector
+    spark.streams.addListener(collector)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ProbeTx]
+    val q = balances(spark, input.toDF()).writeStream
+      .format("noop")
+      .outputMode("append")
+      .start()
+    try {
+      data.grouped(rowsPerBatch).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.streams.removeListener(collector)
+    }
+    collector.summary
+  }
+
+  /** Deterministic driver-side transfer (rate-probe scale — avoids a
+    * Spark collect per trial; same shape as TransferSource's mapping).
+    */
+  def syntheticTx(i: Long, keySpace: Int = 100000): ProbeTx = {
+    val h1 = scala.util.hashing.MurmurHash3.productHash((i, 1)).abs % keySpace
+    val h2raw = scala.util.hashing.MurmurHash3.productHash((i, 2)).abs % keySpace
+    val h2 = if (h2raw == h1) (h2raw + 1) % keySpace else h2raw
+    val amount = (scala.util.hashing.MurmurHash3.productHash((i, 3)).abs % 10000) / 100.0 * 2.0
+    ProbeTx(i, h1.toLong, h2.toLong, amount)
+  }
+
+  /** Run `batches` micro-batches of `rowsPerBatch` synthetic transfers
+    * through the streaming transactional pipeline and report per-batch
+    * latency — the trial primitive for [[graft.tools.RateProbe]].
+    */
+  def microBatchProbe(
+      spark: SparkSession,
+      batches: Int,
+      rowsPerBatch: Int): graft.metrics.Metrics.LatencySummary = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val collector = new graft.metrics.Metrics.LatencyCollector
+    spark.streams.addListener(collector)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ProbeTx]
+    val q = balances(spark, input.toDF()).writeStream
+      .format("noop")
+      .outputMode("append")
+      .start()
+    try {
+      var b = 0L
+      while (b < batches) {
+        input.addData(
+          (b * rowsPerBatch until (b + 1) * rowsPerBatch).map(i => syntheticTx(i)))
+        q.processAllAvailable()
+        b += 1
+      }
+    } finally {
+      q.stop()
+      spark.streams.removeListener(collector)
+    }
+    collector.summary
+  }
+
   /** Balance fold over exact cents (non-negative invariant handled
     * upstream by the stateless vote — this fold applies committed
     * movements).
@@ -61,6 +142,25 @@ object StreamingBank {
         .as("m"))
       .select(col("m.acct"), col("m.tid"), col("m.delta"))
       .as[StreamMovement]
+  }
+
+  /** The NON-transactional baseline — the reference's
+    * `evaluation/BankUseCaseNoT.java`: the identical topology (fork
+    * into movements, keyed fold) with votes/2PC/state versioning
+    * stripped out. The throughput delta against [[balances]] IS the
+    * measured cost of transactions (reported by
+    * [[graft.tools.ScaleProbe]] and BASELINE.md).
+    */
+  def balancesNoT(spark: SparkSession, transfers: DataFrame): DataFrame = {
+    val cents = Transfers.cents(col("amount"))
+    transfers
+      .select(col("tid"), col("from_acct"), col("to_acct"), cents.as("cents"))
+      .select(explode(array(
+        struct(col("from_acct").as("acct"), (-col("cents")).as("delta")),
+        struct(col("to_acct").as("acct"), col("cents").as("delta"))))
+        .as("m"))
+      .groupBy(col("m.acct").as("acct"))
+      .agg(sum(col("m.delta")).as("balance_cents"), count(lit(1)).as("n_updates"))
   }
 
   /** The streaming state fold: acct → running balance versions. */

@@ -5,12 +5,17 @@ package graft.tgraph
   *
   * Batch-deterministic semantics in graft:
   *  - PL0: dirty reads — state folds apply every update, aborted
-  *    transactions included.
-  *  - PL1/PL2: committed-only visibility (in a deterministic batch fold
-  *    the lost-update/read-skew distinction collapses; both read the
-  *    committed prefix).
+  *    transactions included; the typed executor skips invariant
+  *    validation entirely.
+  *  - PL1/PL2: committed-only visibility; in the typed executor
+  *    ([[graft.tgraph.state.StateOperator.runBatch]]) invariants are
+  *    validated against the stale snapshot-at-open read, admitting the
+  *    lost-update anomalies read-committed permits — so PL1 histories
+  *    provably differ from PL3 on the same input (`t_isolation_pl1` vs
+  *    `t_state_sequential`).
   *  - PL3: committed updates, serialized per key in (order, tid, branch)
-  *    order — what the window fold computes.
+  *    order — what the window fold computes; the typed executor's
+  *    invariant reads the running serial value.
   *  - PL4: PL3 plus dependency tracking (see
   *    `StateQueries.dependencies`), mirroring
   *    `state/PL4DependencyTrackingStrategy.java`.

@@ -1,38 +1,67 @@
 package graft.tgraph.durability
 
 import graft.tgraph.{IsolationLevel, TGraphResult, TStream}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Write-ahead log — the reference's `tgraph/durability/FileWAL.java` /
   * `ProxyWALServer.java` re-expressed as a parquet commit log.
   *
   * Entries are the committed updates in total (tid, branch) order with a
-  * log sequence number. `(tid, branch)` is already a total order, so at
-  * scale the log can be written partitioned by tid-range with no global
-  * window; the dense `lsn` column (a single-partition row_number) is
-  * only materialized for oracle-checkable output and bounded batches —
-  * callers at 100 TB should rely on (tid, branch) ordering instead.
+  * dense log sequence number. The lsn is computed scale-safely: a range
+  * repartition on (tid, branch) + per-partition sort gives the global
+  * order across ALL partitions (the same exchange a global orderBy
+  * uses), and `zipWithIndex` numbers it with the classic two-pass
+  * scheme — count rows per partition, prefix-sum the counts into
+  * per-partition offsets, then number each partition independently.
+  * No single-partition window anywhere; the log scales with the
+  * cluster.
   */
 object Wal {
+
+  /** Dense global numbering of `df` in (tid, branch) order, starting at
+    * `offset + 1`. Two jobs (zipWithIndex's count pass + the write),
+    * never a single-partition stage.
+    */
+  private def numbered(df: DataFrame, offset: Long): DataFrame = {
+    val sorted = df
+      .repartitionByRange(col(TStream.TidCol), col(TStream.BranchCol))
+      .sortWithinPartitions(col(TStream.TidCol), col(TStream.BranchCol))
+    val schema = sorted.schema.add("lsn", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (offset + i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Committed updates as WAL entries (lsn, tid, branch, key, delta). */
-  def entries(result: TGraphResult, nameSpace: String): DataFrame = {
-    val committed = result.visibleUpdates(nameSpace, IsolationLevel.PL3)
-    val w = Window.orderBy(col(TStream.TidCol), col(TStream.BranchCol))
-    committed
-      .withColumn("lsn", row_number().over(w))
+  def entries(result: TGraphResult, nameSpace: String, offset: Long = 0L): DataFrame =
+    numbered(
+      result.visibleUpdates(nameSpace, IsolationLevel.PL3)
+        .select(col(TStream.TidCol), col(TStream.BranchCol), col("key"), col("delta")),
+      offset)
       .select(
         col("lsn"),
         col(TStream.TidCol).as("tid"),
         col(TStream.BranchCol).as("branch"),
         col("key"),
         col("delta"))
-  }
 
-  /** Persist the log (append-only, replayable). */
-  def write(result: TGraphResult, nameSpace: String, path: String): Unit =
-    entries(result, nameSpace).write.mode("append").parquet(path)
+  /** Persist the log (append-only, replayable): new entries continue
+    * the existing log's lsn sequence, so the dense total order holds
+    * ACROSS writes, not just within one.
+    */
+  def write(result: TGraphResult, nameSpace: String, path: String): Unit = {
+    val spark = result.finalVotes.sparkSession
+    val offset =
+      try
+        spark.read.parquet(path)
+          .agg(coalesce(max(col("lsn").cast("bigint")), lit(0L)))
+          .head.getLong(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    entries(result, nameSpace, offset).write.mode("append").parquet(path)
+  }
 
   /** Read the log back for replay. */
   def read(spark: SparkSession, path: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.tgraph.state
 
-import graft.tgraph.Strategy
+import graft.tgraph.{IsolationLevel, Strategy}
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -55,23 +55,44 @@ final case class StateChange[K, V](
   */
 object StateOperator {
 
-  /** Batch: replay per key in tid order, emitting every transition. */
+  /** Batch: replay per key in tid order, emitting every transition.
+    *
+    * The isolation level picks WHAT each transaction's invariant reads
+    * (the isolation lattice made operational, not decorative):
+    *  - PL0: no validation — every write lands (dirty-write history);
+    *  - PL1/PL2: read-committed — the invariant is validated against
+    *    the committed SNAPSHOT AT OPEN (stale read), but the write
+    *    applies to the running value. Lost-update/write-skew anomalies
+    *    are admitted, exactly what read-committed permits;
+    *  - PL3/PL4: serializable — the invariant reads the running serial
+    *    value (tx N sees the state left by 1..N-1).
+    */
   def runBatch[T, K, V](
       ds: Dataset[T],
       key: T => K,
       tid: T => Long,
       sf: StateFunction[T, V],
-      strategy: Strategy = Strategy.Pessimistic)(implicit
+      strategy: Strategy = Strategy.Pessimistic,
+      isolation: IsolationLevel = IsolationLevel.PL3)(implicit
       kEnc: Encoder[K],
       outEnc: Encoder[StateChange[K, V]]): Dataset[StateChange[K, V]] =
     ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[T]) =>
       val ordered = it.toIndexedSeq.sortBy(tid)
+      val snapshot = sf.defaultValue // committed state as of open
       var value = sf.defaultValue
       var version = 0
       ordered.iterator.map { t =>
         val h = new ObjectHandler[V](sf.copyValue(value))
         sf.apply(t, h)
-        if (h.written && sf.invariant(h.value)) {
+        val valid =
+          if (isolation.ordinal == 0) h.written
+          else if (isolation.ordinal >= 3) h.written && sf.invariant(h.value)
+          else { // PL1/PL2: validate on the stale open-snapshot read
+            val stale = new ObjectHandler[V](sf.copyValue(snapshot))
+            sf.apply(t, stale)
+            h.written && sf.invariant(stale.value)
+          }
+        if (valid) {
           value = h.value
           version += 1
           StateChange(k, tid(t), version, value, committed = true)

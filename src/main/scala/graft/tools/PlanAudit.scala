@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan auditor: prints the physical plan of every registered query and
   * flags scale hazards — cartesian products, missing pushed filters,
-  * single-partition windows outside the WAL (whose dense lsn is
-  * documented as bounded-batch-only). Run:
+  * single-partition windows (none allowed anywhere; the WAL's dense lsn
+  * is computed via range-partition + zipWithIndex, not a global
+  * window). Run:
   *   sbt "runMain graft.tools.PlanAudit /root/testdata/sf0.001 [name...]"
   */
 object PlanAudit {
@@ -28,7 +29,7 @@ object PlanAudit {
         val flags = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "globalWindow" -> (plan.contains("Window") &&
-            plan.contains("SinglePartition") && name != "t_wal")
+            plan.contains("SinglePartition"))
         ).collect { case (f, true) => f }
         hazards += flags.size
         println(s"== $name ${if (flags.isEmpty) "OK" else "HAZARD " + flags.mkString(",")}")

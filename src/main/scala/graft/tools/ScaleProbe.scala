@@ -26,12 +26,24 @@ object ScaleProbe {
     val transfers = TransferSource.batch(spark, n, keySpace = 100000)
     // warm-up (codegen + JIT) on a small slice
     StreamingBank.balances(spark, transfers.limit(1000)).count()
+    StreamingBank.balancesNoT(spark, transfers.limit(1000)).count()
 
     val t = Metrics.measure {
       StreamingBank.balances(spark, transfers).count()
     }
     println(Metrics.reportJson(s"bank_pipeline_${n}_transfers", t))
     println(f"${n / t.seconds}%.0f transfers/s end-to-end (votes+fork+keyed fold)")
+
+    // the reference's BankUseCaseNoT baseline: same topology, no
+    // votes/2PC/state — the delta is the measured transaction overhead
+    val tNoT = Metrics.measure {
+      StreamingBank.balancesNoT(spark, transfers).count()
+      n
+    }
+    println(Metrics.reportJson(s"bank_pipeline_noT_${n}_transfers", tNoT))
+    println(f"${n / tNoT.seconds}%.0f transfers/s without transactions; " +
+      f"transaction overhead ${(t.seconds / tNoT.seconds - 1) * 100}%.1f%% " +
+      f"(${t.seconds}%.2fs vs ${tNoT.seconds}%.2fs)")
     spark.stop()
   }
 }

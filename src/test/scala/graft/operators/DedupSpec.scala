@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size < 5) // random gaussians almost never collide at 0.95
   }
 
+  test("embedding near-dup (driver-query params) recall vs brute-force cosine") {
+    val e = graft.tables.Tables.load(spark, Sf0001, "embeddings")
+    val lsh = Dedup.embeddingNearDups(
+      e, col("vec_id"), col("embedding"), minCosineMilli = 350, bits = 4, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact baseline: all-pairs cosine (tiny SF only — the test corpus)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_milli",
+        round(Similarity.cosine(col("v_a"), col("v_b")) * 1000).cast("bigint"))
+      .filter(col("cos_milli") >= 350)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(exact)) // exact rerank => precision 1.0
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("rolling hash is order-sensitive, bag-of-words hash is not") {
     val pair = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha")).toDF("doc_id", "text")
     val rh = pair.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()

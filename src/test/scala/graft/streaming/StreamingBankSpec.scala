@@ -50,6 +50,25 @@ class StreamingBankSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latency probe reports ordered per-micro-batch percentiles") {
+    val s = StreamingBank.latencyProbe(spark, batches = 5, rowsPerBatch = 500)
+    assert(s.batches == 5, s)
+    assert(s.p50Ms > 0 && s.p50Ms <= s.p95Ms && s.p95Ms <= s.p99Ms && s.p99Ms <= s.maxMs, s)
+  }
+
+  test("non-transactional baseline equals PL0-style blind fold") {
+    val transfers = Transfers.fromEvents(Tables.load(spark, Sf0001, "events"))
+    val noT = StreamingBank.balancesNoT(spark, transfers)
+      .select("acct", "balance_cents").as[(Long, Long)].collect().toMap
+    val direct = transfers
+      .select(explode(array(
+        struct(col("from_acct").as("acct"), (-Transfers.cents(col("amount"))).as("d")),
+        struct(col("to_acct").as("acct"), Transfers.cents(col("amount")).as("d")))).as("m"))
+      .groupBy(col("m.acct")).agg(sum(col("m.d")))
+      .as[(Long, Long)].collect().toMap
+    assert(noT == direct)
+  }
+
   test("streaming state survives a checkpointed restart (kill mid-stream, recover)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

@@ -39,5 +39,32 @@ class DurabilitySpec extends SparkSpec {
     // WAL lsn is a dense total order
     val lsns = Wal.read(spark, s"$tmp/wal").select("lsn").as[Long].collect().sorted
     assert(lsns.toSeq == (1L to lsns.length).toSeq)
+
+    // a second write CONTINUES the sequence (append-only total order
+    // across writes, not just within one)
+    Wal.write(g.result, Bank.NameSpace, s"$tmp/wal")
+    val lsns2 = Wal.read(spark, s"$tmp/wal").select("lsn").as[Long].collect().sorted
+    assert(lsns2.toSeq == (1L to 2L * lsns.length).toSeq)
+  }
+
+  test("WAL lsn matches the global (tid, branch) row_number with no global window") {
+    val g = Bank.graph(spark, Sf0001)
+    val entries = Wal.entries(g.result, Bank.NameSpace)
+
+    // scale check: the plan that PRODUCES the numbering must not funnel
+    // through a single partition (range exchange + per-partition sort
+    // only; the dense number comes from two-pass zipWithIndex)
+    val plan = g.result.visibleUpdates(Bank.NameSpace, IsolationLevel.PL3)
+      .repartitionByRange(col(TStream.TidCol), col(TStream.BranchCol))
+      .sortWithinPartitions(col(TStream.TidCol), col(TStream.BranchCol))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+
+    // bit-identical to the window formula
+    val viaZip = entries.select("lsn", "tid", "branch").as[(Long, Long, Int)]
+      .collect().sortBy(_._1)
+    val expected = viaZip.map { case (_, tid, br) => (tid, br) }.sorted
+      .zipWithIndex.map { case ((tid, br), i) => (i + 1L, tid, br) }
+    assert(viaZip.toSeq == expected.toSeq)
   }
 }

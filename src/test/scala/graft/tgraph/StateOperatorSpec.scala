@@ -43,6 +43,32 @@ class StateOperatorSpec extends SparkSpec {
     assert(b.map(c => (c.committed, c.value)).toSeq == Seq((false, 100.0)))
   }
 
+  test("PL1 validates on the stale open snapshot — the lost-update boundary vs PL3") {
+    val pl1 = StateOperator
+      .runBatch[Movement, String, Double](
+        moves.toDS(), _.acct, _.tid, new BalancesFn,
+        isolation = IsolationLevel.PL1)
+      .collect().sortBy(c => (c.key, c.tid))
+    val a1 = pl1.filter(_.key == "a")
+    // tid 2 validates -50 against the SNAPSHOT (100 -> 50 >= 0): it
+    // commits under PL1 though PL3 aborted it — and the running balance
+    // goes negative (the admitted lost-update anomaly).
+    assert(a1.map(c => (c.tid, c.committed, c.value)).toSeq ==
+      Seq((1L, true, 20.0), (2L, true, -30.0), (3L, true, 0.0)))
+    // PL0 skips validation entirely: even b's -200 lands.
+    val pl0 = StateOperator
+      .runBatch[Movement, String, Double](
+        moves.toDS(), _.acct, _.tid, new BalancesFn,
+        isolation = IsolationLevel.PL0)
+      .collect()
+    assert(pl0.filter(_.key == "b").head.value == -100.0)
+    // and the boundary is real: PL1 != PL3 on this input
+    val pl3 = StateOperator
+      .runBatch[Movement, String, Double](moves.toDS(), _.acct, _.tid, new BalancesFn)
+      .collect().sortBy(c => (c.key, c.tid))
+    assert(pl1.map(_.committed).toSeq != pl3.map(_.committed).toSeq)
+  }
+
   test("streaming executor matches batch across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Movement]
