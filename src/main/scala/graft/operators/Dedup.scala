@@ -33,17 +33,36 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: numHashes seeded murmur3 mins over the shingle
-    * set. `hash(shingle, seed)` reuses Spark's codegen'd murmur3 — the
-    * seed column perturbs the hash exactly like an independent hash
-    * function family. Per-row array fold; no shuffle.
+  /** Modulus of the portable double-hashing family: 2^56. */
+  val MinHashMod: Long = 1L << 56
+
+  /** Per-shingle (h1, h2) portable hash pairs — ONE md5 per shingle;
+    * the whole hash family derives arithmetically (see
+    * [[minHashFromHashes]]). Project this as its own column before the
+    * signature so the md5 work runs once, not once per hash function.
     */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = shingles(text, shingleSize)
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      aggregate(sh, lit(Int.MaxValue),
-        (acc, s) => least(acc, hash(s, seed))))
-  }
+  def shingleHashes(text: Column, shingleSize: Int): Column =
+    transform(shingles(text, shingleSize), s =>
+      struct(TextAnalysis.portableHash56(s).as("h1"),
+        TextAnalysis.portableHash56b(s).as("h2")))
+
+  /** MinHash signature from precomputed (h1, h2) pairs: hash function
+    * j is the Kirsch–Mitzenmacher combination (h1 + j·h2) mod 2^56 —
+    * an engine-portable family (any SQL engine with md5 reproduces it
+    * bit-exactly, which is what puts the signature under the DuckDB
+    * oracle gate). Empty shingle sets give the sentinel 2^56 (above
+    * every real hash). Per-row array fold; no shuffle.
+    */
+  def minHashFromHashes(hashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      aggregate(hashes, lit(MinHashMod), (acc, e) =>
+        least(acc, pmod(e.getField("h1") + j * e.getField("h2"), lit(MinHashMod)))))
+
+  /** MinHash signature straight from text (single-Column convenience;
+    * query paths should project [[shingleHashes]] first).
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    minHashFromHashes(shingleHashes(text, shingleSize), numHashes)
 
   /** Candidate near-duplicate pairs via LSH: equi-join on
     * (band_id, band_hash) — a shuffle on the bucket key, NEVER a cross
@@ -131,44 +150,74 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Embedding-cosine near-duplicates: sign-LSH bucketing (same
-    * machinery as ANN — shuffle on the bucket key, never all-pairs),
-    * within-bucket self-join, exact cosine rerank against a threshold.
-    * The semantic-dedup step of an LLM data pipeline.
+  /** Embedding-cosine near-duplicates (semantic dedup): sign-LSH
+    * bucketing (same machinery as ANN — shuffle on the bucket key,
+    * never all-pairs), within-bucket self-join, exact rerank with the
+    * codegen'd [[graft.functions.QuantizedDot]] kernel.
+    *
+    * Scale design beyond the bucket join:
+    *  - each candidate pair is emitted exactly ONCE — from the first
+    *    table where the two bucket arrays agree — so there is no
+    *    `dropDuplicates` shuffle over the (much larger) candidate set;
+    *  - the threshold `cos >= minCosineMilli/1000` is evaluated on the
+    *    milli-quantized integers with an exact cross-multiplied
+    *    comparison (dot > 0 ∧ dot²·10⁶ ≥ m²·‖a‖²q·‖b‖²q — decimal, no
+    *    sqrt, no floating point), which makes the output deterministic
+    *    and independently oracle-checkable;
+    *  - the per-pair work is one codegen'd primitive loop, not an
+    *    interpreted higher-order fold.
     */
   def embeddingNearDups(
       df: DataFrame, id: Column, vec: Column,
       minCosineMilli: Long, bits: Int = 8, tables: Int = 4): DataFrame = {
-    import Similarity.{cosine, signBuckets}
-    val b = df.select(
-      id.as("id"), vec.as("v"),
-      posexplode(signBuckets(vec, bits, tables)).as(Seq("tbl", "bucket")))
-    val l = b.select(col("id").as("id_a"), col("v").as("v_a"), col("tbl"), col("bucket"))
-    val r = b.select(col("id").as("id_b"), col("v").as("v_b"), col("tbl"), col("bucket"))
+    import Similarity.signBuckets
+    import graft.functions.QuantizedDot
+    val pre = df.select(id.as("id"), vec.as("v"),
+      signBuckets(vec, bits, tables).as("bs"))
+      .withColumn("nq", QuantizedDot(col("v"), col("v")))
+    val e = pre.select(col("id"), col("v"), col("nq"), col("bs"),
+      posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val l = e.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nq").as("nq_a"), col("bs").as("bs_a"), col("tbl"), col("bucket"))
+    val r = e.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nq").as("nq_b"), col("bs").as("bs_b"), col("tbl"), col("bucket"))
+    val firstMatch =
+      array_position(zip_with(col("bs_a"), col("bs_b"), _ === _), true) - 1
+    val m = lit(minCosineMilli)
     l.join(r, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos_milli", round(cosine(col("v_a"), col("v_b")) * 1000).cast("bigint"))
-      .filter(col("cos_milli") >= minCosineMilli)
-      .select(col("id_a"), col("id_b"), col("cos_milli"))
+      .filter(col("id_a") < col("id_b") && col("tbl") === firstMatch)
+      .withColumn("dot_q", QuantizedDot(col("v_a"), col("v_b")))
+      .filter(col("dot_q") > 0 &&
+        col("dot_q").cast("decimal(38,0)") * col("dot_q") * lit(1000000L) >=
+          (m * m).cast("decimal(38,0)") * col("nq_a") * col("nq_b"))
+      .select(col("id_a"), col("id_b"), col("dot_q"))
   }
 
-  /** 32-bit SimHash over token murmur3 hashes: per-bit majority vote,
-    * folded with higher-order functions (per-row, no shuffle).
+  /** Portable 32-bit token hashes for [[simHashFromHashes]] — one md5
+    * per token; project as its own column so it runs once.
     */
-  def simHash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def tokenHashes32(text: Column): Column =
+    transform(TextAnalysis.tokens(text), t => TextAnalysis.portableHash32(t))
+
+  /** 32-bit SimHash from precomputed token hashes: per-bit majority
+    * vote, folded with higher-order functions (per-row, no shuffle).
+    * Portable-hash based, so an independent engine reproduces it.
+    */
+  def simHashFromHashes(hashes: Column): Column = {
     // bit i of a 32-bit hash, via a mask (shiftright only takes a
     // literal shift, the lambda variable `i` is a Column): 2^i as long.
     def mask(i: Column) = pow(lit(2.0), i).cast("long")
     val bits = transform(sequence(lit(0), lit(31)), i =>
       when(
-        aggregate(toks, lit(0),
-          (acc, t) => acc +
-            when(hash(t).cast("bigint").bitwiseAND(mask(i)) =!= 0, 1).otherwise(-1))
+        aggregate(hashes, lit(0),
+          (acc, h) => acc +
+            when(h.bitwiseAND(mask(i)) =!= 0, 1).otherwise(-1))
           > 0, lit(1L)).otherwise(lit(0L)))
     aggregate(
       zip_with(bits, sequence(lit(0), lit(31)), (b, i) => b * mask(i)),
       lit(0L), _ + _)
   }
+
+  /** 32-bit SimHash straight from text. */
+  def simHash(text: Column): Column = simHashFromHashes(tokenHashes32(text))
 }

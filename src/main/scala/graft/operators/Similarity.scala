@@ -102,12 +102,16 @@ object Similarity {
       codebook: DataFrame, // (cell, pos, mean_milli)
       k: Int): DataFrame = {
     // A codebook is small by construction (|cells| x dims); collect it
-    // once and inline it as ONE array<struct> literal, making cell
-    // assignment a pure narrow projection — no join, no window, no
-    // shuffle on the big side (the k-means-style broadcast-the-
-    // centroids pattern). A single Literal node (data, not |cells|*dims
-    // struct expressions) keeps Janino compile time flat no matter the
-    // codebook size.
+    // once and inline cell assignment as |cells| codegen'd dot_q kernel
+    // calls against per-cell float-array Literals — a pure narrow
+    // projection (no join, no window, no shuffle on the big side; the
+    // k-means-style broadcast-the-centroids pattern) whose per-row cost
+    // is |cells| tight primitive loops, not an interpreted higher-order
+    // fold. Each centroid is ONE Literal node, so Janino compile time
+    // stays flat in the codebook size. mean_milli/1000f round-trips
+    // exactly through dot_q's round(x*1000) quantization (checked
+    // below), so score == Σ q(v_i)·mean_milli_i, bit-identical to the
+    // declarative form.
     val cb: Array[(Any, Array[Long])] = codebook
       .groupBy(col("cell"))
       .agg(transform(
@@ -115,22 +119,16 @@ object Similarity {
         e => e.getField("mean_milli")).as("cvec_milli"))
       .collect()
       .map(r => (r.get(0), r.getSeq[Long](1).toArray))
-    val entryType = types.StructType(Seq(
-      types.StructField("cell", codebook.schema("cell").dataType, nullable = false),
-      types.StructField("cvec_milli",
-        types.ArrayType(types.LongType, containsNull = false), nullable = false)))
-    val cellsLit = org.apache.spark.sql.graftbridge.Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(
-        cb.toIndexedSeq.map { case (cell, vec) => org.apache.spark.sql.Row(cell, vec.toSeq) },
-        types.ArrayType(entryType, containsNull = false)))
+    require(cb.forall(_._2.forall(m =>
+      graft.functions.QuantizedDot.q(m / 1000f) == m)),
+      "centroid milli-components must round-trip exactly through float")
     // argmax by (score, cell): struct ordering compares score first
     def assign(vec: String, out: String): Column =
-      array_max(transform(cellsLit, c =>
+      array_max(array(cb.toIndexedSeq.map { case (cell, cvec) =>
         struct(
-          aggregate(zip_with(quantize(col(vec)), c.getField("cvec_milli"), _ * _),
-            lit(0L), _ + _).as("score"),
-          c.getField("cell").as("cell"))))
-        .getField("cell").as(out)
+          graft.functions.QuantizedDot(col(vec), lit(cvec.map(_ / 1000f))).as("score"),
+          lit(cell).as("cell"))
+      }: _*)).getField("cell").as(out)
     val qa = queries.withColumn("qcell", assign("qvec", "qcell"))
     val ca = candidates.withColumn("ccell", assign("cvec", "ccell"))
     val scored = ca
@@ -155,16 +153,22 @@ object Similarity {
       k: Int,
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
-    val qb = queries.select(
-      col("qid"), col("qvec"),
-      posexplode(signBuckets(col("qvec"), bits, tables)).as(Seq("tbl", "bucket")))
-    val cb = candidates.select(
-      col("cid"), col("cvec"),
-      posexplode(signBuckets(col("cvec"), bits, tables)).as(Seq("tbl", "bucket")))
+    val qb = queries
+      .select(col("qid"), col("qvec"), signBuckets(col("qvec"), bits, tables).as("qbs"))
+      .select(col("qid"), col("qvec"), col("qbs"),
+        posexplode(col("qbs")).as(Seq("tbl", "bucket")))
+    val cb = candidates
+      .select(col("cid"), col("cvec"), signBuckets(col("cvec"), bits, tables).as("cbs"))
+      .select(col("cid"), col("cvec"), col("cbs"),
+        posexplode(col("cbs")).as(Seq("tbl", "bucket")))
+    // each (qid, cid) pair survives only from the FIRST table where the
+    // bucket arrays agree — exactly-once without a dropDuplicates
+    // shuffle over the candidate set
+    val firstMatch =
+      array_position(zip_with(col("qbs"), col("cbs"), _ === _), true) - 1
     val scored = cb
       .join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .dropDuplicates("qid", "cid")
+      .filter(col("qid") =!= col("cid") && col("tbl") === firstMatch)
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
     scored

@@ -54,15 +54,38 @@ object TextAnalysis {
   /** Content-hash fingerprint of the normal form (md5 — exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
-  /** Rolling polynomial hash over token murmur3 hashes (order-sensitive
-    * — distinguishes permuted documents where a bag-of-words hash does
-    * not). Higher-order fold; no UDF, no shuffle.
+  /** Engine-portable integer hash: a slice of the md5 hex digest read
+    * as a base-16 number. Unlike Spark's murmur3 `hash()`, any SQL
+    * engine with `md5` can reproduce it bit-exactly — which is what
+    * lets the minhash/simhash/rolling-hash signatures be verified by an
+    * independent oracle. `len` ≤ 15 keeps the value inside int64.
+    */
+  private def hexSlice(s: Column, start: Int, len: Int): Column =
+    conv(substring(md5(s), start, len), 16, 10).cast("bigint")
+
+  /** 56-bit portable hash (first 14 hex digits of md5). */
+  def portableHash56(s: Column): Column = hexSlice(s, 1, 14)
+
+  /** Independent second 56-bit portable hash (next 14 hex digits) —
+    * with [[portableHash56]] forms the Kirsch–Mitzenmacher double-
+    * hashing base: h_j(x) = (h1 + j·h2) mod 2^56 gives an arbitrarily
+    * large family from ONE md5 per input.
+    */
+  def portableHash56b(s: Column): Column = hexSlice(s, 15, 14)
+
+  /** 32-bit portable hash (first 8 hex digits of md5). */
+  def portableHash32(s: Column): Column = hexSlice(s, 1, 8)
+
+  /** Rolling polynomial hash over portable 32-bit token hashes
+    * (order-sensitive — distinguishes permuted documents where a
+    * bag-of-words hash does not). Higher-order fold; no UDF, no
+    * shuffle; oracle-reproducible.
     */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(7L),
       // modular (2^31-1) so the fold never overflows ANSI int64 math:
       // acc < 2^31, acc*31 + 32-bit hash < 2^37
-      (acc, t) => pmod(acc * lit(31L) + hash(t).cast("bigint"), lit(2147483647L)))
+      (acc, t) => pmod(acc * lit(31L) + portableHash32(t), lit(2147483647L)))
 
   /** Language ID: n-gram/stopword profile scoring. Each candidate
     * language has a tiny marker profile; score = marker hit ratio over

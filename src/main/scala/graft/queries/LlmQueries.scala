@@ -54,19 +54,26 @@ object LlmQueries {
         TextAnalysis.predictedLang(col("text")).as("predicted_lang"),
         TextAnalysis.predictedLangConfidenceMilli(col("text")).as("confidence_milli"))
         .orderBy("doc_id")),
+    // full 16-hash portable signature, oracle-checked column by column
     "dedup_minhash_sig" -> ((s, dir) => {
-      val sig = Dedup.minHashSignature(col("text"), 16, 3)
-      docs(s, dir).select(
-        col("doc_id"),
-        hash(sig).cast("bigint").as("sig_hash"),
-        element_at(sig, 1).cast("bigint").as("mh0"))
+      // project the per-shingle md5 hashes once, then derive the whole
+      // family arithmetically (Kirsch–Mitzenmacher)
+      val hashed = docs(s, dir).select(
+        col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
+      val sig = hashed.select(
+        col("doc_id"), Dedup.minHashFromHashes(col("hs"), 16).as("sig"))
+      sig.select(col("doc_id") +: (0 until 16).map(j =>
+        element_at(col("sig"), j + 1).as(f"mh$j%02d")): _*)
         .orderBy("doc_id")
     }),
     "simhash_sig" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        Dedup.simHash(col("text")).as("simhash"),
-        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          Dedup.tokenHashes32(col("text")).as("hs"))
+        .select(
+          col("doc_id"),
+          Dedup.simHashFromHashes(col("hs")).as("simhash"),
+          TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
     "ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -115,8 +122,9 @@ object LlmQueries {
         Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "text/plain"))
         .select(col("doc_id"), col("n_bytes"), col("chunk_count"), col("header_md5"))
         .orderBy("doc_id")),
-    // semantic dedup (sign-LSH bucketing + exact cosine rerank) — the
-    // candidate set is LSH-dependent, so rows-only + recall spec
+    // semantic dedup: sign-LSH bucketing + exact quantized-cosine
+    // rerank — deterministic end to end, so the full candidate
+    // generation + threshold pipeline sits under the DuckDB oracle
     "dedup_embedding" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDups(
         embs(s, dir), col("vec_id"), col("embedding"),
@@ -291,6 +299,156 @@ object LlmQueries {
     "multimodal_frames" ->
       """SELECT doc_id, CAST(UNNEST(generate_series(0, nf - 1, 4)) AS INTEGER) AS frame_idx
         |FROM (SELECT doc_id, greatest(1, strlen(text) // 64) AS nf FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // portable minhash: one md5 per shingle split into two 56-bit
+    // halves; hash function j = (h1 + j*h2) mod 2^56; empty shingle
+    // sets -> sentinel 2^56
+    "dedup_minhash_sig" ->
+      (s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, list_transform(shingles, s -> struct_pack(
+        |      h1 := list_reduce(list_transform(string_split(substr(md5(s),1,14),''),
+        |              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b),
+        |      h2 := list_reduce(list_transform(string_split(substr(md5(s),15,14),''),
+        |              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)
+        |    )) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(generate_series(0,15), j ->
+        |    coalesce(list_min(list_transform(hs, e -> (e.h1 + j*e.h2) % 72057594037927936)),
+        |             72057594037927936)) AS sig
+        |  FROM h)
+        |SELECT doc_id, """ +
+        (0 until 16).map(j => s"sig[${j + 1}] AS mh${"%02d".format(j)}").mkString(", ") +
+        """
+        |FROM sig ORDER BY doc_id""").stripMargin,
+    // portable simhash (32-bit md5-prefix token hashes, bit-majority)
+    // + rolling polynomial hash over the same token hashes
+    "simhash_sig" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, tk ->
+        |      list_reduce(list_transform(string_split(substr(md5(tk),1,8),''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)) AS hs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0,31), i ->
+        |    CASE WHEN list_sum(list_transform(hs,
+        |        hv -> CASE WHEN (hv // (CAST(1 AS BIGINT) << i)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash,
+        |  CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), hs),
+        |    (acc, hv) -> (acc * 31 + hv) % 2147483647) AS BIGINT) AS rolling_hash
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // multi-table sign-LSH ANN: axis-aligned hyperplane buckets,
+    // exactly-once pair emission via first-agreeing-table, exact
+    // quantized-dot rerank, top-5 per query
+    "ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(generate_series(0,3), t ->
+        |      CAST(list_sum(list_transform(generate_series(1,8), i ->
+        |        CASE WHEN CAST(embedding[t*8 + i] AS DOUBLE) >= 0
+        |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT e.*, t.tbl, bs[t.tbl + 1] AS bucket
+        |  FROM e, (SELECT UNNEST(generate_series(0,3)) AS tbl) t),
+        |p AS (
+        |  SELECT qx.vec_id AS qid, cx.vec_id AS cid, qx.q AS qq, cx.q AS cq
+        |  FROM x qx JOIN x cx ON qx.tbl = cx.tbl AND qx.bucket = cx.bucket
+        |  WHERE qx.vec_id < 10 AND qx.vec_id <> cx.vec_id
+        |    AND qx.tbl = list_position(list_transform(generate_series(1,4),
+        |      i -> qx.bs[i] = cx.bs[i]), true) - 1),
+        |d AS (
+        |  SELECT qid, cid,
+        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qq[i]*cq[i])) AS BIGINT) AS dot_q
+        |  FROM p),
+        |ranked AS (
+        |  SELECT qid, cid, dot_q,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
+        |  FROM d)
+        |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // IVF ANN: label-cell centroid codebook, argmax-(score, cell)
+    // assignment, within-cell search, top-5 per query
+    "ann_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cbl AS (
+        |  SELECT label AS cell, pos,
+        |    CAST(round(CAST(sum(qe) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |  FROM (
+        |    SELECT label,
+        |      UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+        |      CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qe
+        |    FROM embeddings)
+        |  GROUP BY label, pos),
+        |cb AS (SELECT cell, list(mean_milli ORDER BY pos) AS cvec FROM cbl GROUP BY cell),
+        |scorepairs AS (
+        |  SELECT q.vec_id, cb.cell,
+        |    CAST(list_sum(list_transform(generate_series(1,64), i -> q.qv[i]*cb.cvec[i])) AS BIGINT) AS score
+        |  FROM q, cb),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        |    FROM scorepairs) WHERE rn = 1),
+        |p AS (
+        |  SELECT qa.vec_id AS qid, ca.vec_id AS cid, qq.qv AS qqv, cq.qv AS cqv
+        |  FROM assign qa JOIN assign ca ON qa.cell = ca.cell
+        |  JOIN q qq ON qq.vec_id = qa.vec_id
+        |  JOIN q cq ON cq.vec_id = ca.vec_id
+        |  WHERE qa.vec_id < 10 AND qa.vec_id <> ca.vec_id),
+        |d AS (
+        |  SELECT qid, cid,
+        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qqv[i]*cqv[i])) AS BIGINT) AS dot_q
+        |  FROM p),
+        |ranked AS (
+        |  SELECT qid, cid, dot_q,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
+        |  FROM d)
+        |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // semantic dedup: sign-LSH (4 bits x 8 tables), exactly-once pair
+    // emission, exact integer threshold on the quantized cosine:
+    // dot > 0 AND dot^2 * 10^6 >= m^2 * |a|q^2 * |b|q^2 (m = 350)
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding,
+        |    list_transform(generate_series(0,7), t ->
+        |      CAST(list_sum(list_transform(generate_series(1,4), i ->
+        |        CASE WHEN CAST(embedding[t*4 + i] AS DOUBLE) >= 0
+        |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT id, q, bs, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
+        |x AS (
+        |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
+        |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.q AS qa, b.q AS qb, a.nq AS nq_a, b.nq AS nq_b
+        |  FROM x a JOIN x b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |  WHERE a.id < b.id
+        |    AND a.tbl = list_position(list_transform(generate_series(1,8),
+        |      i -> a.bs[i] = b.bs[i]), true) - 1),
+        |d AS (
+        |  SELECT id_a, id_b, nq_a, nq_b,
+        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qa[i]*qb[i])) AS BIGINT) AS dot_q
+        |  FROM p)
+        |SELECT id_a, id_b, dot_q FROM d
+        |WHERE dot_q > 0
+        |  AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -77,13 +77,18 @@ class DedupSpec extends SparkSpec {
     val lsh = Dedup.embeddingNearDups(
       e, col("vec_id"), col("embedding"), minCosineMilli = 350, bits = 4, tables = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // exact baseline: all-pairs cosine (tiny SF only — the test corpus)
+    // exact baseline: all-pairs with the operator's own quantized-
+    // cosine criterion (tiny SF only — the test corpus)
+    import graft.functions.QuantizedDot
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     val exact = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_milli",
-        round(Similarity.cosine(col("v_a"), col("v_b")) * 1000).cast("bigint"))
-      .filter(col("cos_milli") >= 350)
+      .withColumn("dot_q", QuantizedDot(col("v_a"), col("v_b")))
+      .withColumn("nq_a", QuantizedDot(col("v_a"), col("v_a")))
+      .withColumn("nq_b", QuantizedDot(col("v_b"), col("v_b")))
+      .filter(col("dot_q") > 0 &&
+        col("dot_q").cast("decimal(38,0)") * col("dot_q") * lit(1000000L) >=
+          lit(122500L).cast("decimal(38,0)") * col("nq_a") * col("nq_b"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.nonEmpty && lsh.subsetOf(exact)) // exact rerank => precision 1.0
     val recall = lsh.size.toDouble / exact.size
