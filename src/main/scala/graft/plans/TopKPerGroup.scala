@@ -24,6 +24,10 @@ import scala.collection.mutable
   * `requiredChildDistribution` (Spark inserts exactly one hash
   * shuffle — or none if the child is already clustered, e.g. bucketed
   * tables).
+  *
+  * Rows whose order value is null are excluded — the contract is
+  * top-k over non-null order values (the window equivalent with
+  * `WHERE o IS NOT NULL`).
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -61,13 +65,22 @@ final case class TopKPerGroupExec(
         val heap = heaps.getOrElseUpdate(
           key.copy(), mutable.PriorityQueue.empty[(Any, UnsafeRow)])
         // copy non-primitive order values: the projection reuses its
-        // buffer, so structs/strings would alias the latest row
+        // buffer, so structs/strings/arrays/maps would alias the latest
+        // row (Decimal needs no copy — row accessors return fresh
+        // instances)
         val v = orderEval(row).get(0, orderExpr.dataType) match {
           case u: UnsafeRow => u.copy()
           case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
           case other => other
         }
-        if (heap.size < k) {
+        // a null order value never enters the heap: the operator's
+        // contract is top-k over NON-NULL order values (the window
+        // equivalent with `WHERE o IS NOT NULL`); the interpreted
+        // ordering has no null comparator
+        if (v == null) ()
+        else if (heap.size < k) {
           heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
         } else if (ordering.gt(v, heap.head._1)) {
           heap.dequeue()

@@ -49,7 +49,15 @@ final class TStream private[tgraph] (
     */
   def flatMap(gen: Column): TStream = {
     val out = df
-      .select(col(TidCol), col(BranchCol), posexplode(gen).as(Seq("__pos", "__elem")))
+      // the documented fan-out limit fails LOUDLY: a fork of >= 1000
+      // at any level would silently collide (tid, __branch) identities
+      // in the radix-1000 branch path, corrupting vote reduction
+      .withColumn("__gen",
+        when(size(gen) >= 1000, raise_error(concat(
+          lit("TStream.flatMap fan-out "), size(gen).cast("string"),
+          lit(" exceeds the per-level limit of 999"))))
+          .otherwise(gen))
+      .select(col(TidCol), col(BranchCol), posexplode(col("__gen")).as(Seq("__pos", "__elem")))
       // compose the branch path (the reference's nested BatchID,
       // `tgraph/BatchID.java`): chained flatMaps keep unique
       // (tid, branch) identities for fan-outs < 1000 per level.

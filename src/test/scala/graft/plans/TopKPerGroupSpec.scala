@@ -43,4 +43,18 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(out("hot").map(_._2).sorted.toSeq == Seq(896L, 897L, 898L, 899L, 900L))
     assert(out("cold").map(_._2).toSeq == Seq(1L))
   }
+
+  test("null order values are excluded; array order keys don't alias the projection buffer") {
+    val withNulls = Seq(("a", Some(3L)), ("a", None), ("a", Some(1L)), ("b", None))
+      .toDF("g", "v")
+    val out = TopK.perGroup(withNulls, Seq(col("g")), col("v"), 2)
+      .select("g", "v").as[(String, Option[Long])].collect()
+    assert(out.toSet == Set(("a", Some(3L)), ("a", Some(1L)))) // no NPE, nulls dropped
+    // array-typed order key: per-element copy must be real, not an
+    // alias of the reused UnsafeProjection buffer
+    val arr = Seq(("g", 1L), ("g", 3L), ("g", 2L)).toDF("g", "v")
+    val topByArray = TopK.perGroup(arr, Seq(col("g")), array(col("v"), -col("v")), 2)
+      .select("v").as[Long].collect().toSet
+    assert(topByArray == Set(3L, 2L)) // lexicographic array order = order by v
+  }
 }

@@ -47,6 +47,16 @@ class TStreamSpec extends SparkSpec {
     assert(ids.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 1, 1000, 1001))
   }
 
+  test("flatMap fan-out >= 1000 fails loudly instead of colliding branch ids") {
+    val big = transform(sequence(lit(0), lit(1000)), i => struct(i.as("v")))
+    val ex = intercept[Exception] {
+      opened.flatMap(big).df.count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("fan-out")))
+  }
+
   test("vote merge is worst-of (min) per transaction") {
     val env = TransactionEnvironment()
     val df = Seq((1L, 5.0), (2L, 500.0)).toDF("id", "amount")
