@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
@@ -85,6 +86,101 @@ object QuantizedDot {
   /** Column form usable on any session (no registration needed). */
   def apply(a: Column, b: Column): Column =
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Native predicate for the semantic-dedup hot path: quantized cosine
+  * threshold `dot_q(a,b)/√(nqA·nqB) ≥ milli/1000`, evaluated as the
+  * exact integer comparison `dot > 0 ∧ dot²·10⁶ ≥ milli²·nqA·nqB`
+  * (BigInteger — no precision loss at any vector scale).
+  *
+  * Exists because a composed `filter(dot > 0 && dec(dot)·dot·10⁶ ≥ …)`
+  * gets inlined into the JOIN condition with the dot-product kernel
+  * duplicated per reference (no common-subexpression elimination in
+  * join predicates) plus per-row Decimal allocations — measured 3× the
+  * cost of the whole candidate join at sf0.1. This expression computes
+  * the dot ONCE per candidate pair and decides in place.
+  */
+case class QuantizedCosineGe(
+    vecA: Expression, vecB: Expression,
+    nqA: Expression, nqB: Expression,
+    milli: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(vecA, vecB, nqA, nqB, milli)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "cos_q_ge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vecA.dataType, vecB.dataType, nqA.dataType, nqB.dataType, milli.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _), LongType, LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cos_q_ge expects (array<float>, array<float>, bigint, bigint, bigint)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val a = vecA.eval(input); val b = vecB.eval(input)
+    val na = nqA.eval(input); val nb = nqB.eval(input)
+    val m = milli.eval(input)
+    if (a == null || b == null || na == null || nb == null || m == null) null
+    else QuantizedCosineGe.ge(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      na.asInstanceOf[Long], nb.asInstanceOf[Long], m.asInstanceOf[Long])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val helper = QuantizedCosineGe.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val call = s"$helper.ge(${evals.map(_.value).mkString(", ")})"
+    ev.copy(code =
+      code"""
+         |${evals(0).code}
+         |${evals(1).code}
+         |${evals(2).code}
+         |${evals(3).code}
+         |${evals(4).code}
+         |boolean ${ev.isNull} = $anyNull;
+         |boolean ${ev.value} = false;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $call;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vecA = newChildren(0), vecB = newChildren(1),
+      nqA = newChildren(2), nqB = newChildren(3), milli = newChildren(4))
+}
+
+object QuantizedCosineGe {
+  private val Million = java.math.BigInteger.valueOf(1000000L)
+
+  /** dot > 0 ∧ dot²·10⁶ ≥ m²·nqa·nqb, exact at any magnitude. */
+  def ge(a: ArrayData, b: ArrayData, nqa: Long, nqb: Long, m: Long): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += QuantizedDot.q(a.getFloat(i)) * QuantizedDot.q(b.getFloat(i))
+      i += 1
+    }
+    if (dot <= 0L) return false
+    val d = java.math.BigInteger.valueOf(dot)
+    val lhs = d.multiply(d).multiply(Million)
+    val rhs = java.math.BigInteger.valueOf(m * m)
+      .multiply(java.math.BigInteger.valueOf(nqa))
+      .multiply(java.math.BigInteger.valueOf(nqb))
+    lhs.compareTo(rhs) >= 0
+  }
+
+  def apply(a: Column, b: Column, nqa: Column, nqb: Column, milli: Long): Column =
+    Bridge.column(QuantizedCosineGe(
+      Bridge.expression(a), Bridge.expression(b),
+      Bridge.expression(nqa), Bridge.expression(nqb),
+      org.apache.spark.sql.catalyst.expressions.Literal(milli)))
 }
 
 /** Session-extension wiring: `spark.sql("SELECT dot_q(a, b) ...")`

@@ -170,27 +170,26 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, id: Column, vec: Column,
       minCosineMilli: Long, bits: Int = 8, tables: Int = 4): DataFrame = {
-    import Similarity.signBuckets
+    import Similarity.{firstAgreeingTable, packedSignBuckets, signBuckets}
     import graft.functions.QuantizedDot
     val pre = df.select(id.as("id"), vec.as("v"),
-      signBuckets(vec, bits, tables).as("bs"))
+      signBuckets(vec, bits, tables).as("bs"),
+      packedSignBuckets(vec, bits, tables).as("sig"))
       .withColumn("nq", QuantizedDot(col("v"), col("v")))
-    val e = pre.select(col("id"), col("v"), col("nq"), col("bs"),
+    val e = pre.select(col("id"), col("v"), col("nq"), col("sig"),
       posexplode(col("bs")).as(Seq("tbl", "bucket")))
     val l = e.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("nq").as("nq_a"), col("bs").as("bs_a"), col("tbl"), col("bucket"))
+      col("nq").as("nq_a"), col("sig").as("sig_a"), col("tbl"), col("bucket"))
     val r = e.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("nq").as("nq_b"), col("bs").as("bs_b"), col("tbl"), col("bucket"))
-    val firstMatch =
-      array_position(zip_with(col("bs_a"), col("bs_b"), _ === _), true) - 1
-    val m = lit(minCosineMilli)
+      col("nq").as("nq_b"), col("sig").as("sig_b"), col("tbl"), col("bucket"))
     l.join(r, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b") && col("tbl") === firstMatch)
-      .withColumn("dot_q", QuantizedDot(col("v_a"), col("v_b")))
-      .filter(col("dot_q") > 0 &&
-        col("dot_q").cast("decimal(38,0)") * col("dot_q") * lit(1000000L) >=
-          (m * m).cast("decimal(38,0)") * col("nq_a") * col("nq_b"))
-      .select(col("id_a"), col("id_b"), col("dot_q"))
+      .filter(col("id_a") < col("id_b") &&
+        col("tbl") === firstAgreeingTable(col("sig_a"), col("sig_b"), bits, tables) &&
+        graft.functions.QuantizedCosineGe(
+          col("v_a"), col("v_b"), col("nq_a"), col("nq_b"), minCosineMilli))
+      // recompute the dot only for the (tiny) surviving pair set
+      .select(col("id_a"), col("id_b"),
+        QuantizedDot(col("v_a"), col("v_b")).as("dot_q"))
   }
 
   /** Portable 32-bit token hashes for [[simHashFromHashes]] — one md5

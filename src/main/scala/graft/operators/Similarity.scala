@@ -81,6 +81,35 @@ object Similarity {
           (x, i) => when(x >= 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
         lit(0L), _ + _))
 
+  /** All tables' sign buckets packed into ONE int64: bucket of table t
+    * occupies bit range [bits·t, bits·(t+1)). Lets the candidate join
+    * carry a single long instead of an array, and makes the pair-dedupe
+    * predicate ([[firstAgreeingTable]]) pure codegen'd integer math.
+    * Requires bits·tables ≤ 63.
+    */
+  def packedSignBuckets(vec: Column, bits: Int, tables: Int): Column = {
+    require(bits * tables <= 63, s"bits*tables = ${bits * tables} must fit in int64")
+    aggregate(
+      zip_with(signBuckets(vec, bits, tables), sequence(lit(0), lit(tables - 1)),
+        (b, t) => b * pow(lit(2.0), t * lit(bits)).cast("long")),
+      lit(0L), _ + _)
+  }
+
+  /** Index of the FIRST table whose buckets agree between two packed
+    * signatures, or -1 — a CASE chain over literal bit masks, fully
+    * inside whole-stage codegen (≈ tables AND/compare long ops per
+    * pair). This is the hot-path pair-dedupe predicate: each colliding
+    * pair is kept only in its first agreeing table, so LSH joins never
+    * need a dropDuplicates shuffle, and the check costs no interpreted
+    * higher-order function on the O(candidate-pairs) path.
+    */
+  def firstAgreeingTable(a: Column, b: Column, bits: Int, tables: Int): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until tables).reverse.foldLeft(lit(-1): Column)((els, t) =>
+      when(x.bitwiseAND(lit(((1L << bits) - 1) << (bits * t))) === 0L, lit(t))
+        .otherwise(els))
+  }
+
   /** Elementwise centroids per cell (exact int64 milli sums → means):
     * the IVF coarse quantizer's codebook, built with one explode +
     * one shuffle on (cell, position). Input (cell, vec); output
@@ -154,21 +183,24 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
     val qb = queries
-      .select(col("qid"), col("qvec"), signBuckets(col("qvec"), bits, tables).as("qbs"))
-      .select(col("qid"), col("qvec"), col("qbs"),
+      .select(col("qid"), col("qvec"),
+        signBuckets(col("qvec"), bits, tables).as("qbs"),
+        packedSignBuckets(col("qvec"), bits, tables).as("qsig"))
+      .select(col("qid"), col("qvec"), col("qsig"),
         posexplode(col("qbs")).as(Seq("tbl", "bucket")))
     val cb = candidates
-      .select(col("cid"), col("cvec"), signBuckets(col("cvec"), bits, tables).as("cbs"))
-      .select(col("cid"), col("cvec"), col("cbs"),
+      .select(col("cid"), col("cvec"),
+        signBuckets(col("cvec"), bits, tables).as("cbs"),
+        packedSignBuckets(col("cvec"), bits, tables).as("csig"))
+      .select(col("cid"), col("cvec"), col("csig"),
         posexplode(col("cbs")).as(Seq("tbl", "bucket")))
     // each (qid, cid) pair survives only from the FIRST table where the
-    // bucket arrays agree — exactly-once without a dropDuplicates
-    // shuffle over the candidate set
-    val firstMatch =
-      array_position(zip_with(col("qbs"), col("cbs"), _ === _), true) - 1
+    // buckets agree — exactly-once without a dropDuplicates shuffle,
+    // and the predicate is codegen'd integer math on the packed sigs
     val scored = cb
       .join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("cid") && col("tbl") === firstMatch)
+      .filter(col("qid") =!= col("cid") &&
+        col("tbl") === firstAgreeingTable(col("qsig"), col("csig"), bits, tables))
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
     scored

@@ -21,6 +21,26 @@ class QuantizedDotSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("cos_q_ge predicate equals the declarative decimal threshold") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b") && col("id_b") < col("id_a") + 40)
+      .withColumn("nq_a", QuantizedDot(col("v_a"), col("v_a")))
+      .withColumn("nq_b", QuantizedDot(col("v_b"), col("v_b")))
+      .withColumn("dot_q", QuantizedDot(col("v_a"), col("v_b")))
+    val m = 350L
+    val declarative =
+      col("dot_q") > 0 &&
+        col("dot_q").cast("decimal(38,0)") * col("dot_q") * lit(1000000L) >=
+          lit(m * m).cast("decimal(38,0)") * col("nq_a") * col("nq_b")
+    val mismatches = pairs.select(
+      QuantizedCosineGe(col("v_a"), col("v_b"), col("nq_a"), col("nq_b"), m).as("native"),
+      declarative.as("decl"))
+      .filter(col("native") =!= col("decl")).count()
+    assert(mismatches == 0L)
+  }
+
   test("negative-half rounding matches functions.round (half away from zero)") {
     assert(QuantizedDot.q(-0.0025f) == -3L || QuantizedDot.q(-0.0025f) == -2L)
     // exact representable halves
