@@ -176,6 +176,39 @@ object Similarity {
     * Recall/pruning is tuned by (bits, tables); the spec measures
     * recall against [[bruteForceTopK]].
     */
+  /** Corpus×corpus LSH top-k: every vector's k nearest LSH-candidate
+    * neighbors. The all-pairs variant of [[lshTopK]] for query-set ==
+    * corpus, where broadcasting the query side is impossible: both
+    * sides shuffle on the bucket key (one exchange each), pairs are
+    * emitted exactly once per direction via the packed-signature
+    * first-agreeing-table predicate, the rerank is the codegen'd dot_q
+    * kernel, and the per-query top-k runs through the bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator — O(groups·k) memory, no
+    * full window sort of the candidate set. This is the 100 TB shape:
+    * shuffle volume O(n·tables), never O(n²).
+    */
+  def lshTopKAll(
+      df: DataFrame, id: Column, vec: Column,
+      k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val pre = df.select(id.as("id"), vec.as("v"),
+      signBuckets(vec, bits, tables).as("bs"),
+      packedSignBuckets(vec, bits, tables).as("sig"))
+    val e = pre.select(col("id"), col("v"), col("sig"),
+      posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val l = e.select(col("id").as("qid"), col("v").as("qv"),
+      col("sig").as("sig_a"), col("tbl"), col("bucket"))
+    val r = e.select(col("id").as("cid"), col("v").as("cv"),
+      col("sig").as("sig_b"), col("tbl"), col("bucket"))
+    val cands = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid") &&
+        col("tbl") === firstAgreeingTable(col("sig_a"), col("sig_b"), bits, tables))
+      .select(col("qid"), col("cid"), dotQ(col("qv"), col("cv")).as("dot_q"))
+    // largest (dot_q, -cid) == highest dot, ties to the smallest cid
+    graft.plans.TopK.perGroup(
+      cands, Seq(col("qid")), struct(col("dot_q"), -col("cid")), k)
+      .select("qid", "cid", "dot_q")
+  }
+
   def lshTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)

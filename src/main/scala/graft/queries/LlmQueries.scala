@@ -109,6 +109,12 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
+    // corpus×corpus ANN (no broadcast side): every vector's top-3
+    // LSH-candidate neighbors through the bounded-heap TopKPerGroup
+    "ann_allpairs" -> ((s, dir) =>
+      Similarity.lshTopKAll(
+        embs(s, dir), col("vec_id"), col("embedding"), k = 3)
+        .orderBy(col("qid"), col("dot_q").desc, col("cid"))),
     "emb_label_stats" -> ((s, dir) =>
       embs(s, dir)
         .select(col("label"),
@@ -378,6 +384,36 @@ object LlmQueries {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
         |  FROM d)
         |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // corpus×corpus LSH top-3: directed pairs (both orientations),
+    // exactly-once per direction via first-agreeing-table
+    "ann_allpairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(generate_series(0,3), t ->
+        |      CAST(list_sum(list_transform(generate_series(1,8), i ->
+        |        CASE WHEN CAST(embedding[t*8 + i] AS DOUBLE) >= 0
+        |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT e.*, t.tbl, bs[t.tbl + 1] AS bucket
+        |  FROM e, (SELECT UNNEST(generate_series(0,3)) AS tbl) t),
+        |p AS (
+        |  SELECT qx.vec_id AS qid, cx.vec_id AS cid, qx.q AS qq, cx.q AS cq
+        |  FROM x qx JOIN x cx ON qx.tbl = cx.tbl AND qx.bucket = cx.bucket
+        |  WHERE qx.vec_id <> cx.vec_id
+        |    AND qx.tbl = list_position(list_transform(generate_series(1,4),
+        |      i -> qx.bs[i] = cx.bs[i]), true) - 1),
+        |d AS (
+        |  SELECT qid, cid,
+        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qq[i]*cq[i])) AS BIGINT) AS dot_q
+        |  FROM p),
+        |ranked AS (
+        |  SELECT qid, cid, dot_q,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rnk
+        |  FROM d)
+        |SELECT qid, cid, dot_q FROM ranked WHERE rnk <= 3
+        |ORDER BY qid, dot_q DESC, cid""".stripMargin,
     // IVF ANN: label-cell centroid codebook, argmax-(score, cell)
     // assignment, within-cell search, top-5 per query
     "ann_ivf" ->

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming LLM-data ingest: the document-pipeline operators
+  * ([[graft.operators.TextAnalysis]] / [[graft.operators.Dedup]]) wired
+  * as a live Structured Streaming job — `readStream` → stateless
+  * feature projection → watermarked streaming dedup → append sink.
+  *
+  * Shape notes for scale:
+  *  - every per-document feature (fingerprint, quality, language,
+  *    token count) is a stateless codegen'd Column — no shuffle, no
+  *    state, embarrassingly parallel across executors;
+  *  - exact dedup becomes Spark's streaming `dropDuplicates` keyed on
+  *    the content fingerprint: keyed state sharded by the fingerprint
+  *    hash, bounded by the event-time watermark horizon (documents
+  *    arriving within the horizon dedupe exactly; the state store
+  *    evicts fingerprints older than the watermark). This is the
+  *    online analog of [[graft.operators.Dedup.exact]]'s hash-groupBy.
+  */
+object StreamingDocs {
+
+  /** Feature projection shared by the batch and streaming paths —
+    * defining it once is what makes "streaming == batch" testable.
+    */
+  def features(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .withColumn("fingerprint", TextAnalysis.fingerprintMd5(text))
+      .withColumn("quality_milli", TextAnalysis.qualityMilli(text))
+      .withColumn("predicted_lang", TextAnalysis.predictedLang(text))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(text).cast("bigint"))
+
+  /** The streaming ingest: features + watermarked exact dedup
+    * (first-seen document per fingerprint survives).
+    *
+    * @param eventTimeCol name of the event-time column the watermark
+    *                     tracks (must exist on `docs`)
+    */
+  def ingest(
+      docs: DataFrame,
+      eventTimeCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    features(docs, col("text"))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates("fingerprint")
+}
