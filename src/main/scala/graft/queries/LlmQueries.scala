@@ -136,6 +136,11 @@ object LlmQueries {
         embs(s, dir), col("vec_id"), col("embedding"),
         minCosineMilli = 350, bits = 4, tables = 8)
         .orderBy("id_a", "id_b")),
+    // the flagship composition: quality gate → exact dedup → semantic
+    // dedup in ONE declarative plan (training-corpus curation)
+    "curate_corpus" -> ((s, dir) =>
+      graft.operators.Curation.curate(docs(s, dir), embs(s, dir))
+        .orderBy("doc_id")),
     // decode → resize through the per-partition (stub) decoder; the
     // dimension math is SQL-expressible so the oracle checks the whole
     // chain end-to-end
@@ -455,6 +460,50 @@ object LlmQueries {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
         |  FROM d)
         |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // curation composition: quality >= 30 milli, keep min doc_id per
+    // fingerprint, then drop any doc with a smaller-id near-duplicate
+    // (same LSH + exact integer threshold as dedup_embedding)
+    "curate_corpus" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |    CAST(round(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t = 'the' OR t = 'a')) / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS quality_milli,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |qf AS (SELECT * FROM f WHERE quality_milli >= 30),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY fingerprint),
+        |kept AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+        |e AS (
+        |  SELECT k.doc_id AS id,
+        |    list_transform(generate_series(0,7), t ->
+        |      CAST(list_sum(list_transform(generate_series(1,4), i ->
+        |        CASE WHEN CAST(em.embedding[t*4 + i] AS DOUBLE) >= 0
+        |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
+        |    list_transform(em.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM kept k JOIN embeddings em ON em.vec_id = k.doc_id),
+        |n AS (
+        |  SELECT id, q, bs, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
+        |x AS (
+        |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
+        |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.q AS qa, b.q AS qb, a.nq AS nq_a, b.nq AS nq_b
+        |  FROM x a JOIN x b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |  WHERE a.id < b.id
+        |    AND a.tbl = list_position(list_transform(generate_series(1,8),
+        |      i -> a.bs[i] = b.bs[i]), true) - 1),
+        |d AS (
+        |  SELECT id_a, id_b, nq_a, nq_b,
+        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qa[i]*qb[i])) AS BIGINT) AS dot_q
+        |  FROM p),
+        |dropped AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM d
+        |  WHERE dot_q > 0
+        |    AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b)
+        |SELECT doc_id, fingerprint, quality_milli, n_tokens FROM kept
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     // semantic dedup: sign-LSH (4 bits x 8 tables), exactly-once pair
     // emission, exact integer threshold on the quantized cosine:
     // dot > 0 AND dot^2 * 10^6 >= m^2 * |a|q^2 * |b|q^2 (m = 350)
