@@ -192,6 +192,7 @@ object QuantizedCosineGe {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotQDescriptor)
+    ext.injectFunction(GraftFunctions.cosQGeDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRewrite)
   }
 }
@@ -204,9 +205,18 @@ object GraftFunctions {
     (children: Seq[Expression]) => QuantizedDot(children(0), children(1))
   )
 
+  private[functions] val cosQGeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cos_q_ge"),
+    new ExpressionInfo(classOf[QuantizedCosineGe].getName, "cos_q_ge"),
+    (children: Seq[Expression]) => QuantizedCosineGe(
+      children(0), children(1), children(2), children(3), children(4))
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = dotQDescriptor
-    Bridge.registerFunction(spark, id, info, builder)
+    Seq(dotQDescriptor, cosQGeDescriptor).foreach { case (id, info, builder) =>
+      Bridge.registerFunction(spark, id, info, builder)
+    }
   }
 }

@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the document-signature hot path.
+  *
+  * The declarative forms ([[graft.operators.Dedup.minHashFromHashes]]
+  * etc.) are higher-order-function folds — correct and portable, but
+  * interpreted per lambda step: measured ~2.4k docs/s for a 16-hash
+  * minhash at 1M docs (`graft.tools.LlmScaleProbe`), which at 100 TB
+  * would make signature generation the pipeline bottleneck. These
+  * expressions compute the identical values (spec-asserted against the
+  * declarative forms; the DuckDB oracles are unchanged) in tight
+  * primitive loops via `doGenCode`.
+  */
+object SignatureKernels {
+  /** Max int64 value of `len` hex digits starting at 1-based `start`
+    * of the md5 hex digest.
+    */
+  private def hexSlice(md5Hex: Array[Byte], start: Int, len: Int): Long = {
+    var acc = 0L
+    var i = start - 1
+    val end = start - 1 + len
+    while (i < end) {
+      val c = md5Hex(i)
+      acc = acc * 16 + (if (c >= 'a') c - 'a' + 10 else c - '0')
+      i += 1
+    }
+    acc
+  }
+
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  private val md5Instance =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** md5 hex digest bytes of `s` — identical to Spark's `md5(string)`
+    * output (UTF-8 bytes in, lowercase hex out). Thread-local digest:
+    * `getInstance` per call was the measured bottleneck at millions of
+    * shingles per second.
+    */
+  private def md5Hex(s: UTF8String): Array[Byte] = {
+    val md = md5Instance.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(digest(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** (h1, h2) = (first 14 hex digits, next 14 hex digits) of md5 —
+    * matches `TextAnalysis.portableHash56`/`portableHash56b`.
+    */
+  def hashPair(s: UTF8String): (Long, Long) = {
+    val h = md5Hex(s)
+    (hexSlice(h, 1, 14), hexSlice(h, 15, 14))
+  }
+
+  /** Portable 32-bit hash — matches `TextAnalysis.portableHash32`. */
+  def hash32(s: UTF8String): Long = hexSlice(md5Hex(s), 1, 8)
+
+  val MinHashMod: Long = 1L << 56
+
+  /** MinHash signature over the strings of `arr`: hash function j =
+    * (h1 + j·h2) mod 2^56, empty input → sentinel 2^56 everywhere.
+    */
+  def minHash(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(MinHashMod)
+    var i = 0
+    while (i < n) {
+      val (h1, h2) = hashPair(arr.getUTF8String(i))
+      var j = 0
+      while (j < numHashes) {
+        // mod 2^56 as a mask (power-of-2 modulus, operands nonnegative)
+        val hj = (h1 + j * h2) & (MinHashMod - 1)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 32-bit SimHash over the strings of `arr` (bit-majority of the
+    * portable 32-bit token hashes).
+    */
+  def simHash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hash32(arr.getUTF8String(i))
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) acc += 1L << b
+      b += 1
+    }
+    acc
+  }
+
+  /** Rolling polynomial hash over the strings of `arr` — matches
+    * `TextAnalysis.rollingHash`'s fold (init 7, ×31 + h32, mod 2³¹−1).
+    */
+  def rollingHash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 7L
+    var i = 0
+    while (i < n) {
+      acc = (acc * 31L + hash32(arr.getUTF8String(i))) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Base for unary array<string> kernels with a static-call codegen. */
+sealed abstract class StringArrayKernel extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+  /** Java call on the helper object, e.g. `"simHash"`. */
+  protected def helperCall(input: String): String
+  protected final val helperRef: String =
+    SignatureKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = ${helperCall(in)};")
+}
+
+/** Native minhash signature: `array<string> → array<long>` (numHashes
+  * mins of the portable double-hashing family).
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends StringArrayKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.minHash(arr.asInstanceOf[ArrayData], numHashes)
+  override protected def helperCall(input: String): String =
+    s"$helperRef.minHash($input, $numHashes)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native 32-bit simhash: `array<string> → bigint`. */
+case class SimHash32(child: Expression) extends StringArrayKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.simHash(arr.asInstanceOf[ArrayData])
+  override protected def helperCall(input: String): String =
+    s"$helperRef.simHash($input)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native rolling polynomial hash: `array<string> → bigint`. */
+case class RollingHash32(child: Expression) extends StringArrayKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash32"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.rollingHash(arr.asInstanceOf[ArrayData])
+  override protected def helperCall(input: String): String =
+    s"$helperRef.rollingHash($input)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def apply(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
+}
+object SimHash32 {
+  def apply(tokens: Column): Column =
+    Bridge.column(SimHash32(Bridge.expression(tokens)))
+}
+object RollingHash32 {
+  def apply(tokens: Column): Column =
+    Bridge.column(RollingHash32(Bridge.expression(tokens)))
+}

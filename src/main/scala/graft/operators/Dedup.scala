@@ -58,11 +58,13 @@ object Dedup {
       aggregate(hashes, lit(MinHashMod), (acc, e) =>
         least(acc, pmod(e.getField("h1") + j * e.getField("h2"), lit(MinHashMod)))))
 
-  /** MinHash signature straight from text (single-Column convenience;
-    * query paths should project [[shingleHashes]] first).
+  /** MinHash signature straight from text — the native
+    * [[graft.functions.MinHashSig]] kernel (one md5 + the whole hash
+    * family per shingle in a primitive loop; value-identical to
+    * [[minHashFromHashes]], spec-asserted).
     */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
-    minHashFromHashes(shingleHashes(text, shingleSize), numHashes)
+    graft.functions.MinHashSig(shingles(text, shingleSize), numHashes)
 
   /** Candidate near-duplicate pairs via LSH: equi-join on
     * (band_id, band_hash) — a shuffle on the bucket key, NEVER a cross
@@ -217,6 +219,10 @@ object Dedup {
       lit(0L), _ + _)
   }
 
-  /** 32-bit SimHash straight from text. */
-  def simHash(text: Column): Column = simHashFromHashes(tokenHashes32(text))
+  /** 32-bit SimHash straight from text — the native
+    * [[graft.functions.SimHash32]] kernel (value-identical to
+    * [[simHashFromHashes]], spec-asserted).
+    */
+  def simHash(text: Column): Column =
+    graft.functions.SimHash32(TextAnalysis.tokens(text))
 }

@@ -78,13 +78,21 @@ object TextAnalysis {
 
   /** Rolling polynomial hash over portable 32-bit token hashes
     * (order-sensitive — distinguishes permuted documents where a
-    * bag-of-words hash does not). Higher-order fold; no UDF, no
-    * shuffle; oracle-reproducible.
+    * bag-of-words hash does not). Native kernel
+    * ([[graft.functions.RollingHash32]]); value-identical to
+    * [[rollingHashDeclarative]], no UDF, no shuffle,
+    * oracle-reproducible.
     */
   def rollingHash(text: Column): Column =
+    graft.functions.RollingHash32(tokens(text))
+
+  /** The declarative (higher-order-fold) definition of [[rollingHash]]
+    * — the portable reference the native kernel is spec-checked
+    * against. Modular (2^31-1) so the fold never overflows ANSI int64
+    * math: acc < 2^31, acc*31 + 32-bit hash < 2^37.
+    */
+  def rollingHashDeclarative(text: Column): Column =
     aggregate(tokens(text), lit(7L),
-      // modular (2^31-1) so the fold never overflows ANSI int64 math:
-      // acc < 2^31, acc*31 + 32-bit hash < 2^37
       (acc, t) => pmod(acc * lit(31L) + portableHash32(t), lit(2147483647L)))
 
   /** Language ID: n-gram/stopword profile scoring. Each candidate

@@ -134,7 +134,19 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("revenue_cents"))
         .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("n_orders"), col("revenue_cents"))
-        .orderBy("nation"))
+        .orderBy("nation")),
+    // salted top-k under the oracle gate: exact equality with the
+    // plain window formulation is the whole point of the salting
+    "q_skew_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("bigint").as("line_id"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      graft.operators.Skew.saltedTopK(
+        li, col("l_suppkey"), col("price_cents"), col("line_id"), k = 3, salts = 8)
+        .select(col("l_suppkey"), col("rnk"), col("line_id"), col("price_cents"))
+        .orderBy("l_suppkey", "rnk")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -262,6 +274,18 @@ object AnalyticsQueries {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP(n_name) ORDER BY nation""".stripMargin
+        |GROUP BY ROLLUP(n_name) ORDER BY nation""".stripMargin,
+    "q_skew_topk" ->
+      """WITH li AS (
+        |  SELECT l_suppkey,
+        |    CAST(l_orderkey*10 + l_linenumber AS BIGINT) AS line_id,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_suppkey, line_id, price_cents,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY price_cents DESC, line_id) AS BIGINT) AS rnk
+        |  FROM li)
+        |SELECT l_suppkey, rnk, line_id, price_cents FROM r WHERE rnk <= 3
+        |ORDER BY l_suppkey, rnk""".stripMargin
   )
 }

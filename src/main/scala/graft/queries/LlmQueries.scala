@@ -54,25 +54,21 @@ object LlmQueries {
         TextAnalysis.predictedLang(col("text")).as("predicted_lang"),
         TextAnalysis.predictedLangConfidenceMilli(col("text")).as("confidence_milli"))
         .orderBy("doc_id")),
-    // full 16-hash portable signature, oracle-checked column by column
+    // full 16-hash portable signature through the native MinHashSig
+    // kernel, oracle-checked column by column against the declarative
+    // DuckDB definition
     "dedup_minhash_sig" -> ((s, dir) => {
-      // project the per-shingle md5 hashes once, then derive the whole
-      // family arithmetically (Kirsch–Mitzenmacher)
-      val hashed = docs(s, dir).select(
-        col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
-      val sig = hashed.select(
-        col("doc_id"), Dedup.minHashFromHashes(col("hs"), 16).as("sig"))
+      val sig = docs(s, dir).select(
+        col("doc_id"), Dedup.minHashSignature(col("text"), 16, 3).as("sig"))
       sig.select(col("doc_id") +: (0 until 16).map(j =>
         element_at(col("sig"), j + 1).as(f"mh$j%02d")): _*)
         .orderBy("doc_id")
     }),
     "simhash_sig" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), col("text"),
-          Dedup.tokenHashes32(col("text")).as("hs"))
         .select(
           col("doc_id"),
-          Dedup.simHashFromHashes(col("hs")).as("simhash"),
+          Dedup.simHash(col("text")).as("simhash"),
           TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
     "ann_lsh" -> ((s, dir) => {

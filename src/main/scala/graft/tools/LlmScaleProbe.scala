@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.metrics.Metrics
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-dominated throughput probe for the LLM-data operators — the
+  * analog of [[ScaleProbe]] (bank path) for the document/embedding
+  * path. The sf0.1 bench is fixed-cost dominated; here the corpora are
+  * synthesized at millions of rows and CACHED before timing, so wall
+  * time is the operators' per-row work. Run:
+  *   sbt "runMain graft.tools.LlmScaleProbe [nDocs] [nVecs]"
+  */
+object LlmScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nVecs = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic synthetic corpus: ~30-80 tokens/doc from a small
+    // vocab; every 10th doc duplicates an earlier one (dedup work)
+    val vocab = (0 until 997).map(i => s"w$i") :+ "the"
+    val docs = spark.range(nDocs).toDF("doc_id")
+      .withColumn("base",
+        when(col("doc_id") % 10 === 0, col("doc_id") / 10).otherwise(col("doc_id")).cast("long"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), (pmod(col("base"), lit(50)) + 30).cast("int")),
+          i => element_at(lit(vocab.toArray), (pmod(col("base") * 31 + i * 7, lit(998)) + 1).cast("int")))))
+      .select("doc_id", "text")
+      .cache()
+    docs.count()
+
+    def report(name: String, rows: Long)(body: => Long): Unit = {
+      val t = Metrics.measure { body }
+      println(Metrics.reportJson(s"llm_${name}_${rows}_rows", t))
+      println(f"[llm-probe] $name: ${rows / t.seconds}%,.0f rows/s (${t.seconds}%.2f s)")
+    }
+
+    report("features", nDocs) {
+      graft.streaming.StreamingDocs.features(docs, col("text"))
+        .agg(sum(col("n_tokens")), count(col("fingerprint"))).head()
+      nDocs
+    }
+    report("exact_dedup", nDocs) {
+      Dedup.exact(docs, col("text"), col("doc_id")).count()
+    }
+    report("minhash_sigs", nDocs) {
+      docs.select(Dedup.minHashSignature(col("text"), 16, 3).as("sig"))
+        // modular so the ANSI int64 checksum fold can't overflow
+        .agg(sum(pmod(element_at(col("sig"), 1), lit(1000000007L)))).head()
+      nDocs
+    }
+    report("simhash_sigs", nDocs) {
+      docs.select(Dedup.simHash(col("text")).as("sh"))
+        .agg(sum(col("sh"))).head()
+      nDocs
+    }
+    docs.unpersist()
+
+    // synthetic embeddings: 64-dim deterministic pseudo-random floats;
+    // every 50th vector is a planted near-duplicate of an earlier one
+    val vecs = spark.range(nVecs).toDF("vec_id")
+      .withColumn("base",
+        when(col("vec_id") % 50 === 0, col("vec_id") / 50).otherwise(col("vec_id")).cast("long"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)),
+          p => ((pmod(hash(col("base"), p), lit(2001)) - 1000).cast("float") / 1000f).cast("float")))
+      .select("vec_id", "embedding")
+      .cache()
+    vecs.count()
+
+    // 15 bits x 4 tables: ~32k buckets/table keeps candidate volume
+    // O(n·tables) at this density, the 100 TB-shape configuration
+    report("embedding_neardup", nVecs) {
+      Dedup.embeddingNearDups(
+        vecs, col("vec_id"), col("embedding"),
+        minCosineMilli = 900, bits = 15, tables = 4).count()
+      nVecs
+    }
+    report("ann_allpairs_top3", nVecs) {
+      graft.operators.Similarity.lshTopKAll(
+        vecs, col("vec_id"), col("embedding"), k = 3, bits = 15, tables = 4).count()
+      nVecs
+    }
+    vecs.unpersist()
+    spark.stop()
+  }
+}

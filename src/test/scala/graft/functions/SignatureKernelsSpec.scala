@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.{Dedup, TextAnalysis}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** The native signature kernels must be value-identical to the
+  * declarative higher-order-function definitions (which in turn are
+  * what the DuckDB oracles replay).
+  */
+class SignatureKernelsSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, Sf0001, "documents")
+
+  test("native minhash == declarative Kirsch-Mitzenmacher fold on real docs") {
+    val diff = docs
+      .select(
+        MinHashSig(Dedup.shingles(col("text"), 3), 16).as("native"),
+        Dedup.minHashFromHashes(Dedup.shingleHashes(col("text"), 3), 16).as("decl"))
+      .filter(col("native") =!= col("decl"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("native simhash and rolling hash == declarative folds on real docs") {
+    val diff = docs
+      .select(
+        SimHash32(TextAnalysis.tokens(col("text"))).as("sh_native"),
+        Dedup.simHashFromHashes(Dedup.tokenHashes32(col("text"))).as("sh_decl"),
+        RollingHash32(TextAnalysis.tokens(col("text"))).as("rh_native"),
+        TextAnalysis.rollingHashDeclarative(col("text")).as("rh_decl"))
+      .filter(col("sh_native") =!= col("sh_decl") || col("rh_native") =!= col("rh_decl"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("empty and sub-shingle-size inputs hit the sentinel paths") {
+    import spark.implicits._
+    val edge = Seq((0L, ""), (1L, "one two")).toDF("doc_id", "text")
+    val sigs = edge.select(
+      MinHashSig(Dedup.shingles(col("text"), 3), 4).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.forall(_ == SignatureKernels.MinHashMod)))
+  }
+}
