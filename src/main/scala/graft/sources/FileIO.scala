@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** File-format ingestion/egress beyond parquet — the library's
+  * source/sink surface for batch and streaming.
+  *
+  * Scale rules baked in:
+  *  - schemas are ALWAYS explicit: `inferSchema` is a second full scan
+  *    of the data (a non-starter at 100 TB) and can silently change
+  *    types between runs;
+  *  - CSV/JSON readers run in PERMISSIVE mode with a corrupt-record
+  *    column, so bad rows surface as data (filterable, countable)
+  *    instead of killing a 1000-executor job;
+  *  - the streaming readers cap per-batch file intake
+  *    (`maxFilesPerTrigger`) so backfills of millions of files don't
+  *    produce one giant micro-batch.
+  */
+object FileIO {
+
+  val CorruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, org.apache.spark.sql.types.StringType, nullable = true)
+
+  /** CSV with explicit schema; malformed rows land in `_corrupt_record`. */
+  def csv(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  /** JSON Lines with explicit schema; malformed rows land in
+    * `_corrupt_record`.
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Split a PERMISSIVE read into (clean rows, corrupt rows). The
+    * corrupt side carries the raw line plus whatever fields did parse.
+    *
+    * Spark restriction: a raw-file scan whose PRUNED schema is only
+    * `_corrupt_record` is rejected (SPARK-26208) — so aggregate-only
+    * queries over the corrupt side (e.g. a bare `count()`, which prunes
+    * the parsed columns away) must either materialize the rows or
+    * count over a projection that keeps a parsed column referenced.
+    */
+  def partitionCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val dataCols = df.columns.filterNot(_ == CorruptCol).map(df.col)
+    (
+      df.filter(df.col(CorruptCol).isNull).drop(CorruptCol),
+      df.filter(df.col(CorruptCol).isNotNull)
+        .select(df.col(CorruptCol).as("raw") +:
+          dataCols.map(c => c.as(s"parsed_${c.toString}")): _*))
+  }
+
+  /** Streaming file source (new files under `path` become micro-
+    * batches), bounded intake per trigger.
+    */
+  def streamJsonLines(
+      spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Exactly-once streaming parquet sink: the file-sink commit log +
+    * checkpoint give end-to-end exactly-once for replayable sources.
+    */
+  def streamingParquetSink(
+      df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+}
