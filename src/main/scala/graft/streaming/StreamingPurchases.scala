@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.evaluation.Purchases
+import graft.tgraph.state.{ObjectHandler, StateChange, StateFunction, StateOperator}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The multi-namespace purchase graph as a live Structured Streaming
+  * job — the online analog of `evaluation/BuyProducts.java` /
+  * `Mixed.java` (see [[graft.evaluation.Purchases]] for the batch
+  * close).
+  *
+  * Online 2PC shape: BOTH branch invariants (credit limit, product
+  * discontinued) are stateless predicates of the purchase row, so the
+  * reference's cross-operator vote round-trip
+  * (`tgraph/twopc/ReduceVotesFunction.java`) collapses into ONE
+  * deterministic codegen'd expression — the joint commit decision —
+  * evaluated identically wherever it runs. Each namespace then runs as
+  * its own streaming query (Spark allows one flatMapGroupsWithState
+  * per query) applying only jointly-committed purchases: the two
+  * queries need NO coordination because they agree on every
+  * transaction by construction, which is exactly the determinism
+  * argument the batch `close(balances, inventory)` makes.
+  */
+object StreamingPurchases {
+
+  final case class PurchaseRow(tid: Long, customer: Long, product: Long, price_cents: Long)
+  final case class BalanceUpdate(customer: Long, tid: Long, delta: Long)
+  final case class InventoryUpdate(product: Long, tid: Long, delta: Long)
+
+  /** The joint 2PC decision (merge of both namespaces' stateless
+    * votes) as one expression — ABORT if either branch vetoes.
+    */
+  def jointCommit(df: DataFrame): DataFrame =
+    df.filter(
+      !(col("price_cents") > Purchases.CreditLimitCents) &&
+        !(col("product") === Purchases.DiscontinuedProduct))
+
+  private class SumState[T](delta: T => Long) extends StateFunction[T, Long] {
+    def defaultValue: Long = 0L
+    def copyValue(v: Long): Long = v
+    def invariant(v: Long): Boolean = true // the joint vote pre-filtered
+    def apply(t: T, h: ObjectHandler[Long]): Unit = h.write(h.read() + delta(t))
+  }
+
+  /** Namespace 1: customer balances debited by the price. */
+  def balances(spark: SparkSession, purchases: DataFrame): Dataset[StateChange[Long, Long]] = {
+    import spark.implicits._
+    val upd = jointCommit(purchases)
+      .select(col("customer"), col("tid"), (-col("price_cents")).as("delta"))
+      .as[BalanceUpdate]
+    StateOperator.runStreaming[BalanceUpdate, Long, Long](
+      upd, _.customer, _.tid, new SumState(_.delta))
+  }
+
+  /** Namespace 2: product stock decremented one unit per sale. */
+  def inventory(spark: SparkSession, purchases: DataFrame): Dataset[StateChange[Long, Long]] = {
+    import spark.implicits._
+    val upd = jointCommit(purchases)
+      .select(col("product"), col("tid"), lit(-1L).as("delta"))
+      .as[InventoryUpdate]
+    StateOperator.runStreaming[InventoryUpdate, Long, Long](
+      upd, _.product, _.tid, new SumState(_.delta))
+  }
+}
