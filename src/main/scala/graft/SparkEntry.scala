@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.BankQueries.queries ++
       graft.queries.PurchaseQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.BankQueries.oracles ++
       graft.queries.PurchaseQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
-      graft.queries.LlmQueries.oracles
+      graft.queries.LlmQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

@@ -121,6 +121,35 @@ object SignatureKernels {
     acc
   }
 
+  /** Distinct 56-bit hashes of the k-token shingles of `arr` — value-
+    * identical to `array_distinct(transform(Dedup.shingles(tokens, k),
+    * portableHash56))` (space-joined shingles, first-occurrence order)
+    * but built in one tight loop: no materialized shingle strings in
+    * the row, no interpreted per-element lambda.
+    */
+  def shingleHashes56(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[Long](2 * (n - k + 1))
+    val out = new Array[Long](n - k + 1)
+    var m = 0
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val h = hexSlice(md5Hex(UTF8String.fromString(sb.toString)), 1, 14)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   /** Rolling polynomial hash over the strings of `arr` — matches
     * `TextAnalysis.rollingHash`'s fold (init 7, ×31 + h32, mod 2³¹−1).
     */
@@ -177,6 +206,20 @@ case class SimHash32(child: Expression) extends StringArrayKernel {
     copy(child = newChild)
 }
 
+/** Native distinct shingle hashes: `array<string> → array<long>`
+  * (56-bit portable hashes of the k-token shingles).
+  */
+case class ShingleHashes56(child: Expression, k: Int) extends StringArrayKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes56"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.shingleHashes56(arr.asInstanceOf[ArrayData], k)
+  override protected def helperCall(input: String): String =
+    s"$helperRef.shingleHashes56($input, $k)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native rolling polynomial hash: `array<string> → bigint`. */
 case class RollingHash32(child: Expression) extends StringArrayKernel {
   override def dataType: DataType = LongType
@@ -200,4 +243,8 @@ object SimHash32 {
 object RollingHash32 {
   def apply(tokens: Column): Column =
     Bridge.column(RollingHash32(Bridge.expression(tokens)))
+}
+object ShingleHashes56 {
+  def apply(tokens: Column, k: Int): Column =
+    Bridge.column(ShingleHashes56(Bridge.expression(tokens), k))
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline needs after
+  * dedup: benchmark decontamination, deterministic stratified
+  * sampling, and token-budget chunk packing. All three are pure
+  * declarative plans (Catalyst prunes/pushes/combines freely) and all
+  * three are engine-portable — the only hash is the md5-derived
+  * [[TextAnalysis.portableHash32]]/[[TextAnalysis.portableHash56]]
+  * family, so DuckDB reproduces every row bit-exactly (oracle-gated).
+  */
+object Corpus {
+
+  /** Benchmark decontamination: flag corpus documents that share at
+    * least one k-token shingle with any benchmark/eval document (the
+    * standard n-gram-overlap test-set leak check).
+    *
+    * Shape at scale: the benchmark side is tiny (eval sets are
+    * thousands of docs) — its distinct shingle hashes are broadcast,
+    * so the corpus side is ONE narrow pass (explode + broadcast-hash-
+    * join + partial-agg groupBy on doc_id; no corpus shuffle beyond
+    * the final per-doc count, which map-side combine collapses).
+    * Joining on the 56-bit portable hash instead of the shingle string
+    * keeps the broadcast and the join keys fixed-width.
+    */
+  def contamination(
+      corpus: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, btext: Column, k: Int = 3): DataFrame = {
+    // one codegen'd kernel call per doc (tokens → distinct 56-bit
+    // shingle hashes), not an interpreted concat+md5 fold per shingle
+    def hashes(t: Column) =
+      graft.functions.ShingleHashes56(TextAnalysis.tokens(t), k)
+    val benchHashes = benchmark
+      .select(explode(hashes(btext)).as("h")).distinct()
+    val corpusShingles = corpus
+      .select(id.as("doc_id"), explode_outer(hashes(text)).as("h"))
+    corpusShingles
+      .join(broadcast(benchHashes.select(col("h"), lit(1).as("hit"))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_shared_shingles"))
+      .select(col("doc_id"), col("n_shared_shingles"),
+        (col("n_shared_shingles") > 0).as("contaminated"))
+  }
+
+  /** Deterministic per-stratum downsampling: keep a row iff the
+    * portable 32-bit hash of "stratum:id" lands below the stratum's
+    * per-mille rate. No RNG, no state, no shuffle — a pure narrow
+    * filter that pushes into the scan, gives the same sample on every
+    * run/engine, and composes with resumable pipelines (a re-run
+    * selects the same rows). Rates are per-mille per stratum with a
+    * default for unlisted strata.
+    */
+  def stratifiedSample(
+      df: DataFrame, id: Column, stratum: Column,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      pmod(graft.operators.TextAnalysis.portableHash32(
+        concat(stratum, lit(":"), id.cast("string"))), lit(1000)) < rate)
+  }
+
+  /** Token-budget packing: assign documents to fixed-budget training
+    * chunks by cumulative token count within each group (the
+    * concatenate-then-split-at-context-length step of sequence
+    * packing). A document starting before offset n·budget belongs to
+    * chunk n — one running sum per group, computed by a single window
+    * over (group, order); at scale the window partitions by group
+    * (sources/shards), so no global sort and no single-partition
+    * stage. Emits (chunk_id, chunk_pos, start_offset) per doc.
+    */
+  def packChunks(
+      df: DataFrame, id: Column, group: Column, tokens: Column,
+      budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(id)
+    val start = coalesce(
+      sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    df.select(id.as("doc_id"), group.as("grp"), tokens.as("n_tokens"),
+      start.as("start_offset"))
+      .withColumn("chunk_id", floor(col("start_offset") / budgetTokens))
+      .withColumn("chunk_pos",
+        row_number().over(
+          Window.partitionBy(col("grp"), col("chunk_id")).orderBy(col("doc_id")))
+          .cast("long"))
+  }
+}

@@ -36,12 +36,22 @@ object Curation {
       TextAnalysis.qualityMilli(col("text")).as("quality_milli"),
       TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
       .filter(col("quality_milli") >= minQualityMilli)
-    val keepIds = featured
-      .groupBy(col("fingerprint"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val kept = featured.join(keepIds, Seq("doc_id"), "left_semi")
-    val withVec = kept.join(
+    // exact dedup as ONE shuffle: rank within the fingerprint group
+    // instead of groupBy-min + semi-join (which would shuffle twice AND
+    // re-derive `featured` — i.e. re-run the regex/md5 feature pass —
+    // on both sides)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val kept = featured
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+      // `kept` feeds three scans (both sides of the LSH self-join and
+      // the final anti-join); without materialization each would re-run
+      // the full regex/md5 feature pass over the corpus. Its schema is
+      // the narrow survivor projection (id + fingerprint + two ints),
+      // so caching it is O(ids), not O(text).
+      .persist()
+    val withVec = kept.select("doc_id").join(
       embeddings.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
     val nearDropped = Dedup.embeddingNearDups(
       withVec, col("doc_id"), col("embedding"), minCosineMilli, bits, tables)

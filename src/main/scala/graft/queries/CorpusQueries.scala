@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.operators.{Clusters, Corpus, Dedup, TextAnalysis}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation correctness queries (SURVEY.md §2 rows 50-53):
+  * duplicate-cluster resolution (connected components over near-dup
+  * pairs), benchmark decontamination, deterministic stratified
+  * sampling, token-budget packing. Every query is fully DuckDB-oracle
+  * checked — including the iterative connected components, whose
+  * oracle is a recursive-CTE transitive closure.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // connected components over the (oracle-checked) semantic near-dup
+    // pair graph: cluster = min reachable id, canonical = cluster rep
+    "dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDups(
+        embs(s, dir), col("vec_id"), col("embedding"),
+        minCosineMilli = 350, bits = 4, tables = 8)
+      Clusters.duplicateClusters(pairs, col("id_a"), col("id_b"))
+        .select(col("id"), col("cluster"),
+          col("is_canonical").cast("bigint").as("is_canonical"))
+        .orderBy("id")
+    }),
+    // n-gram-overlap decontamination: every 20th doc plays the eval
+    // set; corpus docs sharing any 3-shingle with it are flagged
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.contamination(
+        d.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 20 === 0), col("text"), k = 3)
+        .select(col("doc_id"), col("n_shared_shingles"),
+          col("contaminated").cast("bigint").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+    // deterministic per-language downsampling (pure narrow filter)
+    "sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(
+        docs(s, dir), col("doc_id"), col("lang"),
+        ratesPerMille = Map("en" -> 150, "fr" -> 400, "zh" -> 800),
+        defaultPerMille = 300)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    // token-budget sequence packing: chunk by cumulative token count
+    // within each language group
+    "pack_chunks" -> ((s, dir) =>
+      Corpus.packChunks(
+        docs(s, dir), col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint"),
+        budgetTokens = 512L)
+        .select(col("doc_id"), col("grp"), col("n_tokens"),
+          col("start_offset"), col("chunk_id"), col("chunk_pos"))
+        .orderBy("doc_id"))
+  )
+
+  /** Shared CTE text: the dedup_embedding near-dup pair pipeline
+    * (sign-LSH 4 bits × 8 tables, exactly-once emission, exact integer
+    * cosine threshold at 0.35) — identical to LlmQueries'
+    * dedup_embedding oracle.
+    */
+  private val nearDupPairsCte: String =
+    """e AS (
+      |  SELECT vec_id AS id, embedding,
+      |    list_transform(generate_series(0,7), t ->
+      |      CAST(list_sum(list_transform(generate_series(1,4), i ->
+      |        CASE WHEN CAST(embedding[t*4 + i] AS DOUBLE) >= 0
+      |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT id, q, bs, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
+      |x AS (
+      |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
+      |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t),
+      |p AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.q AS qa, b.q AS qb, a.nq AS nq_a, b.nq AS nq_b
+      |  FROM x a JOIN x b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |  WHERE a.id < b.id
+      |    AND a.tbl = list_position(list_transform(generate_series(1,8),
+      |      i -> a.bs[i] = b.bs[i]), true) - 1),
+      |d AS (
+      |  SELECT id_a, id_b, nq_a, nq_b,
+      |    CAST(list_sum(list_transform(generate_series(1,64), i -> qa[i]*qb[i])) AS BIGINT) AS dot_q
+      |  FROM p),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM d
+      |  WHERE dot_q > 0
+      |    AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // transitive closure of the near-dup pair graph via recursive CTE;
+    // cluster = min reachable id (same contract as the pointer-jumping
+    // Spark implementation)
+    "dup_clusters" ->
+      (s"""WITH RECURSIVE $nearDupPairsCte,
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u)
+        |SELECT s AS id, least(s, min(t)) AS cluster,
+        |  CASE WHEN least(s, min(t)) = s THEN 1 ELSE 0 END AS is_canonical
+        |FROM reach GROUP BY s ORDER BY id""").stripMargin,
+    "decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
+        |  FROM t),
+        |bh AS (
+        |  SELECT DISTINCT substr(md5(s), 1, 14) AS h
+        |  FROM (SELECT UNNEST(shingles) AS s FROM sh WHERE doc_id % 20 = 0)),
+        |ch AS (
+        |  SELECT doc_id, substr(md5(s), 1, 14) AS h
+        |  FROM (SELECT doc_id, UNNEST(list_distinct(shingles)) AS s
+        |        FROM sh WHERE doc_id % 20 <> 0)),
+        |cnt AS (
+        |  SELECT ch.doc_id, CAST(count(bh.h) AS BIGINT) AS n
+        |  FROM ch LEFT JOIN bh USING (h) GROUP BY ch.doc_id)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_shared_shingles,
+        |  CASE WHEN coalesce(cnt.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) c
+        |LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // portable 32-bit hash of "lang:doc_id" mod 1000 under the
+    // per-language per-mille rate
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_reduce(list_transform(
+        |    string_split(substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 1000
+        |  < CASE lang WHEN 'en' THEN 150 WHEN 'fr' THEN 400 WHEN 'zh' THEN 800
+        |    ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
+    "pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS grp,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, grp, n_tokens, start_offset,
+        |  start_offset // 512 AS chunk_id,
+        |  CAST(row_number() OVER (PARTITION BY grp, start_offset // 512
+        |    ORDER BY doc_id) AS BIGINT) AS chunk_pos
+        |FROM o ORDER BY doc_id""".stripMargin
+  )
+}

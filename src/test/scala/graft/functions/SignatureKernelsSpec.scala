@@ -35,6 +35,17 @@ class SignatureKernelsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native shingle hashes == declarative distinct portable-56 hashes") {
+    val diff = docs
+      .select(
+        ShingleHashes56(TextAnalysis.tokens(col("text")), 3).as("native"),
+        array_distinct(transform(Dedup.shingleHashes(col("text"), 3),
+          e => e.getField("h1"))).as("decl"))
+      .filter(col("native") =!= col("decl"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("empty and sub-shingle-size inputs hit the sentinel paths") {
     import spark.implicits._
     val edge = Seq((0L, ""), (1L, "one two")).toDF("doc_id", "text")

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"), // shares "alpha beta gamma" with bench
+    (2L, "totally unrelated words with nothing shared at all"),
+    (3L, "xx"), // fewer than 3 tokens -> no shingles, never contaminated
+    (4L, "one two three four five six seven")
+  ).toDF("doc_id", "text")
+  private val bench = Seq(
+    (100L, "alpha beta gamma something else entirely"),
+    (101L, "one two three and more")
+  ).toDF("doc_id", "text")
+
+  test("contamination flags shared 3-shingles and keeps clean docs at zero") {
+    val out = Corpus.contamination(
+      corpus, col("doc_id"), col("text"), bench, col("text"), k = 3)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    assert(out(1L) == (1L, true)) // "alpha beta gamma"
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (0L, false)) // short doc still present
+    assert(out(4L) == (1L, true)) // "one two three"
+    assert(out.size == 4)
+  }
+
+  test("stratified sample is deterministic and tracks per-stratum rates") {
+    val n = 4000
+    val df = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("zh").as("lang"))
+    val rates = Map("en" -> 100, "zh" -> 700)
+    val s1 = Corpus.stratifiedSample(df, col("doc_id"), col("lang"), rates, 300)
+      .as[(Long, String)].collect().toSet
+    val s2 = Corpus.stratifiedSample(df, col("doc_id"), col("lang"), rates, 300)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2) // same rows every run
+    val en = s1.count(_._2 == "en").toDouble / (n / 2)
+    val zh = s1.count(_._2 == "zh").toDouble / (n / 2)
+    assert(math.abs(en - 0.100) < 0.03, s"en rate $en")
+    assert(math.abs(zh - 0.700) < 0.03, s"zh rate $zh")
+  }
+
+  test("packChunks assigns chunks by running token offset within a group") {
+    val df = Seq(
+      (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L), (4L, "g", 50L),
+      (10L, "h", 600L), (11L, "h", 10L)
+    ).toDF("doc_id", "grp", "n_tokens")
+    val out = Corpus.packChunks(df, col("doc_id"), col("grp"), col("n_tokens"), 512L)
+      .select("doc_id", "start_offset", "chunk_id", "chunk_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 0L, 0L, 1L), // starts at 0 -> chunk 0
+      (2L, 300L, 0L, 2L), // starts at 300 -> chunk 0 (spans into 1)
+      (3L, 600L, 1L, 1L), // starts at 600 -> chunk 1
+      (4L, 900L, 1L, 2L),
+      (10L, 0L, 0L, 1L), // group h independent
+      (11L, 600L, 1L, 1L)))
+  }
+
+  test("packChunks start offsets are contiguous (sum of preceding tokens)") {
+    val df = spark.range(200).select(
+      col("id").as("doc_id"), lit("g").as("grp"), (col("id") % 7 + 1).as("n_tokens"))
+    val out = Corpus.packChunks(df, col("doc_id"), col("grp"), col("n_tokens"), 64L)
+      .select("doc_id", "n_tokens", "start_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    out.foldLeft(0L) { case (expect, (_, nt, off)) =>
+      assert(off == expect); expect + nt
+    }
+  }
+}
