@@ -64,6 +64,65 @@ object Corpus {
         concat(stratum, lit(":"), id.cast("string"))), lit(1000)) < rate)
   }
 
+  /** Domain-mixture rebalancing, step 1: per-stratum keep rates (in
+    * per-mille) that downsample the corpus to a TARGET TOKEN MIXTURE
+    * (`targetsPerMille`, e.g. en→500 ‰ of final tokens). Since a
+    * sampler can only drop, the binding stratum is the one with the
+    * least tokens RELATIVE to its target; it keeps everything
+    * (rate 1000) and every other stratum is scaled down
+    * proportionally: rate_s = 1000·target_s·T_m / (target_m·T_s),
+    * where m is the binding stratum and T the per-stratum token
+    * totals. Strata not in the target mixture are dropped.
+    *
+    * One aggregation over the corpus + driver-size arithmetic on the
+    * |strata|-row result; the rates come out as exact integer
+    * arithmetic (bigint cross-multiplication, floor division), so an
+    * independent engine reproduces them bit-for-bit. (At corpora
+    * beyond ~9·10¹² tokens per stratum the cross-product needs
+    * decimal(38) — swap the two multiplies then.)
+    */
+  def mixtureRates(
+      df: DataFrame, stratum: Column, tokens: Column,
+      targetsPerMille: Map[String, Int]): DataFrame = {
+    val totals = df
+      .select(stratum.as("stratum"), tokens.as("n_tokens"))
+      .groupBy("stratum").agg(sum("n_tokens").as("total_tokens"))
+    val targets = df.sparkSession.createDataFrame(
+      targetsPerMille.toSeq.map { case (s, t) => (s, t.toLong) })
+      .toDF("stratum", "target_permille")
+    val j = totals.join(targets, Seq("stratum"))
+    // binding stratum: min tokens-to-target ratio (double ONLY for the
+    // argmin ordering; the rates below are exact integer arithmetic)
+    val m = j
+      .orderBy((col("total_tokens").cast("double") / col("target_permille")).asc,
+        col("stratum").asc)
+      .limit(1)
+      .select(col("total_tokens").as("m_tokens"), col("target_permille").as("m_target"))
+    j.crossJoin(broadcast(m))
+      .select(col("stratum"), col("total_tokens"),
+        least(lit(1000L),
+          expr("(1000 * target_permille * m_tokens) div (m_target * total_tokens)"))
+          .as("rate_permille"))
+  }
+
+  /** Domain-mixture rebalancing, step 2: apply [[mixtureRates]] with
+    * the deterministic portable-hash sampler — a broadcast join of the
+    * |strata|-row rate table plus a narrow filter; the corpus is
+    * touched once and never shuffled.
+    */
+  def rebalance(
+      df: DataFrame, id: Column, stratum: Column, tokens: Column,
+      targetsPerMille: Map[String, Int]): DataFrame = {
+    val rates = mixtureRates(df, stratum, tokens, targetsPerMille)
+      .select(col("stratum").as("__stratum"), col("rate_permille"))
+    df.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(
+        pmod(TextAnalysis.portableHash32(
+          concat(stratum, lit(":"), id.cast("string"))), lit(1000))
+          < col("rate_permille"))
+      .drop("__stratum", "rate_permille")
+  }
+
   /** Token-budget packing: assign documents to fixed-budget training
     * chunks by cumulative token count within each group (the
     * concatenate-then-split-at-context-length step of sequence

@@ -51,6 +51,19 @@ object TextAnalysis {
     when(q >= 100, "high").when(q >= 30, "medium").otherwise("low")
   }
 
+  /** Within-document repetition: per-mille share of k-token shingles
+    * that are repeats of an earlier shingle (1000·(n−distinct)/n; 0
+    * for docs too short to shingle). The standard boilerplate/spam
+    * signal a quality gate thresholds on — high repetition ≈ templated
+    * or looping text. Pure per-row column, no shuffle.
+    */
+  def repetitionMilli(text: Column, k: Int): Column = {
+    val sh = Dedup.shingles(text, k)
+    when(size(sh) === 0, lit(0L)).otherwise(
+      round(lit(1000.0) * (size(sh) - size(array_distinct(sh))) / size(sh))
+        .cast("bigint"))
+  }
+
   /** Content-hash fingerprint of the normal form (md5 — exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 

@@ -48,6 +48,31 @@ object CorpusQueries {
         defaultPerMille = 300)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    // domain-mixture rebalancing: per-language keep rates hitting a
+    // target token mixture, then the deterministic sampler; the query
+    // emits the per-stratum audit (rates + what survived)
+    "mixture_rebalance" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      val targets = Map("en" -> 500, "fr" -> 300, "zh" -> 200)
+      val rates = Corpus.mixtureRates(d, col("lang"), col("n_tokens"), targets)
+      val kept = Corpus.rebalance(d, col("doc_id"), col("lang"), col("n_tokens"), targets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+      rates.withColumnRenamed("stratum", "lang")
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("total_tokens"), col("rate_permille"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("lang")
+    }),
+    // within-doc repetition (boilerplate/spam signal) over 2-shingles
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.repetitionMilli(col("text"), 2).as("repetition_milli"))
+        .orderBy("doc_id")),
     // token-budget sequence packing: chunk by cumulative token count
     // within each language group
     "pack_chunks" -> ((s, dir) =>
@@ -146,6 +171,52 @@ object CorpusQueries {
         |  < CASE lang WHEN 'en' THEN 150 WHEN 'fr' THEN 400 WHEN 'zh' THEN 800
         |    ELSE 300 END
         |ORDER BY doc_id""".stripMargin,
+    // binding stratum = min tokens/target (tie → name); rates by exact
+    // bigint cross-multiplication; sampler = portable hash per-mille
+    "mixture_rebalance" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM t GROUP BY lang),
+        |tgt AS (SELECT * FROM (VALUES ('en', CAST(500 AS BIGINT)),
+        |  ('fr', CAST(300 AS BIGINT)), ('zh', CAST(200 AS BIGINT))) AS v(lang, target_permille)),
+        |j AS (SELECT agg.lang, total_tokens, target_permille FROM agg JOIN tgt USING (lang)),
+        |m AS (SELECT total_tokens AS m_tokens, target_permille AS m_target FROM j
+        |      ORDER BY CAST(total_tokens AS DOUBLE) / target_permille, lang LIMIT 1),
+        |r AS (SELECT lang, total_tokens,
+        |        least(1000, (1000 * target_permille * m_tokens) // (m_target * total_tokens))
+        |          AS rate_permille
+        |      FROM j, m),
+        |k AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS kept_docs,
+        |        CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
+        |      FROM t JOIN r USING (lang)
+        |      WHERE list_reduce(list_transform(
+        |          string_split(substr(md5(t.lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |          (a, b) -> a * 16 + b) % 1000 < r.rate_permille
+        |      GROUP BY t.lang)
+        |SELECT r.lang, r.total_tokens, r.rate_permille,
+        |  coalesce(k.kept_docs, 0) AS kept_docs,
+        |  coalesce(k.kept_tokens, 0) AS kept_tokens
+        |FROM r LEFT JOIN k USING (lang)
+        |ORDER BY lang""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1]) END AS shingles
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(shingles) = 0 THEN 0
+        |    ELSE CAST(round(1000.0 * (len(shingles) - len(list_distinct(shingles)))
+        |         / len(shingles)) AS BIGINT) END AS repetition_milli
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS grp,

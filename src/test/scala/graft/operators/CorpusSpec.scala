@@ -46,6 +46,38 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(zh - 0.700) < 0.03, s"zh rate $zh")
   }
 
+  test("mixtureRates keeps the binding stratum whole and scales the rest exactly") {
+    val d = Seq(
+      // stratum A: 1000 tokens, target 500 -> ratio 2 (binding)
+      (1L, "A", 600L), (2L, "A", 400L),
+      // stratum B: 10000 tokens, target 500 -> ratio 20
+      (3L, "B", 10000L),
+      // stratum C: not in the target mixture -> no rate row
+      (4L, "C", 777L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val rates = Corpus.mixtureRates(
+      d, col("lang"), col("n_tokens"), Map("A" -> 500, "B" -> 500))
+      .select("stratum", "rate_permille").as[(String, Long)].collect().toMap
+    assert(rates == Map("A" -> 1000L, "B" -> 100L)) // 1000*500*1000/(500*10000)
+    val kept = Corpus.rebalance(
+      d, col("doc_id"), col("lang"), col("n_tokens"), Map("A" -> 500, "B" -> 500))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(2L)) // binding stratum keeps all
+    assert(!kept.contains(4L)) // unlisted stratum dropped
+  }
+
+  test("repetitionMilli scores repeated shingles and zeroes short docs") {
+    val d = Seq(
+      (1L, "a a a a"), // 3 bigrams, 1 distinct -> 667
+      (2L, "one two three four"), // all distinct -> 0
+      (3L, "x")) // too short to shingle -> 0
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      TextAnalysis.repetitionMilli(col("text"), 2).as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 667L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("packChunks assigns chunks by running token offset within a group") {
     val df = Seq(
       (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L), (4L, "g", 50L),
