@@ -62,7 +62,36 @@ object LlmScaleProbe {
         .agg(sum(col("sh"))).head()
       nDocs
     }
+    // benchmark decontamination: every 100th doc plays the eval set
+    // (bench shingle set broadcast; corpus side is one kernel pass)
+    report("decontaminate", nDocs) {
+      graft.operators.Corpus.contamination(
+        docs.filter(col("doc_id") % 100 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 100 === 0), col("text"), k = 3).count()
+      nDocs
+    }
     docs.unpersist()
+
+    // connected components over a synthetic near-dup pair graph:
+    // half pair-clusters (diameter 1), half 8-node chains (the
+    // pointer-jumping workout) — nEdges edges over ~1.6·nEdges nodes
+    val nEdges = nDocs
+    val edges = spark.range(nEdges).toDF("e")
+      .select(
+        when(col("e") % 2 === 0, col("e") * 2) // pair: (4k, 4k+2)
+          .otherwise(col("e") * 2 + (col("e") % 8)) // chain links
+          .as("a"),
+        when(col("e") % 2 === 0, col("e") * 2 + 1)
+          .otherwise(col("e") * 2 + (col("e") % 8) + 1)
+          .as("b"))
+      .cache()
+    edges.count()
+    report("dup_clusters", nEdges) {
+      graft.operators.Clusters.connectedComponents(
+        edges, col("a"), col("b")).count()
+      nEdges
+    }
+    edges.unpersist()
 
     // synthetic embeddings: 64-dim deterministic pseudo-random floats;
     // every 50th vector is a planted near-duplicate of an earlier one
