@@ -112,8 +112,17 @@ object Corpus {
     */
   def rebalance(
       df: DataFrame, id: Column, stratum: Column, tokens: Column,
-      targetsPerMille: Map[String, Int]): DataFrame = {
-    val rates = mixtureRates(df, stratum, tokens, targetsPerMille)
+      targetsPerMille: Map[String, Int]): DataFrame =
+    rebalance(df, id, stratum, mixtureRates(df, stratum, tokens, targetsPerMille))
+
+  /** [[rebalance]] against a precomputed [[mixtureRates]] table —
+    * callers that also report the rates reuse one aggregation pass, so
+    * the corpus is read exactly twice (totals, then filter): the
+    * two-pass minimum for a rate that depends on global totals.
+    */
+  def rebalance(
+      df: DataFrame, id: Column, stratum: Column, mixtureRatesDf: DataFrame): DataFrame = {
+    val rates = mixtureRatesDf
       .select(col("stratum").as("__stratum"), col("rate_permille"))
     df.join(broadcast(rates), stratum === col("__stratum"))
       .filter(

@@ -67,6 +67,33 @@ object TextAnalysis {
   /** Content-hash fingerprint of the normal form (md5 — exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
+  /** Scrubbing regexes — deliberately RE2-compatible (no lookaround,
+    * no backrefs) so the same pattern text runs identically in Spark's
+    * Java regex and the DuckDB oracle's RE2.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{9,}"
+
+  /** Drop markup tags (the `<...>` boilerplate strip that precedes
+    * quality scoring on scraped corpora). Pure per-row column.
+    */
+  def stripMarkup(text: Column): Column =
+    regexp_replace(text, "<[^>]+>", " ")
+
+  /** PII redaction: emails → `[EMAIL]`, IPv4s → `[IP]`, long digit
+    * runs (ids/phones) → `[NUM]` — the scrub pass a training corpus
+    * runs before anything ships. Order matters: emails first so their
+    * user/host digits can't half-match the later patterns. Stateless
+    * codegen'd chain, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      LongNumRe, "[NUM]")
+
   /** Engine-portable integer hash: a slice of the md5 hex digest read
     * as a base-16 number. Unlike Spark's murmur3 `hash()`, any SQL
     * engine with `md5` can reproduce it bit-exactly — which is what

@@ -57,7 +57,7 @@ object CorpusQueries {
         TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
       val targets = Map("en" -> 500, "fr" -> 300, "zh" -> 200)
       val rates = Corpus.mixtureRates(d, col("lang"), col("n_tokens"), targets)
-      val kept = Corpus.rebalance(d, col("doc_id"), col("lang"), col("n_tokens"), targets)
+      val kept = Corpus.rebalance(d, col("doc_id"), col("lang"), rates)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
       rates.withColumnRenamed("stratum", "lang")
@@ -66,6 +66,26 @@ object CorpusQueries {
           coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
         .orderBy("lang")
+    }),
+    // markup strip + PII scrub over deterministically planted PII
+    // (footer with an email + ip + long id per doc), oracle-checked on
+    // the full redacted text hash and the per-kind match counts
+    "text_scrub" -> ((s, dir) => {
+      val withPii = concat(
+        lit("<p>"), col("text"),
+        lit("</p> contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".1 ref 9000000"), col("doc_id").cast("string"))
+      val clean = TextAnalysis.stripMarkup(withPii)
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(clean, lit(TextAnalysis.EmailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(clean, lit(TextAnalysis.Ipv4Re), lit(0)))
+          .cast("bigint").as("n_ips"),
+        md5(TextAnalysis.redactPii(clean)).as("clean_md5"))
+        .orderBy("doc_id")
     }),
     // within-doc repetition (boilerplate/spam signal) over 2-shingles
     "text_repetition" -> ((s, dir) =>
@@ -203,6 +223,25 @@ object CorpusQueries {
         |  coalesce(k.kept_tokens, 0) AS kept_tokens
         |FROM r LEFT JOIN k USING (lang)
         |ORDER BY lang""".stripMargin,
+    // same planted-PII footer, markup strip, and three-stage redaction
+    // (email -> ip -> long-number) with global replacement
+    "text_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<p>' || text || '</p> contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.1 ref 9000000' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM w)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\d{9,}', '[NUM]', 'g')) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -50,4 +50,16 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("markup strip + PII redaction scrub tags, emails, ips, long ids") {
+    val df = Seq((1L,
+      "<div class=x>see</div> mail a.b+c@foo-bar.org or 192.168.0.1 id 1234567890 ok"))
+      .toDF("id", "text")
+    val out = df.select(
+      TextAnalysis.redactPii(TextAnalysis.stripMarkup(col("text")))).as[String].head()
+    assert(out == " see  mail [EMAIL] or [IP] id [NUM] ok")
+    // short digit runs and plain text survive
+    val keep = df.select(TextAnalysis.redactPii(lit("v2 x 123-456"))).as[String].head()
+    assert(keep == "v2 x 123-456")
+  }
 }
