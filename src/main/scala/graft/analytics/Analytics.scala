@@ -114,6 +114,31 @@ object Analytics {
       .drop("__t", "__isr", "__v")
   }
 
+  /** Point-in-interval range join — the keyless join Spark would
+    * otherwise plan as a broadcast-nested-loop/cartesian with a
+    * post-filter. Bucketize instead: every interval explodes to the
+    * `bucketWidth`-sized buckets it covers, every point maps to
+    * exactly ONE bucket, and the match becomes an equi-join on the
+    * bucket id plus an exact bounds filter. Shuffle volume is
+    * O(points + intervals·len/width) — pick `bucketWidth` near the
+    * typical interval length so the explode factor stays small — and
+    * since a point lands in one bucket, no pair is emitted twice (no
+    * dedup pass). Inclusive on both bounds.
+    */
+  def rangeJoin(
+      points: DataFrame, t: Column,
+      intervals: DataFrame, lo: Column, hi: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bucket", floor(t / bucketWidth))
+    val i = intervals
+      .withColumn("__bucket",
+        explode(sequence(floor(lo / bucketWidth), floor(hi / bucketWidth))))
+    p.join(i, Seq("__bucket"))
+      .filter(t >= lo && t <= hi)
+      .drop("__bucket")
+  }
+
   /** TPC-H Q6 through the SQL surface (same text as the oracle). */
   def sqlQ6(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     SqlInterface.sql(spark, dir, SqlInterface.TpchQ6)

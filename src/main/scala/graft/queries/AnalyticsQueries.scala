@@ -109,6 +109,20 @@ object AnalyticsQueries {
           coalesce(col("cum_cents_asof"), lit(0L)).as("prev_balance_cents"))
         .orderBy("event_id")
     }),
+    // keyless point-in-interval range join, bucketized (no cartesian):
+    // per-user maintenance windows derived arithmetically; every event
+    // inside any user's window is reported
+    "q_range_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val points = events.select(col("event_id"), unix_seconds(col("ts")).as("t"))
+      val windows = events.select(col("user_id").as("w_user")).distinct()
+        .withColumn("lo", lit(1704067200L) + col("w_user") * 17000L)
+        .withColumn("hi", col("lo") + 3600L + pmod(col("w_user"), lit(7200L)))
+      Analytics.rangeJoin(points, col("t"), windows, col("lo"), col("hi"),
+        bucketWidth = 3600L)
+        .select(col("w_user"), col("event_id"), col("t"))
+        .orderBy("w_user", "event_id")
+    }),
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -257,6 +271,17 @@ object AnalyticsQueries {
         |ASOF LEFT JOIN snapshots s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |w AS (SELECT DISTINCT user_id AS w_user FROM events),
+        |i AS (SELECT w_user,
+        |        1704067200 + w_user * 17000 AS lo,
+        |        1704067200 + w_user * 17000 + 3600 + (w_user % 7200) AS hi
+        |      FROM w)
+        |SELECT w_user, event_id, t
+        |FROM p JOIN i ON p.t >= i.lo AND p.t <= i.hi
+        |ORDER BY w_user, event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS median_value,
