@@ -59,6 +59,8 @@ object Clusters {
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"))
       // pointer jump: a label is itself a node id, so chase one hop
+      // (a second hop per round was measured slower — the extra join
+      // costs more than the rounds it saves on near-dup graph shapes)
       val next = propagated
         .join(
           propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")),
