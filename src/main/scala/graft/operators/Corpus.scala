@@ -132,6 +132,32 @@ object Corpus {
       .drop("__stratum", "rate_permille")
   }
 
+  /** Per-document keyword extraction by integer-exact tf·idf: token
+    * frequency within the doc times a scaled inverse document
+    * frequency (`idf = N·10⁶ div df` — integer floor, no float logs,
+    * so an independent engine reproduces every score bit-for-bit).
+    * Top-k per doc runs through the bounded-heap
+    * [[graft.plans.TopK.perGroup]] operator (descending (score, token)
+    * with no full window sort).
+    *
+    * Shape at scale: tf and df are map-side-combinable aggregations;
+    * the tf⋈df join shuffles on token (the vocabulary is corpus-sized,
+    * NOT broadcastable); the doc count joins as a broadcast scalar.
+    */
+  def topKeywords(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tokens = docs.select(
+      id.as("doc_id"), explode(TextAnalysis.tokens(lower(text))).as("token"))
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000000) div df"))
+    graft.plans.TopK.perGroup(
+      scored, Seq(col("doc_id")), struct(col("score"), col("token")), k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Token-budget packing: assign documents to fixed-budget training
     * chunks by cumulative token count within each group (the
     * concatenate-then-split-at-context-length step of sequence

@@ -93,6 +93,11 @@ object CorpusQueries {
         col("doc_id"),
         TextAnalysis.repetitionMilli(col("text"), 2).as("repetition_milli"))
         .orderBy("doc_id")),
+    // integer-exact tf-idf keyword extraction, top-3 per doc through
+    // the bounded-heap TopKPerGroup operator
+    "text_keywords" -> ((s, dir) =>
+      Corpus.topKeywords(docs(s, dir), col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id", "token")),
     // token-budget sequence packing: chunk by cumulative token count
     // within each language group
     "pack_chunks" -> ((s, dir) =>
@@ -256,6 +261,29 @@ object CorpusQueries {
         |    ELSE CAST(round(1000.0 * (len(shingles) - len(list_distinct(shingles)))
         |         / len(shingles)) AS BIGINT) END AS repetition_milli
         |FROM sh ORDER BY doc_id""".stripMargin,
+    // tf, df, and N are exact integers; idf = N*1e6 integer-floor-div
+    // df; ranking is (score DESC, token DESC) to match the operator's
+    // descending struct order
+    "text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |dfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    tf.tf * ((n.n_docs * 1000000) // dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (token), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token DESC) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, token""".stripMargin,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS grp,

@@ -78,6 +78,23 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map(1L -> 667L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("topKeywords ranks rare terms above ubiquitous ones, integer-exact") {
+    val d = Seq(
+      (1L, "common common zebra common"),
+      (2L, "common words here"),
+      (3L, "common words again")).toDF("doc_id", "text")
+    val out = Corpus.topKeywords(d, col("doc_id"), col("text"), k = 2)
+      .select("doc_id", "token", "score")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 1: zebra (tf=1, df=1, idf=3e6) ties common (tf=3, df=3, idf=1e6)
+    // at score 3_000_000 — both make the top-2
+    assert(out(1L) == Set("zebra", "common"))
+    // doc 2/3: the df=2 words (idf floor 1_500_000) beat common (1_000_000)
+    assert(out(2L).toSet == Set("words", "here"))
+    assert(out(3L).toSet == Set("words", "again"))
+  }
+
   test("packChunks assigns chunks by running token offset within a group") {
     val df = Seq(
       (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L), (4L, "g", 50L),
