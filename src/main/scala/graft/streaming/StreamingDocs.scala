@@ -31,6 +31,9 @@ object StreamingDocs {
       .withColumn("quality_milli", TextAnalysis.qualityMilli(text))
       .withColumn("predicted_lang", TextAnalysis.predictedLang(text))
       .withColumn("n_tokens", TextAnalysis.tokenCount(text).cast("bigint"))
+      .withColumn("repetition_milli", TextAnalysis.repetitionMilli(text, 2))
+      .withColumn("clean_text",
+        TextAnalysis.redactPii(TextAnalysis.stripMarkup(text)))
 
   /** The streaming ingest: features + watermarked exact dedup
     * (first-seen document per fingerprint survives).
