@@ -4,7 +4,7 @@ import graft.evaluation.Bank
 import graft.tgraph.Vote
 import graft.tgraph.backed.Transfers
 import graft.tgraph.state.{ObjectHandler, StateChange, StateFunction, StateOperator}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The bank transactional graph as a live Structured Streaming job —
@@ -126,11 +126,14 @@ object StreamingBank {
     * → per-movement stream of committed movements. Works identically on
     * a streaming or batch input DataFrame (unified Dataset API).
     */
-  def committedMovements(spark: SparkSession, transfers: DataFrame): Dataset[StreamMovement] = {
+  def committedMovements(
+      spark: SparkSession, transfers: DataFrame,
+      extraAbort: Column = lit(false)): Dataset[StreamMovement] = {
     import spark.implicits._
     val amountCents = Transfers.cents(col("amount"))
     val vote = when(
-      (amountCents > Bank.MaxAmountCents) || (col("to_acct") === Bank.FrozenAccount),
+      (amountCents > Bank.MaxAmountCents) || (col("to_acct") === Bank.FrozenAccount)
+        || extraAbort,
       lit(Vote.Abort)).otherwise(lit(Vote.Commit))
     transfers
       .withColumn("__vote", vote)
@@ -164,9 +167,11 @@ object StreamingBank {
   }
 
   /** The streaming state fold: acct → running balance versions. */
-  def balances(spark: SparkSession, transfers: DataFrame): Dataset[StateChange[Long, Long]] = {
+  def balances(
+      spark: SparkSession, transfers: DataFrame,
+      extraAbort: Column = lit(false)): Dataset[StateChange[Long, Long]] = {
     import spark.implicits._
-    val moves = committedMovements(spark, transfers)
+    val moves = committedMovements(spark, transfers, extraAbort)
     if (transfers.isStreaming)
       StateOperator.runStreaming[StreamMovement, Long, Long](
         moves, _.acct, _.tid, new CentsBalance)

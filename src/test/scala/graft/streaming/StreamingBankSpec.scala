@@ -149,4 +149,14 @@ class StreamingBankSpec extends SparkSpec {
     val balances = StreamingBank.balances(spark, src).collect()
     assert(balances.nonEmpty)
   }
+
+  test("injected aborts (IncreaseAborts analog) contribute nothing to state") {
+    val src = graft.sources.TransferSource.batch(spark, 2000)
+    // forcing even tids to abort == running only the odd tids
+    val injected = StreamingBank.balances(spark, src, pmod(col("tid"), lit(2)) === 0)
+      .collect().map(c => (c.key, c.value)).sorted.toSeq
+    val oddOnly = StreamingBank.balances(spark, src.filter(col("tid") % 2 =!= 0))
+      .collect().map(c => (c.key, c.value)).sorted.toSeq
+    assert(injected == oddOnly)
+  }
 }
