@@ -23,6 +23,18 @@ object StateQueries {
   def pointQuery(snapshot: DataFrame, keys: Seq[Long]): DataFrame =
     snapshot.filter(col("key").isin(keys: _*))
 
+  /** Batched point-query workload: answer a whole key SET in one pass
+    * via a broadcast semi-join — the scalable spelling once the key
+    * set outgrows an `IN` literal list (thousands of literals bloat
+    * the expression tree; a broadcast hash lookup costs the same per
+    * row regardless of set size). This is how a query STREAM is served
+    * Spark-side: micro-batch the keys, one join per batch.
+    */
+  def pointQueryBatch(snapshot: DataFrame, keys: DataFrame): DataFrame =
+    snapshot.join(
+      org.apache.spark.sql.functions.broadcast(keys.select(col("key")).distinct()),
+      Seq("key"), "left_semi")
+
   /** Predicate query (`PredicateQuery.QueryPredicate`): arbitrary
     * predicate over the state value.
     */

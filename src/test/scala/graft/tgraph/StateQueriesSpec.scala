@@ -18,4 +18,16 @@ class StateQueriesSpec extends SparkSpec {
     val first = queries.next()
     assert(first.count() <= 3)
   }
+
+  test("batched point query (semi-join) == key-list point query") {
+    import spark.implicits._
+    val snap = Bank.graph(spark, Sf0001).result
+      .balances(Bank.NameSpace, IsolationLevel.PL3)
+    val keys = StateQueries.sampleKeys(snap, 20, seed = 3)
+    val viaIn = StateQueries.pointQuery(snap, keys)
+      .collect().map(_.toSeq).toSet
+    val viaJoin = StateQueries.pointQueryBatch(snap, keys.toDF("key"))
+      .collect().map(_.toSeq).toSet
+    assert(viaIn == viaJoin && viaIn.nonEmpty)
+  }
 }
