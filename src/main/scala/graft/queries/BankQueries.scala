@@ -163,6 +163,17 @@ object BankQueries {
           col("key").as("acct"), col("delta").as("delta_cents"))
         .orderBy("lsn")
     }),
+    // time travel: fold only the first 10k WAL entries -> the exact
+    // state as of lsn 10000 (DisplayWAL/recovery-to-a-point analog)
+    "t_wal_time_travel" -> ((s, dir) => {
+      Wal.entries(g(s, dir).result, Bank.NameSpace)
+        .filter(col("lsn") <= 10000L)
+        .groupBy(col("key").as("acct"))
+        .agg(sum(col("delta")).as("balance_cents"),
+          count(lit(1)).as("n_entries"))
+        .select(col("acct"), col("balance_cents"), col("n_entries"))
+        .orderBy("acct")
+    }),
     // The reference's true sequential invariant on the typed executor;
     // oracle replays the same serial schedule via a recursive CTE.
     "t_state_sequential" -> ((s, dir) =>
@@ -288,6 +299,15 @@ object BankQueries {
       """SELECT CAST(row_number() OVER (ORDER BY tid, branch) AS BIGINT) AS lsn,
         |  tid, CAST(branch AS BIGINT) AS branch, acct, delta_cents
         |FROM cmv ORDER BY lsn""".stripMargin),
+    "t_wal_time_travel" -> (OraclePrefix +
+      """, wal AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY tid, branch) AS BIGINT) AS lsn,
+        |    acct, delta_cents
+        |  FROM cmv)
+        |SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS balance_cents,
+        |  CAST(count(*) AS BIGINT) AS n_entries
+        |FROM wal WHERE lsn <= 10000
+        |GROUP BY acct ORDER BY acct""".stripMargin),
     "t_state_sequential" ->
       """WITH RECURSIVE m AS (
         |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
