@@ -67,4 +67,44 @@ class DurabilitySpec extends SparkSpec {
       .zipWithIndex.map { case ((tid, br), i) => (i + 1L, tid, br) }
     assert(viaZip.toSeq == expected.toSeq)
   }
+
+  test("online WAL: micro-batch appends keep a dense lsn and survive restart") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-online-wal").toString
+    // two input files -> maxFilesPerTrigger=1 forces >= 2 micro-batches
+    Seq((1L, 10L, 20L, 50.0), (2L, 11L, 21L, 60.0))
+      .toDF("tid", "from_acct", "to_acct", "amount").write.json(s"$tmp/in1")
+    Seq((3L, 12L, 22L, 70.0), (4L, 13L, 23L, 80.0))
+      .toDF("tid", "from_acct", "to_acct", "amount")
+      .write.mode("append").json(s"$tmp/in1")
+    val schema = StructType(Seq(
+      StructField("tid", LongType), StructField("from_acct", LongType),
+      StructField("to_acct", LongType), StructField("amount", DoubleType)))
+    def movesOf(transfers: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingBank.committedMovements(spark, transfers).toDF()
+        .select(col("tid").as(TStream.TidCol),
+          when(col("delta") < 0, 0L).otherwise(1L).as(TStream.BranchCol),
+          col("acct").as("key"), col("delta"))
+    val stream = graft.sources.FileIO.streamJsonLines(
+      spark, s"$tmp/in1", schema, maxFilesPerTrigger = 1)
+    val q = Wal.streamingSink(movesOf(stream), s"$tmp/wal", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+
+    val online = Wal.readOnline(spark, s"$tmp/wal")
+      .select("lsn", "tid", "branch", "key", "delta")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // dense 1..N lsn across micro-batches
+    assert(online.map(_._1).toSeq == (1L to online.length).toSeq)
+    assert(online.length == 8) // 4 committed transfers x 2 movements
+    // same entry set the batch path would produce from the same input
+    val batch = movesOf(spark.read.schema(schema).json(s"$tmp/in1"))
+      .select(col(TStream.TidCol), col(TStream.BranchCol), col("key"), col("delta"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(online.map(e => (e._2, e._3, e._4, e._5)).toSet == batch)
+    // restart with no new input: checkpoint + idempotent batch dirs
+    val q2 = Wal.streamingSink(movesOf(stream), s"$tmp/wal", s"$tmp/ckpt").start()
+    q2.awaitTermination(120000)
+    assert(Wal.readOnline(spark, s"$tmp/wal").count() == 8)
+  }
 }
