@@ -46,28 +46,41 @@ object Bank {
     * re-reducing votes; the analog of the reference keeping commit state
     * resident in its state servers.
     */
+  /** Build the transactional graph over an arbitrary transfers
+    * DataFrame (tid, ts, from_acct, to_acct, amount) — the un-memoized
+    * core of [[graph]], also driven directly by the synthetic-scale
+    * probes (isolation sweep etc.).
+    */
+  def graphFromTransfers(
+      transfers: DataFrame,
+      isolation: IsolationLevel = IsolationLevel.PL3): Graph = {
+    val env = TransactionEnvironment(isolation = isolation)
+    val opened = env.open(transfers, col("tid"))
+    val movements = opened.flatMap(Transfers.movements)
+    val state = movements
+      .keyBy(col("acct"))
+      .state(NameSpace, col("acct"), col("delta_cents"), abortIf, Seq("ts"))
+    val result = env.close(state)
+    state.updates.persist()
+    result.finalVotes.persist()
+    Graph(env, transfers, movements, state, result)
+  }
+
+  /** Release a [[graphFromTransfers]] graph's persisted intermediates. */
+  def release(g: Graph): Unit = {
+    g.state.updates.unpersist()
+    g.result.finalVotes.unpersist()
+  }
+
   def graph(
       spark: SparkSession,
       dir: String,
       isolation: IsolationLevel = IsolationLevel.PL3): Graph = {
-    def build: Graph = {
-      val env = TransactionEnvironment(isolation = isolation)
-      val transfers = Transfers.fromEvents(Tables.load(spark, dir, "events"))
-      val opened = env.open(transfers, col("tid"))
-      val movements = opened.flatMap(Transfers.movements)
-      val state = movements
-        .keyBy(col("acct"))
-        .state(NameSpace, col("acct"), col("delta_cents"), abortIf, Seq("ts"))
-      val result = env.close(state)
-      state.updates.persist()
-      result.finalVotes.persist()
-      Graph(env, transfers, movements, state, result)
-    }
+    def build: Graph =
+      graphFromTransfers(
+        Transfers.fromEvents(Tables.load(spark, dir, "events")), isolation)
     if (isolation == IsolationLevel.PL3)
-      memo.getOrElseUpdate(spark, dir, build, g => {
-        g.state.updates.unpersist()
-        g.result.finalVotes.unpersist()
-      })
+      memo.getOrElseUpdate(spark, dir, build, release)
     else build
   }
 
