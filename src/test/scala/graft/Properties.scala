@@ -31,4 +31,31 @@ object GraftProperties extends Properties("graft") {
     Prop.forAll(Gen.chooseNum(-100f, 100f), Gen.chooseNum(-100f, 100f)) { (a, b) =>
       QuantizedDot.q(a) * QuantizedDot.q(b) == QuantizedDot.q(b) * QuantizedDot.q(a)
     }
+
+  // independent reimplementation of the shingle-hash contract (JDK md5
+  // + hex parse), checked against the kernel on arbitrary unicode
+  // token lists — guards the UTF-8 byte path and the distinct/order
+  // semantics beyond what the fixture-doc parity spec sees
+  private def refShingleHashes(tokens: List[String], k: Int): Seq[Long] =
+    if (tokens.length < k) Seq.empty
+    else tokens.sliding(k).map(_.mkString(" ")).map { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    }.toSeq.distinct
+
+  private val token = Gen.oneOf(
+    Gen.alphaNumStr.suchThat(_.nonEmpty),
+    Gen.oneOf("日本語", "größe", "émile", "x", "", "ZERO WIDTH"))
+
+  property("native shingle hashes == independent JDK md5 reimplementation") =
+    Prop.forAll(Gen.listOfN(8, token), Gen.chooseNum(1, 4)) { (tokens, k) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.SignatureKernels.shingleHashes56(arr, k)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      got == refShingleHashes(tokens, k)
+    }
 }
