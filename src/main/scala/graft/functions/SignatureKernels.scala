@@ -150,6 +150,42 @@ object SignatureKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** MinHash signature straight from TOKENS: k-shingles are assembled
+    * in-kernel (one StringBuilder, no materialized shingle-string
+    * column, no interpreted HOF concat pass) and each distinct shingle
+    * feeds the same (h1 + j·h2) mod 2^56 family as [[minHash]] —
+    * value-identical to `minHash(shingles(tokens, k), numHashes)`
+    * because duplicate shingles cannot change a min.
+    */
+  def minHashTokens(arr: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(MinHashMod)
+    if (n >= k) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= n - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        val h = md5Hex(UTF8String.fromString(sb.toString))
+        val h1 = hexSlice(h, 1, 14)
+        val h2 = hexSlice(h, 15, 14)
+        var m = 0
+        while (m < numHashes) {
+          val hm = (h1 + m * h2) & (MinHashMod - 1)
+          if (hm < sig(m)) sig(m) = hm
+          m += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Rolling polynomial hash over the strings of `arr` — matches
     * `TextAnalysis.rollingHash`'s fold (init 7, ×31 + h32, mod 2³¹−1).
     */
@@ -206,6 +242,21 @@ case class SimHash32(child: Expression) extends StringArrayKernel {
     copy(child = newChild)
 }
 
+/** Fused tokens→minhash: `array<string> → array<long>` with shingling
+  * done in-kernel (no shingle-string column, no HOF concat pass).
+  */
+case class MinHashSigTokens(child: Expression, k: Int, numHashes: Int)
+    extends StringArrayKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_tokens"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.minHashTokens(arr.asInstanceOf[ArrayData], k, numHashes)
+  override protected def helperCall(input: String): String =
+    s"$helperRef.minHashTokens($input, $k, $numHashes)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native distinct shingle hashes: `array<string> → array<long>`
   * (56-bit portable hashes of the k-token shingles).
   */
@@ -247,4 +298,8 @@ object RollingHash32 {
 object ShingleHashes56 {
   def apply(tokens: Column, k: Int): Column =
     Bridge.column(ShingleHashes56(Bridge.expression(tokens), k))
+}
+object MinHashSigTokens {
+  def apply(tokens: Column, k: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSigTokens(Bridge.expression(tokens), k, numHashes))
 }

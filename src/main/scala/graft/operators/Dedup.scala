@@ -58,13 +58,15 @@ object Dedup {
       aggregate(hashes, lit(MinHashMod), (acc, e) =>
         least(acc, pmod(e.getField("h1") + j * e.getField("h2"), lit(MinHashMod)))))
 
-  /** MinHash signature straight from text — the native
-    * [[graft.functions.MinHashSig]] kernel (one md5 + the whole hash
-    * family per shingle in a primitive loop; value-identical to
-    * [[minHashFromHashes]], spec-asserted).
+  /** MinHash signature straight from text — the fused
+    * [[graft.functions.MinHashSigTokens]] kernel: shingling AND the
+    * whole hash family run in one primitive loop over the token array
+    * (no shingle-string column, no interpreted concat pass;
+    * value-identical to [[minHashFromHashes]], spec-asserted).
     */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
-    graft.functions.MinHashSig(shingles(text, shingleSize), numHashes)
+    graft.functions.MinHashSigTokens(
+      TextAnalysis.tokens(text), shingleSize, numHashes)
 
   /** Candidate near-duplicate pairs via LSH: equi-join on
     * (band_id, band_hash) — a shuffle on the bucket key, NEVER a cross

@@ -23,6 +23,16 @@ class SignatureKernelsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("fused tokens->minhash kernel == shingle-column kernel on real docs") {
+    val diff = docs
+      .select(
+        MinHashSigTokens(TextAnalysis.tokens(col("text")), 3, 16).as("fused"),
+        MinHashSig(Dedup.shingles(col("text"), 3), 16).as("staged"))
+      .filter(col("fused") =!= col("staged"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("native simhash and rolling hash == declarative folds on real docs") {
     val diff = docs
       .select(
