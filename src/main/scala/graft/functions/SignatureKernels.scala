@@ -186,6 +186,35 @@ object SignatureKernels {
     new GenericArrayData(sig)
   }
 
+  /** Normal form for exact dedup — value-identical to
+    * `lower(regexp_replace(trim(text), "\\s+", " "))`: delegate the
+    * trim to `UTF8String.trim` (the same call Spark's `trim` makes),
+    * collapse runs of Java-`\s` characters ([ \t\n\x0B\f\r] — all
+    * ASCII, so a byte-level scan is UTF-8-safe) to one space, then
+    * `UTF8String.toLowerCase` (the same call Spark's `lower` makes).
+    * One pass, no regex engine.
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val b = s.trim().getBytes
+    val out = new Array[Byte](b.length)
+    var i = 0
+    var o = 0
+    var inWs = false
+    while (i < b.length) {
+      val c = b(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+      if (ws) {
+        if (!inWs) { out(o) = ' '; o += 1 }
+        inWs = true
+      } else {
+        out(o) = c; o += 1
+        inWs = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o)).toLowerCase
+  }
+
   /** Rolling polynomial hash over the strings of `arr` — matches
     * `TextAnalysis.rollingHash`'s fold (init 7, ×31 + h32, mod 2³¹−1).
     */
@@ -199,6 +228,31 @@ object SignatureKernels {
     }
     acc
   }
+}
+
+/** Native normal-form kernel: `string → string`, the regex-free
+  * whitespace-collapse + lowercase under [[SignatureKernels.normalize]].
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    SignatureKernels.normalize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = SignatureKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.normalize($in);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+object NormalizeText {
+  def apply(text: Column): Column =
+    Bridge.column(NormalizeText(Bridge.expression(text)))
 }
 
 /** Base for unary array<string> kernels with a static-call codegen. */

@@ -15,6 +15,13 @@ object TextAnalysis {
 
   /** Whitespace-collapsed, trimmed, lowercased normal form. */
   def normalize(text: Column): Column =
+    graft.functions.NormalizeText(text)
+
+  /** The declarative spelling of [[normalize]] — the portable
+    * reference the native kernel is spec-checked against (and what
+    * the DuckDB oracles replay).
+    */
+  def normalizeDeclarative(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
   /** Whitespace tokenization (the BPE-ish regex variant splits on

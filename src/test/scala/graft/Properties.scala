@@ -48,6 +48,21 @@ object GraftProperties extends Properties("graft") {
     Gen.alphaNumStr.suchThat(_.nonEmpty),
     Gen.oneOf("日本語", "größe", "émile", "x", "", "ZERO WIDTH"))
 
+  property("native normalize == JDK-regex trim/collapse/lower on arbitrary text") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '\u000b', '\f', '\r'),
+      Gen.oneOf('Ü', 'ß', '日', 'É')))) { chars =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val s = chars.mkString
+      // the declarative path: Spark trim (UTF8String.trim) then Java
+      // regex \s+ -> " " then UTF8String.toLowerCase
+      val trimmed = UTF8String.fromString(s).trim().toString
+      val expected = UTF8String
+        .fromString(trimmed.replaceAll("\\s+", " ")).toLowerCase.toString
+      graft.functions.SignatureKernels
+        .normalize(UTF8String.fromString(s)).toString == expected
+    }
+
   property("native shingle hashes == independent JDK md5 reimplementation") =
     Prop.forAll(Gen.listOfN(8, token), Gen.chooseNum(1, 4)) { (tokens, k) =>
       import org.apache.spark.sql.catalyst.util.GenericArrayData

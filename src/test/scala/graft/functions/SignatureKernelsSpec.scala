@@ -56,6 +56,19 @@ class SignatureKernelsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native normalize == declarative trim/collapse/lower, incl. edge whitespace") {
+    import spark.implicits._
+    val edge = Seq("  Hello\t\tWorld ", "\tTAB edges\n", "ÜPPER Case", "", "  ",
+      "multi   space\r\nmix").toDF("text")
+    val diff = docs.select(col("text")).union(edge)
+      .select(
+        TextAnalysis.normalize(col("text")).as("native"),
+        TextAnalysis.normalizeDeclarative(col("text")).as("decl"))
+      .filter(col("native") =!= col("decl"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("empty and sub-shingle-size inputs hit the sentinel paths") {
     import spark.implicits._
     val edge = Seq((0L, ""), (1L, "one two")).toDF("doc_id", "text")
