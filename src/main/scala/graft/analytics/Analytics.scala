@@ -130,10 +130,21 @@ object Analytics {
       intervals: DataFrame, lo: Column, hi: Column,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket", floor(t / bucketWidth))
+    // exact integer floor-division: (x - pmod(x, w)) div w. A double
+    // division (floor(x / w)) loses exactness past 2^53 — nanosecond
+    // epochs land there — and a boundary point would silently miss its
+    // interval's bucket.
+    def bucket(x: Column) = {
+      val xl = x.cast("long")
+      val exact = xl - pmod(xl, lit(bucketWidth)) // exact multiple of w
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.Bridge.expression(exact),
+          org.apache.spark.sql.graftbridge.Bridge.expression(lit(bucketWidth))))
+    }
+    val p = points.withColumn("__bucket", bucket(t))
     val i = intervals
-      .withColumn("__bucket",
-        explode(sequence(floor(lo / bucketWidth), floor(hi / bucketWidth))))
+      .withColumn("__bucket", explode(sequence(bucket(lo), bucket(hi))))
     p.join(i, Seq("__bucket"))
       .filter(t >= lo && t <= hi)
       .drop("__bucket")

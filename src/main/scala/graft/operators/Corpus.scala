@@ -45,6 +45,14 @@ object Corpus {
         (col("n_shared_shingles") > 0).as("contaminated"))
   }
 
+  /** The shared deterministic keep-predicate: portable 32-bit hash of
+    * "stratum:id" lands below the per-mille rate. ONE definition so
+    * [[stratifiedSample]] and [[rebalance]] can never drift apart.
+    */
+  private def keepRow(stratum: Column, id: Column, ratePerMille: Column): Column =
+    pmod(TextAnalysis.portableHash32(
+      concat(stratum, lit(":"), id.cast("string"))), lit(1000)) < ratePerMille
+
   /** Deterministic per-stratum downsampling: keep a row iff the
     * portable 32-bit hash of "stratum:id" lands below the stratum's
     * per-mille rate. No RNG, no state, no shuffle — a pure narrow
@@ -59,9 +67,7 @@ object Corpus {
     val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
       case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
     }
-    df.filter(
-      pmod(graft.operators.TextAnalysis.portableHash32(
-        concat(stratum, lit(":"), id.cast("string"))), lit(1000)) < rate)
+    df.filter(keepRow(stratum, id, rate))
   }
 
   /** Domain-mixture rebalancing, step 1: per-stratum keep rates (in
@@ -125,10 +131,7 @@ object Corpus {
     val rates = mixtureRatesDf
       .select(col("stratum").as("__stratum"), col("rate_permille"))
     df.join(broadcast(rates), stratum === col("__stratum"))
-      .filter(
-        pmod(TextAnalysis.portableHash32(
-          concat(stratum, lit(":"), id.cast("string"))), lit(1000))
-          < col("rate_permille"))
+      .filter(keepRow(stratum, id, col("rate_permille")))
       .drop("__stratum", "rate_permille")
   }
 
@@ -175,7 +178,10 @@ object Corpus {
       sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
     df.select(id.as("doc_id"), group.as("grp"), tokens.as("n_tokens"),
       start.as("start_offset"))
-      .withColumn("chunk_id", floor(col("start_offset") / budgetTokens))
+      // integer floor-div (offsets are non-negative): exact at any
+      // magnitude, matching the oracle's `//`; floor(x / w) would
+      // round through a double and drift past 2^53 cumulative tokens
+      .withColumn("chunk_id", expr(s"start_offset div $budgetTokens"))
       .withColumn("chunk_pos",
         row_number().over(
           Window.partitionBy(col("grp"), col("chunk_id")).orderBy(col("doc_id")))

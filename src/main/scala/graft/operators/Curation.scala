@@ -49,7 +49,11 @@ object Curation {
       // the final anti-join); without materialization each would re-run
       // the full regex/md5 feature pass over the corpus. Its schema is
       // the narrow survivor projection (id + fingerprint + two ints),
-      // so caching it is O(ids), not O(text).
+      // so caching it is O(ids), not O(text). No unpersist handle is
+      // needed: Spark's CacheManager keys entries by analyzed plan, so
+      // repeated curate() calls over the same inputs REUSE one entry
+      // (bounded by the number of distinct corpora, evictable
+      // MEMORY_AND_DISK blocks either way).
       .persist()
     val withVec = kept.select("doc_id").join(
       embeddings.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))

@@ -157,6 +157,41 @@ object LlmQueries {
     })
   )
 
+  /** Shared oracle text: the sign-LSH (4 bits × 8 tables) candidate
+    * pipeline through the exact quantized dot — ONE definition used by
+    * both `dedup_embedding` and CorpusQueries' `dup_clusters`, so the
+    * two oracles can never silently check different pair graphs.
+    */
+  val NearDupCte: String =
+    """e AS (
+      |  SELECT vec_id AS id, embedding,
+      |    list_transform(generate_series(0,7), t ->
+      |      CAST(list_sum(list_transform(generate_series(1,4), i ->
+      |        CASE WHEN CAST(embedding[t*4 + i] AS DOUBLE) >= 0
+      |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT id, q, bs, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
+      |x AS (
+      |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
+      |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t),
+      |p AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.q AS qa, b.q AS qb, a.nq AS nq_a, b.nq AS nq_b
+      |  FROM x a JOIN x b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |  WHERE a.id < b.id
+      |    AND a.tbl = list_position(list_transform(generate_series(1,8),
+      |      i -> a.bs[i] = b.bs[i]), true) - 1),
+      |d AS (
+      |  SELECT id_a, id_b, nq_a, nq_b,
+      |    CAST(list_sum(list_transform(generate_series(1,64), i -> qa[i]*qb[i])) AS BIGINT) AS dot_q
+      |  FROM p)""".stripMargin
+
+  /** The exact integer cosine threshold (m = 350 milli). */
+  val NearDupThreshold: String =
+    """dot_q > 0
+      |  AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
@@ -504,32 +539,10 @@ object LlmQueries {
     // emission, exact integer threshold on the quantized cosine:
     // dot > 0 AND dot^2 * 10^6 >= m^2 * |a|q^2 * |b|q^2 (m = 350)
     "dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id AS id, embedding,
-        |    list_transform(generate_series(0,7), t ->
-        |      CAST(list_sum(list_transform(generate_series(1,4), i ->
-        |        CASE WHEN CAST(embedding[t*4 + i] AS DOUBLE) >= 0
-        |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT id, q, bs, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
-        |x AS (
-        |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
-        |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t),
-        |p AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, a.q AS qa, b.q AS qb, a.nq AS nq_a, b.nq AS nq_b
-        |  FROM x a JOIN x b ON a.tbl = b.tbl AND a.bucket = b.bucket
-        |  WHERE a.id < b.id
-        |    AND a.tbl = list_position(list_transform(generate_series(1,8),
-        |      i -> a.bs[i] = b.bs[i]), true) - 1),
-        |d AS (
-        |  SELECT id_a, id_b, nq_a, nq_b,
-        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qa[i]*qb[i])) AS BIGINT) AS dot_q
-        |  FROM p)
+      (s"""WITH $NearDupCte
         |SELECT id_a, id_b, dot_q FROM d
-        |WHERE dot_q > 0
-        |  AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b
-        |ORDER BY id_a, id_b""".stripMargin
+        |WHERE $NearDupThreshold
+        |ORDER BY id_a, id_b""").stripMargin
   )
+
 }

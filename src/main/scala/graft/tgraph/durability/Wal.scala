@@ -78,30 +78,37 @@ object Wal {
     */
   def appendBatch(updates: DataFrame, path: String, batchId: Long): Unit = {
     val spark = updates.sparkSession
+    // Missing meta dir = first batch, offset 0. Any OTHER failure must
+    // propagate: silently defaulting the offset would renumber this
+    // batch from 1 and corrupt the dense-lsn invariant, which is the
+    // log's whole correctness story.
     val offset =
-      try
+      if (!pathExists(spark, s"$path/meta")) 0L
+      else
         // recursiveFileLookup: the per-batch b<id> subdirs are plain
         // directories, not key=value partitions
         spark.read.option("recursiveFileLookup", "true").parquet(s"$path/meta")
           .filter(col("batch_id") < batchId)
           .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
-      // first batch: no meta log yet (missing path surfaces as either
-      // AnalysisException or FileNotFoundException depending on layout)
-      catch { case scala.util.control.NonFatal(_) => 0L }
     val entries = numbered(
       updates.select(col(TStream.TidCol), col(TStream.BranchCol),
         col("key"), col("delta")),
       offset)
       .select(col("lsn"), col(TStream.TidCol).as("tid"),
         col(TStream.BranchCol).as("branch"), col("key"), col("delta"))
-    val n = entries.count()
-    // an empty batch would write a schema-less (marker-only) parquet
-    // dir that breaks later schema inference — record it in meta only
-    if (n > 0)
-      entries.write.mode("overwrite").parquet(s"$path/data/b$batchId")
-    import spark.implicits._
-    Seq((batchId, n)).toDF("batch_id", "n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/b$batchId")
+      // count + write below would otherwise each recompute the batch
+      // (and zipWithIndex's own count pass a third time)
+      .persist()
+    try {
+      val n = entries.count()
+      // an empty batch would write a schema-less (marker-only) parquet
+      // dir that breaks later schema inference — record it in meta only
+      if (n > 0)
+        entries.write.mode("overwrite").parquet(s"$path/data/b$batchId")
+      import spark.implicits._
+      Seq((batchId, n)).toDF("batch_id", "n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/b$batchId")
+    } finally entries.unpersist()
   }
 
   /** The online WAL: committed updates of a STREAMING transactional
@@ -120,7 +127,25 @@ object Wal {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
 
-  /** Read the online log (same schema as [[read]], data dirs only). */
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Read the online log (same schema as [[read]], data dirs only).
+    * A log whose every batch was empty has meta but no data dirs —
+    * that is a legal state and reads as an empty frame.
+    */
   def readOnline(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/data")
+    if (!pathExists(spark, s"$path/data"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lsn", LongType),
+          org.apache.spark.sql.types.StructField("tid", LongType),
+          org.apache.spark.sql.types.StructField("branch", LongType),
+          org.apache.spark.sql.types.StructField("key", LongType),
+          org.apache.spark.sql.types.StructField("delta", LongType))))
+    else
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$path/data")
 }

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * of transactions is forced to vote ABORT (on top of the workload's
   * organic aborts), and report throughput at each setting. The
   * reference uses this to show how 2PC cost responds to the abort mix;
-  * here the abort decision is a deterministic hash of the tid, so every
-  * run (and every engine) selects the same transactions. Run:
+  * here the abort decision is a deterministic hash of the tid (Spark's
+  * murmur3 — same selection on every run of this probe; swap in
+  * `TextAnalysis.portableHash32` if cross-engine reproduction of the
+  * exact abort set matters more than hash cost in the timed region).
+  * Run:
   *   sbt "runMain graft.tools.AbortSweepProbe [nTransfers]"
   */
 object AbortSweepProbe {
