@@ -173,15 +173,21 @@ object Dedup {
     */
   def embeddingNearDups(
       df: DataFrame, id: Column, vec: Column,
-      minCosineMilli: Long, bits: Int = 8, tables: Int = 4): DataFrame = {
+      minCosineMilli: Long, bits: Int = 8, tables: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     import Similarity.{firstAgreeingTable, packedSignBuckets, signBuckets}
     import graft.functions.QuantizedDot
     val pre = df.select(id.as("id"), vec.as("v"),
       signBuckets(vec, bits, tables).as("bs"),
       packedSignBuckets(vec, bits, tables).as("sig"))
       .withColumn("nq", QuantizedDot(col("v"), col("v")))
-    val e = pre.select(col("id"), col("v"), col("nq"), col("sig"),
-      posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    // opt-in hot-bucket cap — see [[Similarity.capBuckets]]; the
+    // oracle-gated queries run uncapped (their fixtures have no
+    // degenerate buckets), production corpora should set it
+    val e = Similarity.capBuckets(
+      pre.select(col("id"), col("v"), col("nq"), col("sig"),
+        posexplode(col("bs")).as(Seq("tbl", "bucket"))),
+      maxBucketSize)
     val l = e.select(col("id").as("id_a"), col("v").as("v_a"),
       col("nq").as("nq_a"), col("sig").as("sig_a"), col("tbl"), col("bucket"))
     val r = e.select(col("id").as("id_b"), col("v").as("v_b"),

@@ -187,14 +187,40 @@ object Similarity {
     * full window sort of the candidate set. This is the 100 TB shape:
     * shuffle volume O(n·tables), never O(n²).
     */
+  /** Cap degenerate LSH buckets before a self-join: any (tbl, bucket)
+    * group larger than `cap` is dropped entirely. Recall caveat under
+    * the first-agreeing-table emission rule: a pair whose FIRST
+    * agreeing table is capped is lost outright (its later-table
+    * meetings are rejected by the exactly-once predicate); pairs
+    * first-agreeing in surviving buckets are unaffected. At 100 TB
+    * this is the guard against a hot bucket (e.g. the all-zeros sign
+    * region of near-constant embeddings) going quadratic: pair volume
+    * per bucket is size², so one bucket holding 1% of a 10⁹-corpus
+    * would alone emit 10¹⁴ candidates. One extra aggregation on the
+    * (already shuffled) bucket key.
+    */
+  private[operators] def capBuckets(
+      e: DataFrame, cap: Option[Int]): DataFrame = cap match {
+    case None => e
+    case Some(c) =>
+      val sizes = e.groupBy("tbl", "bucket")
+        .agg(count(lit(1)).as("__bucket_n"))
+        .filter(col("__bucket_n") <= c)
+        .select(col("tbl"), col("bucket"))
+      e.join(sizes, Seq("tbl", "bucket"), "left_semi")
+  }
+
   def lshTopKAll(
       df: DataFrame, id: Column, vec: Column,
-      k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+      k: Int, bits: Int = 8, tables: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val pre = df.select(id.as("id"), vec.as("v"),
       signBuckets(vec, bits, tables).as("bs"),
       packedSignBuckets(vec, bits, tables).as("sig"))
-    val e = pre.select(col("id"), col("v"), col("sig"),
-      posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val e = capBuckets(
+      pre.select(col("id"), col("v"), col("sig"),
+        posexplode(col("bs")).as(Seq("tbl", "bucket"))),
+      maxBucketSize)
     val l = e.select(col("id").as("qid"), col("v").as("qv"),
       col("sig").as("sig_a"), col("tbl"), col("bucket"))
     val r = e.select(col("id").as("cid"), col("v").as("cv"),

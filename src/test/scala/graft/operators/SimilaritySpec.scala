@@ -61,4 +61,25 @@ class SimilaritySpec extends SparkSpec {
     val lshPlan = Similarity.lshTopK(q, c, 5).queryExecution.executedPlan.toString
     assert(!lshPlan.contains("CartesianProduct"))
   }
+
+  test("hot-bucket cap drops the degenerate bucket, keeps the rest") {
+    // 30 identical all-positive vectors = one hot bucket in EVERY
+    // table; 2 near-identical negative vectors = a small legit bucket
+    val hot = (0L until 30L).map(i => (i, Array.fill(8)(1.0f)))
+    val pairDup = Seq(
+      (100L, Array.fill(8)(-1.0f)),
+      (101L, Array.fill(8)(-0.99f)))
+    val df = (hot ++ pairDup).toDF("vec_id", "embedding")
+    val capped = graft.operators.Dedup.embeddingNearDups(
+      df, col("vec_id"), col("embedding"), minCosineMilli = 900,
+      bits = 4, tables = 2, maxBucketSize = Some(10))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the hot bucket (30 > cap) emits nothing; the legit pair survives
+    assert(capped == Set((100L, 101L)))
+    val uncapped = graft.operators.Dedup.embeddingNearDups(
+      df, col("vec_id"), col("embedding"), minCosineMilli = 900,
+      bits = 4, tables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 30 * 29 / 2 + 1) // all hot pairs + the legit one
+  }
 }
