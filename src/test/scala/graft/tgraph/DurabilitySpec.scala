@@ -106,5 +106,21 @@ class DurabilitySpec extends SparkSpec {
     val q2 = Wal.streamingSink(movesOf(stream), s"$tmp/wal", s"$tmp/ckpt").start()
     q2.awaitTermination(120000)
     assert(Wal.readOnline(spark, s"$tmp/wal").count() == 8)
+
+    // snapshot at lsn 4 + tail replay == full fold; compaction drops
+    // exactly the fully-covered batch dirs and recovery still holds
+    val full = Wal.readOnline(spark, s"$tmp/wal")
+      .groupBy(col("key")).agg(sum(col("delta")).as("value"))
+      .as[(Long, Long)].collect().toMap
+    val snap = Snapshots.takeOnline(spark, s"$tmp/wal", upToLsn = 4)
+      .localCheckpoint(true) // survive the truncation below
+    val dropped = Snapshots.truncateOnline(spark, s"$tmp/wal", upToLsn = 4)
+    assert(dropped.nonEmpty)
+    assert(Wal.readOnline(spark, s"$tmp/wal")
+      .filter(col("lsn") <= 4).count() == 0) // covered entries gone
+    val recovered = Snapshots
+      .recoverOnline(spark, snap, s"$tmp/wal", snapshotLsn = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(recovered == full)
   }
 }
