@@ -175,7 +175,7 @@ object Dedup {
       df: DataFrame, id: Column, vec: Column,
       minCosineMilli: Long, bits: Int = 8, tables: Int = 4,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    import Similarity.{firstAgreeingTable, packedSignBuckets, signBuckets}
+    import Similarity.{packedSignBuckets, signBuckets}
     import graft.functions.QuantizedDot
     val pre = df.select(id.as("id"), vec.as("v"),
       signBuckets(vec, bits, tables).as("bs"),
@@ -187,14 +187,17 @@ object Dedup {
     val e = Similarity.capBuckets(
       pre.select(col("id"), col("v"), col("nq"), col("sig"),
         posexplode(col("bs")).as(Seq("tbl", "bucket"))),
-      maxBucketSize)
+      maxBucketSize, tables)
     val l = e.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("nq").as("nq_a"), col("sig").as("sig_a"), col("tbl"), col("bucket"))
+      col("nq").as("nq_a"), col("sig").as("sig_a"),
+      col("__surv").as("surv_a"), col("tbl"), col("bucket"))
     val r = e.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("nq").as("nq_b"), col("sig").as("sig_b"), col("tbl"), col("bucket"))
+      col("nq").as("nq_b"), col("sig").as("sig_b"),
+      col("__surv").as("surv_b"), col("tbl"), col("bucket"))
     l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b") &&
-        col("tbl") === firstAgreeingTable(col("sig_a"), col("sig_b"), bits, tables) &&
+        col("tbl") === Similarity.firstAgreeingSurvivingTable(
+          col("sig_a"), col("sig_b"), col("surv_a"), col("surv_b"), bits, tables) &&
         graft.functions.QuantizedCosineGe(
           col("v_a"), col("v_b"), col("nq_a"), col("nq_b"), minCosineMilli))
       // recompute the dot only for the (tiny) surviving pair set

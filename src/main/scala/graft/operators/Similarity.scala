@@ -110,6 +110,25 @@ object Similarity {
         .otherwise(els))
   }
 
+  /** [[firstAgreeingTable]] restricted to tables where BOTH rows'
+    * buckets survived a hot-bucket cap (`mask` = per-row bitmask of
+    * surviving tables): the exactly-once rule under capping becomes
+    * "first agreeing SURVIVING table", so a pair whose first agreement
+    * sat in a capped bucket is still emitted from its next surviving
+    * agreement instead of being lost.
+    */
+  def firstAgreeingSurvivingTable(
+      a: Column, b: Column, maskA: Column, maskB: Column,
+      bits: Int, tables: Int): Column = {
+    val x = a.bitwiseXOR(b)
+    val both = maskA.bitwiseAND(maskB)
+    (0 until tables).reverse.foldLeft(lit(-1): Column)((els, t) =>
+      when(
+        x.bitwiseAND(lit(((1L << bits) - 1) << (bits * t))) === 0L &&
+          both.bitwiseAND(lit(1L << t)) =!= 0L,
+        lit(t)).otherwise(els))
+  }
+
   /** Elementwise centroids per cell (exact int64 milli sums → means):
     * the IVF coarse quantizer's codebook, built with one explode +
     * one shuffle on (cell, position). Input (cell, vec); output
@@ -176,6 +195,39 @@ object Similarity {
     * Recall/pruning is tuned by (bits, tables); the spec measures
     * recall against [[bruteForceTopK]].
     */
+  /** Cap degenerate LSH buckets before a self-join: rows of any
+    * (tbl, bucket) group larger than `cap` are dropped from the join,
+    * and every surviving row gains a `__surv` bitmask of the tables
+    * where ITS bucket survived — the exactly-once predicate then picks
+    * the first agreeing SURVIVING table
+    * ([[firstAgreeingSurvivingTable]]), so a pair loses recall only if
+    * EVERY table where it agrees is capped (i.e. the pair genuinely
+    * lives in hot regions everywhere). At 100 TB this is the guard
+    * against a hot bucket (e.g. the all-zeros sign region of
+    * near-constant embeddings) going quadratic: pair volume per bucket
+    * is size², so one bucket holding 1% of a 10⁹-corpus would alone
+    * emit 10¹⁴ candidates. Cost when enabled: one aggregation on the
+    * (already shuffled) bucket key + one id-keyed mask aggregation.
+    * With `cap = None` the mask is all-ones and nothing is dropped.
+    */
+  private[operators] def capBuckets(
+      e: DataFrame, cap: Option[Int], tables: Int): DataFrame = cap match {
+    case None => e.withColumn("__surv", lit((1L << tables) - 1))
+    case Some(c) =>
+      val sizes = e.groupBy("tbl", "bucket")
+        .agg(count(lit(1)).as("__bucket_n"))
+        .filter(col("__bucket_n") <= c)
+        .select(col("tbl"), col("bucket"))
+      val kept = e.join(sizes, Seq("tbl", "bucket"), "left_semi")
+      val masks = kept
+        .groupBy(col("id"))
+        // one row per (id, tbl), so the sum of distinct powers IS the
+        // bitmask of surviving tables
+        .agg(sum(expr("shiftleft(cast(1 as bigint), tbl)")).as("__surv"))
+      kept.join(masks, Seq("id"))
+  }
+
+
   /** Corpus×corpus LSH top-k: every vector's k nearest LSH-candidate
     * neighbors. The all-pairs variant of [[lshTopK]] for query-set ==
     * corpus, where broadcasting the query side is impossible: both
@@ -187,29 +239,6 @@ object Similarity {
     * full window sort of the candidate set. This is the 100 TB shape:
     * shuffle volume O(n·tables), never O(n²).
     */
-  /** Cap degenerate LSH buckets before a self-join: any (tbl, bucket)
-    * group larger than `cap` is dropped entirely. Recall caveat under
-    * the first-agreeing-table emission rule: a pair whose FIRST
-    * agreeing table is capped is lost outright (its later-table
-    * meetings are rejected by the exactly-once predicate); pairs
-    * first-agreeing in surviving buckets are unaffected. At 100 TB
-    * this is the guard against a hot bucket (e.g. the all-zeros sign
-    * region of near-constant embeddings) going quadratic: pair volume
-    * per bucket is size², so one bucket holding 1% of a 10⁹-corpus
-    * would alone emit 10¹⁴ candidates. One extra aggregation on the
-    * (already shuffled) bucket key.
-    */
-  private[operators] def capBuckets(
-      e: DataFrame, cap: Option[Int]): DataFrame = cap match {
-    case None => e
-    case Some(c) =>
-      val sizes = e.groupBy("tbl", "bucket")
-        .agg(count(lit(1)).as("__bucket_n"))
-        .filter(col("__bucket_n") <= c)
-        .select(col("tbl"), col("bucket"))
-      e.join(sizes, Seq("tbl", "bucket"), "left_semi")
-  }
-
   def lshTopKAll(
       df: DataFrame, id: Column, vec: Column,
       k: Int, bits: Int = 8, tables: Int = 4,
@@ -220,14 +249,15 @@ object Similarity {
     val e = capBuckets(
       pre.select(col("id"), col("v"), col("sig"),
         posexplode(col("bs")).as(Seq("tbl", "bucket"))),
-      maxBucketSize)
+      maxBucketSize, tables)
     val l = e.select(col("id").as("qid"), col("v").as("qv"),
-      col("sig").as("sig_a"), col("tbl"), col("bucket"))
+      col("sig").as("sig_a"), col("__surv").as("surv_a"), col("tbl"), col("bucket"))
     val r = e.select(col("id").as("cid"), col("v").as("cv"),
-      col("sig").as("sig_b"), col("tbl"), col("bucket"))
+      col("sig").as("sig_b"), col("__surv").as("surv_b"), col("tbl"), col("bucket"))
     val cands = l.join(r, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid") &&
-        col("tbl") === firstAgreeingTable(col("sig_a"), col("sig_b"), bits, tables))
+        col("tbl") === firstAgreeingSurvivingTable(
+          col("sig_a"), col("sig_b"), col("surv_a"), col("surv_b"), bits, tables))
       .select(col("qid"), col("cid"), dotQ(col("qv"), col("cv")).as("dot_q"))
     // largest (dot_q, -cid) == highest dot, ties to the smallest cid
     graft.plans.TopK.perGroup(

@@ -76,16 +76,51 @@ object Snapshots {
         .groupBy(col("key"))
         .agg(sum(col("delta")).as("value")))
 
-  /** Compaction: physically drop every online-WAL data directory whose
-    * ENTIRE lsn range is covered by a snapshot at `upToLsn` (the
-    * reference's snapshot-then-truncate loop). Batch b covers lsns
-    * (Σ n_{<b}, Σ n_{<=b}] — computed from the driver-size meta log —
-    * so coverage is decided without scanning data. meta/ is never
-    * touched: future appends still derive their offsets from it, and
-    * partially-covered batches stay (their tail is still needed by
-    * [[recoverOnline]]).
+  /** The reference's snapshot-then-truncate loop in ONE safe call:
+    * materialize the state at `upToLsn` to `snapshotPath` FIRST, then
+    * physically drop every data directory whose entire lsn range the
+    * snapshot covers. The write-before-delete order matters — a lazy
+    * snapshot frame evaluated after truncation would scan deleted
+    * files — which is why truncation is not exposed on its own.
+    *
+    * Compaction is INCREMENTAL: pass the previous (snapshotPath, lsn)
+    * so the new snapshot = previous state ⊎ entries in
+    * (prevLsn, upToLsn] — required once earlier entries have been
+    * truncated away, and also what bounds each compaction's work to
+    * the delta since the last one. Returns the batch ids dropped.
+    * Restore state later with `recoverOnline(spark,
+    * Snapshots.read(spark, snapshotPath), walPath, upToLsn)`.
     */
-  def truncateOnline(spark: SparkSession, walPath: String, upToLsn: Long): Seq[Long] = {
+  def compactOnline(
+      spark: SparkSession, walPath: String, upToLsn: Long,
+      snapshotPath: String,
+      prevSnapshot: Option[(String, Long)] = None): Seq[Long] = {
+    val delta = prevSnapshot.map(_._2).getOrElse(0L)
+    val deltaFold = Wal.readOnline(spark, walPath)
+      .filter(col("lsn") > delta && col("lsn") <= upToLsn)
+      .groupBy(col("key"))
+      .agg(sum(col("delta")).as("value"))
+    val state = prevSnapshot match {
+      case None => deltaFold
+      case Some((p, _)) => recover(read(spark, p), deltaFold)
+    }
+    write(state, snapshotPath)
+    truncateOnline(spark, walPath, upToLsn)
+  }
+
+  /** Drop every online-WAL data directory whose ENTIRE lsn range is
+    * ≤ `upToLsn`. Batch b covers lsns (Σ n_{<b}, Σ n_{<=b}] — computed
+    * from the driver-size meta log, so coverage is decided without
+    * scanning data. meta/ is never touched: future appends still
+    * derive their offsets from it, and partially-covered batches stay
+    * (their tail is still needed by [[recoverOnline]]). A WAL that has
+    * not streamed yet (no meta) truncates to nothing. Private: callers
+    * go through [[compactOnline]], which persists the snapshot before
+    * any file is deleted.
+    */
+  private def truncateOnline(
+      spark: SparkSession, walPath: String, upToLsn: Long): Seq[Long] = {
+    if (!Wal.pathExists(spark, s"$walPath/meta")) return Seq.empty
     val meta = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$walPath/meta")
       .select(col("batch_id").cast("long"), col("n").cast("long"))

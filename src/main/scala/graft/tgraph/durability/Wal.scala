@@ -127,17 +127,28 @@ object Wal {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
 
-  private def pathExists(spark: SparkSession, p: String): Boolean = {
+  private[durability] def pathExists(spark: SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** Does `p` contain any file (recursively)? An existing-but-empty
+    * data dir (e.g. after full compaction deleted every batch subdir)
+    * must read as an empty log, not a schema-inference error.
+    */
+  private def hasAnyFile(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp) && fs.listFiles(hp, true).hasNext
+  }
+
   /** Read the online log (same schema as [[read]], data dirs only).
-    * A log whose every batch was empty has meta but no data dirs —
-    * that is a legal state and reads as an empty frame.
+    * A log whose every batch was empty — or whose batches were all
+    * compacted away — has meta but no data files; that is a legal
+    * state and reads as an empty frame.
     */
   def readOnline(spark: SparkSession, path: String): DataFrame =
-    if (!pathExists(spark, s"$path/data"))
+    if (!hasAnyFile(spark, s"$path/data"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(

@@ -64,22 +64,31 @@ class SimilaritySpec extends SparkSpec {
 
   test("hot-bucket cap drops the degenerate bucket, keeps the rest") {
     // 30 identical all-positive vectors = one hot bucket in EVERY
-    // table; 2 near-identical negative vectors = a small legit bucket
+    // table; 2 near-identical negative vectors = a small legit bucket;
+    // 2 vectors sharing the HOT bucket in table 0 but their own small
+    // bucket in table 1 — must be recovered from table 1 under capping
     val hot = (0L until 30L).map(i => (i, Array.fill(8)(1.0f)))
     val pairDup = Seq(
       (100L, Array.fill(8)(-1.0f)),
       (101L, Array.fill(8)(-0.99f)))
-    val df = (hot ++ pairDup).toDF("vec_id", "embedding")
+    val straddlers = Seq(
+      (200L, Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)),
+      (201L, Array(0.9f, 0.9f, 0.9f, 0.9f, -0.9f, -0.9f, -0.9f, -0.9f)))
+    val df = (hot ++ pairDup ++ straddlers).toDF("vec_id", "embedding")
     val capped = graft.operators.Dedup.embeddingNearDups(
       df, col("vec_id"), col("embedding"), minCosineMilli = 900,
       bits = 4, tables = 2, maxBucketSize = Some(10))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // the hot bucket (30 > cap) emits nothing; the legit pair survives
-    assert(capped == Set((100L, 101L)))
+    // the hot bucket emits nothing; the legit pair survives; the
+    // straddler pair (first-agreeing table 0 is capped) is recovered
+    // through its surviving table-1 bucket
+    assert(capped == Set((100L, 101L), (200L, 201L)))
     val uncapped = graft.operators.Dedup.embeddingNearDups(
       df, col("vec_id"), col("embedding"), minCosineMilli = 900,
       bits = 4, tables = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(uncapped.size == 30 * 29 / 2 + 1) // all hot pairs + the legit one
+    // all hot pairs + legit pair + straddler pair (hot vectors and
+    // straddlers differ in the table-1 half, cos < 0.9)
+    assert(uncapped.size == 30 * 29 / 2 + 2)
   }
 }

@@ -107,20 +107,29 @@ class DurabilitySpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(Wal.readOnline(spark, s"$tmp/wal").count() == 8)
 
-    // snapshot at lsn 4 + tail replay == full fold; compaction drops
-    // exactly the fully-covered batch dirs and recovery still holds
+    // compaction: snapshot written first, fully-covered batch dirs
+    // dropped, recovery from disk still equals the full fold
     val full = Wal.readOnline(spark, s"$tmp/wal")
       .groupBy(col("key")).agg(sum(col("delta")).as("value"))
       .as[(Long, Long)].collect().toMap
-    val snap = Snapshots.takeOnline(spark, s"$tmp/wal", upToLsn = 4)
-      .localCheckpoint(true) // survive the truncation below
-    val dropped = Snapshots.truncateOnline(spark, s"$tmp/wal", upToLsn = 4)
+    val dropped = Snapshots.compactOnline(
+      spark, s"$tmp/wal", upToLsn = 4, s"$tmp/snap")
     assert(dropped.nonEmpty)
     assert(Wal.readOnline(spark, s"$tmp/wal")
       .filter(col("lsn") <= 4).count() == 0) // covered entries gone
-    val recovered = Snapshots
-      .recoverOnline(spark, snap, s"$tmp/wal", snapshotLsn = 4)
+    val recovered = Snapshots.recoverOnline(
+      spark, Snapshots.read(spark, s"$tmp/snap"), s"$tmp/wal", snapshotLsn = 4)
       .as[(Long, Long)].collect().toMap
     assert(recovered == full)
+    // incremental full compaction (chained off the lsn-4 snapshot)
+    // empties data/ entirely; the log must still read (as empty) and
+    // recovery == the snapshot alone
+    Snapshots.compactOnline(spark, s"$tmp/wal", upToLsn = 8, s"$tmp/snap2",
+      prevSnapshot = Some((s"$tmp/snap", 4L)))
+    assert(Wal.readOnline(spark, s"$tmp/wal").isEmpty)
+    val recovered2 = Snapshots.recoverOnline(
+      spark, Snapshots.read(spark, s"$tmp/snap2"), s"$tmp/wal", snapshotLsn = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(recovered2 == full)
   }
 }
