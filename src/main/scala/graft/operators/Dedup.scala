@@ -196,7 +196,7 @@ object Dedup {
       col("__surv").as("surv_b"), col("tbl"), col("bucket"))
     l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b") &&
-        col("tbl") === Similarity.firstAgreeingSurvivingTable(
+        col("tbl") === Similarity.emissionPredicate(maxBucketSize,
           col("sig_a"), col("sig_b"), col("surv_a"), col("surv_b"), bits, tables) &&
         graft.functions.QuantizedCosineGe(
           col("v_a"), col("v_b"), col("nq_a"), col("nq_b"), minCosineMilli))

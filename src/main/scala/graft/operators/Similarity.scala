@@ -212,6 +212,9 @@ object Similarity {
     */
   private[operators] def capBuckets(
       e: DataFrame, cap: Option[Int], tables: Int): DataFrame = cap match {
+    // uncapped: every table survives — a constant mask keeps the plan
+    // identical in shape to the capped one while the predicate helper
+    // below lets the default path skip the mask entirely
     case None => e.withColumn("__surv", lit((1L << tables) - 1))
     case Some(c) =>
       val sizes = e.groupBy("tbl", "bucket")
@@ -226,6 +229,16 @@ object Similarity {
         .agg(sum(expr("shiftleft(cast(1 as bigint), tbl)")).as("__surv"))
       kept.join(masks, Seq("id"))
   }
+
+  /** The exactly-once pair predicate: with no cap, the plain (cheaper)
+    * first-agreeing-table check; under a cap, the surviving-table
+    * variant over the `__surv` masks.
+    */
+  private[operators] def emissionPredicate(
+      cap: Option[Int], sigA: Column, sigB: Column,
+      survA: Column, survB: Column, bits: Int, tables: Int): Column =
+    if (cap.isEmpty) firstAgreeingTable(sigA, sigB, bits, tables)
+    else firstAgreeingSurvivingTable(sigA, sigB, survA, survB, bits, tables)
 
 
   /** Corpus×corpus LSH top-k: every vector's k nearest LSH-candidate
@@ -256,7 +269,7 @@ object Similarity {
       col("sig").as("sig_b"), col("__surv").as("surv_b"), col("tbl"), col("bucket"))
     val cands = l.join(r, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid") &&
-        col("tbl") === firstAgreeingSurvivingTable(
+        col("tbl") === emissionPredicate(maxBucketSize,
           col("sig_a"), col("sig_b"), col("surv_a"), col("surv_b"), bits, tables))
       .select(col("qid"), col("cid"), dotQ(col("qv"), col("cv")).as("dot_q"))
     // largest (dot_q, -cid) == highest dot, ties to the smallest cid
