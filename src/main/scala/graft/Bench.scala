@@ -1,15 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{Executors, TimeUnit}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Benchmark main: one JSON line with per-query seconds.
+  *
+  * Timing stays strictly serial (concurrent queries contend for cores and
+  * inflate each other's numbers 2–4×), but the harness is defensive:
+  *   - a per-query watchdog cancels the query's job group so one hung plan
+  *     can't eat the driver's window;
+  *   - a global deadline marks the rest "skipped" and still prints the line;
+  *   - failures are recorded per-query instead of a silent -1 that would
+  *     *improve* the total;
+  *   - the streaming latency probe is time-boxed and runs on few shuffle
+  *     partitions (32 state stores over 2k-row batches cost 3–4 s each to
+  *     load — that's what killed round 4's bench).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "120").toLong
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1080").toLong
+    val probeSec = sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_S", "180").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val deadline = System.nanoTime() + budgetSec * 1_000_000_000L
+    def remainingSec: Long = (deadline - System.nanoTime()) / 1_000_000_000L
+
     // Warm up JIT/codegen + file listing so the first timed query isn't
     // charged the session's one-time costs.
     try {
@@ -17,20 +40,65 @@ object Bench {
         graft.tables.Tables.load(spark, sfDir, t).count()
       }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val watchdog = Executors.newScheduledThreadPool(1)
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (remainingSec <= perQuerySec / 2) skipped += name
+      else {
+        val group = s"bench-$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val kill = watchdog.schedule(new Runnable {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+        }, math.min(perQuerySec, math.max(1L, remainingSec)), TimeUnit.SECONDS)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+        } finally {
+          kill.cancel(false)
+          spark.sparkContext.clearJobGroup()
+        }
+      }
+    }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = times.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // per-micro-batch latency percentiles for the streaming
-    // transactional pipeline (LatencyTracker analog)
-    val latency =
-      try graft.streaming.StreamingBank.latencyProbe(spark).toJsonFragment
-      catch { case _: Throwable => """"stream_latency_ms":{}""" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$latency,"sf":"$sfDir"}""")
+    val skipJson = skipped.map(jstr).mkString("[", ",", "]")
+    val total = times.values.sum
+
+    // per-micro-batch latency percentiles for the streaming transactional
+    // pipeline (LatencyTracker analog) — time-boxed; tiny batches want few
+    // state-store partitions.
+    val probePool = Executors.newSingleThreadExecutor()
+    val probeEc = ExecutionContext.fromExecutor(probePool)
+    val latency = if (remainingSec <= 10) """"stream_latency_ms":{}""" else {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val f = Future(
+        graft.streaming.StreamingBank.latencyProbe(spark).toJsonFragment)(probeEc)
+      val out =
+        try Await.result(f, math.min(probeSec, math.max(1L, remainingSec)).seconds)
+        catch { case _: Throwable =>
+          try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => () }
+          """"stream_latency_ms":{}"""
+        }
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      out
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"skipped":$skipJson,$latency,"sf":"$sfDir"}""")
+    watchdog.shutdownNow()
+    probePool.shutdownNow()
     spark.stop()
+    System.exit(0)
   }
 }

@@ -1,27 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hard requirements learned in round 4 (the driver's wall-clock window is
+  * the real gate, not query cost):
+  *   - `oracle_sql.json` is written FIRST, before any Spark work — a single
+  *     hung query must not zero the whole round's correctness signal.
+  *   - Queries run on a small thread pool over the shared session. The
+  *     ~20–30 s per-query fixed cost (planning + Janino codegen +
+  *     coalesce(1) write) is single-core-bound, so overlapping them cuts
+  *     the 71-query gate from ~28 min serial to a few minutes.
+  *   - Each query gets its own Spark job group and a watchdog that cancels
+  *     the group on timeout, so one outlier records an error and the rest
+  *     of the suite still lands.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Concurrency ~cores/4: each query is mostly single-core (planning/
+    // codegen/small-partition execution), but the heavy ones fan out —
+    // 8 threads over 4 cores was measured to push the heavy tail past
+    // the watchdog, while 8 over 32 overlaps the fixed costs cleanly.
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").map(_.toInt)
+      .getOrElse(math.max(2, math.min(8, cpus.toInt / 4)))
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "150").toLong
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_S", "1080").toLong
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,9 +47,78 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Written before the session even starts: the oracle side of the gate
+    // survives any query-side failure.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val deadline = System.nanoTime() + budgetSec * 1_000_000_000L
+    def remainingSec: Long =
+      math.max(1L, (deadline - System.nanoTime()) / 1_000_000_000L)
+
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val watchdog = Executors.newScheduledThreadPool(1)
+    val status = new ConcurrentHashMap[String, String]()
+
+    // Longest-processing-time-first packing: the known-heavy families
+    // (multi-pass regex/shingle chains, LSH self-joins, CC iteration,
+    // streaming) go first so the tail of the schedule is short queries,
+    // not a 2-minute straggler started last.
+    val heavy = Seq("curate_corpus", "dup_clusters", "text_", "dedup_",
+      "simhash", "ann_", "decontaminate", "t_streaming_", "multimodal_")
+    def weight(n: String): Int = if (heavy.exists(n.startsWith)) 0 else 1
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (weight(n), n) }
+    val futures = ordered.map { case (name, fn) =>
+      name -> Future {
+        val group = s"verify-$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        // Watchdog counts from actual start (queries queue behind the
+        // pool), cancelling the job group mid-flight on timeout.
+        val kill = watchdog.schedule(new Runnable {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+        }, perQuerySec, TimeUnit.SECONDS)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          status.put(name, "ok")
+        } catch { case e: Throwable =>
+          status.put(name, s"err: ${e.getMessage}")
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally {
+          kill.cancel(false)
+          spark.sparkContext.clearJobGroup()
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[verify] $name ${status.get(name)} ($sec%.1f s)")
+        }
+      }
+    }
+    futures.foreach { case (name, f) =>
+      try Await.ready(f, remainingSec.seconds)
+      catch { case _: concurrent.TimeoutException =>
+        status.put(name, "timeout: verify budget exhausted")
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        System.err.println(s"[verify] $name abandoned (budget)")
+      }
+    }
+    val statusJson = status.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
+    watchdog.shutdownNow()
+    pool.shutdownNow()
     spark.stop()
+    // A pool thread stuck in driver-side planning would otherwise keep the
+    // JVM alive past the driver's window.
+    System.exit(0)
   }
 }
