@@ -43,6 +43,14 @@ object Clusters {
     // both directions, deduped once up front — reused every round
     val edges = dir.union(dir.select(col("v"), col("u")))
       .distinct().localCheckpoint(true)
+    // A non-numeric id column (e.g. string doc ids) casts to null
+    // silently, which would collapse every such node into one bogus
+    // null-keyed cluster — misuse must fail loudly instead. One cheap
+    // scan of the already-checkpointed (deduped) edge set.
+    require(edges.filter(col("u").isNull || col("v").isNull).isEmpty,
+      "connectedComponents: endpoint columns must be long-castable " +
+        "ids with no nulls (map string ids to longs first, e.g. via " +
+        "monotonically-increasing id assignment or a hash)")
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     var round = 0

@@ -28,8 +28,18 @@ object Curation {
       embeddings: DataFrame, // (vec_id, embedding)
       minQualityMilli: Long = 30,
       minCosineMilli: Long = 350,
-      bits: Int = 4,
-      tables: Int = 8): DataFrame = {
+      bits: Int = 6,
+      tables: Int = 8): DataFrame =
+    build(docs, embeddings, minQualityMilli, minCosineMilli, bits, tables)._1
+
+  /** (curated result, the internally-persisted survivor frame). */
+  private def build(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      minQualityMilli: Long,
+      minCosineMilli: Long,
+      bits: Int,
+      tables: Int): (DataFrame, DataFrame) = {
     val featured = docs.select(
       col("doc_id"),
       TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"),
@@ -49,17 +59,37 @@ object Curation {
       // the final anti-join); without materialization each would re-run
       // the full regex/md5 feature pass over the corpus. Its schema is
       // the narrow survivor projection (id + fingerprint + two ints),
-      // so caching it is O(ids), not O(text). No unpersist handle is
-      // needed: Spark's CacheManager keys entries by analyzed plan, so
-      // repeated curate() calls over the same inputs REUSE one entry
-      // (bounded by the number of distinct corpora, evictable
-      // MEMORY_AND_DISK blocks either way).
+      // so caching it is O(ids), not O(text). Spark's CacheManager keys
+      // entries by analyzed plan, so repeated curate() calls over the
+      // SAME inputs reuse one entry; a session curating many DISTINCT
+      // corpora should use [[curateScoped]], which unpersists this
+      // frame once the caller has consumed the result.
       .persist()
     val withVec = kept.select("doc_id").join(
       embeddings.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
     val nearDropped = Dedup.embeddingNearDups(
       withVec, col("doc_id"), col("embedding"), minCosineMilli, bits, tables)
       .select(col("id_b").as("doc_id")).distinct()
-    kept.join(nearDropped, Seq("doc_id"), "left_anti")
+    (kept.join(nearDropped, Seq("doc_id"), "left_anti"), kept)
+  }
+
+  /** Scoped variant for a long-lived session curating MANY distinct
+    * corpora: [[curate]]'s internal survivor cache is keyed by analyzed
+    * plan, so distinct inputs each leave a CacheManager entry for the
+    * JVM lifetime. Here the caller consumes the curated frame inside
+    * `use` (collect / write / count — anything that materializes), and
+    * the survivor cache entry is unpersisted on the way out.
+    */
+  def curateScoped[T](
+      docs: DataFrame,
+      embeddings: DataFrame,
+      minQualityMilli: Long = 30,
+      minCosineMilli: Long = 350,
+      bits: Int = 6,
+      tables: Int = 8)(use: DataFrame => T): T = {
+    val (out, kept) =
+      build(docs, embeddings, minQualityMilli, minCosineMilli, bits, tables)
+    try use(out)
+    finally { kept.unpersist(); () }
   }
 }

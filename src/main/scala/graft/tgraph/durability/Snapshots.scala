@@ -95,6 +95,21 @@ object Snapshots {
       spark: SparkSession, walPath: String, upToLsn: Long,
       snapshotPath: String,
       prevSnapshot: Option[(String, Long)] = None): Seq[Long] = {
+    // The new snapshot must not overwrite the one it reads from: the
+    // overwrite deletes the old dir before the (lazy) fold job scans it,
+    // and with earlier WAL entries already truncated that state would be
+    // unrecoverable. Compare fs-qualified URIs so `/p/` vs `/p` or a
+    // scheme alias can't sneak past the check.
+    def qualified(s: String): java.net.URI = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.normalize()
+    }
+    prevSnapshot.foreach { case (p, _) =>
+      require(qualified(p) != qualified(snapshotPath),
+        s"compactOnline: snapshotPath must differ from the previous " +
+          s"snapshot's path ($p) — alternate between two locations")
+    }
     val delta = prevSnapshot.map(_._2).getOrElse(0L)
     val deltaFold = Wal.readOnline(spark, walPath)
       .filter(col("lsn") > delta && col("lsn") <= upToLsn)

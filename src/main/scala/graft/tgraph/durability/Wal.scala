@@ -25,9 +25,14 @@ object Wal {
     * never a single-partition stage.
     */
   private def numbered(df: DataFrame, offset: Long): DataFrame = {
+    // The within-partition sort includes EVERY column so the order is
+    // total even when (tid, branch) ties exist: repartitionByRange's
+    // sampling seed varies with the RDD id, so a re-executed batch could
+    // otherwise bind lsns to tied rows differently than the original
+    // attempt and break appendBatch's idempotent-retry story.
     val sorted = df
       .repartitionByRange(col(TStream.TidCol), col(TStream.BranchCol))
-      .sortWithinPartitions(col(TStream.TidCol), col(TStream.BranchCol))
+      .sortWithinPartitions(df.columns.map(col).toIndexedSeq: _*)
     val schema = sorted.schema.add("lsn", LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (offset + i + 1L))
@@ -78,6 +83,18 @@ object Wal {
     */
   def appendBatch(updates: DataFrame, path: String, batchId: Long): Unit = {
     val spark = updates.sparkSession
+    // The online log's schema is fixed at (lsn, tid, branch, key, delta)
+    // all-long — readOnline's empty-log branch returns exactly that, so
+    // enforcing it at WRITE time keeps empty and non-empty logs
+    // union-compatible. Integral-only (widening) casts: a double delta
+    // would truncate silently, so it must fail loudly here instead.
+    Seq(TStream.TidCol, TStream.BranchCol, "key", "delta").foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val dt = updates.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"online WAL column '$c' must be integral (got $dt); " +
+          "store amounts as exact integer units (e.g. cents)")
+    }
     // Missing meta dir = first batch, offset 0. Any OTHER failure must
     // propagate: silently defaulting the offset would renumber this
     // batch from 1 and corrupt the dense-lsn invariant, which is the
@@ -91,8 +108,9 @@ object Wal {
           .filter(col("batch_id") < batchId)
           .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
     val entries = numbered(
-      updates.select(col(TStream.TidCol), col(TStream.BranchCol),
-        col("key"), col("delta")),
+      updates.select(col(TStream.TidCol).cast(LongType),
+        col(TStream.BranchCol).cast(LongType),
+        col("key").cast(LongType), col("delta").cast(LongType)),
       offset)
       .select(col("lsn"), col(TStream.TidCol).as("tid"),
         col(TStream.BranchCol).as("branch"), col("key"), col("delta"))
