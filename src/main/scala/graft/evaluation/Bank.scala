@@ -3,7 +3,7 @@ package graft.evaluation
 import graft.tables.Tables
 import graft.tgraph._
 import graft.tgraph.backed.Transfers
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The bank use case — the reference's `evaluation/BankUseCase.java`
@@ -122,12 +122,13 @@ object Bank {
     * anomaly read-committed admits — so its output provably differs
     * from PL3 on the same input (the PL1-vs-PL3 boundary).
     */
-  def sequentialBalances(
-      spark: SparkSession,
-      dir: String,
-      isolation: IsolationLevel = IsolationLevel.PL3): DataFrame = {
+  /** The per-account signed-cents deltas of the events table — the
+    * sequential-invariant workload shared by the batch executor, the
+    * online pipeline and the isolation-boundary queries.
+    */
+  def acctDeltas(spark: SparkSession, dir: String): Dataset[AcctDelta] = {
     import spark.implicits._
-    val deltas = Tables.load(spark, dir, "events")
+    Tables.load(spark, dir, "events")
       .select(
         col("user_id").cast("bigint").as("acct"),
         col("event_id").as("tid"),
@@ -135,16 +136,33 @@ object Bank {
           -graft.tgraph.backed.Transfers.cents(col("value")))
           .otherwise(graft.tgraph.backed.Transfers.cents(col("value"))).as("delta"))
       .as[AcctDelta]
-    graft.tgraph.state.StateOperator
-      .runBatch[AcctDelta, Long, Long](
-        deltas, _.acct, _.tid, new CentsBalances(StartCents), isolation = isolation)
-      .toDF()
+  }
+
+  /** key/tid/value/committed transition history → the per-account
+    * summary the sequential queries return (final balance, commit
+    * counts). Shared by the batch and streaming spellings so both are
+    * checked against the identical recursive-CTE oracle.
+    */
+  def sequentialSummary(history: DataFrame): DataFrame =
+    history
       .groupBy(col("key").as("acct"))
       .agg(
         max_by(col("value"), col("tid")).as("balance_cents"),
         sum(when(col("committed"), 1L).otherwise(0L)).as("n_committed"),
         count(lit(1)).as("n_events"))
       .select(col("acct"), col("balance_cents"), col("n_committed"), col("n_events"))
+
+  def sequentialBalances(
+      spark: SparkSession,
+      dir: String,
+      isolation: IsolationLevel = IsolationLevel.PL3): DataFrame = {
+    import spark.implicits._
+    sequentialSummary(
+      graft.tgraph.state.StateOperator
+        .runBatch[AcctDelta, Long, Long](
+          acctDeltas(spark, dir), _.acct, _.tid,
+          new CentsBalances(StartCents), isolation = isolation)
+        .toDF())
   }
 
   /** ConsistencyCheck: committed money must be conserved (net 0). */

@@ -178,14 +178,34 @@ object BankQueries {
     // oracle replays the same serial schedule via a recursive CTE.
     "t_state_sequential" -> ((s, dir) =>
       graft.evaluation.Bank.sequentialBalances(s, dir).orderBy("acct")),
-    // The PL1-vs-PL3 boundary: same workload, invariant validated on
-    // the stale open-snapshot read (read-committed) — lost updates are
-    // admitted, so commit decisions and balances provably differ from
-    // t_state_sequential (the PL3 serial history). The isolation
-    // lattice is operational, not decorative.
+    // The SAME sequential invariant run ONLINE: tid-ordered micro-batches
+    // through flatMapGroupsWithState, votes validated against the RUNNING
+    // state-store state (reference: online StateOperator + replay loop).
+    // Checked against the identical recursive-CTE oracle as
+    // t_state_sequential — online ≡ batch is the correctness claim.
+    "t_streaming_sequential" -> ((s, dir) => {
+      val deltas = graft.evaluation.Bank.acctDeltas(s, dir)
+        .orderBy("tid").collect().toSeq
+      graft.evaluation.Bank.sequentialSummary(
+        graft.streaming.StreamingBank.runSequentialOnline(
+          s, deltas, nBatches = 4, sinkName = "t_streaming_sequential_sink"))
+        .orderBy("acct")
+    }),
+    // The PL1 dirty-read boundary (reference PL1Strategy: read the
+    // last executed write, committed or not): votes read the dirty
+    // chain, so commit decisions differ from both PL2 (stale committed
+    // snapshot) and PL3 (running committed serial value) on the same
+    // workload. The isolation lattice is operational, not decorative.
     "t_isolation_pl1" -> ((s, dir) =>
       graft.evaluation.Bank
         .sequentialBalances(s, dir, IsolationLevel.PL1).orderBy("acct")),
+    // The PL2 read-committed boundary (reference PL2Strategy:
+    // readCommittedBefore(watermark)): invariant validated on the
+    // stale open-snapshot read — lost updates admitted, histories
+    // provably between PL1's and PL3's.
+    "t_isolation_pl2" -> ((s, dir) =>
+      graft.evaluation.Bank
+        .sequentialBalances(s, dir, IsolationLevel.PL2).orderBy("acct")),
     // Single-partition updates (the reference's SinglePartitionUpdate /
     // DepositsAndWithdrawalsGenerator): one-key transactions that skip
     // the 2PC fork — state() with a never-aborting invariant.
@@ -308,33 +328,35 @@ object BankQueries {
         |  CAST(count(*) AS BIGINT) AS n_entries
         |FROM wal WHERE lsn <= 10000
         |GROUP BY acct ORDER BY acct""".stripMargin),
-    "t_state_sequential" ->
-      """WITH RECURSIVE m AS (
+    "t_state_sequential" -> SequentialOracle,
+    // online ≡ batch: the streaming spelling answers to the same
+    // serial-schedule oracle
+    "t_streaming_sequential" -> SequentialOracle,
+    // PL1: dirty read — commit decided on the all-writes-applied
+    // chain, i.e. the cumulative sum of EVERY delta up to and
+    // including this one; the committed balance then only accumulates
+    // the committed deltas. Windows, no recursion.
+    "t_isolation_pl1" ->
+      """WITH m AS (
         |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
         |    CASE WHEN event_type IN ('purchase','error')
         |         THEN -CAST(round(value*100) AS BIGINT)
-        |         ELSE CAST(round(value*100) AS BIGINT) END AS delta,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |         ELSE CAST(round(value*100) AS BIGINT) END AS delta
         |  FROM events),
-        |rec AS (
-        |  SELECT acct, rn, tid,
-        |    CASE WHEN 10000 + delta >= 0 THEN 10000 + delta ELSE 10000 END AS bal,
-        |    CASE WHEN 10000 + delta >= 0 THEN 1 ELSE 0 END AS c
-        |  FROM m WHERE rn = 1
-        |  UNION ALL
-        |  SELECT m.acct, m.rn, m.tid,
-        |    CASE WHEN rec.bal + m.delta >= 0 THEN rec.bal + m.delta ELSE rec.bal END,
-        |    CASE WHEN rec.bal + m.delta >= 0 THEN 1 ELSE 0 END
-        |  FROM rec JOIN m ON m.acct = rec.acct AND m.rn = rec.rn + 1)
+        |d AS (
+        |  SELECT acct, tid, delta,
+        |    10000 + sum(delta) OVER (PARTITION BY acct ORDER BY tid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dirty
+        |  FROM m)
         |SELECT acct,
-        |  CAST(max_by(bal, rn) AS BIGINT) AS balance_cents,
-        |  CAST(sum(c) AS BIGINT) AS n_committed,
+        |  CAST(10000 + coalesce(sum(CASE WHEN dirty >= 0 THEN delta END), 0) AS BIGINT) AS balance_cents,
+        |  CAST(sum(CASE WHEN dirty >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_committed,
         |  count(*) AS n_events
-        |FROM rec GROUP BY acct ORDER BY acct""".stripMargin,
-    // PL1: commit decided on the stale snapshot read (start balance),
-    // write applied blindly — no recursion needed, unlike PL3's serial
-    // recursive CTE above.
-    "t_isolation_pl1" ->
+        |FROM d GROUP BY acct ORDER BY acct""".stripMargin,
+    // PL2: commit decided on the stale snapshot read (start balance),
+    // the write applied to the running committed value on commit — no
+    // recursion needed, unlike PL3's serial recursive CTE above.
+    "t_isolation_pl2" ->
       """WITH m AS (
         |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
         |    CASE WHEN event_type IN ('purchase','error')
@@ -359,4 +381,35 @@ object BankQueries {
     "t_snapshot_recovery" -> (OraclePrefix +
       "SELECT acct, CAST(sum(delta_cents) AS BIGINT) AS recovered_cents FROM cmv GROUP BY acct ORDER BY acct")
   )
+
+  /** The serial-schedule oracle shared by the batch
+    * (`t_state_sequential`) and online (`t_streaming_sequential`)
+    * spellings of the sequential invariant: a recursive CTE replaying
+    * each account's updates in tid order from the 10000-cent start,
+    * rejecting any update that would drive the balance negative.
+    * (lazy: referenced from `oracles`, which is declared above.)
+    */
+  private lazy val SequentialOracle: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
+      |    CASE WHEN event_type IN ('purchase','error')
+      |         THEN -CAST(round(value*100) AS BIGINT)
+      |         ELSE CAST(round(value*100) AS BIGINT) END AS delta,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events),
+      |rec AS (
+      |  SELECT acct, rn, tid,
+      |    CASE WHEN 10000 + delta >= 0 THEN 10000 + delta ELSE 10000 END AS bal,
+      |    CASE WHEN 10000 + delta >= 0 THEN 1 ELSE 0 END AS c
+      |  FROM m WHERE rn = 1
+      |  UNION ALL
+      |  SELECT m.acct, m.rn, m.tid,
+      |    CASE WHEN rec.bal + m.delta >= 0 THEN rec.bal + m.delta ELSE rec.bal END,
+      |    CASE WHEN rec.bal + m.delta >= 0 THEN 1 ELSE 0 END
+      |  FROM rec JOIN m ON m.acct = rec.acct AND m.rn = rec.rn + 1)
+      |SELECT acct,
+      |  CAST(max_by(bal, rn) AS BIGINT) AS balance_cents,
+      |  CAST(sum(c) AS BIGINT) AS n_committed,
+      |  count(*) AS n_events
+      |FROM rec GROUP BY acct ORDER BY acct""".stripMargin
 }

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.evaluation.Bank
-import graft.tgraph.Vote
+import graft.tgraph.{IsolationLevel, Vote}
 import graft.tgraph.backed.Transfers
-import graft.tgraph.state.{ObjectHandler, StateChange, StateFunction, StateOperator}
+import graft.tgraph.state.{ObjectHandler, StateChange, StateFunction, StateOperator, VotingStateFunction}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,73 @@ object StreamingBank {
         .as("m"))
       .groupBy(col("m.acct").as("acct"))
       .agg(sum(col("m.delta")).as("balance_cents"), count(lit(1)).as("n_updates"))
+  }
+
+  /** The reference's TRUE state-dependent invariant ONLINE: balances
+    * start at [[Bank.StartCents]] and an update driving one negative
+    * aborts — the vote of transaction N reads the RUNNING state left by
+    * 1..N-1 (previous micro-batches via the state store, earlier
+    * transactions of this batch via the serial fold), which is exactly
+    * what the stateless-vote pipelines above cannot express. This is
+    * the online spelling of `evaluation/BankUseCase.java`'s Balances
+    * invariant + the `tgraph/twopc/` replay loop
+    * ([[StateOperator.runStreaming]] handles REPLAY votes in-batch).
+    */
+  def sequentialBalancesOnline(
+      spark: SparkSession,
+      deltas: Dataset[Bank.AcctDelta],
+      isolation: IsolationLevel = IsolationLevel.PL3,
+      maxReplays: Int = 2): Dataset[StateChange[Long, Long]] = {
+    import spark.implicits._
+    StateOperator.runStreaming[Bank.AcctDelta, Long, Long](
+      deltas, _.acct, _.tid, new Bank.CentsBalances(Bank.StartCents),
+      isolation = isolation, maxReplays = maxReplays)
+  }
+
+  /** Insufficient funds as a TRANSIENT condition: vote REPLAY instead
+    * of ABORT, betting a covering deposit lands later in the batch; the
+    * replay loop's fixed point aborts only what deterministically still
+    * fails (reference: optimistic strategies' abort-and-replay,
+    * `tgraph/db/OptimisticTransactionExecutor.java`).
+    */
+  final class ReplayCentsBalances(start: Long)
+      extends VotingStateFunction[Bank.AcctDelta, Long] {
+    def defaultValue: Long = start
+    def copyValue(v: Long): Long = v
+    def invariant(v: Long): Boolean = v >= 0
+    def apply(d: Bank.AcctDelta, h: ObjectHandler[Long]): Unit =
+      h.write(h.read() + d.delta)
+    override def vote(d: Bank.AcctDelta, value: Long): Int =
+      if (value >= 0) Vote.Commit else Vote.Replay
+  }
+
+  /** Drive tid-ordered `deltas` through the online sequential-invariant
+    * pipeline in `nBatches` micro-batches and return the full
+    * StateChange history as a batch DataFrame (memory sink). The
+    * correctness claim this enables: online ≡ the batch serial fold
+    * (`t_state_sequential`) on the same input — proved by the
+    * `t_streaming_sequential` oracle entry and the streaming specs.
+    */
+  def runSequentialOnline(
+      spark: SparkSession,
+      deltas: Seq[Bank.AcctDelta],
+      nBatches: Int,
+      sinkName: String,
+      isolation: IsolationLevel = IsolationLevel.PL3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Bank.AcctDelta]
+    val q = sequentialBalancesOnline(spark, input.toDS(), isolation)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val chunk = math.max(1, math.ceil(deltas.size.toDouble / nBatches).toInt)
+      deltas.grouped(chunk).foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sinkName)
   }
 
   /** The streaming state fold: acct → running balance versions. */

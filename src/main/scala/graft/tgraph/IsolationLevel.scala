@@ -3,16 +3,23 @@ package graft.tgraph
 /** Isolation levels, mirroring the reference's
   * `tgraph/IsolationLevel.java:6` (PL0..PL4, `gte` = ordinal order).
   *
-  * Batch-deterministic semantics in graft:
-  *  - PL0: dirty reads — state folds apply every update, aborted
-  *    transactions included; the typed executor skips invariant
-  *    validation entirely.
-  *  - PL1/PL2: committed-only visibility; in the typed executor
-  *    ([[graft.tgraph.state.StateOperator.runBatch]]) invariants are
-  *    validated against the stale snapshot-at-open read, admitting the
-  *    lost-update anomalies read-committed permits — so PL1 histories
-  *    provably differ from PL3 on the same input (`t_isolation_pl1` vs
-  *    `t_state_sequential`).
+  * Batch-deterministic semantics in graft (the reference's
+  * `state/PL0Strategy..PL4Strategy.java` read/write lattice):
+  *  - PL0: dirty reads AND dirty writes — state folds apply every
+  *    update, aborted transactions included; the typed executor skips
+  *    invariant validation entirely.
+  *  - PL1: dirty READ, no dirty write (reference `PL1Strategy`): in
+  *    the typed executor
+  *    ([[graft.tgraph.state.StateOperator.runBatch]]) the vote reads
+  *    the dirty chain — the running value with every executed write
+  *    applied, committed or not — while the committed chain advances
+  *    only on commit (`t_isolation_pl1`).
+  *  - PL2: read-committed (reference `PL2Strategy`'s
+  *    `readCommittedBefore(watermark)`): the vote is validated against
+  *    the stale committed-snapshot-at-open read, admitting the
+  *    lost-update anomalies read-committed permits — so PL2 histories
+  *    provably differ from both PL1 and PL3 on the same input
+  *    (`t_isolation_pl2` vs `t_isolation_pl1`/`t_state_sequential`).
   *  - PL3: committed updates, serialized per key in (order, tid, branch)
   *    order — what the window fold computes; the typed executor's
   *    invariant reads the running serial value.

@@ -1,6 +1,6 @@
 package graft.tgraph.state
 
-import graft.tgraph.{IsolationLevel, Strategy}
+import graft.tgraph.{IsolationLevel, Strategy, Vote}
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -13,6 +13,24 @@ trait StateFunction[T, V] extends Serializable {
   /** Must hold after `apply` for the update to commit. */
   def invariant(v: V): Boolean
   def apply(element: T, handler: ObjectHandler[V]): Unit
+}
+
+/** A state function that can vote REPLAY — the online third verdict
+  * (`tgraph/Vote.java:6`): "this transaction cannot be decided against
+  * the state it saw; run it again". The executor re-runs REPLAY-voted
+  * transactions after the rest of the batch has applied (the
+  * reference's `twopc/` replay loop), so a transiently-failing
+  * transaction (e.g. a withdrawal whose covering deposit appears later
+  * in the same batch) commits on replay, while a deterministic abort
+  * condition re-fires and aborts.
+  */
+trait VotingStateFunction[T, V] extends StateFunction[T, V] {
+  /** Vote for the transaction given the post-apply value:
+    * [[Vote.Commit]] / [[Vote.Abort]] / [[Vote.Replay]].
+    * Default = the plain invariant check.
+    */
+  def vote(element: T, value: V): Int =
+    if (invariant(value)) Vote.Commit else Vote.Abort
 }
 
 /** `tgraph/db/ObjectHandler.java` analog: read/write access to the
@@ -55,17 +73,112 @@ final case class StateChange[K, V](
   */
 object StateOperator {
 
-  /** Batch: replay per key in tid order, emitting every transition.
+  private def voteOf[T, V](sf: StateFunction[T, V], t: T, v: V): Int =
+    sf match {
+      // safe despite erasure: vf IS sf, invoked with sf's own T/V
+      case vf: VotingStateFunction[T @unchecked, V @unchecked] => vf.vote(t, v)
+      case _ => if (sf.invariant(v)) Vote.Commit else Vote.Abort
+    }
+
+  /** The per-key serial fold shared by the batch and streaming
+    * executors. One transition per input element, in tid order; REPLAY
+    * votes are queued and re-run after the round (up to `maxReplays`
+    * rounds — the reference's replay loop), with the documented fixed
+    * point on the final round: deterministic abort conditions re-fire,
+    * transient conditions clear (see [[graft.tgraph.TGraphResult]]'s
+    * `resolved`).
     *
-    * The isolation level picks WHAT each transaction's invariant reads
-    * (the isolation lattice made operational, not decorative):
+    * The isolation level picks WHAT each transaction's vote reads —
+    * the reference's `VersioningStrategy` lattice
+    * (`state/PL0Strategy..PL4Strategy.java`) made operational in the
+    * deterministic fold:
     *  - PL0: no validation — every write lands (dirty-write history);
-    *  - PL1/PL2: read-committed — the invariant is validated against
-    *    the committed SNAPSHOT AT OPEN (stale read), but the write
-    *    applies to the running value. Lost-update/write-skew anomalies
-    *    are admitted, exactly what read-committed permits;
-    *  - PL3/PL4: serializable — the invariant reads the running serial
+    *  - PL1: dirty read, no dirty WRITE (reference `PL1Strategy`:
+    *    `readLastVersionBefore(timestamp)` + last-writer ordering) —
+    *    the vote reads the DIRTY chain, the running value with EVERY
+    *    executed write applied whether or not it committed; the
+    *    committed chain still only advances on commit;
+    *  - PL2: read-committed (reference `PL2Strategy`:
+    *    `readCommittedBefore(watermark)`) — the vote is computed
+    *    against the committed SNAPSHOT (`snapshot`: graph open for
+    *    batch, micro-batch start for streaming), but the write applies
+    *    to the running value. Lost-update/write-skew anomalies are
+    *    admitted, exactly what read-committed permits;
+    *  - PL3/PL4: serializable — the vote reads the running serial
     *    value (tx N sees the state left by 1..N-1).
+    */
+  private def foldGroup[T, K, V](
+      k: K,
+      ordered: IndexedSeq[T],
+      tid: T => Long,
+      sf: StateFunction[T, V],
+      isolation: IsolationLevel,
+      maxReplays: Int,
+      start: (V, V, Int),
+      snapshot: V): (Vector[StateChange[K, V]], V, V, Int) = {
+    var value = start._1
+    var dirty = start._2
+    var version = start._3
+    val out = Vector.newBuilder[StateChange[K, V]]
+    def round(elems: IndexedSeq[T], force: Boolean): IndexedSeq[T] = {
+      val replays = IndexedSeq.newBuilder[T]
+      elems.foreach { t =>
+        val h = new ObjectHandler[V](sf.copyValue(value))
+        sf.apply(t, h)
+        // PL1's read target: every executed write applied, commit or
+        // not (constructed only on the PL1 path — one copy per element)
+        lazy val hd = {
+          val hh = new ObjectHandler[V](sf.copyValue(dirty))
+          sf.apply(t, hh)
+          hh
+        }
+        val vote =
+          if (!h.written) Vote.Abort
+          else if (isolation.ordinal == 0) Vote.Commit
+          else if (isolation.ordinal == 1) voteOf(sf, t, hd.value)
+          else if (isolation.ordinal >= 3) voteOf(sf, t, h.value)
+          else { // PL2: vote on the stale committed-snapshot read
+            val stale = new ObjectHandler[V](sf.copyValue(snapshot))
+            sf.apply(t, stale)
+            voteOf(sf, t, stale.value)
+          }
+        val resolved =
+          if (vote == Vote.Replay && force)
+            // replay-loop fixed point: deterministic conditions decide
+            if (sf.invariant(h.value)) Vote.Commit else Vote.Abort
+          else vote
+        // The dirty chain installs every DECIDED execution (the
+        // reference installs versions of transactions that may yet
+        // abort); a REPLAY re-queue hasn't decided, so it installs
+        // nothing until its re-run.
+        if (isolation.ordinal == 1 && resolved != Vote.Replay && hd.written)
+          dirty = hd.value
+        resolved match {
+          case Vote.Commit =>
+            value = h.value
+            version += 1
+            if (isolation.ordinal != 1) dirty = value
+            out += StateChange(k, tid(t), version, value, committed = true)
+          case Vote.Abort =>
+            out += StateChange(k, tid(t), version, value, committed = false)
+          case _ => replays += t
+        }
+      }
+      replays.result().toIndexedSeq
+    }
+    var queue = round(ordered, force = maxReplays == 0)
+    var r = 0
+    while (queue.nonEmpty && r < maxReplays) {
+      r += 1
+      queue = round(queue, force = r == maxReplays)
+    }
+    (out.result(), value, dirty, version)
+  }
+
+  /** Batch: replay per key in tid order, emitting every transition.
+    * Isolation/replay semantics: see [[foldGroup]]; the PL1/PL2
+    * snapshot is the committed state as of graph open
+    * (`sf.defaultValue`).
     */
   def runBatch[T, K, V](
       ds: Dataset[T],
@@ -73,65 +186,53 @@ object StateOperator {
       tid: T => Long,
       sf: StateFunction[T, V],
       strategy: Strategy = Strategy.Pessimistic,
-      isolation: IsolationLevel = IsolationLevel.PL3)(implicit
+      isolation: IsolationLevel = IsolationLevel.PL3,
+      maxReplays: Int = 2)(implicit
       kEnc: Encoder[K],
       outEnc: Encoder[StateChange[K, V]]): Dataset[StateChange[K, V]] =
     ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[T]) =>
-      val ordered = it.toIndexedSeq.sortBy(tid)
-      val snapshot = sf.defaultValue // committed state as of open
-      var value = sf.defaultValue
-      var version = 0
-      ordered.iterator.map { t =>
-        val h = new ObjectHandler[V](sf.copyValue(value))
-        sf.apply(t, h)
-        val valid =
-          if (isolation.ordinal == 0) h.written
-          else if (isolation.ordinal >= 3) h.written && sf.invariant(h.value)
-          else { // PL1/PL2: validate on the stale open-snapshot read
-            val stale = new ObjectHandler[V](sf.copyValue(snapshot))
-            sf.apply(t, stale)
-            h.written && sf.invariant(stale.value)
-          }
-        if (valid) {
-          value = h.value
-          version += 1
-          StateChange(k, tid(t), version, value, committed = true)
-        } else {
-          StateChange(k, tid(t), version, value, committed = false)
-        }
-      }
+      foldGroup(k, it.toIndexedSeq.sortBy(tid), tid, sf, isolation,
+        maxReplays, (sf.defaultValue, sf.defaultValue, 0),
+        sf.defaultValue)._1.iterator
     }
 
   /** Structured Streaming: same fold, incremental per micro-batch via
     * flatMapGroupsWithState (the reference's online StateOperator).
     * State = (current value, version); emits one StateChange per input.
     * Within a micro-batch, updates are applied in tid order.
+    *
+    * This is the ONLINE path for state-dependent invariants: the vote
+    * of transaction N reads the RUNNING state left by everything
+    * already committed — previous micro-batches (via the state store)
+    * and earlier transactions of this batch — so e.g. the bank's
+    * non-negative-balance rule runs live, with REPLAY retries inside
+    * the batch ([[foldGroup]]). The PL2 snapshot is the committed
+    * state at MICRO-BATCH start (the online read-committed read: the
+    * reference validates against the last committed version visible at
+    * open, which online is the previous batch's close); PL1's dirty
+    * chain is persisted alongside the committed value so dirty reads
+    * span micro-batches too.
     */
   def runStreaming[T, K, V](
       ds: Dataset[T],
       key: T => K,
       tid: T => Long,
-      sf: StateFunction[T, V])(implicit
+      sf: StateFunction[T, V],
+      strategy: Strategy = Strategy.Pessimistic,
+      isolation: IsolationLevel = IsolationLevel.PL3,
+      maxReplays: Int = 2)(implicit
       kEnc: Encoder[K],
-      stateEnc: Encoder[(V, Int)],
+      stateEnc: Encoder[(V, V, Int)],
       outEnc: Encoder[StateChange[K, V]]): Dataset[StateChange[K, V]] =
     ds.groupByKey(key).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (k: K, it: Iterator[T], state: GroupState[(V, Int)]) =>
-        var (value, version) =
-          state.getOption.getOrElse((sf.defaultValue, 0))
-        val out = it.toIndexedSeq.sortBy(tid).map { t =>
-          val h = new ObjectHandler[V](sf.copyValue(value))
-          sf.apply(t, h)
-          if (h.written && sf.invariant(h.value)) {
-            value = h.value
-            version += 1
-            StateChange(k, tid(t), version, value, committed = true)
-          } else {
-            StateChange(k, tid(t), version, value, committed = false)
-          }
-        }
-        state.update((value, version))
+      (k: K, it: Iterator[T], state: GroupState[(V, V, Int)]) =>
+        val startState = state.getOption
+          .getOrElse((sf.defaultValue, sf.defaultValue, 0))
+        val (out, value, dirty, version) = foldGroup(
+          k, it.toIndexedSeq.sortBy(tid), tid, sf, isolation, maxReplays,
+          startState, startState._1)
+        state.update((value, dirty, version))
         out.iterator
     }
 }

@@ -112,6 +112,119 @@ class StreamingBankSpec extends SparkSpec {
     assert(liveKeys == declarative.keySet)
   }
 
+  test("online sequential invariant == batch serial fold (state-dependent votes live)") {
+    implicit val sqlCtx = spark.sqlContext
+    // tid-ordered feed: the batch executor replays each key in global
+    // tid order, so the online run must see the same serial schedule
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val streamed = Bank.sequentialSummary(
+      StreamingBank.runSequentialOnline(
+        spark, deltas, nBatches = 5, sinkName = "seq_online_spec"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Bank.sequentialBalances(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("online PL2 (one micro-batch) == batch PL2: snapshot validation is live too") {
+    implicit val sqlCtx = spark.sqlContext
+    // in a single micro-batch the online PL2 snapshot (state at batch
+    // start) IS the batch path's open snapshot, so the histories match
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val streamed = Bank.sequentialSummary(
+      StreamingBank.runSequentialOnline(
+        spark, deltas, nBatches = 1, sinkName = "seq_online_pl2_spec",
+        isolation = IsolationLevel.PL2))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Bank.sequentialBalances(spark, Sf0001, IsolationLevel.PL2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // and the PL2 history provably differs from PL3 on the same input
+    val pl3 = Bank.sequentialBalances(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed != pl3)
+  }
+
+  test("online PL1 dirty chain persists across micro-batches: online == batch PL1") {
+    implicit val sqlCtx = spark.sqlContext
+    // PL1's read target (the all-writes-applied dirty chain) is part of
+    // the streaming state, so online == batch holds at ANY batching —
+    // unlike PL2, whose snapshot legitimately advances per micro-batch
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val streamed = Bank.sequentialSummary(
+      StreamingBank.runSequentialOnline(
+        spark, deltas, nBatches = 4, sinkName = "seq_online_pl1_spec",
+        isolation = IsolationLevel.PL1))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Bank.sequentialBalances(spark, Sf0001, IsolationLevel.PL1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("REPLAY votes retry in-batch: transient insufficient funds commit on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.tgraph.state.StateOperator
+    // tid 1 overdraws (transient: tid 2's deposit covers it), tid 3
+    // overdraws beyond any recovery (deterministic abort at the fixed
+    // point). Start = 10000.
+    val txs = Seq(
+      Bank.AcctDelta(1L, 1L, -15000L),
+      Bank.AcctDelta(1L, 2L, 10000L),
+      Bank.AcctDelta(1L, 3L, -99999999L))
+    val input = MemoryStream[Bank.AcctDelta]
+    val q = StateOperator.runStreaming[Bank.AcctDelta, Long, Long](
+      input.toDS(), _.acct, _.tid,
+      new StreamingBank.ReplayCentsBalances(Bank.StartCents))
+      .writeStream.format("memory").queryName("replay_spec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(txs)
+      q.processAllAvailable()
+      val out = spark.table("replay_spec")
+        .select("tid", "value", "committed")
+        .as[(Long, Long, Boolean)].collect()
+        .map { case (t, v, c) => t -> ((v, c)) }.toMap
+      // replay order: tid2 commits (20000), then tid1's replay commits
+      // (5000); tid3 aborts deterministically
+      assert(out(2L) == ((20000L, true)))
+      assert(out(1L) == ((5000L, true)))
+      assert(out(3L)._2 == false)
+      // under plain ABORT semantics tid 1 would have been rejected
+      val abortive = StateOperator.runBatch[Bank.AcctDelta, Long, Long](
+        txs.toDS(), _.acct, _.tid, new Bank.CentsBalances(Bank.StartCents))
+        .collect().map(c => c.tid -> c.committed).toMap
+      assert(abortive(1L) == false)
+    } finally q.stop()
+  }
+
+  test("online sequential pipeline survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq-restart").toString
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val (first, second) = deltas.splitAt(deltas.length / 2)
+    val input = MemoryStream[Bank.AcctDelta]
+    def start() = StreamingBank.sequentialBalancesOnline(spark, input.toDS())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    val q1 = start()
+    input.addData(first)
+    q1.processAllAvailable()
+    q1.stop() // "crash"
+    val q2 = start() // recover: state store restores every balance
+    input.addData(second)
+    q2.processAllAvailable()
+    q2.stop()
+    val recovered = Bank.sequentialSummary(spark.read.parquet(s"$dir/out"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Bank.sequentialBalances(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(recovered == batch)
+  }
+
   test("watermarked windowed aggregation over the transfer stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tx]

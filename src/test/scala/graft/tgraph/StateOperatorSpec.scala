@@ -43,30 +43,43 @@ class StateOperatorSpec extends SparkSpec {
     assert(b.map(c => (c.committed, c.value)).toSeq == Seq((false, 100.0)))
   }
 
-  test("PL1 validates on the stale open snapshot — the lost-update boundary vs PL3") {
-    val pl1 = StateOperator
+  test("PL1 dirty read / PL2 stale snapshot / PL3 serial: pairwise-distinct histories") {
+    // One key, four movements from start=100, chosen so every pair of
+    // levels decides at least one transaction differently:
+    //   tid  delta  PL1 (dirty chain)    PL2 (snapshot=100)  PL3 (serial)
+    //    1    -80   20 ok                 20 ok               20 ok
+    //    2    -50   -30 ABORT             50 ok → bal -30     -30 ABORT
+    //    3    +40   10 ok  → bal 60       ok → bal 10         ok → bal 60
+    //    4    -15   -5 ABORT (dirty!)     85 ok → bal -5      45 ok
+    val mv = Seq(
+      Movement("a", 1, -80.0), Movement("a", 2, -50.0),
+      Movement("a", 3, 40.0), Movement("a", 4, -15.0))
+    def run(iso: IsolationLevel) = StateOperator
       .runBatch[Movement, String, Double](
-        moves.toDS(), _.acct, _.tid, new BalancesFn,
-        isolation = IsolationLevel.PL1)
-      .collect().sortBy(c => (c.key, c.tid))
-    val a1 = pl1.filter(_.key == "a")
-    // tid 2 validates -50 against the SNAPSHOT (100 -> 50 >= 0): it
-    // commits under PL1 though PL3 aborted it — and the running balance
-    // goes negative (the admitted lost-update anomaly).
-    assert(a1.map(c => (c.tid, c.committed, c.value)).toSeq ==
-      Seq((1L, true, 20.0), (2L, true, -30.0), (3L, true, 0.0)))
-    // PL0 skips validation entirely: even b's -200 lands.
+        mv.toDS(), _.acct, _.tid, new BalancesFn, isolation = iso)
+      .collect().sortBy(_.tid).map(c => (c.tid, c.committed, c.value)).toSeq
+    val pl1 = run(IsolationLevel.PL1)
+    val pl2 = run(IsolationLevel.PL2)
+    val pl3 = run(IsolationLevel.PL3)
+    // PL1: tid 4 aborts though the COMMITTED balance could afford it —
+    // the vote read the dirty chain (-30 + 40 - 15 = -5): dirty read.
+    assert(pl1 == Seq((1L, true, 20.0), (2L, false, 20.0),
+      (3L, true, 60.0), (4L, false, 60.0)))
+    // PL2: every vote reads the stale open snapshot (100) — lost
+    // updates drive the running balance negative.
+    assert(pl2 == Seq((1L, true, 20.0), (2L, true, -30.0),
+      (3L, true, 10.0), (4L, true, -5.0)))
+    // PL3: serializable — each vote reads the committed serial value.
+    assert(pl3 == Seq((1L, true, 20.0), (2L, false, 20.0),
+      (3L, true, 60.0), (4L, true, 45.0)))
+    assert(pl1 != pl2 && pl2 != pl3 && pl1 != pl3)
+    // PL0 skips validation entirely: even a lone -200 lands.
     val pl0 = StateOperator
       .runBatch[Movement, String, Double](
         moves.toDS(), _.acct, _.tid, new BalancesFn,
         isolation = IsolationLevel.PL0)
       .collect()
     assert(pl0.filter(_.key == "b").head.value == -100.0)
-    // and the boundary is real: PL1 != PL3 on this input
-    val pl3 = StateOperator
-      .runBatch[Movement, String, Double](moves.toDS(), _.acct, _.tid, new BalancesFn)
-      .collect().sortBy(c => (c.key, c.tid))
-    assert(pl1.map(_.committed).toSeq != pl3.map(_.committed).toSeq)
   }
 
   test("streaming executor matches batch across micro-batches") {
