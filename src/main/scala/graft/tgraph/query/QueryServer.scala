@@ -1,0 +1,234 @@
+package graft.tgraph.query
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+
+/** An out-of-process queryable-state endpoint — the analog of the
+  * reference's query server stack (`runtime/QueryServer.java`,
+  * `runtime/ProcessRequestServer.java`, `runtime/WithServer.java`,
+  * driven by `tgraph/query/QuerySupplier.java` implementations): a
+  * line-protocol TCP server through which OTHER processes query the
+  * live state of a RUNNING Structured Streaming job.
+  *
+  * Architecture (Spark-first, not a translation): the reference routes
+  * each query through an actor RPC to the state operator's shards and
+  * merges partials (`QueryResultMerger.java`). In Spark the committed
+  * state of a streaming query already lives in the checkpoint's state
+  * store, readable as a DataFrame via the `statestore` data source
+  * ([[StateQueries.streamingState]]). This server fronts it:
+  *
+  *  - A refresher thread watches the checkpoint's `commits/` log and,
+  *    when a new micro-batch lands, pins a fresh snapshot read AT THAT
+  *    BATCH ID and caches the (key → value) map driver-side. Every
+  *    answer is therefore **batch-consistent**: all rows in one
+  *    response reflect exactly one committed epoch, never a mix — the
+  *    watermark-consistency the reference gets from
+  *    `WatermarkAssigner` + `TotalOrderEnforcer`.
+  *  - Point (`Query.addKey`) and predicate (`PredicateQuery`) requests
+  *    are answered from that snapshot in microseconds, giving the
+  *    reference's queries/s shape instead of a per-request Spark job.
+  *  - The cache is bounded (`maxStateRows`); a state that outgrows the
+  *    driver belongs on the distributed path
+  *    ([[StateQueries.pointQueryBatch]] — broadcast-semi-join a key
+  *    micro-batch against the statestore scan), which this server
+  *    refuses loudly rather than OOMing.
+  *
+  * Protocol (one request line → one JSON response line):
+  * {{{
+  *   POINT k1,k2,...     → {"batch":B,"rows":[[k,v],...]}
+  *   PRED GE|GT|LE|LT|EQ n → keys whose value satisfies the comparison
+  *   COUNT               → {"batch":B,"count":N}
+  *   anything else       → {"error":"..."}
+  * }}}
+  */
+final class QueryServer(
+    spark: SparkSession,
+    checkpointLocation: String,
+    // statestore-source schema for flatMapGroupsWithState (state
+    // format v2): key = struct(value), value = struct(groupState =
+    // <state encoder schema>, timeoutTimestamp); graft's streaming
+    // state is (committed, dirty, version), so _1 is the committed
+    // value — pass custom extractors for other operators' layouts
+    keyCol: Column = col("key.value").cast("long"),
+    valueCol: Column = col("value.groupState._1").cast("long"),
+    port: Int = 0,
+    refreshMillis: Long = 100,
+    maxStateRows: Long = 5_000_000L) extends AutoCloseable {
+
+  private final case class Snapshot(batchId: Long, state: Map[Long, Long])
+
+  private val current = new AtomicReference[Snapshot](Snapshot(-1L, Map.empty))
+  private val running = new AtomicBoolean(true)
+  private val server = new ServerSocket(port)
+
+  /** Ephemeral-port friendly: the port clients should connect to. */
+  def boundPort: Int = server.getLocalPort
+
+  /** The committed epoch the NEXT answer will reflect. */
+  def servedBatchId: Long = current.get().batchId
+
+  /** Highest batch id with a commit-log entry — the only state a
+    * reader may rely on (an in-flight batch's store updates are not
+    * yet committed).
+    */
+  private def lastCommittedBatch: Long = {
+    val path = new org.apache.hadoop.fs.Path(checkpointLocation, "commits")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) -1L
+    else {
+      val ids = fs.listStatus(path).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.forall(_.isDigit) && n.nonEmpty) Some(n.toLong) else None
+      }
+      if (ids.isEmpty) -1L else ids.max
+    }
+  }
+
+  /** One snapshot load, pinned to a committed batch id so concurrent
+    * micro-batch progress can't tear the read.
+    */
+  private def refreshOnce(): Unit = {
+    val b = lastCommittedBatch
+    if (b > current.get().batchId) {
+      val df = spark.read.format("statestore")
+        .option("batchId", b)
+        .load(checkpointLocation)
+        .select(keyCol.as("k"), valueCol.as("v"))
+      val n = df.count()
+      require(n <= maxStateRows,
+        s"state has $n rows > maxStateRows=$maxStateRows; query it via " +
+          "StateQueries.pointQueryBatch (distributed) instead of the " +
+          "driver-cached server")
+      val m = df.collect().iterator
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      current.set(Snapshot(b, m))
+    }
+  }
+
+  // Serve from the newest committed batch available at start (if any).
+  refreshOnce()
+
+  private val refresher = new Thread(() => {
+    while (running.get()) {
+      try refreshOnce()
+      catch { case _: InterruptedException => case e: Throwable =>
+        System.err.println(s"[query-server] refresh failed: ${e.getMessage}")
+      }
+      try Thread.sleep(refreshMillis)
+      catch { case _: InterruptedException => () }
+    }
+  }, "query-server-refresh")
+  refresher.setDaemon(true)
+  refresher.start()
+
+  private val pool = Executors.newFixedThreadPool(8)
+
+  private def respond(req: String): String = {
+    val snap = current.get()
+    def rows(sel: Map[Long, Long] => Iterable[(Long, Long)]): String = {
+      val body = sel(snap.state).toSeq.sorted
+        .map { case (k, v) => s"[$k,$v]" }.mkString(",")
+      s"""{"batch":${snap.batchId},"rows":[$body]}"""
+    }
+    val parts = req.trim.split("\\s+", 2)
+    parts(0).toUpperCase match {
+      case "POINT" if parts.length == 2 =>
+        val keys = parts(1).split(",").iterator.map(_.trim)
+          .filter(_.nonEmpty).map(_.toLong).toSet
+        rows(st => keys.iterator.flatMap(k => st.get(k).map(k -> _)).toSeq)
+      case "PRED" if parts.length == 2 =>
+        val Array(op, lit) = parts(1).trim.split("\\s+", 2)
+        val n = lit.trim.toLong
+        val p: Long => Boolean = op.toUpperCase match {
+          case "GE" => _ >= n
+          case "GT" => _ > n
+          case "LE" => _ <= n
+          case "LT" => _ < n
+          case "EQ" => _ == n
+          case other => throw new IllegalArgumentException(s"bad op $other")
+        }
+        rows(_.filter { case (_, v) => p(v) })
+      case "COUNT" =>
+        s"""{"batch":${snap.batchId},"count":${snap.state.size}}"""
+      case other =>
+        s"""{"error":"unknown request ${other.take(40)}"}"""
+    }
+  }
+
+  /** Looping per-client handler, the `LoopingClientHandler` +
+    * `StringClientHandler` shape: serve request lines until EOF.
+    */
+  private def handle(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true) // request-response: don't Nagle-buffer
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(sock.getOutputStream, true)
+      var line = in.readLine()
+      while (line != null && running.get()) {
+        val resp =
+          try respond(line)
+          catch { case e: Throwable =>
+            s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(80).replace('"', '\'')}"}"""
+          }
+        out.println(resp)
+        line = in.readLine()
+      }
+    } catch { case _: Throwable => () }
+    finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        pool.submit(new Runnable { def run(): Unit = handle(sock) })
+      } catch {
+        case _: SocketException => () // closed during accept — shutting down
+        case e: Throwable =>
+          if (running.get())
+            System.err.println(s"[query-server] accept failed: ${e.getMessage}")
+      }
+    }
+  }, "query-server-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = {
+    running.set(false)
+    refresher.interrupt()
+    try server.close() catch { case _: Throwable => () }
+    pool.shutdownNow()
+  }
+}
+
+/** Minimal blocking client for the [[QueryServer]] line protocol — the
+  * `runtime/StringClient.java` shape; used by specs and probes, and a
+  * template for genuinely external (non-JVM) clients.
+  */
+final class QueryClient(host: String, port: Int) extends AutoCloseable {
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val in = new BufferedReader(
+    new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+  private val out = new PrintWriter(sock.getOutputStream, true)
+
+  def request(line: String): String = {
+    out.println(line)
+    val r = in.readLine()
+    require(r != null, "server closed the connection")
+    r
+  }
+
+  def point(keys: Seq[Long]): String = request(s"POINT ${keys.mkString(",")}")
+
+  override def close(): Unit = {
+    try sock.close() catch { case _: Throwable => () }
+  }
+}

@@ -1,0 +1,163 @@
+package graft.tgraph
+
+import graft.SparkSpec
+import graft.evaluation.Bank
+import graft.streaming.StreamingBank
+import graft.tgraph.query.{QueryClient, QueryServer}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The reference's out-of-process queryable state
+  * (`runtime/QueryServer.java` + `query/QuerySupplier.java` clients):
+  * a socket server fronting the state store of a RUNNING streaming
+  * query, answers pinned to one committed micro-batch.
+  */
+class QueryServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val RowsRe = """\[(-?\d+),(-?\d+)\]""".r
+  private val BatchRe = """"batch":(-?\d+)""".r
+
+  private def parseRows(resp: String): (Long, Map[Long, Long]) = {
+    val batch = BatchRe.findFirstMatchIn(resp).map(_.group(1).toLong)
+      .getOrElse(fail(s"no batch id in $resp"))
+    val rows = RowsRe.findAllMatchIn(resp)
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toMap
+    (batch, rows)
+  }
+
+  private def eventually[T](maxMs: Long = 20000)(f: => Option[T]): T = {
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    var out: Option[T] = f
+    while (out.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50); out = f
+    }
+    out.getOrElse(fail(s"condition not met within $maxMs ms"))
+  }
+
+  test("socket clients get batch-consistent point/predicate answers from a running query") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsrv").toString
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val (firstHalf, secondHalf) = deltas.splitAt(deltas.length / 2)
+
+    val input = MemoryStream[Bank.AcctDelta]
+    val q = StreamingBank.sequentialBalancesOnline(spark, input.toDS())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(firstHalf)
+      q.processAllAvailable()
+
+      val server = new QueryServer(spark, s"$dir/ckpt", refreshMillis = 50)
+      try {
+        eventually() { if (server.servedBatchId >= 0) Some(()) else None }
+        val b1 = server.servedBatchId
+
+        // Expected mid-stream state: per key, the latest transition's
+        // value in the sink (aborted rows carry the value forward).
+        def sinkState(): Map[Long, Long] = spark.read.parquet(s"$dir/out")
+          .groupBy(col("key"))
+          .agg(max_by(col("value"), col("tid")).as("v"))
+          .as[(Long, Long)].collect().toMap
+        val expected1 = sinkState()
+
+        val client = new QueryClient("localhost", server.boundPort)
+        try {
+          val (batch, rows) = parseRows(client.point(expected1.keys.toSeq))
+          assert(batch == b1)
+          assert(rows == expected1)
+
+          // the query KEEPS RUNNING while the server serves: feed the
+          // second half and the served snapshot advances to the new
+          // committed batch — never a torn mix of the two epochs
+          input.addData(secondHalf)
+          q.processAllAvailable()
+          val b2 = eventually() {
+            val b = server.servedBatchId
+            if (b > b1) Some(b) else None
+          }
+          val expected2 = sinkState()
+          val (batchAfter, rowsAfter) = parseRows(client.point(expected2.keys.toSeq))
+          assert(batchAfter == b2)
+          assert(rowsAfter == expected2)
+
+          // and the final served state is exactly the batch serial fold
+          val batchFold = Bank.sequentialBalances(spark, Sf0001)
+            .select("acct", "balance_cents").as[(Long, Long)].collect().toMap
+          assert(rowsAfter == batchFold)
+
+          // predicate query (PredicateQuery analog): balances >= 10000
+          val (pb, pRows) = parseRows(client.request("PRED GE 10000"))
+          assert(pb == b2)
+          assert(pRows == expected2.filter(_._2 >= 10000L))
+
+          // COUNT + unknown-request error path
+          assert(client.request("COUNT").contains(s""""count":${expected2.size}"""))
+          assert(client.request("NOPE").contains("error"))
+        } finally client.close()
+      } finally server.close()
+    } finally q.stop()
+  }
+
+  test("concurrent clients: every answer a committed epoch; throughput probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-tp").toString
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+
+    val input = MemoryStream[Bank.AcctDelta]
+    val q = StreamingBank.sequentialBalancesOnline(spark, input.toDS())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      deltas.grouped(math.max(1, deltas.size / 3)).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      val server = new QueryServer(spark, s"$dir/ckpt", refreshMillis = 50)
+      try {
+        eventually() { if (server.servedBatchId >= 0) Some(()) else None }
+        val served = server.servedBatchId
+        val keys = Bank.sequentialBalances(spark, Sf0001)
+          .select("acct").as[Long].collect()
+
+        val nThreads = 4
+        val perThread = 500
+        val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+        val t0 = System.nanoTime()
+        val threads = (0 until nThreads).map { t =>
+          val th = new Thread(() => {
+            val c = new QueryClient("localhost", server.boundPort)
+            try {
+              var i = 0
+              while (i < perThread) {
+                val k = keys((t * perThread + i) % keys.length)
+                val (b, rows) = parseRows(c.point(Seq(k)))
+                // batch-consistency: only committed epochs are served
+                if (b < served || !rows.contains(k)) errors.incrementAndGet()
+                i += 1
+              }
+            } catch { case _: Throwable => errors.addAndGet(perThread) }
+            finally c.close()
+          })
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        val qps = nThreads * perThread / ((System.nanoTime() - t0) / 1e9)
+        info(f"query-server point-query throughput: $qps%.0f q/s over $nThreads clients")
+        assert(errors.get() == 0)
+        // driver-cached snapshot serving must beat per-job scheduling
+        // (~10 q/s) by orders of magnitude; loose floor for CI noise
+        assert(qps > 300, f"qps=$qps%.0f")
+      } finally server.close()
+    } finally q.stop()
+  }
+}
