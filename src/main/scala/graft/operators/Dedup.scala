@@ -174,16 +174,19 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, id: Column, vec: Column,
       minCosineMilli: Long, bits: Int = 8, tables: Int = 4,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     import Similarity.{packedSignBuckets, signBuckets}
     import graft.functions.QuantizedDot
     val pre = df.select(id.as("id"), vec.as("v"),
       signBuckets(vec, bits, tables).as("bs"),
       packedSignBuckets(vec, bits, tables).as("sig"))
       .withColumn("nq", QuantizedDot(col("v"), col("v")))
-    // opt-in hot-bucket cap — see [[Similarity.capBuckets]]; the
-    // oracle-gated queries run uncapped (their fixtures have no
-    // degenerate buckets), production corpora should set it
+    // default-on hot-bucket cap — see [[Similarity.capBuckets]]: a
+    // degenerate bucket (near-duplicate flood, all-zero vectors) would
+    // otherwise emit O(bucket²) pairs; under the default cap no fixture
+    // bucket is dropped (they're far below 10k), so the oracle-gated
+    // outputs are unchanged while a 100 TB corpus is bounded. Pass
+    // None to disable (exhaustive small-corpus runs).
     val e = Similarity.capBuckets(
       pre.select(col("id"), col("v"), col("nq"), col("sig"),
         posexplode(col("bs")).as(Seq("tbl", "bucket"))),

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus a decode/feature-extract stage.
   *
   * The Spark-side plumbing is real (schema, batched per-partition
-  * processing, deterministic chunking); the actual media decode is
-  * STUBBED (no image/audio libs in this container) behind
-  * [[StubDecoder]], which produces deterministic fake features from the
-  * payload bytes — swap in a real decoder per modality in production.
+  * processing, deterministic chunking). Decoding is per-MIME:
+  * PNG/JPEG/BMP/GIF go through the REAL pure-JVM [[ImageIoDecoder]]
+  * (`javax.imageio` — no native codecs needed); audio/video (no codec
+  * libs in this container) stay on the deterministic [[StubDecoder]],
+  * which produces fake features from the payload bytes — swap in a
+  * real decoder per modality in production.
   *
   * Per-partition batch processing (`mapPartitions` over an iterator) is
   * the Scala analog of `mapInPandas`: the decoder amortizes model/codec
@@ -45,14 +47,23 @@ object Multimodal {
         .as("chunk_count"),
       md5(substring(col("payload"), 1, 64)).as("header_md5"))
 
-  /** Deterministic fake decoder — the STUB. A real implementation would
-    * decode the codec here; everything around it (batching, schema,
-    * partition shape) is production-real. The fake dimensions are
-    * derived from the byte length alone so the decode → resize →
-    * frame-sample chain is SQL-expressible and the DuckDB oracle can
-    * check it end-to-end (`multimodal_resize`, `multimodal_frames`).
+  /** One modality's decode: payload bytes → (width, height, feature).
+    * Implementations must be deterministic and serializable (they ship
+    * to executors; construction is once per partition).
     */
-  object StubDecoder {
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float])
+  }
+
+  /** Deterministic fake decoder — the STUB for modalities with no
+    * pure-JVM codec in this container (audio, video). Everything
+    * around it (batching, schema, partition shape) is production-real.
+    * The fake dimensions are derived from the byte length alone so the
+    * decode → resize → frame-sample chain is SQL-expressible and the
+    * DuckDB oracle can check it end-to-end (`multimodal_resize`,
+    * `multimodal_frames`).
+    */
+  object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       val n = payload.length
       val width = 16 + ((7 * n) % 64)
@@ -63,6 +74,81 @@ object Multimodal {
       }
       (width, height, feature)
     }
+  }
+
+  /** REAL image decode via pure-JVM `javax.imageio` (PNG, JPEG, BMP,
+    * GIF ship with the JDK — no native libraries): actual pixel
+    * dimensions plus an 8-float content feature — per-channel RGB
+    * means and the luma mean of each quadrant (top-left, top-right,
+    * bottom-left, bottom-right), sampled on a bounded grid (≤ 64 steps
+    * per axis) so a 100-megapixel scan costs the same as a thumbnail.
+    * One row failing to decode fails loudly (corrupt corpus bytes
+    * should surface, not silently become zeros) — pre-filter payloads
+    * by magic number if the corpus is dirty.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val stepX = math.max(1, w / 64)
+      val stepY = math.max(1, h / 64)
+      val sumRgb = new Array[Double](3)
+      val quadLuma = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sumRgb(0) += r; sumRgb(1) += g; sumRgb(2) += b
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quadLuma(q) += 0.299 * r + 0.587 * g + 0.114 * b
+          quadN(q) += 1
+          n += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      val feature = Array.tabulate(8) { i =>
+        if (i < 3) (sumRgb(i) / math.max(1L, n) / 255.0).toFloat
+        else if (i < 7) (quadLuma(i - 3) / math.max(1L, quadN(i - 3)) / 255.0).toFloat
+        else (quadLuma.sum / math.max(1L, n) / 255.0).toFloat // overall luma
+      }
+      (w, h, feature)
+    }
+  }
+
+  /** MIME → decoder routing: images decode for real, everything else
+    * runs the documented stub.
+    */
+  def decoderFor(mime: String): MediaDecoder =
+    if (mime.startsWith("image/")) ImageIoDecoder else StubDecoder
+
+  /** Deterministic solid-color PNG bytes — the planted-image fixture
+    * for [[ImageIoDecoder]]: dimensions and channel means are pure
+    * arithmetic in the inputs, so a SQL oracle can predict the decoded
+    * output of a REAL codec round-trip (encode here, `javax.imageio`
+    * decode in the operator).
+    */
+  def syntheticPng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Deterministic stand-ins for the remaining media transforms — the
@@ -100,15 +186,17 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, batched per partition (mapInPandas
-    * analog). Returns a typed Dataset; downstream joins/aggregations
-    * stay in Catalyst.
+    * analog), decoder picked per record's MIME ([[decoderFor]]: images
+    * real, the rest stubbed). Returns a typed Dataset; downstream
+    * joins/aggregations stay in Catalyst.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition init of the (stub) decoder happens here once
+      // per-partition decoder init happens here once (objects in this
+      // build; a model/codec handle in a production decoder)
       it.map { r =>
-        val (w, h, f) = StubDecoder.decode(r.payload)
+        val (w, h, f) = decoderFor(r.mime).decode(r.payload)
         MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, f)
       }
     }

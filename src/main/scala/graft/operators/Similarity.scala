@@ -195,6 +195,24 @@ object Similarity {
     * Recall/pruning is tuned by (bits, tables); the spec measures
     * recall against [[bruteForceTopK]].
     */
+  /** The production sizing rule for sign-LSH bucket width: enough
+    * bits that the EXPECTED bucket holds ~`targetBucket` vectors —
+    * `ceil(log2(n / targetBucket))`, clamped to what the embedding
+    * dimension can feed (`tables * bits <= dim` for axis-aligned
+    * projections). Self-join work per table is Σ bucket², so holding
+    * the expected bucket size constant as the corpus grows keeps
+    * candidate volume O(n·tables·targetBucket) — the knob to re-derive
+    * at each scale-up rather than a constant to copy. The registered
+    * fixture queries use exactly this rule at their own n (2k vectors,
+    * 8 tables, target ~32 → 6 bits); `graft.tools.LlmScaleProbe`
+    * re-derives it at 1M (15 bits).
+    */
+  def recommendedBits(n: Long, dim: Int, tables: Int, targetBucket: Int = 32): Int = {
+    val wanted = math.max(1,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    math.min(wanted, math.max(1, dim / tables))
+  }
+
   /** Cap degenerate LSH buckets before a self-join: rows of any
     * (tbl, bucket) group larger than `cap` are dropped from the join,
     * and every surviving row gains a `__surv` bitmask of the tables
@@ -255,7 +273,7 @@ object Similarity {
   def lshTopKAll(
       df: DataFrame, id: Column, vec: Column,
       k: Int, bits: Int = 8, tables: Int = 4,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val pre = df.select(id.as("id"), vec.as("v"),
       signBuckets(vec, bits, tables).as("bs"),
       packedSignBuckets(vec, bits, tables).as("sig"))

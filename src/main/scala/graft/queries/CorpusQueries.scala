@@ -23,7 +23,7 @@ object CorpusQueries {
     "dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.embeddingNearDups(
         embs(s, dir), col("vec_id"), col("embedding"),
-        minCosineMilli = 350, bits = 4, tables = 8)
+        minCosineMilli = 350, bits = 6, tables = 8)
       Clusters.duplicateClusters(pairs, col("id_a"), col("id_b"))
         .select(col("id"), col("cluster"),
           col("is_canonical").cast("bigint").as("is_canonical"))

@@ -127,10 +127,12 @@ object LlmQueries {
     // semantic dedup: sign-LSH bucketing + exact quantized-cosine
     // rerank — deterministic end to end, so the full candidate
     // generation + threshold pipeline sits under the DuckDB oracle
+    // bits = recommendedBits(2k, 64, 8) = 6 — the production sizing
+    // rule applied at fixture n, not a fixture-tuned constant
     "dedup_embedding" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDups(
         embs(s, dir), col("vec_id"), col("embedding"),
-        minCosineMilli = 350, bits = 4, tables = 8)
+        minCosineMilli = 350, bits = 6, tables = 8)
         .orderBy("id_a", "id_b")),
     // the flagship composition: quality gate → exact dedup → semantic
     // dedup in ONE declarative plan (training-corpus curation)
@@ -154,10 +156,43 @@ object LlmQueries {
         .toDF()
         .select(col("doc_id"), col("frame_idx"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    // REAL image decode: per-doc solid-color PNGs (dims and color are
+    // arithmetic in doc_id) encoded on the executors, decoded back
+    // through the pure-JVM javax.imageio path — the oracle predicts
+    // the decoded width/height and channel means without ever touching
+    // a codec. Exercises the genuine binary-payload pipeline: encode →
+    // binary column → per-partition batch decode → typed features.
+    "multimodal_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16 + (id % 32).toInt
+            val h = 16 + ((id * 3) % 32).toInt
+            val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
+              ((id * 13) % 256)).toInt
+            (id, Multimodal.syntheticPng(w, h, rgb), "image/png")
+          }
+        }.toDF("doc_id", "payload", "mime")
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(
+          col("doc_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          round(element_at(col("feature"), 1).cast("double") * 1000).cast("bigint")
+            .as("mean_r_milli"),
+          round(element_at(col("feature"), 2).cast("double") * 1000).cast("bigint")
+            .as("mean_g_milli"),
+          round(element_at(col("feature"), 3).cast("double") * 1000).cast("bigint")
+            .as("mean_b_milli"),
+          round(element_at(col("feature"), 8).cast("double") * 1000).cast("bigint")
+            .as("luma_milli"))
+        .orderBy("doc_id")
     })
   )
 
-  /** Shared oracle text: the sign-LSH (4 bits × 8 tables) candidate
+  /** Shared oracle text: the sign-LSH (6 bits × 8 tables) candidate
     * pipeline through the exact quantized dot — ONE definition used by
     * both `dedup_embedding` and CorpusQueries' `dup_clusters`, so the
     * two oracles can never silently check different pair graphs.
@@ -166,8 +201,8 @@ object LlmQueries {
     """e AS (
       |  SELECT vec_id AS id, embedding,
       |    list_transform(generate_series(0,7), t ->
-      |      CAST(list_sum(list_transform(generate_series(1,4), i ->
-      |        CASE WHEN CAST(embedding[t*4 + i] AS DOUBLE) >= 0
+      |      CAST(list_sum(list_transform(generate_series(1,6), i ->
+      |        CASE WHEN CAST(embedding[t*6 + i] AS DOUBLE) >= 0
       |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |  FROM embeddings),
@@ -508,8 +543,8 @@ object LlmQueries {
         |e AS (
         |  SELECT k.doc_id AS id,
         |    list_transform(generate_series(0,7), t ->
-        |      CAST(list_sum(list_transform(generate_series(1,4), i ->
-        |        CASE WHEN CAST(em.embedding[t*4 + i] AS DOUBLE) >= 0
+        |      CAST(list_sum(list_transform(generate_series(1,6), i ->
+        |        CASE WHEN CAST(em.embedding[t*6 + i] AS DOUBLE) >= 0
         |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
         |    list_transform(em.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
         |  FROM kept k JOIN embeddings em ON em.vec_id = k.doc_id),
@@ -535,14 +570,27 @@ object LlmQueries {
         |SELECT doc_id, fingerprint, quality_milli, n_tokens FROM kept
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
-    // semantic dedup: sign-LSH (4 bits x 8 tables), exactly-once pair
+    // semantic dedup: sign-LSH (6 bits x 8 tables), exactly-once pair
     // emission, exact integer threshold on the quantized cosine:
     // dot > 0 AND dot^2 * 10^6 >= m^2 * |a|q^2 * |b|q^2 (m = 350)
     "dedup_embedding" ->
       (s"""WITH $NearDupCte
         |SELECT id_a, id_b, dot_q FROM d
         |WHERE $NearDupThreshold
-        |ORDER BY id_a, id_b""").stripMargin
+        |ORDER BY id_a, id_b""").stripMargin,
+    // the real-codec round-trip: the engine encodes solid-color PNGs
+    // and decodes them with javax.imageio; the oracle predicts every
+    // decoded value arithmetically (PNG is lossless)
+    "multimodal_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 3) % 32 AS BIGINT) AS height,
+        |  CAST(round(1000 * (doc_id % 256) / 255.0) AS BIGINT) AS mean_r_milli,
+        |  CAST(round(1000 * ((doc_id * 7) % 256) / 255.0) AS BIGINT) AS mean_g_milli,
+        |  CAST(round(1000 * ((doc_id * 13) % 256) / 255.0) AS BIGINT) AS mean_b_milli,
+        |  CAST(round(1000 * (0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+        |    + 0.114 * ((doc_id * 13) % 256)) / 255.0) AS BIGINT) AS luma_milli
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
 }

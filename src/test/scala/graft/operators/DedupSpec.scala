@@ -72,13 +72,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size < 5) // random gaussians almost never collide at 0.95
   }
 
-  test("embedding near-dup (driver-query params) recall vs brute-force cosine") {
+  test("embedding near-dup (driver-query params) tiered recall vs brute-force cosine") {
     val e = graft.tables.Tables.load(spark, Sf0001, "embeddings")
     val lsh = Dedup.embeddingNearDups(
-      e, col("vec_id"), col("embedding"), minCosineMilli = 350, bits = 4, tables = 8)
+      e, col("vec_id"), col("embedding"), minCosineMilli = 350, bits = 6, tables = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // exact baseline: all-pairs with the operator's own quantized-
-    // cosine criterion (tiny SF only — the test corpus)
+    // exact baseline WITH each pair's cosine: all-pairs with the
+    // operator's own quantized criterion (tiny SF only — the test
+    // corpus), keeping cos² in milli² for tiering
     import graft.functions.QuantizedDot
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
@@ -89,10 +90,39 @@ class DedupSpec extends SparkSpec {
       .filter(col("dot_q") > 0 &&
         col("dot_q").cast("decimal(38,0)") * col("dot_q") * lit(1000000L) >=
           lit(122500L).cast("decimal(38,0)") * col("nq_a") * col("nq_b"))
+      .withColumn("cos2_micro",
+        (col("dot_q").cast("decimal(38,0)") * col("dot_q") * lit(1000000L) /
+          (col("nq_a").cast("decimal(38,0)") * col("nq_b"))).cast("long"))
+      .select("id_a", "id_b", "cos2_micro")
+      .as[(Long, Long, Long)].collect()
+    val exactPairs = exact.map(t => (t._1, t._2)).toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(exactPairs)) // exact rerank => precision 1.0
+    // The LSH contract is cosine-TIERED: true near-duplicates (the
+    // pairs semantic dedup exists for) collide in some table almost
+    // surely, while borderline-threshold pairs are probabilistic —
+    // recall there is bought with more tables, not more bits. At
+    // bits=6 (the production sizing rule at this n), theory for
+    // random hyperplanes: cos ~1.0 -> ~1.0, cos at the 0.35
+    // threshold -> ~0.36. The fixture's exact pairs are ALL
+    // borderline (cos in [0.35, 0.5)), so the high tier is checked
+    // on planted near-identical pairs and the fixture checks the
+    // borderline floor.
+    val overall = lsh.size.toDouble / exactPairs.size
+    info(f"borderline-tier recall $overall%.2f (${lsh.size}/${exactPairs.size})")
+    assert(overall >= 0.3, s"overall recall $overall")
+
+    // high tier: 20 planted near-identical pairs among the real corpus
+    import org.apache.spark.sql.functions.{lit, transform => sqlTransform}
+    val base = e.select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        sqlTransform(col("embedding"), x => x + lit(0.005f)).as("embedding"))
+    val lshPlanted = Dedup.embeddingNearDups(
+      base.unionByName(planted), col("vec_id"), col("embedding"),
+      minCosineMilli = 350, bits = 6, tables = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(lsh.nonEmpty && lsh.subsetOf(exact)) // exact rerank => precision 1.0
-    val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall $recall (${lsh.size}/${exact.size})")
+    val found = (0L until 20L).count(i => lshPlanted.contains((i, i + 1000000L)))
+    assert(found >= 18, s"planted near-identical recall $found/20")
   }
 
   test("rolling hash is order-sensitive, bag-of-words hash is not") {

@@ -32,7 +32,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("stub decoder produces deterministic features with a stable schema") {
     val docs = Tables.load(spark, Sf0001, "documents").limit(20)
-    val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "image/fake")
+    // application/* routes to the stub (image/* now decodes for real)
+    val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "application/fake")
     val feats = Multimodal.decodeFeatures(spark, media)
     assert(feats.schema.fieldNames.toSeq ==
       Seq("doc_id", "mime", "n_bytes", "width", "height", "feature"))
@@ -40,5 +41,47 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
     assert(a.map(_.width).toSeq == b.map(_.width).toSeq)
     assert(a.forall(f => f.feature.length == 8 && f.width >= 16 && f.height >= 16))
+  }
+
+  test("javax.imageio decodes real PNGs: exact dims and channel means") {
+    // solid-color PNGs: every decoded value is predictable arithmetic
+    val rows = Seq(
+      (1L, 20, 40, 0xff0000), // pure red
+      (2L, 64, 16, 0x00ff00), // pure green
+      (3L, 33, 33, 0x102030)) // mixed
+    val media = rows.map { case (id, w, h, rgb) =>
+      (id, Multimodal.syntheticPng(w, h, rgb), "image/png")
+    }.toDF("doc_id", "payload", "mime")
+    val out = Multimodal.decodeFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(f => (f.doc_id, f.width, f.height)).toSeq ==
+      rows.map(r => (r._1, r._2, r._3)))
+    val red = out(0)
+    assert(math.abs(red.feature(0) - 1.0f) < 1e-3) // mean R
+    assert(red.feature(1) < 1e-3 && red.feature(2) < 1e-3)
+    assert(math.abs(red.feature(7) - 0.299f) < 1e-3) // luma of pure red
+    val mixed = out(2)
+    assert(math.abs(mixed.feature(0) - 0x10 / 255.0f) < 1e-3)
+    assert(math.abs(mixed.feature(1) - 0x20 / 255.0f) < 1e-3)
+    assert(math.abs(mixed.feature(2) - 0x30 / 255.0f) < 1e-3)
+    // quadrant lumas of a solid image all equal the overall luma
+    assert((3 to 6).forall(i => math.abs(mixed.feature(i) - mixed.feature(7)) < 1e-4))
+
+    // resize keeps the real decoded dims' aspect
+    val resized = Multimodal.resize(spark,
+      Multimodal.decodeFeatures(spark, media), maxSide = 10)
+      .collect().sortBy(_.doc_id)
+    assert(resized.map(f => (f.width, f.height)).toSeq ==
+      Seq((5, 10), (10, 2), (10, 10)))
+
+    // JPEG round-trips too (lossy, so dims only)
+    val img = new java.awt.image.BufferedImage(
+      24, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = Seq((9L, bos.toByteArray, "image/jpeg"))
+      .toDF("doc_id", "payload", "mime")
+    val jf = Multimodal.decodeFeatures(spark, jpeg).collect().head
+    assert(jf.width == 24 && jf.height == 12)
   }
 }
