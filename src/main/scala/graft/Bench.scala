@@ -26,6 +26,7 @@ object Bench {
     val probeSec = sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_S", "180").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

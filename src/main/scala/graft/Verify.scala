@@ -31,7 +31,7 @@ object Verify {
     // the watchdog, while 8 over 32 overlaps the fixed costs cleanly.
     val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").map(_.toInt)
       .getOrElse(math.max(2, math.min(8, cpus.toInt / 4)))
-    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "150").toLong
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "240").toLong
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_S", "1080").toLong
     new java.io.File(outDir).mkdirs()
 
@@ -55,9 +55,15 @@ object Verify {
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR across per-query pools: under the default FIFO a heavy
+      // query's wide stages occupy every task slot and the trivial
+      // queries behind it starve into the watchdog — observed as
+      // 150 s+ cancellations of sub-second queries.
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -82,6 +88,10 @@ object Verify {
       name -> Future {
         val group = s"verify-$name"
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        // one FAIR pool per query (pools materialize on first use):
+        // equal shares across whatever is running, so completion order
+        // tracks cost, not submission order
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", group)
         // Watchdog counts from actual start (queries queue behind the
         // pool), cancelling the job group mid-flight on timeout.
         val kill = watchdog.schedule(new Runnable {
@@ -97,6 +107,7 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         } finally {
           kill.cancel(false)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           spark.sparkContext.clearJobGroup()
           val sec = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[verify] $name ${status.get(name)} ($sec%.1f s)")
@@ -111,7 +122,41 @@ object Verify {
         System.err.println(s"[verify] $name abandoned (budget)")
       }
     }
-    val statusJson = status.asScala.toSeq.sortBy(_._1)
+
+    // Serial second chance: a query the watchdog cancelled under
+    // CONTENTION (host CPU steal / disk stalls make every concurrent
+    // query slow at once) usually succeeds run alone — retry the
+    // failures one at a time on whatever budget remains.
+    val failed = status.asScala.filter(!_._2.startsWith("ok")).keys.toSeq.sorted
+    // separate map: a still-draining cancelled future must not
+    // overwrite a successful retry's status
+    val retried = scala.collection.mutable.Map[String, String]()
+    val byName = SparkEntry.queries
+    failed.foreach { name =>
+      if (remainingSec > 5) {
+        val group = s"verify-retry-$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val kill = watchdog.schedule(new Runnable {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+        }, math.min(perQuerySec, remainingSec), TimeUnit.SECONDS)
+        val t0 = System.nanoTime()
+        try {
+          byName(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          retried(name) = "ok"
+        } catch { case e: Throwable =>
+          retried(name) = s"err: ${e.getMessage}"
+        } finally {
+          kill.cancel(false)
+          spark.sparkContext.clearJobGroup()
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[verify] retry $name ${retried(name)} ($sec%.1f s)")
+        }
+      }
+    }
+    val finalStatus = status.asScala.toMap ++ retried
+    val statusJson = finalStatus.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
     watchdog.shutdownNow()

@@ -19,6 +19,7 @@ object LlmScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -118,7 +119,53 @@ object LlmScaleProbe {
         vecs, col("vec_id"), col("embedding"), k = 3, bits = 15, tables = 4).count()
       nVecs
     }
+
+    // degenerate-bucket skew: 5% of the corpus is ONE identical vector,
+    // so in EVERY table those rows share a single bucket (50k rows at
+    // nVecs = 1M). Uncapped, that bucket alone is ~1.25e9 candidate
+    // pairs per table — the quadratic blowup a real near-duplicate
+    // flood produces. The default-on cap (10k) drops the flooded
+    // buckets; pair volume and wall time stay bounded by the healthy
+    // buckets (Σ bucket² ≤ cap·n·tables).
+    val nSkew = nVecs / 20
+    val flood = spark.range(nSkew)
+      .select((col("id") + 100000000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), _ => lit(0.5f)).as("embedding"))
+    val skewed = vecs.unionByName(flood).cache()
+    skewed.count()
+    report("neardup_skewed_capped", nVecs + nSkew) {
+      val pairs = Dedup.embeddingNearDups(
+        skewed, col("vec_id"), col("embedding"),
+        minCosineMilli = 900, bits = 15, tables = 4).count()
+      println(s"[llm-probe] skewed corpus candidate pairs surviving: $pairs")
+      nVecs + nSkew
+    }
+    skewed.unpersist()
     vecs.unpersist()
+
+    // shuffle-heavy corpus ops at scale: integer-exact tf-idf top-3
+    // (tf join df on token) and token-budget sequence packing (running
+    // sum window per group)
+    val docs2 = spark.range(nDocs / 10).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), (pmod(col("doc_id"), lit(50)) + 30).cast("int")),
+          i => element_at(lit(vocab.toArray), (pmod(col("doc_id") * 31 + i * 7, lit(998)) + 1).cast("int")))))
+      .withColumn("lang", element_at(lit(Array("en", "fr", "zh")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .cache()
+    docs2.count()
+    report("tfidf_top3", nDocs / 10) {
+      graft.operators.Corpus.topKeywords(docs2, col("doc_id"), col("text"), k = 3).count()
+      nDocs / 10
+    }
+    report("pack_chunks", nDocs / 10) {
+      graft.operators.Corpus.packChunks(
+        docs2.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        col("doc_id"), col("lang"), col("n_tokens"), budgetTokens = 4096).count()
+      nDocs / 10
+    }
+    docs2.unpersist()
     spark.stop()
   }
 }
