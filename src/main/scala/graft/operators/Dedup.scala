@@ -104,6 +104,56 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidates with ENGINE-PORTABLE banding: the band key is the
+    * raw r-row signature slice itself (array-equality equi-join), not
+    * an engine hash of it — so the COMPLETE pipeline (portable minhash
+    * signature → banding → pair emission → similarity estimate)
+    * reproduces bit-exactly in any SQL engine and sits under the
+    * DuckDB oracle gate end to end. Exactly-once emission: a pair
+    * survives only from its FIRST agreeing band (decided by comparing
+    * the carried signatures — per-row arithmetic, no `distinct`
+    * re-shuffle of the candidate set, unlike the hashed variant).
+    * Same shuffle shape as [[nearDuplicateCandidates]]: one equi-join
+    * on (band_id, band_key); the wider key (r longs vs one int) buys
+    * zero false bucket collisions.
+    */
+  def nearDuplicateCandidatesPortable(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val r = numHashes / bands
+    val withSig = docs.select(
+      idCol.as("doc_id"),
+      minHashSignature(textCol, numHashes, shingleSize).as("sig"))
+    val banded = withSig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * r + 1, lit(r))))
+        .as(Seq("band_id", "band_key")))
+    val a = banded.select(
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_id"), col("band_key"))
+    val b = banded.select(
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_id"), col("band_key"))
+    val firstAgreeingBand = array_position(
+      transform(sequence(lit(0), lit(bands - 1)), bi =>
+        slice(col("sig_a"), bi * r + 1, lit(r)) ===
+          slice(col("sig_b"), bi * r + 1, lit(r))),
+      true) - 1
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b") &&
+        firstAgreeingBand === col("band_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") * 1000 / numHashes)
+          .cast("bigint").as("est_jaccard_milli"))
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs (doc_a, doc_b):
     * verification step after LSH. Joins the shingle sets back — the
     * candidate set is tiny relative to the corpus, so this is two
@@ -125,6 +175,40 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** Corpus-scale exact n-gram Jaccard via an inverted-index join (no
+    * candidate set required): explode each doc's DISTINCT shingles,
+    * self-join on the shingle, and count shared shingles per pair —
+    * the intersection size falls straight out of the group-by, and the
+    * union is |A| + |B| − |A∩B|. Two shuffles (shingle join key, then
+    * the pair group), both on high-cardinality keys; pair volume is
+    * bounded by shingle co-occurrence, never O(n²). The threshold
+    * keeps the output to genuinely similar pairs.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      shingleSize: Int = 3,
+      minJaccardMilli: Int = 500): DataFrame = {
+    val sh = docs.select(
+      idCol.as("doc_id"),
+      array_distinct(shingles(textCol, shingleSize)).as("sh"))
+    val inv = sh.select(
+      col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).cast("bigint").as("uni"),
+        round(lit(1000.0) * col("inter") / (col("n_a") + col("n_b") - col("inter")))
+          .cast("bigint").as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
   }
 
   /** SimHash near-duplicates via pigeonhole banding (the classic

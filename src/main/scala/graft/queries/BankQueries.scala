@@ -141,6 +141,15 @@ object BankQueries {
         .select(col("key").as("acct"), col("value").as("balance_cents"))
         .orderBy("acct")
     }),
+    // query supplier (RandomQuerySupplier analog): the deterministic
+    // md5-ordered sample fused with the point query it drives —
+    // supplier choice AND answers both under the oracle
+    "t_query_sample" -> ((s, dir) => {
+      val snap = g(s, dir).result.balances(Bank.NameSpace, IsolationLevel.PL3)
+      StateQueries.sampleFrame(snap, 100, 7)
+        .select(col("key").as("acct"), col("value").as("balance_cents"))
+        .orderBy("acct")
+    }),
     "t_query_predicate" -> ((s, dir) => {
       val snap = g(s, dir).result.balances(Bank.NameSpace, IsolationLevel.PL3)
       StateQueries.predicateQuery(snap, col("value") < 0)
@@ -310,6 +319,11 @@ object BankQueries {
         |FROM votes""".stripMargin),
     "t_query_point" -> (OraclePrefix +
       "SELECT acct, balance_cents FROM bal WHERE acct IN (0,1,2,3,4) ORDER BY acct"),
+    "t_query_sample" -> (OraclePrefix +
+      """SELECT acct, balance_cents FROM (
+        |  SELECT acct, balance_cents FROM bal
+        |  ORDER BY md5('7:' || CAST(acct AS VARCHAR)), acct LIMIT 100)
+        |ORDER BY acct""".stripMargin),
     "t_query_predicate" -> (OraclePrefix +
       "SELECT acct, balance_cents FROM bal WHERE balance_cents < 0 ORDER BY acct"),
     "t_watermark_snapshot" -> (OraclePrefix +

@@ -64,6 +64,13 @@ object LlmQueries {
         element_at(col("sig"), j + 1).as(f"mh$j%02d")): _*)
         .orderBy("doc_id")
     }),
+    // exact n-gram Jaccard over the whole corpus through the
+    // inverted-index join (row 26's corpus-scale spelling) — the full
+    // pair/intersection/union arithmetic sits under the DuckDB oracle
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), col("text"), col("doc_id"),
+        shingleSize = 3, minJaccardMilli = 500)
+        .orderBy("doc_a", "doc_b")),
     "simhash_sig" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -71,6 +78,13 @@ object LlmQueries {
           Dedup.simHash(col("text")).as("simhash"),
           TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
+    // the complete LSH near-dup pipeline under the oracle: portable
+    // signature -> slice-key banding -> exactly-once (first agreeing
+    // band) pair emission -> estimated-jaccard rerank
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.nearDuplicateCandidatesPortable(
+        docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_a", "doc_b")),
     "ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(
@@ -227,6 +241,36 @@ object LlmQueries {
     """dot_q > 0
       |  AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b""".stripMargin
 
+  /** Shared oracle text: the portable 16-hash minhash signature (one
+    * md5 per 3-shingle, Kirsch–Mitzenmacher (h1 + j·h2) mod 2^56
+    * family, sentinel 2^56 for empty shingle sets) — ONE definition
+    * used by both `dedup_minhash_sig` and `dedup_minhash_pairs`, so
+    * the signature the banding buckets is provably the signature the
+    * per-column oracle checks.
+    */
+  val MinHashSigCte: String =
+    """t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+      |         ELSE list_transform(generate_series(1, len(toks) - 2),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
+      |  FROM t),
+      |h AS (
+      |  SELECT doc_id, list_transform(shingles, s -> struct_pack(
+      |      h1 := list_reduce(list_transform(string_split(substr(md5(s),1,14),''),
+      |              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b),
+      |      h2 := list_reduce(list_transform(string_split(substr(md5(s),15,14),''),
+      |              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)
+      |    )) AS hs
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0,15), j ->
+      |    coalesce(list_min(list_transform(hs, e -> (e.h1 + j*e.h2) % 72057594037927936)),
+      |             72057594037927936)) AS sig
+      |  FROM h)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
@@ -381,31 +425,58 @@ object LlmQueries {
     // halves; hash function j = (h1 + j*h2) mod 2^56; empty shingle
     // sets -> sentinel 2^56
     "dedup_minhash_sig" ->
-      (s"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-        |         ELSE list_transform(generate_series(1, len(toks) - 2),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
-        |  FROM t),
-        |h AS (
-        |  SELECT doc_id, list_transform(shingles, s -> struct_pack(
-        |      h1 := list_reduce(list_transform(string_split(substr(md5(s),1,14),''),
-        |              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b),
-        |      h2 := list_reduce(list_transform(string_split(substr(md5(s),15,14),''),
-        |              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)
-        |    )) AS hs
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, list_transform(generate_series(0,15), j ->
-        |    coalesce(list_min(list_transform(hs, e -> (e.h1 + j*e.h2) % 72057594037927936)),
-        |             72057594037927936)) AS sig
-        |  FROM h)
+      (s"""WITH $MinHashSigCte
         |SELECT doc_id, """ +
         (0 until 16).map(j => s"sig[${j + 1}] AS mh${"%02d".format(j)}").mkString(", ") +
         """
         |FROM sig ORDER BY doc_id""").stripMargin,
+    // LSH banding over the SAME signature CTE as dedup_minhash_sig:
+    // band key = raw 4-row slice (zero-collision, engine-portable),
+    // pair emitted only from its first agreeing band
+    "dedup_minhash_pairs" ->
+      (s"""WITH $MinHashSigCte,
+        |bandx AS (
+        |  SELECT sig.doc_id, sig.sig, t.b AS band_id,
+        |    list_slice(sig.sig, t.b*4 + 1, t.b*4 + 4) AS band_key
+        |  FROM sig, (SELECT UNNEST(generate_series(0,3)) AS b) t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+        |  FROM bandx a JOIN bandx b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id
+        |    AND a.band_id = list_position(list_transform(generate_series(0,3),
+        |      j -> list_slice(a.sig, j*4 + 1, j*4 + 4) = list_slice(b.sig, j*4 + 1, j*4 + 4)),
+        |      true) - 1)
+        |SELECT doc_a, doc_b,
+        |  CAST(round(1000.0 * list_sum(list_transform(generate_series(1,16),
+        |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16) AS BIGINT)
+        |    AS est_jaccard_milli
+        |FROM p ORDER BY doc_a, doc_b""").stripMargin,
+    // inverted-index exact n-gram Jaccard: intersection = count of
+    // shared distinct shingles per (a < b) pair, union by inclusion-
+    // exclusion, 500-milli threshold
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS shingles
+        |  FROM t),
+        |inv AS (
+        |  SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(n_a + n_b - inter AS BIGINT) AS uni,
+        |  CAST(round(1000.0 * inter / (n_a + n_b - inter)) AS BIGINT) AS jaccard_milli
+        |FROM p
+        |WHERE round(1000.0 * inter / (n_a + n_b - inter)) >= 500
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // portable simhash (32-bit md5-prefix token hashes, bit-majority)
     // + rolling polynomial hash over the same token hashes
     "simhash_sig" ->

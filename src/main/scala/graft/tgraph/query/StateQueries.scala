@@ -82,6 +82,19 @@ object StateQueries {
       .map(_.getLong(0))
       .toSeq
 
+  /** Engine-portable supplier sample: the same reproducible-key-set
+    * contract as [[sampleKeys]], but ordered by an md5 of "seed:key"
+    * instead of Spark's Murmur3 — any SQL engine reproduces the choice
+    * bit-exactly, which puts the supplier itself (not just the queries
+    * it drives) under the DuckDB oracle gate. Returns the sampled
+    * rows, i.e. the supplier fused with the point query it feeds.
+    */
+  def sampleFrame(snapshot: DataFrame, n: Int, seed: Int): DataFrame =
+    snapshot
+      .orderBy(
+        md5(concat_ws(":", lit(seed), col("key").cast("string"))), col("key"))
+      .limit(n)
+
   /** A frequency-driven stream of point queries (queryRate analog):
     * one sampled key-set per tick. Driver-side plumbing; each query
     * itself is a distributed pruned scan.

@@ -40,6 +40,52 @@ class DedupSpec extends SparkSpec {
     verified.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
   }
 
+  test("portable banding == hashed banding, exactly-once without distinct") {
+    val hashed = Dedup.nearDuplicateCandidates(docs, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val portable = Dedup.nearDuplicateCandidatesPortable(
+      docs, col("text"), col("doc_id"))
+    assert(!portable.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val rows = portable
+      .select("doc_a", "doc_b", "est_jaccard_milli")
+      .as[(Long, Long, Long)].collect().toSeq
+    // first-agreeing-band emission: each pair exactly once, no distinct
+    val pairs = rows.map(p => (p._1, p._2))
+    assert(pairs.size == pairs.distinct.size)
+    // same candidate set as the hashed variant (a murmur band collision
+    // could only ADD pairs there; none on this fixture)
+    assert(pairs.toSet == hashed)
+    // exact dup -> all 16 positions agree
+    assert(rows.find(p => p._1 == 0L && p._2 == 5L).exists(_._3 == 1000L))
+  }
+
+  test("inverted-index ngram jaccard == candidate-set verify, no cartesian") {
+    val out = Dedup.ngramJaccard(
+      docs, col("text"), col("doc_id"), minJaccardMilli = 0)
+    assert(!out.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val got = out.select("doc_a", "doc_b", "jaccard_milli")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall(p => p._1 < p._2)) // canonical orientation only
+    val byPair = got.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 5L)) == 1000L) // exact dup
+    assert(byPair((0L, 1L)) >= 500L) // one-token edit of a 13-token doc
+    assert(!byPair.contains((4L, 5L))) // no shared shingle, no pair
+    // the inverted-index spelling must agree with the candidate-set
+    // array-intersect spelling pair by pair
+    val cands = got.map(p => (p._1, p._2)).toDF("doc_a", "doc_b")
+    val verify = Dedup.jaccardVerify(cands, docs, col("text"), col("doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 1000).cast("long").as("jm"))
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair == verify)
+    // threshold prunes: only the two planted near-dup families survive
+    val strict = Dedup.ngramJaccard(
+      docs, col("text"), col("doc_id"), minJaccardMilli = 500)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((0L, 1L), (0L, 5L), (1L, 5L), (2L, 3L)))
+  }
+
   test("simhash: near-dups are closer in hamming distance than unrelated docs") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
