@@ -8,8 +8,13 @@ import scala.concurrent.duration._
   *
   * Timing stays strictly serial (concurrent queries contend for cores and
   * inflate each other's numbers 2–4×), but the harness is defensive:
-  *   - a per-query watchdog cancels the query's job group so one hung plan
-  *     can't eat the driver's window;
+  *   - every query runs on its own disposable thread with a REPEATING
+  *     job-group canceller on timeout: a one-shot cancel is not enough for
+  *     iterative driver-side loops (connected components), which sit
+  *     between jobs when the cancel fires and then happily launch the
+  *     next round — exactly how one query blocked the whole r05 bench;
+  *     the main loop always moves on, and abandoned threads are daemons
+  *     reaped by the final System.exit;
   *   - a global deadline marks the rest "skipped" and still prints the line;
   *   - failures are recorded per-query instead of a silent -1 that would
   *     *improve* the total;
@@ -20,7 +25,7 @@ import scala.concurrent.duration._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "120").toLong
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1080").toLong
     val probeSec = sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_S", "180").toLong
@@ -42,7 +47,9 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
-    val watchdog = Executors.newScheduledThreadPool(1)
+    val watchdog = Executors.newScheduledThreadPool(1, (r: Runnable) => {
+      val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
+    })
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
@@ -50,19 +57,41 @@ object Bench {
       if (remainingSec <= perQuerySec / 2) skipped += name
       else {
         val group = s"bench-$name"
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        val kill = watchdog.schedule(new Runnable {
-          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
-        }, math.min(perQuerySec, math.max(1L, remainingSec)), TimeUnit.SECONDS)
+        val done = new java.util.concurrent.CompletableFuture[Either[String, Double]]()
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          times(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
-        } finally {
-          kill.cancel(false)
-          spark.sparkContext.clearJobGroup()
+        val runner = new Thread(() => {
+          try {
+            // job group is thread-local: set it on the query's own thread
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            fn(spark, sfDir).count()
+            done.complete(Right((System.nanoTime() - t0) / 1e9))
+          } catch { case e: Throwable =>
+            done.complete(Left(
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120)))
+          }
+        }, s"bench-query-$name")
+        runner.setDaemon(true)
+        runner.start()
+        val waitSec = math.min(perQuerySec, math.max(1L, remainingSec))
+        try done.get(waitSec, TimeUnit.SECONDS) match {
+          case Right(sec) => times(name) = sec
+          case Left(err)  => errors(name) = err
+        } catch { case _: java.util.concurrent.TimeoutException =>
+          errors(name) = s"timeout after ${waitSec}s"
+          // keep cancelling until the runner actually dies — an iterative
+          // query re-launches jobs after any single cancel
+          runner.interrupt()
+          val cancelRef =
+            new java.util.concurrent.atomic.AtomicReference[
+              java.util.concurrent.ScheduledFuture[_]]()
+          cancelRef.set(watchdog.scheduleWithFixedDelay(new Runnable {
+            def run(): Unit =
+              if (runner.isAlive) spark.sparkContext.cancelJobGroup(group)
+              else Option(cancelRef.get).foreach(_.cancel(false))
+          }, 0, 5, TimeUnit.SECONDS))
+          // give the cancel a moment so the zombie doesn't poison the
+          // next query's timing with leftover tasks
+          runner.join(10000)
         }
       }
     }

@@ -23,7 +23,13 @@ import scala.jdk.CollectionConverters._
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional third arg: comma-separated query names for a targeted run
+    // (oracle_sql.json still carries every oracle — the driver ignores
+    // extras, and a targeted check wants the real oracle text)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Concurrency ~cores/4: each query is mostly single-core (planning/
     // codegen/small-partition execution), but the heavy ones fan out —
@@ -83,7 +89,9 @@ object Verify {
     val heavy = Seq("curate_corpus", "dup_clusters", "text_", "dedup_",
       "simhash", "ann_", "decontaminate", "t_streaming_", "multimodal_")
     def weight(n: String): Int = if (heavy.exists(n.startsWith)) 0 else 1
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (weight(n), n) }
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (weight(n), n) }
     val futures = ordered.map { case (name, fn) =>
       name -> Future {
         val group = s"verify-$name"
@@ -93,10 +101,13 @@ object Verify {
         // tracks cost, not submission order
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", group)
         // Watchdog counts from actual start (queries queue behind the
-        // pool), cancelling the job group mid-flight on timeout.
-        val kill = watchdog.schedule(new Runnable {
+        // pool), cancelling the job group mid-flight on timeout — and
+        // REPEATING every 5 s after that: an iterative driver-side loop
+        // (connected components) sits between jobs when a one-shot
+        // cancel fires and then launches the next round anyway.
+        val kill = watchdog.scheduleWithFixedDelay(new Runnable {
           def run(): Unit = spark.sparkContext.cancelJobGroup(group)
-        }, perQuerySec, TimeUnit.SECONDS)
+        }, perQuerySec, 5, TimeUnit.SECONDS)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -136,9 +147,9 @@ object Verify {
       if (remainingSec > 5) {
         val group = s"verify-retry-$name"
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        val kill = watchdog.schedule(new Runnable {
+        val kill = watchdog.scheduleWithFixedDelay(new Runnable {
           def run(): Unit = spark.sparkContext.cancelJobGroup(group)
-        }, math.min(perQuerySec, remainingSec), TimeUnit.SECONDS)
+        }, math.min(perQuerySec, remainingSec), 5, TimeUnit.SECONDS)
         val t0 = System.nanoTime()
         try {
           byName(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
