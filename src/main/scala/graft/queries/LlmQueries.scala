@@ -452,24 +452,35 @@ object LlmQueries {
         |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16) AS BIGINT)
         |    AS est_jaccard_milli
         |FROM p ORDER BY doc_a, doc_b""").stripMargin,
-    // inverted-index exact n-gram Jaccard: intersection = count of
-    // shared distinct shingles per (a < b) pair, union by inclusion-
-    // exclusion, 500-milli threshold
+    // inverted-index exact n-gram Jaccard over 56-bit portable shingle
+    // hashes (same md5 construction as the minhash CTE): intersection =
+    // count of shared distinct shingle hashes per (a < b) pair, union
+    // by inclusion-exclusion over KEPT shingles, with the idf floor
+    // (df <= 64) applied before the self-join — boilerplate shingles
+    // carry no similarity signal but contribute df² pair volume
     "dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS shingles
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shingles
         |  FROM t),
+        |inv0 AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(shingles, s ->
+        |    list_reduce(list_transform(string_split(substr(md5(s),1,14),''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)))) AS h
+        |  FROM sh),
         |inv AS (
-        |  SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+        |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM inv0),
+        |kept AS (
+        |  SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        |  FROM inv WHERE df <= 64),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
-        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
         |  CAST(n_a + n_b - inter AS BIGINT) AS uni,
