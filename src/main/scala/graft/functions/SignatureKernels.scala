@@ -121,6 +121,37 @@ object SignatureKernels {
     acc
   }
 
+  /** 64-bit SimHash over the strings of `arr` (bit-majority of the
+    * full 16-hex-digit md5-prefix token hashes). `hexSlice` over 16
+    * digits wraps into exactly the low 64 bits (two's complement), so
+    * the packed value may be negative as a signed long — only the bit
+    * pattern matters; band extraction and hamming use unsigned ops.
+    * Word q (bits [16q, 16q+16)) is the q-th pigeonhole band: any
+    * pair within hamming distance 3 must agree on at least one of
+    * the 4 words.
+    */
+  def simHash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hexSlice(md5Hex(arr.getUTF8String(i)), 1, 16)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) acc |= 1L << b
+      b += 1
+    }
+    acc
+  }
+
   /** Distinct 56-bit hashes of the k-token shingles of `arr` — value-
     * identical to `array_distinct(transform(Dedup.shingles(tokens, k),
     * portableHash56))` (space-joined shingles, first-occurrence order)
@@ -284,6 +315,21 @@ case class MinHashSig(child: Expression, numHashes: Int) extends StringArrayKern
     copy(child = newChild)
 }
 
+/** Native 64-bit simhash: `array<string> → bigint` — the packed
+  * 4×16-bit pigeonhole-band form (value may be negative; bit pattern
+  * is what matters).
+  */
+case class SimHash64(child: Expression) extends StringArrayKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.simHash64(arr.asInstanceOf[ArrayData])
+  override protected def helperCall(input: String): String =
+    s"$helperRef.simHash64($input)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native 32-bit simhash: `array<string> → bigint`. */
 case class SimHash32(child: Expression) extends StringArrayKernel {
   override def dataType: DataType = LongType
@@ -344,6 +390,10 @@ object MinHashSig {
 object SimHash32 {
   def apply(tokens: Column): Column =
     Bridge.column(SimHash32(Bridge.expression(tokens)))
+}
+object SimHash64 {
+  def apply(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
 }
 object RollingHash32 {
   def apply(tokens: Column): Column =

@@ -232,30 +232,56 @@ object Dedup {
   }
 
   /** SimHash near-duplicates via pigeonhole banding (the classic
-    * simhash dedup construction): split the 32-bit simhash into 4
-    * bytes — any pair within Hamming distance <= 3 must agree on at
-    * least one byte — bucket-join on (byte index, byte value), then
-    * exact `bit_count(xor)` rerank. Shuffle on the byte buckets only;
-    * never all-pairs.
+    * simhash dedup construction) over the native 64-bit
+    * [[graft.functions.SimHash64]]: split the simhash into 4 16-bit
+    * words — any pair within Hamming distance <= 3 must agree on at
+    * least one word — bucket-join on (word index, word value), then
+    * exact `bit_count(xor)` rerank.
+    *
+    * Scale design (the 32-bit byte-banded ancestor had 4×256 = 1,024
+    * total buckets — expected bucket size n/1024 goes quadratic long
+    * before 100 TB — and re-shuffled the candidate set through a
+    * `dropDuplicates`):
+    *  - 4×65,536 = 262k buckets, and within-band bucket values spread
+    *    over the full 16-bit space;
+    *  - exactly-once emission by the FIRST-AGREEING-BAND predicate
+    *    (codegen'd integer compares on the packed signature — the
+    *    same machinery as the minhash/embedding LSH paths), so there
+    *    is no dedupe re-shuffle of the candidate set;
+    *  - a default-on hot-bucket cap ([[Similarity.capBuckets]]): a
+    *    degenerate word value (e.g. the all-zero word of very short
+    *    docs) is dropped above the cap, bounding per-bucket pair
+    *    volume, with surviving-table bitmasks preserving exactly-once
+    *    emission for pairs that also agree elsewhere.
     */
   def simhashNearDups(
       docs: DataFrame, textCol: Column, idCol: Column,
-      maxHamming: Int = 3): DataFrame = {
-    val withSig = docs.select(idCol.as("doc_id"), simHash(textCol).as("sh"))
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)), i =>
-        // byte i of the 32-bit simhash: floor(sh / 256^i) mod 256
-        pmod(floor(col("sh") / pow(lit(256.0), i)).cast("long"), lit(256L))))
-        .as(Seq("band", "byte")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("byte"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("byte"))
-    a.join(b, Seq("band", "byte"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    val bits = 16
+    val tables = 4
+    val withSig = docs.select(
+      idCol.as("id"),
+      graft.functions.SimHash64(TextAnalysis.tokens(textCol)).as("sig"))
+    // word q = bits [16q, 16q+16) of the packed simhash (unsigned
+    // shift: the sign bit is just bit 63 of word 3)
+    val bands = (0 until tables).map(q =>
+      shiftrightunsigned(col("sig"), bits * q).bitwiseAND(lit((1L << bits) - 1)))
+    val e = Similarity.capBuckets(
+      withSig.select(col("id"), col("sig"),
+        posexplode(array(bands: _*)).as(Seq("tbl", "bucket"))),
+      maxBucketSize, tables)
+    val a = e.select(col("id").as("doc_a"), col("sig").as("sig_a"),
+      col("__surv").as("surv_a"), col("tbl"), col("bucket"))
+    val b = e.select(col("id").as("doc_b"), col("sig").as("sig_b"),
+      col("__surv").as("surv_b"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("tbl") === Similarity.emissionPredicate(maxBucketSize,
+          col("sig_a"), col("sig_b"), col("surv_a"), col("surv_b"), bits, tables) &&
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint").as("hamming"))
   }
 
   /** Embedding-cosine near-duplicates (semantic dedup): sign-LSH

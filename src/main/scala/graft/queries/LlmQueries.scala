@@ -78,6 +78,13 @@ object LlmQueries {
           Dedup.simHash(col("text")).as("simhash"),
           TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
+    // the full 64-bit simhash SEARCH path under the oracle: pigeonhole
+    // banding (4x16-bit words), exactly-once first-agreeing-band
+    // emission, exact bit_count(xor) rerank
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(docs(s, dir), col("text"), col("doc_id"),
+        maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
     // the complete LSH near-dup pipeline under the oracle: portable
     // signature -> slice-key banding -> exactly-once (first agreeing
     // band) pair emission -> estimated-jaccard rerank
@@ -487,6 +494,43 @@ object LlmQueries {
         |  CAST(round(1000.0 * inter / (n_a + n_b - inter)) AS BIGINT) AS jaccard_milli
         |FROM p
         |WHERE round(1000.0 * inter / (n_a + n_b - inter)) >= 500
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // 64-bit simhash near-dup search in word space (word q = 16-bit
+    // slice [16q,16q+16) of the packed hash = hex chars 13-4q..16-4q
+    // of the token md5): per-word bit-majority vote, pigeonhole
+    // banding on the words, pair kept only from its first agreeing
+    // band, exact hamming = sum of per-word bit_count(xor)
+    "simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |hw AS (
+        |  SELECT doc_id, list_transform(toks, tk ->
+        |    list_transform(generate_series(0,3), q ->
+        |      list_reduce(list_transform(string_split(substr(md5(tk), 13 - 4*q, 4),''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b))) AS tws
+        |  FROM t),
+        |words AS (
+        |  SELECT doc_id, list_transform(generate_series(0,3), q ->
+        |    CAST(list_sum(list_transform(generate_series(0,15), j ->
+        |      CASE WHEN list_sum(list_transform(tws, w ->
+        |        CASE WHEN (w[q+1] // (1 << j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN (1 << j) ELSE 0 END)) AS BIGINT)) AS ws
+        |  FROM hw),
+        |bandx AS (
+        |  SELECT doc_id, ws, t.q AS band, ws[t.q + 1] AS word
+        |  FROM words, (SELECT UNNEST(generate_series(0,3)) AS q) t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ws AS wa, b.ws AS wb
+        |  FROM bandx a JOIN bandx b ON a.band = b.band AND a.word = b.word
+        |  WHERE a.doc_id < b.doc_id
+        |    AND a.band = list_position(list_transform(generate_series(1,4),
+        |      i -> a.ws[i] = b.ws[i]), true) - 1)
+        |SELECT doc_a, doc_b,
+        |  CAST(list_sum(list_transform(generate_series(1,4),
+        |    i -> bit_count(xor(wa[i], wb[i])))) AS BIGINT) AS hamming
+        |FROM p
+        |WHERE list_sum(list_transform(generate_series(1,4),
+        |    i -> bit_count(xor(wa[i], wb[i])))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     // portable simhash (32-bit md5-prefix token hashes, bit-majority)
     // + rolling polynomial hash over the same token hashes

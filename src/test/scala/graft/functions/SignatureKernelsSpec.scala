@@ -45,6 +45,27 @@ class SignatureKernelsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native simhash64 == per-word declarative majority vote on real docs") {
+    // word q of a token's 64-bit md5-prefix hash = hex chars
+    // 13-4q..16-4q; compare the kernel word-by-word (assembling the
+    // packed long declaratively would overflow under ANSI arithmetic)
+    def wordOf(tok: org.apache.spark.sql.Column, q: Int) =
+      conv(substring(md5(tok), 13 - 4 * q, 4), 16, 10).cast("bigint")
+    def declWord(q: Int) = {
+      val toks = TextAnalysis.tokens(col("text"))
+      (0 until 16).map { j =>
+        when(aggregate(transform(toks, t =>
+          when(wordOf(t, q).bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)),
+          lit(0), _ + _) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val native = SimHash64(TextAnalysis.tokens(col("text")))
+    val ok = (0 until 4).map(q =>
+      shiftrightunsigned(native, 16 * q).bitwiseAND(lit(0xFFFFL)) === declWord(q))
+      .reduce(_ && _)
+    assert(docs.select(ok.as("ok")).filter(!col("ok")).count() == 0L)
+  }
+
   test("native shingle hashes == declarative distinct portable-56 hashes") {
     val diff = docs
       .select(
