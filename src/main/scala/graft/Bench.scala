@@ -126,7 +126,17 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       out
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"skipped":$skipJson,$latency,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"skipped":$skipJson,$latency,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line is also persisted to a file: the driver captures a
+    // bounded tail of stdout, and one round a large errors map scrolled
+    // the per-query times out of that window — the file copy is the
+    // durable artifact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     watchdog.shutdownNow()
     probePool.shutdownNow()
     spark.stop()

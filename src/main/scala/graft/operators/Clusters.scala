@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Duplicate-cluster resolution: near-dup detectors ([[Dedup]]) emit
   * PAIRS, but a training pipeline drops DOCUMENTS — which requires the
@@ -10,25 +11,35 @@ import org.apache.spark.sql.functions._
   * candidate-pair graph, the step between "found near-dups" and "wrote
   * the deduplicated corpus".
   *
-  * Spark-first design: iterative min-label propagation with pointer
-  * jumping, all in DataFrame ops —
+  * Two execution paths, picked by measured graph size (the shape
+  * GraphFrames' CC uses: iterate while big, finish small):
   *
-  *  - each round does `label(v) ← min(label(v), min_{u~v} label(u))`
-  *    (one shuffle: edge⋈label + groupBy-min, with map-side partial
-  *    aggregation), then a pointer-jump `label(v) ← label(label(v))`
-  *    (one more equi-join), which contracts chains geometrically: a
-  *    path of length d converges in O(log d) rounds, not O(d);
-  *  - every round `localCheckpoint`s the label table, so the plan/
-  *    lineage stays O(1) per round instead of growing with the loop
-  *    (the classic iterative-algorithm failure mode on Spark);
-  *  - convergence is detected with a single count over changed labels;
-  *    near-dup graphs have tiny diameter (dup clusters are dense), so
-  *    2–4 rounds is typical regardless of corpus size.
+  *  - SMALL graphs (≤ `spark.graft.cc.localEdgeThreshold` undirected
+  *    edges, default 4M ≈ 64 MB of longs) run a driver-side union–find
+  *    with path halving. A near-dup pair graph at gate scale is a few
+  *    thousand edges; burning 5+ scheduled Spark jobs per propagation
+  *    round on it is pure scheduling floor. The collect is BOUNDED by
+  *    the threshold — this is the broadcast-join size argument, not a
+  *    corpus-through-the-driver anti-pattern.
+  *
+  *  - LARGE graphs run iterative min-label propagation with pointer
+  *    jumping, all in DataFrame ops:
+  *     * each round does `label(v) ← min(label(v), min_{u~v} label(u))`
+  *       (edge⋈label + groupBy-min with map-side partial aggregation),
+  *       then a pointer-jump `label(v) ← label(label(v))`, which
+  *       contracts chains geometrically: a path of length d converges
+  *       in O(log d) rounds, not O(d);
+  *     * the edge set is hash-partitioned on the join key ONCE before
+  *       its checkpoint, so per-round joins shuffle only the label
+  *       table — the edge set crosses the wire once total;
+  *     * every round `localCheckpoint`s the label table (lineage stays
+  *       O(1) per round), lazily, so ONE action per round both
+  *       materializes the labels and decides convergence.
   *
   * At 100 TB the edge set is the near-dup candidate output — orders of
-  * magnitude smaller than the corpus — and each round's cost is one
-  * shuffle of that edge set: the same shape GraphX/GraphFrames CC uses,
-  * without the RDD round-trip.
+  * magnitude smaller than the corpus but potentially billions of edges:
+  * the distributed loop is the real path, the local finish is the
+  * small-graph fast path both land on after contraction.
   */
 object Clusters {
 
@@ -39,10 +50,14 @@ object Clusters {
     */
   def connectedComponents(
       pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val dir = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
-    // both directions, deduped once up front — reused every round
+    // both directions, deduped once up front — reused every round.
+    // Hash-partitioned on the join key BEFORE the checkpoint: the
+    // checkpointed frame keeps its outputPartitioning, so the per-round
+    // edge⋈label join shuffles only the (much smaller) label table.
     val edges = dir.union(dir.select(col("v"), col("u")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("u")).localCheckpoint(true)
     // A non-numeric id column (e.g. string doc ids) casts to null
     // silently, which would collapse every such node into one bogus
     // null-keyed cluster — misuse must fail loudly instead. One cheap
@@ -51,6 +66,54 @@ object Clusters {
       "connectedComponents: endpoint columns must be long-castable " +
         "ids with no nulls (map string ids to longs first, e.g. via " +
         "monotonically-increasing id assignment or a hash)")
+    val threshold = spark.conf
+      .getOption("spark.graft.cc.localEdgeThreshold")
+      .map(_.toLong).getOrElse(4L << 20)
+    // u<=v keeps one direction of every edge plus self-loops; since the
+    // set above holds both directions, every node still appears.
+    val undirected = edges.filter(col("u") <= col("v"))
+    if (undirected.count() <= threshold)
+      localComponents(spark, undirected)
+    else
+      propagateComponents(edges, maxIter)
+  }
+
+  /** Driver-side union–find finish for graphs bounded by the edge
+    * threshold (memory is capped by construction — see object doc).
+    * Identical contract: cluster = min reachable id.
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession, undirected: DataFrame): DataFrame = {
+    val es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r))) // path halving
+        r = parent.get(r)
+      }
+      r
+    }
+    es.foreach { case (u, v) =>
+      parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      // union by min keeps the root the component minimum throughout
+      if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Row](parent.size)
+    parent.keySet.forEach(id => out += Row(id, find(id)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster", LongType, nullable = false)))
+    val parts = math.max(1, out.size / 500000)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, parts), schema)
+  }
+
+  /** Distributed min-label propagation with pointer jumping (the
+    * billions-of-edges path).
+    */
+  private def propagateComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     var round = 0
@@ -68,14 +131,17 @@ object Clusters {
           least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"))
       // pointer jump: a label is itself a node id, so chase one hop
       // (a second hop per round was measured slower — the extra join
-      // costs more than the rounds it saves on near-dup graph shapes)
+      // costs more than the rounds it saves on near-dup graph shapes).
+      // Lazy checkpoint + a single count: ONE action both materializes
+      // the round's label table (localCheckpoint caches on first use)
+      // and decides convergence.
       val next = propagated
         .join(
           propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
         .select(col("id"), col("old"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("lbl") =!= col("old")).count() == 0L
       labels = next.select("id", "lbl")
       round += 1
     }

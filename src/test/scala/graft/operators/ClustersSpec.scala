@@ -50,6 +50,18 @@ class ClustersSpec extends SparkSpec {
     assert(cc(edges) == unionFind(edges))
   }
 
+  test("distributed propagation path matches union-find (threshold forced to 0)") {
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val edges = Seq(
+        (100L, 7L), (7L, 55L), (55L, 3L),
+        (20L, 21L), (21L, 22L), (22L, 20L),
+        (60L, 61L), (60L, 62L), (60L, 63L),
+        (90L, 91L)) ++ (200L until 230L).map(i => (i, i + 1))
+      assert(cc(edges) == unionFind(edges))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("duplicateClusters flags exactly one canonical per cluster") {
     val pairs = Seq((5L, 9L), (9L, 2L), (30L, 31L)).toDF("id_a", "id_b")
     val out = Clusters.duplicateClusters(pairs, col("id_a"), col("id_b"))
