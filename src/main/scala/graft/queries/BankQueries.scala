@@ -192,12 +192,18 @@ object BankQueries {
     // state-store state (reference: online StateOperator + replay loop).
     // Checked against the identical recursive-CTE oracle as
     // t_state_sequential — online ≡ batch is the correctness claim.
+    // Fed from the streaming FILE source end to end (range-partitioned
+    // parquet batches in, parquet file sink out): no row of the corpus
+    // passes through the driver, so the query scales with the cluster,
+    // not driver memory.
     "t_streaming_sequential" -> ((s, dir) => {
-      val deltas = graft.evaluation.Bank.acctDeltas(s, dir)
-        .orderBy("tid").collect().toSeq
+      val scratchBase = new java.io.File(graft.LocalDir.scratch, "seq-online")
+      scratchBase.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(scratchBase.toPath, "run").toString
       graft.evaluation.Bank.sequentialSummary(
-        graft.streaming.StreamingBank.runSequentialOnline(
-          s, deltas, nBatches = 4, sinkName = "t_streaming_sequential_sink"))
+        graft.streaming.StreamingBank.runSequentialOnlineFromFiles(
+          s, graft.evaluation.Bank.acctDeltas(s, dir), nBatches = 4, scratch))
         .orderBy("acct")
     }),
     // The PL1 dirty-read boundary (reference PL1Strategy: read the

@@ -78,6 +78,20 @@ object FileIO {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
+  /** Streaming parquet source: new files under `path` become micro-
+    * batches, bounded intake per trigger. Schema is explicit (no
+    * inference scan); file order within the log is modification-time
+    * ascending, so a producer that stamps files in sequence gets
+    * deterministic batch order.
+    */
+  def streamParquet(
+      spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
   /** Exactly-once streaming parquet sink: the file-sink commit log +
     * checkpoint give end-to-end exactly-once for replayable sources.
     */

@@ -233,6 +233,58 @@ object StreamingBank {
     spark.table(sinkName)
   }
 
+  /** The online sequential-invariant pipeline fed ENTIRELY off the
+    * driver: `deltas` is range-partitioned by tid into `nBatches`
+    * contiguous files (a distributed write — the corpus never passes
+    * through the driver, unlike the collect+MemoryStream spelling),
+    * each file becomes one micro-batch via the bounded-intake streaming
+    * parquet source, and the full StateChange history lands in a
+    * parquet file sink (exactly-once via the sink commit log). The
+    * driver only moves FILE METADATA: it renames the staged part files
+    * into the stream directory with ascending mtimes so the file
+    * source's modification-time ordering replays the tid ranges in
+    * order.
+    *
+    * Batch boundaries don't affect the committed history here — the
+    * fold's votes are Commit/Abort only (no REPLAY), and contiguous tid
+    * ranges preserve per-key tid order across batches — so the output
+    * hash-matches the batch serial fold and its recursive-CTE oracle.
+    */
+  def runSequentialOnlineFromFiles(
+      spark: SparkSession,
+      deltas: Dataset[Bank.AcctDelta],
+      nBatches: Int,
+      scratch: String,
+      isolation: IsolationLevel = IsolationLevel.PL3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = new java.io.File(scratch)
+    val stage = new java.io.File(base, "stage")
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val ckpt = new java.io.File(base, "ckpt")
+    inDir.mkdirs()
+    deltas.repartitionByRange(nBatches, col("tid"))
+      .write.mode("overwrite").parquet(stage.toString)
+    // part-NNNNN index = range-partition index = tid order
+    val parts = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(inDir, f"b$i%05d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 2000L)
+    }
+    val stream = graft.sources.FileIO.streamParquet(
+      spark, inDir.toString, deltas.schema, maxFilesPerTrigger = 1)
+      .as[Bank.AcctDelta]
+    val q = graft.sources.FileIO.streamingParquetSink(
+      sequentialBalancesOnline(spark, stream, isolation).toDF(),
+      outDir.toString, ckpt.toString).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir.toString)
+  }
+
   /** The streaming state fold: acct → running balance versions. */
   def balances(
       spark: SparkSession, transfers: DataFrame,

@@ -212,6 +212,19 @@ object StateOperator {
     * open, which online is the previous batch's close); PL1's dirty
     * chain is persisted alongside the committed value so dirty reads
     * span micro-batches too.
+    *
+    * `ttl`: optional idle-key eviction — the online analog of the
+    * reference's version GC (`tgraph/db/Object.java` drops versions
+    * behind the GC watermark). With NoTimeout a key touched once holds
+    * its state-store row forever, so an unbounded key space (session
+    * ids, doc ids) grows the store without bound; with `ttl` set, a key
+    * idle for that long is evicted on a later micro-batch (data arrival
+    * beats the timer: a key whose data lands in the batch that would
+    * have evicted it keeps its state). An evicted
+    * key that reappears restarts from `sf.defaultValue` at version 0 —
+    * eviction is for keys that genuinely expire (or whose state is
+    * reconstructible from the WAL/snapshot path); leave it off when
+    * every key's full history must stay addressable.
     */
   def runStreaming[T, K, V](
       ds: Dataset[T],
@@ -220,19 +233,30 @@ object StateOperator {
       sf: StateFunction[T, V],
       strategy: Strategy = Strategy.Pessimistic,
       isolation: IsolationLevel = IsolationLevel.PL3,
-      maxReplays: Int = 2)(implicit
+      maxReplays: Int = 2,
+      ttl: Option[scala.concurrent.duration.FiniteDuration] = None)(implicit
       kEnc: Encoder[K],
       stateEnc: Encoder[(V, V, Int)],
-      outEnc: Encoder[StateChange[K, V]]): Dataset[StateChange[K, V]] =
+      outEnc: Encoder[StateChange[K, V]]): Dataset[StateChange[K, V]] = {
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Append(), timeoutConf) {
       (k: K, it: Iterator[T], state: GroupState[(V, V, Int)]) =>
-        val startState = state.getOption
-          .getOrElse((sf.defaultValue, sf.defaultValue, 0))
-        val (out, value, dirty, version) = foldGroup(
-          k, it.toIndexedSeq.sortBy(tid), tid, sf, isolation, maxReplays,
-          startState, startState._1)
-        state.update((value, dirty, version))
-        out.iterator
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val startState = state.getOption
+            .getOrElse((sf.defaultValue, sf.defaultValue, 0))
+          val (out, value, dirty, version) = foldGroup(
+            k, it.toIndexedSeq.sortBy(tid), tid, sf, isolation, maxReplays,
+            startState, startState._1)
+          state.update((value, dirty, version))
+          ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          out.iterator
+        }
     }
+  }
 }

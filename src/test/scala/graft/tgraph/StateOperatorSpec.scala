@@ -105,4 +105,72 @@ class StateOperatorSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("ttl evicts idle keys (bounded state under key churn); reappearing key restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+    // ProcessingTimeTimeout makes the engine schedule continuous no-data
+    // micro-batches to fire timers — a busy loop against this sandbox's
+    // slow fsyncs. Timers also fire during DATA batches, so the test
+    // disables no-data batches and drives eviction with batch 2; the
+    // checkpoint goes on tmpfs for the same reason.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.LocalDir.scratch), "ttl-ckpt").toString
+    val input = MemoryStream[Movement]
+    val q = StateOperator.runStreaming[Movement, String, Double](
+      input.toDS(), _.acct, _.tid, new BalancesFn, ttl = Some(300.millis))
+      .writeStream.format("memory").queryName("ttl_changes")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: 200 distinct keys -> 200 state-store rows
+      input.addData((0 until 200).map(i => Movement(s"k$i", 1, -10.0)))
+      q.processAllAvailable()
+      val rows1 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rows1 == 200L, s"expected 200 state rows after batch 1, got $rows1")
+      Thread.sleep(1500) // let every key's processing-time ttl expire
+      // batch 2: 10 fresh keys + one returning key. Data arrival beats
+      // the timer (Spark timeout semantics), so k7 keeps its surviving
+      // state; the 199 idle keys evict.
+      input.addData(
+        (0 until 10).map(i => Movement(s"n$i", 1, -5.0)) :+ Movement("k7", 2, -10.0))
+      q.processAllAvailable()
+      val rows2 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rows2 == 11L,
+        s"expected only batch-2 keys (11) after ttl eviction, got $rows2")
+      val k7 = spark.table("ttl_changes")
+        .as[StateChange[String, Double]].collect()
+        .filter(c => c.key == "k7" && c.tid == 2L)
+      assert(k7.map(c => (c.version, c.value)).toSeq == Seq((2, 80.0)))
+      // k3 WAS evicted in batch 2 — its return restarts from
+      // defaultValue (100 - 10 = 90) at version 1
+      input.addData(Seq(Movement("k3", 2, -10.0)))
+      q.processAllAvailable()
+      val k3 = spark.table("ttl_changes")
+        .as[StateChange[String, Double]].collect()
+        .filter(c => c.key == "k3" && c.tid == 2L)
+      assert(k3.map(c => (c.version, c.value)).toSeq == Seq((1, 90.0)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
+  test("ttl off: state rows accumulate across batches (semantics unchanged)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Movement]
+    val q = StateOperator.runStreaming[Movement, String, Double](
+      input.toDS(), _.acct, _.tid, new BalancesFn)
+      .writeStream.format("memory").queryName("nottl_changes")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((0 until 50).map(i => Movement(s"k$i", 1, -10.0)))
+      q.processAllAvailable()
+      Thread.sleep(400)
+      input.addData(Seq(Movement("extra", 1, -5.0)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 51L)
+    } finally q.stop()
+  }
 }
