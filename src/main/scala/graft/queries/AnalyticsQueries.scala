@@ -149,6 +149,54 @@ object AnalyticsQueries {
         .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("n_orders"), col("revenue_cents"))
         .orderBy("nation")),
+    // bucketed co-located join under the oracle gate: both sides
+    // written bucketed+sorted on the join key, so the join AND the
+    // per-customer aggregation run with zero Exchange (the
+    // BucketingSpec asserts the plan; this asserts the semantics)
+    "q_bucketed_join" -> ((s, dir) => {
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_bkt_orders", "o_custkey", 8)
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        "graft_bkt_customer", "c_custkey", 8)
+      graft.operators.Bucketing
+        .bucketedJoin(s, "graft_bkt_customer", "graft_bkt_orders",
+          "c_custkey", "o_custkey")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_custkey")
+    }),
+    // file source/sink surface under the oracle gate: nation round-
+    // trips through CSV (quoted commas in comments) and JSON Lines with
+    // explicit schemas + PERMISSIVE corrupt-record handling; both paths
+    // must reproduce the parquet original byte for byte
+    "q_file_roundtrip" -> ((s, dir) => {
+      // a comma-bearing column forces the CSV writer/reader through
+      // real quoting, not just happy-path token splitting
+      val nation = t(s, dir, "nation")
+        .withColumn("n_comment", concat(col("n_name"), lit(", "), col("n_regionkey")))
+      val base = new java.io.File(graft.LocalDir.scratch, "fileio")
+      base.mkdirs()
+      val tmp = java.nio.file.Files.createTempDirectory(base.toPath, "run")
+      val csvDir = tmp.resolve("csv").toString
+      val jsonDir = tmp.resolve("json").toString
+      nation.write.option("header", "true").csv(csvDir)
+      nation.write.json(jsonDir)
+      val cols = Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("n_comment"))
+      // localCheckpoint: an aggregate-only consumer (count) would prune
+      // the scan down to the bare corrupt-record column, which Spark
+      // rejects (SPARK-26208, see FileIO.partitionCorrupt doc); nation
+      // is a fixed 25 rows, so materializing is free
+      val csvBack = graft.sources.FileIO
+        .partitionCorrupt(graft.sources.FileIO.csv(s, csvDir, nation.schema))._1
+        .select(lit("csv").as("src") +: cols: _*).localCheckpoint(true)
+      val jsonBack = graft.sources.FileIO
+        .partitionCorrupt(graft.sources.FileIO.jsonLines(s, jsonDir, nation.schema))._1
+        .select(lit("json").as("src") +: cols: _*).localCheckpoint(true)
+      csvBack.unionAll(jsonBack).orderBy("src", "n_nationkey")
+    }),
     // salted top-k under the oracle gate: exact equality with the
     // plain window formulation is the whole point of the salting
     "q_skew_topk" -> ((s, dir) => {
@@ -311,6 +359,21 @@ object AnalyticsQueries {
         |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY price_cents DESC, line_id) AS BIGINT) AS rnk
         |  FROM li)
         |SELECT l_suppkey, rnk, line_id, price_cents FROM r WHERE rnk <= 3
-        |ORDER BY l_suppkey, rnk""".stripMargin
+        |ORDER BY l_suppkey, rnk""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_file_roundtrip" ->
+      """WITH n AS (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |    n_name || ', ' || CAST(n_regionkey AS VARCHAR) AS n_comment
+        |  FROM nation)
+        |SELECT src, n_nationkey, n_name, n_regionkey, n_comment FROM (
+        |  SELECT 'csv' AS src, * FROM n
+        |  UNION ALL
+        |  SELECT 'json' AS src, * FROM n)
+        |ORDER BY src, n_nationkey""".stripMargin
   )
 }

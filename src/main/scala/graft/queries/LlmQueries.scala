@@ -111,6 +111,31 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
+    // the Catalyst rewrite rule in a REAL query: the user writes the
+    // engine-portable HOF dot product, the injected QuantizedDotRewrite
+    // swaps in the fused native kernel, and the result still matches
+    // the same arithmetic oracle as ann_topk. The rule is conservative
+    // (structural match only), so leaving it registered on the shared
+    // session is a no-op for every other plan.
+    "ann_topk_rewrite" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.QuantizedDotRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.QuantizedDotRewrite
+      val e = embs(s, dir)
+      val scored = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .join(
+          broadcast(e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"))),
+          col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Similarity.dotQHof(col("qvec"), col("cvec")).as("dot_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
+        .orderBy("qid", "rnk")
+    }),
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroids(embs(s, dir), col("label"), col("embedding"))
         .select(col("cell").as("label"), col("pos").cast("bigint").as("pos"),
@@ -319,6 +344,22 @@ object LlmQueries {
         |  CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct_shingles
         |FROM sh ORDER BY doc_id""".stripMargin,
     "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
+        |exploded AS (
+        |  SELECT qid, cid,
+        |    CAST(round(CAST(UNNEST(qvec) AS DOUBLE) * 1000) AS BIGINT) AS qv,
+        |    CAST(round(CAST(UNNEST(cvec) AS DOUBLE) * 1000) AS BIGINT) AS cv
+        |  FROM q, c WHERE qid <> cid),
+        |dots AS (SELECT qid, cid, CAST(sum(qv * cv) AS BIGINT) AS dot_q
+        |  FROM exploded GROUP BY qid, cid),
+        |ranked AS (SELECT qid, cid, dot_q,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
+        |  FROM dots)
+        |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // identical arithmetic to ann_topk: the rewrite rule must not
+    // change results, only the physical expression
+    "ann_topk_rewrite" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
         |exploded AS (
