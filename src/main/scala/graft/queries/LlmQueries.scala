@@ -19,6 +19,26 @@ object LlmQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("text"), col("doc_id"))
         .orderBy("fingerprint")),
+    // The streaming ingest pipeline under the oracle gate: documents
+    // replay as micro-batch files through feature projection +
+    // watermarked exact dedup into the file sink; survivors' dedup-
+    // invariant features (fingerprint, whitespace/case-insensitive
+    // token count) must equal the batch DISTINCT. The synthetic event
+    // time spans seconds-per-doc, far inside the watermark horizon, so
+    // the streaming dedup is exact at any SF.
+    "stream_docs_ingest" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "docs-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      val d = docs(s, dir).withColumn("ingest_ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamingDocs.ingestFromFiles(
+        s, d, col("doc_id"), "ingest_ts", nBatches = 4, scratch,
+        watermark = "30 days")
+        .select(col("fingerprint"), col("n_tokens"))
+        .orderBy("fingerprint")
+    }),
     "text_stats" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -308,6 +328,11 @@ object LlmQueries {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "stream_docs_ingest" ->
+      """SELECT DISTINCT
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY fingerprint""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -22,6 +22,28 @@ object PurchaseQueries {
     // update (and vice versa).
     "t_multi_ns_abort_coupling" -> ((s, dir) =>
       Purchases.abortCoupling(g(s, dir))),
+    // The SAME multi-namespace pipeline ONLINE: both namespace queries
+    // run as live streaming jobs over staged micro-batch files (no row
+    // through the driver), agreeing on every transaction via the
+    // deterministic joint vote; the per-namespace final state must
+    // equal the batch close (t_multi_ns_commit's identical oracle).
+    "t_streaming_purchases" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "purch-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      val purchases = Purchases.fromEvents(
+        graft.tables.Tables.load(s, dir, "events"))
+      val (bal, inv) = graft.streaming.StreamingPurchases
+        .runFromFiles(s, purchases, nBatches = 4, scratch)
+      def summarize(df: DataFrame, ns: String) =
+        df.groupBy(col("key"))
+          .agg(max_by(col("value"), col("tid")).as("value"),
+            count(lit(1)).as("n_updates"))
+          .select(lit(ns).as("namespace"), col("key"), col("value"), col("n_updates"))
+      summarize(bal, "balances").unionAll(summarize(inv, "inventory"))
+        .orderBy("namespace", "key")
+    }),
     // The multi-state query over TWO REAL transactional state streams
     // (reference `tgraph/query/MultiStateQuery.java`).
     "t_query_multistate" -> ((s, dir) => {
@@ -70,6 +92,16 @@ object PurchaseQueries {
         |  CAST(sum(CASE WHEN NOT inv_abort AND NOT committed THEN 1 ELSE 0 END) AS BIGINT) AS inv_units_saved_by_bal_abort,
         |  CAST(sum(CASE WHEN NOT bal_abort AND NOT committed THEN price_cents ELSE 0 END) AS BIGINT) AS bal_cents_saved_by_inv_abort
         |FROM v""".stripMargin),
+    "t_streaming_purchases" -> (OraclePrefix +
+      """SELECT * FROM (
+        |  SELECT 'balances' AS namespace, customer AS key,
+        |    CAST(sum(-price_cents) AS BIGINT) AS value, count(*) AS n_updates
+        |  FROM v WHERE committed GROUP BY customer
+        |  UNION ALL
+        |  SELECT 'inventory' AS namespace, product AS key,
+        |    CAST(sum(-1) AS BIGINT) AS value, count(*) AS n_updates
+        |  FROM v WHERE committed GROUP BY product)
+        |ORDER BY namespace, key""".stripMargin),
     "t_query_multistate" -> (OraclePrefix +
       """SELECT * FROM (
         |  SELECT 'balances' AS namespace, customer AS key,

@@ -78,6 +78,30 @@ object FileIO {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
+  /** Stage a batch DataFrame as `nBatches` parquet files of contiguous
+    * `orderCol` ranges under `inDir`, named and mtime-stamped in range
+    * order so [[streamParquet]] (modification-time ordering) replays
+    * them as ordered micro-batches. The data write is DISTRIBUTED
+    * (`repartitionByRange`); the driver touches only file metadata
+    * (rename + timestamp), never rows.
+    */
+  def stageRangeBatches(
+      df: DataFrame, orderCol: org.apache.spark.sql.Column,
+      nBatches: Int, stageDir: java.io.File, inDir: java.io.File): Unit = {
+    df.repartitionByRange(nBatches, orderCol)
+      .write.mode("overwrite").parquet(stageDir.toString)
+    inDir.mkdirs()
+    // part-NNNNN index = range-partition index = orderCol order
+    val parts = Option(stageDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(inDir, f"b$i%05d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 2000L)
+    }
+  }
+
   /** Streaming parquet source: new files under `path` become micro-
     * batches, bounded intake per trigger. Schema is explicit (no
     * inference scan); file order within the log is modification-time

@@ -263,18 +263,8 @@ object StreamingBank {
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
     val ckpt = new java.io.File(base, "ckpt")
-    inDir.mkdirs()
-    deltas.repartitionByRange(nBatches, col("tid"))
-      .write.mode("overwrite").parquet(stage.toString)
-    // part-NNNNN index = range-partition index = tid order
-    val parts = Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val t0 = (System.currentTimeMillis() / 1000L) * 1000L - parts.length * 2000L
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = new java.io.File(inDir, f"b$i%05d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 2000L)
-    }
+    graft.sources.FileIO.stageRangeBatches(
+      deltas.toDF(), col("tid"), nBatches, stage, inDir)
     val stream = graft.sources.FileIO.streamParquet(
       spark, inDir.toString, deltas.schema, maxFilesPerTrigger = 1)
       .as[Bank.AcctDelta]

@@ -48,4 +48,33 @@ object StreamingDocs {
     features(docs, col("text"))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicates("fingerprint")
+
+  /** The full streaming ingest driven off staged files: documents are
+    * range-partitioned by `orderCol` into contiguous micro-batch files
+    * (distributed write, driver touches only file metadata), streamed
+    * through [[ingest]], and appended to an exactly-once parquet file
+    * sink. Returns the ingested (deduplicated, feature-projected)
+    * corpus as a batch DataFrame.
+    */
+  def ingestFromFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      orderCol: Column,
+      eventTimeCol: String,
+      nBatches: Int,
+      scratch: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    graft.sources.FileIO.stageRangeBatches(
+      docs, orderCol, nBatches, new java.io.File(base, "stage"), inDir)
+    val stream = graft.sources.FileIO.streamParquet(
+      spark, inDir.toString, docs.schema, maxFilesPerTrigger = 1)
+    val q = graft.sources.FileIO.streamingParquetSink(
+      ingest(stream, eventTimeCol, watermark),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir.toString)
+  }
 }

@@ -62,4 +62,39 @@ object StreamingPurchases {
     StateOperator.runStreaming[InventoryUpdate, Long, Long](
       upd, _.product, _.tid, new SumState(_.delta))
   }
+
+  /** Both namespace queries run live off staged files (no row through
+    * the driver): purchases are range-partitioned by tid into
+    * contiguous micro-batch files, each namespace runs as its own
+    * streaming query over the SAME input files (they need no
+    * coordination — the joint vote is deterministic, see object doc),
+    * and both StateChange histories land in exactly-once parquet file
+    * sinks. Returns (balances history, inventory history) as batch
+    * DataFrames.
+    */
+  def runFromFiles(
+      spark: SparkSession,
+      purchases: DataFrame,
+      nBatches: Int,
+      scratch: String): (DataFrame, DataFrame) = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    graft.sources.FileIO.stageRangeBatches(
+      purchases, col("tid"), nBatches, new java.io.File(base, "stage"), inDir)
+    val stream = graft.sources.FileIO.streamParquet(
+      spark, inDir.toString, purchases.schema, maxFilesPerTrigger = 1)
+    def run(name: String, out: Dataset[StateChange[Long, Long]]) = {
+      val q = graft.sources.FileIO.streamingParquetSink(
+        out.toDF(),
+        new java.io.File(base, s"out-$name").toString,
+        new java.io.File(base, s"ckpt-$name").toString).start()
+      q
+    }
+    val qBal = run("balances", balances(spark, stream))
+    val qInv = run("inventory", inventory(spark, stream))
+    qBal.awaitTermination()
+    qInv.awaitTermination()
+    (spark.read.parquet(new java.io.File(base, "out-balances").toString),
+      spark.read.parquet(new java.io.File(base, "out-inventory").toString))
+  }
 }
