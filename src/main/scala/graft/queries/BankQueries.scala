@@ -206,6 +206,35 @@ object BankQueries {
           s, graft.evaluation.Bank.acctDeltas(s, dir), nBatches = 4, scratch))
         .orderBy("acct")
     }),
+    // The out-of-process query endpoint under the oracle gate: the
+    // online sequential pipeline runs off staged files, then a TCP
+    // QueryServer pins the final committed batch of its state store and
+    // answers a POINT query for every account over the wire; the
+    // returned balances must equal the recursive-CTE serial fold. The
+    // key list and response are dimension-sized (one row per account),
+    // the bounded case the server exists for.
+    "t_query_server" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "qsrv")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingBank.runSequentialOnlineFromFiles(
+        s, graft.evaluation.Bank.acctDeltas(s, dir), nBatches = 4, scratch)
+      val server = new graft.tgraph.query.QueryServer(
+        s, s"$scratch/ckpt", refreshMillis = 25)
+      try {
+        val deadline = System.nanoTime() + 30L * 1_000_000_000L
+        while (server.servedBatchId < 0 && System.nanoTime() < deadline)
+          Thread.sleep(25)
+        require(server.servedBatchId >= 0, "query server never pinned a batch")
+        val accts = Tables.load(s, dir, "events")
+          .select(col("user_id").cast("bigint")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val client = new graft.tgraph.query.QueryClient("localhost", server.boundPort)
+        val rows = try client.pointRows(accts) finally client.close()
+        s.createDataFrame(rows).toDF("acct", "balance_cents").orderBy("acct")
+      } finally server.close()
+    }),
     // The PL1 dirty-read boundary (reference PL1Strategy: read the
     // last executed write, committed or not): votes read the dirty
     // chain, so commit decisions differ from both PL2 (stale committed
@@ -352,6 +381,10 @@ object BankQueries {
     // online ≡ batch: the streaming spelling answers to the same
     // serial-schedule oracle
     "t_streaming_sequential" -> SequentialOracle,
+    // the TCP endpoint serves the same serial fold's FINAL balances
+    "t_query_server" -> (SequentialOracleRec +
+      """SELECT acct, CAST(max_by(bal, rn) AS BIGINT) AS balance_cents
+        |FROM rec GROUP BY acct ORDER BY acct""".stripMargin),
     // PL1: dirty read — commit decided on the all-writes-applied
     // chain, i.e. the cumulative sum of EVERY delta up to and
     // including this one; the committed balance then only accumulates
@@ -409,7 +442,10 @@ object BankQueries {
     * rejecting any update that would drive the balance negative.
     * (lazy: referenced from `oracles`, which is declared above.)
     */
-  private lazy val SequentialOracle: String =
+  /** The serial-schedule recursive CTE shared by every consumer of the
+    * sequential fold (batch, online, query endpoint).
+    */
+  private lazy val SequentialOracleRec: String =
     """WITH RECURSIVE m AS (
       |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
       |    CASE WHEN event_type IN ('purchase','error')
@@ -427,9 +463,13 @@ object BankQueries {
       |    CASE WHEN rec.bal + m.delta >= 0 THEN rec.bal + m.delta ELSE rec.bal END,
       |    CASE WHEN rec.bal + m.delta >= 0 THEN 1 ELSE 0 END
       |  FROM rec JOIN m ON m.acct = rec.acct AND m.rn = rec.rn + 1)
-      |SELECT acct,
-      |  CAST(max_by(bal, rn) AS BIGINT) AS balance_cents,
-      |  CAST(sum(c) AS BIGINT) AS n_committed,
-      |  count(*) AS n_events
-      |FROM rec GROUP BY acct ORDER BY acct""".stripMargin
+      |""".stripMargin
+
+  private lazy val SequentialOracle: String =
+    SequentialOracleRec +
+      """SELECT acct,
+        |  CAST(max_by(bal, rn) AS BIGINT) AS balance_cents,
+        |  CAST(sum(c) AS BIGINT) AS n_committed,
+        |  count(*) AS n_events
+        |FROM rec GROUP BY acct ORDER BY acct""".stripMargin
 }

@@ -228,7 +228,16 @@ final class QueryClient(host: String, port: Int) extends AutoCloseable {
 
   def point(keys: Seq[Long]): String = request(s"POINT ${keys.mkString(",")}")
 
+  /** Point query parsed to (key, value) pairs. */
+  def pointRows(keys: Seq[Long]): Seq[(Long, Long)] =
+    QueryClient.RowRe.findAllMatchIn(point(keys))
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+
   override def close(): Unit = {
     try sock.close() catch { case _: Throwable => () }
   }
+}
+
+object QueryClient {
+  private val RowRe = """\[(-?\d+),(-?\d+)\]""".r
 }
