@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real (schema, batched per-partition
   * processing, deterministic chunking). Decoding is per-MIME:
   * PNG/JPEG/BMP/GIF go through the REAL pure-JVM [[ImageIoDecoder]]
-  * (`javax.imageio` — no native codecs needed); audio/video (no codec
-  * libs in this container) stay on the deterministic [[StubDecoder]],
-  * which produces fake features from the payload bytes — swap in a
-  * real decoder per modality in production.
+  * (`javax.imageio`) and PCM WAV/AIFF/AU audio through the REAL
+  * [[WavDecoder]] (`javax.sound.sampled`) — no native codecs needed
+  * for either; video (no pure-JVM codec in the JDK) stays on the
+  * deterministic [[StubDecoder]], which produces fake features from
+  * the payload bytes — swap in a real decoder in production.
   *
   * Per-partition batch processing (`mapPartitions` over an iterator) is
   * the Scala analog of `mapInPandas`: the decoder amortizes model/codec
@@ -125,11 +126,56 @@ object Multimodal {
     }
   }
 
-  /** MIME → decoder routing: images decode for real, everything else
-    * runs the documented stub.
+  /** REAL audio decode via pure-JVM `javax.sound.sampled` (PCM WAV/
+    * AIFF/AU ship with the JDK — no native codecs): actual format
+    * metadata (channels, sample rate) plus an 8-float temporal energy
+    * profile — the RMS of eight equal sample segments, normalized by
+    * 16-bit full scale (2^15, a power of two, so integer amplitudes
+    * survive the float path EXACTLY — what makes the decode
+    * arithmetic-oracle-checkable). The (width, height) slots of the
+    * shared decoder contract carry (channels, sampleRate).
+    */
+  object WavDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        require(n > 0, "empty audio payload")
+        val feature = new Array[Float](8)
+        var seg = 0
+        while (seg < 8) {
+          val lo = seg * n / 8
+          val hi = if (seg == 7) n else (seg + 1) * n / 8
+          var sumSq = 0.0
+          var i = lo
+          while (i < hi) {
+            val s =
+              if (fmt.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+              else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+            sumSq += s.toDouble * s.toDouble
+            i += 1
+          }
+          feature(seg) =
+            (math.sqrt(sumSq / math.max(1, hi - lo)) / 32768.0).toFloat
+          seg += 1
+        }
+        (fmt.getChannels, fmt.getSampleRate.toInt, feature)
+      } finally ais.close()
+    }
+  }
+
+  /** MIME → decoder routing: images and audio decode for real; video
+    * (no pure-JVM codec in the JDK) runs the documented stub.
     */
   def decoderFor(mime: String): MediaDecoder =
-    if (mime.startsWith("image/")) ImageIoDecoder else StubDecoder
+    if (mime.startsWith("image/")) ImageIoDecoder
+    else if (mime.startsWith("audio/")) WavDecoder
+    else StubDecoder
 
   /** Deterministic solid-color PNG bytes — the planted-image fixture
     * for [[ImageIoDecoder]]: dimensions and channel means are pure
@@ -149,6 +195,34 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic mono 16-bit PCM WAV bytes — the planted-audio
+    * fixture for [[WavDecoder]]: a square wave of integer amplitude
+    * `amplitude` (blocks of 8 frames at +A then 8 at −A), so every
+    * sample's magnitude is exactly A and each segment RMS is exactly
+    * A/2^15 — pure doc-id arithmetic for the oracle.
+    */
+  def syntheticWav(
+      nFrames: Int, amplitude: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= 32767, s"bad amplitude $amplitude")
+    val dataLen = nFrames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      val s = if ((i / 8) % 2 == 0) amplitude else -amplitude
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
   }
 
   /** Deterministic stand-ins for the remaining media transforms — the

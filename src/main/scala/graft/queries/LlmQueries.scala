@@ -156,6 +156,32 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
+    // REAL audio decode (javax.sound.sampled) under the oracle gate:
+    // planted square-wave WAVs — every sample magnitude is exactly the
+    // doc-id-derived amplitude, full-scale 2^15 keeps the float path
+    // exact, so format metadata AND segment RMS reduce to doc_id
+    // arithmetic DuckDB reproduces
+    "multimodal_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val amp = (1000 + (id * 37) % 30000).toInt
+            val frames = (160 + (id % 100) * 16).toInt
+            (id, Multimodal.syntheticWav(frames, amp), "audio/wav")
+          }
+        }.toDF("doc_id", "payload", "mime")
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(
+          col("doc_id"),
+          col("width").cast("bigint").as("channels"),
+          col("height").cast("bigint").as("sample_rate"),
+          round(element_at(col("feature"), 1).cast("double") * 1000).cast("bigint")
+            .as("rms_first_milli"),
+          round(element_at(col("feature"), 8).cast("double") * 1000).cast("bigint")
+            .as("rms_last_milli"))
+        .orderBy("doc_id")
+    }),
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroids(embs(s, dir), col("label"), col("embedding"))
         .select(col("cell").as("label"), col("pos").cast("bigint").as("pos"),
@@ -782,6 +808,15 @@ object LlmQueries {
         |  CAST(round(1000 * ((doc_id * 13) % 256) / 255.0) AS BIGINT) AS mean_b_milli,
         |  CAST(round(1000 * (0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
         |    + 0.114 * ((doc_id * 13) % 256)) / 255.0) AS BIGINT) AS luma_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // square-wave RMS == amplitude exactly; normalization by 2^15 is
+    // exact in float, so round(1000·A/32768) matches bit for bit
+    "multimodal_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(round(1000 * (1000 + (doc_id * 37) % 30000) / 32768.0) AS BIGINT) AS rms_first_milli,
+        |  CAST(round(1000 * (1000 + (doc_id * 37) % 30000) / 32768.0) AS BIGINT) AS rms_last_milli
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -84,4 +84,30 @@ class MultimodalSpec extends SparkSpec {
     val jf = Multimodal.decodeFeatures(spark, jpeg).collect().head
     assert(jf.width == 24 && jf.height == 12)
   }
+
+  test("javax.sound decodes real PCM WAVs: exact format and segment RMS") {
+    // square wave: every |sample| == A, so all 8 segment RMS values are
+    // EXACTLY A/2^15 (power-of-two normalization is exact in float)
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(320, 12000), "audio/wav"),
+      (2L, Multimodal.syntheticWav(800, 777, sampleRate = 16000), "audio/wav"))
+      .toDF("doc_id", "payload", "mime")
+    val out = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(out.map(f => (f.width, f.height)).toSeq == Seq((1, 8000), (1, 16000)))
+    assert(out(0).feature.toSeq == Seq.fill(8)(12000f / 32768f))
+    assert(out(1).feature.toSeq == Seq.fill(8)(777f / 32768f))
+    // the routing is per-MIME: the same bytes under a video MIME hit
+    // the stub, not the audio codec
+    val vid = Seq((3L, Multimodal.syntheticWav(320, 12000), "video/mp4"))
+      .toDF("doc_id", "payload", "mime")
+    val vf = Multimodal.decodeFeatures(spark, vid).collect().head
+    val (sw, sh, _) = Multimodal.StubDecoder.decode(Multimodal.syntheticWav(320, 12000))
+    assert(vf.width == sw && vf.height == sh)
+    // corrupt audio fails loudly, not silently
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark,
+        Seq((4L, Array[Byte](1, 2, 3), "audio/wav")).toDF("doc_id", "payload", "mime"))
+        .collect()
+    }
+  }
 }
