@@ -255,8 +255,8 @@ object StreamingBank {
       deltas: Dataset[Bank.AcctDelta],
       nBatches: Int,
       scratch: String,
-      isolation: IsolationLevel = IsolationLevel.PL3): DataFrame = {
-    import spark.implicits._
+      isolation: IsolationLevel = IsolationLevel.PL3,
+      statePartitions: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = new java.io.File(scratch)
     val stage = new java.io.File(base, "stage")
@@ -265,11 +265,16 @@ object StreamingBank {
     val ckpt = new java.io.File(base, "ckpt")
     graft.sources.FileIO.stageRangeBatches(
       deltas.toDF(), col("tid"), nBatches, stage, inDir)
+    // cloned session: state shard count sized for micro-batch state
+    // (see StreamingDocs.ingestFromFiles), conf scoped to this query
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    import ss.implicits._
     val stream = graft.sources.FileIO.streamParquet(
-      spark, inDir.toString, deltas.schema, maxFilesPerTrigger = 1)
+      ss, inDir.toString, deltas.schema, maxFilesPerTrigger = 1)
       .as[Bank.AcctDelta]
     val q = graft.sources.FileIO.streamingParquetSink(
-      sequentialBalancesOnline(spark, stream, isolation).toDF(),
+      sequentialBalancesOnline(ss, stream, isolation).toDF(),
       outDir.toString, ckpt.toString).start()
     q.awaitTermination()
     spark.read.parquet(outDir.toString)

@@ -35,8 +35,11 @@ object StreamingDocs {
       .withColumn("clean_text",
         TextAnalysis.redactPii(TextAnalysis.stripMarkup(text)))
 
-  /** The streaming ingest: features + watermarked exact dedup
-    * (first-seen document per fingerprint survives).
+  /** The streaming ingest: watermarked exact dedup FIRST (the cheap
+    * fingerprint column is all the stateful stage needs), then the
+    * expensive feature projection over survivors only — at a 30%-dup
+    * corpus that's 30% less regex work, and the state rows stay
+    * minimal. First-seen document per fingerprint survives.
     *
     * @param eventTimeCol name of the event-time column the watermark
     *                     tracks (must exist on `docs`)
@@ -44,10 +47,19 @@ object StreamingDocs {
   def ingest(
       docs: DataFrame,
       eventTimeCol: String,
-      watermark: String = "10 minutes"): DataFrame =
-    features(docs, col("text"))
+      watermark: String = "10 minutes"): DataFrame = {
+    val deduped = docs
+      .withColumn("fingerprint", TextAnalysis.fingerprintMd5(col("text")))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicates("fingerprint")
+    deduped
+      .withColumn("quality_milli", TextAnalysis.qualityMilli(col("text")))
+      .withColumn("predicted_lang", TextAnalysis.predictedLang(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("bigint"))
+      .withColumn("repetition_milli", TextAnalysis.repetitionMilli(col("text"), 2))
+      .withColumn("clean_text",
+        TextAnalysis.redactPii(TextAnalysis.stripMarkup(col("text"))))
+  }
 
   /** The full streaming ingest driven off staged files: documents are
     * range-partitioned by `orderCol` into contiguous micro-batch files
@@ -63,14 +75,23 @@ object StreamingDocs {
       eventTimeCol: String,
       nBatches: Int,
       scratch: String,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      statePartitions: Int = 8): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
     graft.sources.FileIO.stageRangeBatches(
       docs, orderCol, nBatches, new java.io.File(base, "stage"), inDir)
+    // The stateful stage's shard count is pinned by shuffle.partitions
+    // at first checkpoint; size it to the per-micro-batch state, not
+    // the session's batch-join width — loading/committing W stores per
+    // batch is the fixed cost that dominates small batches. A cloned
+    // session scopes the setting to this query (the shared session's
+    // concurrent batch queries keep their own conf).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = graft.sources.FileIO.streamParquet(
-      spark, inDir.toString, docs.schema, maxFilesPerTrigger = 1)
+      ss, inDir.toString, docs.schema, maxFilesPerTrigger = 1)
     val q = graft.sources.FileIO.streamingParquetSink(
       ingest(stream, eventTimeCol, watermark),
       outDir.toString, new java.io.File(base, "ckpt").toString).start()

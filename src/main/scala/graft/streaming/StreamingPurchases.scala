@@ -76,13 +76,18 @@ object StreamingPurchases {
       spark: SparkSession,
       purchases: DataFrame,
       nBatches: Int,
-      scratch: String): (DataFrame, DataFrame) = {
+      scratch: String,
+      statePartitions: Int = 8): (DataFrame, DataFrame) = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     graft.sources.FileIO.stageRangeBatches(
       purchases, col("tid"), nBatches, new java.io.File(base, "stage"), inDir)
+    // cloned session: state shard count sized for micro-batch state
+    // (see StreamingDocs.ingestFromFiles), conf scoped to this query
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = graft.sources.FileIO.streamParquet(
-      spark, inDir.toString, purchases.schema, maxFilesPerTrigger = 1)
+      ss, inDir.toString, purchases.schema, maxFilesPerTrigger = 1)
     def run(name: String, out: Dataset[StateChange[Long, Long]]) = {
       val q = graft.sources.FileIO.streamingParquetSink(
         out.toDF(),
@@ -90,8 +95,8 @@ object StreamingPurchases {
         new java.io.File(base, s"ckpt-$name").toString).start()
       q
     }
-    val qBal = run("balances", balances(spark, stream))
-    val qInv = run("inventory", inventory(spark, stream))
+    val qBal = run("balances", balances(ss, stream))
+    val qInv = run("inventory", inventory(ss, stream))
     qBal.awaitTermination()
     qInv.awaitTermination()
     (spark.read.parquet(new java.io.File(base, "out-balances").toString),
