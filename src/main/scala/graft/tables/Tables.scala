@@ -121,6 +121,8 @@ object Tables {
             d.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
           case _: TimestampNTZType =>
             d.withColumn(colName, col(colName).cast(TimestampType))
+          case _: DateType => // date32 drift: midnight UTC, value-preserving
+            d.withColumn(colName, col(colName).cast(TimestampType))
           case _: TimestampType => d
           case other =>
             throw new IllegalStateException(
