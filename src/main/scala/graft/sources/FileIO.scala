@@ -102,6 +102,20 @@ object FileIO {
     }
   }
 
+  /** Best-effort recursive delete for run-scoped scratch (staged
+    * inputs, checkpoints) once a streaming run has terminated — the
+    * scratch lives on tmpfs, so leaks cost RAM, not disk.
+    */
+  def deleteScratch(dirs: java.io.File*): Unit =
+    dirs.foreach { d =>
+      if (d.exists()) {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }
+    }
+
   /** Streaming parquet source: new files under `path` become micro-
     * batches, bounded intake per trigger. Schema is explicit (no
     * inference scan); file order within the log is modification-time

@@ -277,6 +277,9 @@ object StreamingBank {
       sequentialBalancesOnline(ss, stream, isolation).toDF(),
       outDir.toString, ckpt.toString).start()
     q.awaitTermination()
+    // staged inputs are dead weight now; the checkpoint stays — the
+    // query endpoint (t_query_server) serves the final state from it
+    graft.sources.FileIO.deleteScratch(stage, inDir)
     spark.read.parquet(outDir.toString)
   }
 

@@ -96,6 +96,9 @@ object StreamingDocs {
       ingest(stream, eventTimeCol, watermark),
       outDir.toString, new java.io.File(base, "ckpt").toString).start()
     q.awaitTermination()
+    // only the sink output outlives the run (the returned frame reads it)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
     spark.read.parquet(outDir.toString)
   }
 }

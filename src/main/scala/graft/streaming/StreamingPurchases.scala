@@ -99,6 +99,10 @@ object StreamingPurchases {
     val qInv = run("inventory", inventory(ss, stream))
     qBal.awaitTermination()
     qInv.awaitTermination()
+    // only the sink outputs outlive the run (the returned frames read them)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir,
+      new java.io.File(base, "ckpt-balances"), new java.io.File(base, "ckpt-inventory"))
     (spark.read.parquet(new java.io.File(base, "out-balances").toString),
       spark.read.parquet(new java.io.File(base, "out-inventory").toString))
   }

@@ -65,4 +65,34 @@ class FileIOSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(s"$tmp/out").count() == 2)
   }
+
+  test("stageRangeBatches replays contiguous ranges in order, one file per batch") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val df = spark.range(1000).select(col("id").as("tid"))
+    val inDir = new java.io.File(tmp, "in")
+    FileIO.stageRangeBatches(
+      df, col("tid"), 4, new java.io.File(tmp, "stage"), inDir)
+    val files = inDir.listFiles().sortBy(_.getName)
+    assert(files.length == 4)
+    // mtimes strictly ascending with the names — the file source's
+    // modification-time ordering replays them in range order
+    assert(files.map(_.lastModified).sliding(2).forall(p => p(0) < p(1)))
+    // each file holds a contiguous tid range, ranges ascend with files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString).agg(
+        min("tid"), max("tid"), count(lit(1))).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(ranges.map(_._3).sum == 1000L)
+    ranges.sliding(2).foreach { case Array(a, b) => assert(a._2 < b._1) }
+    // stream it back: 4 micro-batches, union == input
+    val got = FileIO.streamParquet(spark, inDir.toString, df.schema,
+      maxFilesPerTrigger = 1)
+    val q = FileIO.streamingParquetSink(got, s"$tmp/out", s"$tmp/ckpt").start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$tmp/out").count() == 1000L)
+    FileIO.deleteScratch(new java.io.File(tmp))
+    assert(!new java.io.File(tmp).exists())
+  }
 }
