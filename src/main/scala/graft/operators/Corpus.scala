@@ -187,4 +187,53 @@ object Corpus {
           Window.partitionBy(col("grp"), col("chunk_id")).orderBy(col("doc_id")))
           .cast("long"))
   }
+
+  /** C4/CCNet-style LINE-level corpus dedup: a substantial line (≥
+    * `minChars` non-whitespace chars after normalization) survives only
+    * at its FIRST occurrence corpus-wide — (min doc_id, then min line
+    * index) — every later copy is dropped; short lines (headings,
+    * separators, code punctuation) always stay. Documents are then
+    * reassembled from their surviving lines in original order. This is
+    * the boilerplate-killer between exact-document and near-dup
+    * passes: navigation chrome, cookie banners, license footers repeat
+    * across millions of pages that are NOT document-level dups.
+    *
+    * Shape at scale: explode to lines (narrow), one groupBy-min on the
+    * line fingerprint (map-side combine collapses the hot boilerplate
+    * fingerprints — the skew IS the workload), one join back keyed the
+    * same way, one per-doc reassembly groupBy. No window over the
+    * corpus, no driver state.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped) for EVERY input
+    * document (a fully-boilerplate doc comes back with empty text).
+    */
+  def lineDedup(
+      docs: DataFrame, id: Column, text: Column,
+      minChars: Int = 10): DataFrame = {
+    val lines = docs
+      .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("line_idx", "line")))
+      .withColumn("eligible",
+        length(regexp_replace(col("line"), "\\s", "")) >= minChars)
+      .withColumn("lfp", md5(lower(trim(col("line")))))
+    val keepers = lines.filter(col("eligible"))
+      .groupBy(col("lfp"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+    val kept = lines
+      .join(keepers, Seq("lfp"), "left")
+      .filter(!col("eligible") ||
+        (col("doc_id") === col("first.doc_id") && col("line_idx") === col("first.line_idx")))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          e => e.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(id.as("doc_id"),
+        (size(split(text, "\n"))).cast("bigint").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

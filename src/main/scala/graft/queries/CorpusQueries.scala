@@ -18,6 +18,11 @@ object CorpusQueries {
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4-style line-level dedup: substantial lines survive only at
+    // their corpus-wide first occurrence, documents reassembled
+    "line_dedup" -> ((s, dir) =>
+      Corpus.lineDedup(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
     // connected components over the (oracle-checked) semantic near-dup
     // pair graph: cluster = min reachable id, canonical = cluster rep
     "dup_clusters" -> ((s, dir) => {
@@ -122,6 +127,35 @@ object CorpusQueries {
       |  WHERE ${LlmQueries.NearDupThreshold})""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // eligibility (non-ws chars of the raw line) is constant within an
+    // lfp partition — lower(trim(..)) only strips edge whitespace — so
+    // the window's keeper choice matches the eligible-only groupBy-min
+    "line_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(1, len(string_split(text, chr(10))))) AS line_idx,
+        |    UNNEST(string_split(text, chr(10))) AS line
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, line_idx, line,
+        |    length(regexp_replace(line, '\s', '', 'g')) >= 10 AS eligible,
+        |    md5(lower(trim(line))) AS lfp
+        |  FROM l),
+        |k AS (
+        |  SELECT doc_id, line_idx, line, eligible,
+        |    row_number() OVER (PARTITION BY lfp ORDER BY doc_id, line_idx) AS rn
+        |  FROM e),
+        |kept AS (SELECT doc_id, line_idx, line FROM k WHERE NOT eligible OR rn = 1),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(string_split(d.text, chr(10))) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // transitive closure of the near-dup pair graph via recursive CTE;
     // cluster = min reachable id (same contract as the pointer-jumping
     // Spark implementation)

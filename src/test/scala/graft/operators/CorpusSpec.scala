@@ -122,4 +122,27 @@ class CorpusSpec extends SparkSpec {
       assert(off == expect); expect + nt
     }
   }
+
+  test("lineDedup keeps a substantial line only at its first corpus occurrence") {
+    val banner = "Subscribe to our newsletter for updates!"
+    val docs = Seq(
+      (1L, s"Unique opening line one.\n$banner\nshort"),
+      (2L, s"$banner\nAnother unique body line here.\n$banner"),
+      (3L, banner),          // fully boilerplate once deduped
+      (4L, "tiny\n--\nok"))  // nothing substantial: untouched
+      .toDF("doc_id", "text")
+    val out = Corpus.lineDedup(docs, col("doc_id"), col("text"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, s"Unique opening line one.\n$banner\nshort", 3L, 0L)))
+    // doc 2 loses BOTH banner copies (doc 1 owns the first occurrence)
+    assert(out(1) == ((2L, "Another unique body line here.", 1L, 2L)))
+    assert(out(2) == ((3L, "", 0L, 1L)))
+    assert(out(3) == ((4L, "tiny\n--\nok", 3L, 0L)))
+    // normalization: case/edge-whitespace variants are the same line
+    val norm = Corpus.lineDedup(
+      Seq((1L, "The Quick Brown Fox Jumps"), (2L, "  the quick brown fox jumps  "))
+        .toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(norm(0)._3 == 1L && norm(1)._2 == "" && norm(1)._4 == 1L)
+  }
 }
