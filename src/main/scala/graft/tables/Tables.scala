@@ -54,8 +54,10 @@ object Tables {
     val label = "timestamp"
   }
   private case object FloatVec extends Family {
+    // normalizeVectors runs first, so post-load this must be exactly
+    // the array<float> the native kernels require
     def accepts(dt: DataType): Boolean = dt match {
-      case ArrayType(_: FloatType | _: DoubleType, _) => true
+      case ArrayType(_: FloatType, _) => true
       case _ => false
     }
     val label = "array<float>"
@@ -98,10 +100,29 @@ object Tables {
     // Legacy flag so parquet TIMESTAMP(NANOS) files are still readable
     // (as int64) instead of failing the scan; runtime-settable, idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"), name)
+    val df = normalizeVectors(
+      normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"), name), name)
     validate(df, name)
     df
   }
+
+  /** Bring declared float-vector columns to `array<float>` — the exact
+    * type the native kernels (`dot_q`, `cos_q_ge`) require. A
+    * regeneration that re-encodes embeddings as `array<double>` would
+    * otherwise kill every ANN query at analysis; the original values
+    * are float32-generated, so the cast back is lossless.
+    */
+  private def normalizeVectors(df: DataFrame, name: String): DataFrame =
+    Expected.getOrElse(name, Seq.empty).foldLeft(df) {
+      case (d, (colName, FloatVec)) if d.columns.contains(colName) =>
+        d.schema(colName).dataType match {
+          case ArrayType(_: FloatType, _) => d
+          case ArrayType(_, _) =>
+            d.withColumn(colName, col(colName).cast(ArrayType(FloatType)))
+          case _ => d // validate() reports the mismatch loudly
+        }
+      case (d, _) => d
+    }
 
   /** Bring every declared timestamp column to wall-clock TimestampType,
     * whatever the file's physical encoding was:
