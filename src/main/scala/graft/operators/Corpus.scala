@@ -188,6 +188,32 @@ object Corpus {
           .cast("long"))
   }
 
+  /** Deterministic training-shard assignment + within-shard order —
+    * the corpus-shuffle step before training. Shard = portable 32-bit
+    * hash of (seed, doc id) mod `nShards`; order within a shard = the
+    * full md5 digest of the same key (doc id breaks the astronomically
+    * unlikely digest tie). Changing the seed reshuffles the whole
+    * corpus; same seed reproduces the exact order on any engine.
+    *
+    * Scale: the assignment is a narrow map; the per-shard rank is one
+    * shuffle keyed on the shard (a real writer skips the rank column
+    * and just `repartition(shard).sortWithinPartitions(sort_key)` —
+    * same distribution, zero windows; the rank here is the
+    * oracle-checkable spelling of that order).
+    */
+  def trainingShards(
+      docs: DataFrame, id: Column, seed: String, nShards: Int): DataFrame = {
+    val key = concat(lit(seed), lit(":"), id.cast("string"))
+    docs
+      .select(id.as("doc_id"),
+        pmod(TextAnalysis.portableHash32(key), lit(nShards)).cast("bigint").as("shard"),
+        md5(key).as("sort_key"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id")))
+          .cast("long"))
+  }
+
   /** C4/CCNet-style LINE-level corpus dedup: a substantial line (≥
     * `minChars` non-whitespace chars after normalization) survives only
     * at its FIRST occurrence corpus-wide — (min doc_id, then min line

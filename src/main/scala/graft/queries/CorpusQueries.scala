@@ -23,6 +23,11 @@ object CorpusQueries {
     "line_dedup" -> ((s, dir) =>
       Corpus.lineDedup(docs(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
+    // deterministic corpus shuffle into training shards: same seed =
+    // same order on any engine
+    "train_shards" -> ((s, dir) =>
+      Corpus.trainingShards(docs(s, dir), col("doc_id"), "s1", 8)
+        .orderBy("doc_id")),
     // connected components over the (oracle-checked) semantic near-dup
     // pair graph: cluster = min reachable id, canonical = cluster rep
     "dup_clusters" -> ((s, dir) => {
@@ -127,6 +132,18 @@ object CorpusQueries {
       |  WHERE ${LlmQueries.NearDupThreshold})""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "train_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 8 AS shard,
+        |    md5('s1:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, sort_key,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+        |FROM t ORDER BY doc_id""".stripMargin,
     // eligibility (non-ws chars of the raw line) is constant within an
     // lfp partition — lower(trim(..)) only strips edge whitespace — so
     // the window's keeper choice matches the eligible-only groupBy-min

@@ -123,6 +123,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("trainingShards is a deterministic permutation; seed reshuffles") {
+    val docs = spark.range(200).toDF("doc_id")
+    def run(seed: String) =
+      Corpus.trainingShards(docs, col("doc_id"), seed, 8)
+        .select("doc_id", "shard", "pos")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val a = run("s1")
+    assert(a.sameElements(run("s1"))) // reproducible
+    assert(a.map(_._1).toSet == (0L until 200L).toSet) // a permutation
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // within each shard, pos is exactly 1..count
+    a.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // a different seed produces a different order
+    val b = run("s2")
+    assert(!a.sameElements(b))
+  }
+
   test("lineDedup keeps a substantial line only at its first corpus occurrence") {
     val banner = "Subscribe to our newsletter for updates!"
     val docs = Seq(
