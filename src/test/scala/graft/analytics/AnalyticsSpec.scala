@@ -32,4 +32,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"range join fell back to a product plan:\n$plan")
   }
+
+  test("filter pushdown + column pruning reach the parquet scan through ts normalization") {
+    // Tables.load rewrites timestamp columns (NTZ cast / nanos div) —
+    // if that ever stops being unwrap-able, date filters silently stop
+    // reaching the scan and a 100 TB query reads every row group. Pin
+    // the property on the flagship pricing query.
+    val explained = graft.SparkEntry.queries("q1_pricing")(spark, Sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to the parquet scan:\n$explained")
+    // unused lineitem columns must be pruned out of the read schema
+    assert(!explained.contains("l_partkey"),
+      s"column pruning lost — l_partkey read but unused:\n$explained")
+  }
 }
