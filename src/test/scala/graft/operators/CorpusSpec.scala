@@ -142,6 +142,37 @@ class CorpusSpec extends SparkSpec {
     assert(!a.sameElements(b))
   }
 
+  test("lineDedup matches a brute-force reference on seeded random corpora") {
+    val vocab = Vector(
+      "alpha beta gamma delta epsilon!", "the common navigation banner line",
+      "another substantial sentence of text", "short", "--", "",
+      "terms of service apply to all pages")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val corpus = (0L until 30L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        (id, Seq.fill(n)(
+          vocab(rnd.nextInt(vocab.length)) +
+            (if (rnd.nextBoolean()) "" else s" ${rnd.nextInt(3)}")).mkString("\n"))
+      }
+      // reference: first occurrence corpus-wide in (doc_id, line_idx) order
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = corpus.map { case (id, text) =>
+        val lines = text.split("\n", -1)
+        val kept = lines.filter { l =>
+          if (l.count(!_.isWhitespace) < 10) true
+          else { val fp = l.trim.toLowerCase; seen.add(fp) }
+        }
+        (id, kept.mkString("\n"), kept.length.toLong,
+          (lines.length - kept.length).toLong)
+      }
+      val got = Corpus.lineDedup(
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected)
+    }
+  }
+
   test("lineDedup keeps a substantial line only at its first corpus occurrence") {
     val banner = "Subscribe to our newsletter for updates!"
     val docs = Seq(
