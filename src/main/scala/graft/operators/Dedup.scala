@@ -197,6 +197,16 @@ object Dedup {
     *    Dropping them bounds pair volume by df·|index| (linear in
     *    corpus size) and the union arithmetic stays consistent by
     *    counting only KEPT shingles on both sides;
+    *  - the df cap and the per-doc kept-shingle count are AGGREGATES,
+    *    not windows: a window over the shingle key must materialize
+    *    and sort each key's partition in one task — and the hottest
+    *    keys are exactly the boilerplate the cap exists to drop, so
+    *    at 1M docs one stop shingle would pin ~1M rows in a single
+    *    task *before* the filter discards them. `groupBy("h").count()`
+    *    lets map-side partial aggregation absorb the hot key to one
+    *    row per partition; only the tiny over-cap shingle list
+    *    survives, anti-joined back against the index (broadcast when
+    *    small, shuffle otherwise — AQE handles residual skew);
     *  - both self-join sides are the same sub-plan shuffled on the
     *    hash (merge-join hint), so Spark's ReuseExchange computes
     *    the index pipeline once.
@@ -208,15 +218,25 @@ object Dedup {
       shingleSize: Int = 3,
       minJaccardMilli: Int = 500,
       maxShingleDf: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val inv = docs.select(
       idCol.as("doc_id"),
       explode(graft.functions.ShingleHashes56(
         TextAnalysis.tokens(textCol), shingleSize)).as("h"))
-    val kept = inv
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxShingleDf)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // shingles with df > maxShingleDf: a hash-aggregate with map-side
+    // combine (hot keys collapse to one row per map partition), then a
+    // filter that keeps only the over-cap tail — tiny by construction
+    // (at most totalShingleRows / maxShingleDf distinct hashes).
+    val overCap = inv
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("h"))
+    val keptInv = inv.join(overCap, Seq("h"), "left_anti")
+    // kept-shingle count per doc — again an aggregate (one row per
+    // doc), carried onto each index row so the pair group-by below
+    // needs no end-join against a per-doc side table.
+    val perDoc = keptInv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val kept = keptInv.join(perDoc, "doc_id")
       .select(col("doc_id"), col("n_sh"), col("h"))
     val a = kept.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
     val b = kept.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
