@@ -34,10 +34,14 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   *    are answered from that snapshot in microseconds, giving the
   *    reference's queries/s shape instead of a per-request Spark job.
   *  - The cache is bounded (`maxStateRows`); a state that outgrows the
-  *    driver belongs on the distributed path
-  *    ([[StateQueries.pointQueryBatch]] — broadcast-semi-join a key
-  *    micro-batch against the statestore scan), which this server
-  *    refuses loudly rather than OOMing.
+  *    driver DEGRADES rather than dies (the reference's server keeps
+  *    serving whatever the state size): the refresher stops caching and
+  *    the server answers each request with a distributed query pinned
+  *    to the last committed batch — the
+  *    [[StateQueries.pointQueryBatch]] shape (filter/aggregate over the
+  *    statestore scan), milliseconds → a Spark job per request, but
+  *    still batch-consistent and still alive. If the state shrinks back
+  *    under the cap the next refresh re-enters cached mode.
   *
   * Protocol (one request line → one JSON response line):
   * {{{
@@ -61,9 +65,15 @@ final class QueryServer(
     refreshMillis: Long = 100,
     maxStateRows: Long = 5_000_000L) extends AutoCloseable {
 
-  private final case class Snapshot(batchId: Long, state: Map[Long, Long])
+  /** `state = Some(map)` — cached mode (answers from driver memory);
+    * `state = None` — degraded mode (state outgrew `maxStateRows`;
+    * answers run as distributed queries pinned at `batchId`).
+    */
+  private final case class Snapshot(batchId: Long, state: Option[Map[Long, Long]])
 
-  private val current = new AtomicReference[Snapshot](Snapshot(-1L, Map.empty))
+  private val current =
+    new AtomicReference[Snapshot](Snapshot(-1L, Some(Map.empty)))
+  private val warnedOversize = new AtomicBoolean(false)
   private val running = new AtomicBoolean(true)
   private val server = new ServerSocket(port)
 
@@ -90,24 +100,38 @@ final class QueryServer(
     }
   }
 
+  /** The (key, value) state frame pinned to committed batch `b` —
+    * shared by the cached refresh and the degraded per-request path.
+    */
+  private def pinnedState(b: Long) =
+    spark.read.format("statestore")
+      .option("batchId", b)
+      .load(checkpointLocation)
+      .select(keyCol.as("k"), valueCol.as("v"))
+
   /** One snapshot load, pinned to a committed batch id so concurrent
-    * micro-batch progress can't tear the read.
+    * micro-batch progress can't tear the read. A state larger than
+    * `maxStateRows` flips the snapshot to degraded (distributed) mode
+    * instead of failing the refresher — the endpoint must keep serving.
     */
   private def refreshOnce(): Unit = {
     val b = lastCommittedBatch
     if (b > current.get().batchId) {
-      val df = spark.read.format("statestore")
-        .option("batchId", b)
-        .load(checkpointLocation)
-        .select(keyCol.as("k"), valueCol.as("v"))
+      val df = pinnedState(b)
       val n = df.count()
-      require(n <= maxStateRows,
-        s"state has $n rows > maxStateRows=$maxStateRows; query it via " +
-          "StateQueries.pointQueryBatch (distributed) instead of the " +
-          "driver-cached server")
-      val m = df.collect().iterator
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      current.set(Snapshot(b, m))
+      if (n <= maxStateRows) {
+        val m = df.collect().iterator
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        current.set(Snapshot(b, Some(m)))
+        warnedOversize.set(false)
+      } else {
+        if (warnedOversize.compareAndSet(false, true))
+          System.err.println(
+            s"[query-server] state has $n rows > maxStateRows=$maxStateRows; " +
+              "degrading to distributed per-request queries (a Spark job " +
+              "per request) until it shrinks back under the cap")
+        current.set(Snapshot(b, None))
+      }
     }
   }
 
@@ -131,31 +155,64 @@ final class QueryServer(
 
   private def respond(req: String): String = {
     val snap = current.get()
-    def rows(sel: Map[Long, Long] => Iterable[(Long, Long)]): String = {
-      val body = sel(snap.state).toSeq.sorted
+    def rowsJson(pairs: Iterable[(Long, Long)]): String = {
+      val body = pairs.toSeq.sorted
         .map { case (k, v) => s"[$k,$v]" }.mkString(",")
       s"""{"batch":${snap.batchId},"rows":[$body]}"""
     }
+    // Degraded mode: the same answers, computed as a distributed query
+    // pinned at the snapshot's committed batch (the pointQueryBatch
+    // shape) — never materializing the full state on the driver.
+    def distributed(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Iterable[(Long, Long)] =
+      if (snap.batchId < 0) Nil
+      else f(pinnedState(snap.batchId)).collect().iterator
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
     val parts = req.trim.split("\\s+", 2)
     parts(0).toUpperCase match {
       case "POINT" if parts.length == 2 =>
         val keys = parts(1).split(",").iterator.map(_.trim)
           .filter(_.nonEmpty).map(_.toLong).toSet
-        rows(st => keys.iterator.flatMap(k => st.get(k).map(k -> _)).toSeq)
+        snap.state match {
+          case Some(st) =>
+            rowsJson(keys.iterator.flatMap(k => st.get(k).map(k -> _)).toSeq)
+          case None =>
+            rowsJson(distributed(_.filter(
+              col("k").isInCollection(keys.toSeq.map(Long.box)))))
+        }
       case "PRED" if parts.length == 2 =>
         val Array(op, lit) = parts(1).trim.split("\\s+", 2)
         val n = lit.trim.toLong
-        val p: Long => Boolean = op.toUpperCase match {
-          case "GE" => _ >= n
-          case "GT" => _ > n
-          case "LE" => _ <= n
-          case "LT" => _ < n
-          case "EQ" => _ == n
-          case other => throw new IllegalArgumentException(s"bad op $other")
+        snap.state match {
+          case Some(st) =>
+            val p: Long => Boolean = op.toUpperCase match {
+              case "GE" => _ >= n
+              case "GT" => _ > n
+              case "LE" => _ <= n
+              case "LT" => _ < n
+              case "EQ" => _ == n
+              case other => throw new IllegalArgumentException(s"bad op $other")
+            }
+            rowsJson(st.filter { case (_, v) => p(v) })
+          case None =>
+            val pred: Column = op.toUpperCase match {
+              case "GE" => col("v") >= n
+              case "GT" => col("v") > n
+              case "LE" => col("v") <= n
+              case "LT" => col("v") < n
+              case "EQ" => col("v") === n
+              case other => throw new IllegalArgumentException(s"bad op $other")
+            }
+            rowsJson(distributed(_.filter(pred)))
         }
-        rows(_.filter { case (_, v) => p(v) })
       case "COUNT" =>
-        s"""{"batch":${snap.batchId},"count":${snap.state.size}}"""
+        snap.state match {
+          case Some(st) =>
+            s"""{"batch":${snap.batchId},"count":${st.size}}"""
+          case None =>
+            val n = if (snap.batchId < 0) 0L else pinnedState(snap.batchId).count()
+            s"""{"batch":${snap.batchId},"count":$n}"""
+        }
       case other =>
         s"""{"error":"unknown request ${other.take(40)}"}"""
     }

@@ -105,6 +105,72 @@ class QueryServerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state past maxStateRows degrades to distributed answers, never dies") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-big").toString
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val (firstHalf, secondHalf) = deltas.splitAt(deltas.length / 2)
+
+    val input = MemoryStream[Bank.AcctDelta]
+    val q = StreamingBank.sequentialBalancesOnline(spark, input.toDS())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(firstHalf)
+      q.processAllAvailable()
+
+      // cap far below the ~150-key state: the refresher must flip to
+      // degraded (distributed per-request) mode instead of failing
+      val server = new QueryServer(spark, s"$dir/ckpt",
+        refreshMillis = 50, maxStateRows = 3L)
+      try {
+        eventually() { if (server.servedBatchId >= 0) Some(()) else None }
+        val b1 = server.servedBatchId
+
+        def sinkState(): Map[Long, Long] = spark.read.parquet(s"$dir/out")
+          .groupBy(col("key"))
+          .agg(max_by(col("value"), col("tid")).as("v"))
+          .as[(Long, Long)].collect().toMap
+        val expected1 = sinkState()
+        assert(expected1.size > 3, "fixture must exceed the cap")
+
+        val client = new QueryClient("localhost", server.boundPort)
+        try {
+          val probeKeys = expected1.keys.toSeq.sorted.take(10)
+          val (batch, rows) = parseRows(client.point(probeKeys))
+          assert(batch == b1)
+          assert(rows == probeKeys.map(k => k -> expected1(k)).toMap)
+
+          // COUNT runs distributed too: full key count, not a cache size
+          assert(client.request("COUNT").contains(s""""count":${expected1.size}"""))
+
+          // predicate answers stay exact in degraded mode
+          val (pb, pRows) = parseRows(client.request("PRED GE 10000"))
+          assert(pb == b1)
+          assert(pRows == expected1.filter(_._2 >= 10000L))
+
+          // the stream keeps running and the degraded server tracks it:
+          // answers advance to the new committed epoch, never a torn mix
+          input.addData(secondHalf)
+          q.processAllAvailable()
+          val b2 = eventually() {
+            val b = server.servedBatchId
+            if (b > b1) Some(b) else None
+          }
+          val expected2 = sinkState()
+          val keys2 = expected2.keys.toSeq.sorted.take(10)
+          val (batchAfter, rowsAfter) = parseRows(client.point(keys2))
+          assert(batchAfter == b2)
+          assert(rowsAfter == keys2.map(k => k -> expected2(k)).toMap)
+        } finally client.close()
+      } finally server.close()
+    } finally q.stop()
+  }
+
   test("concurrent clients: every answer a committed epoch; throughput probe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-tp").toString
