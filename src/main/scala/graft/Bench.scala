@@ -112,7 +112,9 @@ object Bench {
     // state-store partitions.
     val probePool = Executors.newSingleThreadExecutor()
     val probeEc = ExecutionContext.fromExecutor(probePool)
-    val latency = if (remainingSec <= 10) """"stream_latency_ms":{}""" else {
+    val latency = if (remainingSec <= 10)
+      """"stream_latency_ms":{},"record_latency_ms":{}"""
+    else {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val f = Future(
@@ -121,7 +123,7 @@ object Bench {
         try Await.result(f, math.min(probeSec, math.max(1L, remainingSec)).seconds)
         catch { case _: Throwable =>
           try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => () }
-          """"stream_latency_ms":{}"""
+          """"stream_latency_ms":{},"record_latency_ms":{}"""
         }
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       out

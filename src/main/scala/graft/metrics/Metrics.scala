@@ -86,4 +86,63 @@ object Metrics {
     def toJsonFragment: String =
       s""""stream_latency_ms":{"batches":$batches,"p50":$p50Ms,"p95":$p95Ms,"p99":$p99Ms,"max":$maxMs}"""
   }
+
+  /** Nearest-rank percentile over a sorted sample. */
+  private[metrics] def nearestRank(sorted: IndexedSeq[Long], p: Double): Long =
+    if (sorted.isEmpty) -1L
+    else sorted(math.min(sorted.length - 1,
+      math.max(0, math.ceil(p / 100.0 * sorted.length).toInt - 1)))
+
+  /** Per-RECORD end-to-end latency — the reference's
+    * `evaluation/LatencyTrackerStart.java` / `LatencyTrackerEnd.java` +
+    * `common/RecordTracker.java` trio: each transaction id is stamped
+    * when it ENTERS the graph (`opened`) and measured when its outputs
+    * land at the SINK (`closed`, called from a foreachBatch with the
+    * batch's completion time), so the distribution reflects true
+    * open→close record latency — including in-batch queueing — not just
+    * per-batch duration. Records that never reach the sink (aborted /
+    * filtered transactions) stay open and are reported as `openCount`,
+    * mirroring the reference tracker's unmatched starts.
+    */
+  final class RecordLatencyCollector {
+    private val openNs =
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+    private val samples =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+
+    /** Stamp a record's entry into the graph (first stamp wins). */
+    def opened(tid: Long): Unit =
+      openNs.putIfAbsent(tid, java.lang.Long.valueOf(System.nanoTime()))
+
+    /** Close every tid that reached the sink in one committed batch. */
+    def closed(tids: Iterable[Long], closeNs: Long): Unit =
+      tids.foreach { t =>
+        val o = openNs.remove(t)
+        if (o != null) samples.add(java.lang.Long.valueOf(closeNs - o.longValue()))
+      }
+
+    /** Records stamped at open that never closed (aborted/filtered). */
+    def openCount: Int = openNs.size
+
+    def summary: RecordLatencySummary = {
+      import scala.jdk.CollectionConverters._
+      val ms = samples.iterator().asScala
+        .map(n => n.longValue() / 1000000L).toIndexedSeq.sorted
+      RecordLatencySummary(ms.length, nearestRank(ms, 50), nearestRank(ms, 95),
+        nearestRank(ms, 99), if (ms.isEmpty) -1L else ms.last)
+    }
+  }
+
+  final case class RecordLatencySummary(
+      records: Int, p50Ms: Long, p95Ms: Long, p99Ms: Long, maxMs: Long) {
+    def toJsonFragment: String =
+      s""""record_latency_ms":{"records":$records,"p50":$p50Ms,"p95":$p95Ms,"p99":$p99Ms,"max":$maxMs}"""
+  }
+
+  /** Batch-level + record-level latency from one probe run. */
+  final case class StreamLatencyReport(
+      batch: LatencySummary, record: RecordLatencySummary) {
+    def toJsonFragment: String =
+      batch.toJsonFragment + "," + record.toJsonFragment
+  }
 }

@@ -32,16 +32,19 @@ object StreamingBank {
   final case class ProbeTx(tid: Long, from_acct: Long, to_acct: Long, amount: Double)
 
   /** Drive the streaming transactional pipeline through `batches`
-    * micro-batches and collect per-batch latency percentiles — the
-    * reference's latency-tracker evaluation
-    * (`evaluation/LatencyTrackerStart/End.java`) on Spark's own
-    * progress metering. Deterministic workload from
-    * [[graft.sources.TransferSource]].
+    * micro-batches and collect BOTH latency views the reference's
+    * latency-tracker evaluation reports
+    * (`evaluation/LatencyTrackerStart/End.java` + `common/RecordTracker
+    * .java`): per-micro-batch durations from Spark's own progress
+    * metering, and per-RECORD open→close latency — each tid is stamped
+    * when it enters the graph and closed when its state changes land at
+    * the sink (a foreachBatch that reports the batch's committed tids).
+    * Deterministic workload from [[graft.sources.TransferSource]].
     */
   def latencyProbe(
       spark: SparkSession,
       batches: Int = 10,
-      rowsPerBatch: Int = 2000): graft.metrics.Metrics.LatencySummary = {
+      rowsPerBatch: Int = 2000): graft.metrics.Metrics.StreamLatencyReport = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val data = graft.sources.TransferSource
@@ -49,14 +52,24 @@ object StreamingBank {
       .select("tid", "from_acct", "to_acct", "amount")
       .as[ProbeTx].collect()
     val collector = new graft.metrics.Metrics.LatencyCollector
+    val records = new graft.metrics.Metrics.RecordLatencyCollector
     spark.streams.addListener(collector)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ProbeTx]
     val q = balances(spark, input.toDF()).writeStream
-      .format("noop")
+      .foreachBatch { (ds: Dataset[StateChange[Long, Long]], _: Long) =>
+        // sink-side close stamp: every tid whose fold output reached
+        // this committed batch (probe scale — the collect is bounded
+        // by rowsPerBatch committed tids)
+        val closeNs = System.nanoTime()
+        val tids = ds.toDF().select("tid").distinct()
+          .collect().map(_.getLong(0))
+        records.closed(tids.toSeq, closeNs)
+      }
       .outputMode("append")
       .start()
     try {
       data.grouped(rowsPerBatch).foreach { chunk =>
+        chunk.foreach(tx => records.opened(tx.tid))
         input.addData(chunk.toSeq)
         q.processAllAvailable()
       }
@@ -64,7 +77,7 @@ object StreamingBank {
       q.stop()
       spark.streams.removeListener(collector)
     }
-    collector.summary
+    graft.metrics.Metrics.StreamLatencyReport(collector.summary, records.summary)
   }
 
   /** Deterministic driver-side transfer (rate-probe scale — avoids a

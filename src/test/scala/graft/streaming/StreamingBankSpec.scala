@@ -50,10 +50,21 @@ class StreamingBankSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("latency probe reports ordered per-micro-batch percentiles") {
-    val s = StreamingBank.latencyProbe(spark, batches = 5, rowsPerBatch = 500)
+  test("latency probe reports ordered per-micro-batch AND per-record percentiles") {
+    val rep = StreamingBank.latencyProbe(spark, batches = 5, rowsPerBatch = 500)
+    val s = rep.batch
     assert(s.batches == 5, s)
     assert(s.p50Ms > 0 && s.p50Ms <= s.p95Ms && s.p95Ms <= s.p99Ms && s.p99Ms <= s.maxMs, s)
+    // record-level: every COMMITTED transfer's open→sink latency is
+    // tracked (aborted tids never reach the sink and stay open); the
+    // record tail can't beat its batch's floor
+    // (no cross-metric ordering asserted: the sink-side close stamp
+    // fires BEFORE the state-store commit + commit-log writes that
+    // batchDuration includes, so record max may undercut batch p50)
+    val r = rep.record
+    assert(r.records > 0 && r.records <= 5 * 500, r)
+    assert(r.p50Ms >= 0 && r.p50Ms <= r.p95Ms && r.p95Ms <= r.p99Ms && r.p99Ms <= r.maxMs, r)
+    assert(rep.toJsonFragment.contains("\"record_latency_ms\""), rep.toJsonFragment)
   }
 
   test("non-transactional baseline equals PL0-style blind fold") {
