@@ -80,6 +80,106 @@ object StreamingBank {
     graft.metrics.Metrics.StreamLatencyReport(collector.summary, records.summary)
   }
 
+  /** Synthetic transfer over a SLIDING key window — the soak probe's
+    * key-churn workload: accounts live in `[base, base+window)`, so
+    * advancing `base` every batch retires old keys (which the state
+    * TTL must evict) while admitting new ones.
+    */
+  def churnTx(i: Long, base: Long, window: Int): ProbeTx = {
+    val h1 = scala.util.hashing.MurmurHash3.productHash((i, 1)).abs % window
+    val h2raw = scala.util.hashing.MurmurHash3.productHash((i, 2)).abs % window
+    val h2 = if (h2raw == h1) (h2raw + 1) % window else h2raw
+    val amount = (scala.util.hashing.MurmurHash3.productHash((i, 3)).abs % 10000) / 100.0 * 2.0
+    ProbeTx(i, base + h1, base + h2, amount)
+  }
+
+  /** Per-batch soak telemetry: state-store rows and batch duration for
+    * every data micro-batch, plus the workload's total touched keys.
+    */
+  final case class SoakReport(
+      batches: Int, totalKeysTouched: Long,
+      stateRows: Seq[Long], batchMs: Seq[Long]) {
+    private def median(s: Seq[Long]): Long =
+      if (s.isEmpty) -1L else s.sorted.apply(s.length / 2)
+    private def third[A](s: Seq[A], which: Int): Seq[A] = {
+      val n = math.max(1, s.length / 3)
+      if (which == 0) s.take(n) else s.takeRight(n)
+    }
+    def maxStateRows: Long = if (stateRows.isEmpty) -1L else stateRows.max
+    def firstThirdStateRows: Long = median(third(stateRows, 0))
+    def lastThirdStateRows: Long = median(third(stateRows, 2))
+    def firstThirdBatchMs: Long = median(third(batchMs, 0))
+    def lastThirdBatchMs: Long = median(third(batchMs, 2))
+    def toJson: String =
+      s"""{"metric":"soak","batches":$batches,"keys_touched":$totalKeysTouched,""" +
+        s""""state_rows_max":$maxStateRows,"state_rows_first3rd":$firstThirdStateRows,""" +
+        s""""state_rows_last3rd":$lastThirdStateRows,"batch_ms_first3rd":$firstThirdBatchMs,""" +
+        s""""batch_ms_last3rd":$lastThirdBatchMs}"""
+  }
+
+  /** Long-running stability soak — the reference's
+    * `evaluation/NeverLastingBank.java` claim (run indefinitely without
+    * state or latency drift) made measurable: drive the streaming
+    * transactional pipeline for `batches` micro-batches under key churn
+    * (sliding account window) with the state TTL ON, and report
+    * per-batch state size + duration. Flat = healthy: state is bounded
+    * by the active window plus the not-yet-evicted tail (TTL × churn
+    * rate), NOT by the unbounded set of keys ever touched.
+    */
+  def soak(
+      spark: SparkSession,
+      batches: Int,
+      rowsPerBatch: Int,
+      keyWindow: Int,
+      churnStep: Int,
+      ttlMs: Long): SoakReport = {
+    import scala.concurrent.duration._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // processing-time timers + no-data batches busy-loop a loaded local
+    // FS; timers still fire on every data batch, and the soak feeds
+    // data continuously (see StateOperatorSpec's ttl specs)
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.LocalDir.scratch), "soak-ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ProbeTx]
+    val q = balances(spark, input.toDF(), ttl = Some(ttlMs.millis))
+      .writeStream
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val durMs = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      var b = 0
+      while (b < batches) {
+        val base = b.toLong * churnStep
+        input.addData((0 until rowsPerBatch).map(i =>
+          churnTx(b.toLong * rowsPerBatch + i, base, keyWindow)))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.numInputRows > 0) {
+          stateRows += p.stateOperators.head.numRowsTotal
+          durMs += p.batchDuration
+        }
+        b += 1
+      }
+    } finally {
+      q.stop()
+      prevNoData match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+    SoakReport(batches, keyWindow.toLong + batches.toLong * churnStep,
+      stateRows.toSeq, durMs.toSeq)
+  }
+
   /** Deterministic driver-side transfer (rate-probe scale — avoids a
     * Spark collect per trial; same shape as TransferSource's mapping).
     */
@@ -296,15 +396,22 @@ object StreamingBank {
     spark.read.parquet(outDir.toString)
   }
 
-  /** The streaming state fold: acct → running balance versions. */
+  /** The streaming state fold: acct → running balance versions.
+    * `ttl` (streaming only) bounds the state store under unbounded key
+    * spaces: idle accounts are evicted behind the processing-time
+    * timeout and restart from the default on reappearance — the
+    * version-GC contract the soak probe exercises.
+    */
   def balances(
       spark: SparkSession, transfers: DataFrame,
-      extraAbort: Column = lit(false)): Dataset[StateChange[Long, Long]] = {
+      extraAbort: Column = lit(false),
+      ttl: Option[scala.concurrent.duration.FiniteDuration] = None)
+      : Dataset[StateChange[Long, Long]] = {
     import spark.implicits._
     val moves = committedMovements(spark, transfers, extraAbort)
     if (transfers.isStreaming)
       StateOperator.runStreaming[StreamMovement, Long, Long](
-        moves, _.acct, _.tid, new CentsBalance)
+        moves, _.acct, _.tid, new CentsBalance, ttl = ttl)
     else
       StateOperator.runBatch[StreamMovement, Long, Long](
         moves, _.acct, _.tid, new CentsBalance)

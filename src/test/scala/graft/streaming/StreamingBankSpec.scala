@@ -67,6 +67,25 @@ class StreamingBankSpec extends SparkSpec {
     assert(rep.toJsonFragment.contains("\"record_latency_ms\""), rep.toJsonFragment)
   }
 
+  test("soak: state and latency stay flat under key churn with ttl on") {
+    // NeverLastingBank-shaped stability claim at spec scale: 45
+    // micro-batches over a sliding key window; keys ever touched grows
+    // linearly (~9.5k) while the TTL'd state store must stay bounded by
+    // the active window + the not-yet-evicted tail.
+    val r = StreamingBank.soak(spark, batches = 45, rowsPerBatch = 400,
+      keyWindow = 500, churnStep = 200, ttlMs = 400L)
+    info(r.toJson)
+    assert(r.stateRows.nonEmpty && r.batchMs.nonEmpty, r.toJson)
+    assert(r.totalKeysTouched > 9000L, r.toJson)
+    // bounded: far below the keys-ever-touched line an unbounded store
+    // would track (window 500 + a few churn steps of TTL tail)
+    assert(r.maxStateRows < 4000L, r.toJson)
+    // flat, not drifting: the last third's median state size and batch
+    // duration stay within loose factors of the first third's
+    assert(r.lastThirdStateRows <= math.max(2000L, r.firstThirdStateRows * 3), r.toJson)
+    assert(r.lastThirdBatchMs <= r.firstThirdBatchMs * 5, r.toJson)
+  }
+
   test("non-transactional baseline equals PL0-style blind fold") {
     val transfers = Transfers.fromEvents(Tables.load(spark, Sf0001, "events"))
     val noT = StreamingBank.balancesNoT(spark, transfers)
