@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real (schema, batched per-partition
   * processing, deterministic chunking). Decoding is per-MIME:
   * PNG/JPEG/BMP/GIF go through the REAL pure-JVM [[ImageIoDecoder]]
-  * (`javax.imageio`) and PCM WAV/AIFF/AU audio through the REAL
-  * [[WavDecoder]] (`javax.sound.sampled`) — no native codecs needed
-  * for either; video (no pure-JVM codec in the JDK) stays on the
-  * deterministic [[StubDecoder]], which produces fake features from
-  * the payload bytes — swap in a real decoder in production.
+  * (`javax.imageio`), PCM WAV/AIFF/AU audio through the REAL
+  * [[WavDecoder]] (`javax.sound.sampled`), and AVI video with
+  * per-frame still-image codecs (MJPEG / Motion-PNG) through the REAL
+  * [[AviDecoder]] (RIFF parse + `javax.imageio` per frame) — no native
+  * codecs needed for any of them. Only inter-frame-predicted video
+  * (H.264 …, no pure-JVM decoder exists) falls back to the
+  * deterministic [[StubDecoder]] — swap in a native decoder in
+  * production.
   *
   * Per-partition batch processing (`mapPartitions` over an iterator) is
   * the Scala analog of `mapInPandas`: the decoder amortizes model/codec
@@ -169,13 +172,164 @@ object Multimodal {
     }
   }
 
-  /** MIME → decoder routing: images and audio decode for real; video
-    * (no pure-JVM codec in the JDK) runs the documented stub.
+  /** REAL video decode for AVI containers with per-frame still-image
+    * codecs (MJPEG / Motion-PNG — the classic capture formats): pure-JVM
+    * RIFF parse ([[parseAvi]]) + `javax.imageio` per frame. The summary
+    * contract returns the stream dimensions and the FIRST frame's
+    * image feature (per-frame work is [[videoFrames]]'s job). Inter-
+    * frame-predicted codecs (H.264 etc.) have no pure-JVM decoder —
+    * those payloads fail loudly here; route them to a native decoder
+    * in production.
+    */
+  object AviDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val (w, h, frames) = parseAvi(payload)
+      require(frames.nonEmpty, "AVI has no video frames")
+      val (fw, fh, feature) = ImageIoDecoder.decode(frames.head)
+      require(fw == w && fh == h,
+        s"frame dims ${fw}x$fh disagree with stream header ${w}x$h")
+      (w, h, feature)
+    }
+  }
+
+  /** MIME → decoder routing: images, PCM audio and AVI video all decode
+    * for real (pure JVM); non-AVI video and anything else run the
+    * documented stub.
     */
   def decoderFor(mime: String): MediaDecoder =
     if (mime.startsWith("image/")) ImageIoDecoder
     else if (mime.startsWith("audio/")) WavDecoder
+    else if (mime == "video/avi" || mime == "video/x-msvideo") AviDecoder
     else StubDecoder
+
+  /** Minimal RIFF/AVI container parse (pure JVM, no codec): stream
+    * dimensions from the `strf` BITMAPINFOHEADER and the compressed
+    * frame payloads from the `movi` list's `##dc`/`##db` chunks. A
+    * tolerant chunk walker — index (`idx1`) and any unknown chunks are
+    * skipped, lists recurse, odd-sized chunks honor RIFF's even
+    * padding.
+    */
+  private[operators] def parseAvi(
+      bytes: Array[Byte]): (Int, Int, Vector[Array[Byte]]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 12 && fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt // riff payload size
+    require(fourcc() == "AVI ", "RIFF is not an AVI")
+    var w = -1
+    var h = -1
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(end: Int): Unit =
+      while (bb.position() + 8 <= end) {
+        val id = fourcc()
+        val sz = bb.getInt
+        val dataStart = bb.position()
+        if (id == "LIST" || id == "RIFF") {
+          fourcc() // list type
+          walk(math.min(end, dataStart + sz))
+        } else if (id == "strf" && sz >= 40 && w < 0) {
+          bb.getInt // biSize
+          w = bb.getInt
+          h = math.abs(bb.getInt) // negative = top-down DIB
+        } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db")) && sz > 0) {
+          val a = new Array[Byte](sz)
+          bb.get(a)
+          frames += a
+        }
+        bb.position(math.min(end, dataStart + sz + (sz & 1)))
+      }
+    walk(bytes.length)
+    require(w > 0 && h > 0, "no video stream format header (strf)")
+    (w, h, frames.result())
+  }
+
+  /** Minimal AVI writer for the planted-video fixtures: one video
+    * stream of per-frame still images (`fourcc` "MPNG" = PNG frames —
+    * lossless, so the oracle predicts decoded pixels arithmetically;
+    * "MJPG" = JPEG frames — the classic MJPEG capture format, decode
+    * exact in structure but lossy in pixels).
+    */
+  def syntheticAvi(
+      frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 10, fourcc: String = "MPNG"): Array[Byte] = {
+    require(fourcc.length == 4, s"bad fourcc $fourcc")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII")); out.write(le(body.length))
+      out.write(body)
+      if ((body.length & 1) == 1) out.write(0) // RIFF even padding
+      out.toByteArray
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("LIST".getBytes("US-ASCII")); out.write(le(body.length + 4))
+      out.write(listType.getBytes("US-ASCII")); out.write(body)
+      out.toByteArray
+    }
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / math.max(1, fps)) // usec per frame
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put(fourcc.getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(math.max(1, fps)) // scale, rate
+        .putInt(0).putInt(frames.length).putInt(0).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(0).putShort(0) // rcFrame
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24)
+        .put(fourcc.getBytes("US-ASCII"))
+        .putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.iterator.map(f => chunk("00dc", f)).foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le(body.length + 4))
+    bos.write("AVI ".getBytes("US-ASCII")); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Video → frame-feature stream, the REAL decode path: parse the AVI
+    * container, `javax.imageio`-decode every `everyNth` frame, one
+    * typed row per sampled frame. Same per-partition batching as
+    * [[decodeFeatures]]; downstream joins/aggs stay in Catalyst.
+    */
+  def videoFrames(
+      spark: SparkSession, media: DataFrame, everyNth: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, _, frames) = parseAvi(r.payload)
+        (0 until frames.length by everyNth).iterator.map { i =>
+          val (_, _, feature) = ImageIoDecoder.decode(frames(i))
+          Frame(r.doc_id, i, feature)
+        }
+      }
+    }
+  }
 
   /** Deterministic solid-color PNG bytes — the planted-image fixture
     * for [[ImageIoDecoder]]: dimensions and channel means are pure

@@ -249,6 +249,72 @@ object LlmQueries {
         .select(col("doc_id"), col("frame_idx"))
         .orderBy("doc_id", "frame_idx")
     }),
+    // REAL video decode: per-doc Motion-PNG AVIs (container written by
+    // the engine, frame colors/dims arithmetic in doc_id) parsed back
+    // through the pure-JVM RIFF walker and javax.imageio per frame;
+    // PNG frames are lossless so the oracle predicts the decoded
+    // stream dims and first-frame channel means without a codec
+    "multimodal_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + ((id * 5) % 16).toInt
+            val nf = 3 + (id % 5).toInt
+            val frames = (0 until nf).map { i =>
+              val rgb = ((((id + 31 * i) % 256) << 16) |
+                (((id * 7 + 17 * i) % 256) << 8) |
+                ((id * 13 + 11 * i) % 256)).toInt
+              Multimodal.syntheticPng(w, h, rgb)
+            }
+            (id, Multimodal.syntheticAvi(frames, w, h), "video/avi")
+          }
+        }.toDF("doc_id", "payload", "mime")
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(
+          col("doc_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          round(element_at(col("feature"), 1).cast("double") * 1000).cast("bigint")
+            .as("mean_r_milli"),
+          round(element_at(col("feature"), 2).cast("double") * 1000).cast("bigint")
+            .as("mean_g_milli"),
+          round(element_at(col("feature"), 3).cast("double") * 1000).cast("bigint")
+            .as("mean_b_milli"))
+        .orderBy("doc_id")
+    }),
+    // REAL video frame sampling: every 2nd frame of each planted AVI
+    // decoded to its channel feature — one row per sampled frame, the
+    // video→frame-stream op a training pipeline runs, fully under the
+    // oracle (frame colors are (doc_id, frame_idx) arithmetic)
+    "multimodal_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + ((id * 5) % 16).toInt
+            val nf = 3 + (id % 5).toInt
+            val frames = (0 until nf).map { i =>
+              val rgb = ((((id + 31 * i) % 256) << 16) |
+                (((id * 7 + 17 * i) % 256) << 8) |
+                ((id * 13 + 11 * i) % 256)).toInt
+              Multimodal.syntheticPng(w, h, rgb)
+            }
+            (id, Multimodal.syntheticAvi(frames, w, h), "video/avi")
+          }
+        }.toDF("doc_id", "payload", "mime")
+      Multimodal.videoFrames(s, media, everyNth = 2).toDF()
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          round(element_at(col("feature"), 1).cast("double") * 1000).cast("bigint")
+            .as("mean_r_milli"),
+          round(element_at(col("feature"), 8).cast("double") * 1000).cast("bigint")
+            .as("luma_milli"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // REAL image decode: per-doc solid-color PNGs (dims and color are
     // arithmetic in doc_id) encoded on the executors, decoded back
     // through the pure-JVM javax.imageio path — the oracle predicts
@@ -796,6 +862,34 @@ object LlmQueries {
         |SELECT id_a, id_b, dot_q FROM d
         |WHERE $NearDupThreshold
         |ORDER BY id_a, id_b""").stripMargin,
+    // real container+codec round-trip: the engine writes Motion-PNG
+    // AVIs and decodes them back (RIFF walk + javax.imageio per frame);
+    // PNG frames are lossless so stream dims and first-frame channel
+    // means are doc_id arithmetic
+    "multimodal_video_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 5) % 16 AS BIGINT) AS height,
+        |  CAST(round(1000 * (doc_id % 256) / 255.0) AS BIGINT) AS mean_r_milli,
+        |  CAST(round(1000 * ((doc_id * 7) % 256) / 255.0) AS BIGINT) AS mean_g_milli,
+        |  CAST(round(1000 * ((doc_id * 13) % 256) / 255.0) AS BIGINT) AS mean_b_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // every-2nd-frame sampling of the same planted AVIs: one row per
+    // sampled frame, channel/luma features arithmetic in
+    // (doc_id, frame_idx); nf = 3 + doc_id % 5 frames per video
+    "multimodal_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, CAST(2 + doc_id % 5 AS INTEGER), 2)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(round(1000 * ((doc_id + 31 * frame_idx) % 256) / 255.0) AS BIGINT)
+        |    AS mean_r_milli,
+        |  CAST(round(1000 * (0.299 * ((doc_id + 31 * frame_idx) % 256)
+        |    + 0.587 * ((doc_id * 7 + 17 * frame_idx) % 256)
+        |    + 0.114 * ((doc_id * 13 + 11 * frame_idx) % 256)) / 255.0) AS BIGINT)
+        |    AS luma_milli
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // the real-codec round-trip: the engine encodes solid-color PNGs
     // and decodes them with javax.imageio; the oracle predicts every
     // decoded value arithmetically (PNG is lossless)

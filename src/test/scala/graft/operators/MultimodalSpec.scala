@@ -110,4 +110,53 @@ class MultimodalSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("AVI video decodes for real: RIFF parse + per-frame imageio") {
+    // Motion-PNG (lossless frames): every decoded value is exact
+    val frames = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030)
+      .map(Multimodal.syntheticPng(24, 12, _))
+    val avi = Multimodal.syntheticAvi(frames, 24, 12)
+    val (w, h, parsed) = Multimodal.parseAvi(avi)
+    assert((w, h, parsed.length) == (24, 12, 4))
+    assert(parsed.head.sameElements(frames.head)) // payload round-trips
+
+    val media = Seq((1L, avi, "video/avi")).toDF("doc_id", "payload", "mime")
+    val summary = Multimodal.decodeFeatures(spark, media).collect().head
+    assert(summary.width == 24 && summary.height == 12)
+    assert(math.abs(summary.feature(0) - 1.0f) < 1e-3) // first frame = pure red
+
+    // frame stream: every 2nd frame, features match each frame's color
+    val fs = Multimodal.videoFrames(spark, media, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(fs.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(math.abs(fs(0).feature(0) - 1.0f) < 1e-3) // red frame
+    assert(math.abs(fs(1).feature(2) - 1.0f) < 1e-3) // blue frame
+
+    // real MJPEG (lossy codec, classic capture format): container
+    // structure and dims are exact, pixel means only approximate
+    val jf = frames.map { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = Multimodal.syntheticAvi(jf, 24, 12, fourcc = "MJPG")
+    val mediaJ = Seq((2L, mjpeg, "video/x-msvideo")).toDF("doc_id", "payload", "mime")
+    val sj = Multimodal.decodeFeatures(spark, mediaJ).collect().head
+    assert(sj.width == 24 && sj.height == 12)
+    assert(math.abs(sj.feature(0) - 1.0f) < 0.05) // JPEG-lossy red
+    assert(Multimodal.videoFrames(spark, mediaJ, everyNth = 1).collect().length == 4)
+
+    // non-AVI video keeps the documented stub route; corrupt AVI bytes
+    // fail loudly
+    val stubbed = Multimodal.decodeFeatures(spark,
+      Seq((3L, avi, "video/mp4")).toDF("doc_id", "payload", "mime")).collect().head
+    val (sw2, sh2, _) = Multimodal.StubDecoder.decode(avi)
+    assert(stubbed.width == sw2 && stubbed.height == sh2)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark,
+        Seq((5L, Array[Byte](82, 73, 70), "video/avi")).toDF("doc_id", "payload", "mime"))
+        .collect()
+    }
+  }
 }
