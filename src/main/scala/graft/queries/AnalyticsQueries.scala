@@ -86,6 +86,15 @@ object AnalyticsQueries {
           coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("total_cents"))
         .orderBy("c_custkey")),
     "q6_sql" -> ((s, dir) => Analytics.sqlQ6(s, dir)),
+    // SQL surface width: the SAME portable SQL text Spark executes is
+    // the oracle DuckDB runs — windowed dedup over the LLM corpus,
+    // dim-join aggregation, ranking-window top-k
+    "q_dedup_sql" -> ((s, dir) =>
+      graft.analytics.SqlInterface.sql(s, dir, graft.analytics.SqlInterface.DedupSql)),
+    "q_joinagg_sql" -> ((s, dir) =>
+      graft.analytics.SqlInterface.sql(s, dir, graft.analytics.SqlInterface.JoinAggSql)),
+    "q_topk_sql" -> ((s, dir) =>
+      graft.analytics.SqlInterface.sql(s, dir, graft.analytics.SqlInterface.TopKSql)),
     // as-of join: each event enriched with the user's end-of-prior-day
     // cumulative balance (snapshots derived from the same events table)
     "q_asof_join" -> ((s, dir) => {
@@ -301,6 +310,9 @@ object AnalyticsQueries {
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q6_sql" -> graft.analytics.SqlInterface.TpchQ6,
+    "q_dedup_sql" -> graft.analytics.SqlInterface.DedupSql,
+    "q_joinagg_sql" -> graft.analytics.SqlInterface.JoinAggSql,
+    "q_topk_sql" -> graft.analytics.SqlInterface.TopKSql,
     "q_asof_join" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
