@@ -59,12 +59,16 @@ object Curation {
       // the final anti-join); without materialization each would re-run
       // the full regex/md5 feature pass over the corpus. Its schema is
       // the narrow survivor projection (id + fingerprint + two ints),
-      // so caching it is O(ids), not O(text). Spark's CacheManager keys
-      // entries by analyzed plan, so repeated curate() calls over the
-      // SAME inputs reuse one entry; a session curating many DISTINCT
-      // corpora should use [[curateScoped]], which unpersists this
-      // frame once the caller has consumed the result.
-      .persist()
+      // so materializing it is O(ids), not O(text). localCheckpoint
+      // (not persist): blocks live on the executors with lineage
+      // truncated and are reclaimed by the ContextCleaner once the
+      // result frame is unreachable — a long-lived session curating
+      // many DISTINCT corpora leaks nothing, unlike a CacheManager
+      // entry, which is keyed by analyzed plan and pinned for the JVM
+      // lifetime. The trade: curate() runs the survivor computation
+      // eagerly at call time. [[curateScoped]] additionally frees the
+      // blocks deterministically on scope exit instead of at GC.
+      .localCheckpoint()
     val withVec = kept.select("doc_id").join(
       embeddings.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
     val nearDropped = Dedup.embeddingNearDups(
@@ -73,12 +77,11 @@ object Curation {
     (kept.join(nearDropped, Seq("doc_id"), "left_anti"), kept)
   }
 
-  /** Scoped variant for a long-lived session curating MANY distinct
-    * corpora: [[curate]]'s internal survivor cache is keyed by analyzed
-    * plan, so distinct inputs each leave a CacheManager entry for the
-    * JVM lifetime. Here the caller consumes the curated frame inside
-    * `use` (collect / write / count — anything that materializes), and
-    * the survivor cache entry is unpersisted on the way out.
+  /** Deterministic-lifecycle variant: the caller consumes the curated
+    * frame inside `use` (collect / write / count — anything that
+    * materializes), and the survivor frame's checkpoint blocks are
+    * freed on the way out instead of waiting for the ContextCleaner to
+    * notice the frame is unreachable ([[curate]]'s default).
     */
   def curateScoped[T](
       docs: DataFrame,

@@ -38,4 +38,24 @@ class CurationSpec extends SparkSpec {
     val out = Curation.curate(docs, embs).select("doc_id").as[Long].collect()
     assert(out.toSeq == Seq(7L))
   }
+
+  test("curate leaves no JVM-lifetime cache entries (distinct corpora don't accumulate)") {
+    val embs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(spark.sharedState.cacheManager.isEmpty, "precondition: clean cache")
+    // distinct inputs per call — a CacheManager-based survivor cache
+    // would pin one entry per corpus for the JVM lifetime
+    (0 until 3).foreach { i =>
+      val docs = Seq((i.toLong, s"corpus $i with the usual stopword density in the text"))
+        .toDF("doc_id", "text")
+      Curation.curate(docs, embs).count()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curate must not register CacheManager entries")
+    // the scoped variant frees its checkpoint blocks deterministically
+    val docs = Seq((9L, "one more corpus with a stopword here and there in it"))
+      .toDF("doc_id", "text")
+    val n = Curation.curateScoped(docs, embs)(_.count())
+    assert(n == 1L)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
