@@ -19,18 +19,37 @@ object Bucketing {
     * but inherits the warehouse dir on disk, so a managed-table write
     * that survived a previous session fails with
     * LOCATION_ALREADY_EXISTS unless the orphaned location is cleared.
+    *
+    * The location comes from the CATALOG when the table exists (works
+    * for any database/warehouse layout); only an orphan — on-disk dir
+    * with no catalog entry — falls back to deriving
+    * `<database location>/<table>`, with an optional `db.table`
+    * qualifier handled instead of silently mis-pathing.
     */
   def dropBucketed(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val fromCatalog: Option[java.net.URI] =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident).location)
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val whPath =
-      if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
-      else new java.io.File(wh)
-    val loc = new java.io.File(whPath, table.toLowerCase)
-    if (loc.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq
-        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val loc: java.net.URI = fromCatalog.getOrElse {
+      val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+      val dbLoc = catalog.getDatabaseMetadata(db).locationUri
+      new java.net.URI(
+        dbLoc.toString.stripSuffix("/") + "/" + ident.table.toLowerCase)
+    }
+    // local-filesystem warehouses only (this build's only layout);
+    // leave non-file locations to the catalog's own DROP handling
+    if (loc.getScheme == null || loc.getScheme == "file") {
+      val dir = new java.io.File(
+        if (loc.getScheme == null) new java.io.File(loc.toString).getPath
+        else java.nio.file.Paths.get(loc).toString)
+      if (dir.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 
@@ -55,11 +74,17 @@ object Bucketing {
       spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** Same, when the two sides name their bucket key differently. */
+  /** Same, when the two sides name their bucket key differently. The
+    * join condition is bound to the SAME Dataset instances being
+    * joined — binding it to fresh `spark.table(...)` lookups only
+    * resolves while the relation cache hands both analyses identical
+    * expression ids, a fragile invariant.
+    */
   def bucketedJoin(
       spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(
-      spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -238,8 +238,13 @@ object Corpus {
       minChars: Int = 10): DataFrame = {
     val lines = docs
       .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("line_idx", "line")))
+      // eligibility is computed on the NORMALIZED form the fingerprint
+      // hashes — not the raw line — so it is constant across a
+      // fingerprint group by construction (raw-line length can differ
+      // within a group when Unicode case-folding changes string length,
+      // e.g. 'İ' → 'i̇')
       .withColumn("eligible",
-        length(regexp_replace(col("line"), "\\s", "")) >= minChars)
+        length(regexp_replace(lower(trim(col("line"))), "\\s", "")) >= minChars)
       .withColumn("lfp", md5(lower(trim(col("line")))))
     val keepers = lines.filter(col("eligible"))
       .groupBy(col("lfp"))

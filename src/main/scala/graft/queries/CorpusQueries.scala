@@ -144,9 +144,11 @@ object CorpusQueries {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, sort_key,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos
         |FROM t ORDER BY doc_id""".stripMargin,
-    // eligibility (non-ws chars of the raw line) is constant within an
-    // lfp partition — lower(trim(..)) only strips edge whitespace — so
-    // the window's keeper choice matches the eligible-only groupBy-min
+    // eligibility is judged on the normalized form the fingerprint
+    // hashes (constant per lfp partition BY CONSTRUCTION — raw-line
+    // length could differ within a group under Unicode case-folding,
+    // e.g. 'İ' → 'i̇'), so the window's keeper choice matches the
+    // eligible-only groupBy-min
     "line_dedup" ->
       """WITH l AS (
         |  SELECT doc_id,
@@ -155,7 +157,7 @@ object CorpusQueries {
         |  FROM documents),
         |e AS (
         |  SELECT doc_id, line_idx, line,
-        |    length(regexp_replace(line, '\s', '', 'g')) >= 10 AS eligible,
+        |    length(regexp_replace(lower(trim(line)), '\s', '', 'g')) >= 10 AS eligible,
         |    md5(lower(trim(line))) AS lfp
         |  FROM l),
         |k AS (

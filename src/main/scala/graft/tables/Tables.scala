@@ -97,6 +97,14 @@ object Tables {
       "vec_id" -> Integral, "embedding" -> FloatVec, "label" -> Integral))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The NTZ→TimestampType and Date→TimestampType normalizations below
+    // are session-timezone-dependent casts; their "value-preserving /
+    // midnight UTC" contract (and oracle hash-parity) holds only under
+    // a UTC session. Every graft entrypoint pins UTC — a caller that
+    // doesn't must hear about it here, not as shifted timestamps later.
+    require(spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+      "Tables.load requires spark.sql.session.timeZone=UTC (timestamp " +
+        "normalization casts are session-timezone-dependent)")
     // Legacy flag so parquet TIMESTAMP(NANOS) files are still readable
     // (as int64) instead of failing the scan; runtime-settable, idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -21,6 +21,7 @@ object LlmScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -160,7 +160,8 @@ class CorpusSpec extends SparkSpec {
       val expected = corpus.map { case (id, text) =>
         val lines = text.split("\n", -1)
         val kept = lines.filter { l =>
-          if (l.count(!_.isWhitespace) < 10) true
+          // eligibility on the NORMALIZED form, like the operator
+          if (l.trim.toLowerCase.count(!_.isWhitespace) < 10) true
           else { val fp = l.trim.toLowerCase; seen.add(fp) }
         }
         (id, kept.mkString("\n"), kept.length.toLong,
