@@ -41,6 +41,10 @@ class CurationSpec extends SparkSpec {
 
   test("curate leaves no JVM-lifetime cache entries (distinct corpora don't accumulate)") {
     val embs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // the session is shared across suites and others legitimately
+    // persist (Bank's graph memo) — start this lifecycle check from a
+    // clean cache (unpersisting only costs those suites a recompute)
+    spark.catalog.clearCache()
     assert(spark.sharedState.cacheManager.isEmpty, "precondition: clean cache")
     // distinct inputs per call — a CacheManager-based survivor cache
     // would pin one entry per corpus for the JVM lifetime
