@@ -166,6 +166,21 @@ object LlmScaleProbe {
         col("doc_id"), col("lang"), col("n_tokens"), budgetTokens = 4096).count()
       nDocs / 10
     }
+
+    // inverted-index n-gram Jaccard under PLANTED boilerplate skew:
+    // every doc carries the same 8-token footer, so its shingles have
+    // df = |corpus| — the exact hot-key case the df cap exists for. The
+    // aggregate+anti-join spelling collapses each hot shingle map-side;
+    // the windowed spelling this replaced would pin |corpus| rows in
+    // ONE task per hot shingle before discarding them.
+    report("ngram_jaccard_boilerplate", nDocs / 10) {
+      val withFooter = docs2.select(col("doc_id"),
+        concat(col("text"),
+          lit(" subscribe to our newsletter for updates today now")).as("text"))
+      Dedup.ngramJaccard(withFooter, col("text"), col("doc_id"),
+        shingleSize = 3, minJaccardMilli = 500, maxShingleDf = 64).count()
+      nDocs / 10
+    }
     docs2.unpersist()
     spark.stop()
   }
