@@ -304,8 +304,11 @@ object Multimodal {
     }
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi",
-      frames.iterator.map(f => chunk("00dc", f)).foldLeft(Array.emptyByteArray)(_ ++ _))
+    val movi = {
+      val out = new java.io.ByteArrayOutputStream()
+      frames.foreach(f => out.write(chunk("00dc", f)))
+      list("movi", out.toByteArray)
+    }
     val body = hdrl ++ movi
     bos.write("RIFF".getBytes("US-ASCII")); bos.write(le(body.length + 4))
     bos.write("AVI ".getBytes("US-ASCII")); bos.write(body)
