@@ -112,6 +112,19 @@ object LlmQueries {
       Dedup.nearDuplicateCandidatesPortable(
         docs(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_a", "doc_b")),
+    // the INCREMENTAL spelling of the same pipeline: documents replay
+    // as 4 micro-batch files through the per-bucket stateful LSH index
+    // (flatMapGroupsWithState) into the exactly-once file sink; the
+    // emitted pair set shares dedup_minhash_pairs' oracle VERBATIM
+    "stream_neardup" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "neardup-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingDedup.nearDupPairsFromFiles(
+        s, docs(s, dir), "text", "doc_id", nBatches = 4, scratch)
+        .orderBy("doc_a", "doc_b")
+    }),
     "ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(
@@ -415,6 +428,30 @@ object LlmQueries {
       |             72057594037927936)) AS sig
       |  FROM h)""".stripMargin
 
+  /** The portable-LSH candidate-pair oracle — shared verbatim by the
+    * batch operator (`dedup_minhash_pairs`) and the streaming operator
+    * (`stream_neardup`), which is the equivalence claim itself.
+    */
+  val MinHashPairsOracle: String =
+    (s"""WITH $MinHashSigCte,
+      |bandx AS (
+      |  SELECT sig.doc_id, sig.sig, t.b AS band_id,
+      |    list_slice(sig.sig, t.b*4 + 1, t.b*4 + 4) AS band_key
+      |  FROM sig, (SELECT UNNEST(generate_series(0,3)) AS b) t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+      |  FROM bandx a JOIN bandx b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |  WHERE a.doc_id < b.doc_id
+      |    AND a.band_id = list_position(list_transform(generate_series(0,3),
+      |      j -> list_slice(a.sig, j*4 + 1, j*4 + 4) = list_slice(b.sig, j*4 + 1, j*4 + 4)),
+      |      true) - 1)
+      |SELECT doc_a, doc_b,
+      |  CAST(round(1000.0 * list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16) AS BIGINT)
+      |    AS est_jaccard_milli
+      |FROM p ORDER BY doc_a, doc_b""").stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
@@ -598,25 +635,11 @@ object LlmQueries {
     // LSH banding over the SAME signature CTE as dedup_minhash_sig:
     // band key = raw 4-row slice (zero-collision, engine-portable),
     // pair emitted only from its first agreeing band
-    "dedup_minhash_pairs" ->
-      (s"""WITH $MinHashSigCte,
-        |bandx AS (
-        |  SELECT sig.doc_id, sig.sig, t.b AS band_id,
-        |    list_slice(sig.sig, t.b*4 + 1, t.b*4 + 4) AS band_key
-        |  FROM sig, (SELECT UNNEST(generate_series(0,3)) AS b) t),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-        |  FROM bandx a JOIN bandx b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-        |  WHERE a.doc_id < b.doc_id
-        |    AND a.band_id = list_position(list_transform(generate_series(0,3),
-        |      j -> list_slice(a.sig, j*4 + 1, j*4 + 4) = list_slice(b.sig, j*4 + 1, j*4 + 4)),
-        |      true) - 1)
-        |SELECT doc_a, doc_b,
-        |  CAST(round(1000.0 * list_sum(list_transform(generate_series(1,16),
-        |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16) AS BIGINT)
-        |    AS est_jaccard_milli
-        |FROM p ORDER BY doc_a, doc_b""").stripMargin,
+    "dedup_minhash_pairs" -> MinHashPairsOracle,
+    // the STREAMING spelling provably emits the identical pair set
+    // (same signatures, same first-agreeing-band rule, earlier id
+    // first), so it shares the batch operator's oracle verbatim
+    "stream_neardup" -> MinHashPairsOracle,
     // inverted-index exact n-gram Jaccard over 56-bit portable shingle
     // hashes (same md5 construction as the minhash CTE): intersection =
     // count of shared distinct shingle hashes per (a < b) pair, union

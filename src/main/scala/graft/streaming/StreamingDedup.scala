@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection: the minhash-LSH candidate
+  * pipeline ([[Dedup.nearDuplicateCandidatesPortable]]) as an
+  * INCREMENTAL Structured Streaming operator — every arriving document
+  * is checked against the whole corpus seen so far, the shape a live
+  * training-data ingest needs (is this crawl page a near-dup of
+  * anything ever ingested?).
+  *
+  * Spark-first mechanics: the batch pipeline's band equi-join becomes a
+  * `groupByKey` on the SAME band key with per-bucket state — the
+  * signatures previously seen in that bucket (`flatMapGroupsWithState`,
+  * keyed state sharded by bucket hash across executors; nothing passes
+  * through the driver). A new document emits one candidate pair per
+  * state document whose FIRST agreeing band is this bucket's band —
+  * the identical exactly-once rule as the batch operator, decided from
+  * the two carried signatures with no cross-bucket coordination.
+  *
+  * Equivalence contract (oracle-gated): fed the corpus in tid order —
+  * any micro-batch partitioning — the emitted pair set is EXACTLY the
+  * batch operator's (doc_a < doc_b, first-agreeing-band, same
+  * estimated-jaccard milli), because the pair rule is a pure function
+  * of the two signatures. The `stream_neardup` gate entry runs the
+  * DuckDB oracle of `dedup_minhash_pairs` against the streamed output.
+  *
+  * Scale notes: per-bucket state grows with the docs that hash there —
+  * that is the inherent cost of dedup-against-everything (the batch
+  * join re-reads the same volume every run; the stream pays it once,
+  * incrementally). `maxBucketDocs` caps flooded buckets (the streaming
+  * analog of [[graft.operators.Similarity.capBuckets]]): past the cap
+  * a bucket stops INDEXING new signatures (still probes), bounding
+  * state and per-record work at the cost of possibly missing pairs
+  * inside a degenerate flood — same trade the batch cap makes.
+  */
+object StreamingDedup {
+
+  final case class BandedDoc(bucket: String, doc_id: Long, sig: Seq[Long], band_id: Int)
+  final case class StoredDoc(doc_id: Long, sig: Seq[Long])
+  final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard_milli: Long)
+
+  private def firstAgreeingBand(
+      a: Seq[Long], b: Seq[Long], bands: Int, r: Int): Int = {
+    var bi = 0
+    while (bi < bands) {
+      var i = 0
+      var eq = true
+      while (i < r && eq) {
+        if (a(bi * r + i) != b(bi * r + i)) eq = false
+        i += 1
+      }
+      if (eq) return bi
+      bi += 1
+    }
+    -1
+  }
+
+  private def estJaccardMilli(a: Seq[Long], b: Seq[Long], numHashes: Int): Long = {
+    var m = 0
+    var i = 0
+    while (i < numHashes) {
+      if (a(i) == b(i)) m += 1
+      i += 1
+    }
+    math.round(m * 1000.0 / numHashes)
+  }
+
+  /** Near-dup candidate pairs of a (streaming or batch) document frame
+    * against everything seen before — (earlier id, later id, estimated
+    * jaccard milli), each pair exactly once.
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucketDocs: Int = 100000): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val withSig = docs.select(
+      idCol.cast("long").as("doc_id"),
+      Dedup.minHashSignature(textCol, numHashes, shingleSize).as("sig"))
+      .as[(Long, Seq[Long])]
+    val banded = withSig.flatMap { case (id, sig) =>
+      (0 until bands).map { b =>
+        BandedDoc(
+          b + ":" + sig.slice(b * r, (b + 1) * r).mkString(","), id, sig, b)
+      }
+    }
+    banded.groupByKey(_.bucket).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: String, it: Iterator[BandedDoc],
+       state: org.apache.spark.sql.streaming.GroupState[Seq[StoredDoc]]) =>
+        val seen = scala.collection.mutable.ArrayBuffer[StoredDoc](
+          state.getOption.getOrElse(Seq.empty): _*)
+        val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+        // deterministic within-batch order: by doc id, so "earlier" is
+        // always the smaller id whatever the shuffle delivered
+        it.toIndexedSeq.sortBy(_.doc_id).foreach { d =>
+          var i = 0
+          while (i < seen.length) {
+            val e = seen(i)
+            if (e.doc_id != d.doc_id &&
+                firstAgreeingBand(e.sig, d.sig, bands, r) == d.band_id) {
+              val (a, b) =
+                if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
+                else (d.doc_id, e.doc_id)
+              out += NearDupPair(a, b, estJaccardMilli(e.sig, d.sig, numHashes))
+            }
+            i += 1
+          }
+          if (seen.length < maxBucketDocs) seen += StoredDoc(d.doc_id, d.sig)
+        }
+        state.update(seen.toSeq)
+        out.iterator
+    }
+  }
+
+  /** File-fed end-to-end run (the gate-query spelling): documents are
+    * range-partitioned by id into `nBatches` micro-batch files, streamed
+    * through [[nearDupPairs]], appended exactly-once to a parquet sink,
+    * and returned as a batch frame. Driver moves file metadata only.
+    */
+  def nearDupPairsFromFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    graft.sources.FileIO.stageRangeBatches(
+      docs.select(col(idCol), col(textCol)), col(idCol), nBatches,
+      new java.io.File(base, "stage"), inDir)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, docs.select(col(idCol), col(textCol)).schema,
+      maxFilesPerTrigger = 1)
+    val q = graft.sources.FileIO.streamingParquetSink(
+      nearDupPairs(stream, col(textCol), col(idCol)).toDF(),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    spark.read.parquet(outDir.toString)
+  }
+}

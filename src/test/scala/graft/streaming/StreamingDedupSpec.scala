@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The incremental LSH near-dup operator's equivalence contract:
+  * whatever the micro-batch partitioning, the emitted pair set equals
+  * the batch portable-LSH candidate set (same signatures, same
+  * first-agreeing-band exactly-once rule, same estimate).
+  */
+final case class NearDupDoc(doc_id: Long, text: String)
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Doc = NearDupDoc
+  private def Doc(id: Long, text: String): NearDupDoc = NearDupDoc(id, text)
+
+  private def corpus(seed: Int, n: Int): Seq[Doc] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "the", "of", "and")
+    (0 until n).map { i =>
+      // every 5th doc: a near-copy of an earlier doc with one token
+      // appended — high jaccard, guaranteed band agreement
+      if (i % 5 == 0 && i > 0) {
+        val base = i - (1 + rnd.nextInt(math.min(4, i)))
+        val baseRnd = new scala.util.Random(seed + base)
+        val toks = Seq.fill(12)(vocab(baseRnd.nextInt(vocab.length)))
+        Doc(i.toLong, (toks :+ "extra").mkString(" "))
+      } else {
+        val docRnd = new scala.util.Random(seed + i)
+        Doc(i.toLong, Seq.fill(12)(vocab(docRnd.nextInt(vocab.length))).mkString(" "))
+      }
+    }
+  }
+
+  private def runStreamed(docs: Seq[Doc], nBatches: Int): Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val sink = s"neardup_out_${nBatches}_${docs.length}"
+    val q = StreamingDedup.nearDupPairs(
+      input.toDF(), col("text"), col("doc_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val chunk = math.max(1, math.ceil(docs.size.toDouble / nBatches).toInt)
+      docs.grouped(chunk).foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink).as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("streamed pair set == batch portable LSH candidates, any batch split") {
+    val docs = corpus(7, 60)
+    val batch = Dedup.nearDuplicateCandidatesPortable(
+      docs.toDF(), col("text"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture must produce candidate pairs")
+    // 1 batch (everything at once) and 4 batches (incremental) both
+    // reproduce the batch operator exactly
+    assert(runStreamed(docs, 1) == batch)
+    assert(runStreamed(docs, 4) == batch)
+  }
+
+  test("new arrivals pair against state from EARLIER micro-batches") {
+    val a = Doc(1L, "one two three four five six seven eight nine ten eleven twelve")
+    val b = Doc(2L, "one two three four five six seven eight nine ten eleven twelve extra")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupPairs(input.toDF(), col("text"), col("doc_id"))
+      .writeStream.format("memory").queryName("neardup_cross")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(a)); q.processAllAvailable()
+      assert(spark.table("neardup_cross").isEmpty)
+      input.addData(Seq(b)); q.processAllAvailable()
+      val rows = spark.table("neardup_cross").as[(Long, Long, Long)].collect().toSeq
+      assert(rows.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+      assert(rows.head._3 >= 500L, s"near-copy estimate too low: $rows")
+    } finally q.stop()
+  }
+
+  test("flooded bucket stops indexing at the cap but keeps serving") {
+    // 30 identical docs: uncapped they form 435 pairs; cap 5 bounds the
+    // index so only pairs against the first 5 stored docs emit
+    val docs = (0 until 30).map(i =>
+      Doc(i.toLong, "same exact text repeated over and over again here twelve tokens"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupPairs(
+      input.toDF(), col("text"), col("doc_id"), maxBucketDocs = 5)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(docs); q.processAllAvailable()
+      val n = spark.table("neardup_cap").count()
+      // stored = first 5 docs; each of the other 25 pairs with those 5
+      // (+ the 10 pairs inside the stored set)
+      assert(n == 10L + 25L * 5L, s"got $n pairs")
+    } finally q.stop()
+  }
+}
