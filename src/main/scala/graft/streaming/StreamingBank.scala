@@ -94,11 +94,15 @@ object StreamingBank {
   }
 
   /** Per-batch soak telemetry: state-store rows and batch duration for
-    * every data micro-batch, plus the workload's total touched keys.
+    * every data micro-batch, plus the workload's total touched keys,
+    * plus (when a query load ran) the live endpoint's served queries,
+    * batch-consistency errors and throughput.
     */
   final case class SoakReport(
       batches: Int, totalKeysTouched: Long,
-      stateRows: Seq[Long], batchMs: Seq[Long]) {
+      stateRows: Seq[Long], batchMs: Seq[Long],
+      queriesServed: Long = 0L, queryErrors: Long = 0L,
+      queryPerSec: Double = 0.0) {
     private def median(s: Seq[Long]): Long =
       if (s.isEmpty) -1L else s.sorted.apply(s.length / 2)
     private def third[A](s: Seq[A], which: Int): Seq[A] = {
@@ -114,7 +118,8 @@ object StreamingBank {
       s"""{"metric":"soak","batches":$batches,"keys_touched":$totalKeysTouched,""" +
         s""""state_rows_max":$maxStateRows,"state_rows_first3rd":$firstThirdStateRows,""" +
         s""""state_rows_last3rd":$lastThirdStateRows,"batch_ms_first3rd":$firstThirdBatchMs,""" +
-        s""""batch_ms_last3rd":$lastThirdBatchMs}"""
+        s""""batch_ms_last3rd":$lastThirdBatchMs,"queries_served":$queriesServed,""" +
+        s""""query_errors":$queryErrors,"query_per_sec":${math.round(queryPerSec)}}"""
   }
 
   /** Long-running stability soak — the reference's
@@ -132,7 +137,8 @@ object StreamingBank {
       rowsPerBatch: Int,
       keyWindow: Int,
       churnStep: Int,
-      ttlMs: Long): SoakReport = {
+      ttlMs: Long,
+      queryLoad: Boolean = false): SoakReport = {
     import scala.concurrent.duration._
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -153,10 +159,54 @@ object StreamingBank {
       .start()
     val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
     val durMs = scala.collection.mutable.ArrayBuffer[Long]()
+    // optional live query load (the reference runs its query evaluation
+    // AGAINST the never-ending bank): an external socket client fires
+    // 10-key POINT requests at the active window for the whole soak;
+    // every response must be well-formed and committed epochs must
+    // never regress (torn/regressing reads count as errors)
+    @volatile var activeBase = 0L
+    val served = new java.util.concurrent.atomic.AtomicLong()
+    val qErrors = new java.util.concurrent.atomic.AtomicLong()
+    val stopQueries = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var server: graft.tgraph.query.QueryServer = null
+    var queryThread: Thread = null
+    if (queryLoad) {
+      server = new graft.tgraph.query.QueryServer(spark, ckpt, refreshMillis = 100)
+      val port = server.boundPort
+      queryThread = new Thread(() => {
+        val c = new graft.tgraph.query.QueryClient("localhost", port)
+        val batchRe = """"batch":(-?\d+)""".r
+        val rnd = new java.util.Random(7)
+        var lastBatch = -1L
+        try {
+          while (!stopQueries.get()) {
+            val b0 = activeBase
+            val keys = Seq.fill(10)(b0 + rnd.nextInt(keyWindow).toLong)
+            try {
+              val resp = c.point(keys)
+              batchRe.findFirstMatchIn(resp) match {
+                case Some(m) =>
+                  val bid = m.group(1).toLong
+                  if (bid < lastBatch) qErrors.incrementAndGet()
+                  lastBatch = math.max(lastBatch, bid)
+                case None => qErrors.incrementAndGet()
+              }
+              served.incrementAndGet()
+            } catch {
+              case _: Throwable => if (!stopQueries.get()) qErrors.incrementAndGet()
+            }
+          }
+        } finally c.close()
+      }, "soak-query-load")
+      queryThread.setDaemon(true)
+      queryThread.start()
+    }
+    val t0 = System.nanoTime()
     try {
       var b = 0
       while (b < batches) {
         val base = b.toLong * churnStep
+        activeBase = base
         input.addData((0 until rowsPerBatch).map(i =>
           churnTx(b.toLong * rowsPerBatch + i, base, keyWindow)))
         q.processAllAvailable()
@@ -168,6 +218,9 @@ object StreamingBank {
         b += 1
       }
     } finally {
+      stopQueries.set(true)
+      if (queryThread != null) queryThread.join(5000)
+      if (server != null) server.close()
       q.stop()
       prevNoData match {
         case Some(v) =>
@@ -176,8 +229,11 @@ object StreamingBank {
           spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
       }
     }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
     SoakReport(batches, keyWindow.toLong + batches.toLong * churnStep,
-      stateRows.toSeq, durMs.toSeq)
+      stateRows.toSeq, durMs.toSeq,
+      served.get(), qErrors.get(),
+      if (elapsedSec > 0) served.get() / elapsedSec else 0.0)
   }
 
   /** Deterministic driver-side transfer (rate-probe scale — avoids a

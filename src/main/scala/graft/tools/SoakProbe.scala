@@ -28,17 +28,24 @@ object SoakProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the query-load refresher re-reads the statestore
+    // every 100 ms and each pinned read logs checkpoint-checksum WARNs —
+    // tens of MB of noise over a 300-batch soak
+    spark.sparkContext.setLogLevel("ERROR")
     val r = graft.streaming.StreamingBank.soak(
-      spark, batches, rowsPerBatch, keyWindow, churnStep, ttlMs)
+      spark, batches, rowsPerBatch, keyWindow, churnStep, ttlMs,
+      queryLoad = true)
     println(r.toJson)
     val flatState = r.lastThirdStateRows <= r.firstThirdStateRows * 3
     val flatMs = r.lastThirdBatchMs <= r.firstThirdBatchMs * 3
+    val queriesOk = r.queriesServed > 0 && r.queryErrors == 0
     println(s"[soak] state flat=$flatState (median ${r.firstThirdStateRows} -> " +
       s"${r.lastThirdStateRows} rows, max ${r.maxStateRows}, " +
       s"${r.totalKeysTouched} keys touched); " +
-      s"latency flat=$flatMs (median ${r.firstThirdBatchMs} -> ${r.lastThirdBatchMs} ms)")
+      s"latency flat=$flatMs (median ${r.firstThirdBatchMs} -> ${r.lastThirdBatchMs} ms); " +
+      s"query load ok=$queriesOk (${r.queriesServed} served, " +
+      s"${r.queryErrors} errors, ~${math.round(r.queryPerSec)} q/s live)")
     spark.stop()
-    if (!(flatState && flatMs)) System.exit(1)
+    if (!(flatState && flatMs && queriesOk)) System.exit(1)
   }
 }

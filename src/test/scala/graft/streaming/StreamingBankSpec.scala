@@ -73,8 +73,12 @@ class StreamingBankSpec extends SparkSpec {
     // linearly (~9.5k) while the TTL'd state store must stay bounded by
     // the active window + the not-yet-evicted tail.
     val r = StreamingBank.soak(spark, batches = 45, rowsPerBatch = 400,
-      keyWindow = 500, churnStep = 200, ttlMs = 400L)
+      keyWindow = 500, churnStep = 200, ttlMs = 400L, queryLoad = true)
     info(r.toJson)
+    // the live query endpoint served throughout, never a torn or
+    // epoch-regressing answer
+    assert(r.queriesServed > 0 && r.queryErrors == 0,
+      s"served=${r.queriesServed} errors=${r.queryErrors}")
     assert(r.stateRows.nonEmpty && r.batchMs.nonEmpty, r.toJson)
     assert(r.totalKeysTouched > 9000L, r.toJson)
     // bounded: far below the keys-ever-touched line an unbounded store
