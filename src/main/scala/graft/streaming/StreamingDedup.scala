@@ -98,8 +98,8 @@ object StreamingDedup {
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: String, it: Iterator[BandedDoc],
        state: org.apache.spark.sql.streaming.GroupState[Seq[StoredDoc]]) =>
-        val seen = scala.collection.mutable.ArrayBuffer[StoredDoc](
-          state.getOption.getOrElse(Seq.empty): _*)
+        val prior = state.getOption.getOrElse(Seq.empty)
+        val seen = scala.collection.mutable.ArrayBuffer[StoredDoc](prior: _*)
         val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
         // deterministic within-batch order: by doc id, so "earlier" is
         // always the smaller id whatever the shuffle delivered
@@ -118,7 +118,9 @@ object StreamingDedup {
           }
           if (seen.length < maxBucketDocs) seen += StoredDoc(d.doc_id, d.sig)
         }
-        state.update(seen.toSeq)
+        // a capped (or probe-only) invocation that indexed nothing new
+        // skips the state-store rewrite — the write is O(bucket)
+        if (seen.length != prior.length) state.update(seen.toSeq)
         out.iterator
     }
   }
