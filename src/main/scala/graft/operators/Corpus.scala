@@ -165,19 +165,43 @@ object Corpus {
     * chunks by cumulative token count within each group (the
     * concatenate-then-split-at-context-length step of sequence
     * packing). A document starting before offset n·budget belongs to
-    * chunk n — one running sum per group, computed by a single window
-    * over (group, order); at scale the window partitions by group
-    * (sources/shards), so no global sort and no single-partition
-    * stage. Emits (chunk_id, chunk_pos, start_offset) per doc.
+    * chunk n. Emits (chunk_id, chunk_pos, start_offset) per doc.
+    *
+    * The running sum is a DISTRIBUTED two-level prefix sum, not one
+    * window per group: groups (languages, sources) are low-cardinality,
+    * so `sum().over(partitionBy(group))` would materialize and sort a
+    * whole group — billions of rows at 100 TB — in ONE task (the same
+    * skewed-window hazard ngramJaccard's df cap had). Instead:
+    *  1. ids are blocked (`id div blockSize`, monotone in id, so
+    *     (block, id) order == id order) and the within-block prefix
+    *     runs under a window over (group, block) — high cardinality,
+    *     ≤ blockSize rows per partition by construction;
+    *  2. block totals (one row per (group, block), a map-side-combined
+    *     aggregate) get their own prefix sum — a window over the group
+    *     again, but over n/blockSize TOTAL rows, not n;
+    *  3. start_offset = block offset + within-block prefix, joined
+    *     back on (group, block) — a broadcast-sized side.
     */
   def packChunks(
       df: DataFrame, id: Column, group: Column, tokens: Column,
-      budgetTokens: Long): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(id)
-    val start = coalesce(
-      sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    df.select(id.as("doc_id"), group.as("grp"), tokens.as("n_tokens"),
-      start.as("start_offset"))
+      budgetTokens: Long, blockSize: Long = 1L << 20): DataFrame = {
+    val base = df.select(id.as("doc_id"), group.as("grp"), tokens.as("n_tokens"))
+      .withColumn("__blk", expr(s"doc_id div $blockSize"))
+    val wBlk = Window.partitionBy(col("grp"), col("__blk")).orderBy(col("doc_id"))
+    val local = base.withColumn("__local",
+      coalesce(sum(col("n_tokens"))
+        .over(wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wBlocks = Window.partitionBy(col("grp")).orderBy(col("__blk"))
+    val blockOffsets = base
+      .groupBy(col("grp"), col("__blk"))
+      .agg(sum(col("n_tokens")).as("__blk_sum"))
+      .withColumn("__blk_off",
+        coalesce(sum(col("__blk_sum"))
+          .over(wBlocks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grp"), col("__blk"), col("__blk_off"))
+    local.join(blockOffsets, Seq("grp", "__blk"))
+      .withColumn("start_offset", col("__blk_off") + col("__local"))
+      .select(col("doc_id"), col("grp"), col("n_tokens"), col("start_offset"))
       // integer floor-div (offsets are non-negative): exact at any
       // magnitude, matching the oracle's `//`; floor(x / w) would
       // round through a double and drift past 2^53 cumulative tokens
