@@ -219,23 +219,44 @@ object Corpus {
     * unlikely digest tie). Changing the seed reshuffles the whole
     * corpus; same seed reproduces the exact order on any engine.
     *
-    * Scale: the assignment is a narrow map; the per-shard rank is one
-    * shuffle keyed on the shard (a real writer skips the rank column
-    * and just `repartition(shard).sortWithinPartitions(sort_key)` —
-    * same distribution, zero windows; the rank here is the
-    * oracle-checkable spelling of that order).
+    * Scale: the assignment is a narrow map, and the per-shard rank is
+    * the Wal two-pass numbering scheme, NOT a per-shard window (which
+    * would sort corpus/nShards rows in ONE task — ~100 GB per task at
+    * 100 TB): range-partition on (shard, sort_key, id) into
+    * cluster-sized partitions, `zipWithIndex` for a global dense index
+    * (order-stable across range partitions), then subtract each
+    * shard's start offset — a prefix over nShards counter rows joined
+    * back broadcast-style. No single-partition stage at any corpus
+    * size.
     */
   def trainingShards(
       docs: DataFrame, id: Column, seed: String, nShards: Int): DataFrame = {
     val key = concat(lit(seed), lit(":"), id.cast("string"))
-    docs
-      .select(id.as("doc_id"),
-        pmod(TextAnalysis.portableHash32(key), lit(nShards)).cast("bigint").as("shard"),
-        md5(key).as("sort_key"))
-      .withColumn("pos",
-        row_number().over(
-          Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id")))
-          .cast("long"))
+    val base = docs.select(
+      id.as("doc_id"),
+      pmod(TextAnalysis.portableHash32(key), lit(nShards)).cast("bigint").as("shard"),
+      md5(key).as("sort_key"))
+    val sorted = base
+      .repartitionByRange(col("shard"), col("sort_key"), col("doc_id"))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col("doc_id"))
+    val schema = sorted.schema.add("__gidx",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val withIdx = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    // per-shard start = rows in earlier shards; nShards rows total, so
+    // the unpartitioned running-sum window is over a counter table, not
+    // the corpus
+    val offsets = base
+      .groupBy(col("shard")).agg(count(lit(1)).as("__n"))
+      .withColumn("__start", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__start"))
+    withIdx.join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("shard"), col("sort_key"),
+        (col("__gidx") - col("__start") + 1L).as("pos"))
   }
 
   /** C4/CCNet-style LINE-level corpus dedup: a substantial line (≥
