@@ -209,7 +209,7 @@ object Multimodal {
     * skipped, lists recurse, odd-sized chunks honor RIFF's even
     * padding.
     */
-  private[operators] def parseAvi(
+  def parseAvi(
       bytes: Array[Byte]): (Int, Int, Vector[Array[Byte]]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

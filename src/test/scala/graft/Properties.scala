@@ -73,4 +73,20 @@ object GraftProperties extends Properties("graft") {
         .toLongArray.toSeq
       got == refShingleHashes(tokens, k)
     }
+
+  // the AVI container writer/parser pair: arbitrary frame payloads
+  // (any bytes — the container is codec-agnostic), dims, frame counts
+  // round-trip exactly, including odd-sized chunks (RIFF even padding)
+  property("parseAvi inverts syntheticAvi for arbitrary frame payloads") =
+    Prop.forAll(
+      Gen.chooseNum(1, 2000), Gen.chooseNum(1, 2000),
+      Gen.listOfN(5, Gen.chooseNum(0, 33).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))))) {
+      (w: Int, h: Int, framesRaw: List[List[Byte]]) =>
+        val frames = framesRaw.map(_.toArray).filter(_.nonEmpty)
+        val avi = graft.operators.Multimodal.syntheticAvi(frames, w, h)
+        val (pw, ph, parsed) = graft.operators.Multimodal.parseAvi(avi)
+        pw == w && ph == h && parsed.length == frames.length &&
+        parsed.zip(frames).forall { case (a, b) => a.sameElements(b) }
+    }
 }
