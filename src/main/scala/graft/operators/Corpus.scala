@@ -245,15 +245,21 @@ object Corpus {
       sorted.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }, schema)
-    // per-shard start = rows in earlier shards; nShards rows total, so
-    // the unpartitioned running-sum window is over a counter table, not
-    // the corpus
-    val offsets = base
-      .groupBy(col("shard")).agg(count(lit(1)).as("__n"))
-      .withColumn("__start", coalesce(
-        sum(col("__n")).over(Window.orderBy(col("shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("shard"), col("__start"))
+    // per-shard start = rows in earlier shards. The counter table has
+    // exactly nShards rows (bounded by the caller's parameter, not the
+    // corpus), so the prefix runs on the driver — the same bounded
+    // collect as zipWithIndex's own count pass — and ships back as a
+    // broadcast join side. No window anywhere in this operator.
+    val counts = base.groupBy(col("shard")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("shard")).collect()
+    var acc = 0L
+    val starts = counts.map { r =>
+      val p = (r.getLong(0), acc); acc += r.getLong(1); p
+    }.toSeq
+    val offsets = {
+      import sorted.sparkSession.implicits._
+      starts.toDF("shard", "__start")
+    }
     withIdx.join(broadcast(offsets), Seq("shard"))
       .select(col("doc_id"), col("shard"), col("sort_key"),
         (col("__gidx") - col("__start") + 1L).as("pos"))
