@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level frequency statistics for training-data curation:
+  * heavy-hitter n-gram detection (the boilerplate/spam discovery pass
+  * that feeds stop-span lists) and n-gram-LM familiarity scoring (the
+  * integer-exact analog of the KenLM-perplexity quality filter). Both
+  * are aggregate-only plans — map-side combine absorbs the Zipfian
+  * skew that IS the workload — and both are engine-portable (no
+  * floating point, no engine-specific hash), so a DuckDB oracle
+  * reproduces every row bit-exactly.
+  */
+object CorpusStats {
+
+  private def ngramStrings(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus-wide top-k most frequent n-grams (heavy hitters) — the
+    * discovery pass behind boilerplate stop-lists: the n-grams that
+    * dominate a crawl (navigation chrome, cookie banners, license
+    * headers) surface here before any dedup decision is made.
+    *
+    * Shape at scale: explode n-grams (narrow), ONE groupBy(ngram)
+    * count whose map-side partial aggregation collapses the hot keys
+    * per task before the shuffle (the Zipf head never concentrates in
+    * one reducer as raw rows), then a global top-k via
+    * orderBy+limit — Spark plans that as TakeOrderedAndProject:
+    * per-partition bounded heaps merged on the driver, O(partitions·k)
+    * driver memory, never a global sort. Ties break on the n-gram
+    * text descending, so the result is deterministic on any engine.
+    *
+    * Returns (rank, ngram, cnt), rank 1-based by (cnt desc, ngram
+    * desc).
+    */
+  def heavyNgrams(
+      docs: DataFrame, text: Column, n: Int = 3, k: Int = 50): DataFrame = {
+    require(n >= 1 && k >= 1)
+    val counts = docs
+      .select(explode(ngramStrings(TextAnalysis.tokens(text), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("ngram").desc).limit(k)
+    // rank over k rows only (the heap already bounded the set) — the
+    // window partition is the k-row result, not the corpus
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("ngram").desc)).cast("bigint"))
+      .select(col("rank"), col("ngram"), col("cnt"))
+  }
+
+  /** Bigram-LM familiarity scoring — the exact-integer analog of the
+    * KenLM-perplexity quality filter: train bigram occurrence counts
+    * on the corpus itself (one aggregate), then score every document
+    * by how familiar its bigrams are corpus-wide. Low familiarity /
+    * high rarity = text unlike the rest of the corpus (gibberish,
+    * encoding damage, exotic boilerplate) — the standard
+    * perplexity-filter signal without a float log-prob in sight, so
+    * the whole pipeline is oracle-exact.
+    *
+    * Per doc: `n_bigrams` (token occurrences, not distinct),
+    * `avg_bigram_freq` = floor(Σ corpus-count / n_bigrams) — the mean
+    * corpus frequency of the doc's bigrams, and `rare_permille` =
+    * floor(1000·|bigrams with corpus count == 1| / n_bigrams) — the
+    * share of bigrams that exist nowhere else in the corpus. Docs
+    * with fewer than 2 tokens score (0, 0, 0).
+    *
+    * Shape at scale: the bigram vocabulary is corpus-sized — NOT
+    * broadcastable — so the count table joins back on the bigram hash
+    * (fixed-width shuffle key, both sides shuffle once); the per-doc
+    * rollup is a map-side-combinable groupBy. Two aggregates + one
+    * equi-join total; no window, no driver state.
+    */
+  def familiarity(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val occ = docs
+      .select(id.as("doc_id"),
+        explode_outer(ngramStrings(TextAnalysis.tokens(text), 2)).as("bg"))
+      .withColumn("h", TextAnalysis.portableHash56(col("bg")))
+    val counts = occ.filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    occ.join(counts, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("h")).as("n_bigrams"),
+        coalesce(sum(col("cnt")), lit(0L)).as("freq_sum"),
+        coalesce(sum(when(col("cnt") === 1, 1L).otherwise(0L)), lit(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("freq_sum div n_bigrams")).as("avg_bigram_freq"),
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("(1000 * n_rare) div n_bigrams")).as("rare_permille"))
+  }
+}

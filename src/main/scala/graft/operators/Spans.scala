@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-span operators for training-data preparation: duplicated-span
+  * removal (the scalable approximation of exact-substring dedup) and
+  * long-document chunking for context-window packing. Both are pure
+  * declarative plans over the whitespace tokenization shared with
+  * [[TextAnalysis.tokens]], and both hash only through the portable
+  * md5 family, so a DuckDB oracle reproduces every row bit-exactly.
+  */
+object Spans {
+
+  /** Duplicated-span removal — the distributed approximation of
+    * exact-substring training-data dedup (the "dedup repeated k-token
+    * substrings corpus-wide" pass run after document-level dedup):
+    * every k-token window whose text occurs at least `minCount` times
+    * across the corpus is a duplicated span; every occurrence EXCEPT
+    * the corpus-wide first (min (doc_id, start)) has its token
+    * positions removed, and documents are reassembled from their
+    * surviving tokens in order. Keep-first semantics mirror
+    * [[Corpus.lineDedup]]: the text survives exactly once, later
+    * repeats (license boilerplate, quoted chain mail, copy-pasted
+    * code) are cut mid-document even when the documents as a whole are
+    * not duplicates.
+    *
+    * Shape at scale: windows are a narrow per-doc expansion (one
+    * 56-bit hash per token position — fixed-width shuffle keys); the
+    * occurrence count + first-occurrence choice is ONE groupBy on the
+    * window hash whose map-side combine absorbs the hot boilerplate
+    * spans (the skew IS the workload, same argument as lineDedup); the
+    * join back is keyed the same way; coverage expansion is ×k narrow;
+    * reassembly is one per-doc groupBy. No window function over the
+    * corpus, no driver state.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped) for EVERY input
+    * document.
+    */
+  def spanDedup(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 2, s"span length k=$k must be >= 2")
+    require(minCount >= 2, s"minCount=$minCount must be >= 2")
+    val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+    // one row per k-token window occurrence; s is the 0-based start
+    val wins = base
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("toks")) >= k,
+            transform(sequence(lit(0), size(col("toks")) - lit(k)),
+              i => TextAnalysis.portableHash56(
+                array_join(slice(col("toks"), i + lit(1), lit(k)), " "))))
+            .otherwise(array().cast("array<bigint>")))
+          .as(Seq("s", "h")))
+    // per-span occurrence count + corpus-wide first occurrence, one
+    // map-side-combinable aggregate (min and count both combine)
+    val spans = wins.groupBy(col("h")).agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("s"))).as("first"))
+    // positions covered by a NON-FIRST occurrence of a duplicated span
+    val covered = wins
+      .join(spans.filter(col("cnt") >= minCount), Seq("h"))
+      .filter(!(col("doc_id") === col("first.doc_id") && col("s") === col("first.s")))
+      .select(col("doc_id"), explode(sequence(col("s") + 1, col("s") + lit(k))).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "token")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
+    val keptAgg = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          e => e.getField("token")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Long-document chunking with overlap — the split step of
+    * context-window preparation (complement of [[Corpus.packChunks]],
+    * which packs SHORT docs; this splits LONG docs): a document of n
+    * tokens becomes ceil-many chunks of at most `maxTokens` tokens,
+    * consecutive chunks sharing `overlap` tokens (stride =
+    * maxTokens − overlap). The final chunk is the remainder — never
+    * empty, never an extra stride-aligned sliver (a doc with
+    * n ≤ maxTokens is exactly one chunk).
+    *
+    * Pure narrow operator: tokenize, compute the chunk count
+    * arithmetically, explode a `sequence`, slice — no shuffle, no
+    * state, pushes through the scan.
+    *
+    * Returns (doc_id, chunk_idx, chunk_text, n_tokens) with
+    * 0-based chunk_idx.
+    */
+  def chunkDocs(
+      docs: DataFrame, id: Column, text: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens=$maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap=$overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      // n <= maxTokens -> 1 chunk; else 1 + ceil((n - maxTokens)/stride).
+      // `div` (integer floor-div) — Column./ is double division, which
+      // drifts past 2^53; token counts are positive so floor == ceil-1
+      .withColumn("n_chunks",
+        when(col("n") <= maxTokens, lit(1L))
+          .otherwise(expr(s"1 + (n - $maxTokens + ${stride - 1}) div $stride")))
+    base
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens.toLong), col("n") - col("chunk_idx") * stride)
+          .as("n_tokens"))
+  }
+}

@@ -217,7 +217,21 @@ object AnalyticsQueries {
         li, col("l_suppkey"), col("price_cents"), col("line_id"), k = 3, salts = 8)
         .select(col("l_suppkey"), col("rnk"), col("line_id"), col("price_cents"))
         .orderBy("l_suppkey", "rnk")
-    })
+    }),
+    // z-order layout math: 16-bit quantize + bit interleave of
+    // (l_partkey, l_suppkey) — the file-clustering key a 100 TB
+    // multi-column data-skipping layout sorts by (the range-partition
+    // step itself is sampling-based, so the gate pins the DETERMINISTIC
+    // z-value; the skipping win is asserted by the LayoutSpec)
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        graft.operators.Layout.zValue(Seq(
+          graft.operators.Layout.quantize(col("l_partkey"), 0L, 65535L, 16),
+          graft.operators.Layout.quantize(col("l_suppkey"), 0L, 65535L, 16)), 16)
+          .as("zval"))
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,6 +400,14 @@ object AnalyticsQueries {
         |  SELECT 'csv' AS src, * FROM n
         |  UNION ALL
         |  SELECT 'json' AS src, * FROM n)
-        |ORDER BY src, n_nationkey""".stripMargin
+        |ORDER BY src, n_nationkey""".stripMargin,
+    // same 16-bit clamp-quantize + bit-interleave arithmetic
+    "layout_zorder" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(list_reduce(list_transform(generate_series(0, 15),
+        |    b -> (((least(greatest(l_partkey, 0), 65535) >> b) & 1) << (2*b))
+        |       + (((least(greatest(l_suppkey, 0), 65535) >> b) & 1) << (2*b+1))),
+        |    (a, c) -> a + c) AS BIGINT) AS zval
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clusters, Corpus, Dedup, TextAnalysis}
+import graft.operators.{Clusters, Corpus, CorpusStats, Dedup, Spans, TextAnalysis}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,6 +117,28 @@ object CorpusQueries {
         budgetTokens = 512L)
         .select(col("doc_id"), col("grp"), col("n_tokens"),
           col("start_offset"), col("chunk_id"), col("chunk_pos"))
+        .orderBy("doc_id")),
+    // duplicated-span removal (exact-substring dedup approximation):
+    // 8-token windows occurring >= 2x corpus-wide survive only at
+    // their first occurrence; later repeats are cut mid-document
+    "span_dedup" -> ((s, dir) =>
+      Spans.spanDedup(docs(s, dir), col("doc_id"), col("text"),
+        k = 8, minCount = 2)
+        .orderBy("doc_id")),
+    // long-document chunking with overlap (context-window prep)
+    "chunk_docs" -> ((s, dir) =>
+      Spans.chunkDocs(docs(s, dir), col("doc_id"), col("text"),
+        maxTokens = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+    // corpus-wide heavy-hitter 3-grams (boilerplate discovery):
+    // global top-50 via per-partition heaps, deterministic tiebreak
+    "heavy_ngrams" -> ((s, dir) =>
+      CorpusStats.heavyNgrams(docs(s, dir), col("text"), n = 3, k = 50)
+        .orderBy("rank")),
+    // bigram-LM familiarity scoring: the integer-exact analog of the
+    // KenLM-perplexity quality filter, trained on the corpus itself
+    "lm_familiarity" -> ((s, dir) =>
+      CorpusStats.familiarity(docs(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id"))
   )
 
@@ -314,6 +336,80 @@ object CorpusQueries {
         |  FROM scored)
         |SELECT doc_id, token, tf, df, score FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, token""".stripMargin,
+    // duplicated 8-token spans: first occurrence (min doc_id, start)
+    // survives, later repeats' positions are cut; same window-rank
+    // trick as line_dedup (rank over the span hash)
+    "span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, len(toks) - 8)) AS s,
+        |    UNNEST(list_transform(generate_series(1, len(toks) - 7),
+        |      i -> substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 14))) AS h
+        |  FROM t WHERE len(toks) >= 8),
+        |k AS (SELECT doc_id, s, h,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+        |        count(*) OVER (PARTITION BY h) AS cnt
+        |      FROM w),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT doc_id, UNNEST(generate_series(s + 1, s + 8)) AS pos
+        |  FROM k WHERE cnt >= 2 AND rn > 1)),
+        |tok AS (SELECT doc_id, UNNEST(generate_series(1, len(toks))) AS pos,
+        |          UNNEST(toks) AS token FROM t),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.token
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // maxTokens=40, overlap=8 -> stride 32; final chunk = remainder
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |             len(string_split_regex(trim(text), '\s+')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |  CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 31) // 32 END AS n_chunks FROM t),
+        |e AS (SELECT doc_id, toks, n,
+        |        UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[chunk_idx*32 + 1 : chunk_idx*32 + 40], ' ') AS chunk_text,
+        |  CAST(least(40, n - chunk_idx*32) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // global top-50 3-grams; ties broken by ngram text descending so
+    // the cut at rank 50 is total-order deterministic
+    "heavy_ngrams" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+        |      FROM t WHERE len(toks) >= 3),
+        |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram DESC) AS BIGINT) AS rank,
+        |  ngram, cnt
+        |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin,
+    // bigram occurrence counts trained on the corpus itself; per-doc
+    // mean corpus frequency + unique-bigram share, exact integer math
+    "lm_familiarity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |occ AS (SELECT doc_id, substr(md5(bg), 1, 14) AS h FROM (
+        |   SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |   FROM t WHERE len(toks) >= 2)),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY h),
+        |d AS (SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
+        |        CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |      FROM occ JOIN c USING (h) GROUP BY occ.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(CASE WHEN d.n_bigrams IS NULL THEN 0
+        |    ELSE d.freq_sum // d.n_bigrams END AS BIGINT) AS avg_bigram_freq,
+        |  CAST(CASE WHEN d.n_bigrams IS NULL THEN 0
+        |    ELSE (1000 * d.n_rare) // d.n_bigrams END AS BIGINT) AS rare_permille
+        |FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS grp,

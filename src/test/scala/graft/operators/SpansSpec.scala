@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spanDedup keeps the first occurrence and cuts later repeats") {
+    val span = "a b c d e f g h" // exactly k=8 tokens
+    val docs = Seq(
+      (1L, s"intro one two $span tail1 x"),
+      (2L, s"$span other words entirely here"),
+      (3L, "no duplicated material at all in this document")
+    ).toDF("doc_id", "text")
+    val out = Spans.spanDedup(docs, col("doc_id"), col("text"), k = 8, minCount = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 holds the corpus-wide first occurrence (min doc_id) -> intact
+    assert(out(1L)._2 == s"intro one two $span tail1 x")
+    assert(out(1L)._4 == 0L)
+    // doc 2's copy is a later repeat -> its 8 tokens are cut
+    assert(out(2L)._2 == "other words entirely here")
+    assert(out(2L)._3 == 4L && out(2L)._4 == 8L)
+    assert(out(3L)._4 == 0L)
+  }
+
+  test("spanDedup unions overlapping duplicated spans positionally") {
+    // doc 2 repeats a 10-token run from doc 1: three overlapping 8-token
+    // windows are all duplicated; coverage is their union (10 tokens)
+    val run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq(
+      (1L, s"$run unique ending here"),
+      (2L, s"start pad $run closing words")
+    ).toDF("doc_id", "text")
+    val out = Spans.spanDedup(docs, col("doc_id"), col("text"), k = 8, minCount = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 0L)
+    assert(out(2L)._2 == "start pad closing words")
+    assert(out(2L)._4 == 10L)
+  }
+
+  test("spanDedup leaves sub-k documents and unique text untouched") {
+    val docs = Seq(
+      (1L, "short doc"),
+      (2L, "seven tokens is less than the window"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Spans.spanDedup(docs, col("doc_id"), col("text"), k = 8, minCount = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "short doc", 2L, 0L)))
+    assert(out(2L)._4 == 0L)
+    assert(out(3L)._3 == 1L) // split("") == [""] — one empty token, kept
+  }
+
+  test("chunkDocs splits with overlap and a remainder final chunk") {
+    val toks = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, toks), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = Spans.chunkDocs(docs, col("doc_id"), col("text"), maxTokens = 10, overlap = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // stride 7: chunks at offsets 0,7,14 then remainder check:
+    // n=25 -> nChunks = 1 + ceil(15/7) = 4 (offsets 0,7,14,21)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1(0)._3 == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(d1(1)._3 == (8 to 17).map(i => s"w$i").mkString(" "))
+    assert(d1(3)._3 == (22 to 25).map(i => s"w$i").mkString(" ")) // remainder
+    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 10L, 4L))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._3.split(" ").takeRight(3).toSeq == d1(1)._3.split(" ").take(3).toSeq)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, "tiny doc", 2L)))
+  }
+
+  test("chunkDocs covers every token exactly once outside overlaps") {
+    val n = 103
+    val toks = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, toks)).toDF("doc_id", "text")
+    val m = 16; val o = 4; val stride = m - o
+    val chunks = Spans.chunkDocs(docs, col("doc_id"), col("text"), m, o)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    // stitching chunk 0 + the non-overlap suffix of each later chunk
+    // reproduces the document verbatim
+    val stitched = (chunks.head._3.split(" ") ++
+      chunks.tail.flatMap(_._3.split(" ").drop(o))).mkString(" ")
+    assert(stitched == toks)
+    // every chunk except the last is full-size
+    assert(chunks.init.forall(_._4 == m.toLong))
+    assert(chunks.last._4 == (n - (chunks.length - 1) * stride).toLong)
+  }
+}
