@@ -53,6 +53,55 @@ object CorpusStats {
       .select(col("rank"), col("ngram"), col("cnt"))
   }
 
+  /** Per-source document cap — the domain-balancing pass of crawl
+    * curation: keep at most `n` documents per source/host, preferring
+    * the best by `order` (ties broken by the caller's key to a total
+    * order). Runs through the bounded-heap
+    * [[graft.plans.TopK.perGroup]] operator — O(sources·n) memory, no
+    * per-host window sort, so a mega-host with 10⁹ pages costs
+    * O(pages·log n), not a 10⁹-row sort in one task (hosts are
+    * exactly the key a crawl is skewed on).
+    */
+  def capPerSource(
+      docs: DataFrame, source: Column, order: Column, n: Int): DataFrame =
+    graft.plans.TopK.perGroup(docs, Seq(source), order, n)
+
+  /** Hashed-bag-of-words linear classifier scoring — the fasttext-
+    * style model-based quality/topic filter as a Spark plan: each
+    * token hashes into one of `buckets` feature slots, the model is a
+    * (bucket, integer milli-weight) table, a document's score is the
+    * sum of its token occurrences' weights. The model side is
+    * broadcast (a few thousand rows — model size, not data size); the
+    * corpus side is one narrow pass + a map-side-combinable per-doc
+    * sum. Integer weights keep every score oracle-exact; `keep` =
+    * score ≥ 0 is the filter decision.
+    */
+  def classifierScore(
+      docs: DataFrame, id: Column, text: Column,
+      weights: DataFrame, buckets: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(text)).as("token"))
+    toks
+      .withColumn("bucket",
+        pmod(TextAnalysis.portableHash32(col("token")), lit(buckets.toLong)))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("token")).as("n_tokens"),
+        coalesce(sum(col("w_milli")), lit(0L)).as("score_sum"))
+      .withColumn("keep", (col("score_sum") >= 0).cast("bigint"))
+  }
+
+  /** A deterministic synthetic weight table for [[classifierScore]]
+    * demos/gates: w(b) = (b·2654435761 mod 1997) − 998 — spread over
+    * [−998, 998], reproducible on any engine with integer math.
+    * Real deployments load trained weights from a table instead.
+    */
+  def syntheticWeights(spark: org.apache.spark.sql.SparkSession, buckets: Int): DataFrame =
+    spark.range(buckets).select(
+      col("id").as("bucket"),
+      (pmod(col("id") * 2654435761L, lit(1997L)) - 998L).as("w_milli"))
+
   /** Bigram-LM familiarity scoring — the exact-integer analog of the
     * KenLM-perplexity quality filter: train bigram occurrence counts
     * on the corpus itself (one aggregate), then score every document

@@ -139,6 +139,21 @@ object CorpusQueries {
     // KenLM-perplexity quality filter, trained on the corpus itself
     "lm_familiarity" -> ((s, dir) =>
       CorpusStats.familiarity(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+    // domain balancing: keep the 10 largest docs per source through
+    // the bounded-heap TopKPerGroup (no per-host window sort)
+    "host_cap" -> ((s, dir) =>
+      CorpusStats.capPerSource(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars").cast("bigint").as("n_chars")),
+        col("source"), struct(col("n_chars"), col("doc_id")), n = 10)
+        .orderBy("doc_id")),
+    // fasttext-style hashed linear classifier scoring: broadcast
+    // integer weight table, one narrow corpus pass, per-doc sum
+    "quality_classifier" -> ((s, dir) =>
+      CorpusStats.classifierScore(
+        docs(s, dir), col("doc_id"), col("text"),
+        CorpusStats.syntheticWeights(s, 4096), buckets = 4096)
         .orderBy("doc_id"))
   )
 
@@ -410,6 +425,34 @@ object CorpusQueries {
         |  CAST(CASE WHEN d.n_bigrams IS NULL THEN 0
         |    ELSE (1000 * d.n_rare) // d.n_bigrams END AS BIGINT) AS rare_permille
         |FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // keep-10-per-source by (n_chars, doc_id) descending — a total
+    // order, so the heap operator and the window rank agree exactly
+    "host_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+    // same synthetic weight table (b*2654435761 mod 1997 - 998) and
+    // portable 32-bit token hash mod 4096
+    "quality_classifier" ->
+      """WITH w AS (SELECT i AS bucket, ((i * 2654435761) % 1997) - 998 AS w_milli
+        |           FROM generate_series(0, 4095) AS t(i)),
+        |tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents),
+        |b AS (SELECT doc_id,
+        |        list_reduce(list_transform(string_split(substr(md5(token), 1, 8), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |          (a, b) -> a * 16 + b) % 4096 AS bucket
+        |      FROM tok),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(COALESCE(sum(w.w_milli), 0) AS BIGINT) AS score_sum
+        |      FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score_sum,
+        |  CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS grp,

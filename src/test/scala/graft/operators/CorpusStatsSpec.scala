@@ -56,6 +56,54 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L, 0L, 0L)))
   }
 
+  test("capPerSource keeps the top-n per source by the given order") {
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"src${i % 3}", (i * 7 % 13).toLong)
+    }.toDF("doc_id", "source", "quality")
+    val out = CorpusStats.capPerSource(
+      docs, col("source"), struct(col("quality"), col("doc_id")), n = 4)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 12)
+    // per source: exactly the window-rank top 4 by (quality, doc_id) desc
+    val ref = docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id").desc)))
+      .filter(col("rn") <= 4).drop("rn")
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == ref.sortBy(_._1).toSeq)
+  }
+
+  test("classifierScore sums broadcast bucket weights per doc") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "cc")).toDF("doc_id", "text")
+    val buckets = 64
+    // weights: bucket -> bucket (identity), so scores are checkable
+    // against an independently computed token-bucket sum
+    val w = spark.range(buckets).select(
+      col("id").as("bucket"), col("id").as("w_milli"))
+    val out = CorpusStats.classifierScore(docs, col("doc_id"), col("text"), w, buckets)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def b(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    assert(out(1L) == ((1L, 3L, 2 * b("aa") + b("bb"), 1L)))
+    assert(out(2L) == ((2L, 1L, b("cc"), 1L)))
+  }
+
+  test("classifierScore keep flag follows the score sign") {
+    val docs = Seq((1L, "x x x"), (2L, "y")).toDF("doc_id", "text")
+    val buckets = 16
+    // all-negative weights -> nothing kept
+    val w = spark.range(buckets).select(
+      col("id").as("bucket"), lit(-5L).as("w_milli"))
+    val out = CorpusStats.classifierScore(docs, col("doc_id"), col("text"), w, buckets)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == -15L && out(1L)._4 == 0L)
+    assert(out(2L)._3 == -5L && out(2L)._4 == 0L)
+  }
+
   test("familiarity floor-divides the integer ratios") {
     // doc 1: bigrams "a b" (corpus cnt 2: docs 1,2) and "b z" (cnt 1)
     // -> freq_sum 3, n_bigrams 2 -> avg 1 (floor 1.5), rare 500
