@@ -67,6 +67,55 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** SQ8 scalar quantization — the embedding-compression scale path
+    * (FAISS-style SQ8): each vector stores one int scale (`maxabs`,
+    * its max absolute milli component) plus per-component 8-bit codes
+    * `c = floor((m + maxabs)·255 / 2·maxabs)` ∈ [0, 255] — ~4× less
+    * memory than float32, which is what lets a 100 TB embedding table
+    * live in cluster RAM for scanning. All arithmetic is exact
+    * integer math (the doubles inside stay < 2^53, so floor is
+    * bit-deterministic on any engine); codes are kept as int64 here
+    * for oracle parity — a production writer packs them to binary.
+    */
+  def sq8Encode(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(id.as("cid"), quantize(vec).as("m"))
+      .withColumn("maxabs",
+        greatest(array_max(transform(col("m"), x => abs(x))), lit(1L)))
+      .withColumn("codes", transform(col("m"), x =>
+        floor(((x + col("maxabs")) * 255).cast("double") / (col("maxabs") * 2))
+          .cast("bigint")))
+      .select(col("cid"), col("maxabs"), col("codes"))
+
+  /** Asymmetric distance computation (ADC) against SQ8 codes: the
+    * query stays full-precision (milli ints), each code decodes to
+    * `(c·2·maxabs) div 255 − maxabs` on the fly inside the fold — no
+    * decompressed vector is ever materialized.
+    */
+  def sq8Dot(qvec: Column, codes: Column, maxabs: Column): Column =
+    aggregate(
+      zip_with(quantize(qvec), codes, (qm, c) =>
+        qm * (floor((c * 2 * maxabs).cast("double") / 255).cast("bigint") - maxabs)),
+      lit(0L), _ + _)
+
+  /** Brute-force top-k over the COMPRESSED corpus (broadcast queries,
+    * one ADC pass, per-query rank) — [[bruteForceTopK]]'s memory-bound
+    * sibling: same scan shape, quarter the bytes per candidate. The
+    * spec measures its recall against the exact scan.
+    */
+  def sq8TopK(
+      queries: DataFrame, // (qid, qvec)
+      encoded: DataFrame, // (cid, maxabs, codes) from sq8Encode
+      k: Int): DataFrame = {
+    val scored = encoded
+      .join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        sq8Dot(col("qvec"), col("codes"), col("maxabs")).as("dot_sq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot_sq").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sign-LSH bucket keys, one per hash table: table `t` hashes the
     * sign pattern of components [t·bits, t·bits+bits) (random-
     * hyperplane LSH with axis-aligned planes — deterministic and

@@ -144,6 +144,19 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
+    // compressed-embedding ANN: SQ8 encode the corpus (one int scale +
+    // 8-bit codes per vector, ~4x less memory than float32), scan with
+    // asymmetric-distance dots — the layout that lets a 100 TB
+    // embedding table live in cluster RAM
+    "ann_sq8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.sq8TopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        Similarity.sq8Encode(e, col("vec_id"), col("embedding")),
+        k = 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_sq"))
+        .orderBy("qid", "rnk")
+    }),
     // the Catalyst rewrite rule in a REAL query: the user writes the
     // engine-portable HOF dot product, the injected QuantizedDotRewrite
     // swaps in the fused native kernel, and the result still matches
@@ -511,6 +524,34 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
         |  FROM dots)
         |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // SQ8 encode (scale = max abs milli component; codes shifted to
+    // [0,255] so floor == trunc on every engine) + ADC dot replayed
+    // verbatim in SQL
+    "ann_sq8" ->
+      """WITH q AS (SELECT vec_id AS qid,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+        |  FROM embeddings WHERE vec_id < 10),
+        |enc AS (
+        |  SELECT vec_id AS cid, m,
+        |    greatest(list_max(list_transform(m, x -> abs(x))), 1) AS maxabs
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m
+        |        FROM embeddings)),
+        |codes AS (
+        |  SELECT cid, maxabs,
+        |    list_transform(m, x -> CAST(floor((x + maxabs) * 255 / (maxabs * 2)) AS BIGINT)) AS codes
+        |  FROM enc),
+        |exploded AS (
+        |  SELECT qid, cid, maxabs,
+        |    UNNEST(qm) AS qv, UNNEST(codes) AS c
+        |  FROM q, codes WHERE qid <> cid),
+        |dots AS (SELECT qid, cid,
+        |    CAST(sum(qv * (CAST(floor(c * 2 * maxabs / 255) AS BIGINT) - maxabs)) AS BIGINT) AS dot_sq
+        |  FROM exploded GROUP BY qid, cid),
+        |ranked AS (SELECT qid, cid, dot_sq,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_sq DESC, cid) AS BIGINT) AS rnk
+        |  FROM dots)
+        |SELECT qid, rnk, cid, dot_sq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // identical arithmetic to ann_topk: the rewrite rule must not
     // change results, only the physical expression
     "ann_topk_rewrite" ->

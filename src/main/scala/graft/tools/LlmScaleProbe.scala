@@ -181,6 +181,42 @@ object LlmScaleProbe {
         shingleSize = 3, minJaccardMilli = 500, maxShingleDf = 64).count()
       nDocs / 10
     }
+
+    // duplicated-span removal under the same planted boilerplate: the
+    // footer is ONE 8-token span with |corpus| occurrences. The span
+    // count + first-occurrence choice is a map-side-combinable
+    // aggregate (the hot hash collapses per task); the coverage join
+    // back then touches every non-first occurrence — that expansion IS
+    // the workload (those positions must be cut), linear in corpus
+    // size, never quadratic.
+    report("span_dedup_boilerplate", nDocs / 10) {
+      val withFooter = docs2.select(col("doc_id"),
+        concat(col("text"),
+          lit(" subscribe to our newsletter for updates today now")).as("text"))
+      graft.operators.Spans.spanDedup(
+        withFooter, col("doc_id"), col("text"), k = 8, minCount = 2)
+        .agg(sum(col("n_dropped"))).head()
+      nDocs / 10
+    }
+
+    // heavy-hitter 3-grams over the Zipf-ish synthetic vocab: the hot
+    // head collapses in map-side partial aggregation; the global top-k
+    // is TakeOrderedAndProject (per-partition heaps), never a sort
+    report("heavy_ngrams", nDocs / 10) {
+      graft.operators.CorpusStats.heavyNgrams(docs2, col("text"), n = 3, k = 100)
+        .count()
+      nDocs / 10
+    }
+
+    // hashed linear classifier: broadcast 4096-row model, one narrow
+    // pass, per-doc combinable sum — the fasttext-filter shape
+    report("classifier_score", nDocs / 10) {
+      graft.operators.CorpusStats.classifierScore(
+        docs2, col("doc_id"), col("text"),
+        graft.operators.CorpusStats.syntheticWeights(spark, 4096), 4096)
+        .agg(sum(col("score_sum"))).head()
+      nDocs / 10
+    }
     docs2.unpersist()
     spark.stop()
   }

@@ -91,4 +91,35 @@ class SimilaritySpec extends SparkSpec {
     // straddlers differ in the table-1 half, cos < 0.9)
     assert(uncapped.size == 30 * 29 / 2 + 2)
   }
+
+  test("sq8 codes decode within one quantization step of the original") {
+    val e = Tables.load(spark, Sf0001, "embeddings").limit(200)
+    val enc = Similarity.sq8Encode(e, col("vec_id"), col("embedding"))
+    val err = enc
+      .join(e.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("m")), Seq("cid"))
+      .select(array_max(zip_with(col("codes"), col("m"), (c, mv) =>
+        abs(floor((c * 2 * col("maxabs")).cast("double") / 255).cast("bigint")
+          - col("maxabs") - mv))).as("max_err"),
+        col("maxabs"))
+      .as[(Long, Long)].collect()
+    // one 8-bit step is 2*maxabs/255; decode error stays within a step
+    err.foreach { case (maxErr, maxabs) =>
+      assert(maxErr <= 2 * maxabs / 255 + 1, s"err $maxErr scale $maxabs")
+    }
+  }
+
+  test("sq8 ADC top-k recalls the exact scan's neighbors") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(
+      q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(
+      q, Similarity.sq8Encode(e, col("vec_id"), col("embedding")), 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.85, s"sq8 recall $recall")
+  }
 }
