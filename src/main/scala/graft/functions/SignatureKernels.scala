@@ -181,6 +181,32 @@ object SignatureKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** Positional variant of [[shingleHashes56]]: EVERY k-token window's
+    * hash in document order (index i = 0-based window start), no
+    * dedup — the span-dedup workload needs occurrence positions, not
+    * the distinct set. Same md5-of-space-joined-window hash, so the
+    * value at index i equals `portableHash56(join(tokens[i..i+k)))`.
+    */
+  def shingleHashes56All(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = hexSlice(md5Hex(UTF8String.fromString(sb.toString)), 1, 14)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature straight from TOKENS: k-shingles are assembled
     * in-kernel (one StringBuilder, no materialized shingle-string
     * column, no interpreted HOF concat pass) and each distinct shingle
@@ -371,6 +397,20 @@ case class ShingleHashes56(child: Expression, k: Int) extends StringArrayKernel 
     copy(child = newChild)
 }
 
+/** Positional (non-dedup) shingle hashes: `array<string> →
+  * array<bigint>`, index = 0-based window start.
+  */
+case class ShingleHashesAll56(child: Expression, k: Int) extends StringArrayKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all56"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.shingleHashes56All(arr.asInstanceOf[ArrayData], k)
+  override protected def helperCall(input: String): String =
+    s"$helperRef.shingleHashes56All($input, $k)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native rolling polynomial hash: `array<string> → bigint`. */
 case class RollingHash32(child: Expression) extends StringArrayKernel {
   override def dataType: DataType = LongType
@@ -402,6 +442,10 @@ object RollingHash32 {
 object ShingleHashes56 {
   def apply(tokens: Column, k: Int): Column =
     Bridge.column(ShingleHashes56(Bridge.expression(tokens), k))
+}
+object ShingleHashesAll56 {
+  def apply(tokens: Column, k: Int): Column =
+    Bridge.column(ShingleHashesAll56(Bridge.expression(tokens), k))
 }
 object MinHashSigTokens {
   def apply(tokens: Column, k: Int, numHashes: Int): Column =

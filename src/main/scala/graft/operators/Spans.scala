@@ -43,44 +43,44 @@ object Spans {
     require(k >= 2, s"span length k=$k must be >= 2")
     require(minCount >= 2, s"minCount=$minCount must be >= 2")
     val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
-    // one row per k-token window occurrence; s is the 0-based start
+    // one row per k-token window occurrence; s is the 0-based start.
+    // Hashes come from the native positional kernel — one codegen'd
+    // pass per doc (StringBuilder + md5) instead of an interpreted
+    // concat+md5 expression tree per window; value-identical to
+    // portableHash56(join(tokens[s..s+k))) (kernel-parity spec)
     val wins = base
       .select(col("doc_id"),
-        posexplode(
-          when(size(col("toks")) >= k,
-            transform(sequence(lit(0), size(col("toks")) - lit(k)),
-              i => TextAnalysis.portableHash56(
-                array_join(slice(col("toks"), i + lit(1), lit(k)), " "))))
-            .otherwise(array().cast("array<bigint>")))
+        posexplode(graft.functions.ShingleHashesAll56(col("toks"), k))
           .as(Seq("s", "h")))
     // per-span occurrence count + corpus-wide first occurrence, one
     // map-side-combinable aggregate (min and count both combine)
     val spans = wins.groupBy(col("h")).agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("s"))).as("first"))
-    // positions covered by a NON-FIRST occurrence of a duplicated span
-    val covered = wins
+    // 1-based positions covered by a NON-FIRST occurrence of a
+    // duplicated span, folded to ONE small array per affected doc —
+    // only covered docs shuffle here, and only their covered
+    // positions, never the token stream
+    val covAgg = wins
       .join(spans.filter(col("cnt") >= minCount), Seq("h"))
       .filter(!(col("doc_id") === col("first.doc_id") && col("s") === col("first.s")))
       .select(col("doc_id"), explode(sequence(col("s") + 1, col("s") + lit(k))).as("pos"))
-      .distinct()
-    val toks = base.select(col("doc_id"),
-        posexplode(col("toks")).as(Seq("p0", "token")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
-    val keptAgg = toks
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("token")))),
-          e => e.getField("token")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    base.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
-      .join(keptAgg, Seq("doc_id"), "left")
+      .agg(collect_set(col("pos")).as("cov"))
+    // reassemble with an indexed higher-order filter — a narrow
+    // projection per doc (O(len·|cov|) worst case, fine for web-scale
+    // docs; a 10⁶-token pathological doc would want a sorted-merge
+    // variant). Untouched docs skip the membership test entirely.
+    base.join(covAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        when(col("cov").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(
+            filter(col("toks"), (t, i) => !array_contains(col("cov"), i + 1)),
+            " "))
+          .as("clean_text"),
+        (size(col("toks")) - coalesce(size(col("cov")), lit(0)))
+          .cast("bigint").as("n_kept"),
+        coalesce(size(col("cov")), lit(0)).cast("bigint").as("n_dropped"))
   }
 
   /** Long-document chunking with overlap — the split step of

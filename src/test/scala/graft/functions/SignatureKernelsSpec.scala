@@ -77,6 +77,27 @@ class SignatureKernelsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native positional shingle hashes == declarative per-window portable-56") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val decl = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - lit(3)),
+        i => TextAnalysis.portableHash56(array_join(slice(toks, i + lit(1), lit(3)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val diff = docs
+      .select(
+        ShingleHashesAll56(toks, 3).as("native"),
+        decl.as("decl"))
+      .filter(col("native") =!= col("decl"))
+      .count()
+    assert(diff == 0L)
+    // sub-k input -> empty array, not null
+    import spark.implicits._
+    val short = Seq("one two").toDF("text")
+      .select(ShingleHashesAll56(TextAnalysis.tokens(col("text")), 3).as("h"))
+      .as[Seq[Long]].collect()
+    assert(short.head.isEmpty)
+  }
+
   test("native normalize == declarative trim/collapse/lower, incl. edge whitespace") {
     import spark.implicits._
     val edge = Seq("  Hello\t\tWorld ", "\tTAB edges\n", "ÜPPER Case", "", "  ",
