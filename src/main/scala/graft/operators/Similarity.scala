@@ -116,6 +116,104 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** PQ cell ids — one per subspace: the sign pattern of the
+    * subvector's quantized components (bit p set iff component p ≥ 0).
+    * Deterministic and engine-portable; with [[pqTrain]]'s learned
+    * per-cell means this forms a product-quantization codebook whose
+    * assignment step needs no argmax search.
+    */
+  def pqCells(vec: Column, m: Int, subDim: Int): Column = {
+    val powers = (0 until subDim).map(1L << _).toArray
+    val qm = quantize(vec)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (acc, p) =>
+        acc + when(element_at(qm, (j * subDim + p + 1).cast("int")) >= 0,
+          element_at(lit(powers), (p + 1).cast("int"))).otherwise(0L)))
+  }
+
+  /** Product-quantization codebook: per (subspace, sign-cell,
+    * position) elementwise mean of the quantized components — the same
+    * one-aggregate training as [[centroids]], per subspace. Codebook
+    * size = m · 2^subDim · subDim rows (model-sized, broadcastable).
+    */
+  def pqTrain(df: DataFrame, vec: Column, m: Int, subDim: Int): DataFrame = {
+    val qm = quantize(vec)
+    df.select(posexplode(pqCells(vec, m, subDim)).as(Seq("sub", "cell")), qm.as("qm"))
+      .select(col("sub"), col("cell"),
+        posexplode(slice(col("qm"), col("sub") * subDim + 1, lit(subDim)))
+          .as(Seq("pos", "q")))
+      .groupBy(col("sub"), col("cell"), col("pos"))
+      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+  }
+
+  /** PQ-encode the corpus: m bytes of code per vector (subDim ≤ 8 →
+    * one 2^subDim-cell code per subspace) — 8 codes replace 64 floats,
+    * a 32× compression; the layout for ANN over corpora whose raw
+    * embeddings cannot fit cluster RAM at any reasonable node count.
+    */
+  def pqEncode(df: DataFrame, id: Column, vec: Column, m: Int, subDim: Int): DataFrame =
+    df.select(id.as("cid"), posexplode(pqCells(vec, m, subDim)).as(Seq("sub", "cell")))
+
+  /** PQ top-k via asymmetric-distance LUTs: per query, precompute
+    * dot(query-subvector, codeword) for every (subspace, cell) — a
+    * model-sized table — then score each candidate as the sum of m
+    * LUT hits on its codes and rank. The corpus is touched only
+    * through its codes (broadcast LUT equi-join + one combinable
+    * groupBy); no float vector is read at scan time.
+    */
+  def pqTopK(
+      queries: DataFrame, // (qid, qvec)
+      encoded: DataFrame, // (cid, sub, cell) from pqEncode
+      codebook: DataFrame, // (sub, cell, pos, mean_milli) from pqTrain
+      k: Int, m: Int, subDim: Int): DataFrame = {
+    val q = queries.select(col("qid"), quantize(col("qvec")).as("qm"))
+    val lut = codebook
+      .crossJoin(broadcast(q))
+      .groupBy(col("qid"), col("sub"), col("cell"))
+      .agg(sum(
+        element_at(col("qm"), (col("sub") * subDim + col("pos") + 1).cast("int"))
+          * col("mean_milli")).as("lut"))
+    val scored = encoded
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("lut")).as("dot_pq"), count(lit(1)).as("__nsub"))
+      // only candidates carrying all m subspace hits are comparable —
+      // with a complete codebook that is every candidate; the filter
+      // guards against a codebook trained on a different corpus
+      .filter(col("__nsub") === m)
+      .drop("__nsub")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot_pq").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Production PQ search: ADC-scan the codes for a top-`shortlist`
+    * candidate set (cheap, compressed-domain), then rerank ONLY the
+    * shortlist with exact full-precision dots — the standard
+    * IVF/PQ + rerank recipe that buys back the recall the coarse
+    * codes lose. The full corpus is read once through its codes; the
+    * float vectors are fetched for shortlist·|queries| rows only.
+    */
+  def pqTopKRerank(
+      queries: DataFrame, // (qid, qvec)
+      encoded: DataFrame, // (cid, sub, cell)
+      codebook: DataFrame, // (sub, cell, pos, mean_milli)
+      candidates: DataFrame, // (cid, cvec) — fetched for the shortlist only
+      k: Int, shortlist: Int, m: Int, subDim: Int): DataFrame = {
+    val short = pqTopK(queries, encoded, codebook, shortlist, m, subDim)
+      .select(col("qid"), col("cid"))
+    val scored = short
+      .join(candidates, Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sign-LSH bucket keys, one per hash table: table `t` hashes the
     * sign pattern of components [t·bits, t·bits+bits) (random-
     * hyperplane LSH with axis-aligned planes — deterministic and

@@ -157,6 +157,20 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_sq"))
         .orderBy("qid", "rnk")
     }),
+    // product quantization: 8 sign-cells x 8 dims = 8 bytes/vector
+    // (32x compression), codebook = learned per-cell means, search =
+    // per-query ADC lookup tables over the codes; the gate pins the
+    // pure compressed-domain ranking (rerank recall is spec-measured)
+    "ann_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val codebook = Similarity.pqTrain(e, col("embedding"), m = 8, subDim = 8)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        Similarity.pqEncode(e, col("vec_id"), col("embedding"), m = 8, subDim = 8),
+        codebook, k = 5, m = 8, subDim = 8)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_pq"))
+        .orderBy("qid", "rnk")
+    }),
     // the Catalyst rewrite rule in a REAL query: the user writes the
     // engine-portable HOF dot product, the injected QuantizedDotRewrite
     // swaps in the fused native kernel, and the result still matches
@@ -552,6 +566,38 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_sq DESC, cid) AS BIGINT) AS rnk
         |  FROM dots)
         |SELECT qid, rnk, cid, dot_sq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // sign-cell assignment, per-cell means, per-query LUTs, and the
+    // ADC sum replayed verbatim
+    "ann_pq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, sub,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell,
+        |    qm
+        |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM v)),
+        |cb AS (
+        |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |  FROM (SELECT sub, cell,
+        |          UNNEST(generate_series(0, 7)) AS pos,
+        |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
+        |        FROM cells)
+        |  GROUP BY sub, cell, pos),
+        |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT qid, sub, cell, CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
+        |  FROM cb, q GROUP BY qid, sub, cell),
+        |enc AS (SELECT vec_id AS cid, sub, cell FROM cells),
+        |scored AS (
+        |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_pq
+        |  FROM enc JOIN lut USING (sub, cell) WHERE qid <> cid
+        |  GROUP BY qid, cid HAVING count(*) = 8),
+        |ranked AS (SELECT qid, cid, dot_pq,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // identical arithmetic to ann_topk: the rewrite rule must not
     // change results, only the physical expression
     "ann_topk_rewrite" ->

@@ -109,6 +109,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq cells are the subvector sign patterns; codebook means sit in-cell") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.5f, 0.1f, -0.1f, 0.9f, -0.9f, 0.2f, -0.2f,
+        -0.3f, 0.3f, -0.4f, 0.4f, -0.6f, 0.6f, -0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val cells = df.select(Similarity.pqCells(col("embedding"), 2, 8).as("c"))
+      .as[Seq[Long]].collect().head
+    // sub 0 signs: + - + - + - + -  -> bits 0,2,4,6 = 0x55
+    // sub 1 signs: - + - + - + - +  -> bits 1,3,5,7 = 0xAA
+    assert(cells == Seq(0x55L, 0xAAL))
+    // a single-vector "corpus": every codebook mean equals the vector
+    val cb = Similarity.pqTrain(df, col("embedding"), 2, 8)
+      .orderBy("sub", "pos").select("mean_milli").as[Long].collect()
+    assert(cb.toSeq == Seq(500L, -500L, 100L, -100L, 900L, -900L, 200L, -200L,
+      -300L, 300L, -400L, 400L, -600L, 600L, -700L, 700L))
+  }
+
+  test("pq ADC shortlist + exact rerank recalls the exact scan") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(
+      q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val codebook = Similarity.pqTrain(e, col("embedding"), 8, 8)
+    val enc = Similarity.pqEncode(e, col("vec_id"), col("embedding"), 8, 8)
+    val rer = Similarity.pqTopKRerank(
+      q, enc, codebook, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      k = 5, shortlist = 50, m = 8, subDim = 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & rer).size.toDouble / brute.size
+    assert(recall >= 0.7, s"pq rerank recall $recall")
+    // the coarse ADC-only ranking is strictly worse but non-trivial
+    val adc = Similarity.pqTopK(q, enc, codebook, 5, 8, 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val adcRecall = (brute & adc).size.toDouble / brute.size
+    assert(adcRecall >= 0.2, s"pq adc recall $adcRecall")
+  }
+
   test("sq8 ADC top-k recalls the exact scan's neighbors") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 20)
