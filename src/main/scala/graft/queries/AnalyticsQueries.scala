@@ -218,6 +218,23 @@ object AnalyticsQueries {
         .select(col("l_suppkey"), col("rnk"), col("line_id"), col("price_cents"))
         .orderBy("l_suppkey", "rnk")
     }),
+    // runtime Bloom-filter join pruning: the urgent-orders key set
+    // becomes a ~1.2 MB filter pruning the lineitem scan before the
+    // join's shuffle; the exact join behind it makes the result
+    // bit-identical to the plain join (which IS the oracle)
+    "q_bloom_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents"))
+      graft.operators.BloomPrune.prunedJoin(
+        li, col("l_orderkey"), o, col("o_orderkey"),
+        expectedItems = 1L << 18, fpp = 0.01)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("price_cents")).as("revenue_cents"))
+        .orderBy("o_custkey")
+    }),
     // z-order layout math: 16-bit quantize + bit interleave of
     // (l_partkey, l_suppkey) — the file-clustering key a 100 TB
     // multi-column data-skipping layout sorts by (the range-partition
@@ -401,6 +418,14 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 'json' AS src, * FROM n)
         |ORDER BY src, n_nationkey""".stripMargin,
+    // the plain join: the bloom filter only prunes, never changes
+    // the result
+    "q_bloom_join" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // same 16-bit clamp-quantize + bit-interleave arithmetic
     "layout_zorder" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom membership has no false negatives over the build keys") {
+    val dim = spark.range(5000).select((col("id") * 7).as("k"))
+    val bytes = BloomPrune.bloomOf(dim, col("k"), expectedItems = 5000, fpp = 0.01)
+    val misses = dim.filter(!BloomPrune.mightContain(bytes, col("k"))).count()
+    assert(misses == 0L)
+  }
+
+  test("bloom prefilter prunes most non-matching fact rows") {
+    // 1% of fact keys match the dim
+    val fact = spark.range(100000).select(col("id").as("fk"))
+    val dim = spark.range(1000).select((col("id") * 100).as("dk"))
+    val bytes = BloomPrune.bloomOf(dim, col("dk"), expectedItems = 1000, fpp = 0.01)
+    val survivors = fact.filter(BloomPrune.mightContain(bytes, col("fk"))).count()
+    // >= the 1000 true matches, << the 100k scanned (fpp-bounded)
+    assert(survivors >= 1000L, s"survivors $survivors")
+    assert(survivors <= 1000L + 3000L, s"survivors $survivors — fpp blowout")
+  }
+
+  test("pruned join result equals the plain join on real tables") {
+    val o = Tables.load(spark, Sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val pruned = BloomPrune.prunedJoin(
+      li, col("l_orderkey"), o, col("o_orderkey"), expectedItems = 10000L)
+      .groupBy("o_custkey").agg(sum("l_quantity").cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("l_quantity").cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    assert(pruned == plain)
+  }
+}
