@@ -218,6 +218,32 @@ object AnalyticsQueries {
         .select(col("l_suppkey"), col("rnk"), col("line_id"), col("price_cents"))
         .orderBy("l_suppkey", "rnk")
     }),
+    // pivot (long->wide): per-cohort event-type revenue matrix with an
+    // EXPLICIT pivot value list — one groupBy, no second pass to
+    // discover columns, deterministic schema at any scale
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          cents(col("value")).as("v"))
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("v")))
+        .na.fill(0L)
+        .orderBy("cohort")),
+    // semi-structured extraction: schema-on-read JSON parsing of the
+    // event props (from_json with an explicit schema — codegen'd,
+    // null on malformed input, no UDF) + a grouped rollup. At 100 TB
+    // the parse is a narrow projection fused into the scan.
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
     // runtime Bloom-filter join pruning: the urgent-orders key set
     // becomes a ~1.2 MB filter pruning the lineitem scan before the
     // join's shuffle; the exact join behind it makes the result
@@ -418,6 +444,20 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 'json' AS src, * FROM n)
         |ORDER BY src, n_nationkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS click,
+        |  CAST(COALESCE(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS error,
+        |  CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS purchase,
+        |  CAST(COALESCE(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS signup,
+        |  CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS view
+        |FROM events GROUP BY user_id % 10 ORDER BY cohort""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the plain join: the bloom filter only prunes, never changes
     // the result
     "q_bloom_join" ->
