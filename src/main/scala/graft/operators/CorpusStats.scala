@@ -14,11 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
-  private def ngramStrings(toks: Column, n: Int): Column =
+  /** Every n-token window of `toks` as a space-joined string (empty
+    * array below n tokens) — the shared n-gram projection for the
+    * batch and streaming counting paths.
+    */
+  def ngramStrings(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - lit(n)),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** Global top-k of a (ngram, cnt) count table by (cnt desc, ngram
+    * desc) with a 1-based rank — orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition bounded heaps merged on the
+    * driver, never a global sort); the rank window then runs over the
+    * k-row result only.
+    */
+  def topKByCount(counts: DataFrame, k: Int): DataFrame = {
+    val top = counts.orderBy(col("cnt").desc, col("ngram").desc).limit(k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("ngram").desc)).cast("bigint"))
+      .select(col("rank"), col("ngram"), col("cnt"))
+  }
 
   /** Corpus-wide top-k most frequent n-grams (heavy hitters) — the
     * discovery pass behind boilerplate stop-lists: the n-grams that
@@ -44,13 +62,7 @@ object CorpusStats {
       .select(explode(ngramStrings(TextAnalysis.tokens(text), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
-    val top = counts.orderBy(col("cnt").desc, col("ngram").desc).limit(k)
-    // rank over k rows only (the heap already bounded the set) — the
-    // window partition is the k-row result, not the corpus
-    top.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("ngram").desc)).cast("bigint"))
-      .select(col("rank"), col("ngram"), col("cnt"))
+    topKByCount(counts, k)
   }
 
   /** Per-source document cap — the domain-balancing pass of crawl

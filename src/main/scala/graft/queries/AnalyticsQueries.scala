@@ -206,6 +206,21 @@ object AnalyticsQueries {
         .select(lit("json").as("src") +: cols: _*).localCheckpoint(true)
       csvBack.unionAll(jsonBack).orderBy("src", "n_nationkey")
     }),
+    // small-file compaction: 25 one-row files rewritten into 2
+    // balanced files; the oracle (the plain table) proves the rewrite
+    // is lossless — only the layout changed (file counts spec-checked)
+    "q_compaction" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val base = new java.io.File(graft.LocalDir.scratch, "compact")
+      base.mkdirs()
+      val tmp = java.nio.file.Files.createTempDirectory(base.toPath, "run")
+      val inDir = tmp.resolve("in").toString
+      val outDir = tmp.resolve("out").toString
+      nation.repartition(25).write.parquet(inDir)
+      graft.sources.FileIO.compactParquet(s, inDir, outDir, targetRowsPerFile = 13L)
+      s.read.parquet(outDir).orderBy("n_nationkey").localCheckpoint(true)
+    }),
     // salted top-k under the oracle gate: exact equality with the
     // plain window formulation is the whole point of the salting
     "q_skew_topk" -> ((s, dir) => {
@@ -444,6 +459,9 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 'json' AS src, * FROM n)
         |ORDER BY src, n_nationkey""".stripMargin,
+    "q_compaction" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
         |  CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS click,

@@ -154,7 +154,21 @@ object CorpusQueries {
       CorpusStats.classifierScore(
         docs(s, dir), col("doc_id"), col("text"),
         CorpusStats.syntheticWeights(s, 4096), buckets = 4096)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // STREAMING heavy hitters: the n-gram counts maintained as a
+    // native stateful streaming aggregation over 4 micro-batches;
+    // the drained snapshot's top-50 shares heavy_ngrams' oracle
+    // VERBATIM — the streamed == batch equivalence claim
+    "stream_heavy_ngrams" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "heavy-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingStats.heavyNgramsFromFiles(
+        s, docs(s, dir), "text", "doc_id", n = 3, k = 50,
+        nBatches = 4, scratch)
+        .orderBy("rank")
+    })
   )
 
   /** Near-dup pair pipeline, shared verbatim with LlmQueries'
@@ -167,6 +181,20 @@ object CorpusQueries {
       |pairs AS (
       |  SELECT id_a, id_b FROM d
       |  WHERE ${LlmQueries.NearDupThreshold})""".stripMargin
+
+  /** Shared verbatim by `heavy_ngrams` (batch) and
+    * `stream_heavy_ngrams` (incremental stateful aggregation) — the
+    * streamed == batch claim is that ONE oracle checks both.
+    */
+  private val HeavyNgramsOracle: String =
+    """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |      FROM t WHERE len(toks) >= 3),
+      |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram DESC) AS BIGINT) AS rank,
+      |  ngram, cnt
+      |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "train_shards" ->
@@ -396,15 +424,10 @@ object CorpusQueries {
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // global top-50 3-grams; ties broken by ngram text descending so
     // the cut at rank 50 is total-order deterministic
-    "heavy_ngrams" ->
-      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
-        |      FROM t WHERE len(toks) >= 3),
-        |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram)
-        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram DESC) AS BIGINT) AS rank,
-        |  ngram, cnt
-        |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin,
+    "heavy_ngrams" -> HeavyNgramsOracle,
+    // the streaming operator's equivalence claim: the drained
+    // stateful-aggregation snapshot must rank to the IDENTICAL result
+    "stream_heavy_ngrams" -> HeavyNgramsOracle,
     // bigram occurrence counts trained on the corpus itself; per-doc
     // mean corpus frequency + unique-bigram share, exact integer math
     "lm_familiarity" ->

@@ -130,6 +130,30 @@ object FileIO {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Small-file compaction — the table-maintenance pass every
+    * long-running ingest needs: streaming sinks and fine-grained
+    * partitions leave thousands of KB-sized parquet files whose
+    * per-file open/footer cost dominates scans at 100 TB (and whose
+    * listing alone stalls drivers). Rewrite the directory into
+    * ⌈rows/targetRowsPerFile⌉ evenly-sized files: one count, one
+    * round-robin repartition (balanced by construction — no skew
+    * concern because no key), one write. Contents are preserved
+    * bit-for-bit (oracle-gated); only the file layout changes.
+    * Returns (rows, filesBefore, filesAfter).
+    */
+  def compactParquet(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetRowsPerFile: Long): (Long, Int, Int) = {
+    def parts(d: String): Int =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val df = spark.read.parquet(inDir)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(outDir)
+    (n, parts(inDir), parts(outDir))
+  }
+
   /** Exactly-once streaming parquet sink: the file-sink commit log +
     * checkpoint give end-to-end exactly-once for replayable sources.
     */

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.{CorpusStats, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus statistics over a live document ingest — the
+  * streaming side of [[CorpusStats]]: n-gram counts maintained as a
+  * NATIVE Structured Streaming stateful aggregation (groupBy + count
+  * over the state store — no custom state code; Spark's own
+  * incremental aggregation IS the right operator here), with the
+  * corpus-wide heavy-hitter ranking computed from the maintained
+  * counts. This is live boilerplate discovery: the navigation chrome
+  * flooding a crawl surfaces in the top-k while the ingest is still
+  * running, instead of after a batch recount.
+  *
+  * Equivalence contract (oracle-gated): after the stream drains, the
+  * maintained counts are EXACTLY the batch counts — counting is
+  * associative and the state store is exactly-once per micro-batch —
+  * so the final top-k shares [[CorpusStats.heavyNgrams]]'s DuckDB
+  * oracle verbatim, whatever the micro-batch partitioning.
+  *
+  * Scale notes: state is one row per distinct n-gram (the vocabulary)
+  * sharded by the aggregation key across executors; map-side partial
+  * aggregation inside each micro-batch collapses the Zipf head before
+  * it touches the store. The complete-mode snapshot written per batch
+  * is for the bounded top-k consumer; a production deployment with an
+  * unbounded vocabulary reads the state store directly or windows the
+  * counts.
+  */
+object StreamingStats {
+
+  /** Incremental n-gram counts of a streaming document frame. */
+  def ngramCounts(docs: DataFrame, text: Column, n: Int): DataFrame =
+    docs
+      .select(explode(
+        CorpusStats.ngramStrings(TextAnalysis.tokens(text), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** File-fed end-to-end run (the gate-query spelling): documents are
+    * staged as ordered micro-batch files, streamed through the
+    * stateful count, each micro-batch's complete snapshot overwrites
+    * the output (idempotent — a replayed batch rewrites the same
+    * state), and the FINAL snapshot is ranked exactly like the batch
+    * operator. The driver moves file metadata only.
+    */
+  def heavyNgramsFromFiles(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      k: Int,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    graft.sources.FileIO.stageRangeBatches(
+      docs.select(col(idCol), col(textCol)), col(idCol), nBatches,
+      new java.io.File(base, "stage"), inDir)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, docs.select(col(idCol), col(textCol)).schema,
+      maxFilesPerTrigger = 1)
+    val counts = ngramCounts(stream, col(textCol), n)
+    val q = counts.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir.toString)
+      }
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    CorpusStats.topKByCount(spark.read.parquet(outDir.toString), k)
+  }
+}

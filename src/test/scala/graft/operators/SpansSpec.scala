@@ -71,6 +71,42 @@ class SpansSpec extends SparkSpec {
     assert(d2.toSeq == Seq((2L, 0L, "tiny doc", 2L)))
   }
 
+  test("spanDedup matches a brute-force reference on seeded random corpora") {
+    val k = 4
+    for (seed <- Seq(7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocab forces organic span repeats
+      val corpus = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12) + 2)(s"t${rnd.nextInt(5)}").mkString(" "))
+      }
+      // brute force: count spans, keep-first, positional union
+      val wins = corpus.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        (0 to toks.length - k).map(s => (toks.slice(s, s + k).mkString(" "), id, s))
+      }
+      val byText = wins.groupBy(_._1)
+      val covered = byText.values.flatMap { occ =>
+        if (occ.size < 2) Seq.empty
+        else occ.sortBy(o => (o._2, o._3)).drop(1)
+          .flatMap(o => (o._3 + 1 to o._3 + k).map(p => (o._2, p)))
+      }.toSet
+      val expect = corpus.map { case (id, text) =>
+        val toks = text.split(" ")
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !covered((id, i + 1)) => t
+        }
+        id -> ((id, kept.mkString(" "), kept.length.toLong,
+          (toks.length - kept.length).toLong))
+      }.toMap
+      val got = Spans.spanDedup(
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        k = k, minCount = 2)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._1, r._2, r._3, r._4))).toMap
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
+
   test("chunkDocs covers every token exactly once outside overlaps") {
     val n = 103
     val toks = (1 to n).map(i => s"w$i").mkString(" ")

@@ -95,4 +95,21 @@ class FileIOSpec extends SparkSpec {
     FileIO.deleteScratch(new java.io.File(tmp))
     assert(!new java.io.File(tmp).exists())
   }
+
+  test("compaction merges small files losslessly into the target layout") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val df = spark.range(1000).select(col("id"), (col("id") * 3).as("v"))
+    df.repartition(40).write.parquet(s"$tmp/in") // 40 tiny files
+    val (rows, before, after) =
+      FileIO.compactParquet(spark, s"$tmp/in", s"$tmp/out", targetRowsPerFile = 400L)
+    assert(rows == 1000L && before == 40 && after == 3) // ceil(1000/400)
+    val back = spark.read.parquet(s"$tmp/out")
+      .as[(Long, Long)].collect().toSet
+    assert(back == df.as[(Long, Long)].collect().toSet)
+    // round-robin balance: no output file holds more than ~target rows
+    val sizes = spark.read.parquet(s"$tmp/out")
+      .groupBy(input_file_name()).count().as[(String, Long)].collect().map(_._2)
+    assert(sizes.length == 3 && sizes.max <= 400L)
+    FileIO.deleteScratch(new java.io.File(tmp))
+  }
 }

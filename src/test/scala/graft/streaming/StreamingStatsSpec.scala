@@ -1,0 +1,29 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.CorpusStats
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = (1 to n).map { i =>
+    (i.toLong, (0 to 8).map(j => s"w${(i * 5 + j * 3) % 17}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("streamed n-gram counts equal the batch operator under any batch split") {
+    val docs = corpus(120)
+    val batch = CorpusStats.heavyNgrams(docs, col("text"), n = 3, k = 20)
+      .as[(Long, String, Long)].collect().toSeq
+    for (nBatches <- Seq(1, 3, 7)) {
+      val scratch = Files.createTempDirectory(s"graft-sstats-$nBatches").toString
+      val streamed = StreamingStats.heavyNgramsFromFiles(
+        spark, docs, "text", "doc_id", n = 3, k = 20,
+        nBatches = nBatches, scratch, statePartitions = 4)
+        .as[(Long, String, Long)].collect().toSeq
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
+}
