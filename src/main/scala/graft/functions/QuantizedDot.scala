@@ -83,9 +83,59 @@ object QuantizedDot {
     if (d < 0) -math.floor(-d + 0.5).toLong else math.floor(d + 0.5).toLong
   }
 
+  /** Helper for [[PqCells]]: the m sign-pattern cell ids in one pass
+    * over the float array (bit p of cell j set iff q(v[j·subDim+p])
+    * ≥ 0) — value-identical to the declarative transform/aggregate
+    * fold, no per-element lambda dispatch.
+    */
+  def pqCellsEval(arr: ArrayData, m: Int, subDim: Int): ArrayData = {
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var cell = 0L
+      var p = 0
+      while (p < subDim) {
+        if (q(arr.getFloat(j * subDim + p)) >= 0) cell |= (1L << p)
+        p += 1
+      }
+      out(j) = cell
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Column form usable on any session (no registration needed). */
   def apply(a: Column, b: Column): Column =
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Native PQ cell assignment: `array<float> → array<long>` — the m
+  * per-subspace sign-pattern codes ([[graft.operators.Similarity]]'s
+  * product-quantization encode step) as one codegen'd primitive loop.
+  */
+case class PqCells(child: Expression, m: Int, subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_cells expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_cells"
+  override def nullSafeEval(arr: Any): Any =
+    QuantizedDot.pqCellsEval(arr.asInstanceOf[ArrayData], m, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qd = QuantizedDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = $qd.pqCellsEval($in, $m, $subDim);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqCells {
+  def apply(vec: Column, m: Int, subDim: Int): Column =
+    Bridge.column(PqCells(Bridge.expression(vec), m, subDim))
 }
 
 /** Native predicate for the semantic-dedup hot path: quantized cosine

@@ -120,9 +120,18 @@ object Similarity {
     * subvector's quantized components (bit p set iff component p ≥ 0).
     * Deterministic and engine-portable; with [[pqTrain]]'s learned
     * per-cell means this forms a product-quantization codebook whose
-    * assignment step needs no argmax search.
+    * assignment step needs no argmax search. Runs through the native
+    * [[graft.functions.PqCells]] kernel (one codegen'd pass, no
+    * interpreted per-element lambdas); [[pqCellsDeclarative]] is the
+    * portable definition the kernel is spec-pinned to.
     */
-  def pqCells(vec: Column, m: Int, subDim: Int): Column = {
+  def pqCells(vec: Column, m: Int, subDim: Int): Column =
+    graft.functions.PqCells(vec, m, subDim)
+
+  /** The declarative (HOF) definition of [[pqCells]] — the engine-
+    * portable reference the native kernel is parity-checked against.
+    */
+  def pqCellsDeclarative(vec: Column, m: Int, subDim: Int): Column = {
     val powers = (0 until subDim).map(1L << _).toArray
     val qm = quantize(vec)
     transform(sequence(lit(0), lit(m - 1)), j =>
@@ -153,6 +162,29 @@ object Similarity {
     */
   def pqEncode(df: DataFrame, id: Column, vec: Column, m: Int, subDim: Int): DataFrame =
     df.select(id.as("cid"), posexplode(pqCells(vec, m, subDim)).as(Seq("sub", "cell")))
+
+  /** Train + encode in ONE corpus pass: the exploded (id, sub, cell,
+    * quantized-subvector) frame is computed once and cut from lineage
+    * (`localCheckpoint` — in production, a written codes table), then
+    * both the codebook aggregate and the code projection read it.
+    * Same results as [[pqTrain]] + [[pqEncode]], half the scans and
+    * half the interpreted cell evaluations.
+    */
+  def pqTrainEncode(
+      df: DataFrame, id: Column, vec: Column,
+      m: Int, subDim: Int): (DataFrame, DataFrame) = {
+    val exploded = df
+      .select(id.as("cid"), quantize(vec).as("qm"),
+        posexplode(pqCells(vec, m, subDim)).as(Seq("sub", "cell")))
+      .select(col("cid"), col("sub"), col("cell"),
+        slice(col("qm"), col("sub") * subDim + 1, lit(subDim)).as("qsub"))
+      .localCheckpoint(true)
+    val codebook = exploded
+      .select(col("sub"), col("cell"), posexplode(col("qsub")).as(Seq("pos", "q")))
+      .groupBy(col("sub"), col("cell"), col("pos"))
+      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+    (codebook, exploded.select(col("cid"), col("sub"), col("cell")))
+  }
 
   /** PQ top-k via asymmetric-distance LUTs: per query, precompute
     * dot(query-subvector, codeword) for every (subspace, cell) — a

@@ -163,11 +163,11 @@ object LlmQueries {
     // pure compressed-domain ranking (rerank recall is spec-measured)
     "ann_pq" -> ((s, dir) => {
       val e = embs(s, dir)
-      val codebook = Similarity.pqTrain(e, col("embedding"), m = 8, subDim = 8)
+      val (codebook, encoded) =
+        Similarity.pqTrainEncode(e, col("vec_id"), col("embedding"), m = 8, subDim = 8)
       Similarity.pqTopK(
         e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        Similarity.pqEncode(e, col("vec_id"), col("embedding"), m = 8, subDim = 8),
-        codebook, k = 5, m = 8, subDim = 8)
+        encoded, codebook, k = 5, m = 8, subDim = 8)
         .select(col("qid"), col("rnk"), col("cid"), col("dot_pq"))
         .orderBy("qid", "rnk")
     }),

@@ -119,6 +119,13 @@ class SimilaritySpec extends SparkSpec {
     // sub 0 signs: + - + - + - + -  -> bits 0,2,4,6 = 0x55
     // sub 1 signs: - + - + - + - +  -> bits 1,3,5,7 = 0xAA
     assert(cells == Seq(0x55L, 0xAAL))
+    // native kernel == declarative HOF fold on real embeddings
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val diff = e.select(
+      Similarity.pqCells(col("embedding"), 8, 8).as("native"),
+      Similarity.pqCellsDeclarative(col("embedding"), 8, 8).as("decl"))
+      .filter(col("native") =!= col("decl")).count()
+    assert(diff == 0L)
     // a single-vector "corpus": every codebook mean equals the vector
     val cb = Similarity.pqTrain(df, col("embedding"), 2, 8)
       .orderBy("sub", "pos").select("mean_milli").as[Long].collect()
