@@ -104,9 +104,61 @@ object QuantizedDot {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Helper for [[Sq8Dot]]: ADC dot of a full-precision query against
+    * SQ8 codes, decoding `(c·2·maxabs) div 255 − maxabs` inline —
+    * the product is non-negative so Java integer division IS the
+    * floor the declarative spelling computes.
+    */
+  def sq8DotEval(qv: ArrayData, codes: ArrayData, maxabs: Long): Long = {
+    val n = math.min(qv.numElements(), codes.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += q(qv.getFloat(i)) * (codes.getLong(i) * 2 * maxabs / 255 - maxabs)
+      i += 1
+    }
+    acc
+  }
+
   /** Column form usable on any session (no registration needed). */
   def apply(a: Column, b: Column): Column =
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Native SQ8 asymmetric-distance dot: `(array<float> query,
+  * array<long> codes, bigint maxabs) → bigint` — the compressed-scan
+  * hot path as one codegen'd primitive loop (the interpreted
+  * zip_with/aggregate spelling pays per-element lambda dispatch on
+  * every candidate pair).
+  */
+case class Sq8Dot(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sq8_dot expects (array<float>, array<bigint>, bigint), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq8_dot"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    QuantizedDot.sq8DotEval(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qd = QuantizedDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (x, y, z) =>
+      s"${ev.value} = $qd.sq8DotEval($x, $y, $z);")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object Sq8Dot {
+  def apply(qvec: Column, codes: Column, maxabs: Column): Column =
+    Bridge.column(Sq8Dot(
+      Bridge.expression(qvec), Bridge.expression(codes), Bridge.expression(maxabs)))
 }
 
 /** Native PQ cell assignment: `array<float> → array<long>` — the m

@@ -89,9 +89,18 @@ object Similarity {
   /** Asymmetric distance computation (ADC) against SQ8 codes: the
     * query stays full-precision (milli ints), each code decodes to
     * `(c·2·maxabs) div 255 − maxabs` on the fly inside the fold — no
-    * decompressed vector is ever materialized.
+    * decompressed vector is ever materialized. Runs through the
+    * native [[graft.functions.Sq8Dot]] kernel (codegen'd primitive
+    * loop); [[sq8DotDeclarative]] is the portable definition the
+    * kernel is spec-pinned to.
     */
   def sq8Dot(qvec: Column, codes: Column, maxabs: Column): Column =
+    graft.functions.Sq8Dot(qvec, codes, maxabs)
+
+  /** The declarative (HOF) definition of [[sq8Dot]] — the engine-
+    * portable reference the native kernel is parity-checked against.
+    */
+  def sq8DotDeclarative(qvec: Column, codes: Column, maxabs: Column): Column =
     aggregate(
       zip_with(quantize(qvec), codes, (qm, c) =>
         qm * (floor((c * 2 * maxabs).cast("double") / 255).cast("bigint") - maxabs)),

@@ -121,6 +121,26 @@ object LlmScaleProbe {
       nVecs
     }
 
+    // compressed-embedding scan ladder: SQ8 encode+ADC and PQ
+    // train+encode+LUT-scan throughput over the cached corpus
+    report("sq8_topk", nVecs) {
+      graft.operators.Similarity.sq8TopK(
+        vecs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        graft.operators.Similarity.sq8Encode(vecs, col("vec_id"), col("embedding")),
+        k = 5).count()
+      nVecs
+    }
+    report("pq_topk", nVecs) {
+      val (cb, enc) = graft.operators.Similarity.pqTrainEncode(
+        vecs, col("vec_id"), col("embedding"), m = 8, subDim = 8)
+      graft.operators.Similarity.pqTopK(
+        vecs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        enc, cb, k = 5, m = 8, subDim = 8).count()
+      nVecs
+    }
+
     // degenerate-bucket skew: 5% of the corpus is ONE identical vector,
     // so in EVERY table those rows share a single bucket (50k rows at
     // nVecs = 1M). Uncapped, that bucket alone is ~1.25e9 candidate

@@ -155,6 +155,19 @@ class SimilaritySpec extends SparkSpec {
     assert(adcRecall >= 0.2, s"pq adc recall $adcRecall")
   }
 
+  test("native sq8 ADC kernel == declarative fold on real embeddings") {
+    val e = Tables.load(spark, Sf0001, "embeddings").limit(300)
+    val enc = Similarity.sq8Encode(e, col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val diff = enc.crossJoin(q)
+      .select(
+        Similarity.sq8Dot(col("qvec"), col("codes"), col("maxabs")).as("native"),
+        Similarity.sq8DotDeclarative(col("qvec"), col("codes"), col("maxabs")).as("decl"))
+      .filter(col("native") =!= col("decl")).count()
+    assert(diff == 0L)
+  }
+
   test("sq8 ADC top-k recalls the exact scan's neighbors") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 20)
