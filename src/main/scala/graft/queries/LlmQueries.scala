@@ -328,6 +328,35 @@ object LlmQueries {
     // decoded to its channel feature — one row per sampled frame, the
     // video→frame-stream op a training pipeline runs, fully under the
     // oracle (frame colors are (doc_id, frame_idx) arithmetic)
+    // scene-cut detection over REAL decoded frames: solid-color
+    // MPNG-AVI fixtures drift 2/255 per frame with one planted +120
+    // jump at a doc-derived index; the operator must flag exactly
+    // that jump from the decoded channel means
+    "multimodal_video_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val br = (20 + id % 60).toInt
+            val bg = (30 + (id * 3) % 60).toInt
+            val bb = (40 + (id * 7) % 60).toInt
+            val c = (2 + id % 3).toInt
+            val frames = (0 until 6).map { i =>
+              val j = if (i >= c) 120 else 0
+              val rgb = ((br + 2 * i + j) << 16) |
+                ((bg + 2 * i + j) << 8) | (bb + 2 * i + j)
+              Multimodal.syntheticPng(16, 16, rgb)
+            }
+            (id, Multimodal.syntheticAvi(frames, 16, 16), "video/avi")
+          }
+        }.toDF("doc_id", "payload", "mime")
+      Multimodal.videoScenes(s, media, thresholdMilli = 100).toDF()
+        .select(col("doc_id"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          col("diff_milli"),
+          col("is_cut").cast("bigint").as("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     "multimodal_video_frames" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
@@ -987,6 +1016,25 @@ object LlmQueries {
     // every-2nd-frame sampling of the same planted AVIs: one row per
     // sampled frame, channel/luma features arithmetic in
     // (doc_id, frame_idx); nf = 3 + doc_id % 5 frames per video
+    // same drift+jump arithmetic on the decoded channel means; the
+    // codec round-trip is lossless (MPNG), so the oracle predicts the
+    // per-edge deltas exactly
+    "multimodal_video_scenes" ->
+      """WITH d AS (SELECT doc_id, 20 + doc_id % 60 AS br, 30 + (doc_id*3) % 60 AS bg,
+        |             40 + (doc_id*7) % 60 AS bb, 2 + doc_id % 3 AS c FROM documents),
+        |f AS (SELECT doc_id, br, bg, bb, c, UNNEST(generate_series(0, 5)) AS i FROM d),
+        |m AS (SELECT doc_id, i,
+        |        CAST(round(1000.0 * (br + 2*i + CASE WHEN i >= c THEN 120 ELSE 0 END) / 255) AS BIGINT) AS r,
+        |        CAST(round(1000.0 * (bg + 2*i + CASE WHEN i >= c THEN 120 ELSE 0 END) / 255) AS BIGINT) AS g,
+        |        CAST(round(1000.0 * (bb + 2*i + CASE WHEN i >= c THEN 120 ELSE 0 END) / 255) AS BIGINT) AS b
+        |      FROM f),
+        |e AS (SELECT cur.doc_id, cur.i AS frame_idx,
+        |        greatest(abs(cur.r - prev.r), abs(cur.g - prev.g), abs(cur.b - prev.b)) AS diff_milli
+        |      FROM m cur JOIN m prev ON cur.doc_id = prev.doc_id AND cur.i = prev.i + 1)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(diff_milli AS BIGINT) AS diff_milli,
+        |  CASE WHEN diff_milli >= 100 THEN 1 ELSE 0 END AS is_cut
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_video_frames" ->
       """WITH f AS (
         |  SELECT doc_id,

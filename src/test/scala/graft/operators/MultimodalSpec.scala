@@ -159,4 +159,33 @@ class MultimodalSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("scene-cut detection flags the planted jump, lossless and lossy") {
+    // slow gray drift with one hard cut to a bright frame at index 3
+    val colors = Seq(0x404040, 0x424242, 0x444444, 0xc0e0f0, 0xc2e2f2, 0xc4e4f4)
+    val frames = colors.map(Multimodal.syntheticPng(20, 20, _))
+    val avi = Multimodal.syntheticAvi(frames, 20, 20)
+    val media = Seq((1L, avi, "video/avi")).toDF("doc_id", "payload", "mime")
+    val edges = Multimodal.videoScenes(spark, media, thresholdMilli = 100)
+      .collect().sortBy(_.frame_idx)
+    assert(edges.map(_.frame_idx).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(edges.filter(_.is_cut).map(_.frame_idx).toSeq == Seq(3))
+    // drift edges measure the 2/255 step, the cut the 0x40c0-ish jump
+    assert(edges.filter(_.frame_idx != 3).forall(_.diff_milli <= 10))
+    assert(edges.find(_.frame_idx == 3).get.diff_milli > 400)
+
+    // the same cut survives a lossy MJPEG round-trip (means shift a
+    // little, the jump does not disappear)
+    val jf = frames.map { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = Multimodal.syntheticAvi(jf, 20, 20, fourcc = "MJPG")
+    val ej = Multimodal.videoScenes(spark,
+      Seq((2L, mjpeg, "video/avi")).toDF("doc_id", "payload", "mime"),
+      thresholdMilli = 100).collect()
+    assert(ej.filter(_.is_cut).map(_.frame_idx).toSeq == Seq(3))
+  }
 }
