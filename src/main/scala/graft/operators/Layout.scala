@@ -57,6 +57,19 @@ object Layout {
       lit((1L << bits) - 1))
   }
 
+  /** Hilbert-curve index of two quantized dimensions — [[zValue]]'s
+    * stronger-locality sibling: every unit step along the curve is
+    * 4-adjacent (no Z-shaped diagonal jumps), so range-partition
+    * boundaries cut strictly contiguous regions of the key space.
+    * Runs through the native codegen'd
+    * [[graft.functions.HilbertIndex2D]] kernel (the per-bit rotation
+    * is sequential state — the textbook case for a custom expression).
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31)
+    graft.functions.HilbertIndex2D(x.cast("bigint"), y.cast("bigint"), bits)
+  }
+
   /** Cluster `df` for data skipping: range-partition into
     * `numPartitions` by the z-value of the quantized dimensions and
     * sort within each partition, so a parquet write of the result

@@ -289,6 +289,18 @@ object AnalyticsQueries {
           graft.operators.Layout.quantize(col("l_partkey"), 0L, 65535L, 16),
           graft.operators.Layout.quantize(col("l_suppkey"), 0L, 65535L, 16)), 16)
           .as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    // Hilbert-curve layout key (z-order's stronger-locality sibling,
+    // native codegen'd kernel; oracle = the same xy->d walk as a
+    // recursive CTE over the bit levels)
+    "layout_hilbert" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        graft.operators.Layout.hilbertValue(
+          graft.operators.Layout.quantize(col("l_partkey"), 0L, 65535L, 16),
+          graft.operators.Layout.quantize(col("l_suppkey"), 0L, 65535L, 16), 16)
+          .as("hval"))
         .orderBy("l_orderkey", "l_linenumber"))
   )
 
@@ -484,6 +496,28 @@ object AnalyticsQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the classic xy->d Hilbert walk: from the top bit down, pick the
+    // quadrant, add its cell count, rotate the frame — one recursion
+    // level per bit
+    "layout_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    least(greatest(l_partkey, 0), 65535) AS x0,
+        |    least(greatest(l_suppkey, 0), 65535) AS y0
+        |  FROM lineitem),
+        |h(l_orderkey, l_linenumber, s, x, y, d) AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(1 AS BIGINT) << 15, x0, y0, CAST(0 AS BIGINT) FROM pts
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, s >> 1,
+        |    CASE WHEN (y & s) > 0 THEN x
+        |         WHEN (x & s) > 0 THEN s - 1 - y ELSE y END,
+        |    CASE WHEN (y & s) > 0 THEN y
+        |         WHEN (x & s) > 0 THEN s - 1 - x ELSE x END,
+        |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)
+        |  FROM h WHERE s > 0)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, d AS hval
+        |FROM h WHERE s = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // same 16-bit clamp-quantize + bit-interleave arithmetic
     "layout_zorder" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

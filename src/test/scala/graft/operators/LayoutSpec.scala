@@ -35,6 +35,27 @@ class LayoutSpec extends SparkSpec {
     assert(out(5000L) == 15L) // clamped
   }
 
+  test("hilbert index walks the order-1 curve and stays 4-adjacent at order 4") {
+    // order 1: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    val small = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), 1).as("h"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(small == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+    // THE Hilbert property: consecutive curve positions are 4-adjacent
+    // cells — z-order cannot say this (its diagonal jumps are why
+    // hilbert boxes tile tighter)
+    val bits = 4; val n = 1 << bits
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).as("x"), (col("id") / n).cast("bigint").as("y"))
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), bits).as("h"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(grid.map(_._3).toSeq == (0L until n.toLong * n)) // a bijection
+    grid.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+        s"non-adjacent step ${a} -> ${b}")
+    }
+  }
+
   test("z-order layout skips more partitions than a single-column sort") {
     // 64x64 grid of (x, y) points: a filter on y alone prunes nothing
     // under an x-sorted layout but most z-ordered partitions
