@@ -74,6 +74,62 @@ object GraftProperties extends Properties("graft") {
       got == refShingleHashes(tokens, k)
     }
 
+  // Hilbert walk: a bijection onto [0, 4^bits) whose consecutive
+  // positions are 4-adjacent — checked against an independent
+  // per-point reimplementation AND structurally on random cells
+  private def refHilbert(x0: Long, y0: Long, bits: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  property("hilbert kernel == independent walk; masks out-of-range input") =
+    Prop.forAll(
+      Gen.chooseNum(2, 16), Gen.chooseNum(0L, (1L << 16) - 1),
+      Gen.chooseNum(0L, (1L << 16) - 1)) { (bits, x, y) =>
+      val mask = (1L << bits) - 1
+      QuantizedDot.hilbert2dEval(x, y, bits) ==
+        refHilbert(x & mask, y & mask, bits) &&
+      QuantizedDot.hilbert2dEval(x & mask, y & mask, bits) ==
+        QuantizedDot.hilbert2dEval(x | (1L << bits), y, bits)
+    }
+
+  property("sq8 decode error stays within one quantization step") =
+    Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-1f, 1f))) { vs =>
+      val m = vs.map(QuantizedDot.q)
+      val maxabs = math.max(1L, m.map(math.abs).max)
+      m.forall { v =>
+        val c = math.floor((v + maxabs) * 255.0 / (maxabs * 2)).toLong
+        val dec = c * 2 * maxabs / 255 - maxabs
+        math.abs(dec - v) <= 2 * maxabs / 255 + 1 && c >= 0 && c <= 255
+      }
+    }
+
+  property("pq cells kernel == per-component sign walk") =
+    Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-1f, 1f))) { vs =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val arr = new GenericArrayData(vs.toArray[Any])
+      val got = QuantizedDot.pqCellsEval(arr, 2, 8)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      val want = (0 until 2).map { j =>
+        (0 until 8).foldLeft(0L) { (acc, p) =>
+          if (QuantizedDot.q(vs(j * 8 + p)) >= 0) acc | (1L << p) else acc
+        }
+      }
+      got == want
+    }
+
   // the AVI container writer/parser pair: arbitrary frame payloads
   // (any bytes — the container is codec-agnostic), dims, frame counts
   // round-trip exactly, including odd-sized chunks (RIFF even padding)
