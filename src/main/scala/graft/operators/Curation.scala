@@ -77,6 +77,48 @@ object Curation {
     (kept.join(nearDropped, Seq("doc_id"), "left_anti"), kept)
   }
 
+  /** Round-7 curation pipeline: MODEL-based quality gate → corpus-wide
+    * LINE-level boilerplate dedup → exact dedup of the CLEANED text —
+    * the composition that turns a raw crawl column into training
+    * candidates, as one declarative plan over the round-7 operators
+    * ([[CorpusStats.classifierScore]], [[Corpus.lineDedup]]). Note the
+    * order matters and is the production order: dedup runs on the
+    * post-boilerplate text, so two pages differing only in chrome
+    * collapse to one.
+    *
+    * Emits ONE row per input document (curation must be auditable —
+    * what was dropped and at which stage): (doc_id, passed_quality,
+    * n_kept_lines, clean_md5, kept) where kept = passed the gate AND
+    * non-empty after line dedup AND the smallest-id owner of its
+    * cleaned fingerprint.
+    */
+  def curateV2(
+      docs: DataFrame, id: Column, text: Column,
+      weights: DataFrame, buckets: Int,
+      minLineChars: Int = 10): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val scored = CorpusStats
+      .classifierScore(base, col("doc_id"), col("text"), weights, buckets)
+      .select(col("doc_id"), (col("score_sum") >= 0).as("passed"))
+    val gated = base.join(scored, Seq("doc_id"))
+    val cleaned = Corpus
+      .lineDedup(gated.filter(col("passed")), col("doc_id"), col("text"), minLineChars)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_kept"), col("clean_text"))
+    val firsts = cleaned.filter(col("clean_text") =!= "")
+      .groupBy(col("clean_md5")).agg(min(col("doc_id")).as("first_id"))
+    gated.select(col("doc_id"), col("passed"))
+      .join(cleaned.select(col("doc_id"), col("clean_md5"), col("n_kept")),
+        Seq("doc_id"), "left")
+      .join(firsts, Seq("clean_md5"), "left")
+      .select(col("doc_id"),
+        col("passed").cast("bigint").as("passed_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept_lines"),
+        coalesce(col("clean_md5"), lit("")).as("clean_md5"),
+        (col("passed") && col("first_id").isNotNull &&
+          col("doc_id") === col("first_id")).cast("bigint").as("kept"))
+  }
+
   /** Deterministic-lifecycle variant: the caller consumes the curated
     * frame inside `use` (collect / write / count — anything that
     * materializes), and the survivor frame's checkpoint blocks are

@@ -155,6 +155,22 @@ object CorpusQueries {
         docs(s, dir), col("doc_id"), col("text"),
         CorpusStats.syntheticWeights(s, 4096), buckets = 4096)
         .orderBy("doc_id")),
+    // round-7 curation composition: classifier gate -> corpus-wide
+    // line dedup -> exact dedup of the CLEANED text, audited per doc.
+    // Planted all-short-line duplicates (which line dedup passes
+    // through untouched) prove the third stage fires: 25 copies in,
+    // exactly one kept
+    "curate_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("cat\ndog\nfox").as("text"))
+      val input = d.select(col("doc_id"), col("text")).unionByName(planted)
+      graft.operators.Curation.curateV2(
+        input, col("doc_id"), col("text"),
+        CorpusStats.syntheticWeights(s, 4096), buckets = 4096)
+        .orderBy("doc_id")
+    }),
     // STREAMING heavy hitters: the n-gram counts maintained as a
     // native stateful streaming aggregation over 4 micro-batches;
     // the drained snapshot's top-50 shares heavy_ngrams' oracle
@@ -448,6 +464,54 @@ object CorpusQueries {
         |  CAST(CASE WHEN d.n_bigrams IS NULL THEN 0
         |    ELSE (1000 * d.n_rare) // d.n_bigrams END AS BIGINT) AS rare_permille
         |FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the three validated stage oracles chained as CTEs: classifier
+    // gate, line dedup over passing docs, first-occurrence of the
+    // cleaned fingerprint
+    "curate_v2" ->
+      """WITH t AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, 'cat' || chr(10) || 'dog' || chr(10) || 'fox'
+        |           FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM t),
+        |bk AS (SELECT doc_id,
+        |        list_reduce(list_transform(string_split(substr(md5(token), 1, 8), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |          (a, b) -> a * 16 + b) % 4096 AS bucket
+        |      FROM tok),
+        |w AS (SELECT i AS bucket, ((i * 2654435761) % 1997) - 998 AS w_milli
+        |      FROM generate_series(0, 4095) AS g(i)),
+        |s AS (SELECT doc_id, CAST(COALESCE(sum(w.w_milli), 0) AS BIGINT) AS score_sum
+        |      FROM bk LEFT JOIN w USING (bucket) GROUP BY doc_id),
+        |p AS (SELECT t.doc_id, t.text, (s.score_sum >= 0) AS passed FROM t JOIN s USING (doc_id)),
+        |l AS (SELECT doc_id,
+        |        UNNEST(generate_series(1, len(string_split(text, chr(10))))) AS line_idx,
+        |        UNNEST(string_split(text, chr(10))) AS line
+        |      FROM p WHERE passed),
+        |e AS (SELECT doc_id, line_idx, line,
+        |        length(regexp_replace(lower(trim(line)), '\s', '', 'g')) >= 10 AS eligible,
+        |        md5(lower(trim(line))) AS lfp
+        |      FROM l),
+        |k AS (SELECT doc_id, line_idx, line, eligible,
+        |        row_number() OVER (PARTITION BY lfp ORDER BY doc_id, line_idx) AS rn
+        |      FROM e),
+        |kept AS (SELECT doc_id, line_idx, line FROM k WHERE NOT eligible OR rn = 1),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id),
+        |c AS (SELECT pp.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |        CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+        |      FROM (SELECT doc_id FROM p WHERE passed) pp LEFT JOIN agg USING (doc_id)),
+        |cm AS (SELECT doc_id, md5(clean_text) AS clean_md5, n_kept, clean_text FROM c),
+        |f AS (SELECT clean_md5, min(doc_id) AS first_id FROM cm WHERE clean_text <> '' GROUP BY clean_md5)
+        |SELECT p.doc_id,
+        |  CASE WHEN p.passed THEN 1 ELSE 0 END AS passed_quality,
+        |  CAST(COALESCE(cm.n_kept, 0) AS BIGINT) AS n_kept_lines,
+        |  COALESCE(cm.clean_md5, '') AS clean_md5,
+        |  CASE WHEN p.passed AND f.first_id = p.doc_id THEN 1 ELSE 0 END AS kept
+        |FROM p
+        |LEFT JOIN cm USING (doc_id)
+        |LEFT JOIN f ON cm.clean_md5 = f.clean_md5
+        |ORDER BY p.doc_id""".stripMargin,
     // keep-10-per-source by (n_chars, doc_id) descending — a total
     // order, so the heap operator and the window rank agree exactly
     "host_cap" ->

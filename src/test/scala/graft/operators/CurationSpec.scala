@@ -62,4 +62,33 @@ class CurationSpec extends SparkSpec {
     assert(n == 1L)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("curateV2 stages: gate drops, boilerplate collapses dups, first id wins") {
+    val boiler = "subscribe to our newsletter for updates every single day now"
+    val body = "a genuinely informative paragraph about rivers and such stuff"
+    val docs = Seq(
+      (1L, s"$body\n$boiler"), // keeps body (first boiler owner too)
+      // 2/3: all-SHORT lines (line dedup passes them through
+      // untouched) -> identical cleans -> stage 3 decides
+      (2L, "ok go\nhm"),
+      (3L, "ok go\nhm"),
+      (4L, boiler) // all lines stripped -> empty -> not kept
+    ).toDF("doc_id", "text")
+    // all-positive weights: every doc passes the gate
+    val w = spark.range(64).select(col("id").as("bucket"), lit(1L).as("w_milli"))
+    val out = Curation.curateV2(docs, col("doc_id"), col("text"), w, 64)
+      .as[(Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.values.forall(_._2 == 1L)) // all passed the gate
+    assert(out(1L)._5 == 1L && out(1L)._3 == 2L) // body + first boiler copy
+    assert(out(2L)._5 == 1L && out(2L)._3 == 2L) // first owner of its clean
+    assert(out(3L)._5 == 0L) // clean == doc 2's -> exact-dup dropped
+    assert(out(3L)._4 == out(2L)._4) // same cleaned fingerprint
+    assert(out(4L)._5 == 0L && out(4L)._3 == 0L) // emptied by line dedup
+    // a failing gate zeroes everything downstream
+    val wNeg = spark.range(64).select(col("id").as("bucket"), lit(-1L).as("w_milli"))
+    val gated = Curation.curateV2(docs, col("doc_id"), col("text"), wNeg, 64)
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(gated.forall(r => r._2 == 0L && r._5 == 0L && r._3 == 0L))
+  }
 }
