@@ -25,6 +25,23 @@ class BloomPruneSpec extends SparkSpec {
     assert(survivors <= 1000L + 3000L, s"survivors $survivors — fpp blowout")
   }
 
+  test("the bloom predicate filters the fact side BELOW the join") {
+    val fact = spark.range(10000).select(col("id").as("fk"), (col("id") * 2).as("v"))
+    val dim = spark.range(100).select((col("id") * 50).as("dk"))
+    val joined = BloomPrune.prunedJoin(
+      fact, col("fk"), dim, col("dk"), expectedItems = 100L)
+    val plan = joined.queryExecution.executedPlan.toString
+    // the might_contain filter must appear in the plan, and the plan
+    // must not have degenerated into a cartesian product
+    assert(plan.contains("might_contain"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"))
+    // the filter is on the fact branch: scanning the filtered fact
+    // alone (no join) already prunes
+    val pruned = fact.filter(BloomPrune.mightContain(
+      BloomPrune.bloomOf(dim, col("dk"), 100L, 0.01), col("fk"))).count()
+    assert(pruned < 1000, s"prefilter kept $pruned of 10000")
+  }
+
   test("pruned join result equals the plain join on real tables") {
     val o = Tables.load(spark, Sf0001, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
