@@ -207,6 +207,32 @@ object SignatureKernels {
     new GenericArrayData(out)
   }
 
+  /** Rebuild a document from its tokens MINUS a sorted list of
+    * 1-based positions to drop — two pointers, O(tokens + positions),
+    * one output buffer. The span-dedup reassembly hot path: the HOF
+    * `filter(toks, array_contains(cov, …))` spelling is O(len·|cov|)
+    * per doc, quadratic on a wholesale-duplicated long document.
+    */
+  def filterOutPositions(toks: ArrayData, cov: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val m = cov.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var j = 0
+    var first = true
+    while (i < n) {
+      val pos = i + 1
+      while (j < m && cov.getLong(j) < pos) j += 1
+      if (j >= m || cov.getLong(j) != pos) {
+        if (!first) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** MinHash signature straight from TOKENS: k-shingles are assembled
     * in-kernel (one StringBuilder, no materialized shingle-string
     * column, no interpreted HOF concat pass) and each distinct shingle
@@ -395,6 +421,40 @@ case class ShingleHashes56(child: Expression, k: Int) extends StringArrayKernel 
     s"$helperRef.shingleHashes56($input, $k)"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Two-pointer token-drop reassembly: `(array<string> tokens,
+  * array<bigint> sorted 1-based positions) → string` of the surviving
+  * tokens space-joined.
+  */
+case class FilterOutPositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"filter_out_positions expects (array<string>, array<bigint>), got $other")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "filter_out_positions"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.filterOutPositions(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = SignatureKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $helperRef.filterOutPositions($x, $y);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FilterOutPositions {
+  def apply(toks: Column, sortedPositions: Column): Column =
+    Bridge.column(FilterOutPositions(
+      Bridge.expression(toks), Bridge.expression(sortedPositions)))
 }
 
 /** Positional (non-dedup) shingle hashes: `array<string> →

@@ -64,19 +64,19 @@ object Spans {
     val covAgg = wins
       .join(spans.filter(col("cnt") >= minCount), Seq("h"))
       .filter(!(col("doc_id") === col("first.doc_id") && col("s") === col("first.s")))
-      .select(col("doc_id"), explode(sequence(col("s") + 1, col("s") + lit(k))).as("pos"))
+      .select(col("doc_id"),
+        explode(sequence((col("s") + 1).cast("long"), (col("s") + lit(k)).cast("long")))
+          .as("pos"))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("pos")).as("cov"))
-    // reassemble with an indexed higher-order filter — a narrow
-    // projection per doc (O(len·|cov|) worst case, fine for web-scale
-    // docs; a 10⁶-token pathological doc would want a sorted-merge
-    // variant). Untouched docs skip the membership test entirely.
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+    // reassemble through the two-pointer native kernel — O(len + |cov|)
+    // per doc (the HOF filter + array_contains spelling is O(len·|cov|),
+    // quadratic on a wholesale-duplicated long document). Untouched
+    // docs skip the merge entirely.
     base.join(covAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("cov").isNull, array_join(col("toks"), " "))
-          .otherwise(array_join(
-            filter(col("toks"), (t, i) => !array_contains(col("cov"), i + 1)),
-            " "))
+          .otherwise(graft.functions.FilterOutPositions(col("toks"), col("cov")))
           .as("clean_text"),
         (size(col("toks")) - coalesce(size(col("cov")), lit(0)))
           .cast("bigint").as("n_kept"),
