@@ -207,23 +207,26 @@ object SignatureKernels {
     new GenericArrayData(out)
   }
 
-  /** Rebuild a document from its tokens MINUS a sorted list of
-    * 1-based positions to drop — two pointers, O(tokens + positions),
-    * one output buffer. The span-dedup reassembly hot path: the HOF
-    * `filter(toks, array_contains(cov, …))` spelling is O(len·|cov|)
-    * per doc, quadratic on a wholesale-duplicated long document.
+  /** Rebuild a document from its tokens MINUS the union of k-token
+    * spans at the given sorted 1-based start positions — the interval
+    * union and the filter run in ONE two-pointer pass, O(tokens +
+    * spans), never materializing covered positions (a wholesale-
+    * duplicated doc has ~len spans; exploding each to k positions
+    * costs k× the shuffle and the HOF-contains rebuild O(len·cov)).
+    * Position p is covered iff some start s satisfies p−k+1 ≤ s ≤ p.
     */
-  def filterOutPositions(toks: ArrayData, cov: ArrayData): UTF8String = {
+  def filterOutSpans(toks: ArrayData, starts: ArrayData, k: Int): UTF8String = {
     val n = toks.numElements()
-    val m = cov.numElements()
+    val m = starts.numElements()
     val sb = new java.lang.StringBuilder
     var i = 0
     var j = 0
     var first = true
     while (i < n) {
       val pos = i + 1
-      while (j < m && cov.getLong(j) < pos) j += 1
-      if (j >= m || cov.getLong(j) != pos) {
+      while (j < m && starts.getLong(j) < pos - k + 1) j += 1
+      val covered = j < m && starts.getLong(j) <= pos
+      if (!covered) {
         if (!first) sb.append(' ')
         sb.append(toks.getUTF8String(i).toString)
         first = false
@@ -423,38 +426,38 @@ case class ShingleHashes56(child: Expression, k: Int) extends StringArrayKernel 
     copy(child = newChild)
 }
 
-/** Two-pointer token-drop reassembly: `(array<string> tokens,
-  * array<bigint> sorted 1-based positions) → string` of the surviving
-  * tokens space-joined.
+/** Two-pointer span-drop reassembly: `(array<string> tokens,
+  * array<bigint> sorted 1-based span starts) → string` of the tokens
+  * surviving the k-span union, space-joined.
   */
-case class FilterOutPositions(left: Expression, right: Expression)
+case class FilterOutSpans(left: Expression, right: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"filter_out_positions expects (array<string>, array<bigint>), got $other")
+        s"filter_out_spans expects (array<string>, array<bigint>), got $other")
     }
   override def dataType: DataType = StringType
-  override def prettyName: String = "filter_out_positions"
+  override def prettyName: String = "filter_out_spans"
   override def nullSafeEval(a: Any, b: Any): Any =
-    SignatureKernels.filterOutPositions(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SignatureKernels.filterOutSpans(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helperRef = SignatureKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"${ev.value} = $helperRef.filterOutPositions($x, $y);")
+      s"${ev.value} = $helperRef.filterOutSpans($x, $y, $k);")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
-object FilterOutPositions {
-  def apply(toks: Column, sortedPositions: Column): Column =
-    Bridge.column(FilterOutPositions(
-      Bridge.expression(toks), Bridge.expression(sortedPositions)))
+object FilterOutSpans {
+  def apply(toks: Column, sortedStarts: Column, k: Int): Column =
+    Bridge.column(FilterOutSpans(
+      Bridge.expression(toks), Bridge.expression(sortedStarts), k))
 }
 
 /** Positional (non-dedup) shingle hashes: `array<string> →

@@ -61,26 +61,33 @@ object Spans {
     // duplicated span, folded to ONE small array per affected doc —
     // only covered docs shuffle here, and only their covered
     // positions, never the token stream
+    // span STARTS only — never the ×k position expansion (a
+    // wholesale-duplicated doc would pay k× the shuffle for the same
+    // information); the interval union happens inside the kernel
     val covAgg = wins
       .join(spans.filter(col("cnt") >= minCount), Seq("h"))
       .filter(!(col("doc_id") === col("first.doc_id") && col("s") === col("first.s")))
-      .select(col("doc_id"),
-        explode(sequence((col("s") + 1).cast("long"), (col("s") + lit(k)).cast("long")))
-          .as("pos"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("pos"))).as("cov"))
-    // reassemble through the two-pointer native kernel — O(len + |cov|)
-    // per doc (the HOF filter + array_contains spelling is O(len·|cov|),
-    // quadratic on a wholesale-duplicated long document). Untouched
-    // docs skip the merge entirely.
-    base.join(covAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("cov").isNull, array_join(col("toks"), " "))
-          .otherwise(graft.functions.FilterOutPositions(col("toks"), col("cov")))
-          .as("clean_text"),
-        (size(col("toks")) - coalesce(size(col("cov")), lit(0)))
-          .cast("bigint").as("n_kept"),
-        coalesce(size(col("cov")), lit(0)).cast("bigint").as("n_dropped"))
+      .agg(sort_array(collect_set((col("s") + 1).cast("long"))).as("cov_starts"))
+    // reassemble through the two-pointer native kernel — O(len +
+    // |spans|) per doc: interval union + filter + join in one pass.
+    // Untouched docs skip the merge entirely. Covered docs have ≥ k
+    // non-empty tokens, so the kept count recomputes exactly from the
+    // rebuilt text (empty ⇒ 0).
+    val rebuilt = base.join(covAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"), col("cov_starts"),
+        when(col("cov_starts").isNull, array_join(col("toks"), " "))
+          .otherwise(graft.functions.FilterOutSpans(col("toks"), col("cov_starts"), k))
+          .as("clean_text"))
+    rebuilt
+      .select(col("doc_id"), col("clean_text"),
+        when(col("cov_starts").isNull, size(col("toks")).cast("bigint"))
+          .otherwise(when(col("clean_text") === "", lit(0L))
+            .otherwise(size(split(col("clean_text"), " ")).cast("bigint")))
+          .as("n_kept"),
+        col("toks"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (size(col("toks")).cast("bigint") - col("n_kept")).as("n_dropped"))
   }
 
   /** Long-document chunking with overlap — the split step of

@@ -219,6 +219,28 @@ object LlmScaleProbe {
       nDocs / 10
     }
 
+    // pathological span-dedup corner: long documents duplicated
+    // WHOLESALE (coverage ~ doc length). The two-pointer reassembly
+    // kernel is O(len + cov) per doc; the HOF array_contains spelling
+    // was O(len·cov) — minutes, not seconds, on this shape.
+    val longDocs = spark.range(2000).toDF("doc_id")
+      .withColumn("base",
+        when(col("doc_id") % 2 === 1, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(4999)),
+          i => element_at(lit(vocab.toArray),
+            (pmod(col("base") * 13 + i * 11, lit(998)) + 1).cast("int")))))
+      .select("doc_id", "text")
+      .cache()
+    longDocs.count()
+    report("span_dedup_long_dups", 2000) {
+      graft.operators.Spans.spanDedup(
+        longDocs, col("doc_id"), col("text"), k = 8, minCount = 2)
+        .agg(sum(col("n_dropped"))).head()
+      2000
+    }
+    longDocs.unpersist()
+
     // heavy-hitter 3-grams over the Zipf-ish synthetic vocab: the hot
     // head collapses in map-side partial aggregation; the global top-k
     // is TakeOrderedAndProject (per-partition heaps), never a sort
