@@ -236,6 +236,32 @@ object SignatureKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Every k-token window as a space-joined STRING, in document order
+    * (no dedup) — the materialized-shingle projection for operators
+    * whose OUTPUT is the n-gram text (heavy hitters); one
+    * StringBuilder pass instead of an interpreted
+    * transform/slice/array_join per window.
+    */
+  def shingleStrings(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature straight from TOKENS: k-shingles are assembled
     * in-kernel (one StringBuilder, no materialized shingle-string
     * column, no interpreted HOF concat pass) and each distinct shingle
@@ -458,6 +484,25 @@ object FilterOutSpans {
   def apply(toks: Column, sortedStarts: Column, k: Int): Column =
     Bridge.column(FilterOutSpans(
       Bridge.expression(toks), Bridge.expression(sortedStarts), k))
+}
+
+/** Positional (non-dedup) shingle strings: `array<string> →
+  * array<string>`, index = 0-based window start, space-joined.
+  */
+case class ShingleStrings(child: Expression, k: Int) extends StringArrayKernel {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+  override def nullSafeEval(arr: Any): Any =
+    SignatureKernels.shingleStrings(arr.asInstanceOf[ArrayData], k)
+  override protected def helperCall(input: String): String =
+    s"$helperRef.shingleStrings($input, $k)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  def apply(tokens: Column, k: Int): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(tokens), k))
 }
 
 /** Positional (non-dedup) shingle hashes: `array<string> →

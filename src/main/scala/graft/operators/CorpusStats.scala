@@ -16,9 +16,16 @@ object CorpusStats {
 
   /** Every n-token window of `toks` as a space-joined string (empty
     * array below n tokens) — the shared n-gram projection for the
-    * batch and streaming counting paths.
+    * batch and streaming counting paths. Runs through the native
+    * [[graft.functions.ShingleStrings]] kernel (one StringBuilder
+    * pass); [[ngramStringsDeclarative]] is the portable reference the
+    * kernel is spec-pinned to.
     */
   def ngramStrings(toks: Column, n: Int): Column =
+    graft.functions.ShingleStrings(toks, n)
+
+  /** The declarative (HOF) definition of [[ngramStrings]]. */
+  def ngramStringsDeclarative(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - lit(n)),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))

@@ -98,6 +98,22 @@ class SignatureKernelsSpec extends SparkSpec {
     assert(short.head.isEmpty)
   }
 
+  test("native shingle strings == declarative per-window join") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val diff = docs
+      .select(
+        ShingleStrings(toks, 3).as("native"),
+        graft.operators.CorpusStats.ngramStringsDeclarative(toks, 3).as("decl"))
+      .filter(col("native") =!= col("decl"))
+      .count()
+    assert(diff == 0L)
+    import spark.implicits._
+    val short = Seq("one two").toDF("text")
+      .select(ShingleStrings(TextAnalysis.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(short.head.isEmpty)
+  }
+
   test("native normalize == declarative trim/collapse/lower, incl. edge whitespace") {
     import spark.implicits._
     val edge = Seq("  Hello\t\tWorld ", "\tTAB edges\n", "ÜPPER Case", "", "  ",
