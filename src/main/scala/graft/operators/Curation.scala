@@ -97,17 +97,27 @@ object Curation {
       weights: DataFrame, buckets: Int,
       minLineChars: Int = 10): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
+    // (doc_id, passed) is consumed by the line-dedup branch AND the
+    // final audit join — checkpoint the narrow verdict frame so the
+    // classifier pass over the corpus runs ONCE (same lineage-cut
+    // discipline as curate's survivor frame; the big text column is
+    // not in it)
     val scored = CorpusStats
       .classifierScore(base, col("doc_id"), col("text"), weights, buckets)
       .select(col("doc_id"), (col("score_sum") >= 0).as("passed"))
+      .localCheckpoint(true)
     val gated = base.join(scored, Seq("doc_id"))
+    // likewise: the cleaned-fingerprint frame feeds the dedup winners
+    // AND the audit join — reduce it to fixed-width columns (md5, not
+    // the rebuilt text) before the checkpoint
     val cleaned = Corpus
       .lineDedup(gated.filter(col("passed")), col("doc_id"), col("text"), minLineChars)
       .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
-        col("n_kept"), col("clean_text"))
-    val firsts = cleaned.filter(col("clean_text") =!= "")
+        col("n_kept"), (col("clean_text") =!= "").as("nonempty"))
+      .localCheckpoint(true)
+    val firsts = cleaned.filter(col("nonempty"))
       .groupBy(col("clean_md5")).agg(min(col("doc_id")).as("first_id"))
-    gated.select(col("doc_id"), col("passed"))
+    scored
       .join(cleaned.select(col("doc_id"), col("clean_md5"), col("n_kept")),
         Seq("doc_id"), "left")
       .join(firsts, Seq("clean_md5"), "left")
