@@ -360,6 +360,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotQDescriptor)
     ext.injectFunction(GraftFunctions.cosQGeDescriptor)
+    ext.injectFunction(GraftFunctions.sq8DotDescriptor)
+    ext.injectFunction(GraftFunctions.pqCellsDescriptor)
+    ext.injectFunction(GraftFunctions.hilbert2dDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRewrite)
   }
 }
@@ -380,10 +383,39 @@ object GraftFunctions {
       children(0), children(1), children(2), children(3), children(4))
   )
 
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private[functions] val sq8DotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sq8_dot"),
+    new ExpressionInfo(classOf[Sq8Dot].getName, "sq8_dot"),
+    (children: Seq[Expression]) => Sq8Dot(children(0), children(1), children(2))
+  )
+
+  private[functions] val pqCellsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_cells"),
+    new ExpressionInfo(classOf[PqCells].getName, "pq_cells"),
+    (children: Seq[Expression]) => PqCells(children(0),
+      intArg(children(1), "m"), intArg(children(2), "subDim"))
+  )
+
+  private[functions] val hilbert2dDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert2d"),
+    new ExpressionInfo(classOf[HilbertIndex2D].getName, "hilbert2d"),
+    (children: Seq[Expression]) => HilbertIndex2D(
+      children(0), children(1), intArg(children(2), "bits"))
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(dotQDescriptor, cosQGeDescriptor).foreach { case (id, info, builder) =>
-      Bridge.registerFunction(spark, id, info, builder)
+    Seq(dotQDescriptor, cosQGeDescriptor, sq8DotDescriptor,
+      pqCellsDescriptor, hilbert2dDescriptor).foreach {
+      case (id, info, builder) => Bridge.registerFunction(spark, id, info, builder)
     }
   }
 }

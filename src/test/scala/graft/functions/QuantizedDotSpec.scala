@@ -61,4 +61,20 @@ class QuantizedDotSpec extends SparkSpec {
       .as[Long].head()
     assert(out == 1000L * 2000L)
   }
+
+  test("runtime registration exposes the round-7 kernels to SQL") {
+    GraftFunctions.register(spark)
+    // hilbert2d: order-1 curve corner (1,0) -> 3
+    assert(spark.sql("SELECT hilbert2d(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 1)")
+      .as[Long].head() == 3L)
+    // pq_cells: one positive 2-dim subspace -> cell 3
+    assert(spark.sql(
+      "SELECT pq_cells(array(CAST(0.5 AS FLOAT), CAST(0.5 AS FLOAT)), 1, 2)")
+      .as[Seq[Long]].head() == Seq(3L))
+    // sq8_dot: q=1.0 (1000 milli), code 255 with maxabs 500 decodes to
+    // 255*1000/255 - 500 = +500
+    assert(spark.sql(
+      "SELECT sq8_dot(array(CAST(1.0 AS FLOAT)), array(CAST(255 AS BIGINT)), CAST(500 AS BIGINT))")
+      .as[Long].head() == 1000L * 500L)
+  }
 }
