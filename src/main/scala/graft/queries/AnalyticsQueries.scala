@@ -233,6 +233,23 @@ object AnalyticsQueries {
         .select(col("l_suppkey"), col("rnk"), col("line_id"), col("price_cents"))
         .orderBy("l_suppkey", "rnk")
     }),
+    // time-series motif search: user 1's first 8-value window is the
+    // pattern; offset-invariant integer SSD over every user's sliding
+    // windows, global top-20 (the pattern's own window excluded). The
+    // 8-value pattern is a bounded driver collect (one series prefix)
+    "ts_motif" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id").cast("bigint").as("user_id"), col("ts"),
+        col("event_id"), cents(col("value")).as("cents"))
+      val pat = e.filter(col("user_id") === 1)
+        .orderBy("ts", "event_id").limit(8)
+        .select("cents").collect().map(_.getLong(0))
+      graft.operators.TimeSeries.motifSearch(
+        e, col("user_id"), col("ts"), col("event_id"), col("cents"),
+        pat, k = 20, exclude = Some((1L, 0)))
+        .select(col("rank"), col("k").cast("bigint").as("k"), col("idx"), col("dist"))
+        .orderBy("rank")
+    }),
     // pivot (long->wide): per-cohort event-type revenue matrix with an
     // EXPLICIT pivot value list — one groupBy, no second pass to
     // discover columns, deterministic schema at any scale
@@ -474,6 +491,26 @@ object AnalyticsQueries {
     "q_compaction" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // same series assembly (ts, event_id order), window explode, and
+    // scaled mean-centered SSD in exact integers
+    "ts_motif" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |ser AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS vals
+        |        FROM e GROUP BY user_id),
+        |pat AS (SELECT vals[1:8] AS q FROM ser WHERE user_id = 1),
+        |win AS (SELECT user_id, UNNEST(generate_series(0, len(vals) - 8)) AS idx,
+        |          UNNEST(list_transform(generate_series(1, len(vals) - 7), i -> vals[i:i+7])) AS win
+        |        FROM ser WHERE len(vals) >= 8),
+        |d AS (SELECT w.user_id AS k, CAST(w.idx AS BIGINT) AS idx,
+        |        CAST(list_sum(list_transform(generate_series(1, 8),
+        |          j -> (w.win[j]*8 - list_sum(w.win) - p.q[j]*8 + list_sum(p.q))
+        |             * (w.win[j]*8 - list_sum(w.win) - p.q[j]*8 + list_sum(p.q)))) AS BIGINT) AS dist
+        |      FROM win w, pat p
+        |      WHERE NOT (w.user_id = 1 AND w.idx = 0)),
+        |r AS (SELECT k, idx, dist, row_number() OVER (ORDER BY dist, k, idx) AS rank FROM d)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(k AS BIGINT) AS k, idx, dist
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
         |  CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS click,
