@@ -147,9 +147,61 @@ object QuantizedDot {
     d
   }
 
+  /** Helper for [[CenteredSsd]]: the offset-invariant squared
+    * distance between two equal-length long windows — two sum passes
+    * + one diff pass, no per-element lambda dispatch.
+    */
+  def centeredSsdEval(a: ArrayData, b: ArrayData, w: Int): Long = {
+    val n = math.min(math.min(a.numElements(), b.numElements()), w)
+    var sa = 0L; var sb = 0L
+    var i = 0
+    while (i < n) { sa += a.getLong(i); sb += b.getLong(i); i += 1 }
+    var acc = 0L
+    i = 0
+    while (i < n) {
+      val d = a.getLong(i) * w - sa - (b.getLong(i) * w - sb)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Column form usable on any session (no registration needed). */
   def apply(a: Column, b: Column): Column =
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Native offset-invariant window distance: `(array<bigint>,
+  * array<bigint>) → bigint`, the Σ((w·x−Sₓ)−(w·y−S_y))² kernel the
+  * time-series candidate-pair scan runs per pair.
+  */
+case class CenteredSsd(left: Expression, right: Expression, w: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"centered_ssd expects (array<bigint>, array<bigint>), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "centered_ssd"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    QuantizedDot.centeredSsdEval(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], w)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qd = QuantizedDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $qd.centeredSsdEval($x, $y, $w);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CenteredSsd {
+  def apply(a: Column, b: Column, w: Int): Column =
+    Bridge.column(CenteredSsd(Bridge.expression(a), Bridge.expression(b), w))
 }
 
 /** Native 2-D Hilbert-curve index: `(bigint x, bigint y) → bigint`

@@ -60,6 +60,89 @@ object TimeSeries {
       lit(0L), _ + _)
   }
 
+  /** Exact integer offset-invariant squared distance between two
+    * window columns (the pairwise form of [[centeredDistance]]) —
+    * runs per CANDIDATE PAIR, so it goes through the native
+    * [[graft.functions.CenteredSsd]] kernel; the declarative form
+    * below is the portable reference it is spec-pinned to.
+    */
+  def centeredDistancePair(a: Column, b: Column, w: Int): Column =
+    graft.functions.CenteredSsd(a, b, w)
+
+  /** The declarative (HOF) definition of [[centeredDistancePair]]. */
+  def centeredDistancePairDeclarative(a: Column, b: Column, w: Int): Column = {
+    val sa = aggregate(a, lit(0L), _ + _)
+    val sb = aggregate(b, lit(0L), _ + _)
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x * w - sa - (y * w - sb)) * (x * w - sa - (y * w - sb))),
+      lit(0L), _ + _)
+  }
+
+  /** Offset-invariant PAA sketch of a window: split into `paa` equal
+    * segments, take `paa·segsum − total` per segment (integer,
+    * offset-free), then coarsen by a power-of-two `shift` (the +2^40
+    * bias keeps the value non-negative so `>>` floors identically on
+    * every engine). Windows with equal sketches are closest-pair
+    * candidates — the discretized-PAA bucketing the indexable
+    * time-series literature uses, playing the role LSH bands play in
+    * the dedup pipeline.
+    */
+  def paaSketch(win: Column, w: Int, paa: Int, shift: Int): Column = {
+    require(w % paa == 0, s"w=$w must divide into paa=$paa segments")
+    val segLen = w / paa
+    val total = aggregate(win, lit(0L), _ + _)
+    transform(sequence(lit(0), lit(paa - 1)), i =>
+      shiftright(
+        aggregate(slice(win, i * segLen + 1, lit(segLen)), lit(0L), _ + _) * paa
+          - total + lit(1L << 40),
+        shift))
+  }
+
+  /** Motif DISCOVERY — the matrix-profile headline question ("which
+    * two windows anywhere in the corpus are closest?") without the
+    * O(n²) scan: windows bucket by their PAA sketch (equi-join, the
+    * same never-all-pairs shape as the LSH dedup operators), pairs
+    * within a bucket get the exact centered distance, the global
+    * top-k ranks by (dist, keys, idxs). Overlapping windows of the
+    * same series are excluded (trivial matches); `maxBucket` drops
+    * degenerate flooded buckets (a constant series floods one
+    * sketch), bounding candidate volume like the dedup bucket caps.
+    * Sketch-equality is a candidate FILTER, not the metric — recall
+    * vs the exact scan is spec-measured, the emitted distances exact.
+    */
+  def motifPairs(
+      events: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column, w: Int, paa: Int, shift: Int, k: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    val wins = slidingWindows(events, key, ts, tiebreak, value, w)
+      .withColumn("b",
+        array_join(transform(paaSketch(col("win"), w, paa, shift),
+          _.cast("string")), ","))
+    val healthy = wins.groupBy(col("b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("b"))
+    val side = wins.join(healthy, Seq("b"))
+    val l = side.select(col("b"), col("k").as("k1"), col("idx").as("i1"), col("win").as("w1"))
+    val r = side.select(col("b"), col("k").as("k2"), col("idx").as("i2"), col("win").as("w2"))
+    val cands = l.join(r, Seq("b"))
+      .filter(col("k1") < col("k2") ||
+        (col("k1") === col("k2") && col("i1") + w <= col("i2")))
+    cands
+      .select(col("k1"), col("i1").cast("bigint").as("i1"),
+        col("k2"), col("i2").cast("bigint").as("i2"),
+        centeredDistancePair(col("w1"), col("w2"), w).as("dist"))
+      .orderBy(col("dist").asc, col("k1").asc, col("i1").asc,
+        col("k2").asc, col("i2").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist").asc, col("k1").asc, col("i1").asc,
+            col("k2").asc, col("i2").asc)).cast("bigint"))
+      .select(col("rank"), col("k1"), col("i1"), col("k2"), col("i2"), col("dist"))
+  }
+
   /** Top-k most similar windows to `pattern` across every key's
     * series, ranked by (distance, key, idx) — a total order, so the
     * result is deterministic on any engine. `exclude` drops the

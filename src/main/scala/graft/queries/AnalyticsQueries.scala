@@ -250,6 +250,20 @@ object AnalyticsQueries {
         .select(col("rank"), col("k").cast("bigint").as("k"), col("idx"), col("dist"))
         .orderBy("rank")
     }),
+    // motif DISCOVERY: closest window pairs anywhere in the corpus,
+    // candidates bucketed by the discretized-PAA sketch (equi-join,
+    // never the O(n^2) scan), exact centered distances, global top-15
+    "ts_motif_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id").cast("bigint").as("user_id"), col("ts"),
+        col("event_id"), cents(col("value")).as("cents"))
+      graft.operators.TimeSeries.motifPairs(
+        e, col("user_id"), col("ts"), col("event_id"), col("cents"),
+        w = 8, paa = 4, shift = 12, k = 15)
+        .select(col("rank"), col("k1").cast("bigint").as("k1"), col("i1"),
+          col("k2").cast("bigint").as("k2"), col("i2"), col("dist"))
+        .orderBy("rank")
+    }),
     // pivot (long->wide): per-cohort event-type revenue matrix with an
     // EXPLICIT pivot value list — one groupBy, no second pass to
     // discover columns, deterministic schema at any scale
@@ -491,6 +505,32 @@ object AnalyticsQueries {
     "q_compaction" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // same sketch (paa*segsum - total, biased >> 14), bucket join,
+    // cap, exact distances, total-order rank
+    "ts_motif_pairs" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |ser AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS vals FROM e GROUP BY user_id),
+        |win AS (SELECT user_id AS k, UNNEST(generate_series(0, len(vals) - 8)) AS idx,
+        |          UNNEST(list_transform(generate_series(1, len(vals) - 7), i -> vals[i:i+7])) AS win
+        |        FROM ser WHERE len(vals) >= 8),
+        |sk AS (SELECT k, idx, win,
+        |        list_aggregate(list_transform(generate_series(0, 3),
+        |          i -> CAST(((list_sum(win[i*2+1 : i*2+2]) * 4 - list_sum(win)
+        |                 + (CAST(1 AS BIGINT) << 40)) >> 12) AS VARCHAR)), 'string_agg', ',') AS b
+        |       FROM win),
+        |hb AS (SELECT b FROM sk GROUP BY b HAVING count(*) <= 10000),
+        |sk2 AS (SELECT sk.* FROM sk JOIN hb USING (b)),
+        |c AS (SELECT l.k AS k1, CAST(l.idx AS BIGINT) AS i1, r.k AS k2, CAST(r.idx AS BIGINT) AS i2,
+        |        CAST(list_sum(list_transform(generate_series(1, 8),
+        |          j -> (l.win[j]*8 - list_sum(l.win) - r.win[j]*8 + list_sum(r.win))
+        |             * (l.win[j]*8 - list_sum(l.win) - r.win[j]*8 + list_sum(r.win)))) AS BIGINT) AS dist
+        |      FROM sk2 l JOIN sk2 r USING (b)
+        |      WHERE l.k < r.k OR (l.k = r.k AND l.idx + 8 <= r.idx)),
+        |r AS (SELECT *, row_number() OVER (ORDER BY dist, k1, i1, k2, i2) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(k1 AS BIGINT) AS k1, i1,
+        |  CAST(k2 AS BIGINT) AS k2, i2, dist
+        |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
     // same series assembly (ts, event_id order), window explode, and
     // scaled mean-centered SSD in exact integers
     "ts_motif" ->

@@ -46,6 +46,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq)
   }
 
+  test("motif pairs find planted twins and recall the exact closest pairs") {
+    // two series sharing an identical (offset-shifted) 8-window among
+    // noise: the planted pair must surface at distance zero
+    val rnd = new scala.util.Random(11)
+    val motif = Seq(100L, 900L, 300L, 700L, 50L, 450L, 600L, 20L)
+    def noisy(n: Int) = Seq.fill(n)(rnd.nextInt(1000).toLong)
+    val s1 = noisy(6) ++ motif ++ noisy(6)
+    val s2 = noisy(3) ++ motif.map(_ + 5000L) ++ noisy(9)
+    val s3 = noisy(20)
+    val rows = Seq(1L -> s1, 2L -> s2, 3L -> s3).flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, k * 1000 + i, v) }
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    val got = TimeSeries.motifPairs(
+      df, col("k"), col("ts"), col("id"), col("v"),
+      w = 8, paa = 4, shift = 10, k = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.head == ((1L, 1L, 6L, 2L, 3L, 0L)), got.head)
+
+    // recall: the sketch-bucketed top-5 contains the true best pair
+    // and every emitted distance is exact (verified by brute force)
+    val wins = TimeSeries.slidingWindows(
+      df, col("k"), col("ts"), col("id"), col("v"), 8)
+      .as[(Long, Int, Seq[Long])].collect()
+    def dist(a: Seq[Long], b: Seq[Long]): Long = {
+      val (sa, sb) = (a.sum, b.sum)
+      a.zip(b).map { case (x, y) =>
+        val d = x * 8 - sa - (y * 8 - sb); d * d
+      }.sum
+    }
+    val brute = (for {
+      (k1, i1, w1) <- wins; (k2, i2, w2) <- wins
+      if k1 < k2 || (k1 == k2 && i1 + 8 <= i2)
+    } yield (k1, i1, k2, i2, dist(w1, w2)))
+      .sortBy(p => (p._5, p._1, p._2, p._3, p._4))
+    assert(got.head._6 == brute.head._5) // same best distance (0)
+    got.foreach { g =>
+      val exact = brute.find(b =>
+        (b._1, b._2, b._3, b._4) == ((g._2, g._3, g._4, g._5))).get
+      assert(exact._5 == g._6) // emitted distances are exact
+    }
+  }
+
   test("centered distance is exactly w^2 times the mean-centered SSD") {
     val win = Seq((Seq(1L, 2L, 3L, 6L))).toDF("win")
     val d = win.select(
