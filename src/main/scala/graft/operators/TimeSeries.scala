@@ -48,17 +48,12 @@ object TimeSeries {
   }
 
   /** Exact integer offset-invariant squared distance between a window
-    * column and a literal pattern: Σ ((w·x − Sₓ) − (w·q − S_q))².
+    * column and a literal pattern: Σ ((w·x − Sₓ) − (w·q − S_q))² —
+    * the pattern ships as an array literal into the same native
+    * [[graft.functions.CenteredSsd]] kernel the pair scan uses.
     */
-  def centeredDistance(win: Column, pattern: Array[Long]): Column = {
-    val w = pattern.length
-    val sq = pattern.sum
-    val sx = aggregate(win, lit(0L), _ + _)
-    aggregate(
-      zip_with(win, lit(pattern), (x, q) =>
-        (x * w - sx - (q * w - sq)) * (x * w - sx - (q * w - sq))),
-      lit(0L), _ + _)
-  }
+  def centeredDistance(win: Column, pattern: Array[Long]): Column =
+    graft.functions.CenteredSsd(win, lit(pattern), pattern.length)
 
   /** Exact integer offset-invariant squared distance between two
     * window columns (the pairwise form of [[centeredDistance]]) —
