@@ -130,6 +130,38 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("filterOutSpans == brute-force positional reference") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.alphaStr.map(_.take(3))),
+      Gen.listOf(Gen.chooseNum(1L, 12L)), Gen.chooseNum(2, 5)) { (toks, starts, k) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val sorted = starts.distinct.sorted
+      val got = graft.functions.SignatureKernels.filterOutSpans(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(sorted.toArray[Any].map(_.asInstanceOf[Any])), k).toString
+      val covered = sorted.flatMap(s => s until s + k).toSet
+      val want = toks.zipWithIndex.collect {
+        case (t, i) if !covered(i + 1L) => t
+      }.mkString(" ")
+      got == want
+    }
+
+  property("centered ssd is offset-invariant, symmetric, zero on same shape") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.chooseNum(-1000L, 1000L)),
+      Gen.listOfN(6, Gen.chooseNum(-1000L, 1000L)),
+      Gen.chooseNum(-5000L, 5000L)) { (a, b, c) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      def arr(xs: List[Long]) = new GenericArrayData(xs.toArray)
+      val qd = QuantizedDot
+      qd.centeredSsdEval(arr(a), arr(b), 6) ==
+        qd.centeredSsdEval(arr(a.map(_ + c)), arr(b), 6) &&
+      qd.centeredSsdEval(arr(a), arr(b), 6) ==
+        qd.centeredSsdEval(arr(b), arr(a), 6) &&
+      qd.centeredSsdEval(arr(a), arr(a.map(_ + c)), 6) == 0L
+    }
+
   // the AVI container writer/parser pair: arbitrary frame payloads
   // (any bytes — the container is codec-agnostic), dims, frame counts
   // round-trip exactly, including odd-sized chunks (RIFF even padding)
