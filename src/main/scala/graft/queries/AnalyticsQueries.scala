@@ -206,6 +206,18 @@ object AnalyticsQueries {
         .select(lit("json").as("src") +: cols: _*).localCheckpoint(true)
       csvBack.unionAll(jsonBack).orderBy("src", "n_nationkey")
     }),
+    // ORC source/sink round-trip (the third columnar format beside
+    // parquet and the text formats; schema preserved end to end)
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val base = new java.io.File(graft.LocalDir.scratch, "orc")
+      base.mkdirs()
+      val tmp = java.nio.file.Files.createTempDirectory(base.toPath, "run")
+      val orcDir = tmp.resolve("orc").toString
+      nation.write.orc(orcDir)
+      s.read.orc(orcDir).orderBy("n_nationkey").localCheckpoint(true)
+    }),
     // small-file compaction: 25 one-row files rewritten into 2
     // balanced files; the oracle (the plain table) proves the rewrite
     // is lossless — only the layout changed (file counts spec-checked)
@@ -503,6 +515,9 @@ object AnalyticsQueries {
         |  SELECT 'json' AS src, * FROM n)
         |ORDER BY src, n_nationkey""".stripMargin,
     "q_compaction" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_orc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     // same sketch (paa*segsum - total, biased >> 14), bucket join,
