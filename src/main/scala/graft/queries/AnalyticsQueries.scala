@@ -262,6 +262,27 @@ object AnalyticsQueries {
         .select(col("rank"), col("k").cast("bigint").as("k"), col("idx"), col("dist"))
         .orderBy("rank")
     }),
+    // STREAMING pattern matching: the motif search as a live alert —
+    // per-key O(w) state, matches emitted as values arrive, fed
+    // end-to-end through ts-ordered micro-batch files; the emitted
+    // set must equal the batch filter (the equivalence claim)
+    "stream_ts_match" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id").cast("bigint").as("k"),
+        unix_micros(col("ts")).as("ts"),
+        col("event_id").cast("bigint").as("tb"),
+        cents(col("value")).as("v"))
+      val pat = e.filter(col("k") === 1).orderBy("ts", "tb").limit(8)
+        .select("v").collect().map(_.getLong(0))
+      val base = new java.io.File(graft.LocalDir.scratch, "ts-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingTimeSeries.matchPatternFromFiles(
+        s, e, pat, maxDist = 20000000000L, nBatches = 4, scratch)
+        .select(col("k"), col("idx"), col("dist"))
+        .orderBy("k", "idx")
+    }),
     // motif DISCOVERY: closest window pairs anywhere in the corpus,
     // candidates bucketed by the discretized-PAA sketch (equi-join,
     // never the O(n^2) scan), exact centered distances, global top-15
@@ -520,6 +541,23 @@ object AnalyticsQueries {
     "q_orc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // the BATCH filter: every window within the distance bound — the
+    // streamed emission must reproduce it exactly
+    "stream_ts_match" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |ser AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS vals FROM e GROUP BY user_id),
+        |pat AS (SELECT vals[1:8] AS q FROM ser WHERE user_id = 1),
+        |win AS (SELECT user_id AS k, UNNEST(generate_series(0, len(vals) - 8)) AS idx,
+        |          UNNEST(list_transform(generate_series(1, len(vals) - 7), i -> vals[i:i+7])) AS win
+        |        FROM ser WHERE len(vals) >= 8),
+        |d AS (SELECT w.k, CAST(w.idx AS BIGINT) AS idx,
+        |        CAST(list_sum(list_transform(generate_series(1, 8),
+        |          j -> (w.win[j]*8 - list_sum(w.win) - p.q[j]*8 + list_sum(p.q))
+        |             * (w.win[j]*8 - list_sum(w.win) - p.q[j]*8 + list_sum(p.q)))) AS BIGINT) AS dist
+        |      FROM win w, pat p)
+        |SELECT CAST(k AS BIGINT) AS k, idx, dist FROM d
+        |WHERE dist <= 20000000000 ORDER BY k, idx""".stripMargin,
     // same sketch (paa*segsum - total, biased >> 14), bucket join,
     // cap, exact distances, total-order rank
     "ts_motif_pairs" ->
