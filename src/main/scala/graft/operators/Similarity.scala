@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types
 
@@ -49,9 +48,25 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Rank a scored (qid, cid, score) frame to its per-query top-k
+    * through the bounded-heap [[graft.plans.TopKPerGroup]] operator —
+    * NOT a `row_number` window. The window spelling partitions by qid
+    * and fully sorts each partition; for the exhaustive scans
+    * (brute/SQ8/PQ) that partition is the ENTIRE corpus — a 10⁹-row
+    * sort in one task per query at scale, no matter how many executors
+    * exist. The heap operator keeps O(queries·k) state per partition
+    * and emits the native rank during the drain, so nothing anywhere
+    * sorts more than the winners. Tiebreak: highest score first, then
+    * smallest cid (ids must be numeric — same contract as
+    * [[lshTopKAll]]'s `struct(score, -cid)` ordering).
+    */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    graft.plans.TopK.perGroupRanked(
+      scored, Seq(col("qid")), struct(col(scoreCol), -col("cid")), k, "rnk")
+
   /** Brute-force top-k by quantized dot product: broadcast the query
-    * set, one pass over candidates, per-query rank. Deterministic
-    * tiebreak on candidate id.
+    * set, one pass over candidates, bounded-heap per-query rank.
+    * Deterministic tiebreak on candidate id.
     */
   def bruteForceTopK(
       queries: DataFrame, // (qid, qvec)
@@ -61,10 +76,7 @@ object Similarity {
       .join(broadcast(queries), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         dotQ(col("qvec"), col("cvec")).as("dot_q"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "dot_q", k)
   }
 
   /** SQ8 scalar quantization — the embedding-compression scale path
@@ -119,10 +131,7 @@ object Similarity {
       .join(broadcast(queries), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         sq8Dot(col("qvec"), col("codes"), col("maxabs")).as("dot_sq"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot_sq").desc, col("cid"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "dot_sq", k)
   }
 
   /** PQ cell ids — one per subspace: the sign pattern of the
@@ -224,10 +233,7 @@ object Similarity {
       // guards against a codebook trained on a different corpus
       .filter(col("__nsub") === m)
       .drop("__nsub")
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot_pq").desc, col("cid"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "dot_pq", k)
   }
 
   /** Production PQ search: ADC-scan the codes for a top-`shortlist`
@@ -249,10 +255,7 @@ object Similarity {
       .join(candidates, Seq("cid"))
       .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "dot_q", k)
   }
 
   /** Sign-LSH bucket keys, one per hash table: table `t` hashes the
@@ -371,10 +374,7 @@ object Similarity {
       .join(broadcast(qa), col("qcell") === col("ccell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "dot_q", k)
   }
 
   /** Multi-table LSH ANN: explode per-table buckets, equi-join on
@@ -510,9 +510,6 @@ object Similarity {
       .filter(col("qid") =!= col("cid") &&
         col("tbl") === firstAgreeingTable(col("qsig"), col("csig"), bits, tables))
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, "dot_q", k)
   }
 }

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -28,13 +29,22 @@ import scala.collection.mutable
   * Rows whose order value is null are excluded — the contract is
   * top-k over non-null order values (the window equivalent with
   * `WHERE o IS NOT NULL`).
+  *
+  * When `rankAttr` is set the operator also emits the per-group rank
+  * (1 = best) as an extra long column — the heap drain already yields
+  * rows best-first per group, so the rank is free and the
+  * `row_number()` window (a full per-group sort) is never needed even
+  * to NUMBER the winners.
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
     orderExpr: Expression,
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
@@ -43,9 +53,12 @@ final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     orderExpr: Expression,
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(groupExprs))
@@ -87,10 +100,20 @@ final case class TopKPerGroupExec(
           heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
         }
       }
+      val rankProj = rankAttr.map(_ => UnsafeProjection.create(output, output))
       heaps.iterator.flatMap { case (_, heap) =>
         val drained = mutable.ArrayBuffer.empty[UnsafeRow]
         while (heap.nonEmpty) drained += heap.dequeue()._2
-        drained.reverseIterator.map(r => r.asInstanceOf[InternalRow])
+        rankProj match {
+          case None =>
+            drained.reverseIterator.map(r => r.asInstanceOf[InternalRow])
+          case Some(proj) =>
+            // drain order reversed = best-first, so the index IS the rank
+            val joined = new JoinedRow
+            drained.reverseIterator.zipWithIndex.map { case (r, i) =>
+              proj(joined(r, InternalRow(i + 1L))).asInstanceOf[InternalRow]
+            }
+        }
       }
     }
   }
@@ -101,15 +124,30 @@ final case class TopKPerGroupExec(
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroup(g, o, k, child, rank) =>
+      TopKPerGroupExec(g, o, k, planLater(child), rank) :: Nil
     case _ => Nil
   }
 }
 
 object TopK {
   /** Register the strategy (idempotent) and build the operator. */
-  def perGroup(df: DataFrame, groupCols: Seq[Column], orderCol: Column, k: Int): DataFrame = {
+  def perGroup(df: DataFrame, groupCols: Seq[Column], orderCol: Column, k: Int): DataFrame =
+    build(df, groupCols, orderCol, k, rankName = None)
+
+  /** [[perGroup]] plus a native long rank column (`rankName`, 1 = best
+    * by `orderCol` descending-struct order) — the full replacement for
+    * the `row_number().over(Window.partitionBy(g).orderBy(o))` pattern
+    * with none of its per-group full sort.
+    */
+  def perGroupRanked(
+      df: DataFrame, groupCols: Seq[Column], orderCol: Column, k: Int,
+      rankName: String = "rnk"): DataFrame =
+    build(df, groupCols, orderCol, k, rankName = Some(rankName))
+
+  private def build(
+      df: DataFrame, groupCols: Seq[Column], orderCol: Column, k: Int,
+      rankName: Option[String]): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
@@ -124,7 +162,8 @@ object TopK {
       case a: org.apache.spark.sql.catalyst.expressions.Alias => Seq(a.child)
       case e: Expression => Seq(e)
     }
+    val rankAttr = rankName.map(n => AttributeReference(n, LongType, nullable = false)())
     Bridge.ofRows(spark, TopKPerGroup(
-      exprs.init.toSeq, exprs.last, k, Bridge.logicalPlan(resolved)))
+      exprs.init.toSeq, exprs.last, k, Bridge.logicalPlan(resolved), rankAttr))
   }
 }

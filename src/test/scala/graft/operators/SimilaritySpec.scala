@@ -62,6 +62,57 @@ class SimilaritySpec extends SparkSpec {
     assert(!lshPlan.contains("CartesianProduct"))
   }
 
+  test("every top-k family ranks through the bounded heap — no Window in any scan path") {
+    // the window spelling partitions by qid and fully sorts each
+    // partition (= the whole corpus for the exhaustive scans); this
+    // spec pins every family to TopKPerGroupExec instead
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val ivfCb = Similarity.centroids(e, col("label"), col("embedding"))
+    val (pqCb, pqEnc) =
+      Similarity.pqTrainEncode(e, col("vec_id"), col("embedding"), m = 8, subDim = 8)
+    val plans = Map(
+      "brute" -> Similarity.bruteForceTopK(q, c, 5),
+      "sq8" -> Similarity.sq8TopK(q,
+        Similarity.sq8Encode(e, col("vec_id"), col("embedding")), 5),
+      "pq" -> Similarity.pqTopK(q, pqEnc, pqCb, 5, 8, 8),
+      "pq_rerank" -> Similarity.pqTopKRerank(q, pqEnc, pqCb, c, 5, 20, 8, 8),
+      "ivf" -> Similarity.ivfTopK(q, c, ivfCb, 5),
+      "lsh" -> Similarity.lshTopK(q, c, 5),
+      "lsh_all" -> Similarity.lshTopKAll(e, col("vec_id"), col("embedding"), 3))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      // nodeName strips the Exec suffix in plan strings
+      assert(plan.contains("TopKPerGroup"), s"$name missing TopKPerGroupExec")
+      assert(!plan.contains("Window"), s"$name still has a Window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian")
+    }
+  }
+
+  test("native rank column matches the window row_number spelling exactly") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val heap = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "rnk", "cid", "dot_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        Similarity.dotQ(col("qvec"), col("cvec")).as("dot_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cid"))
+    val windowed = scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "cid", "dot_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(heap == windowed)
+    assert(heap.size == 50) // 10 queries x k=5, rank dense per query
+  }
+
   test("hot-bucket cap drops the degenerate bucket, keeps the rest") {
     // 30 identical all-positive vectors = one hot bucket in EVERY
     // table; 2 near-identical negative vectors = a small legit bucket;
