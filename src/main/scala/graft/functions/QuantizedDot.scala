@@ -89,6 +89,13 @@ object QuantizedDot {
     * fold, no per-element lambda dispatch.
     */
   def pqCellsEval(arr: ArrayData, m: Int, subDim: Int): ArrayData = {
+    // pq_cells is SQL-registered with caller-supplied m/subDim: a short
+    // array would otherwise read out of bounds (unchecked Platform.get
+    // on the UnsafeArrayData codegen path — garbage cells, not an AIOOBE)
+    if (arr.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_cells: input has ${arr.numElements()} elements, " +
+          s"need m*subDim = ${m * subDim}")
     val out = new Array[Long](m)
     var j = 0
     while (j < m) {
@@ -149,7 +156,10 @@ object QuantizedDot {
 
   /** Helper for [[CenteredSsd]]: the offset-invariant squared
     * distance between two equal-length long windows — two sum passes
-    * + one diff pass, no per-element lambda dispatch.
+    * + one diff pass, no per-element lambda dispatch. Callers guard
+    * lengths == w (the expression returns null otherwise — silently
+    * truncating but centering with factor w would produce a
+    * plausible-looking, wrongly scaled distance).
     */
   def centeredSsdEval(a: ArrayData, b: ArrayData, w: Int): Long = {
     val n = math.min(math.min(a.numElements(), b.numElements()), w)
@@ -186,13 +196,27 @@ case class CenteredSsd(left: Expression, right: Expression, w: Int)
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "centered_ssd"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    QuantizedDot.centeredSsdEval(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], w)
+  // null (not a truncated distance) on windows whose length != w —
+  // matching the declarative zip_with reference, which nulls on
+  // length mismatch; a silently truncated sum still centered by w
+  // would be a plausible-looking wrong distance
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != w || y.numElements() != w) null
+    else QuantizedDot.centeredSsdEval(x, y, w)
+  }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qd = QuantizedDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"${ev.value} = $qd.centeredSsdEval($x, $y, $w);")
+      s"""
+         |if ($x.numElements() != $w || $y.numElements() != $w) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $qd.centeredSsdEval($x, $y, $w);
+         |}
+       """.stripMargin)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -219,6 +243,12 @@ case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // bits outside [1, 31] silently corrupts the walk (bits<=0 skips
+      // it and maps everything to 0; bits>31 overflows s*s) — fail at
+      // analysis time, same guard as Layout.hilbertValue
+      case (LongType, LongType) if bits < 1 || bits > 31 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"hilbert2d bits must be in [1, 31], got $bits")
       case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"hilbert2d expects (bigint, bigint), got $other")
@@ -285,6 +315,9 @@ object Sq8Dot {
 case class PqCells(child: Expression, m: Int, subDim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if m < 1 || subDim < 1 || subDim > 63 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_cells needs m >= 1 and subDim in [1, 63], got m=$m subDim=$subDim")
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"pq_cells expects array<float>, got ${other.simpleString}")

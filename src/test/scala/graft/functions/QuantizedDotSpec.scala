@@ -77,4 +77,36 @@ class QuantizedDotSpec extends SparkSpec {
       "SELECT sq8_dot(array(CAST(1.0 AS FLOAT)), array(CAST(255 AS BIGINT)), CAST(500 AS BIGINT))")
       .as[Long].head() == 1000L * 500L)
   }
+
+  test("malformed SQL arguments fail loud, not silently wrong") {
+    GraftFunctions.register(spark)
+    // pq_cells on a too-short array: out-of-bounds read would return
+    // garbage cells on the unsafe path — must throw instead
+    val short = intercept[Exception] {
+      spark.sql("SELECT pq_cells(array(CAST(0.5 AS FLOAT)), 2, 2)").collect()
+    }
+    assert(short.getMessage.contains("pq_cells") ||
+      short.getCause != null && short.getCause.getMessage.contains("pq_cells"))
+    // hilbert2d with bits outside [1,31]: analysis-time failure, not
+    // an all-zeros (bits<=0) or wrapped-negative (bits>31) key column
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert2d(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert2d(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 32)").collect()
+    }
+  }
+
+  test("centered_ssd nulls on length-mismatched windows like the declarative form") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)), // exact length: a value
+      (Array(1L, 2L), Array(4L, 5L, 6L)), // short left: null
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L, 7L)) // long right: null
+    ).toDF("a", "b")
+    val out = df.select(
+      graft.functions.CenteredSsd(col("a"), col("b"), 3).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0).isDefined && out(1).isEmpty && out(2).isEmpty)
+  }
 }

@@ -42,6 +42,29 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned < 1000, s"prefilter kept $pruned of 10000")
   }
 
+  test("string join keys work — no silent cast-to-null empty join") {
+    // regression: cast('long') on string keys yielded null on both
+    // sides, so the filter dropped every fact row; the hashed-key
+    // filter must keep the true matches
+    val fact = Seq(("alpha", 1L), ("beta", 2L), ("gamma", 3L), ("delta", 4L))
+      .toDF("fk", "v")
+    val dim = Seq("beta", "delta").toDF("dk")
+    val joined = BloomPrune.prunedJoin(fact, col("fk"), dim, col("dk"), 10L)
+      .select("fk", "v").as[(String, Long)].collect().toSet
+    assert(joined == Set(("beta", 2L), ("delta", 4L)))
+  }
+
+  test("mixed integral widths join via the widened hash; other mismatches fail fast") {
+    val fact = spark.range(100).select(col("id").cast("int").as("fk"))
+    val dim = spark.range(10).select((col("id") * 5).as("dk")) // bigint
+    val n = BloomPrune.prunedJoin(fact, col("fk"), dim, col("dk"), 10L).count()
+    assert(n == 10L)
+    val sdim = Seq("3", "7").toDF("dk")
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedJoin(fact, col("fk"), sdim, col("dk"), 10L)
+    }
+  }
+
   test("pruned join result equals the plain join on real tables") {
     val o = Tables.load(spark, Sf0001, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
