@@ -330,27 +330,15 @@ object Similarity {
       .groupBy(col("cell"), col("pos"))
       .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
 
-  /** IVF-style ANN: assign every vector to its nearest centroid
-    * (broadcast codebook — one pass, no shuffle of the big side), then
-    * search only within the query's cell: the equi-join on `cell`
-    * replaces the full scan, trading recall for a |cells|-fold pruning.
+  /** Collect a (cell, pos, mean_milli) codebook to the driver as
+    * per-cell milli-component arrays. A codebook is small by
+    * construction (|cells| × dims, model-sized); this is the k-means
+    * broadcast-the-centroids pattern, never a corpus collect.
+    * mean_milli/1000f must round-trip exactly through dot_q's
+    * round(x·1000) quantization (checked), so inlined kernel scores
+    * are bit-identical to the declarative form.
     */
-  def ivfTopK(
-      queries: DataFrame, // (qid, qvec)
-      candidates: DataFrame, // (cid, cvec)
-      codebook: DataFrame, // (cell, pos, mean_milli)
-      k: Int): DataFrame = {
-    // A codebook is small by construction (|cells| x dims); collect it
-    // once and inline cell assignment as |cells| codegen'd dot_q kernel
-    // calls against per-cell float-array Literals — a pure narrow
-    // projection (no join, no window, no shuffle on the big side; the
-    // k-means-style broadcast-the-centroids pattern) whose per-row cost
-    // is |cells| tight primitive loops, not an interpreted higher-order
-    // fold. Each centroid is ONE Literal node, so Janino compile time
-    // stays flat in the codebook size. mean_milli/1000f round-trips
-    // exactly through dot_q's round(x*1000) quantization (checked
-    // below), so score == Σ q(v_i)·mean_milli_i, bit-identical to the
-    // declarative form.
+  private def collectCodebook(codebook: DataFrame): Array[(Any, Array[Long])] = {
     val cb: Array[(Any, Array[Long])] = codebook
       .groupBy(col("cell"))
       .agg(transform(
@@ -361,15 +349,83 @@ object Similarity {
     require(cb.forall(_._2.forall(m =>
       graft.functions.QuantizedDot.q(m / 1000f) == m)),
       "centroid milli-components must round-trip exactly through float")
-    // argmax by (score, cell): struct ordering compares score first
-    def assign(vec: String, out: String): Column =
-      array_max(array(cb.toIndexedSeq.map { case (cell, cvec) =>
-        struct(
-          graft.functions.QuantizedDot(col(vec), lit(cvec.map(_ / 1000f))).as("score"),
-          lit(cell).as("cell"))
-      }: _*)).getField("cell").as(out)
-    val qa = queries.withColumn("qcell", assign("qvec", "qcell"))
-    val ca = candidates.withColumn("ccell", assign("cvec", "ccell"))
+    cb
+  }
+
+  /** Per-cell (score, cell) structs for nearest-centroid assignment
+    * under the EXACT integer objective: argmin ‖q(v)−c‖² = argmax
+    * (2·dot_q(v,c) − ‖c‖²) (‖q(v)‖² is constant per row). Inlined as
+    * |cells| codegen'd dot_q kernel calls against per-cell float-array
+    * Literals — a pure narrow projection (no join, no shuffle of the
+    * big side); each centroid is ONE Literal node, so Janino compile
+    * time stays flat in the codebook size. Struct ordering compares
+    * score first, ties to the LARGEST cell id (array_max convention —
+    * the oracle replays `ORDER BY score DESC, cell DESC`).
+    */
+  private def cellScores(vec: String, cb: Array[(Any, Array[Long])]): Column =
+    array(cb.toIndexedSeq.map { case (cell, cvec) =>
+      val norm = cvec.map(m => m * m).sum
+      struct(
+        (graft.functions.QuantizedDot(col(vec), lit(cvec.map(_ / 1000f))) * 2
+          - lit(norm)).as("score"),
+        lit(cell).as("cell"))
+    }: _*)
+
+  /** Deterministic integer Lloyd iterations — the real k-means recipe
+    * behind a FAISS-style IVF coarse quantizer. Starting from the
+    * caller's coarse cells (a label, a sign-cell — anything
+    * deterministic), each iteration (1) broadcasts the model-sized
+    * codebook as literals and re-assigns every vector to its nearest
+    * centroid under the exact integer objective (a narrow projection
+    * over the corpus — no shuffle), then (2) recomputes per-cell
+    * elementwise milli means (one aggregate — the same shuffle shape
+    * as [[centroids]]). All arithmetic is exact int64, so a SQL oracle
+    * replays the training as a CTE chain, iteration by iteration. A
+    * cell that loses all members simply drops out (deterministic;
+    * FAISS re-seeds instead — irrelevant for a coarse quantizer, where
+    * the next assignment pass redistributes).
+    */
+  def kmeansCodebook(
+      df: DataFrame, cell: Column, vec: Column, iters: Int): DataFrame = {
+    var cb = centroids(df, cell, vec)
+    var i = 0
+    while (i < iters) {
+      val model = collectCodebook(cb)
+      val assigned = df.select(vec.as("__v"))
+        .select(
+          array_max(cellScores("__v", model)).getField("cell").as("cell"),
+          col("__v"))
+      cb = centroids(assigned, col("cell"), col("__v"))
+      i += 1
+    }
+    cb
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest centroid
+    * (broadcast codebook — one pass, no shuffle of the big side), then
+    * search only within the query's `nprobe` best cells: the equi-join
+    * on `cell` replaces the full scan, trading recall for a
+    * |cells|/nprobe-fold pruning. Probing more cells is the standard
+    * IVF recall knob — the candidate set grows monotonically with
+    * nprobe, so recall vs the exact scan can only improve.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      codebook: DataFrame, // (cell, pos, mean_milli)
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val cb = collectCodebook(codebook)
+    require(nprobe >= 1 && nprobe <= cb.length,
+      s"nprobe must be in [1, ${cb.length}]")
+    // queries probe their nprobe best cells (descending struct sort of
+    // the model-sized score array — per-row cost |cells| log |cells|);
+    // candidates live in exactly ONE cell, so probed (qid, cid) pairs
+    // are unique and need no dedupe
+    val qa = queries.withColumn("qcell",
+      explode(slice(reverse(array_sort(cellScores("qvec", cb))), 1, nprobe)
+        .getField("cell")))
+    val ca = candidates.withColumn("ccell",
+      array_max(cellScores("cvec", cb)).getField("cell"))
     val scored = ca
       .join(broadcast(qa), col("qcell") === col("ccell"))
       .filter(col("qid") =!= col("cid"))

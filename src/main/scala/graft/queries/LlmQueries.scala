@@ -227,13 +227,19 @@ object LlmQueries {
         .select(col("cell").as("label"), col("pos").cast("bigint").as("pos"),
           col("mean_milli"))
         .orderBy("label", "pos")),
+    // IVF with a REAL trained coarse quantizer: 2 deterministic
+    // integer Lloyd iterations refine the label-seeded codebook
+    // (each iteration = one narrow assignment pass + one aggregate,
+    // CTE-replayed by the oracle), and queries probe their 2 best
+    // cells (the FAISS nprobe recall knob)
     "ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val codebook = Similarity.centroids(e, col("label"), col("embedding"))
+      val codebook =
+        Similarity.kmeansCodebook(e, col("label"), col("embedding"), iters = 2)
       Similarity.ivfTopK(
         e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        codebook, k = 5)
+        codebook, k = 5, nprobe = 2)
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
@@ -908,14 +914,18 @@ object LlmQueries {
         |  FROM d)
         |SELECT qid, cid, dot_q FROM ranked WHERE rnk <= 3
         |ORDER BY qid, dot_q DESC, cid""".stripMargin,
-    // IVF ANN: label-cell centroid codebook, argmax-(score, cell)
-    // assignment, within-cell search, top-5 per query
+    // IVF ANN with a TRAINED coarse quantizer: label-seeded codebook
+    // refined by 2 exact-integer Lloyd iterations (assignment =
+    // argmin ||q(v)-c||^2 spelled argmax (2*dot - ||c||^2), ties to
+    // the largest cell), queries probe their 2 best cells, exact
+    // quantized-dot rerank, top-5 per query — each Lloyd iteration is
+    // one assignment CTE + one means CTE
     "ann_ivf" ->
       """WITH q AS (
-        |  SELECT vec_id, embedding,
+        |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
         |  FROM embeddings),
-        |cbl AS (
+        |cb0 AS (
         |  SELECT label AS cell, pos,
         |    CAST(round(CAST(sum(qe) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
         |  FROM (
@@ -924,22 +934,66 @@ object LlmQueries {
         |      CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qe
         |    FROM embeddings)
         |  GROUP BY label, pos),
-        |cb AS (SELECT cell, list(mean_milli ORDER BY pos) AS cvec FROM cbl GROUP BY cell),
-        |scorepairs AS (
-        |  SELECT q.vec_id, cb.cell,
-        |    CAST(list_sum(list_transform(generate_series(1,64), i -> q.qv[i]*cb.cvec[i])) AS BIGINT) AS score
-        |  FROM q, cb),
-        |assign AS (
+        |c0 AS (
+        |  SELECT cell, list(mean_milli ORDER BY pos) AS cvec,
+        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
+        |  FROM cb0 GROUP BY cell),
+        |s1 AS (
+        |  SELECT q.vec_id, c0.cell,
+        |    2 * CAST(list_sum(list_transform(generate_series(1,64), i -> q.qv[i]*c0.cvec[i])) AS BIGINT) - c0.nrm AS score
+        |  FROM q, c0),
+        |a1 AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
-        |    FROM scorepairs) WHERE rn = 1),
+        |    FROM s1) WHERE rn = 1),
+        |cb1 AS (
+        |  SELECT a1.cell, p.pos,
+        |    CAST(round(CAST(sum(q.qv[p.pos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |  FROM a1 JOIN q USING (vec_id), (SELECT UNNEST(generate_series(0,63)) AS pos) p
+        |  GROUP BY a1.cell, p.pos),
+        |c1 AS (
+        |  SELECT cell, list(mean_milli ORDER BY pos) AS cvec,
+        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
+        |  FROM cb1 GROUP BY cell),
+        |s2 AS (
+        |  SELECT q.vec_id, c1.cell,
+        |    2 * CAST(list_sum(list_transform(generate_series(1,64), i -> q.qv[i]*c1.cvec[i])) AS BIGINT) - c1.nrm AS score
+        |  FROM q, c1),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        |    FROM s2) WHERE rn = 1),
+        |cb2 AS (
+        |  SELECT a2.cell, p.pos,
+        |    CAST(round(CAST(sum(q.qv[p.pos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |  FROM a2 JOIN q USING (vec_id), (SELECT UNNEST(generate_series(0,63)) AS pos) p
+        |  GROUP BY a2.cell, p.pos),
+        |c2 AS (
+        |  SELECT cell, list(mean_milli ORDER BY pos) AS cvec,
+        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
+        |  FROM cb2 GROUP BY cell),
+        |s3 AS (
+        |  SELECT q.vec_id, c2.cell,
+        |    2 * CAST(list_sum(list_transform(generate_series(1,64), i -> q.qv[i]*c2.cvec[i])) AS BIGINT) - c2.nrm AS score
+        |  FROM q, c2),
+        |qassign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        |    FROM s3 WHERE vec_id < 10) WHERE rn <= 2),
+        |cassign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        |    FROM s3) WHERE rn = 1),
         |p AS (
         |  SELECT qa.vec_id AS qid, ca.vec_id AS cid, qq.qv AS qqv, cq.qv AS cqv
-        |  FROM assign qa JOIN assign ca ON qa.cell = ca.cell
+        |  FROM qassign qa JOIN cassign ca ON qa.cell = ca.cell
         |  JOIN q qq ON qq.vec_id = qa.vec_id
         |  JOIN q cq ON cq.vec_id = ca.vec_id
-        |  WHERE qa.vec_id < 10 AND qa.vec_id <> ca.vec_id),
+        |  WHERE qa.vec_id <> ca.vec_id),
         |d AS (
         |  SELECT qid, cid,
         |    CAST(list_sum(list_transform(generate_series(1,64), i -> qqv[i]*cqv[i])) AS BIGINT) AS dot_q

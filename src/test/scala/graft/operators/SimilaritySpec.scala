@@ -53,6 +53,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("Lloyd iterations and nprobe lift IVF recall at the same cell count") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val brute = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    def recall(codebook: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(q, c, codebook, 5, nprobe)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val seed = Similarity.centroids(e, col("label"), col("embedding"))
+    val trained = Similarity.kmeansCodebook(e, col("label"), col("embedding"), iters = 2)
+    assert(trained.select("cell").distinct().count() <= 10)
+    val r0 = recall(seed, 1)
+    val rTrained = recall(trained, 1)
+    val rProbe2 = recall(trained, 2)
+    // nprobe=2's candidate set is a strict superset of nprobe=1's, so
+    // its recall is monotonically >= — and must clear the seed
+    // codebook's single-probe recall by a real margin
+    assert(rProbe2 >= rTrained, s"nprobe=2 $rProbe2 < nprobe=1 $rTrained")
+    assert(rProbe2 > r0, s"trained+nprobe2 $rProbe2 <= seed $r0")
+    info(s"recall seed/1=$r0 trained/1=$rTrained trained/2=$rProbe2")
+  }
+
   test("no cartesian product in either ANN plan") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 5)
