@@ -209,10 +209,11 @@ object BankQueries {
     // The out-of-process query endpoint under the oracle gate: the
     // online sequential pipeline runs off staged files, then a TCP
     // QueryServer pins the final committed batch of its state store and
-    // answers a POINT query for every account over the wire; the
-    // returned balances must equal the recursive-CTE serial fold. The
-    // key list and response are dimension-sized (one row per account),
-    // the bounded case the server exists for.
+    // answers a POINT query over the wire for a SAMPLED key set (the
+    // portable md5 supplier, seed 11, n=100 — the RandomQuerySupplier
+    // contract). The client's key list is supplier-sized, never
+    // corpus-derived: nothing in the harness collects one row per
+    // account, so the gate query itself stays scale-clean.
     "t_query_server" -> ((s, dir) => {
       val base = new java.io.File(graft.LocalDir.scratch, "qsrv")
       base.mkdirs()
@@ -227,8 +228,10 @@ object BankQueries {
         while (server.servedBatchId < 0 && System.nanoTime() < deadline)
           Thread.sleep(25)
         require(server.servedBatchId >= 0, "query server never pinned a batch")
-        val accts = Tables.load(s, dir, "events")
-          .select(col("user_id").cast("bigint")).distinct()
+        val accts = graft.tgraph.query.StateQueries.sampleFrame(
+          Tables.load(s, dir, "events")
+            .select(col("user_id").cast("bigint").as("key")).distinct(),
+          n = 100, seed = 11)
           .collect().map(_.getLong(0)).sorted.toSeq
         val client = new graft.tgraph.query.QueryClient("localhost", server.boundPort)
         val rows = try client.pointRows(accts) finally client.close()
@@ -381,10 +384,16 @@ object BankQueries {
     // online ≡ batch: the streaming spelling answers to the same
     // serial-schedule oracle
     "t_streaming_sequential" -> SequentialOracle,
-    // the TCP endpoint serves the same serial fold's FINAL balances
+    // the TCP endpoint serves the serial fold's FINAL balances for the
+    // md5-sampled supplier key set (seed 11, n=100)
     "t_query_server" -> (SequentialOracleRec +
-      """SELECT acct, CAST(max_by(bal, rn) AS BIGINT) AS balance_cents
-        |FROM rec GROUP BY acct ORDER BY acct""".stripMargin),
+      """, allbal AS (
+        |  SELECT acct, CAST(max_by(bal, rn) AS BIGINT) AS balance_cents
+        |  FROM rec GROUP BY acct)
+        |SELECT acct, balance_cents FROM (
+        |  SELECT acct, balance_cents FROM allbal
+        |  ORDER BY md5('11:' || CAST(acct AS VARCHAR)), acct LIMIT 100)
+        |ORDER BY acct""".stripMargin),
     // PL1: dirty read — commit decided on the all-writes-applied
     // chain, i.e. the cumulative sum of EVERY delta up to and
     // including this one; the committed balance then only accumulates

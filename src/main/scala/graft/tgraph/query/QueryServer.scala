@@ -63,7 +63,10 @@ final class QueryServer(
     valueCol: Column = col("value.groupState._1").cast("long"),
     port: Int = 0,
     refreshMillis: Long = 100,
-    maxStateRows: Long = 5_000_000L) extends AutoCloseable {
+    maxStateRows: Long = 5_000_000L,
+    // degraded-mode point-key LRU: repeated hot keys answer from this
+    // bounded map instead of one Spark job per request
+    degradedCacheKeys: Int = 100_000) extends AutoCloseable {
 
   /** `state = Some(map)` — cached mode (answers from driver memory);
     * `state = None` — degraded mode (state outgrew `maxStateRows`;
@@ -153,6 +156,42 @@ final class QueryServer(
 
   private val pool = Executors.newFixedThreadPool(8)
 
+  /** Degraded-mode hot-key LRU, valid for ONE committed batch: maps
+    * key → Some(value) | None (key proven absent at that batch —
+    * negative entries matter, or a missing hot key would re-trigger a
+    * Spark job per request). Swapped wholesale when the served batch
+    * advances, so every cached answer is still batch-consistent.
+    */
+  private final class BatchLru(val batchId: Long) {
+    private val map = new java.util.LinkedHashMap[Long, Option[Long]](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Option[Long]]): Boolean =
+        size() > degradedCacheKeys
+    }
+    // stored values are Option objects (never null), so a null from
+    // the map means "not cached" unambiguously
+    def get(k: Long): Option[Option[Long]] =
+      map.synchronized(Option(map.get(k)))
+    def put(k: Long, v: Option[Long]): Unit =
+      map.synchronized { map.put(k, v); () }
+  }
+  private val degradedLru = new AtomicReference[BatchLru](new BatchLru(-1L))
+  private val degradedHits = new java.util.concurrent.atomic.AtomicLong(0)
+  private val degradedMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  // COUNT in degraded mode is one number per batch — cache it too
+  private val degradedCount = new AtomicReference[(Long, Long)]((-2L, 0L))
+
+  /** Degraded-mode cache effectiveness (spec/probe observability). */
+  def degradedCacheHits: Long = degradedHits.get()
+  def degradedCacheMisses: Long = degradedMisses.get()
+
+  private def lruFor(batchId: Long): BatchLru = degradedLru.synchronized {
+    val cur = degradedLru.get()
+    if (cur.batchId == batchId) cur
+    else { val fresh = new BatchLru(batchId); degradedLru.set(fresh); fresh }
+  }
+
   private def respond(req: String): String = {
     val snap = current.get()
     def rowsJson(pairs: Iterable[(Long, Long)]): String = {
@@ -177,8 +216,20 @@ final class QueryServer(
           case Some(st) =>
             rowsJson(keys.iterator.flatMap(k => st.get(k).map(k -> _)).toSeq)
           case None =>
-            rowsJson(distributed(_.filter(
-              col("k").isInCollection(keys.toSeq.map(Long.box)))))
+            // hot-key LRU first (per committed batch, negatives cached
+            // too); one distributed query for ONLY the missing keys
+            val lru = lruFor(snap.batchId)
+            val (hit, miss) = keys.partition(k => lru.get(k).isDefined)
+            degradedHits.addAndGet(hit.size)
+            degradedMisses.addAndGet(miss.size)
+            val fetched: Map[Long, Long] =
+              if (miss.isEmpty) Map.empty
+              else distributed(_.filter(
+                col("k").isInCollection(miss.toSeq.map(Long.box)))).toMap
+            miss.foreach(k => lru.put(k, fetched.get(k)))
+            val cached = hit.iterator
+              .flatMap(k => lru.get(k).flatten.map(k -> _))
+            rowsJson((cached ++ fetched.iterator).toSeq)
         }
       case "PRED" if parts.length == 2 =>
         val Array(op, lit) = parts(1).trim.split("\\s+", 2)
@@ -210,7 +261,15 @@ final class QueryServer(
           case Some(st) =>
             s"""{"batch":${snap.batchId},"count":${st.size}}"""
           case None =>
-            val n = if (snap.batchId < 0) 0L else pinnedState(snap.batchId).count()
+            val cached = degradedCount.get()
+            val n =
+              if (cached._1 == snap.batchId) cached._2
+              else {
+                val c = if (snap.batchId < 0) 0L
+                        else pinnedState(snap.batchId).count()
+                degradedCount.set((snap.batchId, c))
+                c
+              }
             s"""{"batch":${snap.batchId},"count":$n}"""
         }
       case other =>

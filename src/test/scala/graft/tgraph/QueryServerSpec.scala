@@ -145,6 +145,25 @@ class QueryServerSpec extends SparkSpec {
           assert(batch == b1)
           assert(rows == probeKeys.map(k => k -> expected1(k)).toMap)
 
+          // hot-key LRU: repeating the same point query answers from
+          // the bounded per-batch cache — zero new distributed work
+          val hitsBefore = server.degradedCacheHits
+          val missesBefore = server.degradedCacheMisses
+          val (_, again) = parseRows(client.point(probeKeys))
+          assert(again == rows)
+          assert(server.degradedCacheHits >= hitsBefore + probeKeys.size)
+          assert(server.degradedCacheMisses == missesBefore)
+
+          // negative caching: an absent hot key is remembered as
+          // absent — it must not re-trigger a Spark job per request
+          val absent = expected1.keys.max + 1000L
+          val (_, r1) = parseRows(client.point(Seq(absent)))
+          assert(r1.isEmpty)
+          val missesAfterAbsent = server.degradedCacheMisses
+          val (_, r2) = parseRows(client.point(Seq(absent)))
+          assert(r2.isEmpty)
+          assert(server.degradedCacheMisses == missesAfterAbsent)
+
           // COUNT runs distributed too: full key count, not a cache size
           assert(client.request("COUNT").contains(s""""count":${expected1.size}"""))
 
@@ -163,6 +182,9 @@ class QueryServerSpec extends SparkSpec {
           }
           val expected2 = sinkState()
           val keys2 = expected2.keys.toSeq.sorted.take(10)
+          // same keys as the cached probe above, NEW epoch: the LRU is
+          // swapped on batch advance, so the answers must be the fresh
+          // committed values, never the previous batch's cache
           val (batchAfter, rowsAfter) = parseRows(client.point(keys2))
           assert(batchAfter == b2)
           assert(rowsAfter == keys2.map(k => k -> expected2(k)).toMap)
