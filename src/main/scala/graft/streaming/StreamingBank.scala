@@ -434,10 +434,9 @@ object StreamingBank {
     val ckpt = new java.io.File(base, "ckpt")
     graft.sources.FileIO.stageRangeBatches(
       deltas.toDF(), col("tid"), nBatches, stage, inDir)
-    // cloned session: state shard count sized for micro-batch state
-    // (see StreamingDocs.ingestFromFiles), conf scoped to this query
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // cloned session: state shard count sized for micro-batch state +
+    // spillable (RocksDB) state store, conf scoped to this query
+    val ss = StreamSessions.scoped(spark, statePartitions)
     import ss.implicits._
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString, deltas.schema, maxFilesPerTrigger = 1)

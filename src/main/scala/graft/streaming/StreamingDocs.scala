@@ -85,11 +85,10 @@ object StreamingDocs {
     // The stateful stage's shard count is pinned by shuffle.partitions
     // at first checkpoint; size it to the per-micro-batch state, not
     // the session's batch-join width — loading/committing W stores per
-    // batch is the fixed cost that dominates small batches. A cloned
-    // session scopes the setting to this query (the shared session's
-    // concurrent batch queries keep their own conf).
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // batch is the fixed cost that dominates small batches. The cloned
+    // session scopes that + the RocksDB state store to this query (the
+    // shared session's concurrent batch queries keep their own conf).
+    val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString, docs.schema, maxFilesPerTrigger = 1)
     val q = graft.sources.FileIO.streamingParquetSink(

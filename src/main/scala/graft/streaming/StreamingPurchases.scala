@@ -84,8 +84,7 @@ object StreamingPurchases {
       purchases, col("tid"), nBatches, new java.io.File(base, "stage"), inDir)
     // cloned session: state shard count sized for micro-batch state
     // (see StreamingDocs.ingestFromFiles), conf scoped to this query
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString, purchases.schema, maxFilesPerTrigger = 1)
     def run(name: String, out: Dataset[StateChange[Long, Long]]) = {

@@ -61,8 +61,7 @@ object StreamingStats {
     graft.sources.FileIO.stageRangeBatches(
       docs.select(col(idCol), col(textCol)), col(idCol), nBatches,
       new java.io.File(base, "stage"), inDir)
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString, docs.select(col(idCol), col(textCol)).schema,
       maxFilesPerTrigger = 1)

@@ -103,8 +103,7 @@ object StreamingTimeSeries {
     graft.sources.FileIO.stageRangeBatches(
       events.select(col("k"), col("ts"), col("tb"), col("v")),
       col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString,
       events.select(col("k"), col("ts"), col("tb"), col("v")).schema,

@@ -36,6 +36,8 @@ object QueryRateProbe {
       .master(s"local[$cpus]")
       .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StreamSessions.providerClassFromEnv)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

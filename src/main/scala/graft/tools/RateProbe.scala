@@ -24,6 +24,8 @@ object RateProbe {
       .master(s"local[$cpus]")
       .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StreamSessions.providerClassFromEnv)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -25,6 +25,8 @@ object SoakProbe {
       .config("spark.local.dir", graft.LocalDir.scratch)
       // tiny batches want few state shards (see Bench's probe notes)
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StreamSessions.providerClassFromEnv)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

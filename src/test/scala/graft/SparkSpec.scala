@@ -20,6 +20,11 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // specs exercise streaming state on the library's production
+      // default (RocksDB — see StreamSessions); SPARK_GRAFT_STATESTORE
+      // =hdfs opts the whole suite back onto the heap provider
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StreamSessions.providerClassFromEnv)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
