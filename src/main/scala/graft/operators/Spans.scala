@@ -6,9 +6,15 @@ import org.apache.spark.sql.functions._
 /** Token-span operators for training-data preparation: duplicated-span
   * removal (the scalable approximation of exact-substring dedup) and
   * long-document chunking for context-window packing. Both are pure
-  * declarative plans over the whitespace tokenization shared with
-  * [[TextAnalysis.tokens]], and both hash only through the portable
-  * md5 family, so a DuckDB oracle reproduces every row bit-exactly.
+  * declarative plans over a CALLER-SUPPLIED token-array column — the
+  * real training-prep contract, where token boundaries come from the
+  * model's tokenizer (BPE pieces precomputed upstream), not from the
+  * engine. The `text`-taking overloads default to the whitespace
+  * tokenization shared with [[TextAnalysis.tokens]]. Everything hashes
+  * through the portable md5 family, so a DuckDB oracle reproduces
+  * every row bit-exactly under ANY tokenization it can replay.
+  * (The sibling [[Corpus.packChunks]] is tokenizer-pluggable the same
+  * way — it takes a precomputed token-COUNT column.)
   */
 object Spans {
 
@@ -39,10 +45,20 @@ object Spans {
     */
   def spanDedup(
       docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, minCount: Int = 2): DataFrame =
+    spanDedupTokens(docs, id, TextAnalysis.tokens(text), k, minCount)
+
+  /** [[spanDedup]] over a precomputed token-array column (`toks`,
+    * array<string>) — plug in any tokenizer (BPE pieces, SentencePiece,
+    * a language-specific splitter) computed upstream; `clean_text`
+    * reassembles with single spaces between surviving tokens.
+    */
+  def spanDedupTokens(
+      docs: DataFrame, id: Column, toks: Column,
       k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 2, s"span length k=$k must be >= 2")
     require(minCount >= 2, s"minCount=$minCount must be >= 2")
-    val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+    val base = docs.select(id.as("doc_id"), toks.as("toks"))
     // one row per k-token window occurrence; s is the 0-based start.
     // Hashes come from the native positional kernel — one codegen'd
     // pass per doc (StringBuilder + md5) instead of an interpreted
@@ -108,12 +124,22 @@ object Spans {
     */
   def chunkDocs(
       docs: DataFrame, id: Column, text: Column,
+      maxTokens: Int, overlap: Int): DataFrame =
+    chunkDocsTokens(docs, id, TextAnalysis.tokens(text), maxTokens, overlap)
+
+  /** [[chunkDocs]] over a precomputed token-array column — the
+    * tokenizer-pluggable form (chunk boundaries land on the MODEL's
+    * token boundaries, which is the point of chunking to a context
+    * window); `chunk_text` joins the chunk's tokens with single spaces.
+    */
+  def chunkDocsTokens(
+      docs: DataFrame, id: Column, toks: Column,
       maxTokens: Int, overlap: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens=$maxTokens must be >= 1")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap=$overlap must be in [0, maxTokens)")
     val stride = maxTokens - overlap
-    val base = docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+    val base = docs.select(id.as("doc_id"), toks.as("toks"))
       .withColumn("n", size(col("toks")).cast("bigint"))
       // n <= maxTokens -> 1 chunk; else 1 + ceil((n - maxTokens)/stride).
       // `div` (integer floor-div) — Column./ is double division, which

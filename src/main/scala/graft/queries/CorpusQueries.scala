@@ -130,6 +130,16 @@ object CorpusQueries {
       Spans.chunkDocs(docs(s, dir), col("doc_id"), col("text"),
         maxTokens = 40, overlap = 8)
         .orderBy("doc_id", "chunk_idx")),
+    // the tokenizer-pluggable contract under the gate: the SAME chunk
+    // operator over a planted NON-whitespace tokenization (lowercased
+    // alphanumeric runs — an RE2-safe stand-in for precomputed BPE
+    // pieces); chunk boundaries land on the plugged tokenizer's
+    // boundaries, proving nothing in the operator assumes whitespace
+    "chunk_docs_bpe" -> ((s, dir) =>
+      Spans.chunkDocsTokens(docs(s, dir), col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0),
+        maxTokens = 48, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
     // corpus-wide heavy-hitter 3-grams (boilerplate discovery):
     // global top-50 via per-partition heaps, deterministic tiebreak
     "heavy_ngrams" -> ((s, dir) =>
@@ -437,6 +447,21 @@ object CorpusQueries {
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |  array_to_string(toks[chunk_idx*32 + 1 : chunk_idx*32 + 40], ' ') AS chunk_text,
         |  CAST(least(40, n - chunk_idx*32) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same chunker over the planted BPE-ish tokenization:
+    // maxTokens=48, overlap=16 -> stride 32
+    "chunk_docs_bpe" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0) AS toks FROM documents),
+        |n0 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |  CASE WHEN n <= 48 THEN 1 ELSE 1 + (n - 48 + 31) // 32 END AS n_chunks FROM n0),
+        |e AS (SELECT doc_id, toks, n,
+        |        UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[chunk_idx*32 + 1 : chunk_idx*32 + 48], ' ') AS chunk_text,
+        |  CAST(least(48, n - chunk_idx*32) AS BIGINT) AS n_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // global top-50 3-grams; ties broken by ngram text descending so
     // the cut at rank 50 is total-order deterministic

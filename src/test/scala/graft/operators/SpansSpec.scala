@@ -123,4 +123,36 @@ class SpansSpec extends SparkSpec {
     assert(chunks.init.forall(_._4 == m.toLong))
     assert(chunks.last._4 == (n - (chunks.length - 1) * stride).toLong)
   }
+
+  test("token-array overloads: whitespace arrays reproduce the text forms; plugged tokenizers change boundaries") {
+    val docs = Seq(
+      (1L, "Alpha-beta, gamma! alpha-beta gamma delta."),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // whitespace array == text overload, bit-identical
+    val viaText = Spans.chunkDocs(docs, col("doc_id"), col("text"), 4, 1)
+      .as[(Long, Long, String, Long)].collect().toSet
+    val viaToks = Spans.chunkDocsTokens(docs, col("doc_id"),
+      TextAnalysis.tokens(col("text")), 4, 1)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(viaText == viaToks)
+    val sdText = Spans.spanDedup(docs, col("doc_id"), col("text"), k = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val sdToks = Spans.spanDedupTokens(docs, col("doc_id"),
+      TextAnalysis.tokens(col("text")), k = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(sdText == sdToks)
+    // a plugged punctuation-splitting tokenizer sees different token
+    // boundaries: "Alpha-beta," becomes two alphanumeric tokens, so
+    // the 2-token span "alpha beta" repeats and gets span-deduped,
+    // which the whitespace view ("Alpha-beta," vs "alpha-beta") cannot
+    val bpeIsh = filter(
+      split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    val sdBpe = Spans.spanDedupTokens(docs, col("doc_id"), bpeIsh, k = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sdBpe(1L)._4 > 0L, "plugged tokenizer must cut the repeated span")
+    val wsDoc1 = sdToks.find(_._1 == 1L).get
+    assert(wsDoc1._4 == 0L, "whitespace view has no exact 2-token repeat")
+  }
 }
