@@ -270,6 +270,33 @@ object BankQueries {
         .select(col("key").as("acct"), col("value").as("balance_cents"), col("n_updates"))
         .orderBy("acct")
     }),
+    // The SALTED spelling of the single-partition-update fold: same
+    // never-aborting cents accumulation, but each account's updates
+    // fold in 8 parallel (key, salt) subgroups merged by one bounded
+    // per-key combine — the hot-key scale path
+    // (StateOperator.runBatchSaltedFinal). Must reproduce
+    // t_spu_updates' final balances exactly (commutative contract),
+    // and shares its oracle verbatim.
+    "t_spu_salted" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val delta = when(col("event_type").isin("purchase", "error"),
+        -graft.tgraph.backed.Transfers.cents(col("value")))
+        .otherwise(graft.tgraph.backed.Transfers.cents(col("value")))
+      val moves = events.select(
+        col("user_id").cast("bigint").as("acct"),
+        col("event_id").as("tid"),
+        delta.as("delta")).as[graft.streaming.StreamingBank.StreamMovement]
+      // hotThreshold 32 << the ~67 updates/acct at gate scale, so the
+      // oracle run really exercises salted subgroups + the merge
+      graft.tgraph.state.StateOperator.runBatchSaltedFinal(
+        moves, (m: graft.streaming.StreamingBank.StreamMovement) => m.acct,
+        (m: graft.streaming.StreamingBank.StreamMovement) => m.tid,
+        new graft.streaming.StreamingBank.CentsBalance,
+        (a: Long, b: Long) => a + b, salts = 8, hotThreshold = 32L)
+        .toDF("acct", "balance_cents", "n_updates")
+        .orderBy("acct")
+    }),
     // The reference's BankUseCaseNoT: the same open → fork → keyed fold
     // topology with NO votes, NO 2PC join, NO state versioning — the
     // baseline the transaction overhead is measured against (its bench
@@ -431,6 +458,14 @@ object BankQueries {
         |  count(*) AS n_events
         |FROM m GROUP BY acct ORDER BY acct""".stripMargin,
     "t_spu_updates" ->
+      """SELECT CAST(user_id AS BIGINT) AS acct,
+        |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
+        |       THEN -CAST(round(value*100) AS BIGINT)
+        |       ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS balance_cents,
+        |  count(*) AS n_updates
+        |FROM events GROUP BY user_id ORDER BY acct""".stripMargin,
+    // salted two-phase fold == the same commutative sum, verbatim
+    "t_spu_salted" ->
       """SELECT CAST(user_id AS BIGINT) AS acct,
         |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
         |       THEN -CAST(round(value*100) AS BIGINT)

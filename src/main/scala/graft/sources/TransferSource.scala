@@ -53,4 +53,24 @@ object TransferSource {
         // 2024-01-01T00:00Z + one transfer per second
         timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts")),
       keySpace, maxAmount)
+
+  /** [[batch]] with a PLANTED hot key — the reference's frozen-account
+    * workload shape: `hotPerMille`‰ of transfers deposit into
+    * `hotAcct` regardless of the hash draw, so one account absorbs a
+    * constant fraction of the stream at any scale. This is the skew
+    * fixture for the salted-fold path
+    * ([[graft.tgraph.state.StateOperator.runBatchSaltedFinal]]): the
+    * plain per-key fold caps at one core's rate on `hotAcct`.
+    * Deterministic like everything else here (hash of tid, no RNG).
+    */
+  def batchSkewed(
+      spark: SparkSession, n: Long,
+      keySpace: Int = 100, maxAmount: Double = 200.0,
+      hotAcct: Long = 13L, hotPerMille: Int = 50): DataFrame = {
+    val base = batch(spark, n, keySpace, maxAmount)
+    val isHot = pmod(hash(col("tid"), lit(7)), lit(1000)) < hotPerMille
+    base.withColumn("to_acct",
+      when(isHot && col("from_acct") =!= hotAcct, lit(hotAcct))
+        .otherwise(col("to_acct")))
+  }
 }

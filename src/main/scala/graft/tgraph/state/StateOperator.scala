@@ -196,6 +196,83 @@ object StateOperator {
         sf.defaultValue)._1.iterator
     }
 
+  /** Two-phase SALTED final-state fold — the class doc's "salt
+    * upstream" note made real, for the one case where salting is
+    * sound: a COMMUTATIVE state function whose votes never read the
+    * running value (never-aborting accumulation — the reference's
+    * single-partition-update fast path). The plain [[runBatch]] fold
+    * sends EVERY update of a key through one task (`groupByKey` has no
+    * partial aggregation), so one hot account absorbing a constant
+    * fraction of the workload caps throughput at one core's fold rate
+    * no matter the cluster size.
+    *
+    * Salting is ADAPTIVE: one cheap counting aggregate (map-side
+    * combinable) finds the keys with more than `hotThreshold` updates
+    * — a set bounded by n/hotThreshold, broadcast to executors —
+    * and ONLY those keys split into `salts` (key, salt) subgroups
+    * (salt = tid mod salts); the long tail keeps one subgroup each.
+    * Salting everything instead would multiply the TAIL's group count
+    * by `salts`, and per-group constant costs on billions of
+    * near-empty subgroups dwarf the skew being fixed (measured 2×
+    * slower than the plain fold at 100k keys — the naive spelling is
+    * a trap, which is why the threshold is part of the operator).
+    * Phase 2 merges each key's ≤`salts` partials with the caller's
+    * `combine` monoid — a bounded, model-sized group, never the
+    * update stream.
+    *
+    * Soundness contract (caller-owned, spec-checked for the bank
+    * workload): `sf`'s transitions commute and always commit, and
+    * `sf.defaultValue` is `combine`'s identity — then the serial
+    * fold's final value is permutation-invariant and the salted merge
+    * reproduces it exactly. A state-DEPENDENT invariant (the bank's
+    * non-negative rule) is inherently serial per key and must keep the
+    * plain fold; that asymmetry is the operator's documented contract,
+    * not a limitation to paper over.
+    *
+    * Returns (key, final value, n committed updates).
+    */
+  def runBatchSaltedFinal[T, K, V](
+      ds: Dataset[T],
+      key: T => K,
+      tid: T => Long,
+      sf: StateFunction[T, V],
+      combine: (V, V) => V,
+      salts: Int,
+      hotThreshold: Long = 100000L,
+      maxReplays: Int = 2)(implicit
+      kEnc: Encoder[K],
+      ksEnc: Encoder[(K, Int)],
+      partEnc: Encoder[(K, V, Long)]): Dataset[(K, V, Long)] = {
+    require(salts >= 1, s"salts=$salts must be >= 1")
+    require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be >= 1")
+    // hot-key detection: |hot| <= n/hotThreshold — model-sized for any
+    // sane threshold (at 10^12 updates and threshold 10^6: <= 10^6
+    // keys), and ONLY hot keys cross the driver, never update rows
+    val hot: Set[K] = ds.groupByKey(key).count()
+      .filter(_._2 > hotThreshold)
+      .map(_._1)
+      .collect().toSet
+    val hotBc = ds.sparkSession.sparkContext.broadcast(hot)
+    ds.groupByKey { t =>
+      val k = key(t)
+      val salt =
+        if (hotBc.value.contains(k)) math.floorMod(tid(t), salts.toLong).toInt
+        else 0
+      (k, salt)
+    }
+      .mapGroups { (ks: (K, Int), it: Iterator[T]) =>
+        val (changes, value, _, _) = foldGroup(
+          ks._1, it.toIndexedSeq.sortBy(tid), tid, sf, IsolationLevel.PL3,
+          maxReplays, (sf.defaultValue, sf.defaultValue, 0), sf.defaultValue)
+        (ks._1, value, changes.count(_.committed).toLong)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (k: K, it: Iterator[(K, V, Long)]) =>
+        val parts = it.toIndexedSeq
+        (k, parts.map(_._2).reduce(combine), parts.map(_._3).sum)
+      }
+  }
+
   /** Structured Streaming: same fold, incremental per micro-batch via
     * flatMapGroupsWithState (the reference's online StateOperator).
     * State = (current value, version); emits one StateChange per input.

@@ -43,6 +43,39 @@ class StateOperatorSpec extends SparkSpec {
     assert(b.map(c => (c.committed, c.value)).toSeq == Seq((false, 100.0)))
   }
 
+  test("salted fold == plain fold final state on the planted hot-key bank workload") {
+    import graft.streaming.StreamingBank.{CentsBalance, StreamMovement}
+    // the frozen-account workload shape (5% of deposits into ONE
+    // account), planted on a COMMITTING account — deposits into the
+    // frozen account itself abort at the vote and never reach the
+    // fold, so acct 13 exercises the abort path, not the skew path
+    val hot = 17L
+    val transfers = graft.sources.TransferSource
+      .batchSkewed(spark, 20000, keySpace = 200, hotAcct = hot, hotPerMille = 50)
+    val moves = graft.streaming.StreamingBank
+      .committedMovements(spark, transfers)
+    val hotShare = moves.filter(_.acct == hot).count().toDouble / moves.count()
+    assert(hotShare > 0.02, s"planted skew missing: hot share $hotShare")
+
+    val plain = StateOperator
+      .runBatch[StreamMovement, Long, Long](
+        moves, _.acct, _.tid, new CentsBalance)
+      .groupByKey(_.key)
+      .mapGroups((k, it) => {
+        val v = it.toSeq.maxBy(_.version); (k, v.value, v.version.toLong)
+      })
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val salted = StateOperator
+      .runBatchSaltedFinal[StreamMovement, Long, Long](
+        moves, _.acct, _.tid, new CentsBalance, _ + _, salts = 8,
+        hotThreshold = 100L) // hot acct (~1k movements) must really salt
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(salted == plain)
+    // and the hot key really split: >1 salt subgroup contributed
+    val hotMoves = moves.filter(_.acct == hot).count()
+    assert(hotMoves > 8, "fixture too small to exercise the salt split")
+  }
+
   test("PL1 dirty read / PL2 stale snapshot / PL3 serial: pairwise-distinct histories") {
     // One key, four movements from start=100, chosen so every pair of
     // levels decides at least one transaction differently:
