@@ -297,6 +297,21 @@ object BankQueries {
         .toDF("acct", "balance_cents", "n_updates")
         .orderBy("acct")
     }),
+    // The optimistic-vs-pessimistic RUNTIME axis (reference
+    // OptimisticTransactionExecutor's REPLAY-on-out-of-order-write vs
+    // PessimisticTransactionExecutor's key lock queue): per-account
+    // replay and wait counts under a deterministic md5 arrival order —
+    // the strategies' contention curves themselves, oracle-checked.
+    "t_strategy_runtime" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id").cast("bigint").as("acct"), col("event_id").as("tid"))
+        .as[(Long, Long)]
+      graft.tgraph.state.StateOperator
+        .strategyRuntime[(Long, Long), Long](events, _._1, _._2)
+        .toDF("acct", "n_tx", "opt_replays", "pess_waits")
+        .orderBy("acct")
+    }),
     // The reference's BankUseCaseNoT: the same open → fork → keyed fold
     // topology with NO votes, NO 2PC join, NO state versioning — the
     // baseline the transaction overhead is measured against (its bench
@@ -464,6 +479,24 @@ object BankQueries {
         |       ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS balance_cents,
         |  count(*) AS n_updates
         |FROM events GROUP BY user_id ORDER BY acct""".stripMargin,
+    // optimistic replays = out-of-tid-order arrivals (running-max
+    // window over the md5 arrival order); pessimistic waits = queue
+    // depth behind the key lock
+    "t_strategy_runtime" ->
+      """WITH m AS (
+        |  SELECT CAST(user_id AS BIGINT) AS acct, event_id AS tid,
+        |    md5('7:' || CAST(event_id AS VARCHAR)) AS arr
+        |  FROM events),
+        |w AS (
+        |  SELECT acct, tid,
+        |    max(tid) OVER (PARTITION BY acct ORDER BY arr, tid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM m)
+        |SELECT acct, count(*) AS n_tx,
+        |  CAST(sum(CASE WHEN prevmax IS NOT NULL AND tid < prevmax
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS opt_replays,
+        |  CAST(count(*) - 1 AS BIGINT) AS pess_waits
+        |FROM w GROUP BY acct ORDER BY acct""".stripMargin,
     // salted two-phase fold == the same commutative sum, verbatim
     "t_spu_salted" ->
       """SELECT CAST(user_id AS BIGINT) AS acct,

@@ -273,6 +273,56 @@ object StateOperator {
       }
   }
 
+  /** The RUNTIME behavioral distinction between the two concurrency
+    * strategies — the axis the reference's evaluation measures beyond
+    * committed history (which both strategies produce identically, see
+    * the class docs):
+    *
+    *  - **Optimistic** (`db/OptimisticTransactionExecutor.java`,
+    *    timestamp ordering): a transaction executes the moment it
+    *    arrives; if its timestamp is OLDER than the newest version
+    *    already installed on its key (`canWrite` fails — an
+    *    out-of-timestamp-order write), it votes REPLAY and retries.
+    *    Replay count is therefore contention-dependent: per key it is
+    *    the number of arrivals that land after some younger-timestamp
+    *    arrival already applied (expected n − H(n) under random
+    *    arrival — a hot key replays almost everything, a cold key
+    *    almost nothing).
+    *  - **Pessimistic** (`db/PessimisticTransactionExecutor.java`,
+    *    `KeyLevelTaskExecutor` lock queue): transactions on a key run
+    *    serially in arrival order — zero replays, but every
+    *    transaction after the first WAITS on the key's queue.
+    *
+    * Arrival order is modeled deterministically as the portable
+    * md5("seed:tid") order — a reproducible stand-in for network
+    * arrival that any SQL engine replays, which puts the strategies'
+    * runtime curves themselves under the oracle gate. Returns one row
+    * per key: (key, n_tx, opt_replays, pess_waits).
+    */
+  def strategyRuntime[T, K](
+      ds: Dataset[T],
+      key: T => K,
+      tid: T => Long,
+      arrivalSeed: Int = 7)(implicit
+      kEnc: Encoder[K],
+      outEnc: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] =
+    ds.groupByKey(key).mapGroups { (k: K, it: Iterator[T]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def arrivalKey(t: Long): String = {
+        md.reset()
+        md.digest(s"$arrivalSeed:$t".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      val tids = it.map(tid).toIndexedSeq
+      val arrival = tids.sortBy(t => (arrivalKey(t), t))
+      var maxTid = Long.MinValue
+      var replays = 0L
+      arrival.foreach { t =>
+        if (t < maxTid) replays += 1 else maxTid = t
+      }
+      (k, tids.size.toLong, replays, math.max(0L, tids.size - 1L))
+    }
+
   /** Structured Streaming: same fold, incremental per micro-batch via
     * flatMapGroupsWithState (the reference's online StateOperator).
     * State = (current value, version); emits one StateChange per input.

@@ -76,6 +76,39 @@ class StateOperatorSpec extends SparkSpec {
     assert(hotMoves > 8, "fixture too small to exercise the salt split")
   }
 
+  test("strategy runtime: optimistic replays grow with contention; pessimistic never replays; same committed history") {
+    import graft.streaming.StreamingBank.{CentsBalance, StreamMovement}
+    // skewed workload: the hot account sees heavy contention, the tail
+    // almost none
+    val transfers = graft.sources.TransferSource
+      .batchSkewed(spark, 20000, keySpace = 20000, hotAcct = 17L, hotPerMille = 100)
+    val moves = graft.streaming.StreamingBank.committedMovements(spark, transfers)
+
+    val stats = StateOperator
+      .strategyRuntime[StreamMovement, Long](moves, _.acct, _.tid)
+      .collect().map(r => r._1 -> r).toMap
+    val (_, hotN, hotReplays, hotWaits) = stats(17L)
+    // optimistic: the hot key replays nearly everything (expected
+    // n - H(n) out-of-order arrivals); a cold key replays little
+    assert(hotReplays.toDouble / hotN > 0.9, s"hot replays $hotReplays/$hotN")
+    val cold = stats.values.filter(_._2 <= 5)
+    assert(cold.nonEmpty)
+    val coldRatio = cold.map(_._3).sum.toDouble / cold.map(_._2).sum
+    assert(coldRatio < hotReplays.toDouble / hotN,
+      s"replay rate must grow with contention: cold $coldRatio")
+    // pessimistic: zero replays by construction, n-1 lock waits
+    assert(hotWaits == hotN - 1)
+
+    // and the strategies' COMMITTED HISTORY is identical — the
+    // deterministic engine's core claim (class docs)
+    def history(s: graft.tgraph.Strategy) = StateOperator
+      .runBatch[StreamMovement, Long, Long](
+        moves, _.acct, _.tid, new CentsBalance, strategy = s)
+      .collect().map(c => (c.key, c.tid, c.version, c.value, c.committed)).toSet
+    assert(history(graft.tgraph.Strategy.Optimistic) ==
+      history(graft.tgraph.Strategy.Pessimistic))
+  }
+
   test("PL1 dirty read / PL2 stale snapshot / PL3 serial: pairwise-distinct histories") {
     // One key, four movements from start=100, chosen so every pair of
     // levels decides at least one transaction differently:

@@ -14,14 +14,23 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(f)[: -len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # Spark-staged tables (e.g. testdata-sf1) are directories of parts
+    src = os.path.join(f, "*.parquet") if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+# optional 3rd arg: comma-separated query names (targeted / sharded runs)
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 ok, bad = [], []
+import time
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
+    if only is not None and name not in only:
+        continue
+    t0 = time.time()
+    print(f"[check] {name} ...", flush=True)
     spark_df = pq.read_table(d).to_pandas()
     if name not in oracles:
         status = f"rows-only ({len(spark_df)} rows)"
