@@ -62,8 +62,19 @@ object StreamSessions {
       stateStore: Option[String] = None): SparkSession = {
     val ss = parent.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      providerClass(parent, stateStore))
+    val provider = providerClass(parent, stateStore)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    if (provider == RocksDbProvider) {
+      // changelog checkpointing: per-batch durability = the batch's
+      // delta, with SST snapshots uploaded in the background — the
+      // per-micro-batch commit cost stops scaling with total state
+      // size (the 100 TB-right default; also measured ~2x on the
+      // small-batch gate queries, where full-snapshot uploads per
+      // batch dominated)
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     ss
   }
 }

@@ -308,10 +308,19 @@ object StateOperator {
       outEnc: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] =
     ds.groupByKey(key).mapGroups { (k: K, it: Iterator[T]) =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val hexChars = "0123456789abcdef".toCharArray
       def arrivalKey(t: Long): String = {
         md.reset()
-        md.digest(s"$arrivalSeed:$t".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        val digest = md.digest(s"$arrivalSeed:$t".getBytes("UTF-8"))
+        val out = new Array[Char](digest.length * 2)
+        var i = 0
+        while (i < digest.length) {
+          val b = digest(i) & 0xff
+          out(i * 2) = hexChars(b >> 4)
+          out(i * 2 + 1) = hexChars(b & 0xf)
+          i += 1
+        }
+        new String(out)
       }
       val tids = it.map(tid).toIndexedSeq
       val arrival = tids.sortBy(t => (arrivalKey(t), t))
