@@ -184,7 +184,26 @@ object Corpus {
     */
   def packChunks(
       df: DataFrame, id: Column, group: Column, tokens: Column,
-      budgetTokens: Long, blockSize: Long = 1L << 20): DataFrame = {
+      budgetTokens: Long, blockSize: Long = 1L << 20): DataFrame =
+    startOffsets(df, id, group, tokens, blockSize)
+      // integer floor-div (offsets are non-negative): exact at any
+      // magnitude, matching the oracle's `//`; floor(x / w) would
+      // round through a double and drift past 2^53 cumulative tokens
+      .withColumn("chunk_id", expr(s"start_offset div $budgetTokens"))
+      .withColumn("chunk_pos",
+        row_number().over(
+          Window.partitionBy(col("grp"), col("chunk_id")).orderBy(col("doc_id")))
+          .cast("long"))
+
+  /** The distributed two-level prefix sum shared by [[packChunks]] and
+    * [[packSequences]]: per-group cumulative token offset of every
+    * document in id order, with no single-task window over a group
+    * (see [[packChunks]] docs for why). Output: (doc_id, grp,
+    * n_tokens, start_offset).
+    */
+  private def startOffsets(
+      df: DataFrame, id: Column, group: Column, tokens: Column,
+      blockSize: Long): DataFrame = {
     val base = df.select(id.as("doc_id"), group.as("grp"), tokens.as("n_tokens"))
       .withColumn("__blk", expr(s"doc_id div $blockSize"))
     val wBlk = Window.partitionBy(col("grp"), col("__blk")).orderBy(col("doc_id"))
@@ -202,14 +221,50 @@ object Corpus {
     local.join(blockOffsets, Seq("grp", "__blk"))
       .withColumn("start_offset", col("__blk_off") + col("__local"))
       .select(col("doc_id"), col("grp"), col("n_tokens"), col("start_offset"))
-      // integer floor-div (offsets are non-negative): exact at any
-      // magnitude, matching the oracle's `//`; floor(x / w) would
-      // round through a double and drift past 2^53 cumulative tokens
-      .withColumn("chunk_id", expr(s"start_offset div $budgetTokens"))
-      .withColumn("chunk_pos",
-        row_number().over(
-          Window.partitionBy(col("grp"), col("chunk_id")).orderBy(col("doc_id")))
-          .cast("long"))
+  }
+
+  /** Fixed-length training-SEQUENCE packing — the actual LLM
+    * pretraining layout (concatenate the group's token stream in
+    * deterministic doc order, cut it into `seqLen`-token sequences,
+    * documents SPLIT across sequence boundaries and continue in the
+    * next sequence — nothing is padded or dropped mid-stream).
+    * [[packChunks]] answers "which budget bin does each doc START in";
+    * this emits the position-level layout a training loader consumes:
+    * one row per (document × sequence) intersection,
+    *
+    *   (doc_id, grp, seq_id, begin_in_seq, end_in_seq [exclusive],
+    *    doc_begin, n_piece, starts_doc)
+    *
+    * where `doc_begin` is the token index into the document where the
+    * piece starts and `starts_doc` marks pieces that OPEN a document —
+    * exactly the per-sequence attention-reset boundary offsets
+    * (cross-document attention masking) a packed-pretraining reader
+    * needs. Scale shape: the cumulative offsets are the shared
+    * two-level prefix sum; the (doc × sequence) expansion is a narrow
+    * `sequence`+`explode` (a doc spans ceil(n/seqLen)+1 sequences at
+    * most); no further shuffle. Zero-token documents emit nothing.
+    */
+  def packSequences(
+      df: DataFrame, id: Column, group: Column, tokens: Column,
+      seqLen: Long, blockSize: Long = 1L << 20): DataFrame = {
+    require(seqLen >= 1, s"seqLen=$seqLen must be >= 1")
+    startOffsets(df, id, group, tokens, blockSize)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_offset div $seqLen"),
+        expr(s"(start_offset + n_tokens - 1) div $seqLen"))))
+      .withColumn("__seq_start", col("seq_id") * seqLen)
+      .withColumn("begin_in_seq",
+        greatest(col("start_offset"), col("__seq_start")) - col("__seq_start"))
+      .withColumn("end_in_seq",
+        least(col("start_offset") + col("n_tokens"),
+          col("__seq_start") + seqLen) - col("__seq_start"))
+      .withColumn("doc_begin",
+        greatest(lit(0L), col("__seq_start") - col("start_offset")))
+      .withColumn("n_piece", col("end_in_seq") - col("begin_in_seq"))
+      .withColumn("starts_doc", (col("doc_begin") === 0L).cast("boolean"))
+      .select(col("doc_id"), col("grp"), col("seq_id"), col("begin_in_seq"),
+        col("end_in_seq"), col("doc_begin"), col("n_piece"), col("starts_doc"))
   }
 
   /** Deterministic training-shard assignment + within-shard order —

@@ -118,6 +118,16 @@ object CorpusQueries {
         .select(col("doc_id"), col("grp"), col("n_tokens"),
           col("start_offset"), col("chunk_id"), col("chunk_pos"))
         .orderBy("doc_id")),
+    // position-level training-sequence packing: concatenate each
+    // language's token stream in doc order, cut 512-token sequences,
+    // docs split across boundaries — one row per (doc x sequence)
+    // piece with the attention-reset (starts_doc) offsets
+    "pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(
+        docs(s, dir), col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint"),
+        seqLen = 512L)
+        .orderBy("doc_id", "seq_id")),
     // duplicated-span removal (exact-substring dedup approximation):
     // 8-token windows occurring >= 2x corpus-wide survive only at
     // their first occurrence; later repeats are cut mid-document
@@ -565,6 +575,31 @@ object CorpusQueries {
         |SELECT doc_id, n_tokens, score_sum,
         |  CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // doc x sequence intersections over the same per-lang prefix sum
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS grp,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t WHERE n_tokens IS NOT NULL),
+        |e AS (
+        |  SELECT doc_id, grp, n_tokens, start_offset,
+        |    UNNEST(generate_series(start_offset // 512,
+        |      (start_offset + n_tokens - 1) // 512)) AS seq_id
+        |  FROM o WHERE n_tokens > 0)
+        |SELECT doc_id, grp, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(start_offset, seq_id * 512) - seq_id * 512 AS BIGINT) AS begin_in_seq,
+        |  CAST(least(start_offset + n_tokens, seq_id * 512 + 512) - seq_id * 512 AS BIGINT) AS end_in_seq,
+        |  CAST(greatest(0, seq_id * 512 - start_offset) AS BIGINT) AS doc_begin,
+        |  CAST(least(start_offset + n_tokens, seq_id * 512 + 512)
+        |    - greatest(start_offset, seq_id * 512) AS BIGINT) AS n_piece,
+        |  (greatest(0, seq_id * 512 - start_offset) = 0) AS starts_doc
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS grp,

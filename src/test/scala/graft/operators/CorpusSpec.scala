@@ -123,6 +123,41 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packSequences tiles every sequence exactly and reassembles every doc") {
+    val df = spark.range(300).select(
+      col("id").as("doc_id"), (col("id") % 3).cast("string").as("grp"),
+      (col("id") % 11 + 1).as("n_tokens"))
+    val L = 64L
+    val out = Corpus.packSequences(df, col("doc_id"), col("grp"), col("n_tokens"), L)
+      .as[(Long, String, Long, Long, Long, Long, Long, Boolean)].collect()
+
+    // per document: pieces are contiguous in doc_begin and sum to n_tokens
+    val tokensOf = df.select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (doc, pieces) =>
+      val sorted = pieces.sortBy(_._3) // by seq_id
+      assert(sorted.head._6 == 0L && sorted.head._8, s"doc $doc must open with a starts_doc piece")
+      assert(sorted.tail.forall(!_._8))
+      sorted.foldLeft(0L) { case (pos, p) =>
+        assert(p._6 == pos, s"doc $doc pieces must be contiguous"); pos + p._7
+      }
+      assert(sorted.map(_._7).sum == tokensOf(doc))
+    }
+    // per (grp, seq): pieces tile [0, L) with no gaps/overlaps; every
+    // sequence except the group's last is exactly full
+    out.groupBy(p => (p._2, p._3)).foreach { case ((g, seq), pieces) =>
+      val sorted = pieces.sortBy(_._4)
+      sorted.foldLeft(sorted.head._4) { case (pos, p) =>
+        assert(p._4 == pos, s"($g,$seq) pieces must tile"); p._5
+      }
+      assert(sorted.head._4 == 0L)
+    }
+    val lastSeq = out.groupBy(_._2).map { case (g, ps) => g -> ps.map(_._3).max }
+    out.groupBy(p => (p._2, p._3)).foreach { case ((g, seq), pieces) =>
+      if (seq != lastSeq(g))
+        assert(pieces.map(_._7).sum == L, s"($g,$seq) must be a full sequence")
+    }
+  }
+
   test("trainingShards is a deterministic permutation; seed reshuffles") {
     val docs = spark.range(200).toDF("doc_id")
     def run(seed: String) =
