@@ -162,4 +162,78 @@ object CorpusStats {
         when(col("n_bigrams") === 0, lit(0L))
           .otherwise(expr("(1000 * n_rare) div n_bigrams")).as("rare_permille"))
   }
+
+  /** K-minimum-values distinct-count estimator — cardinality profiling
+    * that never materializes the distinct set anywhere: the classic
+    * KMV sketch on the portable 56-bit hash space. Distinct hashes
+    * (one map-side-combined shuffle), then the k smallest via
+    * orderBy+limit — planned as TakeOrderedAndProject (per-partition
+    * bounded heaps merged on the driver: O(partitions·k), never a
+    * global sort). Estimate = (k−1)·2^56 / h_k, exact integer
+    * division, so any engine reproduces the ESTIMATE bit-exactly (the
+    * property approx_count_distinct's HLL cannot give an oracle).
+    * Fewer than k distinct values ⇒ the count is already exact.
+    * Standard error ≈ 1/√(k−2) (~13% at k = 64).
+    *
+    * Returns ONE row: (k_seen, kth_hash, est_distinct).
+    */
+  def distinctKmv(df: DataFrame, value: Column, k: Int = 64): DataFrame = {
+    // (k-1)·2^56 must stay inside int64: k-1 < 128
+    require(k >= 2 && k <= 128, s"k=$k must be in [2, 128]")
+    val smallest = df
+      .select(TextAnalysis.portableHash56(value).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+    smallest
+      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth_hash"))
+      .select(col("k_seen"), col("kth_hash"),
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(expr(s"(${k - 1} * 72057594037927936 div kth_hash)"))
+          .cast("bigint").as("est_distinct"))
+  }
+
+  /** Count-min sketch: `depth` hash rows × `width` buckets, bucket of
+    * row j = (h1 + j·h2) mod 2^56 … mod width (the Kirsch–Mitzenmacher
+    * family over ONE md5 per value — engine-portable). Built by one
+    * narrow ×depth expansion + one map-side-combinable groupBy; the
+    * sketch itself is model-sized (depth·width rows), the shape that
+    * lets frequency estimation run over corpora whose exact count
+    * table would itself be too large to keep. Returns (d, bucket, cnt).
+    */
+  def countMinSketch(
+      df: DataFrame, value: Column, depth: Int = 3, width: Int = 4096): DataFrame = {
+    // d·h2 + h1 < depth·2^56 must stay inside int64: depth <= 63
+    require(depth >= 1 && depth <= 63 && width >= 1)
+    df.select(
+        TextAnalysis.portableHash56(value).as("h1"),
+        TextAnalysis.portableHash56b(value).as("h2"))
+      .filter(col("h1").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("d"),
+        col("h1"), col("h2"))
+      .withColumn("bucket", pmod(col("h1") + col("d") * col("h2"), lit(width.toLong)))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate counts for `values` from a count-min sketch: min
+    * over the depth rows of each value's bucket counts — the classic
+    * one-sided CM bound (estimate ≥ true count, over-counting only
+    * from collisions). The sketch side is broadcast (model-sized); the
+    * probe is one equi-join + one groupBy on the value.
+    */
+  def cmEstimate(
+      sketch: DataFrame, values: DataFrame, value: Column,
+      depth: Int, width: Int): DataFrame =
+    values
+      .select(value.as("v"),
+        TextAnalysis.portableHash56(value).as("h1"),
+        TextAnalysis.portableHash56b(value).as("h2"))
+      .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("d"),
+        col("h1"), col("h2"))
+      .withColumn("bucket", pmod(col("h1") + col("d") * col("h2"), lit(width.toLong)))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(col("v"))
+      .agg(min(col("cnt")).as("est_cnt"))
 }

@@ -152,6 +152,31 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_idx")),
     // corpus-wide heavy-hitter 3-grams (boilerplate discovery):
     // global top-50 via per-partition heaps, deterministic tiebreak
+    // KMV cardinality sketch: distinct-token estimate from the 64
+    // smallest portable hashes — the estimate itself is exact integer
+    // math, so the oracle reproduces it bit-exactly (which HLL-based
+    // approx_count_distinct cannot offer)
+    "distinct_kmv" -> ((s, dir) =>
+      CorpusStats.distinctKmv(
+        docs(s, dir).select(
+          explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"), k = 64)),
+    // count-min sketch (3x4096, Kirsch-Mitzenmacher over one md5):
+    // estimated counts for the exact top-50 heavy hitters — CM's
+    // one-sided bound (est >= exact) is visible row by row
+    "cm_heavy_est" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val grams = d.select(
+        explode(CorpusStats.ngramStrings(
+          TextAnalysis.tokens(col("text")), 3)).as("ngram"))
+      val sketch = CorpusStats.countMinSketch(grams, col("ngram"), depth = 3, width = 4096)
+      val top = CorpusStats.heavyNgrams(d, col("text"), n = 3, k = 50)
+      val est = CorpusStats.cmEstimate(
+        sketch, top.select(col("ngram")), col("ngram"), depth = 3, width = 4096)
+      top.join(est, col("ngram") === col("v"))
+        .select(col("rank"), col("ngram"), col("cnt"), col("est_cnt"))
+        .orderBy("rank")
+    }),
     "heavy_ngrams" -> ((s, dir) =>
       CorpusStats.heavyNgrams(docs(s, dir), col("text"), n = 3, k = 50)
         .orderBy("rank")),
@@ -476,6 +501,61 @@ object CorpusQueries {
     // global top-50 3-grams; ties broken by ngram text descending so
     // the cut at rank 50 is total-order deterministic
     "heavy_ngrams" -> HeavyNgramsOracle,
+    // KMV estimate: (k-1)*2^56 // kth smallest distinct 56-bit hash
+    "distinct_kmv" ->
+      """WITH tok AS (
+        |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (
+        |  SELECT DISTINCT list_reduce(list_transform(
+        |    string_split(substr(md5(tok), 1, 14), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM tok),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+        |SELECT CAST(count(*) AS BIGINT) AS k_seen,
+        |  CAST(max(h) AS BIGINT) AS kth_hash,
+        |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |    ELSE 4539628424389459968 // max(h) END AS BIGINT) AS est_distinct
+        |FROM k""".stripMargin,
+    // CM sketch built from the same trigram stream; probe = the exact
+    // top-50; bucket_j = (h1 + j*h2) % 2^56-space % 4096
+    "cm_heavy_est" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+        |      FROM t WHERE len(toks) >= 3),
+        |hh AS (
+        |  SELECT ngram,
+        |    list_reduce(list_transform(string_split(substr(md5(ngram), 1, 14), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(string_split(substr(md5(ngram), 15, 14), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM g),
+        |sk AS (
+        |  SELECT d.d, (h1 + d.d * h2) % 4096 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM hh, (SELECT UNNEST(generate_series(0, 2)) AS d) d
+        |  GROUP BY d.d, (h1 + d.d * h2) % 4096),
+        |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram),
+        |top AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram DESC) AS BIGINT) AS rank,
+        |    ngram, cnt
+        |  FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50),
+        |probe AS (
+        |  SELECT top.rank, top.ngram, top.cnt,
+        |    list_reduce(list_transform(string_split(substr(md5(top.ngram), 1, 14), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(string_split(substr(md5(top.ngram), 15, 14), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM top)
+        |SELECT p.rank, p.ngram, p.cnt, CAST(min(sk.cnt) AS BIGINT) AS est_cnt
+        |FROM probe p, (SELECT UNNEST(generate_series(0, 2)) AS d) d
+        |JOIN sk ON sk.d = d.d AND sk.bucket = (p.h1 + d.d * p.h2) % 4096
+        |GROUP BY p.rank, p.ngram, p.cnt
+        |ORDER BY p.rank""".stripMargin,
     // the streaming operator's equivalence claim: the drained
     // stateful-aggregation snapshot must rank to the IDENTICAL result
     "stream_heavy_ngrams" -> HeavyNgramsOracle,

@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
 class CorpusStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("KMV estimate lands within the sketch's error band; exact below k") {
+    // 10k distinct values, k=64 -> standard error ~1/sqrt(62) ~ 13%
+    val big = spark.range(10000).select(concat(lit("val"), col("id")).as("v"))
+    val row = CorpusStats.distinctKmv(big, col("v"), k = 64)
+      .as[(Long, Long, Long)].head()
+    assert(row._1 == 64L)
+    val err = math.abs(row._3 - 10000L).toDouble / 10000
+    assert(err < 0.5, s"estimate ${row._3} off by $err") // 3.8 sigma
+    // below k distinct: the answer is exact
+    val small = spark.range(10).select(concat(lit("v"), col("id")).as("v"))
+      .union(spark.range(10).select(concat(lit("v"), col("id")).as("v")))
+    val exact = CorpusStats.distinctKmv(small, col("v"), k = 64)
+      .as[(Long, Long, Long)].head()
+    assert(exact._1 == 10L && exact._3 == 10L)
+  }
+
+  test("count-min estimates are one-sided: est >= exact for every probed value") {
+    // Zipf-ish: value i appears (100 / (i+1)) + 1 times
+    val df = spark.range(500)
+      .select(explode(sequence(lit(0L), expr("100 div (id + 1)"))).as("rep"),
+        concat(lit("w"), col("id")).as("v"))
+      .select("v")
+    val exact = df.groupBy("v").count()
+    val sketch = CorpusStats.countMinSketch(df, col("v"), depth = 3, width = 256)
+    val est = CorpusStats.cmEstimate(
+      sketch, exact.select(col("v")), col("v"), depth = 3, width = 256)
+    val joined = exact.join(est, "v")
+      .select(col("count"), col("est_cnt")).as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (ex, es) => assert(es >= ex, s"CM bound violated: $es < $ex") }
+    // and the sketch is model-sized: depth x width rows max
+    assert(sketch.count() <= 3L * 256L)
+  }
+
   test("heavyNgrams counts occurrences (not docs) and ranks deterministically") {
     val docs = Seq(
       (1L, "a b c a b c x y z"), // "a b c" twice (overlap-free), "b c a"/"c a b" once
