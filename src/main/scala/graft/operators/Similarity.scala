@@ -320,6 +320,34 @@ object Similarity {
         lit(t)).otherwise(els))
   }
 
+  /** Exact integer Gram matrix of the quantized embedding corpus —
+    * G[i][j] = Σ_v q(v_i)·q(v_j), plus per-dimension sums and the row
+    * count, i.e. everything needed to form the covariance
+    * (Cov = G/n − mean·meanᵀ) that whitening / OPQ-style rotation
+    * training consumes. One narrow dim² expansion per vector (CPU
+    * only — the shuffle after map-side combine is ≤ dim² rows per
+    * task regardless of corpus size, so a billion vectors still move
+    * only |tasks|·dim² partials). All arithmetic int64 and
+    * order-independent, hence oracle-reproducible bit-exactly.
+    * Overflow bound (caller-owned): n·(1000·max|v|)² < 2^63 — at
+    * unit-norm embeddings that is ~9×10¹² vectors; shard the corpus
+    * and sum shards past that.
+    *
+    * Returns (i, j, g, sum_i, n): `sum_i` is Σ q(v_i) (constant per
+    * i — carried on each row so consumers need no second pass).
+    */
+  def embGram(df: DataFrame, vec: Column): DataFrame =
+    df.select(quantize(vec).as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        sum(col("qi") * col("qj")).as("g"),
+        sum(col("qi")).as("sum_i"),
+        count(lit(1)).as("n"))
+      .select(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"),
+        col("g"), col("sum_i"), col("n"))
+
   /** Elementwise centroids per cell (exact int64 milli sums → means):
     * the IVF coarse quantizer's codebook, built with one explode +
     * one shuffle on (cell, position). Input (cell, vec); output

@@ -222,6 +222,12 @@ object LlmQueries {
             .as("rms_last_milli"))
         .orderBy("doc_id")
     }),
+    // exact integer Gram matrix + per-dim sums + n — the covariance
+    // inputs for whitening/OPQ rotation training, one combinable
+    // aggregate over a narrow dim^2 expansion
+    "emb_gram" -> ((s, dir) =>
+      Similarity.embGram(embs(s, dir), col("embedding"))
+        .orderBy("i", "j")),
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroids(embs(s, dir), col("label"), col("embedding"))
         .select(col("cell").as("label"), col("pos").cast("bigint").as("pos"),
@@ -649,6 +655,21 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
         |  FROM dots)
         |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // G[i][j] = sum of q_i*q_j over the corpus, plus per-dim sums + n
+    "emb_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, qv, UNNEST(generate_series(0, 63)) AS i FROM q),
+        |p AS (
+        |  SELECT vec_id, i, qv[i + 1] AS qi, qv, UNNEST(generate_series(0, 63)) AS j FROM e)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(sum(qi * qv[j + 1]) AS BIGINT) AS g,
+        |  CAST(sum(qi) AS BIGINT) AS sum_i,
+        |  count(*) AS n
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
     "emb_centroids" ->
       """WITH e AS (
         |  SELECT label,

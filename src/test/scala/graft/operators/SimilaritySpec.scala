@@ -139,6 +139,27 @@ class SimilaritySpec extends SparkSpec {
     assert(heap.size == 50) // 10 queries x k=5, rank dense per query
   }
 
+  test("embGram is the exact quantized outer-product sum (symmetric, diag = norms)") {
+    val df = Seq(
+      Array(1.0f, 2.0f, -1.0f),
+      Array(0.5f, 0.0f, 3.0f)
+    ).map(Tuple1(_)).toDF("v")
+    val g = Similarity.embGram(df, col("v"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // q-vectors: (1000, 2000, -1000), (500, 0, 3000)
+    assert(g((0L, 0L))._1 == 1000L * 1000 + 500L * 500)
+    assert(g((0L, 1L))._1 == 1000L * 2000 + 500L * 0)
+    assert(g((1L, 2L))._1 == 2000L * -1000 + 0L * 3000)
+    assert(g((2L, 2L))._1 == 1000L * 1000 + 3000L * 3000)
+    g.foreach { case ((i, j), (v, _, n)) =>
+      assert(g((j, i))._1 == v, s"asymmetric at ($i,$j)")
+      assert(n == 2L)
+    }
+    assert(g((0L, 0L))._2 == 1500L) // sum_i for i=0
+    assert(g.size == 9)
+  }
+
   test("hot-bucket cap drops the degenerate bucket, keeps the rest") {
     // 30 identical all-positive vectors = one hot bucket in EVERY
     // table; 2 near-identical negative vectors = a small legit bucket;
