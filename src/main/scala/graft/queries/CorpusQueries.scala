@@ -229,6 +229,25 @@ object CorpusQueries {
         s, docs(s, dir), "text", "doc_id", n = 3, k = 50,
         nBatches = 4, scratch)
         .orderBy("rank")
+    }),
+    // the STREAMING count-min sketch (bounded depth x width state —
+    // the stateful agg that runs forever over an unbounded vocab):
+    // drained sketch probed with the batch top-50; shares
+    // cm_heavy_est's oracle VERBATIM (streamed == batch)
+    "stream_cm_est" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "cm-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      val sketch = graft.streaming.StreamingStats.cmSketchFromFiles(
+        s, docs(s, dir), "text", "doc_id", n = 3, depth = 3, width = 4096,
+        nBatches = 4, scratch)
+      val top = CorpusStats.heavyNgrams(docs(s, dir), col("text"), n = 3, k = 50)
+      val est = CorpusStats.cmEstimate(
+        sketch, top.select(col("ngram")), col("ngram"), depth = 3, width = 4096)
+      top.join(est, col("ngram") === col("v"))
+        .select(col("rank"), col("ngram"), col("cnt"), col("est_cnt"))
+        .orderBy("rank")
     })
   )
 
@@ -247,6 +266,50 @@ object CorpusQueries {
     * `stream_heavy_ngrams` (incremental stateful aggregation) — the
     * streamed == batch claim is that ONE oracle checks both.
     */
+  /** CM sketch built from the trigram stream; probe = the exact
+    * top-50; bucket_j = (h1 + j·h2) over the 2^56 hash space, mod
+    * 4096. Shared VERBATIM by the batch (`cm_heavy_est`) and streaming
+    * (`stream_cm_est`) spellings — the streamed-sketch == batch-sketch
+    * equivalence claim.
+    */
+  private val CmHeavyEstOracle: String =
+    """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |      FROM t WHERE len(toks) >= 3),
+      |hh AS (
+      |  SELECT ngram,
+      |    list_reduce(list_transform(string_split(substr(md5(ngram), 1, 14), ''),
+      |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h1,
+      |    list_reduce(list_transform(string_split(substr(md5(ngram), 15, 14), ''),
+      |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h2
+      |  FROM g),
+      |sk AS (
+      |  SELECT d.d, (h1 + d.d * h2) % 4096 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM hh, (SELECT UNNEST(generate_series(0, 2)) AS d) d
+      |  GROUP BY d.d, (h1 + d.d * h2) % 4096),
+      |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram),
+      |top AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram DESC) AS BIGINT) AS rank,
+      |    ngram, cnt
+      |  FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50),
+      |probe AS (
+      |  SELECT top.rank, top.ngram, top.cnt,
+      |    list_reduce(list_transform(string_split(substr(md5(top.ngram), 1, 14), ''),
+      |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h1,
+      |    list_reduce(list_transform(string_split(substr(md5(top.ngram), 15, 14), ''),
+      |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h2
+      |  FROM top)
+      |SELECT p.rank, p.ngram, p.cnt, CAST(min(sk.cnt) AS BIGINT) AS est_cnt
+      |FROM probe p, (SELECT UNNEST(generate_series(0, 2)) AS d) d
+      |JOIN sk ON sk.d = d.d AND sk.bucket = (p.h1 + d.d * p.h2) % 4096
+      |GROUP BY p.rank, p.ngram, p.cnt
+      |ORDER BY p.rank""".stripMargin
+
   private val HeavyNgramsOracle: String =
     """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
       |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
@@ -519,43 +582,9 @@ object CorpusQueries {
         |FROM k""".stripMargin,
     // CM sketch built from the same trigram stream; probe = the exact
     // top-50; bucket_j = (h1 + j*h2) % 2^56-space % 4096
-    "cm_heavy_est" ->
-      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
-        |      FROM t WHERE len(toks) >= 3),
-        |hh AS (
-        |  SELECT ngram,
-        |    list_reduce(list_transform(string_split(substr(md5(ngram), 1, 14), ''),
-        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h1,
-        |    list_reduce(list_transform(string_split(substr(md5(ngram), 15, 14), ''),
-        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h2
-        |  FROM g),
-        |sk AS (
-        |  SELECT d.d, (h1 + d.d * h2) % 4096 AS bucket, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM hh, (SELECT UNNEST(generate_series(0, 2)) AS d) d
-        |  GROUP BY d.d, (h1 + d.d * h2) % 4096),
-        |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram),
-        |top AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ngram DESC) AS BIGINT) AS rank,
-        |    ngram, cnt
-        |  FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50),
-        |probe AS (
-        |  SELECT top.rank, top.ngram, top.cnt,
-        |    list_reduce(list_transform(string_split(substr(md5(top.ngram), 1, 14), ''),
-        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h1,
-        |    list_reduce(list_transform(string_split(substr(md5(top.ngram), 15, 14), ''),
-        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h2
-        |  FROM top)
-        |SELECT p.rank, p.ngram, p.cnt, CAST(min(sk.cnt) AS BIGINT) AS est_cnt
-        |FROM probe p, (SELECT UNNEST(generate_series(0, 2)) AS d) d
-        |JOIN sk ON sk.d = d.d AND sk.bucket = (p.h1 + d.d * p.h2) % 4096
-        |GROUP BY p.rank, p.ngram, p.cnt
-        |ORDER BY p.rank""".stripMargin,
+    "cm_heavy_est" -> CmHeavyEstOracle,
+    // the streaming sketch must drain to the IDENTICAL table
+    "stream_cm_est" -> CmHeavyEstOracle,
     // the streaming operator's equivalence claim: the drained
     // stateful-aggregation snapshot must rank to the IDENTICAL result
     "stream_heavy_ngrams" -> HeavyNgramsOracle,

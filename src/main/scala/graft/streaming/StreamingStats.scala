@@ -79,4 +79,53 @@ object StreamingStats {
       new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
     CorpusStats.topKByCount(spark.read.parquet(outDir.toString), k)
   }
+
+  /** STREAMING count-min sketch — the frequency sketch maintained
+    * live, with state BOUNDED BY CONSTRUCTION: the stateful
+    * aggregation's key space is (depth × width) buckets, never the
+    * vocabulary, so unlike [[ngramCounts]] (state = one row per
+    * distinct n-gram) this runs forever over an unbounded token stream
+    * at fixed store size. Counting is associative and the store is
+    * exactly-once per micro-batch, so the drained sketch equals the
+    * batch [[CorpusStats.countMinSketch]] EXACTLY whatever the
+    * micro-batch partitioning — the gate probes it with the batch
+    * top-k and shares `cm_heavy_est`'s oracle verbatim.
+    */
+  def cmSketchFromFiles(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      depth: Int,
+      width: Int,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    graft.sources.FileIO.stageRangeBatches(
+      docs.select(col(idCol), col(textCol)), col(idCol), nBatches,
+      new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, docs.select(col(idCol), col(textCol)).schema,
+      maxFilesPerTrigger = 1)
+    val grams = stream.select(explode(
+      CorpusStats.ngramStrings(TextAnalysis.tokens(col(textCol)), n)).as("ngram"))
+    val sketch = CorpusStats.countMinSketch(grams, col("ngram"), depth, width)
+    val q = sketch.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir.toString)
+      }
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    spark.read.parquet(outDir.toString)
+  }
 }

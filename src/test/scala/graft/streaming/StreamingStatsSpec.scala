@@ -26,4 +26,25 @@ class StreamingStatsSpec extends SparkSpec {
       graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
     }
   }
+
+  test("streamed count-min sketch equals the batch sketch; state bounded by depth x width") {
+    val docs = corpus(120)
+    val grams = docs.select(explode(
+      CorpusStats.ngramStrings(
+        graft.operators.TextAnalysis.tokens(col("text")), 3)).as("ngram"))
+    val batch = CorpusStats.countMinSketch(grams, col("ngram"), depth = 3, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = Files.createTempDirectory(s"graft-scm-$nBatches").toString
+      val streamed = StreamingStats.cmSketchFromFiles(
+        spark, docs, "text", "doc_id", n = 3, depth = 3, width = 64,
+        nBatches = nBatches, scratch, statePartitions = 4)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+      // the sketch (= the stateful agg's whole key space) is bounded
+      // by construction, never the vocabulary
+      assert(streamed.size <= 3 * 64)
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
 }
