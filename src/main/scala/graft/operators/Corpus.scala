@@ -373,4 +373,36 @@ object Corpus {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** Corpus snapshot DIFF — the incremental-refresh primitive: given
+    * two corpus snapshots keyed by document id, classify every id as
+    * `added` (new only), `removed` (old only), `changed` (both, text
+    * fingerprint differs) or `unchanged`. Fingerprint =
+    * [[TextAnalysis.fingerprintMd5]] (whitespace-normalized md5), so
+    * cosmetic whitespace churn does not count as change and the whole
+    * comparison moves 32-byte digests, never text. Shape at scale:
+    * each side reduces to (id, fp) at the scan, then ONE full outer
+    * equi-join on the id — co-locatable via bucketing on id for the
+    * repeated nightly-diff case. Feeding only the `added`+`changed`
+    * slice to the dedup/curation pipelines is what turns a 100 TB
+    * reprocess into an incremental one.
+    *
+    * Returns (doc_id, status, old_fp, new_fp) — absent-side
+    * fingerprints are null.
+    */
+  def corpusDiff(
+      oldDocs: DataFrame, oldId: Column, oldText: Column,
+      newDocs: DataFrame, newId: Column, newText: Column): DataFrame = {
+    val o = oldDocs.select(oldId.as("doc_id"),
+      TextAnalysis.fingerprintMd5(oldText).as("old_fp"))
+    val n = newDocs.select(newId.as("doc_id"),
+      TextAnalysis.fingerprintMd5(newText).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

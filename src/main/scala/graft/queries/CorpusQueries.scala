@@ -23,6 +23,23 @@ object CorpusQueries {
     "line_dedup" -> ((s, dir) =>
       Corpus.lineDedup(docs(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
+    // corpus snapshot diff (the incremental-refresh primitive): "new"
+    // is the corpus with every 7th doc dropped, every 10th doc's text
+    // perturbed, and every 13th re-added under a shifted id — the
+    // full-outer fingerprint join classifies every id
+    "corpus_diff" -> ((s, dir) => {
+      val old = docs(s, dir)
+      val newDocs = old.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(old.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Corpus.corpusDiff(old, col("doc_id"), col("text"),
+        newDocs, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // deterministic corpus shuffle into training shards: same seed =
     // same order on any engine
     "train_shards" -> ((s, dir) =>
@@ -321,6 +338,29 @@ object CorpusQueries {
       |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full-outer fingerprint join over the same planted perturbation
+    "corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |newd AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(
+        |      CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END),
+        |      '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status,
+        |  o.fp AS old_fp, n.fp AS new_fp
+        |FROM old o FULL OUTER JOIN newd n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "train_shards" ->
       """WITH t AS (
         |  SELECT doc_id,

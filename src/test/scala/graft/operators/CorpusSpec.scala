@@ -158,6 +158,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged; whitespace churn is not change") {
+    val old = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"), (4L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "  ALPHA   beta "), // same fingerprint after normalize
+      (2L, "gamma delta edited"), // changed
+      (3L, "kept text"), // unchanged
+      (5L, "brand new")) // added; 4 removed
+      .toDF("doc_id", "text")
+    val out = Corpus.corpusDiff(old, col("doc_id"), col("text"),
+      neu, col("doc_id"), col("text"))
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("trainingShards is a deterministic permutation; seed reshuffles") {
     val docs = spark.range(200).toDF("doc_id")
     def run(seed: String) =
