@@ -186,13 +186,20 @@ object CorpusStats {
       .distinct()
       .orderBy(col("h"))
       .limit(k)
+    kmvFinish(smallest, k)
+  }
+
+  /** The KMV estimate over an (already k-truncated) frame of the
+    * smallest distinct hashes — shared by the batch operator and the
+    * streaming bounded-state spelling so both answer the SAME oracle.
+    */
+  private[graft] def kmvFinish(smallest: DataFrame, k: Int): DataFrame =
     smallest
       .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth_hash"))
       .select(col("k_seen"), col("kth_hash"),
         when(col("k_seen") < k, col("k_seen"))
           .otherwise(expr(s"(${k - 1} * 72057594037927936 div kth_hash)"))
           .cast("bigint").as("est_distinct"))
-  }
 
   /** Count-min sketch: `depth` hash rows × `width` buckets, bucket of
     * row j = (h1 + j·h2) mod 2^56 … mod width (the Kirsch–Mitzenmacher

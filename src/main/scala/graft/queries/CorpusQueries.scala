@@ -247,6 +247,18 @@ object CorpusQueries {
         nBatches = 4, scratch)
         .orderBy("rank")
     }),
+    // STREAMING KMV cardinality (bounded salts*k state): the drained
+    // k-minimum sets merge to the EXACT batch k smallest, so the
+    // estimate shares distinct_kmv's oracle VERBATIM
+    "stream_kmv" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "kmv-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingStats.kmvFromFiles(
+        s, docs(s, dir), "text", "doc_id", k = 64, salts = 16,
+        nBatches = 4, scratch)
+    }),
     // the STREAMING count-min sketch (bounded depth x width state —
     // the stateful agg that runs forever over an unbounded vocab):
     // drained sketch probed with the batch top-50; shares
@@ -326,6 +338,26 @@ object CorpusQueries {
       |JOIN sk ON sk.d = d.d AND sk.bucket = (p.h1 + d.d * p.h2) % 4096
       |GROUP BY p.rank, p.ngram, p.cnt
       |ORDER BY p.rank""".stripMargin
+
+  /** KMV estimate: (k−1)·2^56 // k-th smallest distinct 56-bit hash.
+    * Shared VERBATIM by the batch (`distinct_kmv`) and bounded-state
+    * streaming (`stream_kmv`) spellings.
+    */
+  private val DistinctKmvOracle: String =
+    """WITH tok AS (
+      |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |h AS (
+      |  SELECT DISTINCT list_reduce(list_transform(
+      |    string_split(substr(md5(tok), 1, 14), ''),
+      |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) AS h
+      |  FROM tok),
+      |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+      |SELECT CAST(count(*) AS BIGINT) AS k_seen,
+      |  CAST(max(h) AS BIGINT) AS kth_hash,
+      |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+      |    ELSE 4539628424389459968 // max(h) END AS BIGINT) AS est_distinct
+      |FROM k""".stripMargin
 
   private val HeavyNgramsOracle: String =
     """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -605,21 +637,9 @@ object CorpusQueries {
     // the cut at rank 50 is total-order deterministic
     "heavy_ngrams" -> HeavyNgramsOracle,
     // KMV estimate: (k-1)*2^56 // kth smallest distinct 56-bit hash
-    "distinct_kmv" ->
-      """WITH tok AS (
-        |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
-        |h AS (
-        |  SELECT DISTINCT list_reduce(list_transform(
-        |    string_split(substr(md5(tok), 1, 14), ''),
-        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |    (a, b) -> a * 16 + b) AS h
-        |  FROM tok),
-        |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
-        |SELECT CAST(count(*) AS BIGINT) AS k_seen,
-        |  CAST(max(h) AS BIGINT) AS kth_hash,
-        |  CAST(CASE WHEN count(*) < 64 THEN count(*)
-        |    ELSE 4539628424389459968 // max(h) END AS BIGINT) AS est_distinct
-        |FROM k""".stripMargin,
+    "distinct_kmv" -> DistinctKmvOracle,
+    // bounded-state streaming KMV drains to the IDENTICAL estimate
+    "stream_kmv" -> DistinctKmvOracle,
     // CM sketch built from the same trigram stream; probe = the exact
     // top-50; bucket_j = (h1 + j*h2) % 2^56-space % 4096
     "cm_heavy_est" -> CmHeavyEstOracle,

@@ -128,4 +128,81 @@ object StreamingStats {
       new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
     spark.read.parquet(outDir.toString)
   }
+
+  /** One salt group's current k-minimum set, versioned per update so
+    * the sink's LAST emission per salt is recoverable.
+    */
+  final case class KmvSnap(salt: Int, ver: Long, hashes: Seq[Long])
+
+  /** STREAMING KMV cardinality — bounded-state online distinct
+    * counting: hashes shard by `salt = h mod salts`, each salt group's
+    * keyed state holds only its k smallest DISTINCT hashes seen so far
+    * (state = salts·k longs total, fixed forever), and the global
+    * answer is the k smallest of the groups' union — EXACT, because
+    * min-k distributes over any partition of the input. The drained
+    * estimate therefore equals the batch [[CorpusStats.distinctKmv]]
+    * bit-for-bit under any micro-batch split, and the gate shares
+    * `distinct_kmv`'s oracle verbatim. This is the online shape the
+    * unbounded-vocabulary case needs: the exact distinct count would
+    * keep one state row per distinct value; the sketch never grows.
+    */
+  def kmvFromFiles(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      salts: Int,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    graft.sources.FileIO.stageRangeBatches(
+      docs.select(col(idCol), col(textCol)), col(idCol), nBatches,
+      new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    import ss.implicits._
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, docs.select(col(idCol), col(textCol)).schema,
+      maxFilesPerTrigger = 1)
+    val hashes = stream
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(TextAnalysis.portableHash56(col("tok")).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("h"), pmod(col("h"), lit(salts.toLong)).cast("int").as("salt"))
+      .as[(Long, Int)]
+    val snaps = hashes.groupByKey(_._2).flatMapGroupsWithState(
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+      (salt: Int, it: Iterator[(Long, Int)],
+       state: org.apache.spark.sql.streaming.GroupState[KmvSnap]) =>
+        val prior = state.getOption.getOrElse(KmvSnap(salt, 0L, Seq.empty))
+        val merged = (prior.hashes.iterator ++ it.map(_._1))
+          .toSeq.distinct.sorted.take(k)
+        val next = KmvSnap(salt, prior.ver + 1, merged)
+        state.update(next)
+        Iterator(next)
+    }
+    val q = snaps.toDF().writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    // last emission per salt -> union of k-sets -> global k smallest
+    val last = spark.read.parquet(outDir.toString)
+      .groupBy(col("salt"))
+      .agg(max_by(col("hashes"), col("ver")).as("hashes"))
+    val smallest = last
+      .select(explode(col("hashes")).as("h"))
+      .orderBy(col("h"))
+      .limit(k)
+    CorpusStats.kmvFinish(smallest, k)
+  }
 }

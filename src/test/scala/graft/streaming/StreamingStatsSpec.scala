@@ -47,4 +47,22 @@ class StreamingStatsSpec extends SparkSpec {
       graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
     }
   }
+
+  test("streamed KMV estimate equals the batch estimate under any batch split") {
+    val docs = corpus(120)
+    val batch = CorpusStats.distinctKmv(
+      docs.select(explode(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("tok")),
+      col("tok"), k = 8)
+      .as[(Long, Long, Long)].head()
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = Files.createTempDirectory(s"graft-skmv-$nBatches").toString
+      val streamed = StreamingStats.kmvFromFiles(
+        spark, docs, "text", "doc_id", k = 8, salts = 4,
+        nBatches = nBatches, scratch, statePartitions = 4)
+        .as[(Long, Long, Long)].head()
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
 }
