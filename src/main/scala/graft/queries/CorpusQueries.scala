@@ -23,6 +23,24 @@ object CorpusQueries {
     "line_dedup" -> ((s, dir) =>
       Corpus.lineDedup(docs(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
+    // the END-TO-END pretraining-prep pipeline as ONE declarative
+    // plan: quality gate -> exact dedup (keep-first) -> deterministic
+    // stratified sample -> position-level sequence packing. Catalyst
+    // sees all four stages at once (filters push to the scan, the
+    // dedup and prefix shuffles are the only wide stages), and the
+    // oracle replays the whole chain CTE by CTE.
+    "pipeline_pretrain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = d.filter(TextAnalysis.qualityMilli(col("text")) >= 30)
+      val keep = Dedup.exact(quality, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+      val sampled = Corpus.stratifiedSample(deduped, col("doc_id"), col("lang"),
+        ratesPerMille = Map("en" -> 600), defaultPerMille = 800)
+      Corpus.packSequences(sampled, col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint"), seqLen = 256L)
+        .orderBy("doc_id", "seq_id")
+    }),
     // corpus snapshot diff (the incremental-refresh primitive): "new"
     // is the corpus with every 7th doc dropped, every 10th doc's text
     // perturbed, and every 13th re-added under a shifted id — the
@@ -370,6 +388,42 @@ object CorpusQueries {
       |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the full prep chain replayed stage by stage: quality gate,
+    // keep-first exact dedup, md5 stratified sample, sequence packing
+    "pipeline_pretrain" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    CAST(round(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t = 'the' OR t = 'a')) / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS q
+        |  FROM documents),
+        |qf AS (SELECT * FROM f WHERE q >= 30),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY fp),
+        |kept AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+        |samp AS (
+        |  SELECT * FROM kept
+        |  WHERE list_reduce(list_transform(
+        |      string_split(substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 1000
+        |    < CASE WHEN lang = 'en' THEN 600 ELSE 800 END),
+        |t AS (SELECT doc_id, lang AS grp,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM samp),
+        |o AS (SELECT doc_id, grp, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t),
+        |e AS (SELECT doc_id, grp, n_tokens, start_offset,
+        |  UNNEST(generate_series(start_offset // 256, (start_offset + n_tokens - 1) // 256)) AS seq_id
+        |  FROM o WHERE n_tokens > 0)
+        |SELECT doc_id, grp, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(start_offset, seq_id * 256) - seq_id * 256 AS BIGINT) AS begin_in_seq,
+        |  CAST(least(start_offset + n_tokens, seq_id * 256 + 256) - seq_id * 256 AS BIGINT) AS end_in_seq,
+        |  CAST(greatest(0, seq_id * 256 - start_offset) AS BIGINT) AS doc_begin,
+        |  CAST(least(start_offset + n_tokens, seq_id * 256 + 256)
+        |    - greatest(start_offset, seq_id * 256) AS BIGINT) AS n_piece,
+        |  (greatest(0, seq_id * 256 - start_offset) = 0) AS starts_doc
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
     // full-outer fingerprint join over the same planted perturbation
     "corpus_diff" ->
       """WITH old AS (
