@@ -277,13 +277,27 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, textCol: Column, idCol: Column,
       maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame =
+    hamming64NearDups(
+      docs.select(
+        idCol.as("id"),
+        graft.functions.SimHash64(TextAnalysis.tokens(textCol)).as("sig")),
+      maxHamming, maxBucketSize)
+
+  /** Pigeonhole near-dup pairs over ANY packed 64-bit signature column
+    * (`(id, sig)` input) — the banding machinery shared by the text
+    * simhash path and the image perceptual-hash path: 4 × 16-bit
+    * words (a pair within Hamming distance ≤ 3 must agree on at least
+    * one word), bucket self-join (never all-pairs), exactly-once
+    * first-agreeing-word emission, exact `bit_count(xor)` rerank.
+    */
+  def hamming64NearDups(
+      withSig: DataFrame, // (id, sig: long)
+      maxHamming: Int = 3,
       maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val bits = 16
     val tables = 4
-    val withSig = docs.select(
-      idCol.as("id"),
-      graft.functions.SimHash64(TextAnalysis.tokens(textCol)).as("sig"))
-    // word q = bits [16q, 16q+16) of the packed simhash (unsigned
+    // word q = bits [16q, 16q+16) of the packed signature (unsigned
     // shift: the sign bit is just bit 63 of word 3)
     val bands = (0 until tables).map(q =>
       shiftrightunsigned(col("sig"), bits * q).bitwiseAND(lit((1L << bits) - 1)))

@@ -340,6 +340,83 @@ object Multimodal {
     * output of a REAL codec round-trip (encode here, `javax.imageio`
     * decode in the operator).
     */
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection: sample a
+    * 9×8 luma grid at exact integer positions (px(x) = x·w div 9,
+    * py(y) = y·h div 8 — point sampling with integer coordinates, so
+    * the hash is bit-reproducible from the pixel arithmetic alone,
+    * which is what lets a SQL oracle replay it on planted images),
+    * set bit y·8+x iff luma(px(x+1), py(y)) > luma(px(x), py(y)).
+    * Robust to brightness shifts and scaling (differences survive
+    * both); pair detection runs through the SAME 4×16-bit-word
+    * pigeonhole machinery as text simhash
+    * ([[graft.operators.Dedup.hamming64NearDups]]).
+    */
+  def dhash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 8, s"dhash needs >= 9x8 pixels, got ${w}x$h")
+    def luma(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      // integer luma (milli weights) — exact, engine-portable
+      (299L * r + 587L * g + 114L * b) / 1000L
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val py = y * h / 8
+      var x = 0
+      while (x < 8) {
+        if (luma((x + 1) * w / 9, py) > luma(x * w / 9, py))
+          hash |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** (doc_id, dhash) of an image media frame — per-partition decode,
+    * same shape as [[decodeFeatures]].
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(r => (r.doc_id, dhash64(r.payload)))
+    }.toDF("id", "sig")
+  }
+
+  /** Deterministic grayscale GRADIENT image — the planted fixture for
+    * [[dhash64]]: pixel (x, y) has gray value 32 + ((a·x + b·y + c)
+    * mod 128) + shift. The mod-128 band plus a small shift never
+    * wraps 0/255, so adding `shift` changes every pixel but NO
+    * luma difference — a planted brightness-invariant near-duplicate.
+    */
+  def syntheticGradientPng(
+      width: Int, height: Int, a: Int, b: Int, c: Int, shift: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = 32 + math.floorMod(a * x + b * y + c, 128) + shift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def syntheticPng(width: Int, height: Int, rgb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)

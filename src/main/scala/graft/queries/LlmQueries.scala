@@ -402,6 +402,31 @@ object LlmQueries {
     // the decoded width/height and channel means without ever touching
     // a codec. Exercises the genuine binary-payload pipeline: encode →
     // binary column → per-partition batch decode → typed features.
+    // image near-dup via the 64-bit perceptual dHash: planted 18x16
+    // gradient PNGs (every 5th doc gets a brightness-shifted twin —
+    // pixel values all differ, luma DIFFERENCES identical), decoded
+    // and hashed on executors, paired through the same 4x16-bit
+    // pigeonhole banding as text simhash; the planted construction is
+    // pure doc_id arithmetic, so DuckDB replays hash, banding,
+    // exactly-once emission and hamming rerank bit-for-bit
+    "multimodal_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        val a = (1 + id % 13).toInt
+        val b = (1 + (id * 3) % 11).toInt
+        val c = ((id * 11) % 128).toInt
+        val base = (id, Multimodal.syntheticGradientPng(18, 16, a, b, c, 0), "image/png")
+        if (id % 5 == 0)
+          Seq(base,
+            (id + 10000000L,
+              Multimodal.syntheticGradientPng(18, 16, a, b, c, 8), "image/png"))
+        else Seq(base)
+      }.toDF("doc_id", "payload", "mime")
+      Dedup.hamming64NearDups(
+        Multimodal.imageDHash(s, media), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
     "multimodal_image_decode" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
@@ -1126,6 +1151,47 @@ object LlmQueries {
     // the real-codec round-trip: the engine encodes solid-color PNGs
     // and decodes them with javax.imageio; the oracle predicts every
     // decoded value arithmetically (PNG is lossless)
+    // dHash bits from the planted gradient arithmetic (sample stride
+    // is exactly 2 at 18x16; gray IS the integer luma), words = 16-bit
+    // slices, pairs via first-agreeing-word, exact hamming rerank
+    "multimodal_image_neardup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 13 AS a, 1 + (doc_id * 3) % 11 AS b, (doc_id * 11) % 128 AS c
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    1 + doc_id % 13, 1 + (doc_id * 3) % 11, (doc_id * 11) % 128
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN (a * 2 * ((i % 8) + 1) + b * 2 * (i // 8) + c) % 128
+        |              > (a * 2 * (i % 8) + b * 2 * (i // 8) + c) % 128
+        |      THEN 1 ELSE 0 END) AS bv
+        |  FROM imgs),
+        |words AS (
+        |  SELECT doc_id, bv,
+        |    list_transform(generate_series(0, 3), q ->
+        |      CAST(list_sum(list_transform(generate_series(1, 16), j ->
+        |        bv[q * 16 + j] * (CAST(1 AS BIGINT) << (j - 1)))) AS BIGINT)) AS ws
+        |  FROM bits),
+        |x AS (
+        |  SELECT doc_id, bv, ws, t.tbl, ws[t.tbl + 1] AS bucket
+        |  FROM words, (SELECT UNNEST(generate_series(0, 3)) AS tbl) t),
+        |p AS (
+        |  SELECT qa.doc_id AS doc_a, qb.doc_id AS doc_b, qa.bv AS bva, qb.bv AS bvb
+        |  FROM x qa JOIN x qb ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket
+        |  WHERE qa.doc_id < qb.doc_id
+        |    AND qa.tbl = list_position(list_transform(generate_series(1, 4),
+        |      i -> qa.ws[i] = qb.ws[i]), true) - 1),
+        |h AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN bva[i] <> bvb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM p)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_image_decode" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dHash is invariant to brightness shift and 2x scaling, sensitive to content") {
+    val base = Multimodal.dhash64(
+      Multimodal.syntheticGradientPng(18, 16, a = 4, b = 2, c = 17, shift = 0))
+    // +8 brightness: every pixel differs, every luma DIFFERENCE same
+    val brighter = Multimodal.dhash64(
+      Multimodal.syntheticGradientPng(18, 16, a = 4, b = 2, c = 17, shift = 8))
+    assert(brighter == base)
+    // 2x-scaled rendering of the same gradient field: sample positions
+    // double (px = 4x at 36 wide), halved slopes land on identical luma
+    val scaled = Multimodal.dhash64(
+      Multimodal.syntheticGradientPng(36, 32, a = 2, b = 1, c = 17, shift = 0))
+    assert(scaled == base)
+    // different content hashes differently
+    val other = Multimodal.dhash64(
+      Multimodal.syntheticGradientPng(18, 16, a = 5, b = 3, c = 90, shift = 0))
+    assert(other != base)
+    // pairs: the brightness twin is a hamming-0 near-dup of base
+    val media = Seq(
+      (1L, Multimodal.syntheticGradientPng(18, 16, 4, 2, 17, 0), "image/png"),
+      (2L, Multimodal.syntheticGradientPng(18, 16, 4, 2, 17, 8), "image/png"),
+      (3L, Multimodal.syntheticGradientPng(18, 16, 5, 3, 90, 0), "image/png"))
+      .toDF("doc_id", "payload", "mime")
+    val pairs = Dedup.hamming64NearDups(
+      Multimodal.imageDHash(spark, media), maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("metadata over binary payloads is deterministic and exact") {
     val docs = Seq((1L, "a" * 300), (2L, "xy")).toDF("doc_id", "text")
     val out = Multimodal.metadata(
