@@ -437,6 +437,97 @@ object Multimodal {
     * sample's magnitude is exactly A and each segment RMS is exactly
     * A/2^15 — pure doc-id arithmetic for the oracle.
     */
+  /** 64-bit audio fingerprint: dHash over the 65-segment ENERGY
+    * profile of the decoded PCM stream — bit i set iff segment i+1's
+    * mean square energy exceeds segment i's (cross-multiplied exact
+    * integer comparison, no division). Volume-invariant by
+    * construction (scaling all samples by g scales every energy by g²
+    * — comparisons unchanged), the audio analog of [[dhash64]]'s
+    * brightness invariance; pair detection runs through the same
+    * shared pigeonhole banding. Exactness bound: segment length <
+    * 2^16 samples keeps the cross product inside int64 (full-scale
+    * 16-bit samples) — ~6M samples per clip; chunk longer audio.
+    */
+  def audioDHash64(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      require(n >= 65, s"audio fingerprint needs >= 65 samples, got $n")
+      require(n / 65 < (1 << 16), s"segment too long for exact int64 energies")
+      val energy = new Array[Long](65)
+      val len = new Array[Long](65)
+      var seg = 0
+      while (seg < 65) {
+        val lo = seg * n / 65
+        val hi = if (seg == 64) n else (seg + 1) * n / 65
+        var e = 0L
+        var i = lo
+        while (i < hi) {
+          val s =
+            if (fmt.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+            else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+          e += s.toLong * s.toLong
+          i += 1
+        }
+        energy(seg) = e
+        len(seg) = hi - lo
+        seg += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        // mean-square comparison, cross-multiplied: e1/l1 > e0/l0
+        if (energy(b + 1) * len(b) > energy(b) * len(b + 1))
+          hash |= (1L << b)
+        b += 1
+      }
+      hash
+    } finally ais.close()
+  }
+
+  /** (doc_id, sig) audio fingerprints — per-partition decode. */
+  def audioDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(r => (r.doc_id, audioDHash64(r.payload)))
+    }.toDF("id", "sig")
+  }
+
+  /** Deterministic stepped square wave — the planted fixture for
+    * [[audioDHash64]]: 65 steps of `framesPerStep` frames, step i a
+    * square wave of integer amplitude `amps(i)` — each fingerprint
+    * segment covers exactly one step (mean square = amps(i)²), so the
+    * hash reduces to amplitude comparisons the oracle replays.
+    */
+  def syntheticWavSteps(
+      amps: Seq[Int], framesPerStep: Int = 16, sampleRate: Int = 8000): Array[Byte] = {
+    require(amps.length == 65 && amps.forall(a => a >= 0 && a <= 32767))
+    val nFrames = 65 * framesPerStep
+    val dataLen = nFrames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      val a = amps(i / framesPerStep)
+      val s = if ((i / 8) % 2 == 0) a else -a
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   def syntheticWav(
       nFrames: Int, amplitude: Int, sampleRate: Int = 8000): Array[Byte] = {
     require(amplitude >= 0 && amplitude <= 32767, s"bad amplitude $amplitude")

@@ -402,6 +402,30 @@ object LlmQueries {
     // the decoded width/height and channel means without ever touching
     // a codec. Exercises the genuine binary-payload pipeline: encode →
     // binary column → per-partition batch decode → typed features.
+    // audio near-dup via the 65-segment energy-profile fingerprint:
+    // planted stepped square waves (every 5th doc gets a 2x-volume
+    // twin — every sample differs, every energy COMPARISON identical),
+    // decoded and hashed on executors, paired through the shared
+    // pigeonhole banding; amplitudes are doc_id arithmetic, so the
+    // oracle replays fingerprint, banding and hamming bit-for-bit
+    "multimodal_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      def amps(id: Long, gain: Int): Seq[Int] =
+        (0 until 65).map { i =>
+          (1000 + ((id * 31 + i * 97 + 11) * (id * 53 + i * 29 + 7) % 12000)).toInt * gain
+        }
+      val media = ids.flatMap { id =>
+        val base = (id, Multimodal.syntheticWavSteps(amps(id, 1)), "audio/wav")
+        if (id % 5 == 0)
+          Seq(base,
+            (id + 10000000L, Multimodal.syntheticWavSteps(amps(id, 2)), "audio/wav"))
+        else Seq(base)
+      }.toDF("doc_id", "payload", "mime")
+      Dedup.hamming64NearDups(
+        Multimodal.audioDHash(s, media), maxHamming = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
     // image near-dup via the 64-bit perceptual dHash: planted 18x16
     // gradient PNGs (every 5th doc gets a brightness-shifted twin —
     // pixel values all differ, luma DIFFERENCES identical), decoded
@@ -1151,6 +1175,43 @@ object LlmQueries {
     // the real-codec round-trip: the engine encodes solid-color PNGs
     // and decodes them with javax.imageio; the oracle predicts every
     // decoded value arithmetically (PNG is lossless)
+    // audio fingerprint bits from the planted amplitude arithmetic:
+    // bit i = a(i+1) > a(i) (the 1000+ offset and the twin's 2x gain
+    // drop out of the comparison); same banding/emission skeleton
+    "multimodal_audio_neardup" ->
+      """WITH clips AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id FROM documents WHERE doc_id % 5 = 0),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN ((seed*31 + (i+1)*97 + 11) * (seed*53 + (i+1)*29 + 7)) % 12000
+        |              > ((seed*31 + i*97 + 11) * (seed*53 + i*29 + 7)) % 12000
+        |      THEN 1 ELSE 0 END) AS bv
+        |  FROM clips),
+        |words AS (
+        |  SELECT doc_id, bv,
+        |    list_transform(generate_series(0, 3), q ->
+        |      CAST(list_sum(list_transform(generate_series(1, 16), j ->
+        |        bv[q * 16 + j] * (CAST(1 AS BIGINT) << (j - 1)))) AS BIGINT)) AS ws
+        |  FROM bits),
+        |x AS (
+        |  SELECT doc_id, bv, ws, t.tbl, ws[t.tbl + 1] AS bucket
+        |  FROM words, (SELECT UNNEST(generate_series(0, 3)) AS tbl) t),
+        |p AS (
+        |  SELECT qa.doc_id AS doc_a, qb.doc_id AS doc_b, qa.bv AS bva, qb.bv AS bvb
+        |  FROM x qa JOIN x qb ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket
+        |  WHERE qa.doc_id < qb.doc_id
+        |    AND qa.tbl = list_position(list_transform(generate_series(1, 4),
+        |      i -> qa.ws[i] = qb.ws[i]), true) - 1),
+        |h AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN bva[i] <> bvb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM p)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // dHash bits from the planted gradient arithmetic (sample stride
     // is exactly 2 at 18x16; gray IS the integer luma), words = 16-bit
     // slices, pairs via first-agreeing-word, exact hamming rerank

@@ -35,6 +35,30 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("audio fingerprint is volume-invariant, sensitive to the energy profile") {
+    val amps = (0 until 65).map(i => 1000 + (i * 137) % 9000)
+    val base = Multimodal.audioDHash64(Multimodal.syntheticWavSteps(amps))
+    // 2x volume: every sample differs, every energy comparison the same
+    val louder = Multimodal.audioDHash64(
+      Multimodal.syntheticWavSteps(amps.map(_ * 2)))
+    assert(louder == base)
+    // different profile fingerprints differently
+    val other = Multimodal.audioDHash64(
+      Multimodal.syntheticWavSteps((0 until 65).map(i => 1000 + (i * 211) % 9000)))
+    assert(other != base)
+    // pairs: the louder twin is a hamming-0 near-dup
+    val media = Seq(
+      (1L, Multimodal.syntheticWavSteps(amps), "audio/wav"),
+      (2L, Multimodal.syntheticWavSteps(amps.map(_ * 2)), "audio/wav"),
+      (3L, Multimodal.syntheticWavSteps(
+        (0 until 65).map(i => 1000 + (i * 211) % 9000)), "audio/wav"))
+      .toDF("doc_id", "payload", "mime")
+    val pairs = Dedup.hamming64NearDups(
+      Multimodal.audioDHash(spark, media), maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("metadata over binary payloads is deterministic and exact") {
     val docs = Seq((1L, "a" * 300), (2L, "xy")).toDF("doc_id", "text")
     val out = Multimodal.metadata(
