@@ -392,6 +392,62 @@ object Multimodal {
     }.toDF("id", "sig")
   }
 
+  /** Per-sampled-frame perceptual hashes of an AVI video —
+    * (doc_id, frame_idx, sig): the video fingerprint is its SET of
+    * frame dHashes, the composition that turns the image machinery
+    * into video near-dup.
+    */
+  def videoDHashes(
+      spark: SparkSession, media: DataFrame, everyNth: Int = 1): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, _, frames) = parseAvi(r.payload)
+        (0 until frames.length by everyNth).iterator
+          .map(i => (r.doc_id, i.toLong, dhash64(frames(i))))
+      }
+    }.toDF("doc_id", "frame_idx", "sig")
+  }
+
+  /** Video near-duplicates by frame-hash overlap: two videos are
+    * near-dups when ≥ `minOverlapPerMille`‰ of the SMALLER video's
+    * distinct frame hashes appear in the other (re-encodes, trims and
+    * brightness shifts keep frame dHashes; cuts/reorders don't matter
+    * — it is a set measure). Shape at scale: ONE equi-join on the
+    * 64-bit frame hash — candidates share at least one frame, never
+    * all-pairs — then a combinable pair count against per-video
+    * distinct counts; `maxDocsPerHash` drops ubiquitous frames (black
+    * frames, station logos) before the join goes quadratic in them,
+    * the same hot-key cap as the text shingle index.
+    * Returns (doc_a, doc_b, n_shared, overlap_permille).
+    */
+  def videoNearDups(
+      frameHashes: DataFrame, // (doc_id, sig)
+      minOverlapPerMille: Int = 500,
+      maxDocsPerHash: Option[Int] = Some(10000)): DataFrame = {
+    val d = frameHashes.select(col("doc_id"), col("sig")).distinct()
+    val counts = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val joinable = maxDocsPerHash match {
+      case None => d
+      case Some(c) =>
+        val hot = d.groupBy(col("sig")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") > c).select(col("sig"))
+        d.join(hot, Seq("sig"), "left_anti")
+    }
+    val a = joinable.select(col("doc_id").as("doc_a"), col("sig"))
+    val b = joinable.select(col("doc_id").as("doc_b"), col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("overlap_permille",
+        expr("(1000 * n_shared) div least(n_a, n_b)"))
+      .filter(col("overlap_permille") >= minOverlapPerMille)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("overlap_permille"))
+  }
+
   /** Deterministic grayscale GRADIENT image — the planted fixture for
     * [[dhash64]]: pixel (x, y) has gray value 32 + ((a·x + b·y + c)
     * mod 128) + shift. The mod-128 band plus a small shift never

@@ -402,6 +402,34 @@ object LlmQueries {
     // the decoded width/height and channel means without ever touching
     // a codec. Exercises the genuine binary-payload pipeline: encode →
     // binary column → per-partition batch decode → typed features.
+    // video near-dup by frame-hash overlap: planted 8-frame gradient
+    // AVIs where video id's frame seeds are {id..id+7} — neighbors
+    // share a sliding window of frames (875/750/625/500 permille) and
+    // every 5th video gets a brightness-shifted twin (1000) — REAL
+    // Motion-PNG decode per frame, dHash per frame, one equi-join on
+    // the hash; the planted arithmetic replays everything in SQL
+    "multimodal_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      def avi(base: Long, shift: Int): Array[Byte] =
+        Multimodal.syntheticAvi(
+          (0 until 8).map { j =>
+            val sd = base + j
+            Multimodal.syntheticGradientPng(18, 16,
+              (1 + sd % 13).toInt, (1 + (sd * 3) % 11).toInt,
+              ((sd * 11) % 128).toInt, shift)
+          }, 18, 16)
+      val media = ids.flatMap { id =>
+        val base = (id, avi(id, 0), "video/avi")
+        if (id % 5 == 0) Seq(base, (id + 10000000L, avi(id, 8), "video/avi"))
+        else Seq(base)
+      }.toDF("doc_id", "payload", "mime")
+      Multimodal.videoNearDups(
+        Multimodal.videoDHashes(s, media), minOverlapPerMille = 500,
+        maxDocsPerHash = None)
+        .orderBy("doc_a", "doc_b")
+    }),
     // audio near-dup via the 65-segment energy-profile fingerprint:
     // planted stepped square waves (every 5th doc gets a 2x-volume
     // twin — every sample differs, every energy COMPARISON identical),
@@ -1175,6 +1203,40 @@ object LlmQueries {
     // the real-codec round-trip: the engine encodes solid-color PNGs
     // and decodes them with javax.imageio; the oracle predicts every
     // decoded value arithmetically (PNG is lossless)
+    // frame hash identity = the 64-bit gradient pattern of each
+    // frame's seed; overlap = shared distinct patterns over the
+    // smaller video's count
+    "multimodal_video_neardup" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id AS base FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 5 = 0),
+        |fr AS (
+        |  SELECT doc_id, base + f.j AS s
+        |  FROM vids, (SELECT UNNEST(generate_series(0, 7)) AS j) f),
+        |hs AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN ((1 + s % 13) * 2 * ((i % 8) + 1)
+        |                  + (1 + (s * 3) % 11) * 2 * (i // 8) + (s * 11) % 128) % 128
+        |              > ((1 + s % 13) * 2 * (i % 8)
+        |                  + (1 + (s * 3) % 11) * 2 * (i // 8) + (s * 11) % 128) % 128
+        |      THEN '1' ELSE '0' END), '') AS h
+        |  FROM fr),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |    CAST((1000 * n_shared) // least(ca.n, cb.n) AS BIGINT) AS overlap_permille
+        |  FROM p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a
+        |  JOIN cnt cb ON cb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, n_shared, overlap_permille FROM o
+        |WHERE overlap_permille >= 500 ORDER BY doc_a, doc_b""".stripMargin,
     // audio fingerprint bits from the planted amplitude arithmetic:
     // bit i = a(i+1) > a(i) (the 1000+ offset and the twin's 2x gain
     // drop out of the comparison); same banding/emission skeleton

@@ -59,6 +59,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("video near-dup by frame-hash overlap: reorders/trims/brightness survive, distinct content does not") {
+    def frame(seed: Long, shift: Int) = Multimodal.syntheticGradientPng(
+      18, 16, (1 + seed % 13).toInt, (1 + (seed * 3) % 11).toInt,
+      ((seed * 11) % 128).toInt, shift)
+    def avi(seeds: Seq[Long], shift: Int) =
+      Multimodal.syntheticAvi(seeds.map(frame(_, shift)), 18, 16)
+    val media = Seq(
+      (1L, avi(Seq(1, 2, 3, 4, 5, 6, 7, 8), 0), "video/avi"),
+      (2L, avi(Seq(8, 7, 6, 5, 4, 3, 2, 1), 8), "video/avi"), // reordered + brighter
+      (3L, avi(Seq(3, 4, 5, 6), 0), "video/avi"), // trimmed middle
+      (4L, avi(Seq(100, 101, 102, 103, 104, 105, 106, 107), 0), "video/avi"))
+      .toDF("doc_id", "payload", "mime")
+    val out = Multimodal.videoNearDups(
+      Multimodal.videoDHashes(spark, media), minOverlapPerMille = 900,
+      maxDocsPerHash = None)
+      .select("doc_a", "doc_b", "overlap_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    // 1~2 share all hashes (order/brightness invariant); 3 is fully
+    // contained in 1 and 2; 4 shares nothing
+    assert(out == Set((1L, 2L, 1000L), (1L, 3L, 1000L), (2L, 3L, 1000L)))
+  }
+
   test("metadata over binary payloads is deterministic and exact") {
     val docs = Seq((1L, "a" * 300), (2L, "xy")).toDF("doc_id", "text")
     val out = Multimodal.metadata(
