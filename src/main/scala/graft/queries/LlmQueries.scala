@@ -438,7 +438,9 @@ object LlmQueries {
     // oracle replays fingerprint, banding and hamming bit-for-bit
     "multimodal_audio_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      // fixed fixture size at every scale (see multimodal_image_neardup)
+      val ids = docs(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
       def amps(id: Long, gain: Int): Seq[Int] =
         (0 until 65).map { i =>
           (1000 + ((id * 31 + i * 97 + 11) * (id * 53 + i * 29 + 7) % 12000)).toInt * gain
@@ -463,7 +465,12 @@ object LlmQueries {
     // exactly-once emission and hamming rerank bit-for-bit
     "multimodal_image_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      // fixed 500-doc planted fixture at every scale: synthesized
+      // media tests the operator, not the corpus size — unbounded
+      // planted gradients go quadratic at sf1 (and cross the hot
+      // bucket cap the oracle does not model)
+      val ids = docs(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
       val media = ids.flatMap { id =>
         val a = (1 + id % 13).toInt
         val b = (1 + (id * 3) % 11).toInt
@@ -1242,9 +1249,10 @@ object LlmQueries {
     // drop out of the comparison); same banding/emission skeleton
     "multimodal_audio_neardup" ->
       """WITH clips AS (
-        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  SELECT doc_id, doc_id AS seed FROM documents WHERE doc_id < 500
         |  UNION ALL
-        |  SELECT doc_id + 10000000, doc_id FROM documents WHERE doc_id % 5 = 0),
+        |  SELECT doc_id + 10000000, doc_id FROM documents
+        |  WHERE doc_id < 500 AND doc_id % 5 = 0),
         |bits AS (
         |  SELECT doc_id,
         |    list_transform(generate_series(0, 63), i ->
@@ -1281,11 +1289,11 @@ object LlmQueries {
       """WITH imgs AS (
         |  SELECT doc_id,
         |    1 + doc_id % 13 AS a, 1 + (doc_id * 3) % 11 AS b, (doc_id * 11) % 128 AS c
-        |  FROM documents
+        |  FROM documents WHERE doc_id < 500
         |  UNION ALL
         |  SELECT doc_id + 10000000,
         |    1 + doc_id % 13, 1 + (doc_id * 3) % 11, (doc_id * 11) % 128
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0),
         |bits AS (
         |  SELECT doc_id,
         |    list_transform(generate_series(0, 63), i ->
