@@ -15,6 +15,70 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Planted gradient-PNG fixture shared by the batch and streaming
+    * image near-dup gates: a FIXED 500-doc set at every scale
+    * (synthesized media tests the operator, not the corpus size —
+    * unbounded planted gradients go quadratic at sf1 and cross the
+    * hot-bucket cap the oracle does not model); every 5th doc gets a
+    * brightness-shifted twin — pixel values all differ, luma
+    * DIFFERENCES identical. Pure doc_id arithmetic, so DuckDB replays
+    * hash, banding, exactly-once emission and hamming bit-for-bit.
+    */
+  private def imageFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).filter(col("doc_id") < 500).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val a = (1 + id % 13).toInt
+        val b = (1 + (id * 3) % 11).toInt
+        val c = ((id * 11) % 128).toInt
+        val base = (id, Multimodal.syntheticGradientPng(18, 16, a, b, c, 0), "image/png")
+        if (id % 5 == 0)
+          Seq(base,
+            (id + 10000000L,
+              Multimodal.syntheticGradientPng(18, 16, a, b, c, 8), "image/png"))
+        else Seq(base)
+      }.toDF("doc_id", "payload", "mime")
+  }
+
+  private val ImageNearDupOracle: String =
+"""WITH imgs AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 13 AS a, 1 + (doc_id * 3) % 11 AS b, (doc_id * 11) % 128 AS c
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    1 + doc_id % 13, 1 + (doc_id * 3) % 11, (doc_id * 11) % 128
+        |  FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN (a * 2 * ((i % 8) + 1) + b * 2 * (i // 8) + c) % 128
+        |              > (a * 2 * (i % 8) + b * 2 * (i // 8) + c) % 128
+        |      THEN 1 ELSE 0 END) AS bv
+        |  FROM imgs),
+        |words AS (
+        |  SELECT doc_id, bv,
+        |    list_transform(generate_series(0, 3), q ->
+        |      CAST(list_sum(list_transform(generate_series(1, 16), j ->
+        |        bv[q * 16 + j] * (CAST(1 AS BIGINT) << (j - 1)))) AS BIGINT)) AS ws
+        |  FROM bits),
+        |x AS (
+        |  SELECT doc_id, bv, ws, t.tbl, ws[t.tbl + 1] AS bucket
+        |  FROM words, (SELECT UNNEST(generate_series(0, 3)) AS tbl) t),
+        |p AS (
+        |  SELECT qa.doc_id AS doc_a, qb.doc_id AS doc_b, qa.bv AS bva, qb.bv AS bvb
+        |  FROM x qa JOIN x qb ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket
+        |  WHERE qa.doc_id < qb.doc_id
+        |    AND qa.tbl = list_position(list_transform(generate_series(1, 4),
+        |      i -> qa.ws[i] = qb.ws[i]), true) - 1),
+        |h AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN bva[i] <> bvb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM p)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), col("text"), col("doc_id"))
@@ -463,27 +527,22 @@ object LlmQueries {
     // pigeonhole banding as text simhash; the planted construction is
     // pure doc_id arithmetic, so DuckDB replays hash, banding,
     // exactly-once emission and hamming rerank bit-for-bit
-    "multimodal_image_neardup" -> ((s, dir) => {
-      import s.implicits._
-      // fixed 500-doc planted fixture at every scale: synthesized
-      // media tests the operator, not the corpus size — unbounded
-      // planted gradients go quadratic at sf1 (and cross the hot
-      // bucket cap the oracle does not model)
-      val ids = docs(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
-      val media = ids.flatMap { id =>
-        val a = (1 + id % 13).toInt
-        val b = (1 + (id * 3) % 11).toInt
-        val c = ((id * 11) % 128).toInt
-        val base = (id, Multimodal.syntheticGradientPng(18, 16, a, b, c, 0), "image/png")
-        if (id % 5 == 0)
-          Seq(base,
-            (id + 10000000L,
-              Multimodal.syntheticGradientPng(18, 16, a, b, c, 8), "image/png"))
-        else Seq(base)
-      }.toDF("doc_id", "payload", "mime")
+    "multimodal_image_neardup" -> ((s, dir) =>
       Dedup.hamming64NearDups(
-        Multimodal.imageDHash(s, media), maxHamming = 3)
+        Multimodal.imageDHash(s, imageFixture(s, dir)), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+    // the INCREMENTAL spelling: the same planted images replay as 4
+    // micro-batch files through the stateful per-word-bucket
+    // pigeonhole index (decode + dHash per batch on executors, pairs
+    // exactly-once from the first agreeing word); the emitted pair
+    // set shares multimodal_image_neardup's oracle VERBATIM
+    "stream_image_neardup" -> ((s, dir) => {
+      val base = new java.io.File(graft.LocalDir.scratch, "imgdup-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingDedup.imageNearDupsFromFiles(
+        s, imageFixture(s, dir), maxHamming = 3, nBatches = 4, scratch)
         .orderBy("doc_a", "doc_b")
     }),
     "multimodal_image_decode" -> ((s, dir) => {
@@ -1285,44 +1344,9 @@ object LlmQueries {
     // dHash bits from the planted gradient arithmetic (sample stride
     // is exactly 2 at 18x16; gray IS the integer luma), words = 16-bit
     // slices, pairs via first-agreeing-word, exact hamming rerank
-    "multimodal_image_neardup" ->
-      """WITH imgs AS (
-        |  SELECT doc_id,
-        |    1 + doc_id % 13 AS a, 1 + (doc_id * 3) % 11 AS b, (doc_id * 11) % 128 AS c
-        |  FROM documents WHERE doc_id < 500
-        |  UNION ALL
-        |  SELECT doc_id + 10000000,
-        |    1 + doc_id % 13, 1 + (doc_id * 3) % 11, (doc_id * 11) % 128
-        |  FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0),
-        |bits AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(0, 63), i ->
-        |      CASE WHEN (a * 2 * ((i % 8) + 1) + b * 2 * (i // 8) + c) % 128
-        |              > (a * 2 * (i % 8) + b * 2 * (i // 8) + c) % 128
-        |      THEN 1 ELSE 0 END) AS bv
-        |  FROM imgs),
-        |words AS (
-        |  SELECT doc_id, bv,
-        |    list_transform(generate_series(0, 3), q ->
-        |      CAST(list_sum(list_transform(generate_series(1, 16), j ->
-        |        bv[q * 16 + j] * (CAST(1 AS BIGINT) << (j - 1)))) AS BIGINT)) AS ws
-        |  FROM bits),
-        |x AS (
-        |  SELECT doc_id, bv, ws, t.tbl, ws[t.tbl + 1] AS bucket
-        |  FROM words, (SELECT UNNEST(generate_series(0, 3)) AS tbl) t),
-        |p AS (
-        |  SELECT qa.doc_id AS doc_a, qb.doc_id AS doc_b, qa.bv AS bva, qb.bv AS bvb
-        |  FROM x qa JOIN x qb ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket
-        |  WHERE qa.doc_id < qb.doc_id
-        |    AND qa.tbl = list_position(list_transform(generate_series(1, 4),
-        |      i -> qa.ws[i] = qb.ws[i]), true) - 1),
-        |h AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CASE WHEN bva[i] <> bvb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        |  FROM p)
-        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "multimodal_image_neardup" -> ImageNearDupOracle,
+    // the streaming pigeonhole index drains to the IDENTICAL pair set
+    "stream_image_neardup" -> ImageNearDupOracle,
     "multimodal_image_decode" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

@@ -156,4 +156,104 @@ object StreamingDedup {
       new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
     spark.read.parquet(outDir.toString)
   }
+
+  final case class BandedSig(bucket: String, id: Long, sig: Long)
+  final case class StoredSig(id: Long, sig: Long)
+  final case class HammingPair(doc_a: Long, doc_b: Long, hamming: Long)
+
+  /** Index of the FIRST of the 4 16-bit words where two packed 64-bit
+    * signatures agree, or -1 — the exactly-once rule shared with the
+    * batch [[graft.operators.Dedup.hamming64NearDups]].
+    */
+  private def firstAgreeingWord(a: Long, b: Long): Int = {
+    val x = a ^ b
+    var q = 0
+    while (q < 4) {
+      if ((x & (0xffffL << (16 * q))) == 0L) return q
+      q += 1
+    }
+    -1
+  }
+
+  /** STREAMING near-dup over ANY packed 64-bit signature stream —
+    * the incremental sibling of
+    * [[graft.operators.Dedup.hamming64NearDups]], and (composed with
+    * the multimodal hashers) live image/audio dedup-against-everything:
+    * every arriving signature probes the per-word-bucket keyed state
+    * (signatures previously seen in that 16-bit bucket), emits a pair
+    * exactly once — from the FIRST agreeing word, decided from the two
+    * carried signatures with no cross-bucket coordination — and
+    * indexes itself. Same equivalence contract as the text path: any
+    * micro-batch partitioning drains to EXACTLY the batch pair set.
+    */
+  def hammingPairs(
+      sigs: Dataset[(Long, Long)], // (id, sig)
+      maxHamming: Int,
+      maxBucketDocs: Int = 100000): Dataset[HammingPair] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val banded = sigs.flatMap { case (id, sig) =>
+      (0 until 4).map { q =>
+        BandedSig(q + ":" + ((sig >>> (16 * q)) & 0xffffL), id, sig)
+      }
+    }
+    banded.groupByKey(_.bucket).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (bucket: String, it: Iterator[BandedSig],
+       state: org.apache.spark.sql.streaming.GroupState[Seq[StoredSig]]) =>
+        val word = bucket.takeWhile(_ != ':').toInt
+        val prior = state.getOption.getOrElse(Seq.empty)
+        val seen = scala.collection.mutable.ArrayBuffer[StoredSig](prior: _*)
+        val out = scala.collection.mutable.ArrayBuffer[HammingPair]()
+        it.toIndexedSeq.sortBy(_.id).foreach { d =>
+          var i = 0
+          while (i < seen.length) {
+            val e = seen(i)
+            if (e.id != d.id && firstAgreeingWord(e.sig, d.sig) == word &&
+                java.lang.Long.bitCount(e.sig ^ d.sig) <= maxHamming) {
+              val (a, b) = if (e.id < d.id) (e.id, d.id) else (d.id, e.id)
+              out += HammingPair(a, b,
+                java.lang.Long.bitCount(e.sig ^ d.sig).toLong)
+            }
+            i += 1
+          }
+          if (seen.length < maxBucketDocs) seen += StoredSig(d.id, d.sig)
+        }
+        if (seen.length != prior.length) state.update(seen.toSeq)
+        out.iterator
+    }
+  }
+
+  /** File-fed streaming image near-dup (the gate-query spelling):
+    * media rows stage as micro-batch files, frames decode + dHash on
+    * executors per batch, pairs stream out of the stateful pigeonhole
+    * index exactly-once.
+    */
+  def imageNearDupsFromFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      media: DataFrame, // (doc_id, payload, mime)
+      maxHamming: Int,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    graft.sources.FileIO.stageRangeBatches(
+      media, col("doc_id"), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    import ss.implicits._
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, media.schema, maxFilesPerTrigger = 1)
+    val sigs = stream
+      .as[graft.operators.Multimodal.MediaRecord]
+      .map(r => (r.doc_id, graft.operators.Multimodal.dhash64(r.payload)))
+    val q = graft.sources.FileIO.streamingParquetSink(
+      hammingPairs(sigs, maxHamming).toDF(),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    spark.read.parquet(outDir.toString)
+  }
 }

@@ -101,4 +101,29 @@ class StreamingDedupSpec extends SparkSpec {
       assert(n == 10L + 25L * 5L, s"got $n pairs")
     } finally q.stop()
   }
+
+  test("streamed 64-bit hamming pairs == batch pigeonhole, any batch split") {
+    import graft.operators.{Dedup, Multimodal}
+    // 40 gradient images, every 4th with a brightness-shifted twin
+    val media = (0L until 40L).flatMap { id =>
+      def png(shift: Int) = Multimodal.syntheticGradientPng(
+        18, 16, (1 + id % 13).toInt, (1 + (id * 3) % 11).toInt,
+        ((id * 11) % 128).toInt, shift)
+      val base = (id, png(0), "image/png")
+      if (id % 4 == 0) Seq(base, (id + 1000L, png(8), "image/png")) else Seq(base)
+    }.toDF("doc_id", "payload", "mime")
+    val batch = Dedup.hamming64NearDups(
+      Multimodal.imageDHash(spark, media), maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    for (nBatches <- Seq(1, 3)) {
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"graft-simg-$nBatches").toString
+      val streamed = graft.streaming.StreamingDedup.imageNearDupsFromFiles(
+        spark, media, maxHamming = 3, nBatches = nBatches, scratch,
+        statePartitions = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
 }
