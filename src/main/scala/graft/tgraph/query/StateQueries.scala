@@ -72,6 +72,12 @@ object StateQueries {
     * deterministic sampled key sets to drive point-query workloads.
     * Sampling by seeded hash order keeps the choice reproducible across
     * engines and runs (no RNG state on executors).
+    *
+    * NOTE: engine-local variant — orders by Spark's Murmur3 `hash()`,
+    * which no external oracle reproduces. Kept for in-engine probes
+    * that only need determinism (`querySupplier`); NEW call sites
+    * should prefer [[sampleFrame]], whose md5 ordering is
+    * engine-portable and therefore oracle-checkable.
     */
   def sampleKeys(snapshot: DataFrame, n: Int, seed: Int): Seq[Long] =
     snapshot
