@@ -45,6 +45,50 @@ object Corpus {
         (col("n_shared_shingles") > 0).as("contaminated"))
   }
 
+  /** Span-level decontamination — the REMEDIATION counterpart of
+    * [[contamination]]: instead of flagging (and losing) a document
+    * that shares any k-shingle with the benchmark set, REMOVE the
+    * shared spans and keep the rest — the right action when eval
+    * questions get quoted inside otherwise-good pages. Every corpus
+    * window whose positional 56-bit shingle hash appears in the
+    * (broadcast, model-sized) benchmark hash set covers its k token
+    * positions; documents reassemble from the uncovered tokens through
+    * the same two-pointer native kernel as duplicated-span removal.
+    * Shape at scale: one narrow positional-hash kernel pass per doc,
+    * one broadcast semi-join (only contaminated docs' span STARTS
+    * shuffle — never the token stream), one per-doc fold. Returns
+    * (doc_id, clean_text, n_kept, n_dropped) for EVERY corpus doc.
+    */
+  def decontaminateScrub(
+      corpus: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, btext: Column, k: Int = 3): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(
+        graft.functions.ShingleHashes56(TextAnalysis.tokens(btext), k)).as("h"))
+      .distinct()
+    val base = corpus.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+    val wins = base.select(col("doc_id"),
+      posexplode(graft.functions.ShingleHashesAll56(col("toks"), k))
+        .as(Seq("s", "h")))
+    val covAgg = wins
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set((col("s") + 1).cast("long"))).as("cov_starts"))
+    base.join(covAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"), col("cov_starts"),
+        when(col("cov_starts").isNull, array_join(col("toks"), " "))
+          .otherwise(graft.functions.FilterOutSpans(col("toks"), col("cov_starts"), k))
+          .as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        when(col("cov_starts").isNull, size(col("toks")).cast("bigint"))
+          .otherwise(when(col("clean_text") === "", lit(0L))
+            .otherwise(size(split(col("clean_text"), " ")).cast("bigint")))
+          .as("n_kept"),
+        col("toks"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (size(col("toks")).cast("bigint") - col("n_kept")).as("n_dropped"))
+  }
+
   /** The shared deterministic keep-predicate: portable 32-bit hash of
     * "stratum:id" lands below the per-mille rate. ONE definition so
     * [[stratifiedSample]] and [[rebalance]] can never drift apart.

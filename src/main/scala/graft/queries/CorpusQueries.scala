@@ -85,6 +85,16 @@ object CorpusQueries {
           col("contaminated").cast("bigint").as("contaminated"))
         .orderBy("doc_id")
     }),
+    // span-level decontamination (the remediation, not just the flag):
+    // eval docs = every 20th; corpus windows whose 3-shingle appears
+    // in the eval set are cut, docs reassembled from surviving tokens
+    "decontaminate_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.decontaminateScrub(
+        d.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 20 === 0), col("text"), k = 3)
+        .orderBy("doc_id")
+    }),
     // deterministic per-language downsampling (pure narrow filter)
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(
@@ -647,6 +657,41 @@ object CorpusQueries {
         |cov AS (SELECT DISTINCT doc_id, pos FROM (
         |  SELECT doc_id, UNNEST(generate_series(s + 1, s + 8)) AS pos
         |  FROM k WHERE cnt >= 2 AND rn > 1)),
+        |tok AS (SELECT doc_id, UNNEST(generate_series(1, len(toks))) AS pos,
+        |          UNNEST(toks) AS token FROM t),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.token
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // covered positions = windows whose shingle hash is in the eval
+    // set; reassembly identical to span_dedup's
+    "decontaminate_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |bench AS (
+        |  SELECT DISTINCT substr(md5(sh), 1, 14) AS h FROM (
+        |    SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |          FROM documents WHERE doc_id % 20 = 0)
+        |    WHERE len(toks) >= 3)),
+        |w AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(0, len(toks) - 3)) AS s,
+        |    UNNEST(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 14))) AS h
+        |  FROM t WHERE len(toks) >= 3),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT w.doc_id, UNNEST(generate_series(w.s + 1, w.s + 3)) AS pos
+        |  FROM w JOIN bench USING (h))),
         |tok AS (SELECT doc_id, UNNEST(generate_series(1, len(toks))) AS pos,
         |          UNNEST(toks) AS token FROM t),
         |kept AS (

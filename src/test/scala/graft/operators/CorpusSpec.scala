@@ -158,6 +158,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateScrub cuts exactly the benchmark spans and keeps the rest") {
+    val bench = Seq((100L, "secret eval question here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words secret eval question here outro words"), // quoted once
+      (2L, "totally unrelated clean document text"),
+      (3L, "secret eval question here")) // fully contaminated
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminateScrub(
+      corpus, col("doc_id"), col("text"), bench, col("text"), k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: the 4 shared shingle windows cover "secret eval question
+    // here" plus the adjacent windows' overlap — the planted quote and
+    // nothing outside the covering windows survives removal
+    assert(out(1L)._2 == "intro words outro words")
+    assert(out(1L)._3 == 4L && out(1L)._4 == 4L)
+    assert(out(2L) == (2L, "totally unrelated clean document text", 5L, 0L))
+    assert(out(3L)._2 == "" && out(3L)._3 == 0L)
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged; whitespace churn is not change") {
     val old = Seq(
       (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"), (4L, "will vanish"))
