@@ -180,9 +180,29 @@ object CorpusStats {
   def distinctKmv(df: DataFrame, value: Column, k: Int = 64): DataFrame = {
     // (k-1)·2^56 must stay inside int64: k-1 < 128
     require(k >= 2 && k <= 128, s"k=$k must be in [2, 128]")
-    val smallest = df
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Per-partition bounded k-min BEFORE any shuffle: each input
+    // partition keeps only its k smallest DISTINCT hashes in a TreeSet
+    // (the global k smallest distinct values are each among their own
+    // partition's k smallest distinct), so the exchange moves at most
+    // partitions·k longs instead of every distinct hash in the corpus —
+    // the same k-min-distributes argument the streaming sibling
+    // (kmvFromFiles) relies on, applied map-side.
+    val perPartition = df
       .select(TextAnalysis.portableHash56(value).as("h"))
       .filter(col("h").isNotNull)
+      .as[Long]
+      .mapPartitions { it =>
+        val smallest = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          smallest.add(h)
+          if (smallest.size > k) smallest.pollLast()
+        }
+        import scala.jdk.CollectionConverters._
+        smallest.iterator.asScala.map(_.longValue())
+      }
+    val smallest = perPartition.toDF("h")
       .distinct()
       .orderBy(col("h"))
       .limit(k)
@@ -197,7 +217,12 @@ object CorpusStats {
     smallest
       .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth_hash"))
       .select(col("k_seen"), col("kth_hash"),
-        when(col("k_seen") < k, col("k_seen"))
+        // kth_hash = 0 (an input whose md5 starts with 14 zero hex
+        // digits) would make Spark's div return null where DuckDB's //
+        // raises; but hashes are distinct, so the k-th SMALLEST being 0
+        // forces k_seen = 1 < k and the first branch already answers
+        // exactly. The explicit guard makes the div unreachable at 0.
+        when(col("k_seen") < k || col("kth_hash") === 0, col("k_seen"))
           .otherwise(expr(s"(${k - 1} * 72057594037927936 div kth_hash)"))
           .cast("bigint").as("est_distinct"))
 
@@ -240,7 +265,11 @@ object CorpusStats {
       .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("d"),
         col("h1"), col("h2"))
       .withColumn("bucket", pmod(col("h1") + col("d") * col("h2"), lit(width.toLong)))
-      .join(broadcast(sketch), Seq("d", "bucket"))
+      // Left join: a (d, bucket) row absent from the sketch means that
+      // bucket was never hit, so the correct CM count there is 0 (and
+      // the min over depth rows is then 0) — an inner join would either
+      // drop the probed value or take min over < depth rows.
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
       .groupBy(col("v"))
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
 }

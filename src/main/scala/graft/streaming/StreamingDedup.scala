@@ -104,19 +104,28 @@ object StreamingDedup {
         // deterministic within-batch order: by doc id, so "earlier" is
         // always the smaller id whatever the shuffle delivered
         it.toIndexedSeq.sortBy(_.doc_id).foreach { d =>
+          // at-least-once redelivery guard: an id already indexed in
+          // this bucket was fully processed by an earlier delivery
           var i = 0
-          while (i < seen.length) {
-            val e = seen(i)
-            if (e.doc_id != d.doc_id &&
-                firstAgreeingBand(e.sig, d.sig, bands, r) == d.band_id) {
-              val (a, b) =
-                if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
-                else (d.doc_id, e.doc_id)
-              out += NearDupPair(a, b, estJaccardMilli(e.sig, d.sig, numHashes))
-            }
+          var isRedelivery = false
+          while (i < seen.length && !isRedelivery) {
+            if (seen(i).doc_id == d.doc_id) isRedelivery = true
             i += 1
           }
-          if (seen.length < maxBucketDocs) seen += StoredDoc(d.doc_id, d.sig)
+          if (!isRedelivery) {
+            i = 0
+            while (i < seen.length) {
+              val e = seen(i)
+              if (firstAgreeingBand(e.sig, d.sig, bands, r) == d.band_id) {
+                val (a, b) =
+                  if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
+                  else (d.doc_id, e.doc_id)
+                out += NearDupPair(a, b, estJaccardMilli(e.sig, d.sig, numHashes))
+              }
+              i += 1
+            }
+            if (seen.length < maxBucketDocs) seen += StoredDoc(d.doc_id, d.sig)
+          }
         }
         // a capped (or probe-only) invocation that indexed nothing new
         // skips the state-store rewrite — the write is O(bucket)
@@ -183,13 +192,25 @@ object StreamingDedup {
     * (signatures previously seen in that 16-bit bucket), emits a pair
     * exactly once — from the FIRST agreeing word, decided from the two
     * carried signatures with no cross-bucket coordination — and
-    * indexes itself. Same equivalence contract as the text path: any
-    * micro-batch partitioning drains to EXACTLY the batch pair set.
+    * indexes itself. Equivalence contract, scoped: for inputs where no
+    * 16-bit bucket exceeds `maxBucketDocs` (default aligned with the
+    * batch operator's 10k `maxBucketSize`), any micro-batch
+    * partitioning drains to EXACTLY the batch pair set. Above the cap
+    * the two necessarily diverge — the batch pass sees the full bucket
+    * and drops it atomically, while an incremental index cannot retract
+    * pairs it already emitted, so the stream freezes the bucket at the
+    * cap (stops indexing, keeps probing) instead.
+    *
+    * At-least-once upstream redelivery of a (id, sig) row is absorbed:
+    * an id already present in the bucket's state neither re-probes nor
+    * re-indexes, so replayed micro-batches emit no duplicate pairs.
+    * (Probe-only ids in an already-frozen bucket are not remembered and
+    * would re-emit on redelivery — the cap bounds state by design.)
     */
   def hammingPairs(
       sigs: Dataset[(Long, Long)], // (id, sig)
       maxHamming: Int,
-      maxBucketDocs: Int = 100000): Dataset[HammingPair] = {
+      maxBucketDocs: Int = 10000): Dataset[HammingPair] = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val banded = sigs.flatMap { case (id, sig) =>
@@ -206,18 +227,29 @@ object StreamingDedup {
         val seen = scala.collection.mutable.ArrayBuffer[StoredSig](prior: _*)
         val out = scala.collection.mutable.ArrayBuffer[HammingPair]()
         it.toIndexedSeq.sortBy(_.id).foreach { d =>
+          // at-least-once redelivery guard: an id already indexed in
+          // this bucket was fully processed by an earlier delivery —
+          // probing again would re-emit every pair it participates in
           var i = 0
-          while (i < seen.length) {
-            val e = seen(i)
-            if (e.id != d.id && firstAgreeingWord(e.sig, d.sig) == word &&
-                java.lang.Long.bitCount(e.sig ^ d.sig) <= maxHamming) {
-              val (a, b) = if (e.id < d.id) (e.id, d.id) else (d.id, e.id)
-              out += HammingPair(a, b,
-                java.lang.Long.bitCount(e.sig ^ d.sig).toLong)
-            }
+          var isRedelivery = false
+          while (i < seen.length && !isRedelivery) {
+            if (seen(i).id == d.id) isRedelivery = true
             i += 1
           }
-          if (seen.length < maxBucketDocs) seen += StoredSig(d.id, d.sig)
+          if (!isRedelivery) {
+            i = 0
+            while (i < seen.length) {
+              val e = seen(i)
+              if (firstAgreeingWord(e.sig, d.sig) == word &&
+                  java.lang.Long.bitCount(e.sig ^ d.sig) <= maxHamming) {
+                val (a, b) = if (e.id < d.id) (e.id, d.id) else (d.id, e.id)
+                out += HammingPair(a, b,
+                  java.lang.Long.bitCount(e.sig ^ d.sig).toLong)
+              }
+              i += 1
+            }
+            if (seen.length < maxBucketDocs) seen += StoredSig(d.id, d.sig)
+          }
         }
         if (seen.length != prior.length) state.update(seen.toSeq)
         out.iterator

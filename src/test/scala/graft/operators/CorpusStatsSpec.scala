@@ -40,6 +40,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(sketch.count() <= 3L * 256L)
   }
 
+  test("KMV per-partition pre-truncation equals the full-shuffle spelling") {
+    // many partitions, duplicated values across them — the bounded
+    // mapPartitions k-min must agree with distinct-then-TakeOrdered
+    val df = spark.range(5000).repartition(16)
+      .select(concat(lit("x"), pmod(col("id"), lit(1700L))).as("v"))
+    val fast = CorpusStats.distinctKmv(df, col("v"), k = 64)
+      .as[(Long, Long, Long)].head()
+    val reference = {
+      val smallest = df
+        .select(TextAnalysis.portableHash56(col("v")).as("h"))
+        .filter(col("h").isNotNull).distinct().orderBy(col("h")).limit(64)
+      smallest.agg(count(lit(1)), max(col("h"))).as[(Long, Long)].head()
+    }
+    assert(fast._1 == reference._1 && fast._2 == reference._2,
+      s"pre-truncated sketch diverged: $fast vs $reference")
+  }
+
+  test("cmEstimate returns 0 for values whose buckets were never hit") {
+    val df = Seq("a", "a", "b").toDF("v")
+    val sketch = CorpusStats.countMinSketch(df, col("v"), depth = 3, width = 4096)
+    // probe a value absent from the stream: with width 4096 and 2
+    // distinct stream values, its buckets are (almost surely) empty —
+    // the estimate must be a defined 0, not a dropped row
+    val probes = Seq("a", "zzz-never-seen").toDF("v")
+    val est = CorpusStats.cmEstimate(sketch, probes, col("v"), depth = 3, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == Set("a", "zzz-never-seen"), s"probe rows dropped: $est")
+    assert(est("a") >= 2L)
+    assert(est("zzz-never-seen") == 0L, s"absent value over-estimated: $est")
+  }
+
   test("heavyNgrams counts occurrences (not docs) and ranks deterministically") {
     val docs = Seq(
       (1L, "a b c a b c x y z"), // "a b c" twice (overlap-free), "b c a"/"c a b" once

@@ -102,6 +102,45 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("at-least-once redelivery of the same docs emits no duplicate pairs") {
+    val a = Doc(1L, "one two three four five six seven eight nine ten eleven twelve")
+    val b = Doc(2L, "one two three four five six seven eight nine ten eleven twelve extra")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupPairs(input.toDF(), col("text"), col("doc_id"))
+      .writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(a, b)); q.processAllAvailable()
+      assert(spark.table("neardup_redeliver").count() == 1L)
+      // an upstream replay re-sends the identical rows in a later batch
+      input.addData(Seq(a, b)); q.processAllAvailable()
+      assert(spark.table("neardup_redeliver").count() == 1L,
+        "redelivered rows re-emitted pairs")
+    } finally q.stop()
+  }
+
+  test("hamming redelivery: replayed (id, sig) rows neither re-pair nor re-index") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingDedup.hammingPairs(input.toDS(), maxHamming = 3)
+      .writeStream.format("memory").queryName("hamming_redeliver")
+      .outputMode("append").start()
+    try {
+      // sigs differ in 1 bit → 3 agreeing words → one pair, once
+      input.addData(Seq((1L, 0x1234567890abcdefL), (2L, 0x1234567890abcdeeL)))
+      q.processAllAvailable()
+      assert(spark.table("hamming_redeliver").count() == 1L)
+      input.addData(Seq((1L, 0x1234567890abcdefL), (2L, 0x1234567890abcdeeL)))
+      q.processAllAvailable()
+      assert(spark.table("hamming_redeliver").count() == 1L,
+        "redelivered signatures re-emitted pairs")
+      // a genuinely new neighbor still pairs against both stored docs
+      input.addData(Seq((3L, 0x1234567890abcdecL))); q.processAllAvailable()
+      assert(spark.table("hamming_redeliver").count() == 3L)
+    } finally q.stop()
+  }
+
   test("streamed 64-bit hamming pairs == batch pigeonhole, any batch split") {
     import graft.operators.{Dedup, Multimodal}
     // 40 gradient images, every 4th with a brightness-shifted twin
