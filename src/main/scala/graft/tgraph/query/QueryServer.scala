@@ -46,10 +46,23 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   * Protocol (one request line → one JSON response line):
   * {{{
   *   POINT k1,k2,...     → {"batch":B,"rows":[[k,v],...]}
-  *   PRED GE|GT|LE|LT|EQ n → keys whose value satisfies the comparison
+  *   PRED GE|GT|LE|LT|EQ n [LIMIT m] [AFTER k]
+  *                       → keys whose value satisfies the comparison,
+  *                         in ascending key order; LIMIT pages the
+  *                         response, AFTER k resumes strictly past key
+  *                         k (cursor paging: pass the last key of the
+  *                         previous page)
   *   COUNT               → {"batch":B,"count":N}
   *   anything else       → {"error":"..."}
   * }}}
+  *
+  * Every `rows` response is bounded by `maxResponseRows` (and by the
+  * request's own LIMIT if smaller). A response that left matching rows
+  * unreturned carries `"truncated":true` — the client pages onward
+  * with `AFTER <last key>`. In degraded mode the page is computed as
+  * `orderBy(key).limit(page+1)` — TakeOrderedAndProject's bounded
+  * per-partition heaps — so no request can pull a corpus-sized match
+  * set through the driver, whatever the state size.
   */
 final class QueryServer(
     spark: SparkSession,
@@ -66,7 +79,10 @@ final class QueryServer(
     maxStateRows: Long = 5_000_000L,
     // degraded-mode point-key LRU: repeated hot keys answer from this
     // bounded map instead of one Spark job per request
-    degradedCacheKeys: Int = 100_000) extends AutoCloseable {
+    degradedCacheKeys: Int = 100_000,
+    // hard ceiling on rows in ANY single response (PRED pages, POINT):
+    // the driver-side memory bound for the serving path
+    maxResponseRows: Int = 100_000) extends AutoCloseable {
 
   /** `state = Some(map)` — cached mode (answers from driver memory);
     * `state = None` — degraded mode (state outgrew `maxStateRows`;
@@ -189,15 +205,28 @@ final class QueryServer(
   private def lruFor(batchId: Long): BatchLru = degradedLru.synchronized {
     val cur = degradedLru.get()
     if (cur.batchId == batchId) cur
-    else { val fresh = new BatchLru(batchId); degradedLru.set(fresh); fresh }
+    else if (batchId > cur.batchId) {
+      val fresh = new BatchLru(batchId); degradedLru.set(fresh); fresh
+    } else
+      // a request that raced the refresher and pinned an OLDER batch
+      // must not clobber the newer batch's shared cache: give it a
+      // private throwaway LRU, correct for its own snapshot
+      new BatchLru(batchId)
   }
 
   private def respond(req: String): String = {
     val snap = current.get()
-    def rowsJson(pairs: Iterable[(Long, Long)]): String = {
-      val body = pairs.toSeq.sorted
+    // `moreBeyond` = the computation already knows rows past the page
+    // exist; the defensive size cap additionally bounds POINT and any
+    // other path that assembled more than `maxResponseRows` pairs.
+    def rowsJson(pairs: Iterable[(Long, Long)],
+        moreBeyond: Boolean = false): String = {
+      val sorted = pairs.toSeq.sorted
+      val truncated = moreBeyond || sorted.length > maxResponseRows
+      val body = sorted.take(maxResponseRows)
         .map { case (k, v) => s"[$k,$v]" }.mkString(",")
-      s"""{"batch":${snap.batchId},"rows":[$body]}"""
+      val t = if (truncated) ""","truncated":true""" else ""
+      s"""{"batch":${snap.batchId},"rows":[$body]$t}"""
     }
     // Degraded mode: the same answers, computed as a distributed query
     // pinned at the snapshot's committed batch (the pointQueryBatch
@@ -207,6 +236,19 @@ final class QueryServer(
       if (snap.batchId < 0) Nil
       else f(pinnedState(snap.batchId)).collect().iterator
         .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // One PAGE of a degraded-mode match set, in ascending key order:
+    // orderBy+limit plans as TakeOrderedAndProject (bounded
+    // per-partition heaps), so at most page+1 rows ever reach the
+    // driver however many rows match. The +1 row detects truncation.
+    def distributedPage(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, page: Int): (Seq[(Long, Long)], Boolean) =
+      if (snap.batchId < 0) (Nil, false)
+      else {
+        val rows = f(pinnedState(snap.batchId))
+          .orderBy(col("k")).limit(page + 1).collect().iterator
+          .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+        (rows.take(page), rows.length > page)
+      }
     val parts = req.trim.split("\\s+", 2)
     parts(0).toUpperCase match {
       case "POINT" if parts.length == 2 =>
@@ -217,23 +259,47 @@ final class QueryServer(
             rowsJson(keys.iterator.flatMap(k => st.get(k).map(k -> _)).toSeq)
           case None =>
             // hot-key LRU first (per committed batch, negatives cached
-            // too); one distributed query for ONLY the missing keys
+            // too); one distributed query for ONLY the missing keys.
+            // Hit VALUES are captured here, at partition time — a
+            // concurrent request may evict them from the LRU before
+            // this response is assembled.
             val lru = lruFor(snap.batchId)
-            val (hit, miss) = keys.partition(k => lru.get(k).isDefined)
-            degradedHits.addAndGet(hit.size)
+            val hitVals: Map[Long, Option[Long]] =
+              keys.iterator.flatMap(k => lru.get(k).map(k -> _)).toMap
+            val miss = keys.filterNot(hitVals.contains)
+            degradedHits.addAndGet(hitVals.size)
             degradedMisses.addAndGet(miss.size)
             val fetched: Map[Long, Long] =
               if (miss.isEmpty) Map.empty
               else distributed(_.filter(
                 col("k").isInCollection(miss.toSeq.map(Long.box)))).toMap
             miss.foreach(k => lru.put(k, fetched.get(k)))
-            val cached = hit.iterator
-              .flatMap(k => lru.get(k).flatten.map(k -> _))
+            val cached = hitVals.iterator
+              .flatMap { case (k, ov) => ov.map(k -> _) }
             rowsJson((cached ++ fetched.iterator).toSeq)
         }
       case "PRED" if parts.length == 2 =>
-        val Array(op, lit) = parts(1).trim.split("\\s+", 2)
-        val n = lit.trim.toLong
+        // PRED <op> <n> [LIMIT m] [AFTER k] — pages ascend by key
+        val toks = parts(1).trim.split("\\s+")
+        require(toks.length >= 2, "PRED needs <op> <n>")
+        val op = toks(0)
+        val n = toks(1).toLong
+        var page = maxResponseRows
+        var after = Long.MinValue
+        var i = 2
+        while (i < toks.length) {
+          toks(i).toUpperCase match {
+            case "LIMIT" if i + 1 < toks.length =>
+              page = math.min(toks(i + 1).toLong, maxResponseRows.toLong).toInt
+              i += 2
+            case "AFTER" if i + 1 < toks.length =>
+              after = toks(i + 1).toLong
+              i += 2
+            case other =>
+              throw new IllegalArgumentException(s"bad PRED clause $other")
+          }
+        }
+        require(page > 0, "LIMIT must be positive")
         snap.state match {
           case Some(st) =>
             val p: Long => Boolean = op.toUpperCase match {
@@ -244,7 +310,9 @@ final class QueryServer(
               case "EQ" => _ == n
               case other => throw new IllegalArgumentException(s"bad op $other")
             }
-            rowsJson(st.filter { case (_, v) => p(v) })
+            val matches = st.iterator
+              .filter { case (k, v) => k > after && p(v) }.toSeq.sorted
+            rowsJson(matches.take(page), matches.length > page)
           case None =>
             val pred: Column = op.toUpperCase match {
               case "GE" => col("v") >= n
@@ -254,7 +322,9 @@ final class QueryServer(
               case "EQ" => col("v") === n
               case other => throw new IllegalArgumentException(s"bad op $other")
             }
-            rowsJson(distributed(_.filter(pred)))
+            val (rows, more) =
+              distributedPage(_.filter(pred && col("k") > after), page)
+            rowsJson(rows, more)
         }
       case "COUNT" =>
         snap.state match {

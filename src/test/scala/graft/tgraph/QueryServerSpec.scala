@@ -193,6 +193,104 @@ class QueryServerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("oversized-state PRED responses are bounded, marked truncated, and page exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-page").toString
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+
+    val input = MemoryStream[Bank.AcctDelta]
+    val q = StreamingBank.sequentialBalancesOnline(spark, input.toDS())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(deltas)
+      q.processAllAvailable()
+
+      // degraded mode (state >> maxStateRows) AND a tiny response cap:
+      // the worst case the verdict flagged — a match-everything PRED
+      // against a state too big to cache — must come back bounded
+      val server = new QueryServer(spark, s"$dir/ckpt",
+        refreshMillis = 50, maxStateRows = 3L, maxResponseRows = 8)
+      try {
+        eventually() { if (server.servedBatchId >= 0) Some(()) else None }
+        val expected = Bank.sequentialBalances(spark, Sf0001)
+          .select("acct", "balance_cents").as[(Long, Long)].collect().toMap
+        assert(expected.size > 8, "fixture must exceed the response cap")
+
+        val client = new QueryClient("localhost", server.boundPort)
+        try {
+          // match-everything PRED: response holds at most cap rows and
+          // says so
+          val first = client.request("PRED GE " + Long.MinValue)
+          val (_, firstRows) = parseRows(first)
+          assert(firstRows.size == 8, s"got ${firstRows.size} rows")
+          assert(first.contains(""""truncated":true"""), first)
+
+          // cursor paging: AFTER <last key> walks the full match set
+          // exactly once, in ascending key order, and the final page is
+          // unmarked
+          var all = Map.empty[Long, Long]
+          var cursor = Long.MinValue
+          var done = false
+          var pages = 0
+          while (!done) {
+            val resp = client.request(s"PRED GE ${Long.MinValue} AFTER $cursor")
+            val (_, rows) = parseRows(resp)
+            assert(rows.keySet.forall(_ > cursor))
+            assert(all.keySet.intersect(rows.keySet).isEmpty, "page overlap")
+            all ++= rows
+            pages += 1
+            if (resp.contains(""""truncated":true""")) cursor = rows.keys.max
+            else done = true
+            assert(pages <= expected.size + 1, "paging did not terminate")
+          }
+          assert(all == expected, "paged union != full match set")
+          assert(pages == math.ceil(expected.size / 8.0).toInt)
+
+          // client LIMIT below the server cap is honored and marked
+          val lim = client.request("PRED GE " + Long.MinValue + " LIMIT 3")
+          val (_, limRows) = parseRows(lim)
+          assert(limRows.size == 3 && lim.contains(""""truncated":true"""))
+
+          // a selective PRED under the cap is complete and unmarked
+          val some = expected.filter(_._2 >= 10000L)
+          if (some.size <= 8) {
+            val resp = client.request("PRED GE 10000")
+            val (_, rows) = parseRows(resp)
+            assert(rows == some && !resp.contains("truncated"))
+          }
+        } finally client.close()
+      } finally server.close()
+
+      // cached mode pages identically (same protocol, driver-memory path)
+      val cachedServer = new QueryServer(spark, s"$dir/ckpt",
+        refreshMillis = 50, maxResponseRows = 8)
+      try {
+        eventually() { if (cachedServer.servedBatchId >= 0) Some(()) else None }
+        val expected = Bank.sequentialBalances(spark, Sf0001)
+          .select("acct", "balance_cents").as[(Long, Long)].collect().toMap
+        val client = new QueryClient("localhost", cachedServer.boundPort)
+        try {
+          var all = Map.empty[Long, Long]
+          var cursor = Long.MinValue
+          var done = false
+          while (!done) {
+            val resp = client.request(s"PRED GE ${Long.MinValue} AFTER $cursor")
+            val (_, rows) = parseRows(resp)
+            all ++= rows
+            if (resp.contains(""""truncated":true""")) cursor = rows.keys.max
+            else done = true
+          }
+          assert(all == expected)
+        } finally client.close()
+      } finally cachedServer.close()
+    } finally q.stop()
+  }
+
   test("concurrent clients: every answer a committed epoch; throughput probe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-tp").toString
