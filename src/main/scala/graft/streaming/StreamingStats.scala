@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   * Scale notes: state is one row per distinct n-gram (the vocabulary)
   * sharded by the aggregation key across executors; map-side partial
   * aggregation inside each micro-batch collapses the Zipf head before
-  * it touches the store. The complete-mode snapshot written per batch
-  * is for the bounded top-k consumer; a production deployment with an
-  * unbounded vocabulary reads the state store directly or windows the
-  * counts.
+  * it touches the store. Per-batch OUTPUT is update-mode (keys the
+  * batch touched) into a noop sink — nothing vocabulary-sized is ever
+  * emitted; the final counts drain once from the state store reader.
+  * [[cmSketchFromFiles]] and [[kmvFromFiles]] are the siblings whose
+  * STATE is also fixed-size, for streams whose vocabulary itself
+  * cannot be kept.
   */
 object StreamingStats {
 
@@ -40,10 +42,29 @@ object StreamingStats {
 
   /** File-fed end-to-end run (the gate-query spelling): documents are
     * staged as ordered micro-batch files, streamed through the
-    * stateful count, each micro-batch's complete snapshot overwrites
-    * the output (idempotent — a replayed batch rewrites the same
-    * state), and the FINAL snapshot is ranked exactly like the batch
+    * stateful count, and the FINAL counts are drained ONCE from the
+    * aggregation's state store and ranked exactly like the batch
     * operator. The driver moves file metadata only.
+    *
+    * Output path, bounded: per micro-batch the query runs in UPDATE
+    * mode into a noop sink — the emitted set is the keys the batch
+    * touched (O(batch), never the vocabulary) and nothing is
+    * materialized. When the stream drains, the maintained counts are
+    * read straight off the checkpoint with the `statestore` data
+    * source (the same pattern the query endpoint serves from) and
+    * top-k'd via orderBy+limit — TakeOrderedAndProject's bounded
+    * per-partition heaps — so only the k ranked rows are ever written.
+    * The earlier complete-mode spelling re-emitted the whole
+    * vocabulary-sized count table every micro-batch; at corpus scale
+    * the vocabulary IS the workload, so that cost was the wrong shape.
+    * State is still one row per distinct n-gram sharded across
+    * executors — inherent to exact counting; [[cmSketchFromFiles]] /
+    * [[kmvFromFiles]] are the fixed-state siblings when the vocabulary
+    * itself must not be kept.
+    *
+    * `onBatchRows` (spec observability): called per micro-batch with
+    * (batchId, rows emitted by update mode) — used to prove the
+    * per-batch output is batch-sized, not vocabulary-sized.
     */
   def heavyNgramsFromFiles(
       spark: SparkSession,
@@ -54,10 +75,12 @@ object StreamingStats {
       k: Int,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8,
+      onBatchRows: Option[(Long, Long) => Unit] = None): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
+    val ckpt = new java.io.File(base, "ckpt")
     graft.sources.FileIO.stageRangeBatches(
       docs.select(col(idCol), col(textCol)), col(idCol), nBatches,
       new java.io.File(base, "stage"), inDir)
@@ -67,17 +90,27 @@ object StreamingStats {
       maxFilesPerTrigger = 1)
     val counts = ngramCounts(stream, col(textCol), n)
     val q = counts.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir.toString)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        onBatchRows match {
+          case Some(cb) => cb(bid, batch.count())
+          case None =>
+            // noop still runs every partition (state commit validation
+            // requires it) but materializes nothing anywhere
+            batch.write.format("noop").mode("overwrite").save()
+        }
       }
       .start()
     q.awaitTermination()
+    CorpusStats.topKByCount(
+      ss.read.format("statestore").load(ckpt.toString)
+        .select(col("key.ngram").as("ngram"), col("value.count").as("cnt")),
+      k).write.parquet(outDir.toString)
     graft.sources.FileIO.deleteScratch(
-      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
-    CorpusStats.topKByCount(spark.read.parquet(outDir.toString), k)
+      new java.io.File(base, "stage"), inDir, ckpt)
+    spark.read.parquet(outDir.toString)
   }
 
   /** STREAMING count-min sketch — the frequency sketch maintained

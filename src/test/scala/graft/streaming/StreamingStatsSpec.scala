@@ -27,6 +27,42 @@ class StreamingStatsSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitter per-batch output is batch-sized, never the vocabulary") {
+    // one shared heavy 3-gram plus four UNIQUE 3-grams per doc: the
+    // maintained count table grows to ~481 n-grams while any single
+    // 20-doc batch touches at most 100 — a complete-mode spelling
+    // would re-emit the whole table every batch; update mode must
+    // emit only the keys the batch touched
+    val docs = (1 to 120).map { i =>
+      (i.toLong, s"hot head gram u${i}a u${i}b u${i}c u${i}d")
+    }.toDF("doc_id", "text")
+    val vocabulary = docs
+      .select(explode(CorpusStats.ngramStrings(
+        graft.operators.TextAnalysis.tokens(col("text")), 3)).as("g"))
+      .distinct().count()
+    val emitted = scala.collection.mutable.Map[Long, Long]()
+    val scratch = Files.createTempDirectory("graft-sstats-bounded").toString
+    val streamed = StreamingStats.heavyNgramsFromFiles(
+      spark, docs, "text", "doc_id", n = 3, k = 20,
+      nBatches = 6, scratch, statePartitions = 4,
+      onBatchRows = Some((bid, rows) => emitted.synchronized {
+        emitted(bid) = rows; ()
+      }))
+      .as[(Long, String, Long)].collect().toSeq
+    graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    assert(streamed == CorpusStats.heavyNgrams(docs, col("text"), n = 3, k = 20)
+      .as[(Long, String, Long)].collect().toSeq)
+    assert(emitted.size >= 6, s"expected >=6 micro-batches, saw $emitted")
+    assert(vocabulary > 400L, s"fixture vocabulary too small: $vocabulary")
+    emitted.foreach { case (bid, rows) =>
+      // each batch of 20 docs holds at most 20*5=100 3-gram slots;
+      // the batch's update set can never approach the full vocabulary
+      assert(rows < vocabulary,
+        s"batch $bid emitted $rows rows >= vocabulary $vocabulary")
+      assert(rows <= 100L, s"batch $bid emitted $rows > its own content")
+    }
+  }
+
   test("streamed count-min sketch equals the batch sketch; state bounded by depth x width") {
     val docs = corpus(120)
     val grams = docs.select(explode(
