@@ -297,6 +297,34 @@ object BankQueries {
         .toDF("acct", "balance_cents", "n_updates")
         .orderBy("acct")
     }),
+    // The salted SPU fold taken ONLINE
+    // (StateOperator.runStreamingSalted): hot accounts fold 8-wide in
+    // (acct, salt) subgroup state across 4 micro-batches, snapshots
+    // merge on read. Shares t_spu_updates' oracle verbatim — the
+    // streamed == batch commutative-contract claim, online.
+    "t_spu_salted_stream" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val delta = when(col("event_type").isin("purchase", "error"),
+        -graft.tgraph.backed.Transfers.cents(col("value")))
+        .otherwise(graft.tgraph.backed.Transfers.cents(col("value")))
+      val moves = events.select(
+        col("user_id").cast("bigint").as("acct"),
+        col("event_id").as("tid"),
+        delta.as("delta")).as[graft.streaming.StreamingBank.StreamMovement]
+      // static hot set from the phase-1 counting aggregate (threshold
+      // 32 << ~67 updates/acct at gate scale: every account salts, so
+      // the oracle run really exercises subgroup state + the merge)
+      val hot = moves.groupByKey(_.acct).count()
+        .filter(_._2 > 32L).map(_._1).collect().toSet
+      val base = new java.io.File(graft.LocalDir.scratch, "spu-salted-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingBank.saltedBalancesOnlineFromFiles(
+        s, moves, salts = 8, hot, nBatches = 4, scratch)
+        .orderBy("acct")
+    }),
     // The optimistic-vs-pessimistic RUNTIME axis (reference
     // OptimisticTransactionExecutor's REPLAY-on-out-of-order-write vs
     // PessimisticTransactionExecutor's key lock queue): per-account
@@ -499,6 +527,14 @@ object BankQueries {
         |FROM w GROUP BY acct ORDER BY acct""".stripMargin,
     // salted two-phase fold == the same commutative sum, verbatim
     "t_spu_salted" ->
+      """SELECT CAST(user_id AS BIGINT) AS acct,
+        |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
+        |       THEN -CAST(round(value*100) AS BIGINT)
+        |       ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS balance_cents,
+        |  count(*) AS n_updates
+        |FROM events GROUP BY user_id ORDER BY acct""".stripMargin,
+    // online salted fold drains to the same commutative sum
+    "t_spu_salted_stream" ->
       """SELECT CAST(user_id AS BIGINT) AS acct,
         |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
         |       THEN -CAST(round(value*100) AS BIGINT)

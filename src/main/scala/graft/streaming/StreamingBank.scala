@@ -451,6 +451,48 @@ object StreamingBank {
     spark.read.parquet(outDir.toString)
   }
 
+  /** The SALTED single-partition-update fold taken online (the gate
+    * spelling of [[graft.tgraph.state.StateOperator.runStreamingSalted]]):
+    * movements range-partition by tid into micro-batch files, hot
+    * accounts fold `salts`-wide in (acct, salt) subgroup state, each
+    * batch appends one snapshot row per touched subgroup to the sink,
+    * and the drained snapshots merge to the batch fold's exact
+    * (acct, balance_cents, n_updates) frame. Must reproduce
+    * `t_spu_updates`' balances verbatim (commutative contract).
+    */
+  def saltedBalancesOnlineFromFiles(
+      spark: SparkSession,
+      moves: Dataset[StreamMovement],
+      salts: Int,
+      hotKeys: Set[Long],
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = new java.io.File(scratch)
+    val stage = new java.io.File(base, "stage")
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val ckpt = new java.io.File(base, "ckpt")
+    graft.sources.FileIO.stageRangeBatches(
+      moves.toDF(), col("tid"), nBatches, stage, inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    import ss.implicits._
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, moves.schema, maxFilesPerTrigger = 1)
+      .as[StreamMovement]
+    val snaps = StateOperator.runStreamingSalted[StreamMovement, Long, Long](
+      stream, _.acct, _.tid, new CentsBalance, salts, hotKeys)
+    val q = graft.sources.FileIO.streamingParquetSink(
+      snaps.toDF(), outDir.toString, ckpt.toString).start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(stage, inDir, ckpt)
+    StateOperator.mergeSaltedSnapshots[Long, Long](
+      spark.read.parquet(outDir.toString).as[(Long, Int, Long, Long, Long)],
+      (a: Long, b: Long) => a + b)
+      .toDF("acct", "balance_cents", "n_updates")
+  }
+
   /** The streaming state fold: acct → running balance versions.
     * `ttl` (streaming only) bounds the state store under unbounded key
     * spaces: idle accounts are evicted behind the processing-time

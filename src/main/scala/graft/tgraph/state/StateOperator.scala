@@ -273,6 +273,79 @@ object StateOperator {
       }
   }
 
+  /** ONLINE salted final-state fold — [[runBatchSaltedFinal]]'s
+    * commutative fast path for [[runStreaming]], which otherwise
+    * serializes a hot key inside every micro-batch (one
+    * flatMapGroupsWithState group per key): updates of keys in the
+    * static `hotKeys` set shard into `salts` (key, salt) subgroups,
+    * each with its OWN keyed state folding its share of the stream, so
+    * a hot key's per-batch work runs `salts`-wide across executors;
+    * the long tail keeps one subgroup each (the measured 2×
+    * salt-everything trap from the batch operator applies unchanged).
+    * The hot set is static per query — the caller detects it from
+    * workload stats (a counting aggregate, the
+    * [[runBatchSaltedFinal]] phase-1 shape) or domain knowledge;
+    * membership is broadcast, never per-row driver work.
+    *
+    * Soundness contract: identical to [[runBatchSaltedFinal]] —
+    * commuting, never-aborting transitions with `sf.defaultValue` the
+    * merge identity. Each micro-batch emits ONE snapshot row per
+    * touched subgroup: (key, salt, ver, partial value, committed so
+    * far) — O(touched subgroups), never the update stream — and
+    * [[mergeSaltedSnapshots]] folds the drained rows' LAST snapshot
+    * per subgroup with the caller's `combine` monoid into the same
+    * (key, final value, n committed) frame as the batch operator.
+    */
+  def runStreamingSalted[T, K, V](
+      ds: Dataset[T],
+      key: T => K,
+      tid: T => Long,
+      sf: StateFunction[T, V],
+      salts: Int,
+      hotKeys: Set[K],
+      maxReplays: Int = 2)(implicit
+      ksEnc: Encoder[(K, Int)],
+      stateEnc: Encoder[(V, Long, Long)],
+      outEnc: Encoder[(K, Int, Long, V, Long)]): Dataset[(K, Int, Long, V, Long)] = {
+    require(salts >= 1, s"salts=$salts must be >= 1")
+    val hotBc = ds.sparkSession.sparkContext.broadcast(hotKeys)
+    ds.groupByKey { t =>
+      val k = key(t)
+      val salt =
+        if (hotBc.value.contains(k)) math.floorMod(tid(t), salts.toLong).toInt
+        else 0
+      (k, salt)
+    }.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (ks: (K, Int), it: Iterator[T], state: GroupState[(V, Long, Long)]) =>
+        val (pv, pCommitted, pVer) =
+          state.getOption.getOrElse((sf.defaultValue, 0L, 0L))
+        val (changes, value, _, _) = foldGroup(
+          ks._1, it.toIndexedSeq.sortBy(tid), tid, sf, IsolationLevel.PL3,
+          maxReplays, (pv, pv, 0), pv)
+        val committed = pCommitted + changes.count(_.committed)
+        val ver = pVer + 1
+        state.update((value, committed, ver))
+        Iterator((ks._1, ks._2, ver, value, committed))
+    }
+  }
+
+  /** Phase-2 merge for [[runStreamingSalted]]'s drained snapshot rows:
+    * last snapshot per (key, salt) by `ver`, then each key's ≤`salts`
+    * partials fold with `combine` — a bounded, model-sized group.
+    * Returns (key, final value, n committed), the
+    * [[runBatchSaltedFinal]] frame.
+    */
+  def mergeSaltedSnapshots[K, V](
+      snaps: Dataset[(K, Int, Long, V, Long)],
+      combine: (V, V) => V)(implicit
+      kEnc: Encoder[K],
+      outEnc: Encoder[(K, V, Long)]): Dataset[(K, V, Long)] =
+    snaps.groupByKey(_._1).mapGroups { (k: K, it: Iterator[(K, Int, Long, V, Long)]) =>
+      val last = it.toIndexedSeq.groupBy(_._2)
+        .map { case (_, rows) => rows.maxBy(_._3) }.toIndexedSeq
+      (k, last.map(_._4).reduce(combine), last.map(_._5).sum)
+    }
+
   /** The RUNTIME behavioral distinction between the two concurrency
     * strategies — the axis the reference's evaluation measures beyond
     * committed history (which both strategies produce identically, see

@@ -76,6 +76,49 @@ class StateOperatorSpec extends SparkSpec {
     assert(hotMoves > 8, "fixture too small to exercise the salt split")
   }
 
+  test("streaming salted fold == batch fold; hot key folds salts-wide per batch") {
+    import graft.streaming.StreamingBank.{CentsBalance, StreamMovement}
+    val hot = 17L
+    val transfers = graft.sources.TransferSource
+      .batchSkewed(spark, 20000, keySpace = 200, hotAcct = hot, hotPerMille = 50)
+    val moves = graft.streaming.StreamingBank
+      .committedMovements(spark, transfers)
+      .collect().toSeq.sortBy(_.tid)
+    val expected = moves.groupBy(_.acct).map { case (k, ms) =>
+      k -> (ms.map(_.delta).sum, ms.size.toLong)
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamMovement]
+    val snaps = StateOperator.runStreamingSalted[StreamMovement, Long, Long](
+      input.toDS(), _.acct, _.tid, new CentsBalance,
+      salts = 8, hotKeys = Set(hot))
+    val q = snaps.toDF().writeStream.format("memory")
+      .queryName("salted_online").outputMode("append").start()
+    try {
+      moves.grouped(math.max(1, moves.size / 4)).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      val drained = spark.table("salted_online")
+        .as[(Long, Int, Long, Long, Long)]
+      val merged = StateOperator
+        .mergeSaltedSnapshots[Long, Long](drained, _ + _)
+        .collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(merged == expected, "streamed salted fold diverged from batch sum")
+
+      // the per-batch hot-key ceiling is really lifted: the hot key's
+      // updates fold in all 8 independent subgroup states (8 parallel
+      // group invocations per micro-batch instead of 1), while cold
+      // keys keep exactly one subgroup — no tail blow-up
+      val saltsSeen = drained.collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).distinct.size).toMap
+      assert(saltsSeen(hot) == 8, s"hot key used ${saltsSeen(hot)} salts")
+      (saltsSeen - hot).foreach { case (k, n) =>
+        assert(n == 1, s"cold key $k split into $n subgroups")
+      }
+    } finally q.stop()
+  }
+
   test("strategy runtime: optimistic replays grow with contention; pessimistic never replays; same committed history") {
     import graft.streaming.StreamingBank.{CentsBalance, StreamMovement}
     // skewed workload: the hot account sees heavy contention, the tail
