@@ -204,6 +204,64 @@ object Similarity {
     (codebook, exploded.select(col("cid"), col("sub"), col("cell")))
   }
 
+  /** PQ train + encode with per-subspace Lloyd refinement — the real
+    * product-quantization training recipe on top of the sign-cell
+    * init: each iteration re-assigns every subvector to its nearest
+    * codeword under the exact integer objective (argmax
+    * 2·dot − ‖c‖², ties to the LARGEST cell id — the
+    * [[kmeansCodebook]] convention) and recomputes per-cell milli
+    * means, monotonically shrinking subspace quantization error; the
+    * returned codes are the TRAINED assignment, not the sign pattern.
+    * All arithmetic is exact int64, so a SQL oracle replays the
+    * training iteration by iteration.
+    *
+    * Shape: assignment joins the exploded (cid, sub, qsub) frame with
+    * the broadcast per-subspace codeword table — m·2^subDim
+    * candidate rows per vector per iteration. Training cost is
+    * therefore n·m·2^subDim rows per iteration; at corpus scale train
+    * on a SAMPLE (the FAISS practice — a codebook is a model, not an
+    * aggregate) and encode the full corpus with one final assignment
+    * pass.
+    */
+  def pqTrainEncodeLloyd(
+      df: DataFrame, id: Column, vec: Column,
+      m: Int, subDim: Int, iters: Int): (DataFrame, DataFrame) = {
+    val exploded = df
+      .select(id.as("cid"), quantize(vec).as("qm"),
+        posexplode(pqCells(vec, m, subDim)).as(Seq("sub", "cell")))
+      .select(col("cid"), col("sub"), col("cell"),
+        slice(col("qm"), col("sub") * subDim + 1, lit(subDim)).as("qsub"))
+      .localCheckpoint(true)
+    def means(assigned: DataFrame): DataFrame = assigned
+      .select(col("sub"), col("cell"), posexplode(col("qsub")).as(Seq("pos", "q")))
+      .groupBy(col("sub"), col("cell"), col("pos"))
+      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+    var assigned = exploded
+    var codebook = means(assigned)
+    var i = 0
+    while (i < iters) {
+      val cw = codebook.groupBy(col("sub"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
+          e => e.getField("mean_milli")).as("cvec"))
+        .withColumn("nrm",
+          aggregate(col("cvec"), lit(0L), (a, x) => a + x * x))
+      assigned = exploded.drop("cell")
+        .join(broadcast(cw), Seq("sub"))
+        .withColumn("score",
+          aggregate(zip_with(col("qsub"), col("cvec"), (a, b) => a * b),
+            lit(0L), (a, x) => a + x) * 2 - col("nrm"))
+        .groupBy(col("cid"), col("sub"))
+        // qsub is identical across a group's rows (one subvector
+        // scored against every codeword), so first() is deterministic
+        .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"),
+          first(col("qsub")).as("qsub"))
+      codebook = means(assigned)
+      i += 1
+    }
+    (codebook, assigned.select(col("cid"), col("sub"), col("cell")))
+  }
+
   /** PQ top-k via asymmetric-distance LUTs: per query, precompute
     * dot(query-subvector, codeword) for every (subspace, cell) — a
     * model-sized table — then score each candidate as the sum of m
@@ -413,17 +471,28 @@ object Similarity {
     * FAISS re-seeds instead — irrelevant for a coarse quantizer, where
     * the next assignment pass redistributes).
     */
+  /** One Lloyd round from an existing (cell, pos, mean_milli)
+    * codebook: broadcast the model as literals, re-assign every vector
+    * to its nearest centroid under the exact integer objective (narrow
+    * projection, no shuffle of the big side), recompute per-cell milli
+    * means (one aggregate).
+    */
+  private[graft] def lloydRound(
+      df: DataFrame, vec: Column, cb: DataFrame): DataFrame = {
+    val model = collectCodebook(cb)
+    val assigned = df.select(vec.as("__v"))
+      .select(
+        array_max(cellScores("__v", model)).getField("cell").as("cell"),
+        col("__v"))
+    centroids(assigned, col("cell"), col("__v"))
+  }
+
   def kmeansCodebook(
       df: DataFrame, cell: Column, vec: Column, iters: Int): DataFrame = {
     var cb = centroids(df, cell, vec)
     var i = 0
     while (i < iters) {
-      val model = collectCodebook(cb)
-      val assigned = df.select(vec.as("__v"))
-        .select(
-          array_max(cellScores("__v", model)).getField("cell").as("cell"),
-          col("__v"))
-      cb = centroids(assigned, col("cell"), col("__v"))
+      cb = lloydRound(df, vec, cb)
       i += 1
     }
     cb
@@ -433,30 +502,51 @@ object Similarity {
     * (broadcast codebook — one pass, no shuffle of the big side), then
     * search only within the query's `nprobe` best cells: the equi-join
     * on `cell` replaces the full scan, trading recall for a
-    * |cells|/nprobe-fold pruning. Probing more cells is the standard
-    * IVF recall knob — the candidate set grows monotonically with
-    * nprobe, so recall vs the exact scan can only improve.
+    * |cells|/nprobe-fold pruning. Two standard recall knobs, both
+    * monotone (the candidate set only grows):
+    *  - `nprobe`: queries probe their n best cells (FAISS's knob);
+    *  - `cassign`: candidates INDEX in their n best cells (FAISS's
+    *    multiple-assignment variant) — the index grows `cassign`-fold,
+    *    but a true neighbor sitting just across a cell boundary from
+    *    its query becomes reachable without widening every query's
+    *    probe. The knob to reach a recall target when the corpus
+    *    scan-side cost (nprobe) is already budgeted.
+    *
+    * With `cassign` > 1 a (query, candidate) pair can meet in up to
+    * min(nprobe, cassign) cells; it is emitted EXACTLY ONCE — from the
+    * candidate's best-ranked cell among those the query probes, a
+    * codegen'd array predicate over the carried cell lists (the LSH
+    * pipeline's first-agreeing-table rule), never a dedupe shuffle.
     */
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)
       codebook: DataFrame, // (cell, pos, mean_milli)
-      k: Int, nprobe: Int = 1): DataFrame = {
+      k: Int, nprobe: Int = 1, cassign: Int = 1): DataFrame = {
     val cb = collectCodebook(codebook)
     require(nprobe >= 1 && nprobe <= cb.length,
       s"nprobe must be in [1, ${cb.length}]")
+    require(cassign >= 1 && cassign <= cb.length,
+      s"cassign must be in [1, ${cb.length}]")
     // queries probe their nprobe best cells (descending struct sort of
-    // the model-sized score array — per-row cost |cells| log |cells|);
-    // candidates live in exactly ONE cell, so probed (qid, cid) pairs
-    // are unique and need no dedupe
-    val qa = queries.withColumn("qcell",
-      explode(slice(reverse(array_sort(cellScores("qvec", cb))), 1, nprobe)
-        .getField("cell")))
-    val ca = candidates.withColumn("ccell",
-      array_max(cellScores("cvec", cb)).getField("cell"))
+    // the model-sized score array — per-row cost |cells| log |cells|)
+    val qa = queries
+      .withColumn("qcells",
+        slice(reverse(array_sort(cellScores("qvec", cb))), 1, nprobe)
+          .getField("cell"))
+      .withColumn("qcell", explode(col("qcells")))
+    val ca = candidates
+      .withColumn("ccells",
+        slice(reverse(array_sort(cellScores("cvec", cb))), 1, cassign)
+          .getField("cell"))
+      .withColumn("ccell", explode(col("ccells")))
     val scored = ca
       .join(broadcast(qa), col("qcell") === col("ccell"))
       .filter(col("qid") =!= col("cid"))
+      // exactly-once: keep the meeting in the candidate's FIRST
+      // (best-ranked) cell that the query also probes
+      .filter(col("ccell") === element_at(
+        filter(col("ccells"), x => array_contains(col("qcells"), x)), 1))
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
     rankTopK(scored, "dot_q", k)
   }

@@ -227,8 +227,12 @@ object LlmQueries {
     // pure compressed-domain ranking (rerank recall is spec-measured)
     "ann_pq" -> ((s, dir) => {
       val e = embs(s, dir)
+      // sign-cell init + ONE per-subspace Lloyd round (assignment =
+      // argmax 2·dot − ‖c‖², ties to the largest cell, CTE-replayed
+      // by the oracle); ADC recall 0.44 → 0.51 on the recall spec
       val (codebook, encoded) =
-        Similarity.pqTrainEncode(e, col("vec_id"), col("embedding"), m = 8, subDim = 8)
+        Similarity.pqTrainEncodeLloyd(
+          e, col("vec_id"), col("embedding"), m = 8, subDim = 8, iters = 1)
       Similarity.pqTopK(
         e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         encoded, codebook, k = 5, m = 8, subDim = 8)
@@ -300,8 +304,10 @@ object LlmQueries {
     // IVF with a REAL trained coarse quantizer: 2 deterministic
     // integer Lloyd iterations refine the label-seeded codebook
     // (each iteration = one narrow assignment pass + one aggregate,
-    // CTE-replayed by the oracle), and queries probe their 2 best
-    // cells (the FAISS nprobe recall knob)
+    // CTE-replayed by the oracle); queries probe their 2 best cells
+    // (FAISS's nprobe knob) AND candidates index in their 2 best
+    // cells (FAISS's multiple-assignment knob) — together recall 0.65
+    // vs the exact scan at 10 cells (0.42 before multi-assignment)
     "ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val codebook =
@@ -309,7 +315,7 @@ object LlmQueries {
       Similarity.ivfTopK(
         e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        codebook, k = 5, nprobe = 2)
+        codebook, k = 5, nprobe = 2, cassign = 2)
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
@@ -750,8 +756,9 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_sq DESC, cid) AS BIGINT) AS rnk
         |  FROM dots)
         |SELECT qid, rnk, cid, dot_sq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
-    // sign-cell assignment, per-cell means, per-query LUTs, and the
-    // ADC sum replayed verbatim
+    // sign-cell init, per-cell means, ONE Lloyd re-assignment round
+    // (argmax 2·dot − ‖c‖², ties to the largest cell), refreshed
+    // means, per-query LUTs, and the ADC sum replayed verbatim
     "ann_pq" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
@@ -762,18 +769,37 @@ object LlmQueries {
         |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell,
         |    qm
         |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM v)),
-        |cb AS (
+        |cb0 AS (
         |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
         |  FROM (SELECT sub, cell,
         |          UNNEST(generate_series(0, 7)) AS pos,
         |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
         |        FROM cells)
         |  GROUP BY sub, cell, pos),
+        |cw0 AS (
+        |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
+        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
+        |  FROM cb0 GROUP BY sub, cell),
+        |a1 AS (
+        |  SELECT vec_id, sub, cell, qm FROM (
+        |    SELECT c.vec_id, c.sub, w.cell, c.qm,
+        |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+        |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
+        |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
+        |    FROM cells c JOIN cw0 w ON c.sub = w.sub)
+        |  WHERE rn = 1),
+        |cb AS (
+        |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |  FROM (SELECT sub, cell,
+        |          UNNEST(generate_series(0, 7)) AS pos,
+        |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
+        |        FROM a1)
+        |  GROUP BY sub, cell, pos),
         |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
         |lut AS (
         |  SELECT qid, sub, cell, CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
         |  FROM cb, q GROUP BY qid, sub, cell),
-        |enc AS (SELECT vec_id AS cid, sub, cell FROM cells),
+        |enc AS (SELECT vec_id AS cid, sub, cell FROM a1),
         |scored AS (
         |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_pq
         |  FROM enc JOIN lut USING (sub, cell) WHERE qid <> cid
@@ -1151,13 +1177,16 @@ object LlmQueries {
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
-        |    FROM s3) WHERE rn = 1),
-        |p AS (
-        |  SELECT qa.vec_id AS qid, ca.vec_id AS cid, qq.qv AS qqv, cq.qv AS cqv
+        |    FROM s3) WHERE rn <= 2),
+        |pairs AS (
+        |  SELECT DISTINCT qa.vec_id AS qid, ca.vec_id AS cid
         |  FROM qassign qa JOIN cassign ca ON qa.cell = ca.cell
-        |  JOIN q qq ON qq.vec_id = qa.vec_id
-        |  JOIN q cq ON cq.vec_id = ca.vec_id
         |  WHERE qa.vec_id <> ca.vec_id),
+        |p AS (
+        |  SELECT pr.qid, pr.cid, qq.qv AS qqv, cq.qv AS cqv
+        |  FROM pairs pr
+        |  JOIN q qq ON qq.vec_id = pr.qid
+        |  JOIN q cq ON cq.vec_id = pr.cid),
         |d AS (
         |  SELECT qid, cid,
         |    CAST(list_sum(list_transform(generate_series(1,64), i -> qqv[i]*cqv[i])) AS BIGINT) AS dot_q

@@ -79,6 +79,34 @@ class SimilaritySpec extends SparkSpec {
     info(s"recall seed/1=$r0 trained/1=$rTrained trained/2=$rProbe2")
   }
 
+  test("candidate multi-assignment lifts IVF recall past 0.6 at 10 cells, nprobe 2") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val brute = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val trained = Similarity.kmeansCodebook(e, col("label"), col("embedding"), iters = 2)
+    def run(cassign: Int): Map[Long, Seq[Long]] =
+      Similarity.ivfTopK(q, c, trained, 5, nprobe = 2, cassign = cassign)
+        .select("qid", "cid").as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val single = run(1)
+    val multi = run(2)
+    def recallOf(m: Map[Long, Seq[Long]]): Double =
+      (brute & m.toSeq.flatMap { case (q, cs) => cs.map(q -> _) }.toSet)
+        .size.toDouble / brute.size
+    val r1 = recallOf(single)
+    val r2 = recallOf(multi)
+    info(s"recall cassign=1 $r1 cassign=2 $r2")
+    assert(r2 > r1, s"multi-assignment did not lift recall: $r2 <= $r1")
+    assert(r2 >= 0.6, s"gate-config recall $r2 < 0.6")
+    // exactly-once: no query may list the same candidate twice
+    multi.foreach { case (qid, cids) =>
+      assert(cids.distinct.size == cids.size, s"duplicate neighbor for $qid")
+    }
+  }
+
   test("no cartesian product in either ANN plan") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 5)
@@ -251,6 +279,24 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     val adcRecall = (brute & adc).size.toDouble / brute.size
     assert(adcRecall >= 0.2, s"pq adc recall $adcRecall")
+
+    // per-subspace Lloyd refinement (the gate's training) must beat
+    // the raw sign-cell codebook on BOTH axes: ADC recall clears the
+    // sign codebook's by a real margin, rerank recall stays >= 0.9
+    val (lcb, lenc) = Similarity.pqTrainEncodeLloyd(
+      e, col("vec_id"), col("embedding"), 8, 8, iters = 1)
+    val ladc = Similarity.pqTopK(q, lenc, lcb, 5, 8, 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ladcRecall = (brute & ladc).size.toDouble / brute.size
+    info(s"adc sign=$adcRecall lloyd=$ladcRecall")
+    assert(ladcRecall > adcRecall, s"lloyd $ladcRecall <= sign $adcRecall")
+    assert(ladcRecall >= 0.45, s"lloyd adc recall $ladcRecall")
+    val lrer = Similarity.pqTopKRerank(
+      q, lenc, lcb, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      k = 5, shortlist = 50, m = 8, subDim = 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val lrerRecall = (brute & lrer).size.toDouble / brute.size
+    assert(lrerRecall >= 0.9, s"lloyd rerank recall $lrerRecall")
   }
 
   test("native sq8 ADC kernel == declarative fold on real embeddings") {
