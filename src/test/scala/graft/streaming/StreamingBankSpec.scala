@@ -259,6 +259,116 @@ class StreamingBankSpec extends SparkSpec {
     assert(recovered == batch)
   }
 
+  test("injected crash in the state-committed/sink-uncommitted window: exactly-once + monotone endpoint, both providers") {
+    // The awkward crash window: a micro-batch's state store versions
+    // are written but neither the sink metadata nor the commit-log
+    // entry is — the on-disk shape a kill between state commit and
+    // sink commit leaves. Injected by deleting commits/<N> and
+    // _spark_metadata/<N> after a clean run of batch N (its part
+    // files and state stay, exactly as a crash would leave them).
+    // Restart must re-execute batch N idempotently: the recovered
+    // history equals the batch serial fold with no duplicate
+    // transitions, orphaned part files stay invisible to the
+    // metadata-log read path, and a live query endpoint's served
+    // epoch only ever advances.
+    for (provider <- Seq("rocksdb", "hdfs")) {
+      val ss = StreamSessions.scoped(spark, 4, Some(provider))
+      implicit val sqlCtx = ss.sqlContext
+      import ss.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-crash-$provider").toString
+      val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+      val (first, second) = deltas.splitAt(deltas.length / 2)
+      val input = MemoryStream[Bank.AcctDelta]
+      def start() = StreamingBank.sequentialBalancesOnline(ss, input.toDS())
+        .writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append())
+        .start()
+      val q1 = start()
+      input.addData(first)
+      q1.processAllAvailable()
+      q1.stop()
+      // stop() returns when the stream thread dies; the shared-state
+      // path registry deregisters via an async listener — wait it out
+      // before restarting on the same sink path
+      val deadline = System.nanoTime() + 20_000_000_000L
+      while (ss.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(ss.streams.active.isEmpty, "q1 never fully deregistered")
+
+      // inject the crash: batch N's commit marker and sink metadata
+      // vanish; its state versions and part files remain
+      val commits = new java.io.File(s"$dir/ckpt/commits")
+        .listFiles().filter(_.getName.forall(_.isDigit))
+      val lastBatch = commits.map(_.getName.toLong).max
+      // drop the marker files AND their local-fs checksum siblings — a
+      // stale .crc would make the recovered sink's atomic re-add look
+      // like a concurrent writer
+      def drop(f: java.io.File): Unit = {
+        assert(f.exists() && f.delete(), s"missing ${f}")
+        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      }
+      drop(new java.io.File(s"$dir/ckpt/commits/$lastBatch"))
+      drop(new java.io.File(s"$dir/out/_spark_metadata/$lastBatch"))
+      val orphanedParts = new java.io.File(s"$dir/out")
+        .listFiles().count(_.getName.startsWith("part-"))
+
+      // endpoint comes up on the crashed checkpoint: it must serve the
+      // last COMMITTED epoch (N-1), then only ever advance
+      val server = new graft.tgraph.query.QueryServer(
+        ss, s"$dir/ckpt", refreshMillis = 25)
+      try {
+        val observed = scala.collection.mutable.ArrayBuffer[Long]()
+        val watcher = new Thread(() => {
+          while (!Thread.interrupted()) {
+            observed.synchronized { observed += server.servedBatchId }
+            try Thread.sleep(10) catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt() }
+          }
+        })
+        watcher.start()
+        val q2 = start() // recovery re-executes batch N, then continues
+        input.addData(second)
+        q2.processAllAvailable()
+        q2.stop()
+        watcher.interrupt(); watcher.join()
+
+        val epochs = observed.synchronized(observed.toSeq)
+        assert(epochs.head <= lastBatch - 1,
+          s"server started past the crash point: ${epochs.head}")
+        assert(epochs == epochs.sorted, "served epoch regressed during recovery")
+
+        // exactly-once: the metadata-log read path sees each
+        // transition once and the history equals the batch serial fold
+        val out = ss.read.parquet(s"$dir/out")
+        val recovered = Bank.sequentialSummary(out)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val batch = Bank.sequentialBalances(spark, Sf0001)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(recovered == batch, s"$provider: recovered history diverged")
+        val dupTransitions = out.groupBy(col("key"), col("tid"))
+          .count().filter(col("count") > 1).count()
+        assert(dupTransitions == 0L, s"$provider: duplicated transitions")
+        // the re-executed batch left orphaned part files on disk; the
+        // committed read path must NOT count them
+        val partsNow = new java.io.File(s"$dir/out")
+          .listFiles().count(_.getName.startsWith("part-"))
+        assert(partsNow > orphanedParts,
+          "re-execution should have written fresh part files")
+        assert(out.count() == deltas.size.toLong,
+          s"$provider: read path counted orphaned files")
+
+        // and the endpoint's final answers are the committed balances
+        val finalState = server.servedBatchId
+        assert(finalState > lastBatch, "endpoint never caught up")
+      } finally server.close()
+    }
+  }
+
   test("watermarked windowed aggregation over the transfer stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tx]
