@@ -79,6 +79,9 @@ object StateQueries {
     * should prefer [[sampleFrame]], whose md5 ordering is
     * engine-portable and therefore oracle-checkable.
     */
+  @deprecated(
+    "order is Spark-Murmur3-specific and cannot be oracle-checked; " +
+      "use sampleFrame (portable md5 order) instead", "round-9")
   def sampleKeys(snapshot: DataFrame, n: Int, seed: Int): Seq[Long] =
     snapshot
       .select(col("key").cast("bigint"))
@@ -107,7 +110,7 @@ object StateQueries {
     */
   def querySupplier(
       snapshot: DataFrame, avgSize: Int, seed: Int): Iterator[DataFrame] =
-    Iterator.from(0).map(i => pointQuery(snapshot, sampleKeys(snapshot, avgSize, seed + i)))
+    Iterator.from(0).map(i => sampleFrame(snapshot, avgSize, seed + i))
 
   /** Queryable LIVE streaming state — the online analog of the
     * reference's state servers answering point/predicate queries
