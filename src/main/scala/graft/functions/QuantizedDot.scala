@@ -181,6 +181,65 @@ object QuantizedDot {
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
 }
 
+/** Native exact int64 dot product: `(array<bigint>, array<bigint>) →
+  * bigint` — the already-quantized sibling of [[QuantizedDot]], for
+  * scans where both sides carry milli-quantized integer vectors (the
+  * PQ Lloyd assignment join scores n·m·2^subDim candidate rows per
+  * iteration; an interpreted zip_with/aggregate there IS the cost).
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_long expects two array<bigint> arguments, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLong {
+  /** Column form usable on any session (no registration needed). */
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+}
+
 /** Native offset-invariant window distance: `(array<bigint>,
   * array<bigint>) → bigint`, the Σ((w·x−Sₓ)−(w·y−S_y))² kernel the
   * time-series candidate-pair scan runs per pair.

@@ -248,9 +248,10 @@ object Similarity {
           aggregate(col("cvec"), lit(0L), (a, x) => a + x * x))
       assigned = exploded.drop("cell")
         .join(broadcast(cw), Seq("sub"))
+        // native kernel: this expression runs n·m·2^subDim times per
+        // iteration — an interpreted HOF fold here IS the training cost
         .withColumn("score",
-          aggregate(zip_with(col("qsub"), col("cvec"), (a, b) => a * b),
-            lit(0L), (a, x) => a + x) * 2 - col("nrm"))
+          graft.functions.DotLong(col("qsub"), col("cvec")) * 2 - col("nrm"))
         .groupBy(col("cid"), col("sub"))
         // qsub is identical across a group's rows (one subvector
         // scored against every codeword), so first() is deterministic

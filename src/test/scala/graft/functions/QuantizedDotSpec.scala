@@ -21,6 +21,23 @@ class QuantizedDotSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("dot_long equals the zip_with/aggregate fold on quantized vectors") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qa"))
+    val pairs = q.filter(col("vec_id") < 10)
+      .crossJoin(q.select(col("qa").as("qb")).limit(100))
+    val diff = pairs.select(
+      DotLong(col("qa"), col("qb")).as("native"),
+      aggregate(zip_with(col("qa"), col("qb"), (a, b) => a * b),
+        lit(0L), (a, x) => a + x).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+    // length mismatch folds over the shorter prefix in both spellings?
+    // no — the HOF nulls; the kernel prefixes. Pin the kernel's own
+    // contract instead: equal-length inputs only in this engine's call
+    // sites (qsub vs cvec are both subDim-long by construction).
+  }
+
   test("cos_q_ge predicate equals the declarative decimal threshold") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
