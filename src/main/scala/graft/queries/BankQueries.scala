@@ -325,6 +325,30 @@ object BankQueries {
         s, moves, salts = 8, hot, nBatches = 4, scratch)
         .orderBy("acct")
     }),
+    // The DYNAMIC salted fold (StateOperator.runStreamingSaltedDynamic):
+    // NO caller-supplied hot set — every account starts cold (one
+    // subgroup), crosses hotThreshold=32 mid-stream (~67 updates/acct
+    // over 4 batches), and scatters 8-wide from the next batch on.
+    // Promotion mid-run must not disturb the merge: shares
+    // t_spu_updates' oracle verbatim.
+    "t_spu_dynamic_stream" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val delta = when(col("event_type").isin("purchase", "error"),
+        -graft.tgraph.backed.Transfers.cents(col("value")))
+        .otherwise(graft.tgraph.backed.Transfers.cents(col("value")))
+      val moves = events.select(
+        col("user_id").cast("bigint").as("acct"),
+        col("event_id").as("tid"),
+        delta.as("delta")).as[graft.streaming.StreamingBank.StreamMovement]
+      val base = new java.io.File(graft.LocalDir.scratch, "spu-dynamic-online")
+      base.mkdirs()
+      val scratch = java.nio.file.Files
+        .createTempDirectory(base.toPath, "run").toString
+      graft.streaming.StreamingBank.saltedBalancesDynamicFromFiles(
+        s, moves, salts = 8, hotThreshold = 32L, nBatches = 4, scratch)
+        ._1.orderBy("acct")
+    }),
     // The optimistic-vs-pessimistic RUNTIME axis (reference
     // OptimisticTransactionExecutor's REPLAY-on-out-of-order-write vs
     // PessimisticTransactionExecutor's key lock queue): per-account
@@ -527,6 +551,14 @@ object BankQueries {
         |FROM w GROUP BY acct ORDER BY acct""".stripMargin,
     // salted two-phase fold == the same commutative sum, verbatim
     "t_spu_salted" ->
+      """SELECT CAST(user_id AS BIGINT) AS acct,
+        |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
+        |       THEN -CAST(round(value*100) AS BIGINT)
+        |       ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS balance_cents,
+        |  count(*) AS n_updates
+        |FROM events GROUP BY user_id ORDER BY acct""".stripMargin,
+    // dynamic promotion mid-stream drains to the same commutative sum
+    "t_spu_dynamic_stream" ->
       """SELECT CAST(user_id AS BIGINT) AS acct,
         |  CAST(sum(CASE WHEN event_type IN ('purchase','error')
         |       THEN -CAST(round(value*100) AS BIGINT)

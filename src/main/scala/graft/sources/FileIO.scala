@@ -116,6 +116,26 @@ object FileIO {
       }
     }
 
+  private val exitScratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val exitHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      deleteScratch(exitScratch.asScala.toSeq: _*)
+    }))
+  }
+
+  /** Deferred [[deleteScratch]]: for run-scoped dirs that must OUTLIVE
+    * the producing call (e.g. a sink directory backing a lazily-read
+    * DataFrame the caller still holds) — registered once, swept by a
+    * single JVM shutdown hook so repeated gate runs don't accumulate
+    * scratch for the life of the process.
+    */
+  def deleteScratchOnExit(dirs: java.io.File*): Unit = {
+    exitHook
+    dirs.foreach(exitScratch.add)
+  }
+
   /** Streaming parquet source: new files under `path` become micro-
     * batches, bounded intake per trigger. Schema is explicit (no
     * inference scan); file order within the log is modification-time

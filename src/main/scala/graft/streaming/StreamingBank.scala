@@ -487,10 +487,102 @@ object StreamingBank {
       snaps.toDF(), outDir.toString, ckpt.toString).start()
     q.awaitTermination()
     graft.sources.FileIO.deleteScratch(stage, inDir, ckpt)
+    // the sink parquet backs the returned LAZY frame, so the run dir
+    // must outlive this call — swept by the shutdown hook instead of
+    // leaking one scratch dir per gate run
+    graft.sources.FileIO.deleteScratchOnExit(base)
     StateOperator.mergeSaltedSnapshots[Long, Long](
       spark.read.parquet(outDir.toString).as[(Long, Int, Long, Long, Long)],
       (a: Long, b: Long) => a + b)
       .toDF("acct", "balance_cents", "n_updates")
+  }
+
+  /** [[saltedBalancesOnlineFromFiles]] with DYNAMIC hot-set promotion
+    * (StateOperator.runStreamingSaltedDynamic): no caller-supplied hot
+    * set — each micro-batch's snapshot rows feed the crossing test,
+    * and keys passing `hotThreshold` scatter `salts`-wide from the
+    * NEXT batch on. Detection is exact and driver-cheap: a cold key's
+    * whole history lives in subgroup (key, 0), so its snapshot row's
+    * cumulative committed count IS the key's total; ≤ batchRows /
+    * hotThreshold keys can cross per batch. The sink is a per-batch
+    * parquet dir keyed by batch id (idempotent under foreachBatch
+    * retries), merged on read with the same max_by(ver) drain as the
+    * static path. Returns (frame, promoted hot set).
+    */
+  def saltedBalancesDynamicFromFiles(
+      spark: SparkSession,
+      moves: Dataset[StreamMovement],
+      salts: Int,
+      hotThreshold: Long,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): (DataFrame, Set[Long]) = {
+    import org.apache.spark.sql.functions.col
+    val base = new java.io.File(scratch)
+    val stage = new java.io.File(base, "stage")
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val ckpt = new java.io.File(base, "ckpt")
+    graft.sources.FileIO.stageRangeBatches(
+      moves.toDF(), col("tid"), nBatches, stage, inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    import ss.implicits._
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, moves.schema, maxFilesPerTrigger = 1)
+      .as[StreamMovement]
+    val hot = new StateOperator.HotSet[Long](Set.empty)
+    val snaps = StateOperator.runStreamingSaltedDynamic[StreamMovement, Long, Long](
+      stream, _.acct, _.tid, new CentsBalance, salts, hot)
+    val q = snaps.toDF().writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(new java.io.File(outDir, f"batch-$id%05d").toString)
+        val crossed = batch
+          .filter(col("_2") === 0 && col("_5") > hotThreshold)
+          .select(col("_1")).as[Long](ss.implicits.newLongEncoder)
+          .collect().filterNot(hot.get.contains)
+        if (crossed.nonEmpty) hot.promote(crossed)
+      }
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(stage, inDir, ckpt)
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    val frame = StateOperator.mergeSaltedSnapshots[Long, Long](
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(outDir.toString).as[(Long, Int, Long, Long, Long)],
+      (a: Long, b: Long) => a + b)
+      .toDF("acct", "balance_cents", "n_updates")
+    (frame, hot.get)
+  }
+
+  /** Between-epoch compaction for a salted-snapshot sink: folds the
+    * previous compacted frame (if any) plus a finished epoch's sink
+    * output down to one row per (key, salt) —
+    * [[graft.tgraph.state.StateOperator.lastSaltedSnapshots]] — and
+    * atomically replaces `compactDir` with the result. A drain that
+    * merges `union(compactDir, live sink)` then reads O(subgroups) +
+    * O(batches since last compaction) rows instead of the full sink
+    * history, and `max_by(ver)` keeps the union-with-newer-epochs
+    * merge exact (compacted rows carry their original `ver`).
+    */
+  def compactSaltedSink(
+      spark: SparkSession, epochOut: String, compactDir: String): Unit = {
+    import spark.implicits._
+    val cur = new java.io.File(compactDir)
+    val epoch = spark.read.parquet(epochOut)
+      .as[(Long, Int, Long, Long, Long)]
+    val all =
+      if (cur.exists())
+        epoch.union(spark.read.parquet(compactDir)
+          .as[(Long, Int, Long, Long, Long)])
+      else epoch
+    val tmp = new java.io.File(cur.getParentFile, cur.getName + ".compact-tmp")
+    StateOperator.lastSaltedSnapshots(all)
+      .write.mode("overwrite").parquet(tmp.toString)
+    graft.sources.FileIO.deleteScratch(cur)
+    java.nio.file.Files.move(tmp.toPath, cur.toPath)
   }
 
   /** The streaming state fold: acct → running balance versions.

@@ -46,12 +46,14 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   * Protocol (one request line → one JSON response line):
   * {{{
   *   POINT k1,k2,...     → {"batch":B,"rows":[[k,v],...]}
-  *   PRED GE|GT|LE|LT|EQ n [LIMIT m] [AFTER k]
+  *   PRED GE|GT|LE|LT|EQ n [LIMIT m] [AFTER k] [AT b]
   *                       → keys whose value satisfies the comparison,
   *                         in ascending key order; LIMIT pages the
   *                         response, AFTER k resumes strictly past key
   *                         k (cursor paging: pass the last key of the
-  *                         previous page)
+  *                         previous page), AT b pins the page to
+  *                         committed batch b (epoch-consistent walks,
+  *                         below)
   *   COUNT               → {"batch":B,"count":N}
   *   anything else       → {"error":"..."}
   * }}}
@@ -63,6 +65,25 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   * `orderBy(key).limit(page+1)` — TakeOrderedAndProject's bounded
   * per-partition heaps — so no request can pull a corpus-sized match
   * set through the driver, whatever the state size.
+  *
+  * **POINT truncation**: a POINT whose key set exceeds
+  * `maxResponseRows` keeps the SMALLEST requested keys (responses
+  * sort ascending) and marks `"truncated":true`; POINT has no AFTER
+  * clause, so a client holding an oversized key set must split it —
+  * re-request the keys above the last returned one (deterministic,
+  * since the kept prefix is the smallest keys).
+  *
+  * **Paging across epochs**: without AT, each page is answered at the
+  * NEWEST committed batch, so a walk concurrent with micro-batch
+  * progress may mix epochs (every response carries its `"batch"` —
+  * a client that sees it advance mid-walk restarts the walk). For an
+  * epoch-CONSISTENT walk, take the first response's `"batch":B` and
+  * pass `AT B` on subsequent pages: the page is then computed against
+  * exactly that committed snapshot (served from the state store's
+  * retained version history). A pinned batch that has aged out of
+  * state-store retention (`spark.sql.streaming.minBatchesToRetain`,
+  * default 100) answers `{"error":...}` — the defined signal to
+  * restart the walk at the current batch.
   */
 final class QueryServer(
     spark: SparkSession,
@@ -74,6 +95,14 @@ final class QueryServer(
     // value — pass custom extractors for other operators' layouts
     keyCol: Column = col("key.value").cast("long"),
     valueCol: Column = col("value.groupState._1").cast("long"),
+    // Salted pipelines (runStreamingSalted*): the state key is
+    // (key, salt) and one logical key owns ≤ `salts` subgroup rows.
+    // Passing e.g. `Some(sum(col("v")))` with
+    // `keyCol = col("key.value._1")` makes every serving path merge
+    // the subgroups per key at answer time — a salts-bounded
+    // distributed fold (groupBy on the logical key) applied before
+    // caching, point lookup, predicate scan, and COUNT alike.
+    mergeAgg: Option[Column] = None,
     port: Int = 0,
     refreshMillis: Long = 100,
     maxStateRows: Long = 5_000_000L,
@@ -122,11 +151,15 @@ final class QueryServer(
   /** The (key, value) state frame pinned to committed batch `b` —
     * shared by the cached refresh and the degraded per-request path.
     */
-  private def pinnedState(b: Long) =
-    spark.read.format("statestore")
+  private def pinnedState(b: Long) = {
+    val raw = spark.read.format("statestore")
       .option("batchId", b)
       .load(checkpointLocation)
       .select(keyCol.as("k"), valueCol.as("v"))
+    // salted layouts: merge each key's ≤ salts subgroup partials here,
+    // so every downstream path sees one (k, v) row per logical key
+    mergeAgg.fold(raw)(agg => raw.groupBy(col("k")).agg(agg.as("v")))
+  }
 
   /** One snapshot load, pinned to a committed batch id so concurrent
     * micro-batch progress can't tear the read. A state larger than
@@ -219,15 +252,18 @@ final class QueryServer(
     // `moreBeyond` = the computation already knows rows past the page
     // exist; the defensive size cap additionally bounds POINT and any
     // other path that assembled more than `maxResponseRows` pairs.
-    def rowsJson(pairs: Iterable[(Long, Long)],
-        moreBeyond: Boolean = false): String = {
+    def rowsJsonAt(batch: Long, pairs: Iterable[(Long, Long)],
+        moreBeyond: Boolean): String = {
       val sorted = pairs.toSeq.sorted
       val truncated = moreBeyond || sorted.length > maxResponseRows
       val body = sorted.take(maxResponseRows)
         .map { case (k, v) => s"[$k,$v]" }.mkString(",")
       val t = if (truncated) ""","truncated":true""" else ""
-      s"""{"batch":${snap.batchId},"rows":[$body]$t}"""
+      s"""{"batch":$batch,"rows":[$body]$t}"""
     }
+    def rowsJson(pairs: Iterable[(Long, Long)],
+        moreBeyond: Boolean = false): String =
+      rowsJsonAt(snap.batchId, pairs, moreBeyond)
     // Degraded mode: the same answers, computed as a distributed query
     // pinned at the snapshot's committed batch (the pointQueryBatch
     // shape) — never materializing the full state on the driver.
@@ -240,11 +276,11 @@ final class QueryServer(
     // orderBy+limit plans as TakeOrderedAndProject (bounded
     // per-partition heaps), so at most page+1 rows ever reach the
     // driver however many rows match. The +1 row detects truncation.
-    def distributedPage(f: org.apache.spark.sql.DataFrame =>
+    def distributedPage(b: Long, f: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame, page: Int): (Seq[(Long, Long)], Boolean) =
-      if (snap.batchId < 0) (Nil, false)
+      if (b < 0) (Nil, false)
       else {
-        val rows = f(pinnedState(snap.batchId))
+        val rows = f(pinnedState(b))
           .orderBy(col("k")).limit(page + 1).collect().iterator
           .map(r => r.getLong(0) -> r.getLong(1)).toSeq
         (rows.take(page), rows.length > page)
@@ -279,13 +315,14 @@ final class QueryServer(
             rowsJson((cached ++ fetched.iterator).toSeq)
         }
       case "PRED" if parts.length == 2 =>
-        // PRED <op> <n> [LIMIT m] [AFTER k] — pages ascend by key
+        // PRED <op> <n> [LIMIT m] [AFTER k] [AT b] — pages ascend by key
         val toks = parts(1).trim.split("\\s+")
         require(toks.length >= 2, "PRED needs <op> <n>")
         val op = toks(0)
         val n = toks(1).toLong
         var page = maxResponseRows
         var after = Long.MinValue
+        var at: Option[Long] = None
         var i = 2
         while (i < toks.length) {
           toks(i).toUpperCase match {
@@ -295,36 +332,68 @@ final class QueryServer(
             case "AFTER" if i + 1 < toks.length =>
               after = toks(i + 1).toLong
               i += 2
+            case "AT" if i + 1 < toks.length =>
+              at = Some(toks(i + 1).toLong)
+              i += 2
             case other =>
               throw new IllegalArgumentException(s"bad PRED clause $other")
           }
         }
         require(page > 0, "LIMIT must be positive")
-        snap.state match {
-          case Some(st) =>
-            val p: Long => Boolean = op.toUpperCase match {
-              case "GE" => _ >= n
-              case "GT" => _ > n
-              case "LE" => _ <= n
-              case "LT" => _ < n
-              case "EQ" => _ == n
-              case other => throw new IllegalArgumentException(s"bad op $other")
-            }
-            val matches = st.iterator
-              .filter { case (k, v) => k > after && p(v) }.toSeq.sorted
-            rowsJson(matches.take(page), matches.length > page)
-          case None =>
-            val pred: Column = op.toUpperCase match {
-              case "GE" => col("v") >= n
-              case "GT" => col("v") > n
-              case "LE" => col("v") <= n
-              case "LT" => col("v") < n
-              case "EQ" => col("v") === n
-              case other => throw new IllegalArgumentException(s"bad op $other")
-            }
+        val p: Long => Boolean = op.toUpperCase match {
+          case "GE" => _ >= n
+          case "GT" => _ > n
+          case "LE" => _ <= n
+          case "LT" => _ < n
+          case "EQ" => _ == n
+          case other => throw new IllegalArgumentException(s"bad op $other")
+        }
+        val pred: Column = op.toUpperCase match {
+          case "GE" => col("v") >= n
+          case "GT" => col("v") > n
+          case "LE" => col("v") <= n
+          case "LT" => col("v") < n
+          case "EQ" => col("v") === n
+          case _ => lit(false) // unreachable: op validated above
+        }
+        at match {
+          case Some(b) if b != snap.batchId =>
+            // epoch-pinned walk: a distributed page against the state
+            // store's RETAINED version b, whatever mode the current
+            // batch serves in. A version past retention fails the scan
+            // → error response → client restarts at the current batch.
+            require(b >= 0 && b <= lastCommittedBatch,
+              s"batch $b is not a committed batch")
             val (rows, more) =
-              distributedPage(_.filter(pred && col("k") > after), page)
-            rowsJson(rows, more)
+              distributedPage(b, _.filter(pred && col("k") > after), page)
+            rowsJsonAt(b, rows, more)
+          case _ =>
+            snap.state match {
+              case Some(st) =>
+                // bounded selection of the page: a (page+1)-slot
+                // max-heap over the matching keys above the cursor —
+                // O(M log page) per request, never a sorted
+                // materialization of the full match set (the +1 slot
+                // detects truncation)
+                val heap = new java.util.PriorityQueue[(Long, Long)](
+                  page + 1,
+                  Ordering.by[(Long, Long), Long](_._1).reverse)
+                st.iterator
+                  .filter { case (k, v) => k > after && p(v) }
+                  .foreach { kv =>
+                    if (heap.size < page + 1) heap.add(kv)
+                    else if (kv._1 < heap.peek()._1) {
+                      heap.poll(); heap.add(kv); ()
+                    }
+                  }
+                val sel = Iterator.continually(heap.poll())
+                  .takeWhile(_ != null).toSeq.sortBy(_._1)
+                rowsJson(sel.take(page), sel.length > page)
+              case None =>
+                val (rows, more) = distributedPage(
+                  snap.batchId, _.filter(pred && col("k") > after), page)
+                rowsJson(rows, more)
+            }
         }
       case "COUNT" =>
         snap.state match {

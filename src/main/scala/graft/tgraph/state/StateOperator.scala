@@ -306,13 +306,63 @@ object StateOperator {
       maxReplays: Int = 2)(implicit
       ksEnc: Encoder[(K, Int)],
       stateEnc: Encoder[(V, Long, Long)],
+      outEnc: Encoder[(K, Int, Long, V, Long)]): Dataset[(K, Int, Long, V, Long)] =
+    runStreamingSaltedDynamic(
+      ds, key, tid, sf, salts, new HotSet(hotKeys), maxReplays)
+
+  /** Mutable, per-micro-batch-refreshed hot-key membership for
+    * [[runStreamingSaltedDynamic]]. Spark serializes the salt-
+    * assignment closure into each stage's task binary (itself a
+    * broadcast), and streaming plans a fresh stage per micro-batch —
+    * so a driver-side [[promote]] between batches reaches every
+    * executor at the NEXT batch's task deserialization, with all
+    * tasks of a batch seeing the same snapshot. The set is
+    * model-sized by construction (≤ n / hotThreshold keys), the same
+    * bound [[runBatchSaltedFinal]]'s phase-1 detection relies on.
+    */
+  final class HotSet[K](initial: Set[K]) extends Serializable {
+    @volatile private var current: Set[K] = initial
+    def get: Set[K] = current
+    def promote(ks: Iterable[K]): Unit =
+      synchronized { current = current ++ ks }
+  }
+
+  /** [[runStreamingSalted]] with a PROMOTABLE hot set — the
+    * reference's single-partition-update axis without the static-set
+    * assumption: a key that becomes hot mid-stream starts scattering
+    * across `salts` (key, salt) subgroups from the batch after its
+    * promotion. No subgroup state migrates on promotion: subgroup
+    * (k, 0) — the cold key's only subgroup — simply becomes one of
+    * the `salts` scatter targets and keeps its accumulated partial,
+    * which the commutative-monoid merge ([[mergeSaltedSnapshots]])
+    * absorbs like any other partial. Promotion timing therefore
+    * affects only PERFORMANCE (when the per-batch ceiling lifts),
+    * never the merged result.
+    *
+    * Detection is the caller's per-batch loop (see
+    * `StreamingBank.saltedBalancesDynamicFromFiles`): a COLD key's
+    * entire history lives in subgroup (k, 0), so its snapshot row
+    * carries the key's full cumulative committed count — an exact,
+    * driver-cheap crossing test (≤ batchRows / hotThreshold keys ever
+    * cross per batch). Soundness contract unchanged from
+    * [[runBatchSaltedFinal]]: commuting, never-aborting transitions.
+    */
+  def runStreamingSaltedDynamic[T, K, V](
+      ds: Dataset[T],
+      key: T => K,
+      tid: T => Long,
+      sf: StateFunction[T, V],
+      salts: Int,
+      hot: HotSet[K],
+      maxReplays: Int = 2)(implicit
+      ksEnc: Encoder[(K, Int)],
+      stateEnc: Encoder[(V, Long, Long)],
       outEnc: Encoder[(K, Int, Long, V, Long)]): Dataset[(K, Int, Long, V, Long)] = {
     require(salts >= 1, s"salts=$salts must be >= 1")
-    val hotBc = ds.sparkSession.sparkContext.broadcast(hotKeys)
     ds.groupByKey { t =>
       val k = key(t)
       val salt =
-        if (hotBc.value.contains(k)) math.floorMod(tid(t), salts.toLong).toInt
+        if (hot.get.contains(k)) math.floorMod(tid(t), salts.toLong).toInt
         else 0
       (k, salt)
     }.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -322,6 +372,16 @@ object StateOperator {
         val (changes, value, _, _) = foldGroup(
           ks._1, it.toIndexedSeq.sortBy(tid), tid, sf, IsolationLevel.PL3,
           maxReplays, (pv, pv, 0), pv)
+        // contract guard: the salted fold is only sound for commuting,
+        // NEVER-ABORTING state functions (each subgroup folds against
+        // its own partial, not the key's true value — an invariant
+        // check against the partial is meaningless). Surface a
+        // violation instead of silently mis-merging.
+        val aborted = changes.count(!_.committed)
+        if (aborted > 0) throw new IllegalStateException(
+          s"salted-fold contract violation on key ${ks._1}: $aborted " +
+            "uncommitted transition(s); runStreamingSalted* requires " +
+            "commuting, never-aborting state functions")
         val committed = pCommitted + changes.count(_.committed)
         val ver = pVer + 1
         state.update((value, committed, ver))
@@ -329,8 +389,37 @@ object StateOperator {
     }
   }
 
+  /** Last snapshot per (key, salt) subgroup. The sink appends one row
+    * per touched subgroup per micro-batch, so a long-running drain is
+    * O(batches × salts) rows per hot key — the UNBOUNDED dimension of
+    * the salted pipeline. It collapses here as a declarative
+    * `max_by(·, ver)` aggregate (ver is unique and monotonic per
+    * subgroup): partial aggregation keeps ONE row per subgroup per
+    * input partition map-side, the shuffle moves one row per
+    * (subgroup, partition), and no task ever materializes a subgroup's
+    * snapshot history. The output keeps the full 5-column snapshot
+    * frame — ver included — so it doubles as the sink COMPACTION
+    * kernel ([[graft.streaming.StreamingBank.compactSaltedSink]]):
+    * a compacted frame unioned with newer epochs still merges
+    * correctly under `max_by(ver)`.
+    */
+  def lastSaltedSnapshots[K, V](
+      snaps: Dataset[(K, Int, Long, V, Long)])(implicit
+      snapEnc: Encoder[(K, Int, Long, V, Long)]): Dataset[(K, Int, Long, V, Long)] = {
+    import org.apache.spark.sql.functions.{col, max, max_by}
+    snaps.toDF()
+      .groupBy(col("_1"), col("_2"))
+      .agg(
+        max(col("_3")).as("_3"),
+        max_by(col("_4"), col("_3")).as("_4"),
+        max_by(col("_5"), col("_3")).as("_5"))
+      .as[(K, Int, Long, V, Long)]
+  }
+
   /** Phase-2 merge for [[runStreamingSalted]]'s drained snapshot rows:
-    * last snapshot per (key, salt) by `ver`, then each key's ≤`salts`
+    * [[lastSaltedSnapshots]] collapses the snapshot history to one row
+    * per subgroup (a map-side-combining aggregate — the unbounded
+    * dimension never reaches a single task), then each key's ≤`salts`
     * partials fold with `combine` — a bounded, model-sized group.
     * Returns (key, final value, n committed), the
     * [[runBatchSaltedFinal]] frame.
@@ -339,12 +428,14 @@ object StateOperator {
       snaps: Dataset[(K, Int, Long, V, Long)],
       combine: (V, V) => V)(implicit
       kEnc: Encoder[K],
+      snapEnc: Encoder[(K, Int, Long, V, Long)],
       outEnc: Encoder[(K, V, Long)]): Dataset[(K, V, Long)] =
-    snaps.groupByKey(_._1).mapGroups { (k: K, it: Iterator[(K, Int, Long, V, Long)]) =>
-      val last = it.toIndexedSeq.groupBy(_._2)
-        .map { case (_, rows) => rows.maxBy(_._3) }.toIndexedSeq
-      (k, last.map(_._4).reduce(combine), last.map(_._5).sum)
-    }
+    lastSaltedSnapshots(snaps)
+      .groupByKey(_._1)
+      .mapGroups { (k: K, it: Iterator[(K, Int, Long, V, Long)]) =>
+        val last = it.toIndexedSeq // ≤ salts rows: bounded by construction
+        (k, last.map(_._4).reduce(combine), last.map(_._5).sum)
+      }
 
   /** The RUNTIME behavioral distinction between the two concurrency
     * strategies — the axis the reference's evaluation measures beyond

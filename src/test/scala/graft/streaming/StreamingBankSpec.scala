@@ -369,6 +369,47 @@ class StreamingBankSpec extends SparkSpec {
     }
   }
 
+  test("dynamic salted fold: key turning hot mid-stream promotes, ceiling lifts, result == batch") {
+    val hot = 17L
+    val transfers = graft.sources.TransferSource
+      .batchSkewed(spark, 20000, keySpace = 200, hotAcct = hot, hotPerMille = 50)
+    val moves = StreamingBank.committedMovements(spark, transfers)
+    val expected = moves.collect().groupBy(_.acct).map { case (k, ms) =>
+      k -> ((ms.map(_.delta).sum, ms.size.toLong))
+    }
+    // threshold sits mid-stream for the hot key (crosses around batch
+    // 2-3 of 6) and far above any tail key's total, so promotion must
+    // fire exactly once, mid-run
+    val threshold = expected(hot)._2 / 3
+    assert(expected.filter(_._1 != hot).values.forall(_._2 < threshold),
+      "fixture drift: a tail key would cross the promotion threshold")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.LocalDir.scratch), "dynsalt").toFile
+    val (frame, promoted) = StreamingBank.saltedBalancesDynamicFromFiles(
+      spark, moves, salts = 8, hotThreshold = threshold,
+      nBatches = 6, base.toString)
+    val got = frame.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "dynamic salted stream diverged from batch fold")
+    assert(promoted == Set(hot), s"expected exactly the hot key promoted: $promoted")
+
+    // ceiling-lift probe on the raw per-batch sink: pre-promotion the
+    // hot key folds in ONE subgroup (salt 0); post-promotion its
+    // per-batch work spans many subgroups — the serialization ceiling
+    // is really lifted, not just the membership flag flipped
+    val batchDirs = new java.io.File(base, "out").listFiles()
+      .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+    val saltsPerBatch = batchDirs.toSeq.map { d =>
+      spark.read.parquet(d.toString)
+        .as[(Long, Int, Long, Long, Long)].collect()
+        .filter(_._1 == hot).map(_._2).distinct.sorted.toSeq
+    }
+    assert(saltsPerBatch.head == Seq(0),
+      s"first batch must pre-date promotion: ${saltsPerBatch.head}")
+    assert(saltsPerBatch.last.size > 1,
+      s"per-batch ceiling never lifted: $saltsPerBatch")
+  }
+
   test("watermarked windowed aggregation over the transfer stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tx]

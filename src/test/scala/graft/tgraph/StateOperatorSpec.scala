@@ -119,6 +119,80 @@ class StateOperatorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("salted drain merge is aggregate-shaped: history collapses map-side, mapGroups sees <= salts rows") {
+    // simulate a LONG drain: 200 micro-batches × 8 salts for a hot key
+    // plus 200 × 1 salt for a cold key — the frame a long-running
+    // sink accumulates (one row per touched subgroup per batch)
+    val batches = 200
+    val salts = 8
+    val rows =
+      (for (ver <- 1 to batches; salt <- 0 until salts)
+        yield (17L, salt, ver.toLong, ver.toLong * 10 + salt, ver.toLong)) ++
+      (for (ver <- 1 to batches)
+        yield (99L, 0, ver.toLong, ver.toLong, ver.toLong))
+    val drained = rows.toDS().repartition(8)
+    val merged = StateOperator.mergeSaltedSnapshots[Long, Long](drained, _ + _)
+
+    val got = merged.collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val hotExpected = (0 until salts).map(s => batches.toLong * 10 + s).sum
+    assert(got(17L) == ((hotExpected, batches.toLong * salts)))
+    assert(got(99L) == ((batches.toLong, batches.toLong)))
+
+    // plan shape: the unbounded (batches) dimension must collapse in a
+    // partial+final declarative aggregate BEFORE the object-level
+    // mapGroups — no task may hold a subgroup's snapshot history
+    val full = merged.queryExecution.executedPlan.toString
+    // AQE prints the tree twice (Final + Initial); judge the final plan
+    val plan = full.split("== Initial Plan ==").head
+    val mgIdx = plan.indexOf("MapGroups")
+    assert(mgIdx >= 0 && plan.indexOf("MapGroups", mgIdx + 1) < 0,
+      s"expected exactly one MapGroups (the <= salts combine):\n$plan")
+    val below = plan.substring(mgIdx)
+    val aggNodes = "(HashAggregate|SortAggregate|ObjectHashAggregate)".r
+      .findAllIn(below).size
+    assert(aggNodes >= 2,
+      s"snapshot collapse must be a partial+final aggregate below MapGroups:\n$plan")
+    assert(below.contains("max_by"), s"expected max_by(·, ver) collapse:\n$plan")
+  }
+
+  test("compactSaltedSink: multi-epoch sink truncates to O(subgroups); merge stays exact") {
+    import graft.streaming.StreamingBank
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(graft.LocalDir.scratch), "compact")
+      .toFile
+    try {
+      val salts = 4
+      def epoch(vers: Range): org.apache.spark.sql.DataFrame =
+        (for (ver <- vers; salt <- 0 until salts)
+          // cumulative subgroup value: ver * (salt+1); committed = ver
+          yield (7L, salt, ver.toLong, ver.toLong * (salt + 1), ver.toLong))
+          .toDF()
+      val out1 = new java.io.File(base, "epoch1")
+      val out2 = new java.io.File(base, "epoch2")
+      val compacted = new java.io.File(base, "compacted")
+      epoch(1 to 50).write.parquet(out1.toString)
+      StreamingBank.compactSaltedSink(spark, out1.toString, compacted.toString)
+      // compaction really truncated: one row per subgroup, newest ver
+      val c1 = spark.read.parquet(compacted.toString)
+        .as[(Long, Int, Long, Long, Long)].collect()
+      assert(c1.length == salts, s"expected $salts rows, got ${c1.length}")
+      assert(c1.forall(_._3 == 50L))
+      // epoch 2 continues the subgroup versions; union-merge stays exact
+      epoch(51 to 80).write.parquet(out2.toString)
+      val merged = StateOperator.mergeSaltedSnapshots[Long, Long](
+        spark.read.parquet(compacted.toString).as[(Long, Int, Long, Long, Long)]
+          .union(spark.read.parquet(out2.toString).as[(Long, Int, Long, Long, Long)]),
+        _ + _).collect().head
+      val expectedVal = (0 until salts).map(s => 80L * (s + 1)).sum
+      assert(merged == ((7L, expectedVal, 80L * salts)))
+      // second compaction folds compacted + epoch2 and stays bounded
+      StreamingBank.compactSaltedSink(spark, out2.toString, compacted.toString)
+      val c2 = spark.read.parquet(compacted.toString)
+        .as[(Long, Int, Long, Long, Long)].collect()
+      assert(c2.length == salts && c2.forall(_._3 == 80L))
+    } finally graft.sources.FileIO.deleteScratch(base)
+  }
+
   test("strategy runtime: optimistic replays grow with contention; pessimistic never replays; same committed history") {
     import graft.streaming.StreamingBank.{CentsBalance, StreamMovement}
     // skewed workload: the hot account sees heavy contention, the tail
