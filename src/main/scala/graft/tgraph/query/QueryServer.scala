@@ -98,7 +98,9 @@ final class QueryServer(
     // Salted pipelines (runStreamingSalted*): the state key is
     // (key, salt) and one logical key owns ≤ `salts` subgroup rows.
     // Passing e.g. `Some(sum(col("v")))` with
-    // `keyCol = col("key.value._1")` makes every serving path merge
+    // `keyCol = col("key._1")` (tuple keys surface unwrapped; the
+    // `value` wrapper is primitive-key only) makes every serving path
+    // merge
     // the subgroups per key at answer time — a salts-bounded
     // distributed fold (groupBy on the logical key) applied before
     // caching, point lookup, predicate scan, and COUNT alike.

@@ -291,6 +291,160 @@ class QueryServerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("salted pipeline served live: POINT merges the (key, salt) subgroups; epochs never regress") {
+    import graft.streaming.StreamingBank.{CentsBalance, StreamMovement}
+    import graft.tgraph.state.StateOperator
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-salt").toString
+    val hot = 17L
+    val transfers = graft.sources.TransferSource
+      .batchSkewed(spark, 20000, keySpace = 200, hotAcct = hot, hotPerMille = 50)
+    val moves = StreamingBank.committedMovements(spark, transfers)
+      .collect().toSeq.sortBy(_.tid)
+    val (firstHalf, secondHalf) = moves.splitAt(moves.length / 2)
+    def expectedOf(ms: Seq[StreamMovement]): Map[Long, Long] =
+      ms.groupBy(_.acct).view.mapValues(_.map(_.delta).sum).toMap
+
+    val input = MemoryStream[StreamMovement]
+    val q = StateOperator.runStreamingSalted[StreamMovement, Long, Long](
+      input.toDS(), _.acct, _.tid, new CentsBalance,
+      salts = 8, hotKeys = Set(hot))
+      .toDF().writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(firstHalf)
+      q.processAllAvailable()
+
+      // the endpoint fronts the (key, salt) subgroup store directly:
+      // logical key = key.value._1, answers merge the ≤ salts partials
+      // with the fold's combine monoid (sum) at answer time
+      val server = new QueryServer(spark, s"$dir/ckpt",
+        // tuple grouping keys surface as key.(_1, _2) in the
+        // statestore source (the `value` wrapper is primitive-key only)
+        keyCol = col("key._1").cast("long"),
+        mergeAgg = Some(sum(col("v"))),
+        refreshMillis = 50)
+      try {
+        eventually() { if (server.servedBatchId >= 0) Some(()) else None }
+        val b1 = server.servedBatchId
+        val exp1 = expectedOf(firstHalf)
+        val client = new QueryClient("localhost", server.boundPort)
+        try {
+          val probe = Seq(hot) ++ exp1.keys.filter(_ != hot).take(4)
+          val (batch1, rows1) = parseRows(client.point(probe))
+          assert(batch1 == b1)
+          assert(rows1 == probe.map(k => k -> exp1(k)).toMap,
+            "POINT must return the merged committed balance, not a partial")
+
+          // COUNT counts LOGICAL keys, not subgroup rows
+          assert(client.request("COUNT")
+            .contains(s""""count":${exp1.size}"""))
+
+          // stream advances; served epoch only moves forward and the
+          // merged balances track the new committed state
+          input.addData(secondHalf)
+          q.processAllAvailable()
+          val b2 = eventually() {
+            val b = server.servedBatchId
+            if (b > b1) Some(b) else None
+          }
+          val exp2 = expectedOf(moves)
+          val (batch2, rows2) = parseRows(client.point(probe))
+          assert(batch2 == b2 && batch2 > b1, "epoch regressed")
+          assert(rows2 == probe.map(k => k -> exp2(k)).toMap)
+
+          // PRED merges before comparing too (a hot key whose partials
+          // individually miss the threshold but whose sum passes must
+          // appear exactly once)
+          val (pb, pRows) = parseRows(client.request(s"PRED GE ${exp2(hot)}"))
+          assert(pb == b2)
+          assert(pRows == exp2.filter(_._2 >= exp2(hot)))
+        } finally client.close()
+      } finally server.close()
+    } finally q.stop()
+  }
+
+  test("AT <batch> pins a cursor walk to its starting epoch across concurrent refreshes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-epoch").toString
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val (firstHalf, secondHalf) = deltas.splitAt(deltas.length / 2)
+
+    val input = MemoryStream[Bank.AcctDelta]
+    val q = StreamingBank.sequentialBalancesOnline(spark, input.toDS())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(firstHalf)
+      q.processAllAvailable()
+      val server = new QueryServer(spark, s"$dir/ckpt",
+        refreshMillis = 50, maxResponseRows = 8)
+      try {
+        eventually() { if (server.servedBatchId >= 0) Some(()) else None }
+        val b0 = server.servedBatchId
+        def sinkState(): Map[Long, Long] = spark.read.parquet(s"$dir/out")
+          .groupBy(col("key"))
+          .agg(max_by(col("value"), col("tid")).as("v"))
+          .as[(Long, Long)].collect().toMap
+        val epoch0 = sinkState()
+        assert(epoch0.size > 8, "fixture must exceed the page size")
+
+        val client = new QueryClient("localhost", server.boundPort)
+        try {
+          // page 1 (no AT) establishes the walk's epoch
+          val first = client.request(s"PRED GE ${Long.MinValue}")
+          val (fb, fRows) = parseRows(first)
+          assert(fb == b0 && first.contains(""""truncated":true"""))
+
+          // the stream advances MID-WALK; the server refreshes past b0
+          input.addData(secondHalf)
+          q.processAllAvailable()
+          eventually() {
+            val b = server.servedBatchId
+            if (b > b0) Some(b) else None
+          }
+          // an unpinned next page would now answer at the NEW batch —
+          // the response's "batch" is the defined mixed-epoch signal
+          val unpinned = client.request(s"PRED GE ${Long.MinValue}")
+          assert(parseRows(unpinned)._1 > b0,
+            "client can detect the epoch advance from the batch field")
+
+          // the pinned walk continues at b0 and reconstructs EXACTLY
+          // the epoch-0 match set, served from the state store's
+          // retained version history
+          var all = fRows
+          var cursor = fRows.keys.max
+          var done = false
+          while (!done) {
+            val resp = client.request(
+              s"PRED GE ${Long.MinValue} AFTER $cursor AT $b0")
+            val (b, rows) = parseRows(resp)
+            assert(b == b0, s"pinned page answered at $b, not $b0")
+            assert(rows.keySet.forall(_ > cursor))
+            all ++= rows
+            if (resp.contains(""""truncated":true""")) cursor = rows.keys.max
+            else done = true
+          }
+          assert(all == epoch0,
+            "pinned walk diverged from the starting epoch's snapshot")
+
+          // a pin past the committed horizon is a marked error, not a
+          // silent wrong answer
+          assert(client.request(
+            s"PRED GE 0 AT ${server.servedBatchId + 1000}").contains("error"))
+        } finally client.close()
+      } finally server.close()
+    } finally q.stop()
+  }
+
   test("concurrent clients: every answer a committed epoch; throughput probe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-tp").toString
