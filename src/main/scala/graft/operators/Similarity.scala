@@ -576,6 +576,26 @@ object Similarity {
     math.min(wanted, math.max(1, dim / tables))
   }
 
+  /** The production sizing rule for the IVF coarse quantizer — the
+    * FAISS `sqrt(n)` heuristic: `cells ≈ √n` keeps the expected cell
+    * at ~√n vectors, so probing `nprobe` cells scans ~`nprobe·√n`
+    * candidates — O(√n) per query instead of O(n), re-derived at each
+    * scale-up rather than a constant copied across scales (at 10⁹
+    * vectors: ~31k cells of ~31k vectors; clamped to [4, 2¹⁶] — past
+    * 2¹⁶ cells the codebook itself wants an index, IVF-in-IVF).
+    */
+  def recommendedCells(n: Long): Int =
+    math.min(1 << 16, math.max(4, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** Probe width for a target candidate fraction of the corpus:
+    * `ceil(cells · fraction)` cells scanned per query (expected
+    * fraction of n at balanced cells). ~0.15 with candidate
+    * multi-assignment 2 reaches recall ≈0.8+ on the fixture corpora;
+    * raise the fraction, not the cell count, to buy recall.
+    */
+  def recommendedNprobe(cells: Int, targetFraction: Double = 0.15): Int =
+    math.max(1, math.min(cells, math.ceil(cells * targetFraction).toInt))
+
   /** Cap degenerate LSH buckets before a self-join: rows of any
     * (tbl, bucket) group larger than `cap` are dropped from the join,
     * and every surviving row gains a `__surv` bitmask of the tables

@@ -301,21 +301,26 @@ object LlmQueries {
         .select(col("cell").as("label"), col("pos").cast("bigint").as("pos"),
           col("mean_milli"))
         .orderBy("label", "pos")),
-    // IVF with a REAL trained coarse quantizer: 2 deterministic
-    // integer Lloyd iterations refine the label-seeded codebook
-    // (each iteration = one narrow assignment pass + one aggregate,
-    // CTE-replayed by the oracle); queries probe their 2 best cells
-    // (FAISS's nprobe knob) AND candidates index in their 2 best
-    // cells (FAISS's multiple-assignment knob) — together recall 0.65
-    // vs the exact scan at 10 cells (0.42 before multi-assignment)
+    // IVF with a REAL trained coarse quantizer, sized by the
+    // production rules instead of fixture constants: cells =
+    // recommendedCells(n) = √n (modulo-seeded, then 2 deterministic
+    // integer Lloyd iterations, each = one narrow assignment pass +
+    // one aggregate, CTE-replayed by the oracle); queries probe
+    // recommendedNprobe(cells, 0.25) cells, candidates index in their
+    // 3 best (multiple assignment). Measured recall@5 vs the exact
+    // scan (IvfRecallProbe): 0.90 at n=500, 0.94 at n=2000 —
+    // SimilaritySpec pins >= 0.8 at this exact config.
     "ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val codebook =
-        Similarity.kmeansCodebook(e, col("label"), col("embedding"), iters = 2)
+      val n = e.count()
+      val cells = Similarity.recommendedCells(n)
+      val nprobe = Similarity.recommendedNprobe(cells, 0.25)
+      val codebook = Similarity.kmeansCodebook(
+        e, pmod(col("vec_id"), lit(cells.toLong)), col("embedding"), iters = 2)
       Similarity.ivfTopK(
         e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        codebook, k = 5, nprobe = 2, cassign = 2)
+        codebook, k = 5, nprobe = nprobe, cassign = 3)
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
@@ -1104,26 +1109,33 @@ object LlmQueries {
         |  FROM d)
         |SELECT qid, cid, dot_q FROM ranked WHERE rnk <= 3
         |ORDER BY qid, dot_q DESC, cid""".stripMargin,
-    // IVF ANN with a TRAINED coarse quantizer: label-seeded codebook
-    // refined by 2 exact-integer Lloyd iterations (assignment =
-    // argmin ||q(v)-c||^2 spelled argmax (2*dot - ||c||^2), ties to
-    // the largest cell), queries probe their 2 best cells, exact
-    // quantized-dot rerank, top-5 per query — each Lloyd iteration is
-    // one assignment CTE + one means CTE
+    // IVF ANN with a TRAINED coarse quantizer at the production
+    // sizing rules: cells = clamp(round(sqrt(n)), 4, 65536)
+    // (recommendedCells), modulo-seeded, refined by 2 exact-integer
+    // Lloyd iterations (assignment = argmin ||q(v)-c||^2 spelled
+    // argmax (2*dot - ||c||^2), ties to the largest cell), queries
+    // probe ceil(cells/4) best cells (recommendedNprobe @ 0.25),
+    // candidates index in their 3 best, exact quantized-dot rerank,
+    // top-5 per query — each Lloyd iteration is one assignment CTE +
+    // one means CTE
     "ann_ivf" ->
-      """WITH q AS (
+      """WITH params AS (
+        |  SELECT GREATEST(4, LEAST(65536, CAST(round(sqrt(count(*))) AS BIGINT))) AS cells,
+        |    GREATEST(1, CAST(ceil(GREATEST(4, LEAST(65536, CAST(round(sqrt(count(*))) AS BIGINT))) * 0.25) AS BIGINT)) AS nprobe
+        |  FROM embeddings),
+        |q AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
         |  FROM embeddings),
         |cb0 AS (
-        |  SELECT label AS cell, pos,
+        |  SELECT cell, pos,
         |    CAST(round(CAST(sum(qe) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
         |  FROM (
-        |    SELECT label,
+        |    SELECT CAST(vec_id % (SELECT cells FROM params) AS BIGINT) AS cell,
         |      UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
         |      CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qe
         |    FROM embeddings)
-        |  GROUP BY label, pos),
+        |  GROUP BY cell, pos),
         |c0 AS (
         |  SELECT cell, list(mean_milli ORDER BY pos) AS cvec,
         |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
@@ -1172,12 +1184,12 @@ object LlmQueries {
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
-        |    FROM s3 WHERE vec_id < 10) WHERE rn <= 2),
+        |    FROM s3 WHERE vec_id < 10) WHERE rn <= (SELECT nprobe FROM params)),
         |cassign AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
-        |    FROM s3) WHERE rn <= 2),
+        |    FROM s3) WHERE rn <= 3),
         |pairs AS (
         |  SELECT DISTINCT qa.vec_id AS qid, ca.vec_id AS cid
         |  FROM qassign qa JOIN cassign ca ON qa.cell = ca.cell

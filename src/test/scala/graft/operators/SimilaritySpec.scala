@@ -79,28 +79,36 @@ class SimilaritySpec extends SparkSpec {
     info(s"recall seed/1=$r0 trained/1=$rTrained trained/2=$rProbe2")
   }
 
-  test("candidate multi-assignment lifts IVF recall past 0.6 at 10 cells, nprobe 2") {
+  test("sizing-rule IVF config (recommendedCells, nprobe@0.25, cassign 3) reaches recall >= 0.8") {
     val e = Tables.load(spark, Sf0001, "embeddings")
+    val n = e.count()
+    // the GATE config, derived from the production sizing rules at
+    // the fixture's own n — not fixture-tuned constants: cells = √n,
+    // probe ~25% of cells, candidates multi-assigned 3-wide
+    val cells = Similarity.recommendedCells(n)
+    val nprobe = Similarity.recommendedNprobe(cells, 0.25)
+    assert(cells == 22 && nprobe == 6, s"rule drift: cells=$cells np=$nprobe")
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val brute = Similarity.bruteForceTopK(q, c, 5)
       .select("qid", "cid").as[(Long, Long)].collect().toSet
-    val trained = Similarity.kmeansCodebook(e, col("label"), col("embedding"), iters = 2)
+    val trained = Similarity.kmeansCodebook(
+      e, pmod(col("vec_id"), lit(cells.toLong)), col("embedding"), iters = 2)
     def run(cassign: Int): Map[Long, Seq[Long]] =
-      Similarity.ivfTopK(q, c, trained, 5, nprobe = 2, cassign = cassign)
+      Similarity.ivfTopK(q, c, trained, 5, nprobe = nprobe, cassign = cassign)
         .select("qid", "cid").as[(Long, Long)].collect().toSeq
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     val single = run(1)
-    val multi = run(2)
+    val multi = run(3)
     def recallOf(m: Map[Long, Seq[Long]]): Double =
       (brute & m.toSeq.flatMap { case (q, cs) => cs.map(q -> _) }.toSet)
         .size.toDouble / brute.size
     val r1 = recallOf(single)
     val r2 = recallOf(multi)
-    info(s"recall cassign=1 $r1 cassign=2 $r2")
+    info(s"recall cassign=1 $r1 cassign=3 $r2")
     assert(r2 > r1, s"multi-assignment did not lift recall: $r2 <= $r1")
-    assert(r2 >= 0.6, s"gate-config recall $r2 < 0.6")
+    assert(r2 >= 0.8, s"gate-config recall $r2 < 0.8")
     // exactly-once: no query may list the same candidate twice
     multi.foreach { case (qid, cids) =>
       assert(cids.distinct.size == cids.size, s"duplicate neighbor for $qid")
