@@ -263,6 +263,62 @@ object Similarity {
     (codebook, assigned.select(col("cid"), col("sub"), col("cell")))
   }
 
+  /** Encode a corpus against an EXISTING trained codebook: one
+    * assignment pass — each vector's m subvectors score against the
+    * broadcast per-subspace codeword table (the native [[graft.functions.DotLong]]
+    * kernel) and take the argmax-(2·dot − ‖c‖²) codeword, ties to the
+    * largest cell (the [[kmeansCodebook]] convention). This is the
+    * full-corpus half of the FAISS practice: train on a sample, encode
+    * everything in one pass.
+    */
+  def pqEncodeWith(
+      df: DataFrame, id: Column, vec: Column,
+      codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val cw = codebook.groupBy(col("sub"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
+        e => e.getField("mean_milli")).as("cvec"))
+      .withColumn("nrm",
+        aggregate(col("cvec"), lit(0L), (a, x) => a + x * x))
+    df.select(id.as("cid"), quantize(vec).as("qm"))
+      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("qm"))
+      .select(col("cid"), col("sub"),
+        slice(col("qm"), col("sub") * subDim + 1, lit(subDim)).as("qsub"))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn("score",
+        graft.functions.DotLong(col("qsub"), col("cvec")) * 2 - col("nrm"))
+      .groupBy(col("cid"), col("sub"))
+      .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"))
+  }
+
+  /** The SCALE-SHAPED PQ training spelling — FAISS practice end to
+    * end: train the codebook on a deterministic, engine-portable
+    * sample (the `sampleN` smallest md5("seed:id") — a
+    * TakeOrderedAndProject, model-sized, replayable by any SQL
+    * engine), run `iters` per-subspace Lloyd rounds on the sample
+    * only (training cost sampleN·m·2^subDim per round instead of
+    * n·m·2^subDim), then encode the FULL corpus with one
+    * [[pqEncodeWith]] assignment pass. The returned codebook is
+    * lineage-cut (model-sized) so the encode pass and the query-side
+    * LUT build don't re-run the training.
+    */
+  def pqTrainSampleEncode(
+      df: DataFrame, id: Column, vec: Column,
+      m: Int, subDim: Int, iters: Int, sampleN: Int,
+      seed: String = "pq"): (DataFrame, DataFrame) = {
+    val sample = df
+      .select(id.as("__sid"), vec.as("__svec"))
+      .orderBy(
+        md5(concat_ws(":", lit(seed), col("__sid").cast("string"))),
+        col("__sid"))
+      .limit(sampleN)
+    val (codebook, _) =
+      pqTrainEncodeLloyd(sample, col("__sid"), col("__svec"), m, subDim, iters)
+    val cb = codebook.localCheckpoint(true)
+    (cb, pqEncodeWith(df, id, vec, cb, m, subDim))
+  }
+
   /** PQ top-k via asymmetric-distance LUTs: per query, precompute
     * dot(query-subvector, codeword) for every (subspace, cell) — a
     * model-sized table — then score each candidate as the sum of m
@@ -595,6 +651,17 @@ object Similarity {
     */
   def recommendedNprobe(cells: Int, targetFraction: Double = 0.15): Int =
     math.max(1, math.min(cells, math.ceil(cells * targetFraction).toInt))
+
+  /** Training-sample floor for a PQ codebook: `perCell` points per
+    * codeword (2^subDim cells per subspace) keeps every populated
+    * cell's mean estimable. The fixture gate trains at 1.5/cell (384
+    * vectors for subDim 8 — the 500-vector corpus can't feed more);
+    * at real scale use FAISS's ~39/cell (≈10k for 256 cells) — still
+    * a driver-trivial sample of a 10⁹-vector corpus. Callers clamp to
+    * min(n, recommendedPqSample(...)).
+    */
+  def recommendedPqSample(subDim: Int, perCell: Double = 1.5): Int =
+    math.ceil((1L << subDim) * perCell).toInt
 
   /** Cap degenerate LSH buckets before a self-join: rows of any
     * (tbl, bucket) group larger than `cap` are dropped from the join,

@@ -307,6 +307,40 @@ class SimilaritySpec extends SparkSpec {
     assert(lrerRecall >= 0.9, s"lloyd rerank recall $lrerRecall")
   }
 
+  test("sample-trained PQ (the gate spelling): rerank >= 0.9, ADC >= 0.5 recall") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(
+      q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // the scale-shaped recipe at the GATE config: md5-sampled
+    // recommendedPqSample(8) = 384 training vectors, 2 Lloyd rounds
+    // on the sample, ONE full-corpus encode pass. ADC@5 measured
+    // 0.544 over 50 queries (PqRecallProbe) and PLATEAUS 0.50-0.54
+    // across sampleN 192..500 × iters 2..3 — the 8-byte-code ceiling
+    // on this 500-vector fixture, not a training shortfall (the
+    // production read path, shortlist rerank, measures 0.98): the
+    // floor here pins measured-with-margin, the rerank floor is the
+    // production claim.
+    val (cb, enc) = Similarity.pqTrainSampleEncode(
+      e, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+      iters = 2, sampleN = Similarity.recommendedPqSample(8))
+    assert(Similarity.recommendedPqSample(8) == 384)
+    val adc = Similarity.pqTopK(q, enc, cb, 5, 8, 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val adcRecall = (brute & adc).size.toDouble / brute.size
+    info(s"sample-trained adc recall $adcRecall")
+    assert(adcRecall >= 0.5, s"sample-trained adc recall $adcRecall")
+    val rer = Similarity.pqTopKRerank(
+      q, enc, cb, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      k = 5, shortlist = 50, m = 8, subDim = 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val rerRecall = (brute & rer).size.toDouble / brute.size
+    info(s"sample-trained rerank recall $rerRecall")
+    assert(rerRecall >= 0.9, s"sample-trained rerank recall $rerRecall")
+  }
+
   test("native sq8 ADC kernel == declarative fold on real embeddings") {
     val e = Tables.load(spark, Sf0001, "embeddings").limit(300)
     val enc = Similarity.sq8Encode(e, col("vec_id"), col("embedding"))
