@@ -369,6 +369,94 @@ class StreamingBankSpec extends SparkSpec {
     }
   }
 
+  test("torn state changelog (partial upload) at the crash point: recovery replays the last complete chain, both providers") {
+    // Harder crash shape than dropped markers: the kill lands MID-
+    // UPLOAD of batch N's state version, leaving a truncated
+    // N+1.changelog (RocksDB) / N+1.delta (HDFS) on the checkpoint —
+    // torn bytes, not a missing file — alongside the missing commit
+    // marker and sink metadata. Recovery must load state version N
+    // from the still-complete snapshot+changelog chain (the torn
+    // version is PAST the last commit, so nothing may read it),
+    // re-execute batch N overwriting the torn file, and converge to
+    // the exact batch fold.
+    for (provider <- Seq("rocksdb", "hdfs")) {
+      val ss = StreamSessions.scoped(spark, 4, Some(provider))
+      implicit val sqlCtx = ss.sqlContext
+      import ss.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-torn-$provider").toString
+      val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+      val (first, second) = deltas.splitAt(deltas.length / 2)
+      val input = MemoryStream[Bank.AcctDelta]
+      def start() = StreamingBank.sequentialBalancesOnline(ss, input.toDS())
+        .writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append())
+        .start()
+      val q1 = start()
+      input.addData(first)
+      q1.processAllAvailable()
+      q1.stop()
+      val deadline = System.nanoTime() + 20_000_000_000L
+      while (ss.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(ss.streams.active.isEmpty, "q1 never fully deregistered")
+
+      val lastBatch = new java.io.File(s"$dir/ckpt/commits")
+        .listFiles().filter(_.getName.forall(_.isDigit))
+        .map(_.getName.toLong).max
+      def drop(f: java.io.File): Unit = {
+        assert(f.exists() && f.delete(), s"missing ${f}")
+        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      }
+      drop(new java.io.File(s"$dir/ckpt/commits/$lastBatch"))
+      drop(new java.io.File(s"$dir/out/_spark_metadata/$lastBatch"))
+
+      // tear batch N's state version (N+1 in store numbering) in every
+      // partition that has one: keep the first half of the bytes, drop
+      // the checksum sibling so the torn payload is really read
+      val tornVersion = lastBatch + 1
+      val torn = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/ckpt/state"))
+        .filter(p => {
+          val n = p.getFileName.toString
+          n == s"$tornVersion.changelog" || n == s"$tornVersion.delta"
+        })
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      assert(torn.nonEmpty, s"$provider: no version-$tornVersion state files found")
+      torn.foreach { p =>
+        val size = java.nio.file.Files.size(p)
+        assert(size > 2, s"$provider: $p too small to tear")
+        val ch = java.nio.channels.FileChannel.open(
+          p, java.nio.file.StandardOpenOption.WRITE)
+        try ch.truncate(size / 2) finally ch.close()
+        val crc = p.getParent.resolve(s".${p.getFileName}.crc")
+        java.nio.file.Files.deleteIfExists(crc)
+      }
+
+      // recovery: load version N from the complete chain, re-execute
+      // batch N (overwriting the torn upload), continue with the rest
+      val q2 = start()
+      input.addData(second)
+      q2.processAllAvailable()
+      q2.stop()
+
+      val out = ss.read.parquet(s"$dir/out")
+      val recovered = Bank.sequentialSummary(out)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = Bank.sequentialBalances(spark, Sf0001)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(recovered == batch, s"$provider: recovered history diverged")
+      assert(out.groupBy(col("key"), col("tid")).count()
+        .filter(col("count") > 1).count() == 0L,
+        s"$provider: duplicated transitions after torn-changelog recovery")
+      assert(out.count() == deltas.size.toLong,
+        s"$provider: read path counted orphaned files")
+    }
+  }
+
   test("dynamic salted fold: key turning hot mid-stream promotes, ceiling lifts, result == batch") {
     val hot = 17L
     val transfers = graft.sources.TransferSource
