@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clusters, Corpus, CorpusStats, Dedup, Spans, TextAnalysis}
+import graft.operators.{Bpe, Clusters, Corpus, CorpusStats, Dedup, Spans, TextAnalysis}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -195,6 +195,26 @@ object CorpusQueries {
         filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0),
         maxTokens = 48, overlap = 16)
         .orderBy("doc_id", "chunk_idx")),
+    // BPE tokenizer TRAINING on the corpus (Sennrich alg. 1): 16
+    // greedy merges over the top-2048-word frequency table, exact
+    // integer counts with lexicographic tiebreaks — the oracle replays
+    // every round as a materialized CTE chain (argmax pair, then the
+    // same greedy left-to-right fold via list_reduce)
+    "bpe_train" -> ((s, dir) =>
+      Bpe.trainDf(docs(s, dir), col("text"),
+        numMerges = BpeGateMerges, maxWords = BpeGateMaxWords)
+        .orderBy("rank")),
+    // encode the corpus with the trained merges: the fold runs once
+    // per DISTINCT word through the native BpeApply kernel, docs join
+    // the encoded vocab back — per-doc pre-token / char-symbol / BPE-
+    // piece counts (the token budget a packing stage consumes)
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, col("text"),
+        numMerges = BpeGateMerges, maxWords = BpeGateMaxWords)
+      Bpe.encodeDocs(d, col("doc_id"), col("text"), merges)
+        .orderBy("doc_id")
+    }),
     // corpus-wide heavy-hitter 3-grams (boilerplate discovery):
     // global top-50 via per-partition heaps, deterministic tiebreak
     // KMV cardinality sketch: distinct-token estimate from the 64
@@ -387,6 +407,88 @@ object CorpusQueries {
       |    ELSE 4539628424389459968 // max(h) END AS BIGINT) AS est_distinct
       |FROM k""".stripMargin
 
+  private val BpeGateMerges = 16
+  private val BpeGateMaxWords = 2048
+
+  /** The greedy left-to-right merge fold as a DuckDB `list_reduce`
+    * over `src.syms`, with the merge pair taken from the one-row CTE
+    * `m` — symbol-for-symbol the [[graft.operators.Bpe.mergeFold]]
+    * semantics (merged tail immediately participates in the next
+    * comparison).
+    */
+  private def bpeFoldSql(src: String, m: String): String =
+    s"""list_reduce(string_split($src.syms, ' '),
+       |    (acc, x) -> CASE
+       |      WHEN regexp_extract(acc, '([^ ]+)$$', 1) = $m.l AND x = $m.r
+       |      THEN regexp_replace(acc, '([^ ]+)$$', $m.l || $m.r)
+       |      ELSE acc || ' ' || x END)""".stripMargin
+
+  /** Training replayed round by round: w0 = the capped word-frequency
+    * table with char start symbols; round i = pair counts over w(i-1)
+    * (p_i), the total-order argmax (m_i), the fold applied (w_i). Every
+    * chained CTE is MATERIALIZED — w_i is referenced twice (p_{i+1} and
+    * w_{i+1}), so inlining would expand the chain exponentially.
+    */
+  private def bpeTrainCtes(n: Int, maxWords: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, cnt, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
+         |  FROM (SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM (SELECT UNNEST(list_filter(
+         |        string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS token
+         |      FROM documents)
+         |    GROUP BY token ORDER BY cnt DESC, word LIMIT $maxWords))""".stripMargin
+    val rounds = (1 to n).map { i =>
+      s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT cnt, t[i] AS l, t[i+1] AS r FROM (
+         |      SELECT cnt, string_split(syms, ' ') AS t,
+         |             UNNEST(generate_series(1, len(string_split(syms, ' ')) - 1)) AS i
+         |      FROM w${i - 1} WHERE len(string_split(syms, ' ')) >= 2))
+         |  GROUP BY l, r),
+         |m$i AS MATERIALIZED (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, cnt, ${bpeFoldSql(s"w${i - 1}", s"m$i")} AS syms
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  private def bpeTrainOracle(n: Int, maxWords: Int): String = {
+    val union = (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r, freq FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeTrainCtes(n, maxWords)}\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
+  /** Encode: the DISTINCT corpus words (uncapped — the cap only bounds
+    * training statistics) through the same n folds, then per-doc sums
+    * via the token→vocab join. Docs with no [a-z0-9] runs keep zeros
+    * through the left join.
+    */
+  private def bpeEncodeOracle(n: Int, maxWords: Int): String = {
+    val vocabChain = (1 to n).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT word, ${bpeFoldSql(s"v${i - 1}", s"m$i")} AS syms
+         |  FROM v${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(n, maxWords)},
+       |tok AS MATERIALIZED (SELECT doc_id, UNNEST(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |v0 AS MATERIALIZED (SELECT DISTINCT word,
+       |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms FROM tok),
+       |$vocabChain,
+       |enc AS MATERIALIZED (SELECT word, len(word) AS w_chars,
+       |    len(string_split(syms, ' ')) AS w_pieces FROM v$n)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
+       |FROM documents d LEFT JOIN (
+       |  SELECT tok.doc_id, count(*) AS n_tokens, sum(enc.w_chars) AS n_chars,
+       |         sum(enc.w_pieces) AS n_pieces
+       |  FROM tok JOIN enc USING (word) GROUP BY tok.doc_id) a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val HeavyNgramsOracle: String =
     """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
       |g AS (SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
@@ -398,6 +500,12 @@ object CorpusQueries {
       |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 16 greedy merges on the top-2048 word table, replayed round by
+    // round (materialized CTE chain; argmax = ORDER BY freq DESC, l, r)
+    "bpe_train" -> bpeTrainOracle(BpeGateMerges, BpeGateMaxWords),
+    // the trained merges applied to every distinct word (same fold),
+    // summed back per document through the token join
+    "bpe_encode" -> bpeEncodeOracle(BpeGateMerges, BpeGateMaxWords),
     // the full prep chain replayed stage by stage: quality gate,
     // keep-first exact dedup, md5 stratified sample, sequence packing
     "pipeline_pretrain" ->
