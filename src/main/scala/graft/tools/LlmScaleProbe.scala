@@ -140,6 +140,33 @@ object LlmScaleProbe {
         enc, cb, k = 5, m = 8, subDim = 8).count()
       nVecs
     }
+    // sample-trained PQ at the production sample floor (the gate
+    // recipe at real n: training cost sample-sized, one encode pass)
+    report("pq_sample_topk", nVecs) {
+      val (cb, enc) = graft.operators.Similarity.pqTrainSampleEncode(
+        vecs, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+        iters = 2, sampleN = graft.operators.Similarity.recommendedPqSample(8, 39))
+      graft.operators.Similarity.pqTopK(
+        vecs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        enc, cb, k = 5, m = 8, subDim = 8).count()
+      nVecs
+    }
+    // trained IVF at the sqrt(n) sizing rule — the codegen stress case:
+    // cells ~ sqrt(n) inlined kernel literals per row in the
+    // assignment/probe projections (447 at 200k vectors)
+    report("ivf_topk_sized", nVecs) {
+      val cells = graft.operators.Similarity.recommendedCells(nVecs)
+      val nprobe = graft.operators.Similarity.recommendedNprobe(cells, 0.05)
+      val cb = graft.operators.Similarity.kmeansCodebook(
+        vecs, pmod(col("vec_id"), lit(cells.toLong)), col("embedding"), iters = 1)
+      graft.operators.Similarity.ivfTopK(
+        vecs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        vecs.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        cb, k = 5, nprobe = nprobe, cassign = 2).count()
+      nVecs
+    }
 
     // degenerate-bucket skew: 5% of the corpus is ONE identical vector,
     // so in EVERY table those rows share a single bucket (50k rows at
