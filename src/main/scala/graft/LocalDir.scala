@@ -17,4 +17,29 @@ object LocalDir {
     sys.env.getOrElse("SPARK_LOCAL_DIRS",
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
       else System.getProperty("java.io.tmpdir"))
+
+  /** A fresh run directory under `scratch/<group>`, sweeping stale
+    * sibling runs first (older than `maxAgeMs`). The FromFiles gate
+    * helpers can't delete their own run dir — the returned lazy frame
+    * reads its out/ parquet after the helper returns — so each NEW run
+    * reclaims its predecessors instead: repeated gate runs hold O(1)
+    * scratch rather than accumulating run dirs. A concurrent run in
+    * the same group is never swept (age ≈ 0 under any sane budget; the
+    * verify watchdog caps a query at minutes).
+    */
+  def runDir(group: String, maxAgeMs: Long = 3_600_000L): String = {
+    val base = new java.io.File(scratch, group)
+    base.mkdirs()
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.lastModified() < cutoff)
+      .foreach(deleteRecursively)
+    java.nio.file.Files.createTempDirectory(base.toPath, "run").toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -215,13 +215,13 @@ object Similarity {
     * All arithmetic is exact int64, so a SQL oracle replays the
     * training iteration by iteration.
     *
-    * Shape: assignment joins the exploded (cid, sub, qsub) frame with
-    * the broadcast per-subspace codeword table — m·2^subDim
-    * candidate rows per vector per iteration. Training cost is
-    * therefore n·m·2^subDim rows per iteration; at corpus scale train
-    * on a SAMPLE (the FAISS practice — a codebook is a model, not an
-    * aggregate) and encode the full corpus with one final assignment
-    * pass.
+    * Shape: assignment is one [[graft.functions.PqNearestCell]] kernel
+    * call per (vector, subspace) row of the checkpointed exploded
+    * frame — the codebook rides as a reference object, no join, no
+    * candidate-row explosion. Arithmetic cost is still n·m·2^subDim
+    * dot products per iteration; at corpus scale train on a SAMPLE
+    * (the FAISS practice — a codebook is a model, not an aggregate)
+    * and encode the full corpus with one final [[pqEncodeWith]] pass.
     */
   def pqTrainEncodeLloyd(
       df: DataFrame, id: Column, vec: Column,
@@ -240,56 +240,64 @@ object Similarity {
     var codebook = means(assigned)
     var i = 0
     while (i < iters) {
-      val cw = codebook.groupBy(col("sub"), col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
-          e => e.getField("mean_milli")).as("cvec"))
-        .withColumn("nrm",
-          aggregate(col("cvec"), lit(0L), (a, x) => a + x * x))
+      // model-sized collect (the broadcast-the-model pattern): the
+      // re-assignment is then ONE PqNearestCell kernel call per
+      // (vector, subspace) row — the old broadcast-join spelling
+      // exploded n·m·2^subDim candidate rows through a grouped argmax
+      // per iteration, a 2^subDim-fold row amplification for the same
+      // arithmetic (argmax 2·dot − ‖c‖², ties to the largest cell)
+      val (ids, vecs, norms) = collectPqCodebook(codebook, m)
       assigned = exploded.drop("cell")
-        .join(broadcast(cw), Seq("sub"))
-        // native kernel: this expression runs n·m·2^subDim times per
-        // iteration — an interpreted HOF fold here IS the training cost
-        .withColumn("score",
-          graft.functions.DotLong(col("qsub"), col("cvec")) * 2 - col("nrm"))
-        .groupBy(col("cid"), col("sub"))
-        // qsub is identical across a group's rows (one subvector
-        // scored against every codeword), so first() is deterministic
-        .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"),
-          first(col("qsub")).as("qsub"))
+        .withColumn("cell",
+          graft.functions.PqNearestCell(col("qsub"), col("sub"), ids, vecs, norms))
       codebook = means(assigned)
       i += 1
     }
     (codebook, assigned.select(col("cid"), col("sub"), col("cell")))
   }
 
-  /** Encode a corpus against an EXISTING trained codebook: one
-    * assignment pass — each vector's m subvectors score against the
-    * broadcast per-subspace codeword table (the native [[graft.functions.DotLong]]
-    * kernel) and take the argmax-(2·dot − ‖c‖²) codeword, ties to the
-    * largest cell (the [[kmeansCodebook]] convention). This is the
-    * full-corpus half of the FAISS practice: train on a sample, encode
-    * everything in one pass.
+  /** Collect a trained per-subspace PQ codebook (sub, cell, pos,
+    * mean_milli) to kernel form: per sub the codeword ids, milli
+    * vectors (pos-sorted) and norms. Model-sized by construction
+    * (m·2^subDim·subDim longs at most).
+    */
+  private def collectPqCodebook(codebook: DataFrame, m: Int)
+      : (Array[Array[Long]], Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    val rows = codebook.groupBy(col("sub"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
+        e => e.getField("mean_milli")).as("cvec"))
+      .collect()
+    val ids = Array.fill(m)(Array.empty[Long])
+    val vecs = Array.fill(m)(Array.empty[Array[Long]])
+    val norms = Array.fill(m)(Array.empty[Long])
+    rows.groupBy(_.getAs[Number]("sub").intValue()).foreach { case (sub, rs) =>
+      require(sub >= 0 && sub < m, s"codebook subspace $sub outside m=$m")
+      ids(sub) = rs.map(_.getAs[Number]("cell").longValue())
+      vecs(sub) = rs.map(_.getSeq[Long](2).toArray)
+      norms(sub) = vecs(sub).map(_.map(x => x * x).sum)
+    }
+    (ids, vecs, norms)
+  }
+
+  /** Encode a corpus against an EXISTING trained codebook: one NARROW
+    * assignment pass — the whole codebook rides as a reference object
+    * into the [[graft.functions.PqAssign]] kernel, which quantizes the
+    * vector once and takes each subspace's argmax-(2·dot − ‖c‖²)
+    * codeword (ties to the largest cell, the [[kmeansCodebook]]
+    * convention) in ONE call per row. This is the full-corpus half of
+    * the FAISS practice: train on a sample, encode everything in one
+    * pass — with no join and no n·m·2^subDim candidate-row explosion
+    * (the previous broadcast-join spelling measured 111 s at 200k
+    * vectors in `LlmScaleProbe`; same arithmetic, spec-pinned).
     */
   def pqEncodeWith(
       df: DataFrame, id: Column, vec: Column,
       codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
-    val cw = codebook.groupBy(col("sub"), col("cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
-        e => e.getField("mean_milli")).as("cvec"))
-      .withColumn("nrm",
-        aggregate(col("cvec"), lit(0L), (a, x) => a + x * x))
-    df.select(id.as("cid"), quantize(vec).as("qm"))
-      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("qm"))
-      .select(col("cid"), col("sub"),
-        slice(col("qm"), col("sub") * subDim + 1, lit(subDim)).as("qsub"))
-      .join(broadcast(cw), Seq("sub"))
-      .withColumn("score",
-        graft.functions.DotLong(col("qsub"), col("cvec")) * 2 - col("nrm"))
-      .groupBy(col("cid"), col("sub"))
-      .agg(max(struct(col("score"), col("cell"))).getField("cell").as("cell"))
+    val (ids, vecs, norms) = collectPqCodebook(codebook, m)
+    df.select(id.as("cid"),
+      posexplode(graft.functions.PqAssign(vec, m, subDim, ids, vecs, norms))
+        .as(Seq("sub", "cell")))
   }
 
   /** The SCALE-SHAPED PQ training spelling — FAISS practice end to
@@ -538,11 +546,48 @@ object Similarity {
       df: DataFrame, vec: Column, cb: DataFrame): DataFrame = {
     val model = collectCodebook(cb)
     val assigned = df.select(vec.as("__v"))
-      .select(
-        array_max(cellScores("__v", model)).getField("cell").as("cell"),
-        col("__v"))
+      .select(nearestCell("__v", model).as("cell"), col("__v"))
     centroids(assigned, col("cell"), col("__v"))
   }
+
+  /** Kernel form of a collected codebook when every cell id is a
+    * bigint (the trained-quantizer case): (ids, milli vectors, norms)
+    * for [[graft.functions.TopCells]]. Label-keyed codebooks (any
+    * other id type) keep the literal spelling.
+    */
+  private def kernelCodebook(cb: Array[(Any, Array[Long])])
+      : Option[(Array[Long], Array[Array[Long]], Array[Long])] =
+    if (cb.nonEmpty && cb.forall(_._1.isInstanceOf[java.lang.Long]))
+      Some((
+        cb.map(_._1.asInstanceOf[java.lang.Long].longValue()),
+        cb.map(_._2),
+        cb.map(_._2.map(x => x * x).sum)))
+    else None
+
+  /** Top-`c` cell ids by (score desc, cell desc) under the exact
+    * integer objective: ONE [[graft.functions.TopCells]] kernel call
+    * when cell ids are bigints — generated code flat in the cell
+    * count, so a √n-sized codebook (hundreds+ of cells) stays inside
+    * whole-stage codegen instead of crossing Janino's 64 KB method
+    * limit the way |cells| inlined literal kernels do. Falls back to
+    * the literal `cellScores` sort for label-keyed codebooks
+    * (value-identical — spec-pinned).
+    */
+  private def topCells(vec: String, cb: Array[(Any, Array[Long])], c: Int): Column =
+    kernelCodebook(cb) match {
+      case Some((ids, vecs, norms)) =>
+        graft.functions.TopCells(col(vec), ids, vecs, norms, c)
+      case None =>
+        slice(reverse(array_sort(cellScores(vec, cb))), 1, c).getField("cell")
+    }
+
+  /** Argmax cell (ties to the largest id) — `c = 1` of [[topCells]]. */
+  private def nearestCell(vec: String, cb: Array[(Any, Array[Long])]): Column =
+    kernelCodebook(cb) match {
+      case Some((ids, vecs, norms)) =>
+        element_at(graft.functions.TopCells(col(vec), ids, vecs, norms, 1), 1)
+      case None => array_max(cellScores(vec, cb)).getField("cell")
+    }
 
   def kmeansCodebook(
       df: DataFrame, cell: Column, vec: Column, iters: Int): DataFrame = {
@@ -585,17 +630,13 @@ object Similarity {
       s"nprobe must be in [1, ${cb.length}]")
     require(cassign >= 1 && cassign <= cb.length,
       s"cassign must be in [1, ${cb.length}]")
-    // queries probe their nprobe best cells (descending struct sort of
-    // the model-sized score array — per-row cost |cells| log |cells|)
+    // queries probe their nprobe best cells — one TopCells kernel call
+    // per row (codegen flat in |cells|; see [[topCells]])
     val qa = queries
-      .withColumn("qcells",
-        slice(reverse(array_sort(cellScores("qvec", cb))), 1, nprobe)
-          .getField("cell"))
+      .withColumn("qcells", topCells("qvec", cb, nprobe))
       .withColumn("qcell", explode(col("qcells")))
     val ca = candidates
-      .withColumn("ccells",
-        slice(reverse(array_sort(cellScores("cvec", cb))), 1, cassign)
-          .getField("cell"))
+      .withColumn("ccells", topCells("cvec", cb, cassign))
       .withColumn("ccell", explode(col("ccells")))
     val scored = ca
       .join(broadcast(qa), col("qcell") === col("ccell"))

@@ -186,9 +186,7 @@ object AnalyticsQueries {
       // real quoting, not just happy-path token splitting
       val nation = t(s, dir, "nation")
         .withColumn("n_comment", concat(col("n_name"), lit(", "), col("n_regionkey")))
-      val base = new java.io.File(graft.LocalDir.scratch, "fileio")
-      base.mkdirs()
-      val tmp = java.nio.file.Files.createTempDirectory(base.toPath, "run")
+      val tmp = java.nio.file.Paths.get(graft.LocalDir.runDir("fileio"))
       val csvDir = tmp.resolve("csv").toString
       val jsonDir = tmp.resolve("json").toString
       nation.write.option("header", "true").csv(csvDir)
@@ -211,9 +209,7 @@ object AnalyticsQueries {
     "q_orc_roundtrip" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      val base = new java.io.File(graft.LocalDir.scratch, "orc")
-      base.mkdirs()
-      val tmp = java.nio.file.Files.createTempDirectory(base.toPath, "run")
+      val tmp = java.nio.file.Paths.get(graft.LocalDir.runDir("orc"))
       val orcDir = tmp.resolve("orc").toString
       nation.write.orc(orcDir)
       s.read.orc(orcDir).orderBy("n_nationkey").localCheckpoint(true)
@@ -224,9 +220,7 @@ object AnalyticsQueries {
     "q_compaction" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      val base = new java.io.File(graft.LocalDir.scratch, "compact")
-      base.mkdirs()
-      val tmp = java.nio.file.Files.createTempDirectory(base.toPath, "run")
+      val tmp = java.nio.file.Paths.get(graft.LocalDir.runDir("compact"))
       val inDir = tmp.resolve("in").toString
       val outDir = tmp.resolve("out").toString
       nation.repartition(25).write.parquet(inDir)
@@ -274,10 +268,7 @@ object AnalyticsQueries {
         cents(col("value")).as("v"))
       val pat = e.filter(col("k") === 1).orderBy("ts", "tb").limit(8)
         .select("v").collect().map(_.getLong(0))
-      val base = new java.io.File(graft.LocalDir.scratch, "ts-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("ts-online")
       graft.streaming.StreamingTimeSeries.matchPatternFromFiles(
         s, e, pat, maxDist = 20000000000L, nBatches = 4, scratch)
         .select(col("k"), col("idx"), col("dist"))

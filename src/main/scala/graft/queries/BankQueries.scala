@@ -197,10 +197,7 @@ object BankQueries {
     // passes through the driver, so the query scales with the cluster,
     // not driver memory.
     "t_streaming_sequential" -> ((s, dir) => {
-      val scratchBase = new java.io.File(graft.LocalDir.scratch, "seq-online")
-      scratchBase.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(scratchBase.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("seq-online")
       graft.evaluation.Bank.sequentialSummary(
         graft.streaming.StreamingBank.runSequentialOnlineFromFiles(
           s, graft.evaluation.Bank.acctDeltas(s, dir), nBatches = 4, scratch))
@@ -215,10 +212,7 @@ object BankQueries {
     // corpus-derived: nothing in the harness collects one row per
     // account, so the gate query itself stays scale-clean.
     "t_query_server" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "qsrv")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("qsrv")
       graft.streaming.StreamingBank.runSequentialOnlineFromFiles(
         s, graft.evaluation.Bank.acctDeltas(s, dir), nBatches = 4, scratch)
       val server = new graft.tgraph.query.QueryServer(
@@ -317,10 +311,7 @@ object BankQueries {
       // the oracle run really exercises subgroup state + the merge)
       val hot = moves.groupByKey(_.acct).count()
         .filter(_._2 > 32L).map(_._1).collect().toSet
-      val base = new java.io.File(graft.LocalDir.scratch, "spu-salted-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("spu-salted-online")
       graft.streaming.StreamingBank.saltedBalancesOnlineFromFiles(
         s, moves, salts = 8, hot, nBatches = 4, scratch)
         .orderBy("acct")
@@ -341,10 +332,7 @@ object BankQueries {
         col("user_id").cast("bigint").as("acct"),
         col("event_id").as("tid"),
         delta.as("delta")).as[graft.streaming.StreamingBank.StreamMovement]
-      val base = new java.io.File(graft.LocalDir.scratch, "spu-dynamic-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("spu-dynamic-online")
       graft.streaming.StreamingBank.saltedBalancesDynamicFromFiles(
         s, moves, salts = 8, hotThreshold = 32L, nBatches = 4, scratch)
         ._1.orderBy("acct")

@@ -286,10 +286,7 @@ object CorpusQueries {
     // the drained snapshot's top-50 shares heavy_ngrams' oracle
     // VERBATIM — the streamed == batch equivalence claim
     "stream_heavy_ngrams" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "heavy-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("heavy-online")
       graft.streaming.StreamingStats.heavyNgramsFromFiles(
         s, docs(s, dir), "text", "doc_id", n = 3, k = 50,
         nBatches = 4, scratch)
@@ -299,10 +296,7 @@ object CorpusQueries {
     // k-minimum sets merge to the EXACT batch k smallest, so the
     // estimate shares distinct_kmv's oracle VERBATIM
     "stream_kmv" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "kmv-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("kmv-online")
       graft.streaming.StreamingStats.kmvFromFiles(
         s, docs(s, dir), "text", "doc_id", k = 64, salts = 16,
         nBatches = 4, scratch)
@@ -312,10 +306,7 @@ object CorpusQueries {
     // drained sketch probed with the batch top-50; shares
     // cm_heavy_est's oracle VERBATIM (streamed == batch)
     "stream_cm_est" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "cm-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("cm-online")
       val sketch = graft.streaming.StreamingStats.cmSketchFromFiles(
         s, docs(s, dir), "text", "doc_id", n = 3, depth = 3, width = 4096,
         nBatches = 4, scratch)

@@ -91,10 +91,7 @@ object LlmQueries {
     // time spans seconds-per-doc, far inside the watermark horizon, so
     // the streaming dedup is exact at any SF.
     "stream_docs_ingest" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "docs-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("docs-online")
       val d = docs(s, dir).withColumn("ingest_ts",
         timestamp_seconds(lit(1704067200L) + col("doc_id")))
       graft.streaming.StreamingDocs.ingestFromFiles(
@@ -181,10 +178,7 @@ object LlmQueries {
     // (flatMapGroupsWithState) into the exactly-once file sink; the
     // emitted pair set shares dedup_minhash_pairs' oracle VERBATIM
     "stream_neardup" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "neardup-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("neardup-online")
       graft.streaming.StreamingDedup.nearDupPairsFromFiles(
         s, docs(s, dir), "text", "doc_id", nBatches = 4, scratch)
         .orderBy("doc_a", "doc_b")
@@ -554,10 +548,7 @@ object LlmQueries {
     // exactly-once from the first agreeing word); the emitted pair
     // set shares multimodal_image_neardup's oracle VERBATIM
     "stream_image_neardup" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "imgdup-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("imgdup-online")
       graft.streaming.StreamingDedup.imageNearDupsFromFiles(
         s, imageFixture(s, dir), maxHamming = 3, nBatches = 4, scratch)
         .orderBy("doc_a", "doc_b")

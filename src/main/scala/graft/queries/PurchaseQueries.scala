@@ -28,10 +28,7 @@ object PurchaseQueries {
     // deterministic joint vote; the per-namespace final state must
     // equal the batch close (t_multi_ns_commit's identical oracle).
     "t_streaming_purchases" -> ((s, dir) => {
-      val base = new java.io.File(graft.LocalDir.scratch, "purch-online")
-      base.mkdirs()
-      val scratch = java.nio.file.Files
-        .createTempDirectory(base.toPath, "run").toString
+      val scratch = graft.LocalDir.runDir("purch-online")
       val purchases = Purchases.fromEvents(
         graft.tables.Tables.load(s, dir, "events"))
       val (bal, inv) = graft.streaming.StreamingPurchases
