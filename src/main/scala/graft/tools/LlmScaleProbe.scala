@@ -268,6 +268,18 @@ object LlmScaleProbe {
     }
     longDocs.unpersist()
 
+    // BPE: 16 training merges on the capped word-frequency table (the
+    // corpus collapses to <=4096 rows after ONE pass — rounds are
+    // corpus-size-independent), then the full-corpus encode through
+    // the native kernel (fold paid once per DISTINCT word)
+    report("bpe_train_encode", nDocs / 10) {
+      val merges = graft.operators.Bpe.train(
+        docs2, col("text"), numMerges = 16, maxWords = 4096)
+      graft.operators.Bpe.encodeDocs(docs2, col("doc_id"), col("text"), merges)
+        .agg(sum(col("n_pieces"))).head()
+      nDocs / 10
+    }
+
     // heavy-hitter 3-grams over the Zipf-ish synthetic vocab: the hot
     // head collapses in map-side partial aggregation; the global top-k
     // is TakeOrderedAndProject (per-partition heaps), never a sort
