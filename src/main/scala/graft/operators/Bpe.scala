@@ -17,13 +17,14 @@ case class BpeMerge(rank: Long, l: String, r: String, freq: Long)
   *   - Training never iterates over the corpus: one corpus pass
   *     collapses documents to a word-frequency table capped at the top
   *     `maxWords` words (`TakeOrderedAndProject` — per-partition heaps,
-  *     the standard trainer pre-tokenization cap), and every merge
-  *     round runs on that vocab-sized table only.
-  *   - Each round's argmax pair is a ONE-ROW collect (model-bounded,
-  *     the k-means broadcast-the-model pattern of
-  *     [[Similarity.kmeansCodebook]]); the merge is then applied as a
-  *     literal, so the round chain stays one linear plan — no
-  *     self-join, no exponential plan growth.
+  *     the standard trainer pre-tokenization cap), and the merge
+  *     rounds fit the model on that table driver-locally — a
+  *     model-bounded collect (maxWords rows), the k-means
+  *     broadcast-the-model pattern of [[Similarity.kmeansCodebook]].
+  *     [[trainRounds]] keeps the all-distributed round loop for vocab
+  *     caps set beyond driver memory; both spellings are exact integer
+  *     math with the same total order, so they agree bit-for-bit
+  *     (spec-asserted).
   *   - Encoding pays the merge fold once per DISTINCT word (vocab-
   *     sized), never per occurrence: distinct words go through the
   *     native [[graft.functions.BpeApply]] kernel, documents join the
@@ -105,14 +106,65 @@ object Bpe {
       .agg(sum(col("cnt")).as("freq"))
   }
 
-  /** Train `numMerges` BPE merges on the corpus. Each round: count
-    * adjacent pairs on the vocab table, collect THE one argmax row
-    * (freq desc, then (l, r) asc — total order), apply it as a literal
-    * merge fold. The capped start vocab is materialized once
-    * (`localCheckpoint`); rounds chain linearly on top (numMerges folds
-    * over a model-sized table).
+  /** Train `numMerges` BPE merges on the corpus: ONE distributed
+    * corpus pass builds the `maxWords`-capped word-frequency table,
+    * then the merge rounds fit the model on that table driver-locally.
+    * The collect is model-bounded by construction (maxWords rows — the
+    * same broadcast-the-model pattern as [[Similarity.kmeansCodebook]];
+    * every production trainer fits merges on an in-memory word-count
+    * dict), so round cost is independent of corpus size and pays no
+    * per-round job overhead. Semantics are bit-identical to the
+    * distributed [[trainRounds]] spelling: exact integer pair counts
+    * weighted by word frequency, argmax by (freq desc, l asc, r asc),
+    * greedy left-to-right fold with immediate tail participation.
     */
   def train(
+      docs: DataFrame, text: Column,
+      numMerges: Int, maxWords: Int): Seq[BpeMerge] = {
+    var vocab: Array[(Long, Array[String])] =
+      wordFreqs(docs, text, maxWords).collect().map { r =>
+        (r.getLong(1), r.getString(0).map(_.toString).toArray)
+      }
+    val merges = Seq.newBuilder[BpeMerge]
+    var i = 1
+    while (i <= numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((cnt, syms) <- vocab; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + cnt
+      }
+      require(counts.nonEmpty,
+        s"corpus exhausted at merge $i: every word is a single symbol")
+      val ((l, r), freq) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+      merges += BpeMerge(i.toLong, l, r, freq)
+      vocab = vocab.map { case (cnt, syms) => (cnt, applyMergeLocal(syms, l, r)) }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** One greedy left-to-right merge pass, local spelling — the exact
+    * semantics of [[mergeFold]]: when the accumulated tail symbol is
+    * `l` and the incoming symbol is `r`, rewrite the tail to `l+r`,
+    * which immediately participates in the next comparison.
+    */
+  private[graft] def applyMergeLocal(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- syms) {
+      if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+      else out += s
+    }
+    out.toArray
+  }
+
+  /** The all-distributed rounds spelling of [[train]] — each round
+    * counts pairs and folds the argmax merge as Spark jobs over the
+    * vocab table. Same result as [[train]] (spec-asserted); use it only
+    * when `maxWords` is set beyond driver memory, where the capped
+    * table itself is too big to collect.
+    */
+  def trainRounds(
       docs: DataFrame, text: Column,
       numMerges: Int, maxWords: Int): Seq[BpeMerge] = {
     var vocab = wordFreqs(docs, text, maxWords)

@@ -27,6 +27,23 @@ class BpeSpec extends SparkSpec {
     assert((merges(1).l, merges(1).r, merges(1).freq) == ("e", "we", 6L))
   }
 
+  test("driver-local fit == distributed trainRounds, merge for merge") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val local = Bpe.train(docs, col("text"), numMerges = 6, maxWords = 256)
+    val dist = Bpe.trainRounds(docs, col("text"), numMerges = 6, maxWords = 256)
+    assert(local == dist)
+  }
+
+  test("applyMergeLocal matches mergeFold on overlapping runs") {
+    val cases = Seq("a a a", "a a a a", "b a a b", "a", "b b")
+    val viaSql = cases.toDF("syms")
+      .select(Bpe.mergeFold(col("syms"), lit("a"), lit("a")).as("m"))
+      .as[String].collect().toSeq
+    val viaLocal = cases.map(s =>
+      Bpe.applyMergeLocal(s.split(" "), "a", "a").mkString(" "))
+    assert(viaSql == viaLocal)
+  }
+
   test("mergeFold is greedy left-to-right: a merged tail participates immediately") {
     val df = Seq("a a a", "a a a a", "b a a b").toDF("syms")
     val out = df.select(
