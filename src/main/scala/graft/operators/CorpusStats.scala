@@ -272,4 +272,110 @@ object CorpusStats {
       .join(broadcast(sketch), Seq("d", "bucket"), "left")
       .groupBy(col("v"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
+  /** Exact floor division for int64 columns: `(a - pmod(a, b)) / b`.
+    * The numerator is exactly divisible by `b`, so the double divide
+    * is exact below 2^53 (every quantity in [[trainClassifier]] stays
+    * orders of magnitude under that); DuckDB replays it as
+    * `(a - ((a % b) + b) % b) // b` — its `//` truncates, but a
+    * divisible numerator makes truncation == floor. One spelling,
+    * both engines, no float drift.
+    */
+  private[graft] def fdiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("bigint")
+
+  /** In-engine TRAINING of the hashed linear quality classifier —
+    * batch gradient descent in exact int64 fixed point, so the run is
+    * bit-reproducible on ANY partitioning of the corpus and on any
+    * engine (a DuckDB oracle replays every iteration as a CTE chain).
+    * That determinism is the point at cluster scale: float gradient
+    * sums depend on partition order, so retraining on 1000 executors
+    * never reproduces; integer sums are associative-commutative and
+    * always do.
+    *
+    * The model distills the heuristic quality gate into a fasttext-
+    * style hashed bag-of-words model ([[classifierScore]]'s exact
+    * feature space, so the trained table drops straight into it):
+    * label y = 1 iff [[TextAnalysis.qualityMilli]] ≥ `labelThreshold`
+    * (self-distillation — the standard way a cheap rule becomes a
+    * cheaper, smoother model-based filter). Prediction is a
+    * hard-sigmoid logistic unit in micro fixed point (scale 10^6):
+    *
+    *   t     = fdiv(z, n_toks)            mean token weight, micro
+    *   yhat  = clamp(fdiv(t, 4) + 500000, 0, 10^6)
+    *   err   = fdiv((y_micro − yhat) · cw(y), 10^6)
+    *   G_b   = Σ_docs fdiv(err · cnt_b, n_toks)
+    *   w_b  += fdiv(G_b, 2 · n_docs)      (learning rate 1/2)
+    *
+    * `cw(y)` is the class-balance weight `min(5·10^5·n/n_y, 10^8)` —
+    * a corpus that is mostly "keep" (quality gates usually are) would
+    * otherwise drift every shared bucket positive and the model would
+    * collapse to the all-ones baseline; inverse-frequency weighting
+    * makes the two classes pull equally (the cap guards the int64
+    * budget when one class all but vanishes). Both weights are exact
+    * integer scalars computed from one count aggregate.
+    *
+    * Shape at scale: the (doc, bucket, cnt) feature table is built
+    * once (one corpus pass, map-side-combinable aggregate) and reused
+    * every iteration; each iteration is a broadcast join of the
+    * model-sized weight table + two map-side-combinable aggregates —
+    * no window, no driver-side data beyond the `buckets`-row model.
+    */
+  def trainClassifier(
+      docs: DataFrame, id: Column, text: Column,
+      buckets: Int, iters: Int,
+      labelThreshold: Long = 30L): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val tok = base
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .withColumn("bucket",
+        pmod(TextAnalysis.portableHash32(col("token")), lit(buckets.toLong)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val lab = base.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_toks"),
+      when(TextAnalysis.qualityMilli(col("text")) >= labelThreshold,
+        lit(1000000L)).otherwise(lit(0L)).as("y_micro"))
+      .localCheckpoint(true)
+    val cnts = lab.agg(
+      sum(when(col("y_micro") > 0, lit(1L)).otherwise(lit(0L))),
+      count(lit(1))).head()
+    val nPos = cnts.getLong(0)
+    val nDocs = cnts.getLong(1)
+    val nNeg = nDocs - nPos
+    val cPos = math.min(500000L * nDocs / math.max(nPos, 1L), 100000000L)
+    val cNeg = math.min(500000L * nDocs / math.max(nNeg, 1L), 100000000L)
+    def clampMicro(c: Column): Column =
+      least(greatest(c, lit(0L)), lit(1000000L))
+    var w = spark.range(buckets.toLong)
+      .select(col("id").as("bucket"), lit(0L).as("w_micro"))
+    var i = 0
+    while (i < iters) {
+      val z = tok.join(broadcast(w), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("w_micro")).as("z"))
+      val p = lab.join(z, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          fdiv(
+            (col("y_micro") - clampMicro(
+              fdiv(fdiv(coalesce(col("z"), lit(0L)), col("n_toks")), lit(4L))
+                + lit(500000L))) *
+              when(col("y_micro") > 0, lit(cPos)).otherwise(lit(cNeg)),
+            lit(1000000L)).as("err"))
+      val g = tok.join(p, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(fdiv(col("err") * col("cnt"), col("n_toks"))).as("g"))
+      w = w.join(g, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w_micro") + fdiv(coalesce(col("g"), lit(0L)),
+            lit(2L * nDocs))).as("w_micro"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    w.orderBy(col("bucket"))
+  }
 }

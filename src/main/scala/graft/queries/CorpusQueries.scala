@@ -265,6 +265,16 @@ object CorpusQueries {
         docs(s, dir), col("doc_id"), col("text"),
         CorpusStats.syntheticWeights(s, 4096), buckets = 4096)
         .orderBy("doc_id")),
+    // in-engine classifier TRAINING: 3 rounds of batch gradient
+    // descent in exact int64 fixed point (hard-sigmoid logistic unit,
+    // micro scale) distilling the heuristic quality gate into the
+    // hashed-feature space of quality_classifier — integer gradient
+    // sums are partition-order-free, so the oracle replays every
+    // iteration bit-exactly as a CTE chain
+    "quality_classifier_train" -> ((s, dir) =>
+      CorpusStats.trainClassifier(
+        docs(s, dir), col("doc_id"), col("text"),
+        buckets = ClassifierTrainBuckets, iters = ClassifierTrainIters)),
     // round-7 curation composition: classifier gate -> corpus-wide
     // line dedup -> exact dedup of the CLEANED text, audited per doc.
     // Planted all-short-line duplicates (which line dedup passes
@@ -400,6 +410,72 @@ object CorpusQueries {
 
   private val BpeGateMerges = 16
   private val BpeGateMaxWords = 2048
+  private val ClassifierTrainBuckets = 512
+  private val ClassifierTrainIters = 3
+
+  /** DuckDB replay of [[CorpusStats.trainClassifier]] — the `iters`
+    * gradient-descent rounds as a materialized CTE chain. Every
+    * quantity is int64; floor division is spelled
+    * `(a - ((a % b) + b) % b) // b` (divisible numerator makes
+    * DuckDB's truncating `//` equal floor), exactly mirroring the
+    * Spark fdiv. */
+  private def classifierTrainOracle(buckets: Int, iters: Int): String = {
+    def fdiv(a: String, b: String) = s"(($a - ((($a) % ($b)) + ($b)) % ($b)) // ($b))"
+    val rounds = (1 to iters).map { i =>
+      s"""z$i AS MATERIALIZED (
+         |  SELECT t.doc_id, CAST(sum(t.cnt * w.w_micro) AS BIGINT) AS z
+         |  FROM tok t JOIN w${i - 1} w USING (bucket) GROUP BY t.doc_id),
+         |p$i AS MATERIALIZED (
+         |  SELECT doc_id, n_toks, ${fdiv("raw", "1000000")} AS err
+         |  FROM (SELECT doc_id, n_toks,
+         |          (y_micro - LEAST(GREATEST(${fdiv("t", "4")} + 500000, 0), 1000000))
+         |            * (CASE WHEN y_micro > 0 THEN (SELECT c_pos FROM cw)
+         |               ELSE (SELECT c_neg FROM cw) END) AS raw
+         |        FROM (SELECT doc_id, n_toks, y_micro, ${fdiv("z", "n_toks")} AS t
+         |              FROM (SELECT l.doc_id, l.n_toks, l.y_micro,
+         |                      CAST(COALESCE(z.z, 0) AS BIGINT) AS z
+         |                    FROM lab l LEFT JOIN z$i z USING (doc_id))))),
+         |g$i AS MATERIALIZED (
+         |  SELECT bucket, CAST(sum(${fdiv("e", "n")}) AS BIGINT) AS g
+         |  FROM (SELECT t.bucket, p.n_toks AS n, p.err * t.cnt AS e
+         |        FROM tok t JOIN p$i p USING (doc_id))
+         |  GROUP BY bucket),
+         |w$i AS MATERIALIZED (
+         |  SELECT bucket, CAST(w_micro + ${fdiv("gg", "dn")} AS BIGINT) AS w_micro
+         |  FROM (SELECT w.bucket, w.w_micro,
+         |          CAST(COALESCE(g.g, 0) AS BIGINT) AS gg,
+         |          2 * (SELECT n FROM nd) AS dn
+         |        FROM w${i - 1} w LEFT JOIN g$i g USING (bucket)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id,
+       |      list_reduce(list_transform(string_split(substr(md5(token), 1, 8), ''),
+       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+       |        (a, b) -> a * 16 + b) % $buckets AS bucket
+       |    FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+       |          FROM documents))
+       |  GROUP BY doc_id, bucket),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+       |    CASE WHEN CAST(round(1000.0 * len(list_filter(
+       |          string_split_regex(trim(text), '\\s+'),
+       |          t -> t = 'the' OR t = 'a')) /
+       |        len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) >= 30
+       |      THEN 1000000 ELSE 0 END AS y_micro
+       |  FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+       |cw AS (SELECT
+       |    LEAST((500000 * n) // GREATEST(n_pos, 1), 100000000) AS c_pos,
+       |    LEAST((500000 * n) // GREATEST(n - n_pos, 1), 100000000) AS c_neg
+       |  FROM (SELECT CAST(sum(CASE WHEN y_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |          CAST(count(*) AS BIGINT) AS n FROM lab)),
+       |w0 AS (SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w_micro
+       |       FROM generate_series(0, ${buckets - 1}) AS t(i)),
+       |$rounds
+       |SELECT bucket, w_micro FROM w$iters ORDER BY bucket""".stripMargin
+  }
 
   /** The greedy left-to-right merge fold as a DuckDB `list_reduce`
     * over `src.syms`, with the merge pair taken from the one-row CTE
@@ -928,6 +1004,11 @@ object CorpusQueries {
         |  FROM documents)
         |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
         |ORDER BY doc_id""".stripMargin,
+    // the 3 GD rounds replayed iteration by iteration — int64 fixed
+    // point end to end, so Spark-on-32-threads and single-threaded
+    // DuckDB agree bit for bit
+    "quality_classifier_train" ->
+      classifierTrainOracle(ClassifierTrainBuckets, ClassifierTrainIters),
     // same synthetic weight table (b*2654435761 mod 1997 - 998) and
     // portable 32-bit token hash mod 4096
     "quality_classifier" ->

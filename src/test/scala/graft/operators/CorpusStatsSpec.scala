@@ -169,6 +169,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2L)._3 == -5L && out(2L)._4 == 0L)
   }
 
+  test("fdiv is floor division on negatives (matches the oracle's divisible-numerator spelling)") {
+    val df = Seq((-7L, 2L), (7L, 2L), (-8L, 2L), (0L, 3L), (-1L, 4L))
+      .toDF("a", "b")
+    val out = df.select(CorpusStats.fdiv(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(out == Seq(-4L, 3L, -4L, 0L, -1L))
+  }
+
+  test("trainClassifier learns the distilled quality signal and plugs into classifierScore") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val w = CorpusStats.trainClassifier(docs, col("doc_id"), col("text"),
+      buckets = 512, iters = 3)
+    // the trained table drops straight into the inference operator
+    // (same feature space, keep = score >= 0 == hard-sigmoid >= 0.5)
+    val scored = CorpusStats.classifierScore(docs, col("doc_id"), col("text"),
+      w.select(col("bucket"), col("w_micro").as("w_milli")), buckets = 512)
+    val labeled = docs.select(col("doc_id"),
+      (TextAnalysis.qualityMilli(col("text")) >= 30).cast("bigint").as("y"))
+    val joined = scored.join(labeled, "doc_id")
+      .select(col("keep"), col("y")).as[(Long, Long)].collect()
+    // the untrained (all-zero) model predicts keep=1 everywhere —
+    // balanced accuracy 0.5 exactly. Training with class-balanced
+    // gradients must lift BOTH per-class recalls off the floor.
+    val pos = joined.filter(_._2 == 1L)
+    val neg = joined.filter(_._2 == 0L)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture lost a class")
+    val recP = pos.count(_._1 == 1L).toDouble / pos.length
+    val recN = neg.count(_._1 == 0L).toDouble / neg.length
+    val bacc = (recP + recN) / 2
+    assert(bacc > 0.6, s"balanced acc $bacc (recP=$recP recN=$recN) barely beats all-ones 0.5")
+  }
+
   test("familiarity floor-divides the integer ratios") {
     // doc 1: bigrams "a b" (corpus cnt 2: docs 1,2) and "b z" (cnt 1)
     // -> freq_sum 3, n_bigrams 2 -> avg 1 (floor 1.5), rare 500
