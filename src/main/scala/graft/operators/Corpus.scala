@@ -131,6 +131,64 @@ object Corpus {
     * beyond ~9·10¹² tokens per stratum the cross-product needs
     * decimal(38) — swap the two multiplies then.)
     */
+  /** Temperature-based mixture sampling at α = 1/2 — the multilingual
+    * pretraining recipe (sample stratum s with probability ∝ T_s^α,
+    * α < 1 upweights small strata relative to their natural share):
+    * expected kept tokens per stratum ∝ √T_s, the binding stratum
+    * (max √T_s/T_s, i.e. the smallest) keeps everything and the rest
+    * scale down. All arithmetic is exact int64:
+    *
+    *   w_s    = isqrt(T_s)       (floor sqrt, integer-verified ±1 —
+    *                              immune to any libm rounding)
+    *   m      = argmin fdiv(256·T_s, w_s), ties by stratum name
+    *   b_s    = fdiv(10^6·T_m, T_s)
+    *   rate_s = min(1000, fdiv(w_s·b_s, 1000·w_m))   per-mille
+    *
+    * The two-stage floor division keeps every intermediate under
+    * 2^63 for corpora to ~3·10^16 tokens per stratum (the single
+    * cross-multiply would overflow at 10^13); the oracle replays the
+    * exact staging, so the floors are part of the spec, not error.
+    * One aggregate over the corpus → a |strata|-row model; sampling
+    * itself is the same stateless portable-hash filter as
+    * [[stratifiedSample]] (no RNG, pushes into the scan).
+    */
+  def temperatureRates(
+      df: DataFrame, stratum: Column, tokens: Column): DataFrame = {
+    val fdiv = graft.operators.CorpusStats.fdiv _
+    val totals = df
+      .select(stratum.as("stratum"), tokens.as("n_tokens"))
+      .groupBy("stratum").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > 0)
+    val w = totals
+      .withColumn("s0", floor(sqrt(col("t").cast("double"))).cast("bigint"))
+      .withColumn("w",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("t"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("t"), col("s0") - 1)
+          .otherwise(col("s0")))
+      .select(col("stratum"), col("t"), col("w"))
+    val m = w
+      .orderBy(fdiv(col("t") * 256L, col("w")).asc, col("stratum").asc)
+      .limit(1)
+      .select(col("t").as("m_t"), col("w").as("m_w"))
+    w.crossJoin(broadcast(m))
+      .select(col("stratum"), col("t").as("total_tokens"), col("w").as("weight"),
+        least(lit(1000L),
+          fdiv(col("w") * fdiv(lit(1000000L) * col("m_t"), col("t")),
+            lit(1000L) * col("m_w"))).as("rate_permille"))
+  }
+
+  /** Filter `df` to the α = 1/2 temperature sample: rates from
+    * [[temperatureRates]] broadcast back (a |strata|-row model), keep
+    * decided by the shared deterministic hash predicate. */
+  def temperatureSample(
+      df: DataFrame, id: Column, stratum: Column, tokens: Column): DataFrame = {
+    val rates = temperatureRates(df, stratum, tokens)
+      .select(col("stratum").as("__ts_stratum"), col("rate_permille"))
+    df.join(broadcast(rates), stratum === col("__ts_stratum"))
+      .filter(keepRow(col("__ts_stratum"), id, col("rate_permille")))
+      .drop("__ts_stratum")
+  }
+
   def mixtureRates(
       df: DataFrame, stratum: Column, tokens: Column,
       targetsPerMille: Map[String, Int]): DataFrame = {

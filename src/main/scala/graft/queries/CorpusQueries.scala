@@ -103,6 +103,16 @@ object CorpusQueries {
         defaultPerMille = 300)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    // α=1/2 temperature mixture sampling over sources (the
+    // multilingual-pretraining upweight-the-tail recipe): exact
+    // integer sqrt weights, binding stratum keeps all, deterministic
+    // hash sampler — rates derived from the data, not configured
+    "sample_temperature" -> ((s, dir) =>
+      Corpus.temperatureSample(
+        docs(s, dir), col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint"))
+        .select(col("doc_id"), col("source"), col("rate_permille"))
+        .orderBy("doc_id")),
     // domain-mixture rebalancing: per-language keep rates hitting a
     // target token mixture, then the deterministic sampler; the query
     // emits the per-stratum audit (rates + what survived)
@@ -419,8 +429,13 @@ object CorpusQueries {
     * `(a - ((a % b) + b) % b) // b` (divisible numerator makes
     * DuckDB's truncating `//` equal floor), exactly mirroring the
     * Spark fdiv. */
+  /** DuckDB spelling of [[CorpusStats.fdiv]]: divisible numerator
+    * makes truncating `//` equal floor. */
+  private def sqlFdiv(a: String, b: String) =
+    s"(($a - ((($a) % ($b)) + ($b)) % ($b)) // ($b))"
+
   private def classifierTrainOracle(buckets: Int, iters: Int): String = {
-    def fdiv(a: String, b: String) = s"(($a - ((($a) % ($b)) + ($b)) % ($b)) // ($b))"
+    val fdiv = sqlFdiv _
     val rounds = (1 to iters).map { i =>
       s"""z$i AS MATERIALIZED (
          |  SELECT t.doc_id, CAST(sum(t.cnt * w.w_micro) AS BIGINT) AS z
@@ -730,6 +745,37 @@ object CorpusQueries {
         |  < CASE lang WHEN 'en' THEN 150 WHEN 'fr' THEN 400 WHEN 'zh' THEN 800
         |    ELSE 300 END
         |ORDER BY doc_id""".stripMargin,
+    // isqrt weights (double sqrt floored, then integer-verified ±1),
+    // binding stratum by the staged fixed-point key, two-stage floor
+    // division for the rate, portable-hash per-mille sampler
+    "sample_temperature" -> {
+      val hashPm =
+        """list_reduce(list_transform(
+          |    string_split(substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8), ''),
+          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          |    (a, b) -> a * 16 + b) % 1000""".stripMargin
+      s"""WITH tot AS (
+         |  SELECT source AS stratum,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT stratum, t,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= t THEN s0 + 1
+         |         WHEN s0 * s0 > t THEN s0 - 1 ELSE s0 END AS w
+         |  FROM (SELECT stratum, t,
+         |          CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s0
+         |        FROM tot WHERE t > 0)),
+         |m AS (SELECT t AS m_t, w AS m_w FROM w
+         |      ORDER BY ${sqlFdiv("t * 256", "w")}, stratum LIMIT 1),
+         |r AS (SELECT stratum,
+         |    LEAST(1000, ${sqlFdiv(s"w * ${sqlFdiv("1000000 * m_t", "t")}", "1000 * m_w")})
+         |      AS rate_permille
+         |  FROM w, m)
+         |SELECT d.doc_id, d.source, r.rate_permille
+         |FROM documents d JOIN r ON d.source = r.stratum
+         |WHERE $hashPm < r.rate_permille
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // binding stratum = min tokens/target (tie → name); rates by exact
     // bigint cross-multiplication; sampler = portable hash per-mille
     "mixture_rebalance" ->

@@ -66,6 +66,55 @@ class CorpusSpec extends SparkSpec {
     assert(!kept.contains(4L)) // unlisted stratum dropped
   }
 
+  test("temperatureRates: smallest stratum binds, rates follow sqrt upweighting exactly") {
+    val d = Seq(
+      (1L, "small", 100L),          // T=100,  w=10
+      (2L, "mid", 10000L),          // T=10^4, w=100
+      (3L, "big", 1000000L))        // T=10^6, w=1000
+      .toDF("doc_id", "src", "n_tokens")
+    val rates = Corpus.temperatureRates(d, col("src"), col("n_tokens"))
+      .select("stratum", "weight", "rate_permille")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rates("small")._2 == 10L && rates("mid")._2 == 100L && rates("big")._2 == 1000L)
+    // binding = smallest; rate_s = fdiv(w_s * fdiv(1e6*T_m, T_s), 1000*w_m)
+    assert(rates("small")._3 == 1000L)
+    assert(rates("mid")._3 == 100L)  // 100 * 10000 / (1000*10) = 100
+    assert(rates("big")._3 == 10L)   // 1000 * 100 / (1000*10)  = 10
+  }
+
+  test("integer-verified isqrt is exact at perfect-square boundaries") {
+    // t = k^2 and k^2 - 1 straddle the double-sqrt rounding edge
+    val d = Seq(
+      (1L, "a", 99999999L),   // 10000^2 - 1 -> isqrt 9999
+      (2L, "b", 100000000L),  // 10000^2     -> isqrt 10000
+      (3L, "c", 100000001L))  // 10000^2 + 1 -> isqrt 10000
+      .toDF("doc_id", "src", "n_tokens")
+    val w = Corpus.temperatureRates(d, col("src"), col("n_tokens"))
+      .select("stratum", "weight").as[(String, Long)].collect().toMap
+    assert(w == Map("a" -> 9999L, "b" -> 10000L, "c" -> 10000L))
+  }
+
+  test("temperatureSample keeps ~rate_permille of each stratum, deterministically") {
+    val d = (0L until 4000L).map(i =>
+      (i, if (i < 200) "tail" else "head", 10L)).toDF("doc_id", "src", "n_tokens")
+    val kept = Corpus.temperatureSample(d, col("doc_id"), col("src"), col("n_tokens"))
+    val byStratum = kept.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // tail binds (rate 1000): every tail row survives
+    assert(byStratum("tail") == 200L)
+    // head rate = sqrt(200/3800) scaled: fdiv staging gives 229 permille
+    val headRate = kept.filter(col("src") === "head")
+      .select("rate_permille").distinct().as[Long].head()
+    assert(headRate > 150L && headRate < 300L, s"head rate $headRate")
+    val frac = byStratum("head").toDouble / 3800
+    assert(math.abs(frac - headRate / 1000.0) < 0.05,
+      s"kept $frac of head at rate $headRate")
+    // deterministic: a second run keeps the identical id set
+    val again = Corpus.temperatureSample(d, col("doc_id"), col("src"), col("n_tokens"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("repetitionMilli scores repeated shingles and zeroes short docs") {
     val d = Seq(
       (1L, "a a a a"), // 3 bigrams, 1 distinct -> 667
