@@ -211,6 +211,30 @@ object Bpe {
     * docs join the encoded vocab back on the word key. Docs with no
     * [a-z0-9] runs encode to all-zero counts.
     */
+  /** [[encodeDocs]] as a STATELESS per-document projection — no
+    * distinct, no join, no shuffle: each word runs the native kernel
+    * in place (inside array HOFs), so the same Column works unchanged
+    * on a stream (micro-batch encode with a broadcast-trained model
+    * has no state to manage). The batch spelling amortizes the fold
+    * per DISTINCT word and wins when the corpus is at rest; this one
+    * is the streaming/online shape. Value-identical to [[encodeDocs]]
+    * (spec-pinned).
+    */
+  def encodeDocsStateless(
+      docs: DataFrame, id: Column, text: Column,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val mergePairs = merges.sortBy(_.rank).map(m => (m.l, m.r))
+    val ws = words(text)
+    docs.select(
+      id.as("doc_id"),
+      size(ws).cast("bigint").as("n_tokens"),
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+        .cast("bigint").as("n_chars"),
+      aggregate(ws, lit(0L), (acc, w) =>
+        acc + size(split(BpeApply(w, mergePairs), " ")))
+        .cast("bigint").as("n_pieces"))
+  }
+
   def encodeDocs(
       docs: DataFrame, id: Column, text: Column,
       merges: Seq[BpeMerge]): DataFrame = {

@@ -225,6 +225,19 @@ object CorpusQueries {
       Bpe.encodeDocs(d, col("doc_id"), col("text"), merges)
         .orderBy("doc_id")
     }),
+    // ONLINE encode: train once on the corpus at rest, stream the
+    // documents as micro-batch files through the stateless kernel
+    // projection (model = plan literal; no state, no shuffle) — rows
+    // identical to the batch encode, same oracle
+    "stream_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, col("text"),
+        numMerges = BpeGateMerges, maxWords = BpeGateMaxWords)
+      val scratch = graft.LocalDir.runDir("bpe-online")
+      graft.streaming.StreamingDocs.encodeBpeFromFiles(
+        s, d, col("doc_id"), merges, nBatches = 4, scratch)
+        .orderBy("doc_id")
+    }),
     // corpus-wide heavy-hitter 3-grams (boilerplate discovery):
     // global top-50 via per-partition heaps, deterministic tiebreak
     // KMV cardinality sketch: distinct-token estimate from the 64
@@ -588,6 +601,9 @@ object CorpusQueries {
     // the trained merges applied to every distinct word (same fold),
     // summed back per document through the token join
     "bpe_encode" -> bpeEncodeOracle(BpeGateMerges, BpeGateMaxWords),
+    // the streaming encode emits row-identical output to the batch
+    // encode — one oracle serves both
+    "stream_bpe_encode" -> bpeEncodeOracle(BpeGateMerges, BpeGateMaxWords),
     // the full prep chain replayed stage by stage: quality gate,
     // keep-first exact dedup, md5 stratified sample, sequence packing
     "pipeline_pretrain" ->

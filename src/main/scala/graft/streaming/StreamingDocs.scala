@@ -100,4 +100,37 @@ object StreamingDocs {
       new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
     spark.read.parquet(outDir.toString)
   }
+
+  /** Online BPE encoding: documents replay as micro-batch files
+    * through [[graft.operators.Bpe.encodeDocsStateless]] — the model
+    * (a trained merge list) is a plan literal, the projection is
+    * stateless (no watermark, no state store, no shuffle; every
+    * micro-batch is embarrassingly parallel), and the append sink is
+    * exactly-once. The batch [[graft.operators.Bpe.encodeDocs]] and
+    * this stream produce identical rows, so they share one oracle.
+    */
+  def encodeBpeFromFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      orderCol: Column,
+      merges: Seq[graft.operators.BpeMerge],
+      nBatches: Int,
+      scratch: String): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    graft.sources.FileIO.stageRangeBatches(
+      docs, orderCol, nBatches, new java.io.File(base, "stage"), inDir)
+    val stream = graft.sources.FileIO.streamParquet(
+      spark, inDir.toString, docs.schema, maxFilesPerTrigger = 1)
+    val q = graft.sources.FileIO.streamingParquetSink(
+      graft.operators.Bpe.encodeDocsStateless(
+        stream, org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"), merges),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    spark.read.parquet(outDir.toString)
+  }
 }

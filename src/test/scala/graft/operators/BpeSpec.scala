@@ -82,6 +82,17 @@ class BpeSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("stateless per-doc encode == distinct-word-join encode on the real corpus") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val merges = Bpe.train(docs, col("text"), numMerges = 8, maxWords = 512)
+    val a = Bpe.encodeDocs(docs, col("doc_id"), col("text"), merges)
+    val b = Bpe.encodeDocsStateless(docs, col("doc_id"), col("text"), merges)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the stateless plan really is stateless: no shuffle at all
+    val plan = b.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"stateless encode shuffled:\n$plan")
+  }
+
   test("encodeDocs: counts are consistent and docs without tokens keep zeros") {
     val docs = Seq(
       (1L, "aa bb aa"),
