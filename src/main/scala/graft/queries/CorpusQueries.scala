@@ -113,6 +113,26 @@ object CorpusQueries {
         TextAnalysis.tokenCount(col("text")).cast("bigint"))
         .select(col("doc_id"), col("source"), col("rate_permille"))
         .orderBy("doc_id")),
+    // curation v3 — the model-based pipeline composed end to end IN
+    // ENGINE: train the classifier (exact fixed-point GD), gate the
+    // corpus on the trained score, then temperature-sample the
+    // survivors per source. Train → filter → mix with zero
+    // hand-configured rates; the oracle replays all three stages
+    "curate_v3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = CorpusStats.trainClassifier(d, col("doc_id"), col("text"),
+        buckets = ClassifierTrainBuckets, iters = ClassifierTrainIters)
+      val scored = CorpusStats.classifierScore(d, col("doc_id"), col("text"),
+        w.select(col("bucket"), col("w_micro").as("w_milli")),
+        buckets = ClassifierTrainBuckets)
+      val kept = d.join(
+        scored.filter(col("keep") === 1L).select(col("doc_id"), col("score_sum")),
+        Seq("doc_id"))
+      Corpus.temperatureSample(kept, col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint"))
+        .select(col("doc_id"), col("source"), col("score_sum"), col("rate_permille"))
+        .orderBy("doc_id")
+    }),
     // domain-mixture rebalancing: per-language keep rates hitting a
     // target token mixture, then the deterministic sampler; the query
     // emits the per-stratum audit (rates + what survived)
@@ -436,18 +456,17 @@ object CorpusQueries {
   private val ClassifierTrainBuckets = 512
   private val ClassifierTrainIters = 3
 
-  /** DuckDB replay of [[CorpusStats.trainClassifier]] — the `iters`
-    * gradient-descent rounds as a materialized CTE chain. Every
-    * quantity is int64; floor division is spelled
-    * `(a - ((a % b) + b) % b) // b` (divisible numerator makes
-    * DuckDB's truncating `//` equal floor), exactly mirroring the
-    * Spark fdiv. */
   /** DuckDB spelling of [[CorpusStats.fdiv]]: divisible numerator
     * makes truncating `//` equal floor. */
   private def sqlFdiv(a: String, b: String) =
     s"(($a - ((($a) % ($b)) + ($b)) % ($b)) // ($b))"
 
-  private def classifierTrainOracle(buckets: Int, iters: Int): String = {
+  /** DuckDB replay of [[CorpusStats.trainClassifier]] as a reusable
+    * WITH-body: the `iters` gradient-descent rounds as a materialized
+    * CTE chain ending in `w$iters` (bucket, w_micro). Every quantity
+    * is int64; floor division is [[sqlFdiv]], exactly mirroring the
+    * Spark fdiv. */
+  private def classifierTrainCtes(buckets: Int, iters: Int): String = {
     val fdiv = sqlFdiv _
     val rounds = (1 to iters).map { i =>
       s"""z$i AS MATERIALIZED (
@@ -475,7 +494,7 @@ object CorpusQueries {
          |          2 * (SELECT n FROM nd) AS dn
          |        FROM w${i - 1} w LEFT JOIN g$i g USING (bucket)))""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS MATERIALIZED (
+    s"""tok AS MATERIALIZED (
        |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT doc_id,
        |      list_reduce(list_transform(string_split(substr(md5(token), 1, 8), ''),
@@ -501,9 +520,12 @@ object CorpusQueries {
        |          CAST(count(*) AS BIGINT) AS n FROM lab)),
        |w0 AS (SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w_micro
        |       FROM generate_series(0, ${buckets - 1}) AS t(i)),
-       |$rounds
-       |SELECT bucket, w_micro FROM w$iters ORDER BY bucket""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def classifierTrainOracle(buckets: Int, iters: Int): String =
+    s"""WITH ${classifierTrainCtes(buckets, iters)}
+       |SELECT bucket, w_micro FROM w$iters ORDER BY bucket""".stripMargin
 
   /** The greedy left-to-right merge fold as a DuckDB `list_reduce`
     * over `src.syms`, with the merge pair taken from the one-row CTE
@@ -761,6 +783,43 @@ object CorpusQueries {
         |  < CASE lang WHEN 'en' THEN 150 WHEN 'fr' THEN 400 WHEN 'zh' THEN 800
         |    ELSE 300 END
         |ORDER BY doc_id""".stripMargin,
+    // train (CTE chain) -> score & gate (score_sum >= 0) ->
+    // temperature-sample the survivors — all three stages replayed
+    "curate_v3" -> {
+      val k = ClassifierTrainIters
+      val hashPm =
+        """list_reduce(list_transform(
+          |    string_split(substr(md5(k.source || ':' || CAST(k.doc_id AS VARCHAR)), 1, 8), ''),
+          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          |    (a, b) -> a * 16 + b) % 1000""".stripMargin
+      s"""WITH ${classifierTrainCtes(ClassifierTrainBuckets, k)},
+         |score AS MATERIALIZED (
+         |  SELECT t.doc_id, CAST(sum(t.cnt * w.w_micro) AS BIGINT) AS score_sum
+         |  FROM tok t JOIN w$k w USING (bucket) GROUP BY t.doc_id),
+         |keepd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text, s.score_sum
+         |  FROM documents d JOIN score s USING (doc_id)
+         |  WHERE s.score_sum >= 0),
+         |tw AS (SELECT source AS stratum,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t
+         |  FROM keepd GROUP BY source),
+         |sw AS (SELECT stratum, t,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= t THEN s0 + 1
+         |         WHEN s0 * s0 > t THEN s0 - 1 ELSE s0 END AS w
+         |  FROM (SELECT stratum, t,
+         |          CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s0
+         |        FROM tw WHERE t > 0)),
+         |sm AS (SELECT t AS m_t, w AS m_w FROM sw
+         |       ORDER BY ${sqlFdiv("t * 256", "w")}, stratum LIMIT 1),
+         |sr AS (SELECT stratum,
+         |    LEAST(1000, ${sqlFdiv(s"w * ${sqlFdiv("1000000 * m_t", "t")}", "1000 * m_w")})
+         |      AS rate_permille
+         |  FROM sw, sm)
+         |SELECT k.doc_id, k.source, k.score_sum, sr.rate_permille
+         |FROM keepd k JOIN sr ON k.source = sr.stratum
+         |WHERE $hashPm < sr.rate_permille
+         |ORDER BY k.doc_id""".stripMargin
+    },
     // isqrt weights (double sqrt floored, then integer-verified ±1),
     // binding stratum by the staged fixed-point key, two-stage floor
     // division for the rate, portable-hash per-mille sampler
