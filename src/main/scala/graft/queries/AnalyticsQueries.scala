@@ -140,6 +140,15 @@ object AnalyticsQueries {
           expr("percentile(value, 0.9)").as("p90_value"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+    // log-histogram quantile sketch: exact per-group percentile
+    // buffering replaced by ONE mergeable aggregate over ~2000 integer
+    // buckets per group — p50/p90/p99 answered from the sketch with
+    // value bounds, every count and pick integer-exact
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.operators.Quantiles.quantiles(
+        t(s, dir, "events"), col("event_type"), col("value"),
+        permille = Seq(500, 900, 990))
+        .orderBy("grp", "q_permille")),
     "q_except" -> ((s, dir) => {
       val e = t(s, dir, "events")
       e.filter(col("event_type") === "click")
@@ -487,6 +496,44 @@ object AnalyticsQueries {
         |  quantile_cont(value, 0.9) AS p90_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // micro-quantize -> log2 bucket (+3 mantissa bits) -> counts ->
+    // cumulative pick at ceil(q*n/1000); same integer spellings as the
+    // Spark operator (bin-string bitlen, exact 2^k cast, floor-div)
+    "q_quantile_sketch" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+        |b AS (SELECT grp,
+        |    CASE WHEN vm = 0 THEN 0 WHEN vm > 0 THEN mag ELSE -mag END AS bucket_id
+        |  FROM (SELECT grp, vm,
+        |          CASE WHEN a <= 15 THEN a
+        |               ELSE 16 * bl + ((a - ((a % p) + p) % p) // p) END AS mag
+        |        FROM (SELECT grp, vm, a, bl,
+        |                CAST(power(2, bl - 4) AS BIGINT) AS p
+        |              FROM (SELECT grp, vm, abs(vm) AS a,
+        |                      CAST(length(bin(abs(vm))) AS BIGINT) AS bl FROM v)))),
+        |sk AS (SELECT grp, bucket_id, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM b GROUP BY grp, bucket_id),
+        |cum AS (SELECT grp, bucket_id, cnt,
+        |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket_id) AS cum FROM sk),
+        |r AS (SELECT grp, n, q_permille,
+        |    ((q_permille * n + 999) - (((q_permille * n + 999) % 1000) + 1000) % 1000) // 1000 AS q_rank
+        |  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY grp)
+        |  CROSS JOIN (SELECT UNNEST([500, 900, 990]) AS q_permille)),
+        |picked AS (SELECT r.grp, r.q_permille, r.n, r.q_rank,
+        |    min(c.bucket_id) AS bucket_id
+        |  FROM r JOIN cum c ON r.grp = c.grp AND c.cum >= r.q_rank
+        |  GROUP BY r.grp, r.q_permille, r.n, r.q_rank)
+        |SELECT grp, CAST(q_permille AS BIGINT) AS q_permille, n, q_rank, bucket_id,
+        |  CASE WHEN bucket_id < 0 THEN -hi_pos ELSE lo_pos END AS lo_micro,
+        |  CASE WHEN bucket_id < 0 THEN -lo_pos ELSE hi_pos END AS hi_micro
+        |FROM (SELECT grp, q_permille, n, q_rank, bucket_id,
+        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp END AS lo_pos,
+        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp + (pp - 1) END AS hi_pos
+        |      FROM (SELECT grp, q_permille, n, q_rank, bucket_id, mag,
+        |              mag // 16 AS bb, mag % 16 AS sub,
+        |              CAST(power(2, (mag // 16) - 4) AS BIGINT) AS pp
+        |            FROM (SELECT *, abs(bucket_id) AS mag FROM picked)))
+        |ORDER BY grp, q_permille""".stripMargin,
     "q_except" ->
       """SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
         |EXCEPT
