@@ -86,8 +86,16 @@ object Quantiles {
     */
   def quantiles(
       df: DataFrame, group: Column, value: Column,
-      permille: Seq[Int]): DataFrame = {
-    val sk = sketch(df, group, value)
+      permille: Seq[Int]): DataFrame =
+    quantilesFromSketch(sketch(df, group, value), permille)
+
+  /** The rank-selection tail of [[quantiles]], usable on any sketch
+    * with (grp, bucket_id, cnt) rows — including one drained from a
+    * streaming aggregation (counting is associative, so an online
+    * sketch equals the batch sketch exactly and this tail gives the
+    * identical answers).
+    */
+  def quantilesFromSketch(sk: DataFrame, permille: Seq[Int]): DataFrame = {
     val cum = sk.withColumn("cum",
       sum(col("cnt")).over(
         Window.partitionBy(col("grp")).orderBy(col("bucket_id"))))

@@ -149,6 +149,17 @@ object AnalyticsQueries {
         t(s, dir, "events"), col("event_type"), col("value"),
         permille = Seq(500, 900, 990))
         .orderBy("grp", "q_permille")),
+    // the sketch taken ONLINE: events replay as micro-batch files
+    // through a complete-mode count aggregate whose state is capped by
+    // the bucket construction; counting is associative, so the drained
+    // sketch == the batch sketch exactly — same oracle verbatim
+    "stream_quantile_sketch" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("qsketch-online")
+      graft.streaming.StreamingStats.quantileSketchFromFiles(
+        s, t(s, dir, "events"), "event_type", "value", "event_id",
+        permille = Seq(500, 900, 990), nBatches = 4, scratch)
+        .orderBy("grp", "q_permille")
+    }),
     "q_except" -> ((s, dir) => {
       val e = t(s, dir, "events")
       e.filter(col("event_type") === "click")
@@ -368,6 +379,47 @@ object AnalyticsQueries {
         .orderBy("l_orderkey", "l_linenumber"))
   )
 
+  /** Micro-quantize -> log2 bucket (+3 mantissa bits) -> counts ->
+    * cumulative pick at ceil(q*n/1000); same integer spellings as
+    * the Spark operator (bin-string bitlen, exact 2^k cast,
+    * floor-div). Shared verbatim by the batch and streaming gates
+    * (associative counting makes them row-identical). */
+  private val QuantileSketchOracle: String =
+    """WITH v AS (SELECT event_type AS grp,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+        |b AS (SELECT grp,
+        |    CASE WHEN vm = 0 THEN 0 WHEN vm > 0 THEN mag ELSE -mag END AS bucket_id
+        |  FROM (SELECT grp, vm,
+        |          CASE WHEN a <= 15 THEN a
+        |               ELSE 16 * bl + ((a - ((a % p) + p) % p) // p) END AS mag
+        |        FROM (SELECT grp, vm, a, bl,
+        |                CAST(power(2, bl - 4) AS BIGINT) AS p
+        |              FROM (SELECT grp, vm, abs(vm) AS a,
+        |                      CAST(length(bin(abs(vm))) AS BIGINT) AS bl FROM v)))),
+        |sk AS (SELECT grp, bucket_id, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM b GROUP BY grp, bucket_id),
+        |cum AS (SELECT grp, bucket_id, cnt,
+        |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket_id) AS cum FROM sk),
+        |r AS (SELECT grp, n, q_permille,
+        |    ((q_permille * n + 999) - (((q_permille * n + 999) % 1000) + 1000) % 1000) // 1000 AS q_rank
+        |  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY grp)
+        |  CROSS JOIN (SELECT UNNEST([500, 900, 990]) AS q_permille)),
+        |picked AS (SELECT r.grp, r.q_permille, r.n, r.q_rank,
+        |    min(c.bucket_id) AS bucket_id
+        |  FROM r JOIN cum c ON r.grp = c.grp AND c.cum >= r.q_rank
+        |  GROUP BY r.grp, r.q_permille, r.n, r.q_rank)
+        |SELECT grp, CAST(q_permille AS BIGINT) AS q_permille, n, q_rank, bucket_id,
+        |  CASE WHEN bucket_id < 0 THEN -hi_pos ELSE lo_pos END AS lo_micro,
+        |  CASE WHEN bucket_id < 0 THEN -lo_pos ELSE hi_pos END AS hi_micro
+        |FROM (SELECT grp, q_permille, n, q_rank, bucket_id,
+        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp END AS lo_pos,
+        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp + (pp - 1) END AS hi_pos
+        |      FROM (SELECT grp, q_permille, n, q_rank, bucket_id, mag,
+        |              mag // 16 AS bb, mag % 16 AS sub,
+        |              CAST(power(2, (mag // 16) - 4) AS BIGINT) AS pp
+        |            FROM (SELECT *, abs(bucket_id) AS mag FROM picked)))
+        |ORDER BY grp, q_permille""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -496,44 +548,13 @@ object AnalyticsQueries {
         |  quantile_cont(value, 0.9) AS p90_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the online sketch equals the batch sketch exactly (associative
+    // counting) — the streaming gate shares the oracle verbatim
+    "stream_quantile_sketch" -> QuantileSketchOracle,
     // micro-quantize -> log2 bucket (+3 mantissa bits) -> counts ->
     // cumulative pick at ceil(q*n/1000); same integer spellings as the
     // Spark operator (bin-string bitlen, exact 2^k cast, floor-div)
-    "q_quantile_sketch" ->
-      """WITH v AS (SELECT event_type AS grp,
-        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
-        |b AS (SELECT grp,
-        |    CASE WHEN vm = 0 THEN 0 WHEN vm > 0 THEN mag ELSE -mag END AS bucket_id
-        |  FROM (SELECT grp, vm,
-        |          CASE WHEN a <= 15 THEN a
-        |               ELSE 16 * bl + ((a - ((a % p) + p) % p) // p) END AS mag
-        |        FROM (SELECT grp, vm, a, bl,
-        |                CAST(power(2, bl - 4) AS BIGINT) AS p
-        |              FROM (SELECT grp, vm, abs(vm) AS a,
-        |                      CAST(length(bin(abs(vm))) AS BIGINT) AS bl FROM v)))),
-        |sk AS (SELECT grp, bucket_id, CAST(count(*) AS BIGINT) AS cnt
-        |       FROM b GROUP BY grp, bucket_id),
-        |cum AS (SELECT grp, bucket_id, cnt,
-        |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket_id) AS cum FROM sk),
-        |r AS (SELECT grp, n, q_permille,
-        |    ((q_permille * n + 999) - (((q_permille * n + 999) % 1000) + 1000) % 1000) // 1000 AS q_rank
-        |  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY grp)
-        |  CROSS JOIN (SELECT UNNEST([500, 900, 990]) AS q_permille)),
-        |picked AS (SELECT r.grp, r.q_permille, r.n, r.q_rank,
-        |    min(c.bucket_id) AS bucket_id
-        |  FROM r JOIN cum c ON r.grp = c.grp AND c.cum >= r.q_rank
-        |  GROUP BY r.grp, r.q_permille, r.n, r.q_rank)
-        |SELECT grp, CAST(q_permille AS BIGINT) AS q_permille, n, q_rank, bucket_id,
-        |  CASE WHEN bucket_id < 0 THEN -hi_pos ELSE lo_pos END AS lo_micro,
-        |  CASE WHEN bucket_id < 0 THEN -lo_pos ELSE hi_pos END AS hi_micro
-        |FROM (SELECT grp, q_permille, n, q_rank, bucket_id,
-        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp END AS lo_pos,
-        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp + (pp - 1) END AS hi_pos
-        |      FROM (SELECT grp, q_permille, n, q_rank, bucket_id, mag,
-        |              mag // 16 AS bb, mag % 16 AS sub,
-        |              CAST(power(2, (mag // 16) - 4) AS BIGINT) AS pp
-        |            FROM (SELECT *, abs(bucket_id) AS mag FROM picked)))
-        |ORDER BY grp, q_permille""".stripMargin,
+    "q_quantile_sketch" -> QuantileSketchOracle,
     "q_except" ->
       """SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
         |EXCEPT

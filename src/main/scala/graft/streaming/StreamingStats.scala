@@ -162,6 +162,53 @@ object StreamingStats {
     spark.read.parquet(outDir.toString)
   }
 
+  /** STREAMING log-histogram quantile sketch — online percentiles at
+    * bounded state: the sketch is one grouped count aggregate whose
+    * key space is capped by construction (≤ ~2000 live buckets per
+    * group whatever the value distribution), so complete-mode state
+    * and per-batch output are both model-sized forever. Counting is
+    * associative, so the drained sketch equals the batch
+    * [[graft.operators.Quantiles.sketch]] EXACTLY under any
+    * micro-batch split, and the rank-selection tail then gives
+    * bit-identical answers — the gate shares `q_quantile_sketch`'s
+    * oracle verbatim.
+    */
+  def quantileSketchFromFiles(
+      spark: SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      orderCol: String,
+      permille: Seq[Int],
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = df.select(col(orderCol), col(groupCol), col(valueCol))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col(orderCol), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+    val sketch = graft.operators.Quantiles.sketch(
+      stream, col(groupCol), col(valueCol))
+    val q = sketch.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir.toString)
+      }
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.operators.Quantiles.quantilesFromSketch(
+      spark.read.parquet(outDir.toString), permille)
+  }
+
   /** One salt group's current k-minimum set, versioned per update so
     * the sink's LAST emission per salt is recoverable.
     */

@@ -71,12 +71,22 @@ class BpeSpec extends SparkSpec {
   test("kernel == HOF chain on the real sf0.001 vocabulary with trained merges") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val merges = Bpe.train(docs, col("text"), numMerges = 8, maxWords = 512)
-    val vocab = docs.select(explode(Bpe.words(col("text"))).as("word"))
+    // fold one merge per round with materialization between rounds:
+    // the one-shot nested encodeSymsHof re-embeds its input expression
+    // several times per level (exponential tree in merge count — fine
+    // at the adversarial test's 4 merges, pathological at 8)
+    var v = docs.select(explode(Bpe.words(col("text"))).as("word"))
       .distinct()
-    val diff = vocab.select(
+      .withColumn("hof", Bpe.charSyms(col("word")))
+      .localCheckpoint(true)
+    merges.sortBy(_.rank).foreach { m =>
+      v = v.withColumn("hof",
+        Bpe.mergeFold(col("hof"), lit(m.l), lit(m.r))).localCheckpoint(true)
+    }
+    val diff = v.select(
       col("word"),
       BpeApply(col("word"), merges.map(m => (m.l, m.r))).as("kernel"),
-      Bpe.encodeSymsHof(col("word"), merges).as("hof"))
+      col("hof"))
       .filter(col("kernel") =!= col("hof"))
       .count()
     assert(diff == 0L)

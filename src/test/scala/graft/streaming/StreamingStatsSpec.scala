@@ -84,6 +84,23 @@ class StreamingStatsSpec extends SparkSpec {
     }
   }
 
+  test("streamed quantile sketch equals the batch answers under any batch split") {
+    val events = spark.read.parquet(s"$Sf0001/events.parquet")
+    val batch = graft.operators.Quantiles.quantiles(
+      events, col("event_type"), col("value"), permille = Seq(500, 900))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = Files.createTempDirectory(s"graft-sqk-$nBatches").toString
+      val streamed = StreamingStats.quantileSketchFromFiles(
+        spark, events, "event_type", "value", "event_id",
+        permille = Seq(500, 900), nBatches = nBatches, scratch,
+        statePartitions = 4)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
+
   test("streamed KMV estimate equals the batch estimate under any batch split") {
     val docs = corpus(120)
     val batch = CorpusStats.distinctKmv(
