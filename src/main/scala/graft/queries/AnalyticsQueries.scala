@@ -66,6 +66,19 @@ object AnalyticsQueries {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("session_cents"))
         .orderBy("user_id", "session_seq")),
+    // sessionization ONLINE: sessions emit the moment they close, the
+    // watermark (event-time timeout) finalizes trailing open sessions
+    // — same gap rule bit-for-bit, so the batch oracle holds verbatim
+    "stream_sessionize" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("sess-online")
+      graft.streaming.StreamingSessions.sessionizeFromFiles(
+        s,
+        t(s, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id").as("tb"),
+          cents(col("value")).as("cents")),
+        gapUs = 1800L * 1000000L, nBatches = 4, scratch)
+        .orderBy("user_id", "session_seq")
+    }),
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
@@ -384,6 +397,27 @@ object AnalyticsQueries {
     * the Spark operator (bin-string bitlen, exact 2^k cast,
     * floor-div). Shared verbatim by the batch and streaming gates
     * (associative counting makes them row-identical). */
+  /** Gap rule: strictly-greater breaks (an event exactly `gap` after
+    * the previous one extends the session); order (ts, event_id) —
+    * both spelled identically in the batch window operator and the
+    * streaming event-time-timeout operator, which is what lets the
+    * two gates share this oracle verbatim. */
+  private val SessionizeOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT user_id, value,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM s)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS session_cents
+      |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
   private val QuantileSketchOracle: String =
     """WITH v AS (SELECT event_type AS grp,
         |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
@@ -480,21 +514,10 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q_sessionize" ->
-      """WITH s AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s2 AS (
-        |  SELECT user_id, value,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM s)
-        |SELECT user_id, session_seq, count(*) AS n_events,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS session_cents
-        |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "q_sessionize" -> SessionizeOracle,
+    // the online sessionizer closes sessions by the identical gap rule
+    // (watermark timeout = the gap, decidably) — oracle shared verbatim
+    "stream_sessionize" -> SessionizeOracle,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
