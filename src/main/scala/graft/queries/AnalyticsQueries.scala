@@ -79,6 +79,15 @@ object AnalyticsQueries {
         gapUs = 1800L * 1000000L, nBatches = 4, scratch)
         .orderBy("user_id", "session_seq")
     }),
+    // windowed funnel: view -> click -> purchase, every chain event
+    // within 12h of the chain's first; strict-chain EXISTS semantics
+    // computed by the O(n·k) native fold, one shuffle on the user key
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelCounts(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+        steps = Seq("view", "click", "purchase"),
+        horizonUs = 12L * 3600L * 1000000L)
+        .orderBy("step")),
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
@@ -518,6 +527,31 @@ object AnalyticsQueries {
     // the online sessionizer closes sessions by the identical gap rule
     // (watermark timeout = the gap, decidably) — oracle shared verbatim
     "stream_sessionize" -> SessionizeOracle,
+    // the kernel's one-pass fold == this EXISTS spelling (strict chain,
+    // all chain events within the horizon of the chain's FIRST event);
+    // steps nobody reaches drop from both sides (n_users > 0)
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_type FROM events),
+        |u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |u2 AS (SELECT DISTINCT e1.user_id
+        |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+        |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |         AND e2.tsm > e1.tsm AND e2.tsm <= e1.tsm + 43200000000),
+        |u3 AS (SELECT DISTINCT e1.user_id
+        |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+        |                 JOIN e e3 ON e1.user_id = e3.user_id
+        |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |         AND e3.event_type = 'purchase'
+        |         AND e2.tsm > e1.tsm AND e3.tsm > e2.tsm
+        |         AND e3.tsm <= e1.tsm + 43200000000)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |         (SELECT count(*) FROM u1) AS n_users
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM u2)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM u3))
+        |WHERE n_users > 0 ORDER BY step""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
