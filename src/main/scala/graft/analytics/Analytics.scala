@@ -161,4 +161,29 @@ object Analytics {
     val w = Window.partitionBy(groupCol).orderBy(orderCol.desc, tiebreak)
     df.withColumn("rnk", row_number().over(w).cast("bigint")).filter(col("rnk") <= k)
   }
+
+  /** Cohort retention matrix: cohort = the user's first active day,
+    * one output row per (cohort_day, offset_week) with the count of
+    * cohort users active in that week-offset from their own start.
+    *
+    * Scale shape: TWO shuffles total — one groupBy on the user key
+    * collecting the user's DISTINCT active days (map-side combined
+    * partial sets; per-user state is the retention-bounded distinct-
+    * day set, ≤ days-of-history elements whatever the event volume),
+    * then one groupBy on the ~|cohorts|×|offsets| matrix key. No
+    * self-join, no window function; the per-user offset projection is
+    * a tiny array transform over the collected days.
+    */
+  def retentionMatrix(
+      df: DataFrame, user: Column, ts: Column): DataFrame =
+    df.select(user.as("user_id"), to_date(ts).as("day"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("day"))).as("days"))
+      .select(
+        element_at(col("days"), 1).as("cohort_day"),
+        explode(array_distinct(transform(col("days"),
+          d => floor(datediff(d, element_at(col("days"), 1)) / 7)
+            .cast("long")))).as("offset_week"))
+      .groupBy(col("cohort_day"), col("offset_week"))
+      .agg(count(lit(1)).as("n_users"))
 }

@@ -88,6 +88,12 @@ object AnalyticsQueries {
         steps = Seq("view", "click", "purchase"),
         horizonUs = 12L * 3600L * 1000000L)
         .orderBy("step")),
+    // cohort retention: first-active-day cohorts x week offsets,
+    // distinct users active per cell — two shuffles, no self-join
+    "q_retention" -> ((s, dir) =>
+      Analytics.retentionMatrix(
+        t(s, dir, "events"), col("user_id"), col("ts"))
+        .orderBy("cohort_day", "offset_week")),
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
@@ -552,6 +558,15 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM u3))
         |WHERE n_users > 0 ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
+        |o AS (SELECT DISTINCT a.user_id, c.cohort_day,
+        |        (a.day - c.cohort_day) // 7 AS offset_week
+        |      FROM a JOIN c USING (user_id))
+        |SELECT cohort_day, CAST(offset_week AS BIGINT) AS offset_week,
+        |  count(*) AS n_users
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -47,4 +47,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!explained.contains("l_partkey"),
       s"column pruning lost — l_partkey read but unused:\n$explained")
   }
+
+  test("retentionMatrix: per-user week offsets from own cohort day, distinct per cell") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // user 1: cohort Jan 1; active Jan 1 (x2 events, one cell),
+      // Jan 2 (same week 0), Jan 8 (week 1)
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-02 09:00:00"), (1L, "2024-01-08 09:00:00"),
+      // user 2: cohort Jan 8; active Jan 8 (week 0), Jan 22 (week 2)
+      (2L, "2024-01-08 12:00:00"), (2L, "2024-01-22 12:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Analytics.retentionMatrix(df, col("user_id"), col("ts"))
+      .select(col("cohort_day").cast("string"), col("offset_week"),
+        col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 2L, 1L)))
+  }
 }
