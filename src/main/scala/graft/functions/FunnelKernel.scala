@@ -36,37 +36,69 @@ import org.apache.spark.sql.types._
   * part of the beyond-reference pipeline set).
   */
 object FunnelKernel {
-  private val Min = Long.MinValue
+  /** Empty slot marker; [[freshTimes]] starts every slot here. */
+  val Min: Long = Long.MinValue
 
-  /** Max strict-chain depth (0..k) over `events`: a time-sorted
-    * array<struct<tsm:long, ti:long>> where ti is the 0-based step
-    * index of the event's type.
+  def freshTimes(k: Int): Array[Long] = Array.fill(k)(Min)
+
+  /** Advance the k chain-start slots over time-sorted (tsm, ti)
+    * events, in place. Resumable: feeding a sorted event sequence in
+    * any number of chunks gives the same final slots as one call,
+    * PROVIDED equal-tsm events never split across chunks (a split
+    * group would let same-time events chain, which one call forbids).
+    * This is what the streaming operator's per-batch replay leans on.
     */
-  def windowFunnelDepth(events: ArrayData, k: Int, horizonUs: Long): Long = {
-    val times = Array.fill(k)(Min)
+  def advance(
+      times: Array[Long], tsm: Array[Long], ti: Array[Long],
+      horizonUs: Long): Unit = {
+    val k = times.length
     val upd = new Array[Long](k)
-    val n = events.numElements()
+    val n = tsm.length
     var i = 0
     while (i < n) {
-      val t = events.getStruct(i, 2).getLong(0)
+      val t = tsm(i)
       System.arraycopy(times, 0, upd, 0, k)
       var j = i
-      while (j < n && events.getStruct(j, 2).getLong(0) == t) {
-        val ti = events.getStruct(j, 2).getLong(1).toInt
-        if (ti == 0) {
+      while (j < n && tsm(j) == t) {
+        val s = ti(j).toInt
+        if (s == 0) {
           if (t > upd(0)) upd(0) = t
-        } else if (ti > 0 && ti < k && times(ti - 1) != Min &&
-          t <= times(ti - 1) + horizonUs) {
-          if (times(ti - 1) > upd(ti)) upd(ti) = times(ti - 1)
+        } else if (s > 0 && s < k && times(s - 1) != Min &&
+          t <= times(s - 1) + horizonUs) {
+          if (times(s - 1) > upd(s)) upd(s) = times(s - 1)
         }
         j += 1
       }
       System.arraycopy(upd, 0, times, 0, k)
       i = j
     }
-    var d = k
+  }
+
+  /** Depth = highest filled slot, 0..k. */
+  def depth(times: Array[Long]): Long = {
+    var d = times.length
     while (d > 0 && times(d - 1) == Min) d -= 1
     d.toLong
+  }
+
+  /** Max strict-chain depth (0..k) over `events`: a time-sorted
+    * array<struct<tsm:long, ti:long>> where ti is the 0-based step
+    * index of the event's type.
+    */
+  def windowFunnelDepth(events: ArrayData, k: Int, horizonUs: Long): Long = {
+    val n = events.numElements()
+    val tsm = new Array[Long](n)
+    val ti = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = events.getStruct(i, 2)
+      tsm(i) = row.getLong(0)
+      ti(i) = row.getLong(1)
+      i += 1
+    }
+    val times = freshTimes(k)
+    advance(times, tsm, ti, horizonUs)
+    depth(times)
   }
 }
 

@@ -88,6 +88,20 @@ object AnalyticsQueries {
         steps = Seq("view", "click", "purchase"),
         horizonUs = 12L * 3600L * 1000000L)
         .orderBy("step")),
+    // the funnel LIVE: per-user depth updates emit as events arrive
+    // (O(k) state per user), final report = per-user max emitted depth
+    // — same strict-chain fold, so the batch EXISTS oracle holds
+    "stream_funnel" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("funnel-online")
+      graft.streaming.StreamingFunnel.funnelCountsFromFiles(
+        s,
+        t(s, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id").as("tb"),
+          col("event_type")),
+        steps = Seq("view", "click", "purchase"),
+        horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch)
+        .orderBy("step")
+    }),
     // cohort retention: first-active-day cohorts x week offsets,
     // distinct users active per cell — two shuffles, no self-join
     "q_retention" -> ((s, dir) =>
@@ -412,6 +426,32 @@ object AnalyticsQueries {
     * the Spark operator (bin-string bitlen, exact 2^k cast,
     * floor-div). Shared verbatim by the batch and streaming gates
     * (associative counting makes them row-identical). */
+  /** Strict-chain EXISTS spelling of the windowed funnel; shared
+    * verbatim by the batch kernel gate and the streaming fold gate
+    * (identical semantics by the resumable-fold argument). */
+  private val FunnelOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_type FROM events),
+      |u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+      |u2 AS (SELECT DISTINCT e1.user_id
+      |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+      |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+      |         AND e2.tsm > e1.tsm AND e2.tsm <= e1.tsm + 43200000000),
+      |u3 AS (SELECT DISTINCT e1.user_id
+      |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+      |                 JOIN e e3 ON e1.user_id = e3.user_id
+      |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+      |         AND e3.event_type = 'purchase'
+      |         AND e2.tsm > e1.tsm AND e3.tsm > e2.tsm
+      |         AND e3.tsm <= e1.tsm + 43200000000)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |         (SELECT count(*) FROM u1) AS n_users
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM u2)
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM u3))
+      |WHERE n_users > 0 ORDER BY step""".stripMargin
+
   /** Gap rule: strictly-greater breaks (an event exactly `gap` after
     * the previous one extends the session); order (ts, event_id) —
     * both spelled identically in the batch window operator and the
@@ -536,28 +576,8 @@ object AnalyticsQueries {
     // the kernel's one-pass fold == this EXISTS spelling (strict chain,
     // all chain events within the horizon of the chain's FIRST event);
     // steps nobody reaches drop from both sides (n_users > 0)
-    "q_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_type FROM events),
-        |u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
-        |u2 AS (SELECT DISTINCT e1.user_id
-        |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
-        |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        |         AND e2.tsm > e1.tsm AND e2.tsm <= e1.tsm + 43200000000),
-        |u3 AS (SELECT DISTINCT e1.user_id
-        |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
-        |                 JOIN e e3 ON e1.user_id = e3.user_id
-        |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-        |         AND e3.event_type = 'purchase'
-        |         AND e2.tsm > e1.tsm AND e3.tsm > e2.tsm
-        |         AND e3.tsm <= e1.tsm + 43200000000)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
-        |         (SELECT count(*) FROM u1) AS n_users
-        |  UNION ALL
-        |  SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM u2)
-        |  UNION ALL
-        |  SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM u3))
-        |WHERE n_users > 0 ORDER BY step""".stripMargin,
+    "q_funnel" -> FunnelOracle,
+    "stream_funnel" -> FunnelOracle,
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
