@@ -102,6 +102,20 @@ object AnalyticsQueries {
         horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch)
         .orderBy("step")
     }),
+    // stream-stream attribution join: view and purchase streams join
+    // live under watermarks; the range condition makes per-side state
+    // horizon-bounded; report = last qualifying view per purchase
+    "stream_attribution" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("attribution-online")
+      graft.streaming.StreamingJoin.attributionFromFiles(
+        s,
+        t(s, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id").as("tb"),
+          col("event_type")),
+        viewType = "view", purchaseType = "purchase",
+        horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch)
+        .orderBy("user_id", "ptb")
+    }),
     // cohort retention: first-active-day cohorts x week offsets,
     // distinct users active per cell — two shuffles, no self-join
     "q_retention" -> ((s, dir) =>
@@ -578,6 +592,20 @@ object AnalyticsQueries {
     // steps nobody reaches drop from both sides (n_users > 0)
     "q_funnel" -> FunnelOracle,
     "stream_funnel" -> FunnelOracle,
+    // last-touch attribution: the streamed watermarked join's pair set
+    // equals this batch join exactly (range staging keeps both sources
+    // ts-ordered, so nothing is ever late); argmax picks the last view
+    "stream_attribution" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vtsm FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS ptb, epoch_us(ts) AS ptsm
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ptb, max(v.vtsm) AS view_tsm,
+        |       p.ptsm - max(v.vtsm) AS lat_us
+        |FROM p JOIN v ON p.user_id = v.user_id AND v.vtsm < p.ptsm
+        |  AND p.ptsm <= v.vtsm + 43200000000
+        |GROUP BY p.user_id, p.ptb, p.ptsm
+        |ORDER BY 1, 2""".stripMargin,
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),

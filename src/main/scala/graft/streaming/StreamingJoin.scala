@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermarked STREAM-STREAM join — last-touch attribution as the
+  * canonical shape: every `purchase` event joins the `view` events of
+  * the same user that precede it within an attribution horizon, both
+  * sides arriving as unbounded streams. This is the Structured
+  * Streaming surface none of the other streaming operators exercise:
+  * two independent sources, each buffering rows in the state store
+  * until the OTHER side can no longer produce a match, with eviction
+  * driven by the watermark and the join's own time-range condition —
+  * Spark derives "a view is dead once the watermark passes
+  * `view.ts + horizon`" (no purchase after that can reach back to it)
+  * and "a purchase is dead once the watermark passes its own ts"
+  * (every later view starts strictly after it) directly from the
+  * range predicate, so per-side state is horizon-bounded regardless
+  * of stream length. An unconstrained stream-stream join would hold
+  * both streams forever; the range condition IS the scale story.
+  *
+  * Spark-first mechanics: plain `Dataset.join` on two watermarked
+  * streaming frames with an equi-key plus a two-sided event-time
+  * range — StreamingSymmetricHashJoin underneath, state keyed by
+  * user, no custom state code at all. Inner join emits a pair the
+  * moment both rows exist; nothing waits on the watermark, so the
+  * drain sees every pair once the file sources run dry.
+  *
+  * Equivalence contract (oracle-gated): the emitted pair set equals
+  * the batch join exactly — range staging keeps each source's file
+  * sequence in ts order, so no row ever arrives behind the global
+  * watermark (min over both sources of that source's max seen ts) and
+  * nothing is dropped as late. The attribution report (last qualifying
+  * view per purchase) is an argmax over the pair sink, so it shares a
+  * single SQL oracle with the batch spelling verbatim.
+  */
+object StreamingJoin {
+
+  /** Pairs (user_id, ptb, ptsm, vtsm) of each purchase with EVERY
+    * qualifying view: same user, strictly before the purchase, within
+    * `horizonUs` of it. Inputs are streaming frames of
+    * (user_id, ts, tb) that MUST already carry watermarks — the range
+    * condition below only bounds state when both sides do.
+    */
+  def attributionPairs(
+      views: DataFrame, purchases: DataFrame, horizonUs: Long): DataFrame = {
+    val v = views.select(
+      col("user_id").as("v_uid"), col("ts").as("v_ts"), col("tb").as("v_tb"))
+    val p = purchases.select(
+      col("user_id").as("p_uid"), col("ts").as("p_ts"), col("tb").as("p_tb"))
+    v.join(
+        p,
+        col("v_uid") === col("p_uid") &&
+          col("v_ts") < col("p_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"),
+        "inner")
+      .select(
+        col("p_uid").as("user_id"),
+        col("p_tb").as("ptb"),
+        unix_micros(col("p_ts")).as("ptsm"),
+        unix_micros(col("v_ts")).as("vtsm"))
+  }
+
+  /** Total state rows across the join's state operators at the end of
+    * the last completed run, for specs asserting watermark eviction.
+    */
+  @volatile private[streaming] var lastStateRows: Long = -1L
+
+  /** File-fed end-to-end run (the gate-query spelling): `events`
+    * (user_id, ts, tb, event_type) splits into a view stream and a
+    * purchase stream, each staged as its own ts-ordered micro-batch
+    * file sequence; the two streams join live and land pairs
+    * exactly-once; the returned report keeps, per purchase, the LAST
+    * qualifying view (max vtsm) and the attribution latency.
+    */
+  def attributionFromFiles(
+      spark: SparkSession,
+      events: DataFrame, // (user_id, ts: timestamp, tb, event_type)
+      viewType: String,
+      purchaseType: String,
+      horizonUs: Long,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val vIn = new java.io.File(base, "vin")
+    val pIn = new java.io.File(base, "pin")
+    val outDir = new java.io.File(base, "out")
+    def narrow(t: String) = events
+      .filter(col("event_type") === t)
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("tb").cast("long").as("tb"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow(viewType), col("ts"), nBatches,
+      new java.io.File(base, "vstage"), vIn)
+    graft.sources.FileIO.stageRangeBatches(
+      narrow(purchaseType), col("ts"), nBatches,
+      new java.io.File(base, "pstage"), pIn)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val schema = narrow(viewType).schema
+    def src(dir: java.io.File) = graft.sources.FileIO
+      .streamParquet(ss, dir.toString, schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", "0 seconds")
+    val q = graft.sources.FileIO.streamingParquetSink(
+      attributionPairs(src(vIn), src(pIn), horizonUs),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    lastStateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "vstage"), new java.io.File(base, "pstage"),
+      vIn, pIn, new java.io.File(base, "ckpt"))
+    spark.read.parquet(outDir.toString)
+      .groupBy(col("user_id"), col("ptb"), col("ptsm"))
+      .agg(max(col("vtsm")).as("view_tsm"))
+      .select(
+        col("user_id"), col("ptb"), col("view_tsm"),
+        (col("ptsm") - col("view_tsm")).as("lat_us"))
+  }
+}
