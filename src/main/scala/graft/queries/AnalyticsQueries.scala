@@ -102,6 +102,28 @@ object AnalyticsQueries {
         horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch)
         .orderBy("step")
     }),
+    // watermarked tumbling-window aggregation: each (hour, type)
+    // rollup emitted exactly-once on window close (append mode), the
+    // closed window's state evicted at the same moment
+    "stream_window_agg" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("winagg-online")
+      graft.streaming.StreamingWindows.windowedTotalsFromFiles(
+        s,
+        t(s, dir, "events").select(col("ts"), col("event_type"), col("value")),
+        windowDur = "1 hour", delay = "0 seconds", nBatches = 4, scratch)
+        .orderBy("win_us", "event_type")
+    }),
+    // stream-static enrichment: events stream decorated per-row from
+    // the customer dim via a broadcast hash join — stateless, the
+    // stream side never shuffles; report = per-segment totals
+    "stream_enrich" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("enrich-online")
+      graft.streaming.StreamingJoin.enrichBySegmentFromFiles(
+        s,
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        t(s, dir, "customer"), nBatches = 4, scratch)
+        .orderBy("c_mktsegment")
+    }),
     // stream-stream attribution join: view and purchase streams join
     // live under watermarks; the range condition makes per-side state
     // horizon-bounded; report = last qualifying view per purchase
@@ -592,6 +614,22 @@ object AnalyticsQueries {
     // steps nobody reaches drop from both sides (n_users > 0)
     "q_funnel" -> FunnelOracle,
     "stream_funnel" -> FunnelOracle,
+    // windowed totals: the streamed append-mode rollup equals this
+    // batch rollup exactly — ts-ordered staging means nothing is late,
+    // and the flush sentinel closes the final windows
+    "stream_window_agg" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-segment enrichment totals: the streamed broadcast join's
+    // landed rows equal this batch join exactly (stateless, nothing
+    // to evict or miss)
+    "stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // last-touch attribution: the streamed watermarked join's pair set
     // equals this batch join exactly (range staging keeps both sources
     // ts-ordered, so nothing is ever late); argmax picks the last view

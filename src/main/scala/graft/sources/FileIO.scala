@@ -102,6 +102,30 @@ object FileIO {
     }
   }
 
+  /** Append one more micro-batch file AFTER everything staged by
+    * [[stageRangeBatches]] — mtime-stamped strictly last so
+    * [[streamParquet]] replays it as the final batch. Used for flush
+    * sentinels (a watermark-advancing row that closes the stream's
+    * open windows); `rows` is expected to be tiny (typically 1).
+    */
+  def appendSentinelFile(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: java.io.File, rows: DataFrame,
+      name: String = "b99999.parquet"): Unit = {
+    val stage = new java.io.File(inDir.getParentFile, "sentinel-stage")
+    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    val last = Option(inDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified()).foldLeft(0L)(math.max)
+    val dst = new java.io.File(inDir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(math.max(last + 2000L, System.currentTimeMillis()))
+    deleteScratch(stage)
+  }
+
   /** Best-effort recursive delete for run-scoped scratch (staged
     * inputs, checkpoints) once a streaming run has terminated — the
     * scratch lives on tmpfs, so leaks cost RAM, not disk.

@@ -119,4 +119,69 @@ object StreamingJoin {
         col("user_id"), col("ptb"), col("view_tsm"),
         (col("ptsm") - col("view_tsm")).as("lat_us"))
   }
+
+  /** STREAM-STATIC enrichment join — the other canonical streaming
+    * join shape: an unbounded event stream decorated per-row from a
+    * bounded dimension table. Entirely STATELESS: the static side is
+    * planned into every micro-batch as a broadcast hash join
+    * (`broadcast(dim)`), so the stream never shuffles, no state store
+    * is touched, and per-batch cost is O(batch) probe work against an
+    * executor-resident hash map. At 100 TB the dim side is the only
+    * thing that grows: a dim past broadcast size moves to a
+    * pre-bucketed layout co-partitioned with the stream's key
+    * ([[graft.operators.Bucketing]]) — the stream side's no-shuffle
+    * property is the part worth defending.
+    *
+    * Returns the enriched stream (user_id, tsm, cents, segment);
+    * aggregation over the enrichment is the CALLER's batch query on
+    * the landed sink (the stream stays append-only, no watermark
+    * needed because there's no state to bound).
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim("k"), "inner")
+
+  /** File-fed end-to-end run (the gate-query spelling): `events`
+    * staged as ts-ordered micro-batch files, streamed through the
+    * broadcast join against `customer`, landed exactly-once; report =
+    * per-segment event count and cents total over the enriched sink.
+    */
+  def enrichBySegmentFromFiles(
+      spark: SparkSession,
+      events: DataFrame, // (user_id, ts: timestamp, value: double)
+      customer: DataFrame, // (c_custkey, c_mktsegment)
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+    val dim = customer.select(
+      col("c_custkey").cast("long").as("k"),
+      col("c_mktsegment").as("segment"))
+    val q = graft.sources.FileIO.streamingParquetSink(
+      enriched(stream, dim)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+          col("cents"), col("segment")),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.parquet(outDir.toString)
+      .groupBy(col("segment").as("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermarked tumbling-window aggregation — the canonical Structured
+  * Streaming surface (reference analog: the windowing axis of
+  * tspoon's `tgraph/TStream.java` window operators, here applied to a
+  * classic per-window rollup rather than per-key buffers): events
+  * bucket into fixed event-time windows, each window's aggregate is
+  * emitted EXACTLY ONCE, when the watermark proves no more rows can
+  * reach it (append mode), and the window's state row is evicted at
+  * the same moment — so state at any instant is O(open windows ×
+  * group cardinality), independent of stream length. That eviction
+  * contract is the whole point: an unwatermarked groupBy over a
+  * stream accumulates every window forever.
+  *
+  * Spark-first mechanics: `withWatermark(ts, delay)` +
+  * `groupBy(window(ts, dur), event_type).agg(...)` — the built-in
+  * StateStoreSave operator in append mode, no custom state code. The
+  * aggregate is map-side combinable (count + sum), so each
+  * micro-batch shuffles one partial row per (window, type, input
+  * partition), never raw events.
+  *
+  * Drain completeness: append mode only emits a window once the
+  * watermark passes its end, and the watermark trails the max seen
+  * event time — so the stream's LAST windows would stay open forever
+  * on a finite replay. The file-fed runner closes them with a flush
+  * SENTINEL: one trailing row stamped past `max(ts) + 2·window +
+  * delay`. The sentinel must reach the EventTimeWatermark collector
+  * but never the aggregate, and the exclusion must be a predicate ON
+  * THE EVENT-TIME COLUMN (`ts <= max real ts`): a predicate on any
+  * other column (e.g. `event_type != sentinel`) is pushed below the
+  * watermark node into the scan by Catalyst — the sentinel would be
+  * pruned before the collector ever saw it and the last windows would
+  * never close (measured, not hypothetical). Once the sentinel batch
+  * advances the watermark, the engine's no-data micro-batch flushes
+  * and evicts every remaining window; equivalence with the batch
+  * rollup is exact and oracle-gated.
+  */
+object StreamingWindows {
+
+  /** Event type stamped on the watermark-advancing flush row (never
+    * reaches the aggregate; kept for sink-side debuggability).
+    */
+  val FlushSentinel = "__flush"
+
+  /** Per (tumbling window, event_type) totals over a WATERMARKED
+    * streaming frame of (ts, event_type, cents). Pure declarative
+    * shape — callers that feed a flush sentinel must bound `ts`
+    * upstream (see the class doc's pushdown caveat).
+    */
+  def windowedTotals(events: DataFrame, windowDur: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        unix_micros(col("window.start")).as("win_us"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_cents"))
+
+  /** State rows left in the aggregation operator when the last run
+    * terminated, for specs asserting watermark eviction (0 after a
+    * sentinel-flushed drain: every window closed and was evicted).
+    */
+  @volatile private[streaming] var lastStateRows: Long = -1L
+
+  /** File-fed end-to-end run (the gate-query spelling): events staged
+    * as ts-ordered micro-batch files plus one flush-sentinel file,
+    * streamed through [[windowedTotals]] under a watermark, each
+    * window landed exactly-once on close. Returns
+    * (win_us, event_type, n_events, sum_cents).
+    */
+  def windowedTotalsFromFiles(
+      spark: SparkSession,
+      events: DataFrame, // (ts: timestamp, event_type, value: double)
+      windowDur: String,
+      delay: String,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = events.select(
+      col("ts").cast("timestamp").as("ts"),
+      col("event_type").cast("string").as("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    // flush sentinel: one row past every real window's close point —
+    // a single scalar (max ts) crosses the driver, never data rows
+    val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
+    val margin = 2L * windowMicros(windowDur) + windowMicros(delay)
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          new java.sql.Timestamp(maxTs.getTime + margin / 1000L),
+          FlushSentinel, 0L)),
+        narrow.schema))
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", delay)
+      // event-time bound: stays ABOVE the watermark node (references
+      // the watermark column), so the sentinel is counted for the
+      // watermark, then dropped before the aggregate
+      .filter(col("ts") <= lit(maxTs))
+    val q = graft.sources.FileIO.streamingParquetSink(
+      windowedTotals(stream, windowDur),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    lastStateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.parquet(outDir.toString)
+  }
+
+  /** "N hours"/"N minutes"/"N seconds" → microseconds, for sentinel
+    * placement (mirrors CalendarInterval's fixed-duration forms; the
+    * runner only ever passes fixed durations).
+    */
+  private[streaming] def windowMicros(dur: String): Long = {
+    val parts = dur.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"expected '<n> <unit>', got '$dur'")
+    val n = parts(0).toLong
+    val unitUs = parts(1).stripSuffix("s") match {
+      case "hour" => 3600000000L
+      case "minute" => 60000000L
+      case "second" => 1000000L
+      case "millisecond" => 1000L
+      case u => throw new IllegalArgumentException(s"unsupported unit '$u'")
+    }
+    n * unitUs
+  }
+}

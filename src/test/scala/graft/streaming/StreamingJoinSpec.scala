@@ -97,4 +97,36 @@ class StreamingJoinSpec extends SparkSpec {
     assert(kept < 100L, s"state not evicted: $kept rows retained of 400 staged")
     graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
   }
+
+  test("stream-static enrichment equals the batch join under any batch split") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val customer = Tables.load(spark, Sf0001, "customer")
+    val batch = events
+      .join(customer, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = Files.createTempDirectory(s"graft-senrich-$nBatches").toString
+      val streamed = StreamingJoin.enrichBySegmentFromFiles(
+        spark, events.select(col("user_id"), col("ts"), col("value")),
+        customer, nBatches = nBatches, scratch, statePartitions = 2)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+    }
+  }
+
+  test("enrichment join plans as a broadcast hash join, stream side unshuffled") {
+    val events = Tables.load(spark, Sf0001, "events")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val dim = Tables.load(spark, Sf0001, "customer").select(
+      col("c_custkey").cast("long").as("k"), col("c_mktsegment").as("segment"))
+    val plan = StreamingJoin.enriched(events, dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "stream side got shuffled")
+  }
 }

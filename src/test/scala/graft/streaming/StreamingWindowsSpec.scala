@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchTotals(events: org.apache.spark.sql.DataFrame) =
+    events
+      .select(col("ts"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+
+  test("streamed windowed totals equal the batch rollup under any batch split") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val batch = batchTotals(events)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = Files.createTempDirectory(s"graft-swin-$nBatches").toString
+      val streamed = StreamingWindows.windowedTotalsFromFiles(
+        spark, events.select(col("ts"), col("event_type"), col("value")),
+        windowDur = "1 hour", delay = "0 seconds",
+        nBatches = nBatches, scratch, statePartitions = 4)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+    }
+  }
+
+  test("watermark evicts closed windows: zero state rows after a sentinel-flushed drain") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val scratch = Files.createTempDirectory("graft-swin-evict").toString
+    StreamingWindows.windowedTotalsFromFiles(
+      spark, events.select(col("ts"), col("event_type"), col("value")),
+      windowDur = "1 hour", delay = "0 seconds",
+      nBatches = 4, scratch, statePartitions = 4)
+      .collect()
+    // every window closed by the sentinel -> the aggregation operator
+    // holds NO state at termination; stream-length-proportional state
+    // would show up here as open-window rows
+    assert(StreamingWindows.lastStateRows == 0L,
+      s"expected fully evicted state, got ${StreamingWindows.lastStateRows}")
+  }
+
+  test("rows behind the watermark are dropped, not misaggregated") {
+    // batch files arrive ts-ordered except one LATE row: it lands two
+    // files later, 3 hours behind the stream's max seen ts, while the
+    // watermark delay allows only 1 hour -> append mode must drop it
+    val h = 3600L * 1000000L
+    val base = 1704067200L * 1000000L
+    val inRows = Seq(
+      (base + h / 2, "a", 1.0), // window 0, batch file 0
+      (base + 2 * h, "a", 1.0), // window 2, batch file 1
+      (base + 4 * h, "a", 1.0)) // window 4, batch file 2
+    val scratch = Files.createTempDirectory("graft-swin-late").toString
+    val base_ = new java.io.File(scratch)
+    val inDir = new java.io.File(base_, "in")
+    val narrow = inRows.toDF("tsu", "event_type", "value")
+      .select(timestamp_micros(col("tsu")).as("ts"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), 3, new java.io.File(base_, "stage"), inDir)
+    // filler batch: late-event filtering in batch N uses batch N-1's
+    // watermark (Spark's late-events/eviction watermark split), so the
+    // lagged watermark must pass the late row's window BEFORE the late
+    // batch -- one more in-order file gives it that batch to catch up
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      Seq((base + 4 * h, "a", 100L)).toDF("tsu", "event_type", "cents")
+        .select(timestamp_micros(col("tsu")).as("ts"),
+          col("event_type"), col("cents")),
+      name = "c00000.parquet")
+    // the late row: window 1, arriving with the lagged watermark at
+    // base+3h > window-1 end base+2h -> dropped before the aggregate
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      Seq((base + h + 1L, "late", 100L)).toDF("tsu", "event_type", "cents")
+        .select(timestamp_micros(col("tsu")).as("ts"),
+          col("event_type"), col("cents")),
+      name = "c00001.parquet")
+    // flush: past every window
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      Seq((base + 10 * h, StreamingWindows.FlushSentinel, 0L))
+        .toDF("tsu", "event_type", "cents")
+        .select(timestamp_micros(col("tsu")).as("ts"),
+          col("event_type"), col("cents")),
+      name = "d00000.parquet")
+    val ss = StreamSessions.scoped(spark, 2)
+    val stream = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString,
+        narrow.schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", "1 hour")
+      .filter(col("ts") <= timestamp_micros(lit(base + 4 * h)))
+    val outDir = new java.io.File(base_, "out")
+    val q = graft.sources.FileIO.streamingParquetSink(
+      StreamingWindows.windowedTotals(stream, "1 hour"),
+      outDir.toString, new java.io.File(base_, "ckpt").toString).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir.toString)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val wins = got.map(_._1 - base).toSeq.sorted
+    // windows 0, 2, 4 present; the late row's window 1 row ("late",
+    // 100 cents) must NOT appear anywhere
+    assert(wins == Seq(0L, 2 * h, 4 * h), s"windows: $wins")
+    assert(!got.exists(_._2 == "late"), s"late row leaked: $got")
+    graft.sources.FileIO.deleteScratch(base_)
+  }
+}
