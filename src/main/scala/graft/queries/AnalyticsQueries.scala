@@ -113,6 +113,31 @@ object AnalyticsQueries {
         windowDur = "1 hour", delay = "0 seconds", nBatches = 4, scratch)
         .orderBy("win_us", "event_type")
     }),
+    // exactly-once rollup from an at-least-once stream: injected
+    // redelivered batches die in dropDuplicatesWithinWatermark (or as
+    // late rows) before the chained windowed aggregate — two stateful
+    // operators, one streaming plan
+    "stream_dedup_window" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("dedupwin-online")
+      graft.streaming.StreamingWindows.dedupedWindowedTotalsFromFiles(
+        s,
+        t(s, dir, "events").select(
+          col("event_id"), col("ts"), col("event_type"), col("value")),
+        windowDur = "1 hour", delay = "3 hours",
+        nBatches = 4, redeliver = Seq(0, 3), scratch)
+        .orderBy("win_us", "event_type")
+    }),
+    // sliding-window rollup: every event in dur/slide overlapping
+    // windows, same exactly-once close/evict contract per window
+    "stream_sliding_agg" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("slidewin-online")
+      graft.streaming.StreamingWindows.slidingTotalsFromFiles(
+        s,
+        t(s, dir, "events").select(col("ts"), col("event_type"), col("value")),
+        windowDur = "2 hours", slide = "1 hour", delay = "0 seconds",
+        nBatches = 4, scratch)
+        .orderBy("win_us", "event_type")
+    }),
     // stream-static enrichment: events stream decorated per-row from
     // the customer dim via a broadcast hash join — stateless, the
     // stream side never shuffles; report = per-segment totals
@@ -622,6 +647,23 @@ object AnalyticsQueries {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the redelivered stream dedupes back to the clean rollup — the
+    // oracle is the SAME hourly rollup over the clean table: any
+    // surviving duplicate inflates a count and breaks the hash
+    "stream_dedup_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding windows: each event contributes to dur/slide = 2
+    // epoch-aligned hourly starts
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS eu, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events)
+        |SELECT (eu // 3600000000 - k) * 3600000000 AS win_us, event_type,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e CROSS JOIN range(2) AS t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-segment enrichment totals: the streamed broadcast join's
     // landed rows equal this batch join exactly (stateless, nothing
     // to evict or miss)

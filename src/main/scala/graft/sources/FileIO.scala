@@ -126,6 +126,24 @@ object FileIO {
     deleteScratch(stage)
   }
 
+  /** Inject AT-LEAST-ONCE redelivery: re-append a copy of staged
+    * micro-batch file `index` (so its rows arrive a second time, in a
+    * later batch) under a fresh name with a strictly-later mtime.
+    * Drills for exactly-once operators (`dropDuplicatesWithinWatermark`
+    * etc.) — a file source is exactly-once by itself, so duplicates
+    * must be injected to prove the dedup path.
+    */
+  def redeliverStagedFile(inDir: java.io.File, index: Int): Unit = {
+    val src = new java.io.File(inDir, f"b$index%05d.parquet")
+    require(src.exists(), s"no staged file $src")
+    val last = Option(inDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified()).foldLeft(0L)(math.max)
+    val dst = new java.io.File(inDir, f"r$index%05d.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    dst.setLastModified(math.max(last + 2000L, System.currentTimeMillis()))
+  }
+
   /** Best-effort recursive delete for run-scoped scratch (staged
     * inputs, checkpoints) once a streaming run has terminated — the
     * scratch lives on tmpfs, so leaks cost RAM, not disk.

@@ -62,11 +62,36 @@ object StreamingWindows {
         col("n_events"),
         col("sum_cents"))
 
+  /** Per (SLIDING window, event_type) totals — every event lands in
+    * `windowDur / slide` overlapping windows; Spark expands the
+    * row-to-windows mapping inline (a generator, no self-join) and the
+    * same append-mode close/evict contract applies per window.
+    */
+  def slidingTotals(
+      events: DataFrame, windowDur: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        unix_micros(col("window.start")).as("win_us"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_cents"))
+
   /** State rows left in the aggregation operator when the last run
     * terminated, for specs asserting watermark eviction (0 after a
     * sentinel-flushed drain: every window closed and was evicted).
     */
   @volatile private[streaming] var lastStateRows: Long = -1L
+
+  /** Per-operator state rows at termination of the last run (operator
+    * name → rows), for specs on MULTI-stateful-operator queries where
+    * the aggregate must drain to 0 while the dedup store legitimately
+    * retains its watermark-delay tail.
+    */
+  @volatile private[streaming] var lastStateRowsByOp: Map[String, Long] = Map.empty
 
   /** File-fed end-to-end run (the gate-query spelling): events staged
     * as ts-ordered micro-batch files plus one flush-sentinel file,
@@ -114,12 +139,125 @@ object StreamingWindows {
       windowedTotals(stream, windowDur),
       outDir.toString, new java.io.File(base, "ckpt").toString).start()
     q.awaitTermination()
-    lastStateRows = Option(q.lastProgress)
-      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    recordState(q)
     graft.sources.FileIO.deleteScratch(
       new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
     graft.sources.FileIO.deleteScratchOnExit(base)
     spark.read.parquet(outDir.toString)
+  }
+
+  /** EXACTLY-ONCE windowed totals from an AT-LEAST-ONCE stream — two
+    * stateful operators chained in one streaming plan:
+    * `dropDuplicatesWithinWatermark(event_id)` feeding the append-mode
+    * windowed aggregate. The dedup store holds one row per key only
+    * until the watermark passes `ts + delay` (a redelivery can't be
+    * later than the delivery guarantee's lag bound = the watermark
+    * delay), so its state is O(keys per delay window), not O(stream);
+    * duplicates arriving later still die, as LATE rows, before either
+    * operator. `redeliver` injects the duplicate batches (the file
+    * source is exactly-once by itself): each listed staged batch is
+    * re-appended verbatim after the originals — the downstream rollup
+    * must equal the clean batch rollup anyway, which is the
+    * oracle-gated claim.
+    */
+  def dedupedWindowedTotalsFromFiles(
+      spark: SparkSession,
+      events: DataFrame, // (event_id, ts: timestamp, event_type, value)
+      windowDur: String,
+      delay: String,
+      nBatches: Int,
+      redeliver: Seq[Int],
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("event_type").cast("string").as("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    redeliver.foreach(graft.sources.FileIO.redeliverStagedFile(inDir, _))
+    val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
+    val margin = 2L * windowMicros(windowDur) + windowMicros(delay)
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, new java.sql.Timestamp(maxTs.getTime + margin / 1000L),
+          FlushSentinel, 0L)),
+        narrow.schema))
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", delay)
+      .filter(col("ts") <= lit(maxTs)) // event-time bound, see class doc
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = graft.sources.FileIO.streamingParquetSink(
+      windowedTotals(stream, windowDur),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    recordState(q)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.parquet(outDir.toString)
+  }
+
+  /** File-fed SLIDING-window run — [[windowedTotalsFromFiles]] with
+    * overlapping windows of `windowDur` every `slide`.
+    */
+  def slidingTotalsFromFiles(
+      spark: SparkSession,
+      events: DataFrame, // (ts: timestamp, event_type, value: double)
+      windowDur: String,
+      slide: String,
+      delay: String,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = events.select(
+      col("ts").cast("timestamp").as("ts"),
+      col("event_type").cast("string").as("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
+    val margin = 2L * windowMicros(windowDur) + windowMicros(delay)
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          new java.sql.Timestamp(maxTs.getTime + margin / 1000L),
+          FlushSentinel, 0L)),
+        narrow.schema))
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", delay)
+      .filter(col("ts") <= lit(maxTs)) // event-time bound, see class doc
+    val q = graft.sources.FileIO.streamingParquetSink(
+      slidingTotals(stream, windowDur, slide),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    recordState(q)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.parquet(outDir.toString)
+  }
+
+  private def recordState(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    lastStateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    lastStateRowsByOp = Option(q.lastProgress)
+      .map(_.stateOperators.map(op => op.operatorName -> op.numRowsTotal).toMap)
+      .getOrElse(Map.empty)
   }
 
   /** "N hours"/"N minutes"/"N seconds" → microseconds, for sentinel

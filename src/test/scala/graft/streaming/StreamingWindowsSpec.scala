@@ -49,6 +49,53 @@ class StreamingWindowsSpec extends SparkSpec {
       s"expected fully evicted state, got ${StreamingWindows.lastStateRows}")
   }
 
+  test("at-least-once redelivery dedupes to the clean rollup; agg drains, dedup keeps only its delay tail") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val batch = batchTotals(events)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val scratch = Files.createTempDirectory("graft-swin-dedup").toString
+    val streamed = StreamingWindows.dedupedWindowedTotalsFromFiles(
+      spark,
+      events.select(col("event_id"), col("ts"), col("event_type"), col("value")),
+      windowDur = "1 hour", delay = "3 hours",
+      nBatches = 4, redeliver = Seq(0, 3), scratch, statePartitions = 4)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // redelivered batches 0 (arrives late -> dropped by lateness) and
+    // 3 (within the delay -> dropped by the dedup store) must both
+    // vanish: any survivor inflates a window's count
+    assert(streamed == batch, "redelivered rows leaked into the rollup")
+    val byOp = StreamingWindows.lastStateRowsByOp
+    val aggRows = byOp.collect { case (op, n) if op.contains("Aggregate") || op.contains("stateStoreSave") => n }.sum
+    val dedupRows = byOp.collect { case (op, n) if op.toLowerCase.contains("dedup") => n }.sum
+    assert(byOp.size == 2, s"expected 2 stateful operators, got $byOp")
+    assert(aggRows == 0L, s"aggregate state not drained: $byOp")
+    // dedup retains exactly the keys within the watermark delay of the
+    // sentinel-advanced watermark -- a bounded tail, far below input
+    assert(dedupRows < 500L, s"dedup state unbounded: $byOp")
+  }
+
+  test("sliding windows: every event lands in dur/slide windows, streamed equals batch") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val batch = events
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val scratch = Files.createTempDirectory("graft-swin-slide").toString
+    val streamed = StreamingWindows.slidingTotalsFromFiles(
+      spark, events.select(col("ts"), col("event_type"), col("value")),
+      windowDur = "2 hours", slide = "1 hour", delay = "0 seconds",
+      nBatches = 4, scratch, statePartitions = 4)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch, "sliding rollup diverged")
+    assert(StreamingWindows.lastStateRows == 0L,
+      s"expected fully evicted state, got ${StreamingWindows.lastStateRows}")
+  }
+
   test("rows behind the watermark are dropped, not misaggregated") {
     // batch files arrive ts-ordered except one LATE row: it lands two
     // files later, 3 hours behind the stream's max seen ts, while the
