@@ -113,6 +113,17 @@ object AnalyticsQueries {
         windowDur = "1 hour", delay = "0 seconds", nBatches = 4, scratch)
         .orderBy("win_us", "event_type")
     }),
+    // native session windows: dynamic-gap per (user, session) rollup,
+    // partial sessions merged across micro-batches in the state store,
+    // emitted exactly-once when the watermark passes last+gap
+    "stream_session_agg" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("sesswin-online")
+      graft.streaming.StreamingWindows.sessionTotalsFromFiles(
+        s,
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        gap = "30 minutes", delay = "0 seconds", nBatches = 4, scratch)
+        .orderBy("user_id", "sess_start_us")
+    }),
     // exactly-once rollup from an at-least-once stream: injected
     // redelivered batches die in dropDuplicatesWithinWatermark (or as
     // late rows) before the chained windowed aggregate — two stateful
@@ -281,6 +292,76 @@ object AnalyticsQueries {
         .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("n_orders"), col("revenue_cents"))
         .orderBy("nation")),
+    // CUBE: every subset of (nation, status) in one pass — Spark
+    // expands the grouping-set lattice inline (an Expand node feeding
+    // ONE hash aggregate), not 4 separate scans unioned
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue_cents"))
+        .orderBy("nation", "status")),
+    // GROUPING SETS: the explicit lattice — only the named subsets,
+    // same single-pass Expand plan as cube/rollup
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("o_orderstatus"))),
+          col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue_cents"))
+        .orderBy("nation", "status")),
+    // INTERSECT: set semantics (distinct), planned as a left-semi
+    // aggregate join, not a double scan + distinct union
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+        .intersect(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey")))
+        .orderBy("o_custkey")),
+    // UNPIVOT/melt: wide measure columns to (measure, value) rows via
+    // the native Unpivot node (an Expand, no per-column union of scans)
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          round(col("l_discount") * 1000).cast("long").as("disc_permille"),
+          round(col("l_tax") * 1000).cast("long").as("tax_permille"),
+          col("l_quantity").cast("long").as("qty"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price_cents"), col("disc_permille"),
+            col("tax_permille"), col("qty")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .orderBy("measure")),
+    // analytic window functions: running + sliding frames and ranking
+    // in one Window exchange per user (single shuffle, sorted once)
+    "q_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tsm"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsm"),
+          cents(col("value")).as("cents"))
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          sum(col("cents")).over(w.rowsBetween(Long.MinValue, 0)).as("running_cents"),
+          sum(col("cents")).over(w.rowsBetween(-2, 0)).as("win3_cents"),
+          (col("cents") - lag(col("cents"), 1, 0L).over(w)).as("delta_cents"))
+        .orderBy("user_id", "rn")
+    }),
     // bucketed co-located join under the oracle gate: both sides
     // written bucketed+sorted on the join key, so the join AND the
     // per-customer aggregation run with zero Exchange (the
@@ -647,6 +728,20 @@ object AnalyticsQueries {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session windows: break when the gap REACHES 30 min (Spark merges
+    // strictly-within-gap events; window end = last + gap)
+    "stream_session_agg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS eu,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT *, CASE WHEN lag(eu) OVER w IS NULL
+        |    OR eu - lag(eu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY eu
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(eu) AS sess_start_us,
+        |  max(eu) + 1800000000 AS sess_end_us, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
     // the redelivered stream dedupes back to the clean rollup — the
     // oracle is the SAME hourly rollup over the clean table: any
     // surviving duplicate inflates a count and breaks the hash
@@ -767,6 +862,51 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name) ORDER BY nation""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, o_orderstatus) ORDER BY nation, status""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderstatus))
+        |ORDER BY nation, status""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH li AS (SELECT
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_discount*1000) AS BIGINT) AS disc_permille,
+        |  CAST(round(l_tax*1000) AS BIGINT) AS tax_permille,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |u AS (
+        |  SELECT 'price_cents' AS measure, price_cents AS value FROM li
+        |  UNION ALL SELECT 'disc_permille', disc_permille FROM li
+        |  UNION ALL SELECT 'tax_permille', tax_permille FROM li
+        |  UNION ALL SELECT 'qty', qty FROM li)
+        |SELECT measure, count(*) AS n, CAST(sum(value) AS BIGINT) AS total
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_funcs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsm,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        |  CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS win3_cents,
+        |  cents - lag(cents, 1, CAST(0 AS BIGINT)) OVER w AS delta_cents
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
     "q_skew_topk" ->
       """WITH li AS (
         |  SELECT l_suppkey,

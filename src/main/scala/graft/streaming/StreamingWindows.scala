@@ -252,6 +252,74 @@ object StreamingWindows {
     spark.read.parquet(outDir.toString)
   }
 
+  /** Per (user, SESSION window) totals — Spark's native dynamic-gap
+    * windows: a session spans events of a key whose gaps are < `gap`,
+    * and its window is `[first, last + gap)`. Contrast with the
+    * library's `flatMapGroupsWithState` sessionizer
+    * ([[StreamingSessions]]): that one streams per-EVENT session ids
+    * with O(1) state; this one is the declarative per-SESSION rollup —
+    * the engine merges partial sessions across micro-batches in the
+    * state store and emits a session exactly once, when the watermark
+    * passes `last + gap` (no later event can extend it). State is
+    * O(open sessions), one row per key-session still inside its gap.
+    */
+  def sessionTotals(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"),
+        col("sum_cents"))
+
+  /** File-fed session-window run (the gate-query spelling); sentinel
+    * margin covers `2·gap` so the final open sessions provably close.
+    */
+  def sessionTotalsFromFiles(
+      spark: SparkSession,
+      events: DataFrame, // (user_id, ts: timestamp, value: double)
+      gap: String,
+      delay: String,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
+    val margin = 2L * windowMicros(gap) + windowMicros(delay)
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, new java.sql.Timestamp(maxTs.getTime + margin / 1000L), 0L)),
+        narrow.schema))
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", delay)
+      .filter(col("ts") <= lit(maxTs)) // event-time bound, see class doc
+    val q = graft.sources.FileIO.streamingParquetSink(
+      sessionTotals(stream, gap),
+      outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    recordState(q)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.parquet(outDir.toString)
+  }
+
   private def recordState(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     lastStateRows = Option(q.lastProgress)
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)

@@ -67,4 +67,18 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 2L, 1L)))
   }
+
+  test("cube / grouping sets / unpivot plan as ONE scan through Expand, not unioned rescans") {
+    import org.apache.spark.sql.functions._
+    val dir = Sf0001
+    for (name <- Seq("q_cube", "q_grouping_sets", "q_unpivot")) {
+      val df = graft.queries.AnalyticsQueries.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"$name: no Expand node:\n$plan")
+      val scans = "Scan parquet|FileScan".r.findAllIn(plan).length
+      assert(scans <= 3, // cube/gsets read 3 tables once each; unpivot 1
+        s"$name: lattice expanded as rescans ($scans scans):\n$plan")
+      assert(!plan.contains("Union"), s"$name: unioned rescans:\n$plan")
+    }
+  }
 }

@@ -96,6 +96,52 @@ class StreamingWindowsSpec extends SparkSpec {
       s"expected fully evicted state, got ${StreamingWindows.lastStateRows}")
   }
 
+  test("session windows: streamed per-session rollup equals batch, sessions close by watermark") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val batch = events
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"),
+        col("n_events"), col("sum_cents"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val scratch = Files.createTempDirectory("graft-swin-sess").toString
+    val streamed = StreamingWindows.sessionTotalsFromFiles(
+      spark, events.select(col("user_id"), col("ts"), col("value")),
+      gap = "30 minutes", delay = "0 seconds",
+      nBatches = 4, scratch, statePartitions = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, "session rollup diverged")
+    assert(StreamingWindows.lastStateRows == 0L,
+      s"expected fully evicted state, got ${StreamingWindows.lastStateRows}")
+  }
+
+  test("session merging across micro-batches: one session spanning batches emits once, merged") {
+    // one user, three events 10 min apart (gap 30 min -> ONE session),
+    // each in its own micro-batch; a fourth event 40 min later starts
+    // a second session
+    val base = 1704067200L * 1000000L
+    val m = 60L * 1000000L
+    val rows = Seq(
+      (7L, base, 1.0), (7L, base + 10 * m, 2.0),
+      (7L, base + 20 * m, 3.0), (7L, base + 60 * m, 4.0))
+    val df = rows.toDF("user_id", "tsu", "value")
+      .select(col("user_id"), timestamp_micros(col("tsu")).as("ts"),
+        col("value"))
+    val scratch = Files.createTempDirectory("graft-swin-merge").toString
+    val got = StreamingWindows.sessionTotalsFromFiles(
+      spark, df, gap = "30 minutes", delay = "0 seconds",
+      nBatches = 4, scratch, statePartitions = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (7L, base, base + 20 * m + 30 * m, 3L, 600L),
+      (7L, base + 60 * m, base + 60 * m + 30 * m, 1L, 400L)), s"got $got")
+  }
+
   test("rows behind the watermark are dropped, not misaggregated") {
     // batch files arrive ts-ordered except one LATE row: it lands two
     // files later, 3 hours behind the stream's max seen ts, while the
