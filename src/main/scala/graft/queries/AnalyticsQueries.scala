@@ -113,6 +113,19 @@ object AnalyticsQueries {
         windowDur = "1 hour", delay = "0 seconds", nBatches = 4, scratch)
         .orderBy("win_us", "event_type")
     }),
+    // streaming upsert sink: last-write-wins keyed store maintained by
+    // foreachBatch merges that rewrite ONLY touched hash buckets
+    // (dynamic partition overwrite); injected redelivery proves the
+    // merge idempotent
+    "stream_upsert" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("upsert-online")
+      graft.streaming.StreamingUpsert.upsertFromFiles(
+        s,
+        t(s, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id"), col("value")),
+        nBuckets = 8, nBatches = 4, redeliver = Seq(1), scratch)
+        .orderBy("user_id")
+    }),
     // native session windows: dynamic-gap per (user, session) rollup,
     // partial sessions merged across micro-batches in the state store,
     // emitted exactly-once when the watermark passes last+gap
@@ -728,6 +741,15 @@ object AnalyticsQueries {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the upserted store = the newest (tsm, event_id) row per user,
+    // whatever order or multiplicity the merges saw
+    "stream_upsert" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY tsm DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, tsm, event_id, cents FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     // session windows: break when the gap REACHES 30 min (Spark merges
     // strictly-within-gap events; window end = last + gap)
     "stream_session_agg" ->
