@@ -209,6 +209,56 @@ object CorpusStats {
     kmvFinish(smallest, k)
   }
 
+  /** PER-GROUP KMV distinct estimate — the grouped form of
+    * [[distinctKmv]] (distinct users per segment, distinct tokens per
+    * language: the rollup whose exact spelling shuffles every distinct
+    * (group, value) pair, unpayable at corpus scale). Same two-phase
+    * k-min-distributes shape, grouped: each input partition keeps the
+    * k smallest distinct hashes PER GROUP it sees (a TreeSet per
+    * group; bounded by groups×k per partition), the exchange moves at
+    * most partitions×groups×k longs, and the per-group k smallest +
+    * estimator run on that bounded frame (the rank window is fine
+    * here precisely because the input is already bounded — it never
+    * sees raw data). Returns (g, k_seen, kth_hash, est_distinct) per
+    * group, DuckDB-replayable like the global operator.
+    */
+  def distinctKmvByGroup(
+      df: DataFrame, group: Column, value: Column, k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 128, s"k=$k must be in [2, 128]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perPartition = df
+      .select(group.cast("string").as("g"),
+        TextAnalysis.portableHash56(value).as("h"))
+      .filter(col("h").isNotNull && col("g").isNotNull)
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val mins =
+          scala.collection.mutable.HashMap.empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (g, h) =>
+          val s = mins.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+          s.add(h)
+          if (s.size > k) s.pollLast()
+        }
+        import scala.jdk.CollectionConverters._
+        mins.iterator.flatMap { case (g, s) =>
+          s.iterator.asScala.map(h => (g, h.longValue()))
+        }
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    perPartition.toDF("g", "h")
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth_hash"))
+      .select(col("g"), col("k_seen"), col("kth_hash"),
+        when(col("k_seen") < k || col("kth_hash") === 0, col("k_seen"))
+          .otherwise(expr(s"(${k - 1} * 72057594037927936 div kth_hash)"))
+          .cast("bigint").as("est_distinct"))
+  }
+
   /** The KMV estimate over an (already k-truncated) frame of the
     * smallest distinct hashes — shared by the batch operator and the
     * streaming bounded-state spelling so both answer the SAME oracle.

@@ -269,6 +269,14 @@ object CorpusQueries {
         docs(s, dir).select(
           explode(TextAnalysis.tokens(col("text"))).as("tok")),
         col("tok"), k = 64)),
+    // grouped KMV: distinct-token estimate PER LANGUAGE in one pass —
+    // the rollup whose exact form shuffles every distinct (lang, tok)
+    "kmv_by_group" -> ((s, dir) =>
+      CorpusStats.distinctKmvByGroup(
+        docs(s, dir).select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("lang"), col("tok"), k = 64)
+        .orderBy("g")),
     // count-min sketch (3x4096, Kirsch-Mitzenmacher over one md5):
     // estimated counts for the exact top-50 heavy hitters — CM's
     // one-sided bound (est >= exact) is visible row by row
@@ -1037,6 +1045,25 @@ object CorpusQueries {
     "heavy_ngrams" -> HeavyNgramsOracle,
     // KMV estimate: (k-1)*2^56 // kth smallest distinct 56-bit hash
     "distinct_kmv" -> DistinctKmvOracle,
+    // grouped KMV: the same hash + k-min + (k-1)*2^56/kth math, per lang
+    "kmv_by_group" ->
+      """WITH tok AS (
+        |  SELECT lang AS g, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT g, list_reduce(list_transform(
+        |    string_split(substr(md5(tok), 1, 14), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM tok),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |  FROM h),
+        |k AS (SELECT g, h FROM r WHERE rn <= 64)
+        |SELECT g, CAST(count(*) AS BIGINT) AS k_seen,
+        |  CAST(max(h) AS BIGINT) AS kth_hash,
+        |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |    ELSE 4539628424389459968 // max(h) END AS BIGINT) AS est_distinct
+        |FROM k GROUP BY g ORDER BY g""".stripMargin,
     // bounded-state streaming KMV drains to the IDENTICAL estimate
     "stream_kmv" -> DistinctKmvOracle,
     // CM sketch built from the same trigram stream; probe = the exact

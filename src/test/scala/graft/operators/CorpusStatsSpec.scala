@@ -22,6 +22,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(exact._1 == 10L && exact._3 == 10L)
   }
 
+  test("grouped KMV: per-group answers equal the global operator run per group") {
+    // three groups of very different cardinality, values shared across
+    // groups (per-group TreeSets must not bleed into each other)
+    def card(id: org.apache.spark.sql.Column) =
+      when(pmod(id, lit(3L)) === 0, 40L) // group g0: 40 distinct (< k, exact)
+        .when(pmod(id, lit(3L)) === 1, 900L) // g1: ~900 distinct
+        .otherwise(1700L) // g2: ~1700 distinct
+    val df = spark.range(6000).repartition(8)
+      .select(
+        concat(lit("g"), pmod(col("id"), lit(3L))).as("g"),
+        concat(lit("x"), pmod(col("id") * 7L, card(col("id")))).as("v"))
+    val grouped = CorpusStats.distinctKmvByGroup(df, col("g"), col("v"), k = 64)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    for (g <- Seq("g0", "g1", "g2")) {
+      val global = CorpusStats.distinctKmv(
+        df.filter(col("g") === g), col("v"), k = 64)
+        .as[(Long, Long, Long)].head()
+      assert(grouped(g) == global,
+        s"group $g diverged: ${grouped(g)} vs global-per-group $global")
+    }
+    // the < k group answers exactly
+    assert(grouped("g0")._3 == 40L, s"g0 not exact: ${grouped("g0")}")
+  }
+
   test("count-min estimates are one-sided: est >= exact for every probed value") {
     // Zipf-ish: value i appears (100 / (i+1)) + 1 times
     val df = spark.range(500)
