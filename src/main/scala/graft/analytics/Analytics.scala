@@ -174,6 +174,65 @@ object Analytics {
     * self-join, no window function; the per-user offset projection is
     * a tiny array transform over the collected days.
     */
+  /** Resample to a dense DAILY grid per key with FORWARD-FILL — the
+    * time-series regularization every downstream model expects (a
+    * sparse activity log becomes one row per key-day, gaps carrying
+    * the last observed value). Scale shape: the grid is generated
+    * DISTRIBUTED (`sequence` + `explode` per key, never a driver
+    * calendar loop), the observed dailies join back on (key, day)
+    * co-partitioned by the same shuffle, and the fill is one
+    * `last(ignoreNulls)` running frame per key — a single Window
+    * exchange whose per-key row count is bounded by the CALENDAR span,
+    * not the event volume. Returns (user_id, day, cents) dense from
+    * each key's first to last active day.
+    */
+  def resampleDailyFfill(
+      df: DataFrame, user: Column, ts: Column, cents: Column): DataFrame = {
+    val daily = df
+      .select(user.as("user_id"), to_date(ts).as("day"), cents.as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c")).as("observed"))
+    val grid = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("observed"), ignoreNulls = true).over(w).as("cents"))
+  }
+
+  /** Robust OUTLIER flagging per group via MAD (median absolute
+    * deviation) — mean/σ break down exactly when outliers are present,
+    * so the robust pair (median, MAD) is the curation-grade spelling
+    * for "drop pathological documents/values before training". Two
+    * aggregate passes (median, then MAD of deviations) with the
+    * model-sized per-group stats BROADCAST back — the data shuffles
+    * once per pass on the group key and is never self-joined. Returns
+    * per group: n, n_outliers beyond `cut`·MAD, and the outlier range.
+    */
+  def outliersMad(
+      df: DataFrame, group: Column, value: Column, cut: Double): DataFrame = {
+    val v = df.select(group.as("g"), value.cast("double").as("v"))
+    val med = v.groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val withDev = v.join(broadcast(med), "g")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = withDev.groupBy(col("g"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(cut) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(when(col("dev") > lit(cut) * col("mad"), col("v"))).as("lo_outlier"),
+        max(when(col("dev") > lit(cut) * col("mad"), col("v"))).as("hi_outlier"))
+  }
+
   def retentionMatrix(
       df: DataFrame, user: Column, ts: Column): DataFrame =
     df.select(user.as("user_id"), to_date(ts).as("day"))

@@ -267,6 +267,20 @@ object AnalyticsQueries {
           expr("percentile(value, 0.9)").as("p90_value"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+    // dense daily grid per user with forward-fill: distributed
+    // sequence/explode calendar, one (key, day) co-partitioned join,
+    // one last(ignoreNulls) running frame per key
+    "q_resample_ffill" -> ((s, dir) =>
+      Analytics.resampleDailyFfill(
+        t(s, dir, "events"), col("user_id"), col("ts"), cents(col("value")))
+        .orderBy("user_id", "day")),
+    // robust outliers per group: median + MAD (two aggregate passes,
+    // model-sized stats broadcast back, no self-join), flag beyond
+    // 5 MAD — the curation-grade "drop pathological values" spelling
+    "q_outlier_mad" -> ((s, dir) =>
+      Analytics.outliersMad(
+        t(s, dir, "events"), col("event_type"), col("value"), cut = 5.0)
+        .orderBy("g")),
     // log-histogram quantile sketch: exact per-group percentile
     // buffering replaced by ONE mergeable aggregate over ~2000 integer
     // buckets per group — p50/p90/p99 answered from the sketch with
@@ -865,6 +879,34 @@ object AnalyticsQueries {
         |  quantile_cont(value, 0.9) AS p90_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // dense calendar per user; ffill = last non-null observed daily
+    "q_resample_ffill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.day, d.observed
+        |  FROM grid g LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day,
+        |  CAST(last_value(observed IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    // same median/MAD interpolation as q_percentiles (proven parity)
+    "q_outlier_mad" ->
+      """WITH v AS (SELECT event_type AS g, value AS v FROM events),
+        |m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM v GROUP BY g),
+        |d AS (SELECT v.g, v.v, abs(v.v - m.med) AS dev FROM v JOIN m USING (g)),
+        |md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY g)
+        |SELECT d.g, count(*) AS n,
+        |  CAST(sum(CASE WHEN dev > 5.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  min(CASE WHEN dev > 5.0 * mad THEN v END) AS lo_outlier,
+        |  max(CASE WHEN dev > 5.0 * mad THEN v END) AS hi_outlier
+        |FROM d JOIN md USING (g) GROUP BY d.g ORDER BY d.g""".stripMargin,
     // the online sketch equals the batch sketch exactly (associative
     // counting) — the streaming gate shares the oracle verbatim
     "stream_quantile_sketch" -> QuantileSketchOracle,

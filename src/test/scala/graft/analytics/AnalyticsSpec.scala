@@ -68,6 +68,47 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L), ("2024-01-08", 2L, 1L)))
   }
 
+  test("resampleDailyFfill: dense per-key calendar, gaps carry the last observed value") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // user 1: observed Jan 1 (two events -> summed) and Jan 4;
+      // Jan 2-3 must appear, carrying Jan 1's total
+      (1L, "2024-01-01 08:00:00", 10L), (1L, "2024-01-01 18:00:00", 5L),
+      (1L, "2024-01-04 12:00:00", 7L),
+      // user 2: a single day -> exactly one row, no padding
+      (2L, "2024-02-10 00:00:00", 3L))
+      .toDF("user_id", "s", "c")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("c"))
+    val got = Analytics.resampleDailyFfill(df, col("user_id"), col("ts"), col("c"))
+      .select(col("user_id"), col("day").cast("string"), col("cents"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 15L), (1L, "2024-01-02", 15L),
+      (1L, "2024-01-03", 15L), (1L, "2024-01-04", 7L),
+      (2L, "2024-02-10", 3L)), s"got $got")
+  }
+
+  test("outliersMad: robust to the outliers themselves; boundary value is NOT flagged") {
+    import org.apache.spark.sql.functions._
+    // group a (n=9): median 10, deviations 0,0,1,1,2,2,6,60,90 ->
+    // MAD 2, cut 3 -> threshold 6; flags exactly the wild 100 and -50.
+    // The value 16 sits EXACTLY on the boundary (dev 6 = 3*MAD) and
+    // must NOT be flagged (strict >)
+    val df = Seq(
+      ("a", 8.0), ("a", 9.0), ("a", 10.0), ("a", 10.0), ("a", 11.0),
+      ("a", 12.0), ("a", 16.0), ("a", 100.0), ("a", -50.0),
+      // group b: constant -> MAD 0, every deviation > 0 flagged
+      ("b", 5.0), ("b", 5.0), ("b", 6.0))
+      .toDF("g0", "v0")
+    val got = Analytics.outliersMad(df, col("g0"), col("v0"), cut = 3.0)
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 == 9L)
+    assert(got("a")._3 == 2L, s"want exactly the 2 wild points: ${got("a")}")
+    assert(got("a")._4.contains(-50.0) && got("a")._5.contains(100.0))
+    assert(got("b")._3 == 1L, s"MAD-0 group must flag any deviation: ${got("b")}")
+  }
+
   test("cube / grouping sets / unpivot plan as ONE scan through Expand, not unioned rescans") {
     import org.apache.spark.sql.functions._
     val dir = Sf0001
