@@ -113,6 +113,17 @@ object AnalyticsQueries {
         windowDur = "1 hour", delay = "0 seconds", nBatches = 4, scratch)
         .orderBy("win_us", "event_type")
     }),
+    // incrementally-maintained rollup table: per-batch partials merged
+    // additively into a bucketed store, per-bucket batch-id guards
+    // making crash replays exactly-once for a non-idempotent monoid
+    "stream_incr_rollup" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("rollup-online")
+      graft.streaming.StreamingRollup.rollupFromFiles(
+        s,
+        t(s, dir, "events").select(col("ts"), col("event_type"), col("value")),
+        nBuckets = 4, nBatches = 4, scratch)
+        .orderBy("day", "event_type")
+    }),
     // streaming upsert sink: last-write-wins keyed store maintained by
     // foreachBatch merges that rewrite ONLY touched hash buckets
     // (dynamic partition overwrite); injected redelivery proves the
@@ -753,6 +764,11 @@ object AnalyticsQueries {
     "stream_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
         |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the maintained rollup = the clean batch GROUP BY (day, type)
+    "stream_incr_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the upserted store = the newest (tsm, event_id) row per user,
