@@ -92,6 +92,36 @@ object Curation {
     * non-empty after line dedup AND the smallest-id owner of its
     * cleaned fingerprint.
     */
+  /** Cluster-aware KEEP-BEST dedup — fuzzy dedup that keeps the
+    * best-quality REPRESENTATIVE instead of an arbitrary first-seen
+    * survivor (what production corpus dedup actually wants: near-dup
+    * clusters collapse to their highest-quality member). Pipeline:
+    * the banded minhash candidate graph ([[Dedup
+    * .nearDuplicateCandidatesPortable]]) → threshold-bounded
+    * connected components ([[Clusters.duplicateClusters]], min-label
+    * contract) → per-cluster argmax of (quality, then smallest id) as
+    * ONE `max_by` aggregate (map-side combinable, never a window over
+    * raw docs) joined back on the model-sized cluster key. Docs in no
+    * pair are their own singleton cluster and always survive.
+    * Returns (doc_id, cluster, quality_milli, kept).
+    */
+  def keepBestPerCluster(
+      docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val pairs = Dedup.nearDuplicateCandidatesPortable(docs, text, id)
+    val cl = Clusters.duplicateClusters(pairs, col("doc_a"), col("doc_b"))
+      .select(col("id").as("doc_id"), col("cluster"))
+    val lab = docs
+      .select(id.as("doc_id"), TextAnalysis.qualityMilli(text).as("quality_milli"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val best = lab.groupBy(col("cluster"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_milli"), -col("doc_id"))).as("keep_id"))
+    lab.join(best, "cluster")
+      .select(col("doc_id"), col("cluster"), col("quality_milli"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   def curateV2(
       docs: DataFrame, id: Column, text: Column,
       weights: DataFrame, buckets: Int,

@@ -173,6 +173,15 @@ object LlmQueries {
       Dedup.nearDuplicateCandidatesPortable(
         docs(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_a", "doc_b")),
+    // cluster-aware keep-best: near-dup clusters (banded minhash graph
+    // -> min-label components) collapse to their highest-quality
+    // member via one per-cluster max_by; singletons always survive
+    "dedup_keep_best" -> ((s, dir) =>
+      graft.operators.Curation.keepBestPerCluster(
+        docs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("cluster"), col("quality_milli"),
+          col("kept").cast("bigint").as("kept"))
+        .orderBy("doc_id")),
     // the INCREMENTAL spelling of the same pipeline: documents replay
     // as 4 micro-batch files through the per-bucket stateful LSH index
     // (flatMapGroupsWithState) into the exactly-once file sink; the
@@ -652,7 +661,20 @@ object LlmQueries {
     * (`stream_neardup`), which is the equivalence claim itself.
     */
   val MinHashPairsOracle: String =
-    (s"""WITH $MinHashSigCte,
+    (s"""WITH $MinHashPairsCte
+      |SELECT doc_a, doc_b,
+      |  CAST(round(1000.0 * list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16) AS BIGINT)
+      |    AS est_jaccard_milli
+      |FROM p ORDER BY doc_a, doc_b""").stripMargin
+
+  /** The banded candidate-pair CTE chain (through `p`) shared by
+    * [[MinHashPairsOracle]] and the cluster-consuming oracles
+    * (`dedup_keep_best`), so the pair graph they check is provably
+    * the same one.
+    */
+  lazy val MinHashPairsCte: String =
+    (s"""$MinHashSigCte,
       |bandx AS (
       |  SELECT sig.doc_id, sig.sig, t.b AS band_id,
       |    list_slice(sig.sig, t.b*4 + 1, t.b*4 + 4) AS band_key
@@ -664,12 +686,7 @@ object LlmQueries {
       |  WHERE a.doc_id < b.doc_id
       |    AND a.band_id = list_position(list_transform(generate_series(0,3),
       |      j -> list_slice(a.sig, j*4 + 1, j*4 + 4) = list_slice(b.sig, j*4 + 1, j*4 + 4)),
-      |      true) - 1)
-      |SELECT doc_a, doc_b,
-      |  CAST(round(1000.0 * list_sum(list_transform(generate_series(1,16),
-      |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16) AS BIGINT)
-      |    AS est_jaccard_milli
-      |FROM p ORDER BY doc_a, doc_b""").stripMargin
+      |      true) - 1)""").stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -986,6 +1003,33 @@ object LlmQueries {
     // band key = raw 4-row slice (zero-collision, engine-portable),
     // pair emitted only from its first agreeing band
     "dedup_minhash_pairs" -> MinHashPairsOracle,
+    // the SAME pair graph (shared CTE) -> recursive min-label
+    // components -> keep the highest-quality member per cluster
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE $MinHashPairsCte,
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |lbl(id, c) AS (
+        |  SELECT u, least(u, min(v)) FROM edges GROUP BY u
+        |  UNION
+        |  SELECT e.u, min(l.c) FROM edges e JOIN lbl l ON l.id = e.v GROUP BY e.u),
+        |comp AS (SELECT id, min(c) AS cluster FROM lbl GROUP BY id),
+        |q AS (SELECT doc_id,
+        |  CAST(round(1000.0 * len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |       t -> t = 'the' OR t = 'a'))
+        |       / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS quality_milli
+        |  FROM documents),
+        |lab AS (SELECT q.doc_id, coalesce(comp.cluster, q.doc_id) AS cluster,
+        |  q.quality_milli FROM q LEFT JOIN comp ON comp.id = q.doc_id),
+        |best AS (SELECT cluster, doc_id AS keep_id FROM (
+        |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY quality_milli DESC, doc_id ASC) AS rn FROM lab)
+        |  WHERE rn = 1)
+        |SELECT l.doc_id, l.cluster, l.quality_milli,
+        |  CAST(CASE WHEN l.doc_id = b.keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM lab l JOIN best b USING (cluster)
+        |ORDER BY l.doc_id""").stripMargin,
     // the STREAMING spelling provably emits the identical pair set
     // (same signatures, same first-agreeing-band rule, earlier id
     // first), so it shares the batch operator's oracle verbatim

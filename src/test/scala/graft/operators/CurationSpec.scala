@@ -91,4 +91,27 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, String, Long)].collect()
     assert(gated.forall(r => r._2 == 0L && r._5 == 0L && r._3 == 0L))
   }
+
+  test("keepBestPerCluster: the highest-quality near-dup survives, singletons always kept") {
+    // docs 1-3: identical text (one minhash cluster) except doc 2
+    // carries more stopwords -> higher quality_milli -> doc 2 kept,
+    // 1 and 3 dropped. doc 9: unrelated singleton -> kept.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val docs = Seq(
+      (1L, shared + "iota kappa"),
+      (2L, shared + "the a the"), // same shingle mass + stopword tail
+      (3L, shared + "iota kappa"),
+      (9L, "totally different words nothing shared here at all " * 5))
+      .toDF("doc_id", "text")
+    val got = Curation.keepBestPerCluster(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 4)
+    val cluster = got(1L)._2
+    assert(got(2L)._2 == cluster && got(3L)._2 == cluster,
+      s"near-dups not clustered together: $got")
+    assert(got(9L)._2 != cluster && got(9L)._4, "singleton must survive")
+    assert(got(2L)._4, s"highest-quality member not kept: $got")
+    assert(!got(1L)._4 && !got(3L)._4, s"losers kept: $got")
+  }
 }

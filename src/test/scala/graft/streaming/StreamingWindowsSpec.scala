@@ -142,6 +142,74 @@ class StreamingWindowsSpec extends SparkSpec {
       (7L, base + 60 * m, base + 60 * m + 30 * m, 1L, 400L)), s"got $got")
   }
 
+  test("checkpoint resume: stop after half the stream, restart on the same checkpoint, equals batch") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val batch = batchTotals(events)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val scratch = Files.createTempDirectory("graft-swin-resume").toString
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val narrow = events.select(
+      col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // phase 1: only the first half of the staged files exist; the
+    // query drains them and STOPS (windows still open in state)
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), 4, new java.io.File(base, "stage"), inDir)
+    val held = Option(inDir.listFiles()).get.filter(_.getName >= "b00002")
+    val stash = new java.io.File(base, "stash")
+    stash.mkdirs()
+    val mtimes = held.map(f => f.getName -> f.lastModified()).toMap
+    held.foreach { f =>
+      java.nio.file.Files.move(
+        f.toPath, new java.io.File(stash, f.getName).toPath)
+    }
+    val ss = StreamSessions.scoped(spark, 4)
+    def run(): Unit = {
+      val stream = graft.sources.FileIO
+        .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "0 seconds")
+      val q = graft.sources.FileIO.streamingParquetSink(
+        StreamingWindows.windowedTotals(stream, "1 hour"),
+        outDir.toString, ckpt).start()
+      q.awaitTermination()
+    }
+    run()
+    val afterPhase1 = spark.read.parquet(outDir.toString).count()
+    assert(afterPhase1 < batch.size, "phase 1 unexpectedly complete")
+    // phase 2: the rest of the files + the flush sentinel appear; a NEW
+    // query on the SAME checkpoint must resume the open state, not
+    // re-emit or drop phase-1 windows
+    Option(stash.listFiles()).get.foreach { f =>
+      val dst = new java.io.File(inDir, f.getName)
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtimes(f.getName))
+    }
+    val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir,
+      Seq((maxTs.getTime * 1000L + 2L * 3600L * 1000000L,
+        StreamingWindows.FlushSentinel, 0L))
+        .toDF("tsu", "event_type", "cents")
+        .select(timestamp_micros(col("tsu")).as("ts"),
+          col("event_type"), col("cents")))
+    val stream2 = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", "0 seconds")
+      .filter(col("ts") <= lit(maxTs))
+    val q2 = graft.sources.FileIO.streamingParquetSink(
+      StreamingWindows.windowedTotals(stream2, "1 hour"),
+      outDir.toString, ckpt).start()
+    q2.awaitTermination()
+    val got = spark.read.parquet(outDir.toString)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "a window emitted twice across the restart")
+    assert(got.toSet == batch, "resumed stream diverged from batch")
+    graft.sources.FileIO.deleteScratch(base)
+  }
+
   test("rows behind the watermark are dropped, not misaggregated") {
     // batch files arrive ts-ordered except one LATE row: it lands two
     // files later, 3 hours behind the stream's max seen ts, while the
