@@ -209,6 +209,20 @@ object AnalyticsQueries {
         horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch)
         .orderBy("user_id", "ptb")
     }),
+    // stream-stream LEFT OUTER attribution: purchases with no
+    // qualifying view still emit (nulls), produced at state-eviction
+    // time when the watermark proves no match can arrive
+    "stream_attribution_outer" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("attribution-outer")
+      graft.streaming.StreamingJoin.attributionOuterFromFiles(
+        s,
+        t(s, dir, "events").select(
+          col("user_id"), col("ts"), col("event_id").as("tb"),
+          col("event_type")),
+        viewType = "view", purchaseType = "purchase",
+        horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch)
+        .orderBy("user_id", "ptb")
+    }),
     // cohort retention: first-active-day cohorts x week offsets,
     // distinct users active per cell — two shuffles, no self-join
     "q_retention" -> ((s, dir) =>
@@ -861,6 +875,18 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.ptb, max(v.vtsm) AS view_tsm,
         |       p.ptsm - max(v.vtsm) AS lat_us
         |FROM p JOIN v ON p.user_id = v.user_id AND v.vtsm < p.ptsm
+        |  AND p.ptsm <= v.vtsm + 43200000000
+        |GROUP BY p.user_id, p.ptb, p.ptsm
+        |ORDER BY 1, 2""".stripMargin,
+    // LEFT JOIN spelling: max over no views = NULL, lat_us NULL too
+    "stream_attribution_outer" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vtsm FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS ptb, epoch_us(ts) AS ptsm
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ptb, max(v.vtsm) AS view_tsm,
+        |       p.ptsm - max(v.vtsm) AS lat_us
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.vtsm < p.ptsm
         |  AND p.ptsm <= v.vtsm + 43200000000
         |GROUP BY p.user_id, p.ptb, p.ptsm
         |ORDER BY 1, 2""".stripMargin,

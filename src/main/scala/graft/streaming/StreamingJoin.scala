@@ -120,6 +120,91 @@ object StreamingJoin {
         (col("ptsm") - col("view_tsm")).as("lat_us"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER attribution — the
+    * semantics [[attributionPairs]]' inner join can't express: a
+    * purchase with NO qualifying view still emits, with nulls, and
+    * that emission happens only when the WATERMARK proves no matching
+    * view can still arrive (matched pairs emit immediately; the null
+    * row is produced at state EVICTION time — the outer join's whole
+    * mechanism). State bounds are the inner join's: both sides
+    * watermarked, the range condition derives each side's expiry.
+    *
+    * Drain completeness needs the same flush discipline as
+    * [[StreamingWindows]]: the last purchases' null verdicts wait on
+    * the GLOBAL watermark (min across both sources), so each source
+    * ends with a sentinel row past `max ts + horizon`, excluded from
+    * the join by an EVENT-TIME bound (any other-column predicate
+    * would be pushed below the watermark collector — see
+    * StreamingWindows' class doc).
+    */
+  def attributionOuterFromFiles(
+      spark: SparkSession,
+      events: DataFrame, // (user_id, ts: timestamp, tb, event_type)
+      viewType: String,
+      purchaseType: String,
+      horizonUs: Long,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 8): DataFrame = {
+    val base = new java.io.File(scratch)
+    val vIn = new java.io.File(base, "vin")
+    val pIn = new java.io.File(base, "pin")
+    val outDir = new java.io.File(base, "out")
+    def narrow(t: String) = events
+      .filter(col("event_type") === t)
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("tb").cast("long").as("tb"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow(viewType), col("ts"), nBatches,
+      new java.io.File(base, "vstage"), vIn)
+    graft.sources.FileIO.stageRangeBatches(
+      narrow(purchaseType), col("ts"), nBatches,
+      new java.io.File(base, "pstage"), pIn)
+    val maxTs = events.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val flushMs = maxTs.getTime + horizonUs / 1000L + 7200000L
+    val schema = narrow(viewType).schema
+    for (dir <- Seq(vIn, pIn)) graft.sources.FileIO.appendSentinelFile(
+      spark, dir,
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, new java.sql.Timestamp(flushMs), -1L)), schema))
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    def src(dir: java.io.File) = graft.sources.FileIO
+      .streamParquet(ss, dir.toString, schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", "0 seconds")
+      .filter(col("ts") <= lit(maxTs)) // event-time bound, see doc
+    val v = src(vIn).select(
+      col("user_id").as("v_uid"), col("ts").as("v_ts"), col("tb").as("v_tb"))
+    val p = src(pIn).select(
+      col("user_id").as("p_uid"), col("ts").as("p_ts"), col("tb").as("p_tb"))
+    val joined = p.join(
+        v,
+        col("v_uid") === col("p_uid") &&
+          col("v_ts") < col("p_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"),
+        "left_outer")
+      .select(
+        col("p_uid").as("user_id"),
+        col("p_tb").as("ptb"),
+        unix_micros(col("p_ts")).as("ptsm"),
+        unix_micros(col("v_ts")).as("vtsm")) // null for unattributed
+    val q = graft.sources.FileIO.streamingParquetSink(
+      joined, outDir.toString, new java.io.File(base, "ckpt").toString).start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "vstage"), new java.io.File(base, "pstage"),
+      vIn, pIn, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.parquet(outDir.toString)
+      .groupBy(col("user_id"), col("ptb"), col("ptsm"))
+      .agg(max(col("vtsm")).as("view_tsm")) // null iff unattributed
+      .select(
+        col("user_id"), col("ptb"), col("view_tsm"),
+        (col("ptsm") - col("view_tsm")).as("lat_us"))
+  }
+
   /** STREAM-STATIC enrichment join — the other canonical streaming
     * join shape: an unbounded event stream decorated per-row from a
     * bounded dimension table. Entirely STATELESS: the static side is
