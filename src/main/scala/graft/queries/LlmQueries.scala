@@ -305,6 +305,15 @@ object LlmQueries {
     "emb_gram" -> ((s, dir) =>
       Similarity.embGram(embs(s, dir), col("embedding"))
         .orderBy("i", "j")),
+    // deterministic +/-1 random projection (JL/Achlioptas): 64 -> 16
+    // dims through the native DotLong kernel, the sign matrix derived
+    // from portable md5 so the oracle re-derives it cell by cell
+    "emb_project" -> ((s, dir) =>
+      Similarity.projectSigned(
+        embs(s, dir), col("vec_id"), col("embedding"), inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "proj")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"), col("proj"))
+        .orderBy("vec_id", "pos")),
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroids(embs(s, dir), col("label"), col("embedding"))
         .select(col("cell").as("label"), col("pos").cast("bigint").as("pos"),
@@ -880,6 +889,23 @@ object LlmQueries {
         |  FROM dots)
         |SELECT qid, rnk, cid, dot_q FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // G[i][j] = sum of q_i*q_j over the corpus, plus per-dim sums + n
+    // the sign matrix is re-derived per cell from md5('p:i:j') parity —
+    // the projection is knowledge, not shipped state
+    "emb_project" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(t.j AS INT) AS pos,
+        |  CAST(list_sum(list_transform(generate_series(1,64), i ->
+        |    q[i] * (CASE WHEN list_reduce(list_transform(
+        |      string_split(substr(md5('p:' || CAST(i-1 AS VARCHAR) || ':' ||
+        |        CAST(t.j AS VARCHAR)), 1, 14), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT)
+        |  AS proj
+        |FROM q CROSS JOIN range(16) AS t(j)
+        |ORDER BY vec_id, pos""".stripMargin,
     "emb_gram" ->
       """WITH q AS (
         |  SELECT vec_id,

