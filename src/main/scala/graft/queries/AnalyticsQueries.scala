@@ -110,7 +110,8 @@ object AnalyticsQueries {
       graft.streaming.StreamingWindows.windowedTotalsFromFiles(
         s,
         t(s, dir, "events").select(col("ts"), col("event_type"), col("value")),
-        windowDur = "1 hour", delay = "0 seconds", nBatches = 4, scratch)
+        windowDur = "1 hour", delay = "0 seconds", nBatches = 4, scratch,
+        statePartitions = 4)
         .orderBy("win_us", "event_type")
     }),
     // data-quality audit: nullability/range/vocabulary/uniqueness/
@@ -132,7 +133,7 @@ object AnalyticsQueries {
       graft.streaming.StreamingRollup.rollupFromFiles(
         s,
         t(s, dir, "events").select(col("ts"), col("event_type"), col("value")),
-        nBuckets = 4, nBatches = 4, scratch)
+        nBuckets = 4, nBatches = 4, scratch, statePartitions = 4)
         .orderBy("day", "event_type")
     }),
     // streaming upsert sink: last-write-wins keyed store maintained by
@@ -145,7 +146,8 @@ object AnalyticsQueries {
         s,
         t(s, dir, "events").select(
           col("user_id"), col("ts"), col("event_id"), col("value")),
-        nBuckets = 8, nBatches = 4, redeliver = Seq(1), scratch)
+        nBuckets = 8, nBatches = 4, redeliver = Seq(1), scratch,
+        statePartitions = 4)
         .orderBy("user_id")
     }),
     // native session windows: dynamic-gap per (user, session) rollup,
@@ -156,7 +158,8 @@ object AnalyticsQueries {
       graft.streaming.StreamingWindows.sessionTotalsFromFiles(
         s,
         t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
-        gap = "30 minutes", delay = "0 seconds", nBatches = 4, scratch)
+        gap = "30 minutes", delay = "0 seconds", nBatches = 4, scratch,
+        statePartitions = 4)
         .orderBy("user_id", "sess_start_us")
     }),
     // exactly-once rollup from an at-least-once stream: injected
@@ -170,7 +173,7 @@ object AnalyticsQueries {
         t(s, dir, "events").select(
           col("event_id"), col("ts"), col("event_type"), col("value")),
         windowDur = "1 hour", delay = "3 hours",
-        nBatches = 4, redeliver = Seq(0, 3), scratch)
+        nBatches = 4, redeliver = Seq(0, 3), scratch, statePartitions = 4)
         .orderBy("win_us", "event_type")
     }),
     // sliding-window rollup: every event in dur/slide overlapping
@@ -181,7 +184,7 @@ object AnalyticsQueries {
         s,
         t(s, dir, "events").select(col("ts"), col("event_type"), col("value")),
         windowDur = "2 hours", slide = "1 hour", delay = "0 seconds",
-        nBatches = 4, scratch)
+        nBatches = 4, scratch, statePartitions = 4)
         .orderBy("win_us", "event_type")
     }),
     // stream-static enrichment: events stream decorated per-row from
@@ -192,7 +195,7 @@ object AnalyticsQueries {
       graft.streaming.StreamingJoin.enrichBySegmentFromFiles(
         s,
         t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
-        t(s, dir, "customer"), nBatches = 4, scratch)
+        t(s, dir, "customer"), nBatches = 4, scratch, statePartitions = 4)
         .orderBy("c_mktsegment")
     }),
     // stream-stream attribution join: view and purchase streams join
@@ -220,7 +223,8 @@ object AnalyticsQueries {
           col("user_id"), col("ts"), col("event_id").as("tb"),
           col("event_type")),
         viewType = "view", purchaseType = "purchase",
-        horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch)
+        horizonUs = 12L * 3600L * 1000000L, nBatches = 4, scratch,
+        statePartitions = 4)
         .orderBy("user_id", "ptb")
     }),
     // cohort retention: first-active-day cohorts x week offsets,
