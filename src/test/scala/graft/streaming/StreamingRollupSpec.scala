@@ -32,6 +32,60 @@ class StreamingRollupSpec extends SparkSpec {
     }
   }
 
+  test("REAL crash-replay: lost commit marker replays the batch through the engine; guard refuses it") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val batch = batchRollup(events)
+    val scratch = Files.createTempDirectory("graft-rollup-crash").toString
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val storeDir = new java.io.File(base, "store").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val narrow = events.select(
+      col("ts"), col("event_type").as("etype"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("ts"), 4, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, 2)
+    val rewrites = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def run(): Unit = {
+      val q = graft.sources.FileIO
+        .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          rewrites += StreamingRollup.mergeAdditive(
+            ss, df.select(to_date(col("ts")).as("day"), col("etype"), col("cents")),
+            storeDir, nBuckets = 4, id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // batches 0..3 merged and committed
+    def store() = spark.read.parquet(storeDir)
+      .select(col("day").cast("string"), col("etype"), col("cnt"), col("cents"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val after1 = store()
+    // crash window: the merge landed but the batch's commit marker was
+    // lost -> the engine MUST replay the last batch under the same id
+    val last = new java.io.File(s"$ckpt/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).map(_.toLong).max
+    val marker = new java.io.File(s"$ckpt/commits/$last")
+    assert(marker.delete(), s"missing $marker")
+    val crc = new java.io.File(marker.getParentFile, s".${marker.getName}.crc")
+    if (crc.exists()) crc.delete()
+    val before = rewrites.size
+    run() // restart: replays batch `last`
+    assert(rewrites.size > before, "engine did not replay the batch")
+    assert(rewrites.drop(before).forall(_ == 0),
+      s"replayed batch rewrote buckets: ${rewrites.drop(before)}")
+    assert(store() == after1 && after1 == batch
+      .map(r => (r._1, r._2, r._3, r._4)),
+      "crash replay changed the store")
+    graft.sources.FileIO.deleteScratch(base)
+  }
+
   test("replay guard: full and TORN same-batch replays converge to exactly-once content") {
     val scratch = Files.createTempDirectory("graft-rollup-replay").toString
     val store = s"$scratch/store"
