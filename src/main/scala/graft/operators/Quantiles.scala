@@ -73,8 +73,14 @@ object Quantiles {
     * agree) before bucketing. Mergeable: sketches of two corpora add.
     */
   def sketch(df: DataFrame, group: Column, value: Column): DataFrame =
-    df.select(group.as("grp"),
-      bucketId(round(value * 1000000).cast("bigint")).as("bucket_id"))
+    sketchMicro(df, group, round(value * 1000000).cast("bigint"))
+
+  /** [[sketch]] over a column that is ALREADY micro-quantized int64 —
+    * the entry point for second-round sketches (e.g. absolute
+    * deviations in [[outliersMad]]) where re-scaling would be wrong.
+    */
+  def sketchMicro(df: DataFrame, group: Column, valueMicro: Column): DataFrame =
+    df.select(group.as("grp"), bucketId(valueMicro).as("bucket_id"))
       .groupBy(col("grp"), col("bucket_id"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -112,5 +118,70 @@ object Quantiles {
         col("bucket_id"),
         bucketLo(col("bucket_id")).as("lo_micro"),
         bucketHi(col("bucket_id")).as("hi_micro"))
+  }
+
+  /** Deterministic single-value representative of a picked bucket:
+    * the floor midpoint of its exact bounds. Integer arithmetic
+    * (shared floor-div), so a DuckDB oracle reproduces it bit-exactly.
+    */
+  def bucketMid(lo: Column, hi: Column): Column =
+    CorpusStats.fdiv(lo + hi, lit(2L))
+
+  /** Scale-safe replacement for the exact `percentile()` family:
+    * per-group n + median and p90 BOUNDS, all answered from ONE
+    * mergeable log-histogram aggregate (≤ ~2000 int buckets per
+    * group). No aggregation buffer anywhere grows with the number of
+    * distinct values — the hazard of Spark's exact `Percentile`
+    * (a per-group value map) that this spelling exists to remove.
+    * The true quantile provably lies inside each [lo, hi] (relative
+    * width ≤ 2^-3).
+    */
+  def percentileStats(df: DataFrame, group: Column, value: Column): DataFrame =
+    quantiles(df, group, value, permille = Seq(500, 900))
+      .groupBy(col("grp"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("q_permille") === 500, col("lo_micro"))).as("med_lo_micro"),
+        max(when(col("q_permille") === 500, col("hi_micro"))).as("med_hi_micro"),
+        max(when(col("q_permille") === 900, col("lo_micro"))).as("p90_lo_micro"),
+        max(when(col("q_permille") === 900, col("hi_micro"))).as("p90_hi_micro"))
+
+  /** Robust per-group outliers via sketch-derived median + MAD — the
+    * scale-safe re-spelling of the exact-percentile MAD (which buffers
+    * every distinct value of a group in one aggregation buffer). Two
+    * sketch rounds: median of the micro values, then median of the
+    * absolute deviations from the (deterministic, integer) bucket
+    * midpoint; both model-sized results broadcast back. Flags values
+    * whose deviation exceeds `cut`·MAD. Every quantity is exact int64
+    * — a DuckDB oracle replays both rounds and every flag bit-exactly.
+    * Shape at scale: three passes over the data, each a map-side-
+    * combinable aggregate or a broadcast-join + aggregate; per-group
+    * state never exceeds the ≤2000-bucket sketch.
+    */
+  def outliersMad(
+      df: DataFrame, group: Column, valueMicro: Column, cut: Long): DataFrame = {
+    val v = df.select(group.as("g"), valueMicro.as("vm"))
+    val med = quantilesFromSketch(
+        sketchMicro(v, col("g"), col("vm")), permille = Seq(500))
+      .select(col("grp").as("g"),
+        bucketMid(col("lo_micro"), col("hi_micro")).as("med_micro"))
+    val withDev = v.join(broadcast(med), "g")
+      .withColumn("dev", abs(col("vm") - col("med_micro")))
+    val mad = quantilesFromSketch(
+        sketchMicro(withDev, col("g"), col("dev")), permille = Seq(500))
+      .select(col("grp").as("g"),
+        bucketMid(col("lo_micro"), col("hi_micro")).as("mad_micro"))
+    withDev.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med_micro")).as("med_micro"),
+        max(col("mad_micro")).as("mad_micro"),
+        sum(when(col("dev") > lit(cut) * col("mad_micro"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(when(col("dev") > lit(cut) * col("mad_micro"), col("vm")))
+          .as("lo_outlier_micro"),
+        max(when(col("dev") > lit(cut) * col("mad_micro"), col("vm")))
+          .as("hi_outlier_micro"))
   }
 }

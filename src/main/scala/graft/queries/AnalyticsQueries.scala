@@ -299,14 +299,15 @@ object AnalyticsQueries {
         .select(col("w_user"), col("event_id"), col("t"))
         .orderBy("w_user", "event_id")
     }),
+    // scale-safe percentile family: median/p90 BOUNDS from ONE
+    // mergeable log-histogram aggregate (≤2000 int buckets/group) —
+    // no exact-Percentile value-map buffer anywhere (the executor-OOM
+    // hazard at 100× data); exact spelling kept as a fixture-scale
+    // parity spec
     "q_percentiles" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          expr("percentile(value, 0.5)").as("median_value"),
-          expr("percentile(value, 0.9)").as("p90_value"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")),
+      graft.operators.Quantiles.percentileStats(
+        t(s, dir, "events"), col("event_type"), col("value"))
+        .orderBy("grp")),
     // dense daily grid per user with forward-fill: distributed
     // sequence/explode calendar, one (key, day) co-partitioned join,
     // one last(ignoreNulls) running frame per key
@@ -314,12 +315,15 @@ object AnalyticsQueries {
       Analytics.resampleDailyFfill(
         t(s, dir, "events"), col("user_id"), col("ts"), cents(col("value")))
         .orderBy("user_id", "day")),
-    // robust outliers per group: median + MAD (two aggregate passes,
-    // model-sized stats broadcast back, no self-join), flag beyond
-    // 5 MAD — the curation-grade "drop pathological values" spelling
+    // robust outliers per group: sketch-derived median + MAD (two
+    // sketch rounds, model-sized stats broadcast back, no self-join,
+    // NO exact-percentile buffer), flag beyond 5·MAD — the
+    // curation-grade "drop pathological values" spelling; the exact
+    // spelling survives as a fixture-scale parity spec
     "q_outlier_mad" -> ((s, dir) =>
-      Analytics.outliersMad(
-        t(s, dir, "events"), col("event_type"), col("value"), cut = 5.0)
+      graft.operators.Quantiles.outliersMad(
+        t(s, dir, "events"), col("event_type"),
+        round(col("value") * 1000000).cast("bigint"), cut = 5L)
         .orderBy("g")),
     // log-histogram quantile sketch: exact per-group percentile
     // buffering replaced by ONE mergeable aggregate over ~2000 integer
@@ -682,41 +686,61 @@ object AnalyticsQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS session_cents
       |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
 
+  /** DuckDB CTE chain replaying one sketch round (micro-quantize →
+    * log2 bucket + 3 mantissa bits → counts → cumulative pick at
+    * ceil(q·n/1000) → exact bucket bounds) over relation `src`, which
+    * must expose (grp, vm BIGINT). Emits relations suffixed `tag`;
+    * the result relation `picked<tag>` has (grp, q_permille, n,
+    * q_rank, bucket_id, lo_micro, hi_micro) — the same integer
+    * spellings as the Spark operator (bin-string bitlen, exact 2^k
+    * cast, floor-div), so every count and pick matches bit-exactly.
+    */
+  private def sketchPickCtes(tag: String, src: String, permilles: Seq[Int]): String =
+    s"""b$tag AS (SELECT grp,
+       |    CASE WHEN vm = 0 THEN 0 WHEN vm > 0 THEN mag ELSE -mag END AS bucket_id
+       |  FROM (SELECT grp, vm,
+       |          CASE WHEN a <= 15 THEN a
+       |               ELSE 16 * bl + ((a - ((a % p) + p) % p) // p) END AS mag
+       |        FROM (SELECT grp, vm, a, bl,
+       |                CAST(power(2, bl - 4) AS BIGINT) AS p
+       |              FROM (SELECT grp, vm, abs(vm) AS a,
+       |                      CAST(length(bin(abs(vm))) AS BIGINT) AS bl FROM $src)))),
+       |sk$tag AS (SELECT grp, bucket_id, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM b$tag GROUP BY grp, bucket_id),
+       |cum$tag AS (SELECT grp, bucket_id, cnt,
+       |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket_id) AS cum FROM sk$tag),
+       |r$tag AS (SELECT grp, n, q_permille,
+       |    ((q_permille * n + 999) - (((q_permille * n + 999) % 1000) + 1000) % 1000) // 1000 AS q_rank
+       |  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM sk$tag GROUP BY grp)
+       |  CROSS JOIN (SELECT UNNEST([${permilles.mkString(", ")}]) AS q_permille)),
+       |pk$tag AS (SELECT r.grp, r.q_permille, r.n, r.q_rank,
+       |    min(c.bucket_id) AS bucket_id
+       |  FROM r$tag r JOIN cum$tag c ON r.grp = c.grp AND c.cum >= r.q_rank
+       |  GROUP BY r.grp, r.q_permille, r.n, r.q_rank),
+       |picked$tag AS (SELECT grp, CAST(q_permille AS BIGINT) AS q_permille, n, q_rank, bucket_id,
+       |  CASE WHEN bucket_id < 0 THEN -hi_pos ELSE lo_pos END AS lo_micro,
+       |  CASE WHEN bucket_id < 0 THEN -lo_pos ELSE hi_pos END AS hi_micro
+       |FROM (SELECT grp, q_permille, n, q_rank, bucket_id,
+       |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp END AS lo_pos,
+       |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp + (pp - 1) END AS hi_pos
+       |      FROM (SELECT grp, q_permille, n, q_rank, bucket_id, mag,
+       |              mag % 16 AS sub,
+       |              CAST(power(2, (mag // 16) - 4) AS BIGINT) AS pp
+       |            FROM (SELECT *, abs(bucket_id) AS mag FROM pk$tag))))""".stripMargin
+
+  /** Floor midpoint of the picked bucket's bounds — the deterministic
+    * representative [[graft.operators.Quantiles.bucketMid]] uses;
+    * safe floor-div spelling (DuckDB `//` truncates).
+    */
+  private def midSql(lo: String, hi: String): String =
+    s"(($lo + $hi) - ((($lo + $hi) % 2) + 2) % 2) // 2"
+
   private val QuantileSketchOracle: String =
-    """WITH v AS (SELECT event_type AS grp,
-        |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
-        |b AS (SELECT grp,
-        |    CASE WHEN vm = 0 THEN 0 WHEN vm > 0 THEN mag ELSE -mag END AS bucket_id
-        |  FROM (SELECT grp, vm,
-        |          CASE WHEN a <= 15 THEN a
-        |               ELSE 16 * bl + ((a - ((a % p) + p) % p) // p) END AS mag
-        |        FROM (SELECT grp, vm, a, bl,
-        |                CAST(power(2, bl - 4) AS BIGINT) AS p
-        |              FROM (SELECT grp, vm, abs(vm) AS a,
-        |                      CAST(length(bin(abs(vm))) AS BIGINT) AS bl FROM v)))),
-        |sk AS (SELECT grp, bucket_id, CAST(count(*) AS BIGINT) AS cnt
-        |       FROM b GROUP BY grp, bucket_id),
-        |cum AS (SELECT grp, bucket_id, cnt,
-        |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket_id) AS cum FROM sk),
-        |r AS (SELECT grp, n, q_permille,
-        |    ((q_permille * n + 999) - (((q_permille * n + 999) % 1000) + 1000) % 1000) // 1000 AS q_rank
-        |  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY grp)
-        |  CROSS JOIN (SELECT UNNEST([500, 900, 990]) AS q_permille)),
-        |picked AS (SELECT r.grp, r.q_permille, r.n, r.q_rank,
-        |    min(c.bucket_id) AS bucket_id
-        |  FROM r JOIN cum c ON r.grp = c.grp AND c.cum >= r.q_rank
-        |  GROUP BY r.grp, r.q_permille, r.n, r.q_rank)
-        |SELECT grp, CAST(q_permille AS BIGINT) AS q_permille, n, q_rank, bucket_id,
-        |  CASE WHEN bucket_id < 0 THEN -hi_pos ELSE lo_pos END AS lo_micro,
-        |  CASE WHEN bucket_id < 0 THEN -lo_pos ELSE hi_pos END AS hi_micro
-        |FROM (SELECT grp, q_permille, n, q_rank, bucket_id,
-        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp END AS lo_pos,
-        |        CASE WHEN mag <= 15 THEN mag ELSE sub * pp + (pp - 1) END AS hi_pos
-        |      FROM (SELECT grp, q_permille, n, q_rank, bucket_id, mag,
-        |              mag // 16 AS bb, mag % 16 AS sub,
-        |              CAST(power(2, (mag // 16) - 4) AS BIGINT) AS pp
-        |            FROM (SELECT *, abs(bucket_id) AS mag FROM picked)))
-        |ORDER BY grp, q_permille""".stripMargin
+    s"""WITH v AS (SELECT event_type AS grp,
+       |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+       |${sketchPickCtes("", "v", Seq(500, 900, 990))}
+       |SELECT grp, q_permille, n, q_rank, bucket_id, lo_micro, hi_micro
+       |FROM picked ORDER BY grp, q_permille""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -950,12 +974,18 @@ object AnalyticsQueries {
         |SELECT w_user, event_id, t
         |FROM p JOIN i ON p.t >= i.lo AND p.t <= i.hi
         |ORDER BY w_user, event_id""".stripMargin,
+    // sketch replay (same integer spellings as the operator), pivoted
+    // wide: median/p90 bounds per group from one sketch
     "q_percentiles" ->
-      """SELECT event_type,
-        |  quantile_cont(value, 0.5) AS median_value,
-        |  quantile_cont(value, 0.9) AS p90_value,
-        |  count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      s"""WITH v AS (SELECT event_type AS grp,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+         |${sketchPickCtes("", "v", Seq(500, 900))}
+         |SELECT grp, max(n) AS n,
+         |  max(CASE WHEN q_permille = 500 THEN lo_micro END) AS med_lo_micro,
+         |  max(CASE WHEN q_permille = 500 THEN hi_micro END) AS med_hi_micro,
+         |  max(CASE WHEN q_permille = 900 THEN lo_micro END) AS p90_lo_micro,
+         |  max(CASE WHEN q_permille = 900 THEN hi_micro END) AS p90_hi_micro
+         |FROM picked GROUP BY grp ORDER BY grp""".stripMargin,
     // dense calendar per user; ffill = last non-null observed daily
     "q_resample_ffill" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
@@ -973,17 +1003,28 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents
         |FROM j ORDER BY user_id, day""".stripMargin,
-    // same median/MAD interpolation as q_percentiles (proven parity)
+    // two sketch rounds replayed (median of values, then median of
+    // abs deviations from the bucket-midpoint representative); every
+    // flag decision exact int64
     "q_outlier_mad" ->
-      """WITH v AS (SELECT event_type AS g, value AS v FROM events),
-        |m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM v GROUP BY g),
-        |d AS (SELECT v.g, v.v, abs(v.v - m.med) AS dev FROM v JOIN m USING (g)),
-        |md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY g)
-        |SELECT d.g, count(*) AS n,
-        |  CAST(sum(CASE WHEN dev > 5.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  min(CASE WHEN dev > 5.0 * mad THEN v END) AS lo_outlier,
-        |  max(CASE WHEN dev > 5.0 * mad THEN v END) AS hi_outlier
-        |FROM d JOIN md USING (g) GROUP BY d.g ORDER BY d.g""".stripMargin,
+      s"""WITH v0 AS (SELECT event_type AS g,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+         |v AS (SELECT g AS grp, vm FROM v0),
+         |${sketchPickCtes("1", "v", Seq(500))},
+         |med AS (SELECT grp AS g,
+         |    ${midSql("lo_micro", "hi_micro")} AS med_micro FROM picked1),
+         |d0 AS (SELECT v0.g, v0.vm, m.med_micro,
+         |    abs(v0.vm - m.med_micro) AS dev FROM v0 JOIN med m USING (g)),
+         |d AS (SELECT g AS grp, dev AS vm FROM d0),
+         |${sketchPickCtes("2", "d", Seq(500))},
+         |mad AS (SELECT grp AS g,
+         |    ${midSql("lo_micro", "hi_micro")} AS mad_micro FROM picked2)
+         |SELECT d0.g, count(*) AS n,
+         |  max(d0.med_micro) AS med_micro, max(md.mad_micro) AS mad_micro,
+         |  CAST(sum(CASE WHEN dev > 5 * md.mad_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  min(CASE WHEN dev > 5 * md.mad_micro THEN d0.vm END) AS lo_outlier_micro,
+         |  max(CASE WHEN dev > 5 * md.mad_micro THEN d0.vm END) AS hi_outlier_micro
+         |FROM d0 JOIN mad md USING (g) GROUP BY d0.g ORDER BY d0.g""".stripMargin,
     // the online sketch equals the batch sketch exactly (associative
     // counting) — the streaming gate shares the oracle verbatim
     "stream_quantile_sketch" -> QuantileSketchOracle,

@@ -68,4 +68,59 @@ class QuantilesSpec extends SparkSpec {
     val n = Quantiles.sketch(v, lit("g"), col("v")).count()
     assert(n < 2000, s"sketch has $n buckets")
   }
+
+  test("percentileStats: exact percentile() parity at fixture scale — " +
+    "exact median/p90 inside the sketch bounds") {
+    val events = spark.read.parquet(s"$Sf0001/events.parquet")
+    val got = Quantiles.percentileStats(events, col("event_type"), col("value"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // the exact spelling this operator replaces, kept here as the
+    // fixture-scale parity oracle (discrete exact percentile)
+    val exact = events.select(col("event_type"),
+      round(col("value") * 1000000).cast("bigint").as("vm"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    assert(got.nonEmpty)
+    got.foreach { case (g, n, medLo, medHi, p90Lo, p90Hi) =>
+      val vs = exact(g)
+      assert(n == vs.length)
+      val med = vs((((500L * n + 999) / 1000) - 1).toInt)
+      val p90 = vs((((900L * n + 999) / 1000) - 1).toInt)
+      assert(medLo <= med && med <= medHi, s"$g median $med outside [$medLo,$medHi]")
+      assert(p90Lo <= p90 && p90 <= p90Hi, s"$g p90 $p90 outside [$p90Lo,$p90Hi]")
+    }
+  }
+
+  test("percentileStats plan has no exact Percentile aggregate (the " +
+    "per-group value-map buffer this spelling removes)") {
+    val events = spark.read.parquet(s"$Sf0001/events.parquet")
+    val plans = Seq(
+      Quantiles.percentileStats(events, col("event_type"), col("value")),
+      Quantiles.outliersMad(events, col("event_type"),
+        round(col("value") * 1000000).cast("bigint"), cut = 5L))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("percentile("), s"exact percentile in plan:\n$p")
+    }
+  }
+
+  test("outliersMad (sketch): planted far outliers flagged, tight cluster not; " +
+    "deterministic across partitionings") {
+    // 200 inliers in [100, 102) and 3 planted outliers at 1e6 —
+    // dev(outlier) >> 5·MAD for any in-bucket median representative
+    val inliers = spark.range(200)
+      .select(lit("g").as("grp"), (lit(100.0) + col("id") / 100.0).as("v"))
+    val outs = Seq(1000000.0, 1000001.0, -999999.0).toDF("v")
+      .select(lit("g").as("grp"), col("v"))
+    val df = inliers.unionByName(outs)
+    def run(parts: Int) = Quantiles.outliersMad(
+        df.repartition(parts), col("grp"),
+        round(col("v") * 1000000).cast("bigint"), cut = 5L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val r1 = run(1)
+    assert(r1 == run(7), "result depends on partitioning")
+    val (_, n, _, _, nOut, lo, hi) = r1.head
+    assert(n == 203 && nOut == 3, s"expected 3 outliers of 203, got $nOut of $n")
+    assert(lo == -999999000000L && hi == 1000001000000L)
+  }
 }
