@@ -639,30 +639,50 @@ object AnalyticsQueries {
     * the Spark operator (bin-string bitlen, exact 2^k cast,
     * floor-div). Shared verbatim by the batch and streaming gates
     * (associative counting makes them row-identical). */
-  /** Strict-chain EXISTS spelling of the windowed funnel; shared
-    * verbatim by the batch kernel gate and the streaming fold gate
-    * (identical semantics by the resumable-fold argument). */
+  /** Linear replay of the k-slot max-chain-start fold
+    * (`functions/FunnelKernel.scala` `advance`): slot j's running
+    * value is the max chain-start over depth-(j+1) chains among
+    * strictly-earlier events, so each slot is one windowed running
+    * max with a `RANGE … 1 PRECEDING` frame (integer µs order —
+    * excluding the frame's current timestamp IS the kernel's
+    * equal-time-group commit rule). s0_prev = latest view strictly
+    * before; vstart = that chain start if the click lands inside the
+    * horizon; s1_prev = max vstart over clicks strictly before; a
+    * purchase completes iff it lands within horizon of s1_prev.
+    * O(n log n) per user vs the old EXISTS spelling's O(n^k) — the
+    * spelling that made this oracle sf1-infeasible (>78 GB of DuckDB
+    * spill at ~660 events/user). Shared verbatim by the batch kernel
+    * gate and the streaming fold gate (identical semantics by the
+    * resumable-fold argument). */
   private val FunnelOracle: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_type FROM events),
-      |u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
-      |u2 AS (SELECT DISTINCT e1.user_id
-      |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
-      |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-      |         AND e2.tsm > e1.tsm AND e2.tsm <= e1.tsm + 43200000000),
-      |u3 AS (SELECT DISTINCT e1.user_id
-      |       FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
-      |                 JOIN e e3 ON e1.user_id = e3.user_id
-      |       WHERE e1.event_type = 'view' AND e2.event_type = 'click'
-      |         AND e3.event_type = 'purchase'
-      |         AND e2.tsm > e1.tsm AND e3.tsm > e2.tsm
-      |         AND e3.tsm <= e1.tsm + 43200000000)
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsm, event_type FROM events
+      |           WHERE event_type IN ('view', 'click', 'purchase')),
+      |w AS (SELECT user_id, tsm, event_type,
+      |        max(CASE WHEN event_type = 'view' THEN tsm END) OVER
+      |          (PARTITION BY user_id ORDER BY tsm
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s0_prev
+      |      FROM e),
+      |w2 AS (SELECT user_id, tsm, event_type,
+      |        CASE WHEN event_type = 'click' AND s0_prev IS NOT NULL
+      |              AND tsm <= s0_prev + 43200000000 THEN s0_prev END AS vstart
+      |       FROM w),
+      |w3 AS (SELECT user_id, tsm, event_type, vstart,
+      |        max(vstart) OVER (PARTITION BY user_id ORDER BY tsm
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1_prev
+      |       FROM w2),
+      |d AS (SELECT user_id,
+      |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d1,
+      |        max(CASE WHEN vstart IS NOT NULL THEN 1 ELSE 0 END) AS d2,
+      |        max(CASE WHEN event_type = 'purchase' AND s1_prev IS NOT NULL
+      |              AND tsm <= s1_prev + 43200000000 THEN 1 ELSE 0 END) AS d3
+      |      FROM w3 GROUP BY user_id)
       |SELECT * FROM (
       |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
-      |         (SELECT count(*) FROM u1) AS n_users
+      |         CAST((SELECT count(*) FROM d WHERE d1 = 1) AS BIGINT) AS n_users
       |  UNION ALL
-      |  SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM u2)
+      |  SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM d WHERE d2 = 1)
       |  UNION ALL
-      |  SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM u3))
+      |  SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM d WHERE d3 = 1))
       |WHERE n_users > 0 ORDER BY step""".stripMargin
 
   /** Gap rule: strictly-greater breaks (an event exactly `gap` after

@@ -50,6 +50,50 @@ class FunnelSpec extends SparkSpec {
     assert(depthOf(Seq((5L, 2L), (6L, 1L)), 100L) == 0L)
   }
 
+  test("the oracle's window-fold spelling equals the kernel on dense " +
+    "random histories (pins the sf1-feasible DuckDB oracle)") {
+    // mirror of FunnelOracle: each slot is a running max with a
+    // RANGE … 1 PRECEDING frame (excluding the current timestamp is
+    // the kernel's equal-time-group commit rule); Spark and DuckDB
+    // share the frame semantics, so green here pins the DuckDB side
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(271)
+    val h = 6L
+    val rows = (1 to 500).flatMap { id =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => (id.toLong, rnd.nextInt(20).toLong, rnd.nextInt(3).toLong))
+    }
+    val df = rows.toDF("user_id", "tsm", "ti")
+    val w = Window.partitionBy("user_id").orderBy("tsm")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val oracle = df
+      .withColumn("s0_prev", max(when(col("ti") === 0, col("tsm"))).over(w))
+      .withColumn("vstart", when(col("ti") === 1 && col("s0_prev").isNotNull
+        && col("tsm") <= col("s0_prev") + h, col("s0_prev")))
+      .withColumn("s1_prev", max(col("vstart")).over(w))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("ti") === 0, 1L).otherwise(0L)).as("d1"),
+        max(when(col("vstart").isNotNull, 1L).otherwise(0L)).as("d2"),
+        max(when(col("ti") === 2 && col("s1_prev").isNotNull
+          && col("tsm") <= col("s1_prev") + h, 1L).otherwise(0L)).as("d3"))
+      .select(col("user_id"),
+        (col("d1") + col("d2") + col("d3")).as("depth"))
+      .as[(Long, Long)].collect().toMap
+    val kernel = rows.groupBy(_._1).map { case (id, evs) =>
+      id -> {
+        val sorted = evs.map(e => (e._2, e._3)).sorted
+        val times = graft.functions.FunnelKernel.freshTimes(3)
+        graft.functions.FunnelKernel.advance(
+          times, sorted.map(_._1).toArray, sorted.map(_._2).toArray, h)
+        graft.functions.FunnelKernel.depth(times)
+      }
+    }
+    kernel.foreach { case (id, d) =>
+      assert(oracle(id) == d, s"user $id: oracle ${oracle(id)} != kernel $d")
+    }
+  }
+
   test("kernel equals the EXISTS brute force on dense random histories") {
     val rnd = new scala.util.Random(42)
     val cases = (1 to 500).map { c =>
