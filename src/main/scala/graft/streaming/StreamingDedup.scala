@@ -206,11 +206,21 @@ object StreamingDedup {
     * re-indexes, so replayed micro-batches emit no duplicate pairs.
     * (Probe-only ids in an already-frozen bucket are not remembered and
     * would re-emit on redelivery — the cap bounds state by design.)
+    *
+    * `ttl`: optional idle-BUCKET eviction (the `runStreaming(ttl=…)`
+    * pattern, SURVEY §2 row 12b): a 16-bit bucket no signature landed
+    * in for `ttl` drops its index, bounding the store by buckets
+    * active within the window instead of signatures-ever-seen. The
+    * tradeoff is explicit: a new signature cannot pair with
+    * pre-eviction residents of that bucket — dedup-against-RECENT
+    * rather than dedup-against-everything. Leave off when the full
+    * history must stay probe-able.
     */
   def hammingPairs(
       sigs: Dataset[(Long, Long)], // (id, sig)
       maxHamming: Int,
-      maxBucketDocs: Int = 10000): Dataset[HammingPair] = {
+      maxBucketDocs: Int = 10000,
+      ttl: Option[scala.concurrent.duration.FiniteDuration] = None): Dataset[HammingPair] = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val banded = sigs.flatMap { case (id, sig) =>
@@ -218,10 +228,17 @@ object StreamingDedup {
         BandedSig(q + ":" + ((sig >>> (16 * q)) & 0xffffL), id, sig)
       }
     }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey(_.bucket).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Append(), timeoutConf) {
       (bucket: String, it: Iterator[BandedSig],
        state: org.apache.spark.sql.streaming.GroupState[Seq[StoredSig]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
         val word = bucket.takeWhile(_ != ':').toInt
         val prior = state.getOption.getOrElse(Seq.empty)
         val seen = scala.collection.mutable.ArrayBuffer[StoredSig](prior: _*)
@@ -252,7 +269,12 @@ object StreamingDedup {
           }
         }
         if (seen.length != prior.length) state.update(seen.toSeq)
+        // refresh the idle timer on every touch (data arrival beats
+        // the timer); state is always defined here — the first doc of
+        // a bucket indexes itself before this point
+        if (seen.nonEmpty) ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
         out.iterator
+        }
     }
   }
 

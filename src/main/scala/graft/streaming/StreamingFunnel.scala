@@ -36,27 +36,47 @@ object StreamingFunnel {
   /** Per-user depth increases of a streaming (ts-ordered) frame of
     * (user_id, tsm, tb, ti) rows; emits one row per user per batch in
     * which their depth grew.
+    *
+    * `ttl`: optional idle-user eviction (the `runStreaming(ttl=…)`
+    * pattern, SURVEY §2 row 12b) — per-user state is a fixed k longs,
+    * but with NoTimeout the store still grows with users-EVER-seen,
+    * so at an unbounded user space set `ttl` to bound it by users
+    * active within the window. An evicted user who returns restarts
+    * from fresh slots; their depth re-grows from 1, and because the
+    * sink report takes max(depth) per user, earlier (higher) depths
+    * already emitted keep the report correct — eviction only forgets
+    * in-flight chains older than the idle window, which for
+    * `ttl >> horizon` are chains that could no longer extend anyway.
     */
   def depthUpdates(
-      events: Dataset[FunEvent], k: Int, horizonUs: Long): Dataset[FunDepth] = {
+      events: Dataset[FunEvent], k: Int, horizonUs: Long,
+      ttl: Option[scala.concurrent.duration.FiniteDuration] = None): Dataset[FunDepth] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (uid: Long, it: Iterator[FunEvent], state: GroupState[FunState]) =>
-          val times = state.getOption
-            .map(_.times.toArray).getOrElse(FunnelKernel.freshTimes(k))
-          val before = FunnelKernel.depth(times)
-          val sorted = it.toIndexedSeq.sortBy(e => (e.tsm, e.tb))
-          FunnelKernel.advance(
-            times, sorted.map(_.tsm).toArray, sorted.map(_.ti).toArray,
-            horizonUs)
-          state.update(FunState(times.toSeq))
-          val after = FunnelKernel.depth(times)
-          if (after > before) Iterator.single(FunDepth(uid, after))
-          else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val times = state.getOption
+              .map(_.times.toArray).getOrElse(FunnelKernel.freshTimes(k))
+            val before = FunnelKernel.depth(times)
+            val sorted = it.toIndexedSeq.sortBy(e => (e.tsm, e.tb))
+            FunnelKernel.advance(
+              times, sorted.map(_.tsm).toArray, sorted.map(_.ti).toArray,
+              horizonUs)
+            state.update(FunState(times.toSeq))
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            val after = FunnelKernel.depth(times)
+            if (after > before) Iterator.single(FunDepth(uid, after))
+            else Iterator.empty
+          }
       }
   }
 

@@ -141,6 +141,53 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hamming ttl: idle buckets evict (bounded store under bucket " +
+    "churn); post-eviction arrivals probe only recent residents") {
+    import scala.concurrent.duration._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.LocalDir.scratch), "hamttl-ckpt").toString
+    // each sig uses 4 distinct words no other sig shares -> 4 unique
+    // buckets per sig, no cross-sig pairs
+    def sig(i: Long): Long =
+      i | ((100L + i) << 16) | ((200L + i) << 32) | ((300L + i) << 48)
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingDedup.hammingPairs(
+      input.toDS(), maxHamming = 3, ttl = Some(3.seconds))
+      .writeStream.format("memory").queryName("hamttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // batch 1: 50 sigs -> 200 bucket states
+      input.addData((0 until 50).map(i => (i.toLong, sig(i.toLong))))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 200L)
+      Thread.sleep(8000) // well past the 3 s ttl even under load
+      // batch 2: one fresh sig; every batch-1 bucket idles out
+      input.addData(Seq((1000L, sig(1000L))))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 4L,
+        "expected only the fresh sig's buckets after ttl eviction")
+      // batch 3: an EXACT duplicate of evicted sig 5 — its buckets
+      // were dropped, so no pair emits (dedup-against-recent, the
+      // documented ttl tradeoff), and it re-indexes fresh
+      input.addData(Seq((2000L, sig(5L))))
+      q.processAllAvailable()
+      assert(spark.table("hamttl").count() == 0L,
+        "evicted residents must not pair")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 8L)
+      // batch 4: a 1-bit neighbor of the re-indexed sig pairs normally
+      input.addData(Seq((3000L, sig(5L) ^ 1L)))
+      q.processAllAvailable()
+      assert(spark.table("hamttl").count() == 1L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      graft.sources.FileIO.deleteScratch(new java.io.File(ckpt))
+    }
+  }
+
   test("streamed 64-bit hamming pairs == batch pigeonhole, any batch split") {
     import graft.operators.{Dedup, Multimodal}
     // 40 gradient images, every 4th with a brightness-shifted twin
