@@ -144,10 +144,13 @@ object Corpus {
     *   b_s    = fdiv(10^6·T_m, T_s)
     *   rate_s = min(1000, fdiv(w_s·b_s, 1000·w_m))   per-mille
     *
-    * The two-stage floor division keeps every intermediate under
-    * 2^63 for corpora to ~3·10^16 tokens per stratum (the single
-    * cross-multiply would overflow at 10^13); the oracle replays the
-    * exact staging, so the floors are part of the spec, not error.
+    * The two-stage floor division keeps every intermediate under 2^63
+    * provided the BINDING (smallest-ratio) stratum holds ≤ ~9.2·10^12
+    * tokens (the 10^6·T_m multiply is the tightest term; 256·T_s
+    * allows other strata up to ~3.6·10^16). Beyond that, stage the
+    * 10^6 scale in two fdiv steps or move to decimal(38). The oracle
+    * replays the exact staging, so the floors are part of the spec,
+    * not error.
     * One aggregate over the corpus → a |strata|-row model; sampling
     * itself is the same stateless portable-hash filter as
     * [[stratifiedSample]] (no RNG, pushes into the scan).

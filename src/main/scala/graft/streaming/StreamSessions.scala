@@ -62,6 +62,12 @@ object StreamSessions {
       stateStore: Option[String] = None): SparkSession = {
     val ss = parent.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // single-sentinel drains (windowedTotalsFromFiles,
+    // attributionOuterFromFiles) rely on a no-data micro-batch firing
+    // after the sentinel advances the watermark to emit the final
+    // windows / null verdicts; pin the option so drain completeness
+    // is a property of the scoped session, not an ambient config
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val provider = providerClass(parent, stateStore)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     if (provider == RocksDbProvider) {

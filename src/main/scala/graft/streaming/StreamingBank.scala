@@ -537,13 +537,19 @@ object StreamingBank {
       .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.write.mode("overwrite")
-          .parquet(new java.io.File(outDir, f"batch-$id%05d").toString)
-        val crossed = batch
-          .filter(col("_2") === 0 && col("_5") > hotThreshold)
-          .select(col("_1")).as[Long](ss.implicits.newLongEncoder)
-          .collect().filterNot(hot.get.contains)
-        if (crossed.nonEmpty) hot.promote(crossed)
+        // two actions read this batch (sink write + crossed-keys scan);
+        // persist so the stateful micro-batch plan computes once
+        // instead of re-running and re-committing its state version
+        batch.persist()
+        try {
+          batch.write.mode("overwrite")
+            .parquet(new java.io.File(outDir, f"batch-$id%05d").toString)
+          val crossed = batch
+            .filter(col("_2") === 0 && col("_5") > hotThreshold)
+            .select(col("_1")).as[Long](ss.implicits.newLongEncoder)
+            .collect().filterNot(hot.get.contains)
+          if (crossed.nonEmpty) hot.promote(crossed)
+        } finally batch.unpersist()
       }
       .start()
     q.awaitTermination()
@@ -571,6 +577,13 @@ object StreamingBank {
       spark: SparkSession, epochOut: String, compactDir: String): Unit = {
     import spark.implicits._
     val cur = new java.io.File(compactDir)
+    val crashed = new java.io.File(cur.getParentFile, cur.getName + ".old")
+    // recover a sweep that crashed between its two renames: the old
+    // frame was moved aside but the new one never landed — restore it
+    // (sink truncation only ever runs after compaction completes, so
+    // old + live sink is a complete history)
+    if (!cur.exists() && crashed.exists())
+      java.nio.file.Files.move(crashed.toPath, cur.toPath)
     val epoch = spark.read.parquet(epochOut)
       .as[(Long, Int, Long, Long, Long)]
     val all =
@@ -579,10 +592,17 @@ object StreamingBank {
           .as[(Long, Int, Long, Long, Long)])
       else epoch
     val tmp = new java.io.File(cur.getParentFile, cur.getName + ".compact-tmp")
+    val old = new java.io.File(cur.getParentFile, cur.getName + ".old")
     StateOperator.lastSaltedSnapshots(all)
       .write.mode("overwrite").parquet(tmp.toString)
-    graft.sources.FileIO.deleteScratch(cur)
+    // two renames, delete last: a crash at any point leaves either the
+    // old or the new compacted frame recoverable on disk (a
+    // delete-then-move window would lose every epoch already
+    // compacted and truncated out of the live sink)
+    graft.sources.FileIO.deleteScratch(old) // clear a prior crashed sweep
+    if (cur.exists()) java.nio.file.Files.move(cur.toPath, old.toPath)
     java.nio.file.Files.move(tmp.toPath, cur.toPath)
+    graft.sources.FileIO.deleteScratch(old)
   }
 
   /** The streaming state fold: acct → running balance versions.

@@ -112,6 +112,7 @@ object StreamingJoin {
     graft.sources.FileIO.deleteScratch(
       new java.io.File(base, "vstage"), new java.io.File(base, "pstage"),
       vIn, pIn, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
     spark.read.parquet(outDir.toString)
       .groupBy(col("user_id"), col("ptb"), col("ptsm"))
       .agg(max(col("vtsm")).as("view_tsm"))

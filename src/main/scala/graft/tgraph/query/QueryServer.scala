@@ -45,7 +45,12 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   *
   * Protocol (one request line → one JSON response line):
   * {{{
-  *   POINT k1,k2,...     → {"batch":B,"rows":[[k,v],...]}
+  *   POINT k1,k2,... [LIMIT m] [AFTER k] [AT b]
+  *                       → {"batch":B,"rows":[[k,v],...]} — the same
+  *                         cursor clauses as PRED (uniform protocol):
+  *                         AFTER k keeps only requested keys strictly
+  *                         past k, LIMIT pages, AT pins the page to a
+  *                         committed batch
   *   PRED GE|GT|LE|LT|EQ n [LIMIT m] [AFTER k] [AT b]
   *                       → keys whose value satisfies the comparison,
   *                         in ascending key order; LIMIT pages the
@@ -67,11 +72,13 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   * set through the driver, whatever the state size.
   *
   * **POINT truncation**: a POINT whose key set exceeds
-  * `maxResponseRows` keeps the SMALLEST requested keys (responses
-  * sort ascending) and marks `"truncated":true`; POINT has no AFTER
-  * clause, so a client holding an oversized key set must split it —
-  * re-request the keys above the last returned one (deterministic,
-  * since the kept prefix is the smallest keys).
+  * `maxResponseRows` (or its own LIMIT) keeps the SMALLEST requested
+  * keys (responses sort ascending) and marks `"truncated":true`; the
+  * client pages onward IN PROTOCOL with `AFTER <last returned key>`
+  * (and `AT B` for an epoch-consistent walk), exactly as with PRED.
+  * The pre-AFTER client-side split (re-request keys above the last
+  * returned one) remains valid for old clients — the kept prefix is
+  * still deterministic.
   *
   * **Paging across epochs**: without AT, each page is answered at the
   * NEWEST committed batch, so a walk concurrent with micro-batch
@@ -290,31 +297,75 @@ final class QueryServer(
     val parts = req.trim.split("\\s+", 2)
     parts(0).toUpperCase match {
       case "POINT" if parts.length == 2 =>
-        val keys = parts(1).split(",").iterator.map(_.trim)
+        // POINT k1,k2,... [LIMIT m] [AFTER k] [AT b] — same cursor
+        // clauses as PRED (protocol-uniform): AFTER restricts to
+        // requested keys strictly past the cursor, LIMIT pages, AT
+        // pins the page to a retained committed batch
+        val ptoks = parts(1).trim.split("\\s+")
+        val allKeys = ptoks(0).split(",").iterator.map(_.trim)
           .filter(_.nonEmpty).map(_.toLong).toSet
-        snap.state match {
-          case Some(st) =>
-            rowsJson(keys.iterator.flatMap(k => st.get(k).map(k -> _)).toSeq)
-          case None =>
-            // hot-key LRU first (per committed batch, negatives cached
-            // too); one distributed query for ONLY the missing keys.
-            // Hit VALUES are captured here, at partition time — a
-            // concurrent request may evict them from the LRU before
-            // this response is assembled.
-            val lru = lruFor(snap.batchId)
-            val hitVals: Map[Long, Option[Long]] =
-              keys.iterator.flatMap(k => lru.get(k).map(k -> _)).toMap
-            val miss = keys.filterNot(hitVals.contains)
-            degradedHits.addAndGet(hitVals.size)
-            degradedMisses.addAndGet(miss.size)
-            val fetched: Map[Long, Long] =
-              if (miss.isEmpty) Map.empty
-              else distributed(_.filter(
-                col("k").isInCollection(miss.toSeq.map(Long.box)))).toMap
-            miss.foreach(k => lru.put(k, fetched.get(k)))
-            val cached = hitVals.iterator
-              .flatMap { case (k, ov) => ov.map(k -> _) }
-            rowsJson((cached ++ fetched.iterator).toSeq)
+        var page = maxResponseRows
+        var after = Long.MinValue
+        var at: Option[Long] = None
+        var pi = 1
+        while (pi < ptoks.length) {
+          ptoks(pi).toUpperCase match {
+            case "LIMIT" if pi + 1 < ptoks.length =>
+              page = math.min(ptoks(pi + 1).toLong, maxResponseRows.toLong).toInt
+              pi += 2
+            case "AFTER" if pi + 1 < ptoks.length =>
+              after = ptoks(pi + 1).toLong
+              pi += 2
+            case "AT" if pi + 1 < ptoks.length =>
+              at = Some(ptoks(pi + 1).toLong)
+              pi += 2
+            case other =>
+              throw new IllegalArgumentException(s"bad POINT clause $other")
+          }
+        }
+        require(page > 0, "LIMIT must be positive")
+        val keys = allKeys.filter(_ > after)
+        at match {
+          case Some(b) if b != snap.batchId =>
+            // epoch-pinned page against the retained version b (the
+            // PRED AT shape); past retention → error → client restarts
+            require(b >= 0 && b <= lastCommittedBatch,
+              s"batch $b is not a committed batch")
+            if (keys.isEmpty) rowsJsonAt(b, Nil, moreBeyond = false)
+            else {
+              val (rows, more) = distributedPage(
+                b, _.filter(col("k").isInCollection(keys.toSeq.map(Long.box))),
+                page)
+              rowsJsonAt(b, rows, more)
+            }
+          case _ =>
+            snap.state match {
+              case Some(st) =>
+                val found = keys.iterator
+                  .flatMap(k => st.get(k).map(k -> _)).toSeq.sorted
+                rowsJson(found.take(page), found.length > page)
+              case None =>
+                // hot-key LRU first (per committed batch, negatives
+                // cached too); one distributed query for ONLY the
+                // missing keys. Hit VALUES are captured here, at
+                // partition time — a concurrent request may evict them
+                // from the LRU before this response is assembled.
+                val lru = lruFor(snap.batchId)
+                val hitVals: Map[Long, Option[Long]] =
+                  keys.iterator.flatMap(k => lru.get(k).map(k -> _)).toMap
+                val miss = keys.filterNot(hitVals.contains)
+                degradedHits.addAndGet(hitVals.size)
+                degradedMisses.addAndGet(miss.size)
+                val fetched: Map[Long, Long] =
+                  if (miss.isEmpty) Map.empty
+                  else distributed(_.filter(
+                    col("k").isInCollection(miss.toSeq.map(Long.box)))).toMap
+                miss.foreach(k => lru.put(k, fetched.get(k)))
+                val cached = hitVals.iterator
+                  .flatMap { case (k, ov) => ov.map(k -> _) }
+                val found = (cached ++ fetched.iterator).toSeq.sorted
+                rowsJson(found.take(page), found.length > page)
+            }
         }
       case "PRED" if parts.length == 2 =>
         // PRED <op> <n> [LIMIT m] [AFTER k] [AT b] — pages ascend by key
@@ -484,6 +535,14 @@ final class QueryClient(host: String, port: Int) extends AutoCloseable {
   }
 
   def point(keys: Seq[Long]): String = request(s"POINT ${keys.mkString(",")}")
+
+  /** Paged point request: `LIMIT limit`, optional `AFTER`/`AT`. */
+  def pointPage(
+      keys: Seq[Long], limit: Int,
+      after: Option[Long] = None, at: Option[Long] = None): String =
+    request(s"POINT ${keys.mkString(",")} LIMIT $limit" +
+      after.map(k => s" AFTER $k").getOrElse("") +
+      at.map(b => s" AT $b").getOrElse(""))
 
   /** Point query parsed to (key, value) pairs. */
   def pointRows(keys: Seq[Long]): Seq[(Long, Long)] =

@@ -445,6 +445,131 @@ class QueryServerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("POINT pages in protocol: LIMIT/AFTER cursor walks in both modes; " +
+    "AT pins a key-set walk across a concurrent refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-ppage").toString
+    val deltas = Bank.acctDeltas(spark, Sf0001).orderBy("tid").collect().toSeq
+    val (firstHalf, secondHalf) = deltas.splitAt(deltas.length / 2)
+
+    val input = MemoryStream[Bank.AcctDelta]
+    val q = StreamingBank.sequentialBalancesOnline(spark, input.toDS())
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(firstHalf)
+      q.processAllAvailable()
+
+      def pageWalk(client: QueryClient, keys: Seq[Long], limit: Int,
+          at: Option[Long]): (Map[Long, Long], Int) = {
+        var all = Map.empty[Long, Long]
+        var cursor = Option.empty[Long]
+        var done = false
+        var pages = 0
+        while (!done) {
+          val resp = client.request(s"POINT ${keys.mkString(",")} LIMIT $limit" +
+            cursor.map(k => s" AFTER $k").getOrElse("") +
+            at.map(b => s" AT $b").getOrElse(""))
+          val (_, rows) = parseRows(resp)
+          assert(rows.size <= limit)
+          cursor.foreach(c => assert(rows.keySet.forall(_ > c), "cursor overlap"))
+          all ++= rows
+          pages += 1
+          if (resp.contains(""""truncated":true""")) cursor = Some(rows.keys.max)
+          else done = true
+          assert(pages <= keys.size + 1, "paging did not terminate")
+        }
+        (all, pages)
+      }
+
+      // ---- degraded mode (tiny maxStateRows): pages bounded + exact
+      val server = new QueryServer(spark, s"$dir/ckpt",
+        refreshMillis = 50, maxStateRows = 3L, maxResponseRows = 8)
+      try {
+        eventually() { if (server.servedBatchId >= 0) Some(()) else None }
+        val b0 = server.servedBatchId
+        def sinkState(): Map[Long, Long] = spark.read.parquet(s"$dir/out")
+          .groupBy(col("key"))
+          .agg(max_by(col("value"), col("tid")).as("v"))
+          .as[(Long, Long)].collect().toMap
+        val epoch0 = sinkState()
+        val wanted = epoch0.keys.toSeq.sorted.take(13)
+        assert(wanted.size > 5, "fixture must exceed the page size")
+
+        val client = new QueryClient("localhost", server.boundPort)
+        try {
+          // an un-LIMITed oversized POINT keeps the smallest keys and
+          // marks truncation (backward-compatible default)
+          val bigReq = client.point(epoch0.keys.toSeq.sorted)
+          val (_, bigRows) = parseRows(bigReq)
+          if (epoch0.size > 8) {
+            assert(bigRows.size == 8 && bigReq.contains(""""truncated":true"""))
+            assert(bigRows.keySet == epoch0.keys.toSeq.sorted.take(8).toSet,
+              "truncated POINT must keep the smallest keys")
+          }
+          // LIMIT/AFTER walk reassembles exactly the requested keys
+          val (all, pages) = pageWalk(client, wanted, limit = 5, at = None)
+          assert(all == epoch0.view.filterKeys(wanted.contains).toMap)
+          assert(pages == math.ceil(wanted.size / 5.0).toInt)
+
+          // ---- AT pin: stream advances MID-WALK; the pinned walk
+          // still answers from epoch b0's retained snapshot
+          val firstPage = client.pointPage(wanted, limit = 5)
+          val (fb, fRows) = parseRows(firstPage)
+          assert(fb == b0)
+          input.addData(secondHalf)
+          q.processAllAvailable()
+          eventually() {
+            val b = server.servedBatchId; if (b > b0) Some(b) else None
+          }
+          val (pinned, _) = {
+            var all2 = fRows
+            var cursor = fRows.keys.max
+            var done = false
+            while (!done) {
+              val resp = client.pointPage(wanted, 5, Some(cursor), Some(b0))
+              val (b, rows) = parseRows(resp)
+              assert(b == b0, s"pinned POINT page answered at $b, not $b0")
+              all2 ++= rows
+              if (resp.contains(""""truncated":true""")) cursor = rows.keys.max
+              else done = true
+            }
+            (all2, ())
+          }
+          assert(pinned == epoch0.view.filterKeys(wanted.contains).toMap,
+            "pinned POINT walk diverged from its starting epoch")
+          // unpinned same request now reflects the NEW epoch
+          val now = sinkState().view.filterKeys(wanted.contains).toMap
+          if (now != pinned) {
+            val (allNew, _) = pageWalk(client, wanted, limit = 5, at = None)
+            assert(allNew == now)
+          }
+        } finally client.close()
+      } finally server.close()
+
+      // ---- cached mode pages identically (same protocol)
+      val cachedServer = new QueryServer(spark, s"$dir/ckpt",
+        refreshMillis = 50, maxResponseRows = 8)
+      try {
+        eventually() { if (cachedServer.servedBatchId >= 0) Some(()) else None }
+        val expected = spark.read.parquet(s"$dir/out")
+          .groupBy(col("key"))
+          .agg(max_by(col("value"), col("tid")).as("v"))
+          .as[(Long, Long)].collect().toMap
+        val wanted = expected.keys.toSeq.sorted.take(13)
+        val client = new QueryClient("localhost", cachedServer.boundPort)
+        try {
+          val (all, _) = pageWalk(client, wanted, limit = 5, at = None)
+          assert(all == expected.view.filterKeys(wanted.contains).toMap)
+        } finally client.close()
+      } finally cachedServer.close()
+    } finally q.stop()
+  }
+
   test("concurrent clients: every answer a committed epoch; throughput probe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-qsrv-tp").toString

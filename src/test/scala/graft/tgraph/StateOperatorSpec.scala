@@ -193,6 +193,45 @@ class StateOperatorSpec extends SparkSpec {
     } finally graft.sources.FileIO.deleteScratch(base)
   }
 
+  test("compactSaltedSink: a crash at any rename point loses no compacted epoch") {
+    import graft.streaming.StreamingBank
+    val base = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(graft.LocalDir.scratch), "compact-crash")
+      .toFile
+    try {
+      // epoch 1 carries key 7 only; epoch 2 key 9 only — losing the
+      // compacted frame would silently drop key 7 from the result
+      def epoch(key: Long, vers: Range): org.apache.spark.sql.DataFrame =
+        (for (ver <- vers; salt <- 0 until 2)
+          yield (key, salt, ver.toLong, ver.toLong * (salt + 1), ver.toLong)).toDF()
+      val out1 = new java.io.File(base, "epoch1")
+      val out2 = new java.io.File(base, "epoch2")
+      val compacted = new java.io.File(base, "compacted")
+      val old = new java.io.File(base, "compacted.old")
+      epoch(7L, 1 to 20).write.parquet(out1.toString)
+      StreamingBank.compactSaltedSink(spark, out1.toString, compacted.toString)
+      // crash point A: old frame moved aside, new frame never landed
+      // (the window the old delete-then-move sequence could not survive)
+      java.nio.file.Files.move(compacted.toPath, old.toPath)
+      epoch(9L, 1 to 30).write.parquet(out2.toString)
+      StreamingBank.compactSaltedSink(spark, out2.toString, compacted.toString)
+      val got = spark.read.parquet(compacted.toString)
+        .as[(Long, Int, Long, Long, Long)].collect()
+      assert(got.map(_._1).toSet == Set(7L, 9L),
+        s"crashed sweep lost a compacted key: ${got.toSeq}")
+      assert(!old.exists(), "recovered sweep must clear the .old frame")
+      // crash point B: both frames present (crash before the final
+      // delete) — the next sweep keeps cur and clears the stale old
+      val out3 = new java.io.File(base, "epoch3")
+      epoch(11L, 1 to 5).write.parquet(out3.toString)
+      java.nio.file.Files.createDirectory(old.toPath) // stale leftover
+      StreamingBank.compactSaltedSink(spark, out3.toString, compacted.toString)
+      val got3 = spark.read.parquet(compacted.toString)
+        .as[(Long, Int, Long, Long, Long)].collect()
+      assert(got3.map(_._1).toSet == Set(7L, 9L, 11L) && !old.exists())
+    } finally graft.sources.FileIO.deleteScratch(base)
+  }
+
   test("strategy runtime: optimistic replays grow with contention; pessimistic never replays; same committed history") {
     import graft.streaming.StreamingBank.{CentsBalance, StreamMovement}
     // skewed workload: the hot account sees heavy contention, the tail
