@@ -398,6 +398,189 @@ object Similarity {
     rankTopK(scored, "dot_pq", k)
   }
 
+  /** IVF-PQ residual encoding — the rung above plain PQ on the
+    * compression ladder: coarse-assign each vector to its nearest
+    * trained centroid ([[kmeansCodebook]] reused verbatim), then
+    * PQ-encode the RESIDUAL (quantized vector − centroid, exact int64
+    * milli) with the sample-trained recipe ([[pqTrainSampleEncode]]
+    * reused verbatim — residual millis re-enter through an exact
+    * /1000.0 round-trip, so every downstream integer is the residual
+    * itself). The coarse term restores the bulk of the dot product
+    * EXACTLY at ADC time and the m bytes of code only carry the
+    * remainder — which is what lifts compressed-domain recall past
+    * the 8-byte plain-PQ ceiling without touching the rerank path.
+    *
+    * Returns (coarseCodebook (cell,pos,mean_milli),
+    * pqCodebook (sub,cell,pos,mean_milli),
+    * encoded (cid, ccell, sub, cell)). Shape at scale: the coarse
+    * assignment is one [[graft.functions.TopCells]] kernel pass + a
+    * broadcast join against the model-sized centroid table; training
+    * cost is sample-sized; the corpus pays one encode pass.
+    */
+  def ivfPqTrainSampleEncode(
+      df: DataFrame, id: Column, vec: Column,
+      coarseCells: Int, coarseIters: Int,
+      m: Int, subDim: Int, iters: Int, sampleN: Int,
+      seed: String = "pq"): (DataFrame, DataFrame, DataFrame) = {
+    val coarse = kmeansCodebook(
+      df.select(id.as("__id"), vec.as("__vec")),
+      pmod(col("__id"), lit(coarseCells.toLong)), col("__vec"), coarseIters)
+      .localCheckpoint(true)
+    val cb = collectCodebook(coarse)
+    val cvecs = coarse.groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
+        e => e.getField("mean_milli")).as("__cvec"))
+    val withRes = df
+      .select(id.as("__id"), quantize(vec).as("__qm"), vec.as("__vec"))
+      .withColumn("ccell", nearestCell("__vec", cb))
+      .join(broadcast(cvecs), col("ccell") === col("cell"))
+      // exact int64 residual, re-expressed as a float vector whose
+      // re-quantization is the identity: |res_milli| ≲ 4000, so the
+      // float32 value of res/1000 re-rounds to exactly res
+      .withColumn("__rvec", transform(
+        zip_with(col("__qm"), col("__cvec"), (a, b) => a - b),
+        x => (x.cast("double") / 1000.0).cast("float")))
+      .select(col("__id"), col("ccell"), col("__rvec"))
+    val (pqCb, encoded) = pqTrainSampleEncode(
+      withRes, col("__id"), col("__rvec"), m, subDim, iters, sampleN, seed)
+    val withCoarse = encoded.join(
+      withRes.select(col("__id").as("cid"), col("ccell")), Seq("cid"))
+    (coarse, pqCb, withCoarse.select(col("cid"), col("ccell"), col("sub"), col("cell")))
+  }
+
+  /** Compressed-domain top-k over IVF-PQ codes: score = the EXACT
+    * centroid dot (per (query, coarse cell) — a model-sized broadcast
+    * table) + the residual ADC LUT sum — [[pqTopK]]'s scoring with
+    * the coarse term added back. The corpus is touched only through
+    * its (ccell, codes) rows.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qvec)
+      encoded: DataFrame, // (cid, ccell, sub, cell)
+      coarseCodebook: DataFrame, // (cell, pos, mean_milli)
+      pqCodebook: DataFrame, // (sub, cell, pos, mean_milli)
+      k: Int, m: Int, subDim: Int): DataFrame = {
+    val q = queries.select(col("qid"), quantize(col("qvec")).as("qm"))
+    val cdot = coarseCodebook
+      .crossJoin(broadcast(q))
+      .groupBy(col("qid"), col("cell"))
+      .agg(sum(element_at(col("qm"), (col("pos") + 1).cast("int"))
+        * col("mean_milli")).as("cdot"))
+      .select(col("qid"), col("cell").as("ccell"), col("cdot"))
+    val lut = pqCodebook
+      .crossJoin(broadcast(q))
+      .groupBy(col("qid"), col("sub"), col("cell"))
+      .agg(sum(
+        element_at(col("qm"), (col("sub") * subDim + col("pos") + 1).cast("int"))
+          * col("mean_milli")).as("lut"))
+    val scored = encoded
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"), col("ccell"))
+      .agg(sum(col("lut")).as("__res_dot"), count(lit(1)).as("__nsub"))
+      .filter(col("__nsub") === m)
+      .join(broadcast(cdot), Seq("qid", "ccell"))
+      .select(col("qid"), col("cid"),
+        (col("cdot") + col("__res_dot")).as("dot_ivfpq"))
+    rankTopK(scored, "dot_ivfpq", k)
+  }
+
+  /** Reconstruct the quantized (milli) vector a code row encodes:
+    * broadcast-join the model-sized codebook's per-(sub, cell)
+    * codeword arrays onto the codes and reassemble per id — one
+    * shuffle on the id key. Output (cid, dec: array of m·subDim
+    * milli components).
+    */
+  def pqDecodeMilli(
+      encoded: DataFrame, codebook: DataFrame): DataFrame = {
+    val cw = codebook.groupBy(col("sub"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
+        e => e.getField("mean_milli")).as("__cw"))
+    encoded.join(broadcast(cw), Seq("sub", "cell"))
+      .groupBy(col("cid"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("__cw")))),
+        e => e.getField("__cw"))).as("dec"))
+  }
+
+  /** Multi-stage RESIDUAL product quantization (RQ): stage 1 PQ-codes
+    * the vector, each further stage codes the residual the previous
+    * stages left — the code budget doubles (m bytes per stage) and
+    * the quantization error compounds DOWN, which is the rung that
+    * lifts compressed-domain (ADC) recall past the single-stage
+    * 8-byte ceiling on corpora with little coarse-cluster structure
+    * (for near-isotropic embeddings a coarse-centroid IVF term
+    * removes only ~k^(-2/dim) of the energy; a whole second PQ stage
+    * removes another full stage's worth). Every stage reuses the
+    * sample-trained recipe verbatim ([[pqTrainSampleEncode]], seeds
+    * `pq0`, `pq1`, …); residual millis re-enter through an exact
+    * float round-trip, so all arithmetic stays int64-replayable.
+    *
+    * Returns (codebooks by stage, encoded (cid, stage, sub, cell)).
+    * Corpus cost: one encode pass + one decode join per stage;
+    * training cost is sample-sized per stage.
+    */
+  def pqResidualTrainSampleEncode(
+      df: DataFrame, id: Column, vec: Column,
+      m: Int, subDim: Int, iters: Int, sampleN: Int, stages: Int = 2,
+      seed: String = "pq"): (Seq[DataFrame], DataFrame) = {
+    require(stages >= 1, s"stages=$stages must be >= 1")
+    var cur = df.select(id.as("cid"), quantize(vec).as("__qm"), vec.as("__v"))
+    val codebooks = Seq.newBuilder[DataFrame]
+    var encodedAll: DataFrame = null
+    var s = 0
+    while (s < stages) {
+      val (cb, enc) = pqTrainSampleEncode(
+        cur, col("cid"), col("__v"), m, subDim, iters, sampleN, s"$seed$s")
+      codebooks += cb
+      val tagged = enc.withColumn("stage", lit(s.toLong))
+        .select(col("cid"), col("stage"), col("sub"), col("cell"))
+      encodedAll = if (encodedAll == null) tagged else encodedAll.unionByName(tagged)
+      s += 1
+      if (s < stages) {
+        // next stage sees the residual: exact int64 milli subtraction,
+        // re-expressed as floats whose re-quantization is the identity
+        cur = cur.join(pqDecodeMilli(enc, cb), Seq("cid"))
+          .withColumn("__qm", zip_with(col("__qm"), col("dec"), (a, b) => a - b))
+          .withColumn("__v",
+            transform(col("__qm"), x => (x.cast("double") / 1000.0).cast("float")))
+          .select(col("cid"), col("__qm"), col("__v"))
+      }
+    }
+    (codebooks.result(), encodedAll)
+  }
+
+  /** Compressed-domain top-k over multi-stage residual codes: the ADC
+    * score is the SUM of every stage's LUT hits (dot(q, x̂) where
+    * x̂ = Σ stage codewords — additivity of the dot product), one
+    * broadcast LUT equi-join over the (stage, sub, cell) codes.
+    */
+  def pqResidualTopK(
+      queries: DataFrame, // (qid, qvec)
+      encoded: DataFrame, // (cid, stage, sub, cell)
+      codebooks: Seq[DataFrame],
+      k: Int, m: Int, subDim: Int): DataFrame = {
+    val q = queries.select(col("qid"), quantize(col("qvec")).as("qm"))
+    val lut = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.withColumn("stage", lit(s.toLong))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(q))
+      .groupBy(col("qid"), col("stage"), col("sub"), col("cell"))
+      .agg(sum(
+        element_at(col("qm"), (col("sub") * subDim + col("pos") + 1).cast("int"))
+          * col("mean_milli")).as("lut"))
+    val scored = encoded
+      .join(broadcast(lut), Seq("stage", "sub", "cell"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("lut")).as("dot_rq"), count(lit(1)).as("__nsub"))
+      .filter(col("__nsub") === codebooks.length * m)
+      .drop("__nsub")
+    rankTopK(scored, "dot_rq", k)
+  }
+
   /** Production PQ search: ADC-scan the codes for a top-`shortlist`
     * candidate set (cheap, compressed-domain), then rerank ONLY the
     * shortlist with exact full-precision dots — the standard

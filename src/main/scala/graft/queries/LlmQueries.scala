@@ -248,6 +248,24 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_pq"))
         .orderBy("qid", "rnk")
     }),
+    // multi-stage residual PQ (RQ): stage 2 codes what stage 1 lost —
+    // 16 bytes/vector lift the compressed-domain (ADC) ranking past
+    // the 8-byte plain-PQ ceiling (measured 0.544 -> 0.796 recall@5
+    // over 50 queries, PqRecallProbe; 3 stages reach 0.92). The gate
+    // pins the pure ADC ranking; every stage's training (md5 sample,
+    // 2 Lloyd rounds, seeds pq0/pq1) + the decode/residual bridge is
+    // replayed by the oracle stage by stage.
+    "ann_rq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val (cbs, enc) = Similarity.pqResidualTrainSampleEncode(
+        e, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+        iters = 2, sampleN = Similarity.recommendedPqSample(8), stages = 2)
+      Similarity.pqResidualTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        enc, cbs, k = 5, m = 8, subDim = 8)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_rq"))
+        .orderBy("qid", "rnk")
+    }),
     // the Catalyst rewrite rule in a REAL query: the user writes the
     // engine-portable HOF dot product, the injected QuantizedDotRewrite
     // swaps in the fused native kernel, and the result still matches
@@ -697,6 +715,83 @@ object LlmQueries {
       |      j -> list_slice(a.sig, j*4 + 1, j*4 + 4) = list_slice(b.sig, j*4 + 1, j*4 + 4)),
       |      true) - 1)""").stripMargin
 
+  /** One PQ training+encode stage replay (the `ann_pq` chain,
+    * parameterized): from relation `v$tag` with (vec_id, qm BIGINT[])
+    * builds sample (md5 `$seed:` order, 384), sign-cell init, two
+    * Lloyd rounds (argmax 2·dot − ‖c‖², ties to the largest cell),
+    * final codebook `cw$tag` (sub, cell, cvec, nrm sorted lists) +
+    * per-position rows `cb$tag`, and the full-corpus encode
+    * `enc$tag` (cid, sub, cell). m=8, subDim=8 — the gate config.
+    */
+  private def pqStageCtes(tag: String, seed: String): String =
+    s"""samp$tag AS (
+       |  SELECT vec_id, qm FROM v$tag
+       |  ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 384),
+       |cells$tag AS (
+       |  SELECT vec_id, sub,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell,
+       |    qm
+       |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM samp$tag)),
+       |cba$tag AS (
+       |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  FROM (SELECT sub, cell,
+       |          UNNEST(generate_series(0, 7)) AS pos,
+       |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
+       |        FROM cells$tag)
+       |  GROUP BY sub, cell, pos),
+       |cwa$tag AS (
+       |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
+       |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
+       |  FROM cba$tag GROUP BY sub, cell),
+       |ra1$tag AS (
+       |  SELECT vec_id, sub, cell, qm FROM (
+       |    SELECT c.vec_id, c.sub, w.cell, c.qm,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
+       |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
+       |    FROM cells$tag c JOIN cwa$tag w ON c.sub = w.sub)
+       |  WHERE rn = 1),
+       |cbb$tag AS (
+       |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  FROM (SELECT sub, cell,
+       |          UNNEST(generate_series(0, 7)) AS pos,
+       |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
+       |        FROM ra1$tag)
+       |  GROUP BY sub, cell, pos),
+       |cwb$tag AS (
+       |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
+       |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
+       |  FROM cbb$tag GROUP BY sub, cell),
+       |ra2$tag AS (
+       |  SELECT vec_id, sub, cell, qm FROM (
+       |    SELECT c.vec_id, c.sub, w.cell, c.qm,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
+       |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
+       |    FROM (SELECT vec_id, sub, qm FROM cells$tag) c JOIN cwb$tag w ON c.sub = w.sub)
+       |  WHERE rn = 1),
+       |cb$tag AS (
+       |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  FROM (SELECT sub, cell,
+       |          UNNEST(generate_series(0, 7)) AS pos,
+       |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
+       |        FROM ra2$tag)
+       |  GROUP BY sub, cell, pos),
+       |cw$tag AS (
+       |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
+       |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
+       |  FROM cb$tag GROUP BY sub, cell),
+       |enc$tag AS (
+       |  SELECT vec_id AS cid, sub, cell FROM (
+       |    SELECT c.vec_id, c.sub, w.cell,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
+       |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
+       |    FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM v$tag) c
+       |    JOIN cw$tag w ON c.sub = w.sub)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
@@ -872,6 +967,43 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // two-stage residual PQ: stage 0 replay (seed pq0) on the
+    // quantized vectors, decode + exact integer residual, stage 1
+    // replay (seed pq1) on the residuals, ADC = sum of both stages'
+    // LUT hits (dot additivity)
+    "ann_rq" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+         |  FROM embeddings),
+         |v0 AS (SELECT vec_id, qm FROM v),
+         |${pqStageCtes("0", "pq0")},
+         |dec0 AS (
+         |  SELECT e.cid AS vec_id,
+         |    flatten(list(w.cvec ORDER BY e.sub)) AS dec
+         |  FROM enc0 e JOIN cw0 w ON e.sub = w.sub AND e.cell = w.cell
+         |  GROUP BY e.cid),
+         |v1 AS (
+         |  SELECT v.vec_id,
+         |    list_transform(generate_series(1, 64), i -> v.qm[i] - d.dec[i]) AS qm
+         |  FROM v JOIN dec0 d USING (vec_id)),
+         |${pqStageCtes("1", "pq1")},
+         |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT qid, stage, sub, cell,
+         |    CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
+         |  FROM (SELECT 0 AS stage, * FROM cb0 UNION ALL SELECT 1, * FROM cb1), q
+         |  GROUP BY qid, stage, sub, cell),
+         |encall AS (
+         |  SELECT 0 AS stage, cid, sub, cell FROM enc0
+         |  UNION ALL SELECT 1, cid, sub, cell FROM enc1),
+         |scored AS (
+         |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_rq
+         |  FROM encall JOIN lut USING (stage, sub, cell) WHERE qid <> cid
+         |  GROUP BY qid, cid HAVING count(*) = 16),
+         |ranked AS (SELECT qid, cid, dot_rq,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_rq DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, cid, dot_rq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // identical arithmetic to ann_topk: the rewrite rule must not
     // change results, only the physical expression
     "ann_topk_rewrite" ->

@@ -45,6 +45,34 @@ object PqRecallProbe {
       sampleN <- Seq(384)
       iters <- Seq(2)
     } run(sampleN, iters, 8, 8)
+
+    run(384, 2, 16, 4)
+
+    // the residual rung: same codes, coarse term restored exactly
+    def runIvfPq(cells: Int, coarseIters: Int, iters: Int, m: Int, subDim: Int): Unit = {
+      val (coarse, pqCb, enc) = Similarity.ivfPqTrainSampleEncode(
+        e, col("vec_id"), col("embedding"), cells, coarseIters,
+        m = m, subDim = subDim, iters = iters,
+        sampleN = math.max(384, Similarity.recommendedPqSample(subDim)))
+      val adc = Similarity.ivfPqTopK(q, enc, coarse, pqCb, 5, m, subDim)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      val ra = (brute & adc).size.toDouble / brute.size
+      println(f"[pq-probe] IVFPQ cells=$cells%3d coarseIters=$coarseIters iters=$iters m=$m subDim=$subDim adc=$ra%.3f")
+    }
+    val cells = Similarity.recommendedCells(e.count())
+    for (ci <- Seq(2); c <- Seq(cells, 64)) runIvfPq(c, ci, 2, 8, 8)
+
+    // multi-stage residual PQ: 8 bytes per stage
+    def runRq(stages: Int): Unit = {
+      val (cbs, enc) = Similarity.pqResidualTrainSampleEncode(
+        e, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+        iters = 2, sampleN = 384, stages = stages)
+      val adc = Similarity.pqResidualTopK(q, enc, cbs, 5, 8, 8)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      val ra = (brute & adc).size.toDouble / brute.size
+      println(f"[pq-probe] RQ stages=$stages adc=$ra%.3f")
+    }
+    Seq(2, 3).foreach(runRq)
     spark.stop()
   }
 }
