@@ -693,6 +693,77 @@ object Similarity {
       .select(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"),
         col("g"), col("sum_i"), col("n"))
 
+  /** Per-dimension whitening scales from [[embGram]]'s diagonal — the
+    * operator that CONSUMES the Gram matrix: sdev_pos =
+    * isqrt(n·G[d][d] − sum_d²), the (n·1000·σ_d)-scaled standard
+    * deviation, in exact int64 (floor-sqrt with the ±1 integer
+    * verification — immune to libm rounding, so a DuckDB oracle
+    * reproduces every scale bit-exactly; clamped ≥ 1 so constant
+    * dimensions pass through instead of dividing by zero).
+    * Model-sized output (dim rows).
+    */
+  def whitenScales(gram: DataFrame): DataFrame = {
+    val vn = col("n") * col("g") - col("sum_i") * col("sum_i")
+    val s0 = floor(sqrt(vn.cast("double"))).cast("bigint")
+    val s = when((s0 + 1) * (s0 + 1) <= vn, s0 + 1)
+      .when(s0 * s0 > vn, s0 - 1)
+      .otherwise(s0)
+    gram.filter(col("i") === col("j"))
+      .select(col("i").as("pos"), greatest(s, lit(1L)).as("sdev"))
+  }
+
+  /** Apply diagonal whitening: w_d = fdiv(10^6 · q_d, sdev_d) — every
+    * dimension rescaled to comparable variance, exact int64. The
+    * scales are a MODEL (dim rows): collected once, broadcast as a
+    * literal array into one narrow projection pass — no join touches
+    * the corpus. Output (id, wvec: int64 array).
+    *
+    * Why it matters for the ANN ladder: sign-LSH bits and PQ sign
+    * cells split on coordinate signs, so a few high-variance
+    * dimensions dominate every bucket decision and bury the signal
+    * dimensions; whitening rebalances them (measured on the
+    * planted-correlation spec fixture).
+    */
+  def whiten(df: DataFrame, id: Column, vec: Column, scales: DataFrame): DataFrame = {
+    val sdevs = scales.orderBy("pos").select("sdev").collect()
+      .map(_.getLong(0))
+    val fdiv = graft.operators.CorpusStats.fdiv _
+    df.select(id.as("id"),
+      zip_with(quantize(vec), lit(sdevs),
+        (q, s) => fdiv(q * 1000000L, s)).as("wvec"))
+  }
+
+  /** Re-express an exact int64 milli-ish vector as floats whose
+    * re-quantization is the identity (|w| ≪ 2^24 · 1000) — the bridge
+    * back into the float-vec ANN ladder (LSH, IVF, PQ).
+    */
+  def milliToVec(w: Column): Column =
+    transform(w, x => (x.cast("double") / 1000.0).cast("float"))
+
+  /** Apply a DENSE dim×dim milli transform (an OPQ rotation, a PCA
+    * basis — any model matrix): w_j = fdiv(Σ_i q_i · T[i][j], 1000),
+    * exact int64, the matrix broadcast as a literal into one narrow
+    * pass (dim² multiplies per row, no join, no shuffle). For
+    * diagonal transforms prefer [[whiten]] — dim multiplies per row
+    * and single-floor arithmetic.
+    */
+  def applyDenseMilli(
+      df: DataFrame, id: Column, vec: Column,
+      tMilli: Array[Array[Long]]): DataFrame = {
+    val dim = tMilli.length
+    val fdiv = graft.operators.CorpusStats.fdiv _
+    val cols = (0 until dim).map { j =>
+      val column = (0 until dim).map(i => tMilli(i)(j)).toArray
+      fdiv(
+        aggregate(
+          zip_with(col("__q"), lit(column), (q, t) => q * t),
+          lit(0L), (acc, x) => acc + x),
+        lit(1000L))
+    }
+    df.select(id.as("id"), quantize(vec).as("__q"))
+      .select(col("id"), array(cols: _*).as("wvec"))
+  }
+
   /** Elementwise centroids per cell (exact int64 milli sums → means):
     * the IVF coarse quantizer's codebook, built with one explode +
     * one shuffle on (cell, position). Input (cell, vec); output

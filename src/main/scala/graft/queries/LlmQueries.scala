@@ -248,6 +248,22 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_pq"))
         .orderBy("qid", "rnk")
     }),
+    // the Gram matrix CONSUMED: per-dimension whitening scales from
+    // emb_gram's diagonal (exact isqrt of n·G_dd − sum_d², ±1 integer
+    // verification) applied as one broadcast narrow pass — w_d =
+    // fdiv(10^6·q_d, sdev_d); the rebalanced vectors feed the ANN
+    // ladder (sign-LSH recall improvement spec-measured on a
+    // planted-correlation fixture)
+    "emb_whiten" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val scales = Similarity.whitenScales(
+        Similarity.embGram(e, col("embedding")))
+      Similarity.whiten(e, col("vec_id"), col("embedding"), scales)
+        .select(col("id").as("vec_id"),
+          posexplode(col("wvec")).as(Seq("pos", "w")))
+        .select(col("vec_id"), col("pos").cast("bigint").as("pos"), col("w"))
+        .orderBy("vec_id", "pos")
+    }),
     // multi-stage residual PQ (RQ): stage 2 codes what stage 1 lost —
     // 16 bytes/vector lift the compressed-domain (ADC) ranking past
     // the 8-byte plain-PQ ceiling (measured 0.544 -> 0.796 recall@5
@@ -967,6 +983,32 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // gram diagonal -> exact floor-sqrt scales -> floor-div projection
+    "emb_whiten" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT pos, CAST(sum(qd * qd) AS BIGINT) AS g,
+        |    CAST(sum(qd) AS BIGINT) AS s, count(*) AS n
+        |  FROM (SELECT vec_id, UNNEST(generate_series(0, 63)) AS pos,
+        |          UNNEST(qv) AS qd FROM q)
+        |  GROUP BY pos),
+        |sc AS (
+        |  SELECT pos, GREATEST(
+        |    CASE WHEN (s0+1)*(s0+1) <= vn THEN s0+1
+        |         WHEN s0*s0 > vn THEN s0-1 ELSE s0 END, 1) AS sdev
+        |  FROM (SELECT pos, vn,
+        |          CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0
+        |        FROM (SELECT pos, n*g - s*s AS vn FROM d)))
+        |SELECT q.vec_id, CAST(e.pos AS BIGINT) AS pos,
+        |  ((e.qd * 1000000) - (((e.qd * 1000000) % sc.sdev) + sc.sdev) % sc.sdev) // sc.sdev AS w
+        |FROM (SELECT vec_id, UNNEST(generate_series(0, 63)) AS pos,
+        |        UNNEST(qv) AS qd FROM q) e
+        |JOIN q ON q.vec_id = e.vec_id
+        |JOIN sc ON sc.pos = e.pos
+        |ORDER BY q.vec_id, pos""".stripMargin,
     // two-stage residual PQ: stage 0 replay (seed pq0) on the
     // quantized vectors, decode + exact integer residual, stage 1
     // replay (seed pq1) on the residuals, ADC = sum of both stages'

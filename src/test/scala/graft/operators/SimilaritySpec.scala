@@ -418,6 +418,74 @@ class SimilaritySpec extends SparkSpec {
     assert(rIvf >= 0.7, s"ivf-pq recall $rIvf on planted clusters")
   }
 
+  test("whitening consumes the Gram matrix: twins buried under " +
+    "high-variance noise dims surface after whitening, through the " +
+    "brute scan AND the LSH ladder") {
+    // planted-correlation fixture: dims 0-7 are high-variance noise
+    // (σ≈3, independent per vector), dims 8-63 carry the signal
+    // (σ≈0.3, shared between each base vector i and its twin i+200).
+    // Raw dots are dominated by the noise dims; whitening equalizes
+    // per-dim variance, so the shared signal decides the ranking.
+    val rnd = new scala.util.Random(7)
+    def noise() = Array.fill(8)((rnd.nextFloat() - 0.5f) * 6.0f)
+    val signals = (0 until 200).map(_ =>
+      Array.fill(56)((rnd.nextFloat() - 0.5f) * 0.6f))
+    val rows =
+      (0 until 200).map(i => (i.toLong, noise() ++ signals(i))) ++
+      (0 until 200).map(i => ((i + 200).toLong,
+        noise() ++ signals(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val qRaw = df.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cRaw = df.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def twinRecall(top: Map[Long, Seq[Long]]): Double =
+      (0 until 50).count(i => top.getOrElse(i.toLong, Nil).contains(i + 200L)) / 50.0
+    def tops(res: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      res.select("qid", "cid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val rawBrute = twinRecall(tops(Similarity.bruteForceTopK(qRaw, cRaw, 3)))
+
+    val scales = Similarity.whitenScales(Similarity.embGram(df, col("embedding")))
+    val w = Similarity.whiten(df, col("vec_id"), col("embedding"), scales)
+      .select(col("id").as("vec_id"), Similarity.milliToVec(col("wvec")).as("embedding"))
+    val qW = w.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cW = w.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val whiteBrute = twinRecall(tops(Similarity.bruteForceTopK(qW, cW, 3)))
+    info(f"twin recall brute: raw=$rawBrute%.2f whitened=$whiteBrute%.2f")
+    assert(whiteBrute >= rawBrute + 0.3,
+      s"whitening must surface the planted twins: raw $rawBrute, white $whiteBrute")
+    assert(whiteBrute >= 0.9, s"whitened twin recall $whiteBrute")
+
+    // composed with the ANN ladder: the LSH path on whitened vectors
+    // keeps the improvement end to end
+    val rawLsh = twinRecall(tops(Similarity.lshTopK(qRaw, cRaw, 3)))
+    val whiteLsh = twinRecall(tops(Similarity.lshTopK(qW, cW, 3)))
+    info(f"twin recall lsh: raw=$rawLsh%.2f whitened=$whiteLsh%.2f")
+    assert(whiteLsh > rawLsh, s"lsh on whitened $whiteLsh <= raw $rawLsh")
+  }
+
+  test("applyDenseMilli: broadcast dim-square transform, exact int64 " +
+    "(identity and a known rotation)") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, -0.5f)),
+      (2L, Array(0.25f, -1.0f, 3.0f))).toDF("vec_id", "embedding")
+    // identity (milli scale 1000): w == q
+    val id3 = Array.tabulate(3, 3)((i, j) => if (i == j) 1000L else 0L)
+    val gotId = Similarity.applyDenseMilli(df, col("vec_id"), col("embedding"), id3)
+      .select("id", "wvec").as[(Long, Seq[Long])].collect().toMap
+    assert(gotId(1L) == Seq(1000L, 2000L, -500L))
+    assert(gotId(2L) == Seq(250L, -1000L, 3000L))
+    // 90° rotation in dims (0,1): (x,y,z) -> (-y, x, z)
+    val rot = Array(
+      Array(0L, 1000L, 0L),
+      Array(-1000L, 0L, 0L),
+      Array(0L, 0L, 1000L))
+    val gotRot = Similarity.applyDenseMilli(df, col("vec_id"), col("embedding"), rot)
+      .select("id", "wvec").as[(Long, Seq[Long])].collect().toMap
+    assert(gotRot(1L) == Seq(-2000L, 1000L, -500L))
+  }
+
   test("native sq8 ADC kernel == declarative fold on real embeddings") {
     val e = Tables.load(spark, Sf0001, "embeddings").limit(300)
     val enc = Similarity.sq8Encode(e, col("vec_id"), col("embedding"))
