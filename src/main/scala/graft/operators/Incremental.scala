@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental recompute of the pretraining-prep pipeline — the
+  * composition VERDICT row 86 (corpusDiff) was built for: given a new
+  * corpus snapshot, the previous snapshot, and the PREVIOUS run's
+  * outputs, reprocess only the slice the diff actually touches and
+  * merge with the prior outputs. At 100 TB this is the difference
+  * between a nightly full reprocess and an incremental one whose cost
+  * scales with the edit volume.
+  *
+  * The pipeline is the `pipeline_pretrain` chain with one structural
+  * change that makes shard-level invalidation sound: sequence packing
+  * groups by SHARD (`pmod(doc_id, nShards)`) instead of by language,
+  * so an edit perturbs only its own shard's positional layout (the
+  * language-grouped packing makes every edit global: offsets of all
+  * later docs in the stratum shift). Corpus storage partitioned by
+  * the same shard key turns the touched-shard recompute into partition
+  * pruning at the scan.
+  *
+  * Invalidation is exact, not heuristic:
+  *  - the diff classifies every id (fingerprint compare — 32-byte
+  *    digests, one full-outer equi-join);
+  *  - a fingerprint GROUP is touched iff a member was added, removed
+  *    or changed; keep-first dedup state (`fingerprint → min kept id`)
+  *    is recomputed for touched groups only and merged with the prior
+  *    state by anti-join;
+  *  - a SHARD is touched iff it holds a diff-classified id or an id
+  *    whose kept flag could flip (old/new kept ids of touched groups —
+  *    a removed duplicate promotes a copy that may live in an
+  *    untouched-by-the-diff shard);
+  *  - touched shards re-run the quality → dedup(kept state) → sample →
+  *    pack chain on the NEW corpus restricted to those shards; prior
+  *    packed rows of untouched shards carry over verbatim.
+  *
+  * Equivalence contract (oracle-gated): the merged output is
+  * row-identical to a from-scratch [[pipelineSharded]] run on the new
+  * corpus — the `pipeline_incremental` DuckDB oracle IS the full
+  * recompute, so the gate proves incremental == full on every run.
+  */
+object Incremental {
+
+  /** Keep-first dedup state over the quality-passing corpus:
+    * (fingerprint, keep_id, n_dups) — [[Dedup.exact]] on the gated
+    * docs. Model of the corpus' duplicate structure; the incremental
+    * path updates it group-wise instead of recomputing it.
+    */
+  def keptState(
+      docs: DataFrame, id: Column, text: Column,
+      minQualityMilli: Long): DataFrame =
+    Dedup.exact(
+      docs.filter(TextAnalysis.qualityMilli(text) >= minQualityMilli),
+      text, id)
+
+  /** The full sharded pipeline (the from-scratch reference): quality
+    * gate → keep-first dedup → deterministic stratified sample →
+    * position-level packing grouped by `pmod(doc_id, nShards)`.
+    * Output: [[Corpus.packSequences]] rows, `grp` = shard.
+    */
+  def pipelineSharded(
+      docs: DataFrame, nShards: Int, seqLen: Long,
+      minQualityMilli: Long = 30L,
+      ratesPerMille: Map[String, Int] = Map("en" -> 600),
+      defaultPerMille: Int = 800): DataFrame =
+    packStage(
+      docs,
+      keptState(docs, col("doc_id"), col("text"), minQualityMilli),
+      nShards, seqLen, minQualityMilli, ratesPerMille, defaultPerMille)
+
+  /** quality → kept-semi-join → sample → shard-pack over `docs`,
+    * against an EXPLICIT kept state (the full path passes its own;
+    * the incremental path passes the merged state while scanning only
+    * touched shards).
+    */
+  private def packStage(
+      docs: DataFrame, kept: DataFrame, nShards: Int, seqLen: Long,
+      minQualityMilli: Long, ratesPerMille: Map[String, Int],
+      defaultPerMille: Int): DataFrame = {
+    val quality = docs.filter(
+      TextAnalysis.qualityMilli(col("text")) >= minQualityMilli)
+    val deduped = quality.join(
+      kept.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sampled = Corpus.stratifiedSample(
+      deduped, col("doc_id"), col("lang"), ratesPerMille, defaultPerMille)
+    Corpus.packSequences(
+      sampled, col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)),
+      TextAnalysis.tokenCount(col("text")).cast("bigint"), seqLen)
+  }
+
+  /** The incremental step. Returns (kept', packed', touchedShards) —
+    * feed kept'/packed' back in as the priors of the next run.
+    * `touchedShards` is a ≤ nShards-row frame (shard) for the
+    * recompute-fraction assertion and for partition pruning.
+    */
+  def pipelineIncremental(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      priorKept: DataFrame, priorPacked: DataFrame,
+      nShards: Int, seqLen: Long,
+      minQualityMilli: Long = 30L,
+      ratesPerMille: Map[String, Int] = Map("en" -> 600),
+      defaultPerMille: Int = 800): (DataFrame, DataFrame, DataFrame) = {
+    val diff = Corpus.corpusDiff(
+      oldDocs, col("doc_id"), col("text"), newDocs, col("doc_id"), col("text"))
+    val changed = diff.filter(col("status") =!= "unchanged")
+      .localCheckpoint(true) // edit-sized; cut so the 3 consumers don't re-diff
+    val touchedFps = changed
+      .select(explode(array(col("old_fp"), col("new_fp"))).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .distinct()
+    // kept state of the touched groups, from the NEW corpus (narrow
+    // fingerprint scan + semi-join on the touched digests)
+    val keptTouched = Dedup.exact(
+      newDocs.filter(TextAnalysis.qualityMilli(col("text")) >= minQualityMilli),
+      col("text"), col("doc_id"))
+      .join(touchedFps, Seq("fingerprint"), "left_semi")
+      .localCheckpoint(true)
+    val keptMerged = priorKept
+      .join(touchedFps, Seq("fingerprint"), "left_anti")
+      .unionByName(keptTouched)
+    // shards needing a repack: diff-classified ids + any id whose kept
+    // flag could flip (old/new kept ids of the touched groups)
+    val flipIds = priorKept
+      .join(touchedFps, Seq("fingerprint"), "left_semi")
+      .select(col("keep_id").as("doc_id"))
+      .unionByName(keptTouched.select(col("keep_id").as("doc_id")))
+    val touchedShards = changed.select(col("doc_id"))
+      .unionByName(flipIds)
+      .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .distinct()
+      .localCheckpoint(true) // ≤ nShards rows
+    val slice = newDocs.join(
+      broadcast(touchedShards),
+      pmod(col("doc_id"), lit(nShards.toLong)) === col("shard"), "left_semi")
+    val packedTouched = packStage(
+      slice, keptMerged, nShards, seqLen, minQualityMilli,
+      ratesPerMille, defaultPerMille)
+    val packedMerged = priorPacked
+      .join(broadcast(touchedShards), priorPacked("grp") === col("shard"), "left_anti")
+      .unionByName(packedTouched)
+    (keptMerged, packedMerged, touchedShards)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def collectPacked(df: DataFrame): Set[(Long, Long, Long, Long, Long, Long, Long, Boolean)] =
+    df.select("doc_id", "grp", "seq_id", "begin_in_seq", "end_in_seq",
+      "doc_begin", "n_piece", "starts_doc")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSet
+
+  test("a 3-doc edit reprocesses a small shard fraction and still " +
+    "equals the full recompute") {
+    val old = Tables.load(spark, Sf0001, "documents")
+    val nShards = 64
+    // tiny edit: 2 texts changed, 1 doc added
+    val newDocs = old
+      .withColumn("text",
+        when(col("doc_id").isin(11L, 23L), concat(col("text"), lit(" tweak")))
+          .otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") === 5L)
+        .select(lit(20000001L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
+    val priorPacked = Incremental.pipelineSharded(old, nShards, seqLen = 256L)
+    val (kept2, packed2, touched) = Incremental.pipelineIncremental(
+      old, newDocs, priorKept, priorPacked, nShards, seqLen = 256L)
+    val touchedN = touched.count()
+    assert(touchedN > 0 && touchedN <= 8,
+      s"3-doc edit touched $touchedN of $nShards shards")
+    // incremental == full, on BOTH outputs
+    val full = Incremental.pipelineSharded(newDocs, nShards, seqLen = 256L)
+    assert(collectPacked(packed2) == collectPacked(full))
+    val fullKept = Incremental.keptState(newDocs, col("doc_id"), col("text"), 30L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(kept2.as[(String, Long, Long)].collect().toSet == fullKept)
+  }
+
+  test("a removed duplicate promotes a copy in an UNtouched shard — " +
+    "the kept-flip invalidation catches it") {
+    val nShards = 8
+    // docs 100 (shard 4) and 203 (shard 3) are exact duplicates; the
+    // rest are unique. Removing 100 promotes 203, whose shard the
+    // diff alone would never touch. (Text must pass the stop-word
+    // quality gate.)
+    val base = (0 until 50).map(i =>
+      (i * 10L + 1L, s"the doc number $i has a body of the usual words", "en", "s", 10L))
+    val rows = base ++ Seq(
+      (100L, "the duplicated text a rather the common one", "en", "s", 8L),
+      (203L, "the duplicated text a rather the common one", "en", "s", 8L))
+    val old = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val newDocs = old.filter(col("doc_id") =!= 100L)
+    val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
+    val priorPacked = Incremental.pipelineSharded(old, nShards, seqLen = 16L)
+    val (kept2, packed2, touched) = Incremental.pipelineIncremental(
+      old, newDocs, priorKept, priorPacked, nShards, seqLen = 16L)
+    val touchedShards = touched.as[Long].collect().toSet
+    assert(touchedShards.contains(203L % nShards),
+      s"promoted copy's shard not invalidated: $touchedShards")
+    val full = Incremental.pipelineSharded(newDocs, nShards, seqLen = 16L)
+    assert(collectPacked(packed2) == collectPacked(full))
+    // the promoted doc is now kept
+    assert(kept2.filter(col("keep_id") === 203L).count() == 1L)
+  }
+
+  test("empty diff: nothing recomputes, outputs carry over verbatim") {
+    val old = Tables.load(spark, Sf0001, "documents")
+    val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
+    val priorPacked = Incremental.pipelineSharded(old, 16, seqLen = 256L)
+    val (kept2, packed2, touched) = Incremental.pipelineIncremental(
+      old, old, priorKept, priorPacked, 16, seqLen = 256L)
+    assert(touched.isEmpty)
+    assert(collectPacked(packed2) == collectPacked(priorPacked))
+    assert(kept2.count() == priorKept.count())
+  }
+}
