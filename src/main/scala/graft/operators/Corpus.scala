@@ -156,12 +156,19 @@ object Corpus {
     * [[stratifiedSample]] (no RNG, pushes into the scan).
     */
   def temperatureRates(
-      df: DataFrame, stratum: Column, tokens: Column): DataFrame = {
+      df: DataFrame, stratum: Column, tokens: Column): DataFrame =
+    temperatureRatesFromTotals(
+      df.select(stratum.as("stratum"), tokens.as("n_tokens"))
+        .groupBy("stratum").agg(sum("n_tokens").as("t")))
+
+  /** The √T rate-derivation tail of [[temperatureRates]] on a
+    * (stratum, t) totals frame — shared by the batch aggregate and
+    * the drained streaming per-stratum sums (associative addition ⇒
+    * identical totals ⇒ identical rates).
+    */
+  def temperatureRatesFromTotals(rawTotals: DataFrame): DataFrame = {
     val fdiv = graft.operators.CorpusStats.fdiv _
-    val totals = df
-      .select(stratum.as("stratum"), tokens.as("n_tokens"))
-      .groupBy("stratum").agg(sum("n_tokens").as("t"))
-      .filter(col("t") > 0)
+    val totals = rawTotals.filter(col("t") > 0)
     val w = totals
       .withColumn("s0", floor(sqrt(col("t").cast("double"))).cast("bigint"))
       .withColumn("w",
@@ -194,11 +201,21 @@ object Corpus {
 
   def mixtureRates(
       df: DataFrame, stratum: Column, tokens: Column,
-      targetsPerMille: Map[String, Int]): DataFrame = {
-    val totals = df
-      .select(stratum.as("stratum"), tokens.as("n_tokens"))
-      .groupBy("stratum").agg(sum("n_tokens").as("total_tokens"))
-    val targets = df.sparkSession.createDataFrame(
+      targetsPerMille: Map[String, Int]): DataFrame =
+    mixtureRatesFromTotals(
+      df.select(stratum.as("stratum"), tokens.as("n_tokens"))
+        .groupBy("stratum").agg(sum("n_tokens").as("total_tokens")),
+      targetsPerMille)
+
+  /** The rate-derivation tail of [[mixtureRates]], usable on any
+    * (stratum, total_tokens) frame — including totals drained from a
+    * STREAMING per-stratum sum (addition is associative, so online
+    * totals equal the batch totals exactly and this tail gives the
+    * identical rates).
+    */
+  def mixtureRatesFromTotals(
+      totals: DataFrame, targetsPerMille: Map[String, Int]): DataFrame = {
+    val targets = totals.sparkSession.createDataFrame(
       targetsPerMille.toSeq.map { case (s, t) => (s, t.toLong) })
       .toDF("stratum", "target_permille")
     val j = totals.join(targets, Seq("stratum"))

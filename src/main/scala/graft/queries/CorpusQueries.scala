@@ -156,6 +156,30 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"), col("score_sum"), col("rate_permille"))
         .orderBy("doc_id")
     }),
+    // the mixture rates STREAMED: per-stratum token totals maintained
+    // as bounded keyed state (one long per stratum), drained totals ==
+    // batch aggregate exactly (associative addition), the same rate
+    // derivation + sampler audit on top — shares mixture_rebalance's
+    // oracle VERBATIM under any micro-batch split
+    "stream_mixture" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("mixture-online")
+      val totals = graft.streaming.StreamingStats.stratumTotalsFromFiles(
+        s, docs(s, dir), "lang", "text", "doc_id", nBatches = 4, scratch)
+      val targets = Map("en" -> 500, "fr" -> 300, "zh" -> 200)
+      val rates = Corpus.mixtureRatesFromTotals(totals, targets)
+      val d = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      val kept = Corpus.rebalance(d, col("doc_id"), col("lang"), rates)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+      rates.withColumnRenamed("stratum", "lang")
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("total_tokens"), col("rate_permille"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("lang")
+    }),
     // domain-mixture rebalancing: per-language keep rates hitting a
     // target token mixture, then the deterministic sampler; the query
     // emits the per-stratum audit (rates + what survived)
@@ -647,6 +671,37 @@ object CorpusQueries {
       |  ngram, cnt
       |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin
 
+  private val MixtureRebalanceOracle: String =
+    """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM t GROUP BY lang),
+        |tgt AS (SELECT * FROM (VALUES ('en', CAST(500 AS BIGINT)),
+        |  ('fr', CAST(300 AS BIGINT)), ('zh', CAST(200 AS BIGINT))) AS v(lang, target_permille)),
+        |j AS (SELECT agg.lang, total_tokens, target_permille FROM agg JOIN tgt USING (lang)),
+        |m AS (SELECT total_tokens AS m_tokens, target_permille AS m_target FROM j
+        |      ORDER BY CAST(total_tokens AS DOUBLE) / target_permille, lang LIMIT 1),
+        |r AS (SELECT lang, total_tokens,
+        |        least(1000, (1000 * target_permille * m_tokens) // (m_target * total_tokens))
+        |          AS rate_permille
+        |      FROM j, m),
+        |k AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS kept_docs,
+        |        CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
+        |      FROM t JOIN r USING (lang)
+        |      WHERE list_reduce(list_transform(
+        |          string_split(substr(md5(t.lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |          (a, b) -> a * 16 + b) % 1000 < r.rate_permille
+        |      GROUP BY t.lang)
+        |SELECT r.lang, r.total_tokens, r.rate_permille,
+        |  coalesce(k.kept_docs, 0) AS kept_docs,
+        |  coalesce(k.kept_tokens, 0) AS kept_tokens
+        |FROM r LEFT JOIN k USING (lang)
+        |ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // 16 greedy merges on the top-2048 word table, replayed round by
     // round (materialized CTE chain; argmax = ORDER BY freq DESC, l, r)
@@ -925,37 +980,12 @@ object CorpusQueries {
          |ORDER BY d.doc_id""".stripMargin
     },
     // binding stratum = min tokens/target (tie → name); rates by exact
-    // bigint cross-multiplication; sampler = portable hash per-mille
-    "mixture_rebalance" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |agg AS (
-        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |  FROM t GROUP BY lang),
-        |tgt AS (SELECT * FROM (VALUES ('en', CAST(500 AS BIGINT)),
-        |  ('fr', CAST(300 AS BIGINT)), ('zh', CAST(200 AS BIGINT))) AS v(lang, target_permille)),
-        |j AS (SELECT agg.lang, total_tokens, target_permille FROM agg JOIN tgt USING (lang)),
-        |m AS (SELECT total_tokens AS m_tokens, target_permille AS m_target FROM j
-        |      ORDER BY CAST(total_tokens AS DOUBLE) / target_permille, lang LIMIT 1),
-        |r AS (SELECT lang, total_tokens,
-        |        least(1000, (1000 * target_permille * m_tokens) // (m_target * total_tokens))
-        |          AS rate_permille
-        |      FROM j, m),
-        |k AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS kept_docs,
-        |        CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
-        |      FROM t JOIN r USING (lang)
-        |      WHERE list_reduce(list_transform(
-        |          string_split(substr(md5(t.lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
-        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |          (a, b) -> a * 16 + b) % 1000 < r.rate_permille
-        |      GROUP BY t.lang)
-        |SELECT r.lang, r.total_tokens, r.rate_permille,
-        |  coalesce(k.kept_docs, 0) AS kept_docs,
-        |  coalesce(k.kept_tokens, 0) AS kept_tokens
-        |FROM r LEFT JOIN k USING (lang)
-        |ORDER BY lang""".stripMargin,
+    // bigint cross-multiplication; sampler = portable hash per-mille;
+    // shared VERBATIM by the streamed-totals gate (stream_mixture) —
+    // associative addition makes the drained totals row-identical
+    "stream_mixture" -> MixtureRebalanceOracle,
+    "mixture_rebalance" -> MixtureRebalanceOracle,
+
     // same planted-PII footer, markup strip, and three-stage redaction
     // (email -> ip -> long-number) with global replacement
     "text_scrub" ->

@@ -285,4 +285,68 @@ object StreamingStats {
       .limit(k)
     CorpusStats.kmvFinish(smallest, k)
   }
+
+  final case class StratumSnap(stratum: String, ver: Long, total: Long)
+
+  /** STREAMING per-stratum token totals — the bounded keyed state
+    * (one long per stratum, forever) that makes the curation rate
+    * derivations incremental: docs replay as micro-batch files, each
+    * stratum's running total updates per batch, and the drained
+    * totals equal the batch aggregate EXACTLY (addition is
+    * associative), so [[graft.operators.Corpus.mixtureRatesFromTotals]]
+    * / [[graft.operators.Corpus.temperatureRatesFromTotals]] on the
+    * drained frame give the identical rates under any split — the
+    * batch oracle carries over verbatim. This is the missing piece
+    * for running `curate_v3`'s mixing stage on a live corpus: totals
+    * maintain online; rates re-derive from the |strata|-row model at
+    * any moment.
+    */
+  def stratumTotalsFromFiles(
+      spark: SparkSession,
+      docs: DataFrame,
+      stratumCol: String,
+      textCol: String,
+      idCol: String,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 4): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = docs.select(col(idCol), col(stratumCol), col(textCol))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col(idCol), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    import ss.implicits._
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+    val rows = stream
+      .select(col(stratumCol).as("stratum"),
+        TextAnalysis.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .as[(String, Long)]
+    val snaps = rows.groupByKey(_._1).flatMapGroupsWithState(
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+      (stratum: String, it: Iterator[(String, Long)],
+       state: org.apache.spark.sql.streaming.GroupState[StratumSnap]) =>
+        val prior = state.getOption.getOrElse(StratumSnap(stratum, 0L, 0L))
+        val next = StratumSnap(stratum, prior.ver + 1, prior.total + it.map(_._2).sum)
+        state.update(next)
+        Iterator(next)
+    }
+    val q = snaps.toDF().writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.parquet(outDir.toString)
+      .groupBy(col("stratum"))
+      .agg(max_by(col("total"), col("ver")).as("total_tokens"))
+  }
 }

@@ -118,4 +118,36 @@ class StreamingStatsSpec extends SparkSpec {
       graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
     }
   }
+
+  test("streamed per-stratum totals equal the batch aggregate under any " +
+    "split; BOTH curation rate derivations match batch on the drained frame") {
+    import graft.operators.Corpus
+    val docs = corpus(90).withColumn("lang",
+      element_at(lit(Array("en", "fr", "zh")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+    val tokens = graft.operators.TextAnalysis.tokenCount(col("text")).cast("bigint")
+    val batchTotals = docs.select(col("lang").as("stratum"), tokens.as("n_tokens"))
+      .groupBy("stratum").agg(sum("n_tokens").as("total_tokens"))
+      .as[(String, Long)].collect().toSet
+    val targets = Map("en" -> 500, "fr" -> 300, "zh" -> 200)
+    val batchMix = Corpus.mixtureRates(docs, col("lang"), tokens, targets)
+      .as[(String, Long, Long)].collect().toSet
+    val batchTemp = Corpus.temperatureRates(docs, col("lang"), tokens)
+      .as[(String, Long, Long, Long)].collect().toSet
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = Files.createTempDirectory(s"graft-stot-$nBatches").toString
+      val totals = StreamingStats.stratumTotalsFromFiles(
+        spark, docs, "lang", "text", "doc_id",
+        nBatches = nBatches, scratch, statePartitions = 4)
+      assert(totals.as[(String, Long)].collect().toSet == batchTotals,
+        s"split into $nBatches batches diverged")
+      val mix = Corpus.mixtureRatesFromTotals(totals, targets)
+        .as[(String, Long, Long)].collect().toSet
+      assert(mix == batchMix, "mixture rates diverged from batch")
+      val temp = Corpus.temperatureRatesFromTotals(
+        totals.select(col("stratum"), col("total_tokens").as("t")))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(temp == batchTemp, "temperature rates diverged from batch")
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
 }
