@@ -89,6 +89,81 @@ object Incremental {
       TextAnalysis.tokenCount(col("text")).cast("bigint"), seqLen)
   }
 
+  /** Write packed rows into the shard-partitioned parquet store with
+    * DYNAMIC partition overwrite: only the shards present in `packed`
+    * replace their directories; every other partition is neither read
+    * nor rewritten — the [[graft.streaming.StreamingUpsert.mergeBatch]]
+    * sink discipline applied to the pipeline output.
+    */
+  def writeShardStore(packed: DataFrame, storeDir: String): Unit =
+    packed.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("grp")
+      .parquet(storeDir)
+
+  /** Read the shard store back with the packed schema (the explicit
+    * schema + basePath trick keeps the `grp` partition column typed
+    * bigint, exactly as [[Corpus.packSequences]] emits it).
+    */
+  def readShardStore(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("begin_in_seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("end_in_seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_begin", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_piece", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("starts_doc", org.apache.spark.sql.types.BooleanType)))
+    spark.read.schema(schema).option("basePath", storeDir).parquet(storeDir)
+  }
+
+  /** The MATERIALIZED-STORE incremental step — the 100 TB shape: the
+    * packed output lives as a parquet store partitioned by shard; a
+    * run recomputes only the touched shards and dynamic-overwrites
+    * exactly those partitions. Unlike [[pipelineIncremental]]'s
+    * frame-level anti-join merge (which still reads and rewrites the
+    * prior rows), untouched partitions here are NEVER read or
+    * rewritten — prior-merge cost scales with the edit volume, not
+    * the corpus. Returns (kept', touchedShards); the store at
+    * `storeDir` is the packed output.
+    */
+  def pipelineIncrementalToStore(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      priorKept: DataFrame, storeDir: String,
+      nShards: Int, seqLen: Long,
+      minQualityMilli: Long = 30L,
+      ratesPerMille: Map[String, Int] = Map("en" -> 600),
+      defaultPerMille: Int = 800): (DataFrame, DataFrame) = {
+    val (keptMerged, _, touchedShards) = incrementalParts(
+      oldDocs, newDocs, priorKept, nShards, minQualityMilli)
+    val slice = newDocs.join(
+      broadcast(touchedShards),
+      pmod(col("doc_id"), lit(nShards.toLong)) === col("shard"), "left_semi")
+    val packedTouched = packStage(
+      slice, keptMerged, nShards, seqLen, minQualityMilli,
+      ratesPerMille, defaultPerMille)
+    packedTouched.persist()
+    try {
+      writeShardStore(packedTouched, storeDir)
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // write: a touched shard whose recompute came out EMPTY (every
+      // doc removed/filtered) would keep its stale partition — delete
+      // those directories explicitly (≤ nShards scalars)
+      val produced = packedTouched.select(col("grp")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touchedShards.collect().map(_.getLong(0))
+        .filterNot(produced)
+        .foreach { sh =>
+          graft.sources.FileIO.deleteScratch(
+            new java.io.File(storeDir, s"grp=$sh"))
+        }
+    } finally packedTouched.unpersist()
+    (keptMerged, touchedShards)
+  }
+
   /** The incremental step. Returns (kept', packed', touchedShards) —
     * feed kept'/packed' back in as the priors of the next run.
     * `touchedShards` is a ≤ nShards-row frame (shard) for the
@@ -101,6 +176,28 @@ object Incremental {
       minQualityMilli: Long = 30L,
       ratesPerMille: Map[String, Int] = Map("en" -> 600),
       defaultPerMille: Int = 800): (DataFrame, DataFrame, DataFrame) = {
+    val (keptMerged, _, touchedShards) = incrementalParts(
+      oldDocs, newDocs, priorKept, nShards, minQualityMilli)
+    val slice = newDocs.join(
+      broadcast(touchedShards),
+      pmod(col("doc_id"), lit(nShards.toLong)) === col("shard"), "left_semi")
+    val packedTouched = packStage(
+      slice, keptMerged, nShards, seqLen, minQualityMilli,
+      ratesPerMille, defaultPerMille)
+    val packedMerged = priorPacked
+      .join(broadcast(touchedShards), priorPacked("grp") === col("shard"), "left_anti")
+      .unionByName(packedTouched)
+    (keptMerged, packedMerged, touchedShards)
+  }
+
+  /** The shared invalidation core: diff → touched fingerprint groups →
+    * merged kept state → touched shards. Returns (kept', touchedFps,
+    * touchedShards).
+    */
+  private def incrementalParts(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      priorKept: DataFrame, nShards: Int,
+      minQualityMilli: Long = 30L): (DataFrame, DataFrame, DataFrame) = {
     val diff = Corpus.corpusDiff(
       oldDocs, col("doc_id"), col("text"), newDocs, col("doc_id"), col("text"))
     val changed = diff.filter(col("status") =!= "unchanged")
@@ -130,15 +227,6 @@ object Incremental {
       .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
       .distinct()
       .localCheckpoint(true) // ≤ nShards rows
-    val slice = newDocs.join(
-      broadcast(touchedShards),
-      pmod(col("doc_id"), lit(nShards.toLong)) === col("shard"), "left_semi")
-    val packedTouched = packStage(
-      slice, keptMerged, nShards, seqLen, minQualityMilli,
-      ratesPerMille, defaultPerMille)
-    val packedMerged = priorPacked
-      .join(broadcast(touchedShards), priorPacked("grp") === col("shard"), "left_anti")
-      .unionByName(packedTouched)
-    (keptMerged, packedMerged, touchedShards)
+    (keptMerged, touchedFps, touchedShards)
   }
 }

@@ -81,6 +81,30 @@ object CorpusQueries {
         old, newDocs, priorKept, priorPacked, nShards = 16, seqLen = 256L)
       packed.orderBy("doc_id", "seq_id")
     }),
+    // the SAME incremental step against a MATERIALIZED shard-
+    // partitioned store: touched shards dynamic-overwrite exactly
+    // their partitions (untouched partitions never read or rewritten
+    // — the 100 TB merge shape); emptied shards drop their partition.
+    // Shares pipeline_incremental's full-recompute oracle verbatim
+    "pipeline_incr_store" -> ((s, dir) => {
+      val old = docs(s, dir)
+      val newDocs = old.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(old.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      val store = graft.LocalDir.runDir("incr-store")
+      val priorKept = graft.operators.Incremental.keptState(
+        old, col("doc_id"), col("text"), minQualityMilli = 30L)
+      graft.operators.Incremental.writeShardStore(
+        graft.operators.Incremental.pipelineSharded(old, 16, 256L), store)
+      graft.operators.Incremental.pipelineIncrementalToStore(
+        old, newDocs, priorKept, store, nShards = 16, seqLen = 256L)
+      graft.operators.Incremental.readShardStore(s, store)
+        .orderBy("doc_id", "seq_id")
+    }),
     // deterministic corpus shuffle into training shards: same seed =
     // same order on any engine
     "train_shards" -> ((s, dir) =>
@@ -671,6 +695,47 @@ object CorpusQueries {
       |  ngram, cnt
       |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin
 
+  private val PipelineIncrementalOracle: String =
+    """WITH nd AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, text FROM documents WHERE doc_id % 13 = 0),
+        |f AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    CAST(round(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t = 'the' OR t = 'a')) / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS q
+        |  FROM nd),
+        |qf AS (SELECT * FROM f WHERE q >= 30),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY fp),
+        |kept AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+        |samp AS (
+        |  SELECT * FROM kept
+        |  WHERE list_reduce(list_transform(
+        |      string_split(substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 1000
+        |    < CASE WHEN lang = 'en' THEN 600 ELSE 800 END),
+        |t AS (SELECT doc_id, doc_id % 16 AS grp,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM samp),
+        |o AS (SELECT doc_id, grp, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t),
+        |e AS (SELECT doc_id, grp, n_tokens, start_offset,
+        |  UNNEST(generate_series(start_offset // 256, (start_offset + n_tokens - 1) // 256)) AS seq_id
+        |  FROM o WHERE n_tokens > 0)
+        |SELECT doc_id, CAST(grp AS BIGINT) AS grp, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(start_offset, seq_id * 256) - seq_id * 256 AS BIGINT) AS begin_in_seq,
+        |  CAST(least(start_offset + n_tokens, seq_id * 256 + 256) - seq_id * 256 AS BIGINT) AS end_in_seq,
+        |  CAST(greatest(0, seq_id * 256 - start_offset) AS BIGINT) AS doc_begin,
+        |  CAST(least(start_offset + n_tokens, seq_id * 256 + 256)
+        |    - greatest(start_offset, seq_id * 256) AS BIGINT) AS n_piece,
+        |  (greatest(0, seq_id * 256 - start_offset) = 0) AS starts_doc
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin
+
   private val MixtureRebalanceOracle: String =
     """WITH t AS (
         |  SELECT doc_id, lang,
@@ -749,47 +814,10 @@ object CorpusQueries {
         |  (greatest(0, seq_id * 256 - start_offset) = 0) AS starts_doc
         |FROM e ORDER BY doc_id, seq_id""".stripMargin,
     // the from-scratch recompute on the perturbed corpus — proving the
-    // incremental merge equals a full run (shard-grouped packing)
-    "pipeline_incremental" ->
-      """WITH nd AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, lang, text FROM documents WHERE doc_id % 13 = 0),
-        |f AS (
-        |  SELECT doc_id, lang, text,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
-        |    CAST(round(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
-        |      t -> t = 'the' OR t = 'a')) / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS q
-        |  FROM nd),
-        |qf AS (SELECT * FROM f WHERE q >= 30),
-        |keep AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY fp),
-        |kept AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
-        |samp AS (
-        |  SELECT * FROM kept
-        |  WHERE list_reduce(list_transform(
-        |      string_split(substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
-        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) % 1000
-        |    < CASE WHEN lang = 'en' THEN 600 ELSE 800 END),
-        |t AS (SELECT doc_id, doc_id % 16 AS grp,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM samp),
-        |o AS (SELECT doc_id, grp, n_tokens,
-        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-        |  FROM t),
-        |e AS (SELECT doc_id, grp, n_tokens, start_offset,
-        |  UNNEST(generate_series(start_offset // 256, (start_offset + n_tokens - 1) // 256)) AS seq_id
-        |  FROM o WHERE n_tokens > 0)
-        |SELECT doc_id, CAST(grp AS BIGINT) AS grp, CAST(seq_id AS BIGINT) AS seq_id,
-        |  CAST(greatest(start_offset, seq_id * 256) - seq_id * 256 AS BIGINT) AS begin_in_seq,
-        |  CAST(least(start_offset + n_tokens, seq_id * 256 + 256) - seq_id * 256 AS BIGINT) AS end_in_seq,
-        |  CAST(greatest(0, seq_id * 256 - start_offset) AS BIGINT) AS doc_begin,
-        |  CAST(least(start_offset + n_tokens, seq_id * 256 + 256)
-        |    - greatest(start_offset, seq_id * 256) AS BIGINT) AS n_piece,
-        |  (greatest(0, seq_id * 256 - start_offset) = 0) AS starts_doc
-        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
+    // incremental merge equals a full run (shard-grouped packing);
+    // shared VERBATIM by the frame-merge and store-overwrite gates
+    "pipeline_incremental" -> PipelineIncrementalOracle,
+    "pipeline_incr_store" -> PipelineIncrementalOracle,
     // full-outer fingerprint join over the same planted perturbation
     "corpus_diff" ->
       """WITH old AS (

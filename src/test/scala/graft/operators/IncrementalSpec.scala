@@ -67,6 +67,54 @@ class IncrementalSpec extends SparkSpec {
     assert(kept2.filter(col("keep_id") === 203L).count() == 1L)
   }
 
+  test("store-backed incremental: touched shards dynamic-overwrite " +
+    "their partitions, untouched partition FILES are never rewritten, " +
+    "emptied shards drop theirs; store == full recompute") {
+    val nShards = 8
+    val rows = (0 until 60).map(i =>
+      (i.toLong, s"the doc number $i has a body of the usual words", "en", "s", 10L))
+    val old = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // edit: change doc 11 (shard 3); REMOVE every doc of shard 5
+    val newDocs = old
+      .filter(pmod(col("doc_id"), lit(nShards.toLong)) =!= 5L)
+      .withColumn("text",
+        when(col("doc_id") === 11L, concat(col("text"), lit(" tweak")))
+          .otherwise(col("text")))
+    val store = java.nio.file.Files.createTempDirectory("graft-incr-store").toString
+    Incremental.writeShardStore(
+      Incremental.pipelineSharded(old, nShards, seqLen = 16L), store)
+    def partFiles(): Map[String, Map[String, Long]] =
+      new java.io.File(store).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("grp="))
+        .map(d => d.getName ->
+          d.listFiles().toSeq.filterNot(_.getName.startsWith("_"))
+            .map(f => f.getName -> f.lastModified()).toMap)
+        .toMap
+    val before = partFiles()
+    assert(before.keySet.size == nShards, s"expected all shards: ${before.keySet}")
+    Thread.sleep(1100) // mtime resolution guard
+    val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
+    val (_, touched) = Incremental.pipelineIncrementalToStore(
+      old, newDocs, priorKept, store, nShards, seqLen = 16L)
+    val touchedSet = touched.as[Long].collect().toSet
+    assert(touchedSet.contains(3L) && touchedSet.contains(5L))
+    val after = partFiles()
+    // emptied shard's partition is gone
+    assert(!after.contains("grp=5"), s"stale emptied partition: ${after.keySet}")
+    // untouched partitions: identical file lists AND timestamps
+    (before.keySet - "grp=5").filterNot(p =>
+      touchedSet.contains(p.stripPrefix("grp=").toLong)).foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p was rewritten")
+    }
+    // touched non-empty shard really was replaced
+    assert(after("grp=3") != before("grp=3"), "touched partition not rewritten")
+    // the store equals a from-scratch run on the new corpus
+    val full = Incremental.pipelineSharded(newDocs, nShards, seqLen = 16L)
+    assert(collectPacked(Incremental.readShardStore(spark, store)) ==
+      collectPacked(full))
+    graft.sources.FileIO.deleteScratch(new java.io.File(store))
+  }
+
   test("empty diff: nothing recomputes, outputs carry over verbatim") {
     val old = Tables.load(spark, Sf0001, "documents")
     val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
