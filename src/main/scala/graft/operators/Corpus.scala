@@ -191,8 +191,16 @@ object Corpus {
     * [[temperatureRates]] broadcast back (a |strata|-row model), keep
     * decided by the shared deterministic hash predicate. */
   def temperatureSample(
-      df: DataFrame, id: Column, stratum: Column, tokens: Column): DataFrame = {
-    val rates = temperatureRates(df, stratum, tokens)
+      df: DataFrame, id: Column, stratum: Column, tokens: Column): DataFrame =
+    temperatureSampleWithRates(df, id, stratum, temperatureRates(df, stratum, tokens))
+
+  /** Apply a precomputed [[temperatureRates]] table (broadcast |strata|
+    * rows + the stateless hash filter) — the entry point for rates
+    * maintained ONLINE from streamed per-stratum totals.
+    */
+  def temperatureSampleWithRates(
+      df: DataFrame, id: Column, stratum: Column, ratesDf: DataFrame): DataFrame = {
+    val rates = ratesDf
       .select(col("stratum").as("__ts_stratum"), col("rate_permille"))
     df.join(broadcast(rates), stratum === col("__ts_stratum"))
       .filter(keepRow(col("__ts_stratum"), id, col("rate_permille")))

@@ -160,6 +160,20 @@ object CorpusQueries {
         TextAnalysis.tokenCount(col("text")).cast("bigint"))
         .select(col("doc_id"), col("source"), col("rate_permille"))
         .orderBy("doc_id")),
+    // the √T rates derived from STREAMED totals (bounded per-stratum
+    // state) and applied to the corpus — row-identical to the batch
+    // two-pass sampler (associative totals), oracle shared VERBATIM
+    "stream_temperature" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("temp-online")
+      val totals = graft.streaming.StreamingStats.stratumTotalsFromFiles(
+        s, docs(s, dir), "source", "text", "doc_id", nBatches = 4, scratch)
+      val rates = Corpus.temperatureRatesFromTotals(
+        totals.select(col("stratum"), col("total_tokens").as("t")))
+      Corpus.temperatureSampleWithRates(
+        docs(s, dir), col("doc_id"), col("source"), rates)
+        .select(col("doc_id"), col("source"), col("rate_permille"))
+        .orderBy("doc_id")
+    }),
     // curation v3 — the model-based pipeline composed end to end IN
     // ENGINE: train the classifier (exact fixed-point GD), gate the
     // corpus on the trained score, then temperature-sample the
@@ -695,6 +709,35 @@ object CorpusQueries {
       |  ngram, cnt
       |FROM c ORDER BY cnt DESC, ngram DESC LIMIT 50""".stripMargin
 
+  private val TemperatureSampleOracle: String = {
+      val hashPm =
+        """list_reduce(list_transform(
+          |    string_split(substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8), ''),
+          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          |    (a, b) -> a * 16 + b) % 1000""".stripMargin
+      s"""WITH tot AS (
+         |  SELECT source AS stratum,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT stratum, t,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= t THEN s0 + 1
+         |         WHEN s0 * s0 > t THEN s0 - 1 ELSE s0 END AS w
+         |  FROM (SELECT stratum, t,
+         |          CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s0
+         |        FROM tot WHERE t > 0)),
+         |m AS (SELECT t AS m_t, w AS m_w FROM w
+         |      ORDER BY ${sqlFdiv("t * 256", "w")}, stratum LIMIT 1),
+         |r AS (SELECT stratum,
+         |    LEAST(1000, ${sqlFdiv(s"w * ${sqlFdiv("1000000 * m_t", "t")}", "1000 * m_w")})
+         |      AS rate_permille
+         |  FROM w, m)
+         |SELECT d.doc_id, d.source, r.rate_permille
+         |FROM documents d JOIN r ON d.source = r.stratum
+         |WHERE $hashPm < r.rate_permille
+         |ORDER BY d.doc_id""".stripMargin
+    }
+
   private val PipelineIncrementalOracle: String =
     """WITH nd AS (
         |  SELECT doc_id, lang,
@@ -979,34 +1022,9 @@ object CorpusQueries {
     // isqrt weights (double sqrt floored, then integer-verified ±1),
     // binding stratum by the staged fixed-point key, two-stage floor
     // division for the rate, portable-hash per-mille sampler
-    "sample_temperature" -> {
-      val hashPm =
-        """list_reduce(list_transform(
-          |    string_split(substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8), ''),
-          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-          |    (a, b) -> a * 16 + b) % 1000""".stripMargin
-      s"""WITH tot AS (
-         |  SELECT source AS stratum,
-         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t
-         |  FROM documents GROUP BY source),
-         |w AS (
-         |  SELECT stratum, t,
-         |    CASE WHEN (s0 + 1) * (s0 + 1) <= t THEN s0 + 1
-         |         WHEN s0 * s0 > t THEN s0 - 1 ELSE s0 END AS w
-         |  FROM (SELECT stratum, t,
-         |          CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s0
-         |        FROM tot WHERE t > 0)),
-         |m AS (SELECT t AS m_t, w AS m_w FROM w
-         |      ORDER BY ${sqlFdiv("t * 256", "w")}, stratum LIMIT 1),
-         |r AS (SELECT stratum,
-         |    LEAST(1000, ${sqlFdiv(s"w * ${sqlFdiv("1000000 * m_t", "t")}", "1000 * m_w")})
-         |      AS rate_permille
-         |  FROM w, m)
-         |SELECT d.doc_id, d.source, r.rate_permille
-         |FROM documents d JOIN r ON d.source = r.stratum
-         |WHERE $hashPm < r.rate_permille
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "sample_temperature" -> TemperatureSampleOracle,
+    // streamed-totals variant: identical rates, identical rows
+    "stream_temperature" -> TemperatureSampleOracle,
     // binding stratum = min tokens/target (tie → name); rates by exact
     // bigint cross-multiplication; sampler = portable hash per-mille;
     // shared VERBATIM by the streamed-totals gate (stream_mixture) —
