@@ -738,75 +738,84 @@ object LlmQueries {
     * final codebook `cw$tag` (sub, cell, cvec, nrm sorted lists) +
     * per-position rows `cb$tag`, and the full-corpus encode
     * `enc$tag` (cid, sub, cell). m=8, subDim=8 — the gate config.
+    *
+    * MEMORY SHAPE (the lesson of the old funnel oracle, applied
+    * preemptively): assignments are `arg_max(cell, score·256 + cell)`
+    * GROUP BY (vec, sub) — an exact packed key (0 ≤ cell < 256, so
+    * lexicographic (score, cell) order is preserved; ties go to the
+    * LARGEST cell exactly as the kernel does) — which pipelines the
+    * (vec×sub×256) candidate join straight into a hash aggregate.
+    * The previous row_number() spelling materialized + sorted that
+    * join (~25 GB at 20k vectors carrying 64-long lists) and OOM'd
+    * DuckDB at sf1; subvectors are also projected to 8 longs BEFORE
+    * the join.
     */
   private def pqStageCtes(tag: String, seed: String): String =
     s"""samp$tag AS (
        |  SELECT vec_id, qm FROM v$tag
        |  ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 384),
-       |cells$tag AS (
-       |  SELECT vec_id, sub,
+       |sq$tag AS (
+       |  SELECT vec_id, sub, qm[sub*8+1 : sub*8+8] AS qsub,
        |    list_sum(list_transform(generate_series(1, 8),
-       |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell,
-       |    qm
+       |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell
        |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM samp$tag)),
        |cba$tag AS (
        |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
        |  FROM (SELECT sub, cell,
        |          UNNEST(generate_series(0, 7)) AS pos,
-       |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
-       |        FROM cells$tag)
+       |          UNNEST(qsub) AS q
+       |        FROM sq$tag)
        |  GROUP BY sub, cell, pos),
        |cwa$tag AS (
        |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
        |  FROM cba$tag GROUP BY sub, cell),
        |ra1$tag AS (
-       |  SELECT vec_id, sub, cell, qm FROM (
-       |    SELECT c.vec_id, c.sub, w.cell, c.qm,
-       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
-       |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
-       |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
-       |    FROM cells$tag c JOIN cwa$tag w ON c.sub = w.sub)
-       |  WHERE rn = 1),
+       |  SELECT c.vec_id, c.sub,
+       |    arg_max(w.cell,
+       |      (2 * CAST(list_sum(list_transform(generate_series(1,8),
+       |         i -> c.qsub[i] * w.cvec[i])) AS BIGINT) - w.nrm) * 256 + w.cell) AS cell
+       |  FROM sq$tag c JOIN cwa$tag w ON c.sub = w.sub
+       |  GROUP BY c.vec_id, c.sub),
        |cbb$tag AS (
-       |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
-       |  FROM (SELECT sub, cell,
+       |  SELECT a.sub, a.cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  FROM (SELECT a1.sub, a1.cell,
        |          UNNEST(generate_series(0, 7)) AS pos,
-       |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
-       |        FROM ra1$tag)
-       |  GROUP BY sub, cell, pos),
+       |          UNNEST(s.qsub) AS q
+       |        FROM ra1$tag a1 JOIN sq$tag s ON a1.vec_id = s.vec_id AND a1.sub = s.sub) a
+       |  GROUP BY a.sub, a.cell, pos),
        |cwb$tag AS (
        |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
        |  FROM cbb$tag GROUP BY sub, cell),
        |ra2$tag AS (
-       |  SELECT vec_id, sub, cell, qm FROM (
-       |    SELECT c.vec_id, c.sub, w.cell, c.qm,
-       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
-       |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
-       |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
-       |    FROM (SELECT vec_id, sub, qm FROM cells$tag) c JOIN cwb$tag w ON c.sub = w.sub)
-       |  WHERE rn = 1),
+       |  SELECT c.vec_id, c.sub,
+       |    arg_max(w.cell,
+       |      (2 * CAST(list_sum(list_transform(generate_series(1,8),
+       |         i -> c.qsub[i] * w.cvec[i])) AS BIGINT) - w.nrm) * 256 + w.cell) AS cell
+       |  FROM sq$tag c JOIN cwb$tag w ON c.sub = w.sub
+       |  GROUP BY c.vec_id, c.sub),
        |cb$tag AS (
-       |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
-       |  FROM (SELECT sub, cell,
+       |  SELECT a.sub, a.cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  FROM (SELECT a2.sub, a2.cell,
        |          UNNEST(generate_series(0, 7)) AS pos,
-       |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
-       |        FROM ra2$tag)
-       |  GROUP BY sub, cell, pos),
+       |          UNNEST(s.qsub) AS q
+       |        FROM ra2$tag a2 JOIN sq$tag s ON a2.vec_id = s.vec_id AND a2.sub = s.sub) a
+       |  GROUP BY a.sub, a.cell, pos),
        |cw$tag AS (
        |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
        |  FROM cb$tag GROUP BY sub, cell),
+       |vq$tag AS (
+       |  SELECT vec_id, sub, qm[sub*8+1 : sub*8+8] AS qsub
+       |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM v$tag)),
        |enc$tag AS (
-       |  SELECT vec_id AS cid, sub, cell FROM (
-       |    SELECT c.vec_id, c.sub, w.cell,
-       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
-       |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
-       |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
-       |    FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM v$tag) c
-       |    JOIN cw$tag w ON c.sub = w.sub)
-       |  WHERE rn = 1)""".stripMargin
+       |  SELECT c.vec_id AS cid, c.sub AS sub,
+       |    arg_max(w.cell,
+       |      (2 * CAST(list_sum(list_transform(generate_series(1,8),
+       |         i -> c.qsub[i] * w.cvec[i])) AS BIGINT) - w.nrm) * 256 + w.cell) AS cell
+       |  FROM vq$tag c JOIN cw$tag w ON c.sub = w.sub
+       |  GROUP BY c.vec_id, c.sub)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
