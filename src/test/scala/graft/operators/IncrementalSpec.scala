@@ -115,6 +115,46 @@ class IncrementalSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(store))
   }
 
+  test("torn store heals: a crash mid-dynamic-overwrite (partitions " +
+    "half-replaced) converges by re-running the incremental step") {
+    // dynamic partition overwrite is not atomic across partitions —
+    // but the incremental step derives its touched set from the
+    // CORPORA (diff + priors), never from the store, so a re-run
+    // recomputes and overwrites the same partitions and converges
+    val nShards = 8
+    val rows = (0 until 60).map(i =>
+      (i.toLong, s"the doc number $i has a body of the usual words", "en", "s", 10L))
+    val old = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val newDocs = old.withColumn("text",
+      when(col("doc_id").isin(11L, 20L), concat(col("text"), lit(" tweak")))
+        .otherwise(col("text")))
+    val store = java.nio.file.Files.createTempDirectory("graft-incr-torn").toString
+    Incremental.writeShardStore(
+      Incremental.pipelineSharded(old, nShards, seqLen = 16L), store)
+    val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
+    val (_, touched) = Incremental.pipelineIncrementalToStore(
+      old, newDocs, priorKept, store, nShards, seqLen = 16L)
+    val touchedSet = touched.as[Long].collect().toSet
+    assert(touchedSet.size >= 2, s"need >= 2 touched shards: $touchedSet")
+    // simulate the torn crash: one touched partition reverts to its
+    // PRE-RUN content (as if its overwrite never committed)
+    val revert = touchedSet.head
+    val dir = new java.io.File(store, s"grp=$revert")
+    graft.sources.FileIO.deleteScratch(dir)
+    Incremental.writeShardStore(
+      Incremental.pipelineSharded(old, nShards, seqLen = 16L)
+        .filter(col("grp") === revert), store)
+    val full = Incremental.pipelineSharded(newDocs, nShards, seqLen = 16L)
+    assert(collectPacked(Incremental.readShardStore(spark, store)) !=
+      collectPacked(full), "torn store should differ before the healing re-run")
+    // the healing re-run: same inputs, same touched set, converges
+    Incremental.pipelineIncrementalToStore(
+      old, newDocs, priorKept, store, nShards, seqLen = 16L)
+    assert(collectPacked(Incremental.readShardStore(spark, store)) ==
+      collectPacked(full), "re-run did not heal the torn store")
+    graft.sources.FileIO.deleteScratch(new java.io.File(store))
+  }
+
   test("empty diff: nothing recomputes, outputs carry over verbatim") {
     val old = Tables.load(spark, Sf0001, "documents")
     val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
