@@ -910,88 +910,23 @@ object LlmQueries {
     // full-corpus assignment against the trained codebook, per-query
     // LUTs, and the ADC sum
     "ann_pq" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
-        |  FROM embeddings),
-        |samp AS (
-        |  SELECT vec_id, qm FROM v
-        |  ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 384),
-        |cells AS (
-        |  SELECT vec_id, sub,
-        |    list_sum(list_transform(generate_series(1, 8),
-        |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell,
-        |    qm
-        |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM samp)),
-        |cb0 AS (
-        |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
-        |  FROM (SELECT sub, cell,
-        |          UNNEST(generate_series(0, 7)) AS pos,
-        |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
-        |        FROM cells)
-        |  GROUP BY sub, cell, pos),
-        |cw0 AS (
-        |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
-        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
-        |  FROM cb0 GROUP BY sub, cell),
-        |a1 AS (
-        |  SELECT vec_id, sub, cell, qm FROM (
-        |    SELECT c.vec_id, c.sub, w.cell, c.qm,
-        |      row_number() OVER (PARTITION BY c.vec_id, c.sub
-        |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
-        |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
-        |    FROM cells c JOIN cw0 w ON c.sub = w.sub)
-        |  WHERE rn = 1),
-        |cb1 AS (
-        |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
-        |  FROM (SELECT sub, cell,
-        |          UNNEST(generate_series(0, 7)) AS pos,
-        |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
-        |        FROM a1)
-        |  GROUP BY sub, cell, pos),
-        |cw1 AS (
-        |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
-        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
-        |  FROM cb1 GROUP BY sub, cell),
-        |a2 AS (
-        |  SELECT vec_id, sub, cell, qm FROM (
-        |    SELECT c.vec_id, c.sub, w.cell, c.qm,
-        |      row_number() OVER (PARTITION BY c.vec_id, c.sub
-        |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
-        |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
-        |    FROM (SELECT vec_id, sub, qm FROM cells) c JOIN cw1 w ON c.sub = w.sub)
-        |  WHERE rn = 1),
-        |cb AS (
-        |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
-        |  FROM (SELECT sub, cell,
-        |          UNNEST(generate_series(0, 7)) AS pos,
-        |          UNNEST(qm[sub*8+1 : sub*8+8]) AS q
-        |        FROM a2)
-        |  GROUP BY sub, cell, pos),
-        |cw AS (
-        |  SELECT sub, cell, list(mean_milli ORDER BY pos) AS cvec,
-        |    CAST(list_sum(list_transform(list(mean_milli ORDER BY pos), x -> x*x)) AS BIGINT) AS nrm
-        |  FROM cb GROUP BY sub, cell),
-        |enc AS (
-        |  SELECT vec_id AS cid, sub, cell FROM (
-        |    SELECT c.vec_id, c.sub, w.cell,
-        |      row_number() OVER (PARTITION BY c.vec_id, c.sub
-        |        ORDER BY 2 * CAST(list_sum(list_transform(generate_series(1,8),
-        |          i -> c.qm[c.sub*8 + i] * w.cvec[i])) AS BIGINT) - w.nrm DESC, w.cell DESC) AS rn
-        |    FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM v) c
-        |    JOIN cw w ON c.sub = w.sub)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
-        |lut AS (
-        |  SELECT qid, sub, cell, CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
-        |  FROM cb, q GROUP BY qid, sub, cell),
-        |scored AS (
-        |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_pq
-        |  FROM enc JOIN lut USING (sub, cell) WHERE qid <> cid
-        |  GROUP BY qid, cid HAVING count(*) = 8),
-        |ranked AS (SELECT qid, cid, dot_pq,
-        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
-        |  FROM scored)
-        |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+         |  FROM embeddings),
+         |v0 AS (SELECT vec_id, qm FROM v),
+         |${pqStageCtes("0", "pq")},
+         |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT qid, sub, cell, CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
+         |  FROM cb0, q GROUP BY qid, sub, cell),
+         |scored AS (
+         |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_pq
+         |  FROM enc0 JOIN lut USING (sub, cell) WHERE qid <> cid
+         |  GROUP BY qid, cid HAVING count(*) = 8),
+         |ranked AS (SELECT qid, cid, dot_pq,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // gram diagonal -> exact floor-sqrt scales -> floor-div projection
     "emb_whiten" ->
       """WITH q AS (
