@@ -449,6 +449,57 @@ object Similarity {
     (coarse, pqCb, withCoarse.select(col("cid"), col("ccell"), col("sub"), col("cell")))
   }
 
+  /** [[ivfPqTopK]] with IVF PRUNING — the full FAISS search shape:
+    * each query ADC-scans only the codes of its `nprobe` best coarse
+    * cells (one TopCells kernel call per query + an equi-join on the
+    * cell key), so per-query work is ~nprobe/cells of the code table
+    * instead of all of it — at 10⁹ vectors the difference between a
+    * full compressed scan and an O(√n)-candidates probe. With
+    * `nprobe = |cells|` the result equals the unpruned scan exactly
+    * (spec-pinned); smaller nprobe trades recall for scan fraction
+    * monotonically.
+    */
+  def ivfPqTopKPruned(
+      queries: DataFrame, // (qid, qvec)
+      encoded: DataFrame, // (cid, ccell, sub, cell)
+      coarseCodebook: DataFrame, // (cell, pos, mean_milli)
+      pqCodebook: DataFrame, // (sub, cell, pos, mean_milli)
+      k: Int, m: Int, subDim: Int, nprobe: Int): DataFrame = {
+    val cb = collectCodebook(coarseCodebook)
+    require(nprobe >= 1 && nprobe <= cb.length,
+      s"nprobe must be in [1, ${cb.length}]")
+    val q = queries.select(col("qid"), quantize(col("qvec")).as("qm"),
+      col("qvec"))
+    // each query probes its nprobe best coarse cells — one TopCells
+    // kernel call per query, broadcast onto the code table's cell key
+    val probes = q
+      .withColumn("ccell", explode(topCells("qvec", cb, nprobe)))
+      .select(col("qid"), col("ccell"))
+    val cand = encoded.join(broadcast(probes), Seq("ccell"))
+    val cdot = coarseCodebook
+      .crossJoin(broadcast(q.select(col("qid"), col("qm"))))
+      .groupBy(col("qid"), col("cell"))
+      .agg(sum(element_at(col("qm"), (col("pos") + 1).cast("int"))
+        * col("mean_milli")).as("cdot"))
+      .select(col("qid"), col("cell").as("ccell"), col("cdot"))
+    val lut = pqCodebook
+      .crossJoin(broadcast(q.select(col("qid"), col("qm"))))
+      .groupBy(col("qid"), col("sub"), col("cell"))
+      .agg(sum(
+        element_at(col("qm"), (col("sub") * subDim + col("pos") + 1).cast("int"))
+          * col("mean_milli")).as("lut"))
+    val scored = cand
+      .join(broadcast(lut), Seq("qid", "sub", "cell"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"), col("ccell"))
+      .agg(sum(col("lut")).as("__res_dot"), count(lit(1)).as("__nsub"))
+      .filter(col("__nsub") === m)
+      .join(broadcast(cdot), Seq("qid", "ccell"))
+      .select(col("qid"), col("cid"),
+        (col("cdot") + col("__res_dot")).as("dot_ivfpq"))
+    rankTopK(scored, "dot_ivfpq", k)
+  }
+
   /** Compressed-domain top-k over IVF-PQ codes: score = the EXACT
     * centroid dot (per (query, coarse cell) — a model-sized broadcast
     * table) + the residual ADC LUT sum — [[pqTopK]]'s scoring with

@@ -418,6 +418,37 @@ class SimilaritySpec extends SparkSpec {
     assert(rIvf >= 0.7, s"ivf-pq recall $rIvf on planted clusters")
   }
 
+  test("pruned IVF-PQ: nprobe = |cells| equals the full compressed scan " +
+    "exactly; a narrow probe keeps recall on clustered data while " +
+    "scanning a fraction of the codes") {
+    val rows = (0 until 400).map { i =>
+      val c = i % 8
+      val rnd = new scala.util.Random(1000 + i)
+      val center = (0 until 64).map(d =>
+        if (((c >> (d % 3)) & 1) == 1) 1.0f else -1.0f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val (coarse, rcb, renc) = Similarity.ivfPqTrainSampleEncode(
+      df, col("vec_id"), col("embedding"), coarseCells = 8, coarseIters = 3,
+      m = 8, subDim = 8, iters = 2, sampleN = 384)
+    val cells = coarse.select("cell").distinct().count().toInt
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "rnk", "cid").as[(Long, Long, Long)].collect().toSet
+    val full = res(Similarity.ivfPqTopK(q, renc, coarse, rcb, 5, 8, 8))
+    val all = res(Similarity.ivfPqTopKPruned(q, renc, coarse, rcb, 5, 8, 8, cells))
+    assert(all == full, "nprobe=|cells| must equal the unpruned scan")
+    // narrow probe: recall of the full-scan ADC answer stays high on
+    // clustered data (the query's own cluster holds its neighbors)
+    val narrow = res(Similarity.ivfPqTopKPruned(q, renc, coarse, rcb, 5, 8, 8, 2))
+    val recall = (full.map(t => (t._1, t._3)) &
+      narrow.map(t => (t._1, t._3))).size.toDouble / full.size
+    info(f"nprobe=2/$cells recall vs full ADC: $recall%.3f")
+    assert(recall >= 0.8, s"narrow-probe recall $recall")
+  }
+
   test("whitening consumes the Gram matrix: twins buried under " +
     "high-variance noise dims surface after whitening, through the " +
     "brute scan AND the LSH ladder") {
