@@ -145,23 +145,45 @@ object Incremental {
     val packedTouched = packStage(
       slice, keptMerged, nShards, seqLen, minQualityMilli,
       ratesPerMille, defaultPerMille)
-    packedTouched.persist()
-    try {
-      writeShardStore(packedTouched, storeDir)
-      // dynamic overwrite only replaces partitions PRESENT in the
-      // write: a touched shard whose recompute came out EMPTY (every
-      // doc removed/filtered) would keep its stale partition — delete
-      // those directories explicitly (≤ nShards scalars)
-      val produced = packedTouched.select(col("grp")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      touchedShards.collect().map(_.getLong(0))
-        .filterNot(produced)
-        .foreach { sh =>
-          graft.sources.FileIO.deleteScratch(
-            new java.io.File(storeDir, s"grp=$sh"))
-        }
-    } finally packedTouched.unpersist()
+    overwritePartitions(
+      packedTouched, "grp", touchedShards.collect().map(_.getLong(0)),
+      storeDir, writeShardStore(_, storeDir))
     (keptMerged, touchedShards)
+  }
+
+  /** [[packStage]] for sibling composers (the CDC layer). */
+  private[operators] def packTouched(
+      docs: DataFrame, kept: DataFrame, nShards: Int, seqLen: Long,
+      minQualityMilli: Long, ratesPerMille: Map[String, Int],
+      defaultPerMille: Int): DataFrame =
+    packStage(docs, kept, nShards, seqLen, minQualityMilli,
+      ratesPerMille, defaultPerMille)
+
+  /** [[overwritePartitions]] against the packed shard store. */
+  private[operators] def overwriteTouchedPacked(
+      packed: DataFrame, touched: Seq[Long], storeDir: String): Unit =
+    overwritePartitions(packed, "grp", touched, storeDir,
+      writeShardStore(_, storeDir))
+
+  /** Dynamic-overwrite `rows` (which must hold ONLY partitions of
+    * `touched` values of `partCol`) into `storeDir` via `write`, then
+    * drop the partition directory of every touched value the rows do
+    * NOT cover — dynamic overwrite alone leaves an emptied partition
+    * stale. `touched` is model-sized (≤ nShards scalars).
+    */
+  private def overwritePartitions(
+      rows: DataFrame, partCol: String, touched: Seq[Long],
+      storeDir: String, write: DataFrame => Unit): Unit = {
+    rows.persist()
+    try {
+      write(rows)
+      val produced = rows.select(col(partCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(produced).foreach { sh =>
+        graft.sources.FileIO.deleteScratch(
+          new java.io.File(storeDir, s"$partCol=$sh"))
+      }
+    } finally rows.unpersist()
   }
 
   /** The incremental step. Returns (kept', packed', touchedShards) —

@@ -105,6 +105,28 @@ object CorpusQueries {
       graft.operators.Incremental.readShardStore(s, store)
         .orderBy("doc_id", "seq_id")
     }),
+    // CONTINUOUS pipeline maintenance from a CDC stream: the same
+    // perturbation arrives as upsert/delete doc EVENTS in 3
+    // micro-batches; corpus store, kept state and packed store update
+    // per batch touching only what each batch invalidates; the
+    // drained packed store shares the full-recompute oracle VERBATIM
+    "stream_pipeline_cdc" -> ((s, dir) => {
+      val old = docs(s, dir)
+      val scratch = graft.LocalDir.runDir("pipeline-cdc")
+      def ev(df: org.apache.spark.sql.DataFrame, del: Boolean) =
+        df.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          lit(del).as("is_delete"))
+      val events = ev(old.filter(col("doc_id") % 7 === 0), del = true)
+        .unionByName(ev(old.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" edited"))), del = false))
+        .unionByName(ev(old.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L), del = false))
+        .withColumn("ev_seq", col("doc_id"))
+      graft.operators.IncrementalCdc.pipelineFromDocEventsFromFiles(
+        s, events, old, nBatches = 3, scratch, nShards = 16, seqLen = 256L)
+        .orderBy("doc_id", "seq_id")
+    }),
     // deterministic corpus shuffle into training shards: same seed =
     // same order on any engine
     "train_shards" -> ((s, dir) =>
@@ -861,6 +883,8 @@ object CorpusQueries {
     // shared VERBATIM by the frame-merge and store-overwrite gates
     "pipeline_incremental" -> PipelineIncrementalOracle,
     "pipeline_incr_store" -> PipelineIncrementalOracle,
+    // the CDC drain lands on the same final corpus -> same oracle
+    "stream_pipeline_cdc" -> PipelineIncrementalOracle,
     // full-outer fingerprint join over the same planted perturbation
     "corpus_diff" ->
       """WITH old AS (
