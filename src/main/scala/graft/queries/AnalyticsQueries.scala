@@ -125,6 +125,22 @@ object AnalyticsQueries {
         Unique(Seq("event_id")),
         Satisfies("positive_value", col("value") > 0)))
     }),
+    // the audit taken ONLINE: per-batch codegen'd partial counters
+    // (associative -> drained sum == batch audit) + stateful
+    // first-seen emission for EXACT streaming uniqueness; shares
+    // dq_events' oracle verbatim
+    "stream_dq" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val scratch = graft.LocalDir.runDir("dq-online")
+      graft.streaming.StreamingQuality.auditFromFiles(
+        s, t(s, dir, "events"), Seq(
+          NotNull("user_id"),
+          InRange("value", 0.0, 400.0),
+          AcceptedValues("event_type", Seq("view", "click", "purchase", "signup")),
+          Unique(Seq("event_id")),
+          Satisfies("positive_value", col("value") > 0)),
+        stageCol = "event_id", nBatches = 4, scratch)
+    }),
     // incrementally-maintained rollup table: per-batch partials merged
     // additively into a bucketed store, per-bucket batch-id guards
     // making crash replays exactly-once for a non-idempotent monoid
@@ -762,6 +778,26 @@ object AnalyticsQueries {
        |SELECT grp, q_permille, n, q_rank, bucket_id, lo_micro, hi_micro
        |FROM picked ORDER BY grp, q_permille""".stripMargin
 
+  private val DqEventsOracle: String =
+    """WITH n AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |    ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS v_vocab,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_uniq,
+        |  CAST(sum(CASE WHEN NOT coalesce(value > 0, false)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_pos
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'accepted_values(event_type)' AS "check", n_rows,
+        |    v_vocab AS n_violations, v_vocab = 0 AS passed FROM n
+        |  UNION ALL SELECT 'in_range(value,0.0,400.0)', n_rows, v_range, v_range = 0 FROM n
+        |  UNION ALL SELECT 'not_null(user_id)', n_rows, v_notnull, v_notnull = 0 FROM n
+        |  UNION ALL SELECT 'satisfies(positive_value)', n_rows, v_pos, v_pos = 0 FROM n
+        |  UNION ALL SELECT 'unique(event_id)', n_rows, v_uniq, v_uniq = 0 FROM n)
+        |ORDER BY "check"""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -840,25 +876,9 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one aggregate computes every constraint's violation count
-    "dq_events" ->
-      """WITH n AS (SELECT count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
-        |  CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
-        |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
-        |    ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS v_vocab,
-        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_uniq,
-        |  CAST(sum(CASE WHEN NOT coalesce(value > 0, false)
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_pos
-        |  FROM events)
-        |SELECT * FROM (
-        |  SELECT 'accepted_values(event_type)' AS "check", n_rows,
-        |    v_vocab AS n_violations, v_vocab = 0 AS passed FROM n
-        |  UNION ALL SELECT 'in_range(value,0.0,400.0)', n_rows, v_range, v_range = 0 FROM n
-        |  UNION ALL SELECT 'not_null(user_id)', n_rows, v_notnull, v_notnull = 0 FROM n
-        |  UNION ALL SELECT 'satisfies(positive_value)', n_rows, v_pos, v_pos = 0 FROM n
-        |  UNION ALL SELECT 'unique(event_id)', n_rows, v_uniq, v_uniq = 0 FROM n)
-        |ORDER BY "check"""".stripMargin,
+    "dq_events" -> DqEventsOracle,
+    // the online audit drains to the identical report
+    "stream_dq" -> DqEventsOracle,
     // the maintained rollup = the clean batch GROUP BY (day, type)
     "stream_incr_rollup" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.operators.DataQuality
+import graft.operators.DataQuality.{Check, Unique}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CONTINUOUS data-quality monitoring — the streaming sibling of
+  * [[DataQuality.audit]] (SURVEY §2 row 118): the corpus replays as
+  * micro-batch files and the audit maintains itself online:
+  *
+  *  - every ROW-LEVEL check (NotNull / InRange / AcceptedValues /
+  *    Satisfies) keeps its one-aggregate spelling — each batch runs
+  *    the SAME codegen'd conditional-sum aggregate and lands a
+  *    1-row partial in the partials sink; counters are associative,
+  *    so the drained sum equals the batch audit exactly (and the
+  *    sink doubles as the restart log: partials are per-batch files);
+  *  - UNIQUE checks cannot partial-sum (a duplicate can span
+  *    batches): each runs a stateful `dropDuplicates` whose appended
+  *    first-seen rows count the exact distincts — violations =
+  *    n_rows − first-seens. State is one row per distinct key: the
+  *    honest cost of EXACT streaming uniqueness (the bounded
+  *    alternative is the KMV estimate, row 82).
+  *
+  * The drained report is row-identical to [[DataQuality.audit]] on
+  * the same data — the gate shares `dq_events`' oracle verbatim.
+  */
+object StreamingQuality {
+
+  def auditFromFiles(
+      spark: SparkSession,
+      df: DataFrame,
+      checks: Seq[Check],
+      stageCol: String,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 4): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    graft.sources.FileIO.stageRangeBatches(
+      df, col(stageCol), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    def stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, df.schema, maxFilesPerTrigger = 1)
+
+    val rowChecks = checks.filterNot(_.isInstanceOf[Unique])
+    val uniqueChecks = checks.collect { case u: Unique => u }
+
+    // per-batch 1-row partials of the row-level conditional sums
+    val partialsDir = new java.io.File(base, "partials")
+    if (rowChecks.nonEmpty || uniqueChecks.nonEmpty) {
+      val aggs = count(lit(1)).as("__n") +:
+        rowChecks.zipWithIndex.map { case (c, i) =>
+          coalesce(c.violations, lit(0L)).cast("long").as(s"__v$i")
+        }
+      val q = stream.writeStream
+        .option("checkpointLocation", new java.io.File(base, "ckpt-rows").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.agg(aggs.head, aggs.tail: _*)
+            .write.mode("overwrite") // exactly-once per batch id on replay
+            .parquet(new java.io.File(partialsDir, f"batch-$id%05d").toString)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // exact distinct counting per Unique check: stateful first-seen
+    // emission (append mode), duplicates never re-emit
+    val uniqueCounts: Seq[(String, Long)] = uniqueChecks.zipWithIndex.map {
+      case (u, i) =>
+        val outDir = new java.io.File(base, s"uniq-$i")
+        val q = stream
+          .select(u.cs.map(col): _*)
+          .dropDuplicates(u.cs)
+          .writeStream
+          .format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation",
+            new java.io.File(base, s"ckpt-uniq-$i").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        u.name -> spark.read.parquet(outDir.toString).count()
+    }.toSeq
+
+    graft.sources.FileIO.deleteScratch(new java.io.File(base, "stage"), inDir)
+    graft.sources.FileIO.deleteScratchOnExit(base)
+
+    // assemble the batch-audit report from the drained pieces
+    val partials = spark.read
+      .option("recursiveFileLookup", "true").parquet(partialsDir.toString)
+    val sumAggs = sum(col("__n")).as("__n") +:
+      rowChecks.indices.map(i => sum(col(s"__v$i")).as(s"__v$i"))
+    val sums = partials.agg(sumAggs.head, sumAggs.tail: _*).collect().head
+    val nRows = sums.getLong(0)
+    val rowViolations = rowChecks.zipWithIndex.map { case (c, i) =>
+      c.name -> sums.getLong(i + 1)
+    }
+    val uniqViolations = uniqueCounts.map { case (name, distinct) =>
+      name -> (nRows - distinct)
+    }
+    import spark.implicits._
+    (rowViolations ++ uniqViolations)
+      .map { case (name, v) => (name, nRows, v, v == 0L) }
+      .toDF("check", "n_rows", "n_violations", "passed")
+      .orderBy("check")
+  }
+}

@@ -38,4 +38,40 @@ class DataQualitySpec extends SparkSpec {
     val scans = "LocalTableScan".r.findAllIn(plan).length
     assert(scans == 1, s"expected one scan, got $scans:\n$plan")
   }
+
+  test("streamed audit equals the batch report under any split — " +
+    "including duplicates that SPAN batch boundaries") {
+    import graft.streaming.StreamingQuality
+    // ids ascend so range staging puts the planted duplicate pair
+    // (rows 10 and 110, same dup_key) in DIFFERENT micro-batches —
+    // the case per-batch partials alone cannot count
+    val rows = (0 until 160).map { i =>
+      val dupKey = if (i == 110) 10L else i.toLong
+      (i.toLong, dupKey,
+        if (i % 17 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((i % 50) * 10.0),
+        if (i % 13 == 0) "weird" else "a")
+    }
+    val df = rows.toDF("stage_id", "dup_key", "v", "cat")
+    val checks = Seq(
+      DataQuality.NotNull("v"),
+      DataQuality.InRange("v", 0.0, 400.0),
+      DataQuality.AcceptedValues("cat", Seq("a", "b")),
+      DataQuality.Unique(Seq("dup_key")),
+      DataQuality.Satisfies("nonneg", coalesce(col("v"), lit(0.0)) >= 0))
+    val batch = DataQuality.audit(df, checks)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(batch.exists(r => r._1.startsWith("unique") && r._3 == 1L),
+      "fixture must plant exactly one cross-batch duplicate")
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"graft-sdq-$nBatches").toString
+      val streamed = StreamingQuality.auditFromFiles(
+        spark, df, checks, stageCol = "stage_id",
+        nBatches = nBatches, scratch)
+        .as[(String, Long, Long, Boolean)].collect().toSeq
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
 }
