@@ -28,12 +28,17 @@ object DataQuality {
     /** violation counter aggregate (rows failing the constraint);
       * None for checks that need their own aggregate form. */
     def violations: Column
+    /** per-ROW violation predicate, when the check is row-decidable
+      * (everything except [[Unique]], a table-level property) — the
+      * basis of [[route]]'s quarantine decision. */
+    def rowViolation: Option[Column] = None
   }
 
   /** Column must never be null. */
   final case class NotNull(c: String) extends Check {
     val name = s"not_null($c)"
     def violations: Column = sum(when(col(c).isNull, 1L).otherwise(0L))
+    override def rowViolation: Option[Column] = Some(col(c).isNull)
   }
 
   /** Column must lie in [lo, hi] (nulls are not range violations —
@@ -42,6 +47,8 @@ object DataQuality {
     val name = s"in_range($c,$lo,$hi)"
     def violations: Column =
       sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+    override def rowViolation: Option[Column] =
+      Some(col(c).isNotNull && (col(c) < lo || col(c) > hi))
   }
 
   /** Column values must come from the accepted vocabulary. */
@@ -49,6 +56,8 @@ object DataQuality {
     val name = s"accepted_values($c)"
     def violations: Column =
       sum(when(col(c).isNotNull && !col(c).isin(values: _*), 1L).otherwise(0L))
+    override def rowViolation: Option[Column] =
+      Some(col(c).isNotNull && !col(c).isin(values: _*))
   }
 
   /** Column (tuple) must be unique across the table: violations =
@@ -64,6 +73,25 @@ object DataQuality {
     val name = s"satisfies($label)"
     def violations: Column =
       sum(when(!coalesce(predicate, lit(false)), 1L).otherwise(0L))
+    override def rowViolation: Option[Column] =
+      Some(!coalesce(predicate, lit(false)))
+  }
+
+  /** ROW-LEVEL routing — the dead-letter discipline around every
+    * ingest: each row gains (dq_passed, dq_reason) where `dq_reason`
+    * is the FIRST failing row-decidable check in the caller's check
+    * order (deterministic; null when clean). One narrow projection —
+    * no aggregate, no shuffle; quarantine = `filter(!dq_passed)`,
+    * the clean continuation = `filter(dq_passed)`, both from the same
+    * scan. [[Unique]] checks are table-level and don't route (pair
+    * with keep-first dedup for per-row duplicate handling).
+    */
+  def route(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val reasons = checks.flatMap(c =>
+      c.rowViolation.map(v => when(v, lit(c.name))))
+    require(reasons.nonEmpty, "no row-decidable checks given")
+    df.withColumn("dq_reason", coalesce(reasons: _*))
+      .withColumn("dq_passed", col("dq_reason").isNull)
   }
 
   /** Run every check in one aggregate over one scan; returns

@@ -125,6 +125,19 @@ object AnalyticsQueries {
         Unique(Seq("event_id")),
         Satisfies("positive_value", col("value") > 0)))
     }),
+    // row-level dead-letter routing: first failing check (in caller
+    // order) becomes the quarantine reason — one narrow projection,
+    // quarantine and clean continuation split from the same scan
+    "dq_route" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      graft.operators.DataQuality.route(t(s, dir, "events"), Seq(
+        NotNull("user_id"),
+        InRange("value", 0.0, 400.0),
+        AcceptedValues("event_type", Seq("view", "click", "purchase", "signup")),
+        Satisfies("positive_value", col("value") > 0)))
+        .select(col("event_id"), col("dq_passed"), col("dq_reason"))
+        .orderBy("event_id")
+    }),
     // the audit taken ONLINE: per-batch codegen'd partial counters
     // (associative -> drained sum == batch audit) + stateful
     // first-seen emission for EXACT streaming uniqueness; shares
@@ -877,6 +890,20 @@ object AnalyticsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one aggregate computes every constraint's violation count
     "dq_events" -> DqEventsOracle,
+    // same conditionals, first match wins (caller's check order)
+    "dq_route" ->
+      """WITH r AS (SELECT event_id,
+        |  CASE WHEN user_id IS NULL THEN 'not_null(user_id)'
+        |       WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+        |         THEN 'in_range(value,0.0,400.0)'
+        |       WHEN event_type IS NOT NULL AND event_type NOT IN
+        |         ('view','click','purchase','signup')
+        |         THEN 'accepted_values(event_type)'
+        |       WHEN NOT coalesce(value > 0, FALSE)
+        |         THEN 'satisfies(positive_value)'
+        |  END AS dq_reason FROM events)
+        |SELECT event_id, dq_reason IS NULL AS dq_passed, dq_reason
+        |FROM r ORDER BY event_id""".stripMargin,
     // the online audit drains to the identical report
     "stream_dq" -> DqEventsOracle,
     // the maintained rollup = the clean batch GROUP BY (day, type)

@@ -74,4 +74,28 @@ class DataQualitySpec extends SparkSpec {
       graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
     }
   }
+
+  test("route: first failing check (caller order) wins; clean rows pass; " +
+    "quarantine + continuation split the same scan") {
+    val df = Seq(
+      (1L, Some(10.0), "a"),          // clean
+      (2L, Some(-5.0), "zz"),         // fails range BEFORE vocab
+      (3L, None, "a"),                // fails only satisfies (null value)
+      (4L, Some(0.0), "b"))           // fails satisfies (not > 0)
+      .toDF("id", "v", "cat")
+    val routed = DataQuality.route(df, Seq(
+      DataQuality.InRange("v", 0.0, 100.0),
+      DataQuality.AcceptedValues("cat", Seq("a", "b")),
+      DataQuality.Satisfies("pos", col("v") > 0)))
+    val got = routed.select("id", "dq_passed", "dq_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((true, None)))
+    assert(got(2L) == ((false, Some("in_range(v,0.0,100.0)"))),
+      "first failing check in caller order must win")
+    assert(got(3L) == ((false, Some("satisfies(pos)"))))
+    assert(got(4L) == ((false, Some("satisfies(pos)"))))
+    assert(routed.filter(col("dq_passed")).count() +
+      routed.filter(!col("dq_passed")).count() == 4L)
+  }
 }
