@@ -264,6 +264,18 @@ object LlmQueries {
         .select(col("vec_id"), col("pos").cast("bigint").as("pos"), col("w"))
         .orderBy("vec_id", "pos")
     }),
+    // the PQ index maintained ONLINE: vectors stream through a FROZEN
+    // sample-trained codebook (stateless PqAssign projection ->
+    // any split lands batch-identical codes, exactly-once); the
+    // oracle replays training + every assignment
+    "stream_pq_codes" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("pq-online")
+      graft.streaming.StreamingAnn.pqEncodeFromFiles(
+        s, embs(s, dir), m = 8, subDim = 8, iters = 2,
+        sampleN = Similarity.recommendedPqSample(8),
+        nBatches = 4, scratch)
+        .orderBy("cid", "sub")
+    }),
     // multi-stage residual PQ (RQ): stage 2 codes what stage 1 lost —
     // 16 bytes/vector lift the compressed-domain (ADC) ranking past
     // the 8-byte plain-PQ ceiling (measured 0.544 -> 0.796 recall@5
@@ -953,6 +965,16 @@ object LlmQueries {
         |JOIN q ON q.vec_id = e.vec_id
         |JOIN sc ON sc.pos = e.pos
         |ORDER BY q.vec_id, pos""".stripMargin,
+    // the frozen-codebook streaming encode: training (seed 'pq') +
+    // every full-corpus assignment replayed; streamed == batch codes
+    "stream_pq_codes" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+         |  FROM embeddings),
+         |v0 AS (SELECT vec_id, qm FROM v),
+         |${pqStageCtes("0", "pq")}
+         |SELECT cid, CAST(sub AS BIGINT) AS sub, cell
+         |FROM enc0 ORDER BY cid, sub""".stripMargin,
     // two-stage residual PQ: stage 0 replay (seed pq0) on the
     // quantized vectors, decode + exact integer residual, stage 1
     // replay (seed pq1) on the residuals, ADC = sum of both stages'
