@@ -264,6 +264,30 @@ object LlmQueries {
         .select(col("vec_id"), col("pos").cast("bigint").as("pos"), col("w"))
         .orderBy("vec_id", "pos")
     }),
+    // the index SERVED live: a TCP endpoint ADC-ranks wire queries
+    // against the code table (cached-mode LUT scan, the QueryServer
+    // discipline); wire answers carry the exact integer dots, so the
+    // gate shares ann_pq's oracle verbatim (self dropped client-side)
+    "ann_server" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      val (cb, enc) = Similarity.pqTrainSampleEncode(
+        e, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+        iters = 2, sampleN = Similarity.recommendedPqSample(8))
+      val srv = new graft.serving.AnnServer(enc, cb, m = 8, subDim = 8)
+      try {
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val client = new graft.serving.AnnClient("localhost", srv.boundPort)
+        val rows =
+          try qs.toSeq.flatMap { case (qid, qv) =>
+            client.topk(qv, 6).filter(_._1 != qid).take(5).zipWithIndex
+              .map { case ((cid, dot), i) => (qid, (i + 1).toLong, cid, dot) }
+          } finally client.close()
+        rows.toDF("qid", "rnk", "cid", "dot_pq").orderBy("qid", "rnk")
+      } finally srv.close()
+    }),
     // the PQ index maintained ONLINE: vectors stream through a FROZEN
     // sample-trained codebook (stateless PqAssign projection ->
     // any split lands batch-identical codes, exactly-once); the
@@ -743,6 +767,25 @@ object LlmQueries {
       |      j -> list_slice(a.sig, j*4 + 1, j*4 + 4) = list_slice(b.sig, j*4 + 1, j*4 + 4)),
       |      true) - 1)""").stripMargin
 
+  private val AnnPqOracle: String =
+    s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+         |  FROM embeddings),
+         |v0 AS (SELECT vec_id, qm FROM v),
+         |${pqStageCtes("0", "pq")},
+         |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT qid, sub, cell, CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
+         |  FROM cb0, q GROUP BY qid, sub, cell),
+         |scored AS (
+         |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_pq
+         |  FROM enc0 JOIN lut USING (sub, cell) WHERE qid <> cid
+         |  GROUP BY qid, cid HAVING count(*) = 8),
+         |ranked AS (SELECT qid, cid, dot_pq,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** One PQ training+encode stage replay (the `ann_pq` chain,
     * parameterized): from relation `v$tag` with (vec_id, qm BIGINT[])
     * builds sample (md5 `$seed:` order, 384), sign-cell init, two
@@ -921,24 +964,9 @@ object LlmQueries {
     // sample (argmax 2·dot − ‖c‖², ties to the largest cell), one
     // full-corpus assignment against the trained codebook, per-query
     // LUTs, and the ADC sum
-    "ann_pq" ->
-      s"""WITH v AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
-         |  FROM embeddings),
-         |v0 AS (SELECT vec_id, qm FROM v),
-         |${pqStageCtes("0", "pq")},
-         |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
-         |lut AS (
-         |  SELECT qid, sub, cell, CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
-         |  FROM cb0, q GROUP BY qid, sub, cell),
-         |scored AS (
-         |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_pq
-         |  FROM enc0 JOIN lut USING (sub, cell) WHERE qid <> cid
-         |  GROUP BY qid, cid HAVING count(*) = 8),
-         |ranked AS (SELECT qid, cid, dot_pq,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ann_pq" -> AnnPqOracle,
+    // the SERVED ranking is the same integer ADC arithmetic -> same oracle
+    "ann_server" -> AnnPqOracle,
     // gram diagonal -> exact floor-sqrt scales -> floor-div projection
     "emb_whiten" ->
       """WITH q AS (

@@ -1,0 +1,242 @@
+package graft.serving
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Live ANN SERVING over a PQ-compressed index — the query half of
+  * the online vector pipeline ([[graft.streaming.StreamingAnn]] is
+  * the ingest half): a line-protocol TCP endpoint answering top-k
+  * requests by asymmetric-distance scans of the code table, the
+  * [[graft.tgraph.query.QueryServer]] serving discipline applied to
+  * the vector index.
+  *
+  * Protocol (one request line → one JSON response line):
+  * {{{
+  *   TOPK k v1,v2,...,vdim   → {"rows":[[cid,dot_pq],...]}  (dot desc, cid asc)
+  *   COUNT                   → {"count":N}
+  *   anything else           → {"error":"..."}
+  * }}}
+  *
+  * Two serving modes, chosen at startup by index size (the
+  * QueryServer degradation contract):
+  *  - CACHED (≤ `maxVectors`): codes pack into driver arrays — m
+  *    bytes per vector (10⁹ vectors at m=8 is 8 GB: a driver-sized
+  *    object far past fixture scale) — and a request is one LUT
+  *    build (m·2^subDim integer dots against the broadcast-free
+  *    codebook) + a linear scan with a bounded (k+1)-heap:
+  *    microseconds, no Spark job;
+  *  - DISTRIBUTED (beyond the cap): each request runs
+  *    [[Similarity.pqTopK]] pinned on the codes frame — a Spark job
+  *    per request (milliseconds), the same integer arithmetic.
+  *
+  * Scores are the exact int64 LUT sums [[Similarity.pqTopK]]
+  * produces, so wire answers are bit-identical to the batch operator
+  * (and to the `ann_pq` oracle's SQL) — spec- and gate-pinned.
+  */
+final class AnnServer(
+    codes: DataFrame, // (cid, sub, cell)
+    codebook: DataFrame, // (sub, cell, pos, mean_milli)
+    m: Int, subDim: Int,
+    port: Int = 0,
+    maxVectors: Long = 50_000_000L) extends AutoCloseable {
+
+  private val dim = m * subDim
+  // codeword milli vectors keyed [sub][cell]; cells are 0..2^subDim-1
+  private val cellVecs: Array[Array[Array[Long]]] = {
+    val byKey = codebook.groupBy(col("sub"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_milli")))),
+        e => e.getField("mean_milli")).as("cvec"))
+      .collect()
+      .map(r => (r.getAs[Number]("sub").intValue(),
+        r.getAs[Number]("cell").intValue(),
+        r.getSeq[Long](2).toArray))
+    val out = Array.fill(m)(Array.fill(1 << subDim)(null: Array[Long]))
+    byKey.foreach { case (s, c, v) => out(s)(c) = v }
+    out
+  }
+
+  private val cached: Option[(Array[Long], Array[Byte])] = {
+    val n = codes.select("cid").distinct().count()
+    if (n > maxVectors) None
+    else {
+      val rows = codes.groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("sub"), col("cell")))),
+          e => e.getField("cell")).as("cc"))
+        .orderBy("cid")
+        .collect()
+      val cids = rows.map(_.getLong(0))
+      val packed = new Array[Byte](rows.length * m)
+      var i = 0
+      while (i < rows.length) {
+        val cc = rows(i).getSeq[Long](1)
+        require(cc.length == m, s"cid ${cids(i)} carries ${cc.length} codes")
+        var j = 0
+        while (j < m) { packed(i * m + j) = cc(j).toByte; j += 1 }
+        i += 1
+      }
+      Some((cids, packed))
+    }
+  }
+
+  /** Cached answers == [[Similarity.pqTopK]]'s ranking: dot desc,
+    * cid asc, top k.
+    */
+  private def topkCached(
+      cids: Array[Long], packed: Array[Byte],
+      qMilli: Array[Long], k: Int): Seq[(Long, Long)] = {
+    // LUT[sub][cell] = dot(query subvector, codeword), exact int64
+    val lut = Array.ofDim[Long](m, 1 << subDim)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < (1 << subDim)) {
+        val cv = cellVecs(s)(c)
+        if (cv != null) {
+          var acc = 0L
+          var p = 0
+          while (p < subDim) { acc += qMilli(s * subDim + p) * cv(p); p += 1 }
+          lut(s)(c) = acc
+        }
+        c += 1
+      }
+      s += 1
+    }
+    // bounded (k)-heap over the linear scan, worst element first;
+    // ordering matches pqTopK: score desc, cid asc
+    val ord: Ordering[(Long, Long)] =
+      Ordering.by(t => (-t._1, t._2))
+    val heap = new scala.collection.mutable.PriorityQueue[(Long, Long)]()(ord)
+    var i = 0
+    while (i < cids.length) {
+      var dot = 0L
+      var j = 0
+      while (j < m) { dot += lut(j)(packed(i * m + j) & 0xff); j += 1 }
+      val cand = (dot, cids(i))
+      if (heap.size < k) heap.enqueue(cand)
+      else if (ord.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+      i += 1
+    }
+    val drained = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (heap.nonEmpty) {
+      val (dot, cid) = heap.dequeue()
+      drained += ((cid, dot))
+    }
+    drained.toSeq.reverse // worst dequeues first; answer is best-first
+  }
+
+  private def topkDistributed(qMilli: Array[Long], k: Int): Seq[(Long, Long)] = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // qid = Long.MinValue: pqTopK's self-exclusion (qid =!= cid) then
+    // excludes no real corpus id — a wire query has no self
+    val q = Seq((Long.MinValue, qMilli.map(_.toDouble / 1000.0).map(_.toFloat)))
+      .toDF("qid", "qvec")
+    Similarity.pqTopK(q, codes, codebook, k, m, subDim)
+      .orderBy("rnk")
+      .select("cid", "dot_pq").as[(Long, Long)].collect().toSeq
+  }
+
+  private def respond(req: String): String = {
+    val parts = req.trim.split("\\s+")
+    parts(0).toUpperCase match {
+      case "TOPK" if parts.length == 3 =>
+        val k = parts(1).toInt
+        require(k >= 1, "k must be positive")
+        val q = parts(2).split(",").map(_.trim.toDouble)
+        require(q.length == dim, s"query must have $dim components, got ${q.length}")
+        val qMilli = q.map(x => math.round(x * 1000.0))
+        val rows = cached match {
+          case Some((cids, packed)) => topkCached(cids, packed, qMilli, k)
+          case None => topkDistributed(qMilli, k)
+        }
+        val body = rows.map { case (cid, dot) => s"[$cid,$dot]" }.mkString(",")
+        s"""{"rows":[$body]}"""
+      case "COUNT" =>
+        val n = cached.map(_._1.length.toLong)
+          .getOrElse(codes.select("cid").distinct().count())
+        s"""{"count":$n}"""
+      case other =>
+        s"""{"error":"unknown request ${other.take(40)}"}"""
+    }
+  }
+
+  private val server = new ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+  private val running = new AtomicBoolean(true)
+  def isCached: Boolean = cached.isDefined
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(sock.getOutputStream, true)
+      var line = in.readLine()
+      while (line != null && running.get()) {
+        val resp =
+          try respond(line)
+          catch { case e: Throwable =>
+            s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(80).replace('"', '\'')}"}"""
+          }
+        out.println(resp)
+        line = in.readLine()
+      }
+    } catch { case _: Throwable => () }
+    finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  private val acceptor = new Thread(() => {
+    try {
+      while (running.get()) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "ann-server-client")
+        t.setDaemon(true)
+        t.start()
+      }
+    } catch { case _: Throwable => () }
+  }, "ann-server-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+  }
+}
+
+/** Minimal line-protocol client for [[AnnServer]]. */
+final class AnnClient(host: String, port: Int) extends AutoCloseable {
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val in = new BufferedReader(
+    new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+  private val out = new PrintWriter(sock.getOutputStream, true)
+
+  def request(line: String): String = {
+    out.println(line)
+    val r = in.readLine()
+    require(r != null, "server closed the connection")
+    r
+  }
+
+  /** Top-k parsed to (cid, dot_pq) in rank order. */
+  def topk(qvec: Seq[Float], k: Int): Seq[(Long, Long)] =
+    AnnClient.RowRe.findAllMatchIn(
+      request(s"TOPK $k ${qvec.mkString(",")}"))
+      .map(mm => (mm.group(1).toLong, mm.group(2).toLong)).toSeq
+
+  override def close(): Unit = {
+    try sock.close() catch { case _: Throwable => () }
+  }
+}
+
+object AnnClient {
+  private val RowRe = """\[(-?\d+),(-?\d+)\]""".r
+}

@@ -1,0 +1,81 @@
+package graft.serving
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class AnnServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture() = {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val (cb, enc) = Similarity.pqTrainSampleEncode(
+      e, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+      iters = 2, sampleN = 384)
+    (e, cb, enc.localCheckpoint(true))
+  }
+
+  test("cached AND distributed serving both equal the batch pqTopK " +
+    "ranking bit-for-bit (scores included)") {
+    val (e, cb, enc) = fixture()
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val batch = Similarity.pqTopK(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      enc, cb, k = 5, m = 8, subDim = 8)
+      .select("qid", "rnk", "cid", "dot_pq")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    def serveAll(srv: AnnServer): Map[Long, Seq[(Long, Long)]] = {
+      val client = new AnnClient("localhost", srv.boundPort)
+      try qs.map { case (qid, qv) =>
+        qid -> client.topk(qv, 6).filter(_._1 != qid).take(5)
+      }.toMap
+      finally client.close()
+    }
+    val cachedSrv = new AnnServer(enc, cb, 8, 8)
+    try {
+      assert(cachedSrv.isCached)
+      assert(serveAll(cachedSrv) == batch, "cached serving != batch pqTopK")
+    } finally cachedSrv.close()
+    val distSrv = new AnnServer(enc, cb, 8, 8, maxVectors = 1L)
+    try {
+      assert(!distSrv.isCached)
+      assert(serveAll(distSrv) == batch, "distributed serving != batch pqTopK")
+    } finally distSrv.close()
+  }
+
+  test("concurrent clients, COUNT, and malformed requests") {
+    val (e, cb, enc) = fixture()
+    val srv = new AnnServer(enc, cb, 8, 8)
+    try {
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      val expected = {
+        val c = new AnnClient("localhost", srv.boundPort)
+        try c.topk(qv, 5) finally c.close()
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val results =
+        try (1 to 4).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Seq[(Long, Long)]] {
+            def call(): Seq[(Long, Long)] = {
+              val c = new AnnClient("localhost", srv.boundPort)
+              try c.topk(qv, 5) finally c.close()
+            }
+          })
+        }.map(_.get()).toList
+        finally pool.shutdown()
+      assert(results.forall(_ == expected))
+      val c = new AnnClient("localhost", srv.boundPort)
+      try {
+        assert(c.request("COUNT").contains("\"count\":500"))
+        assert(c.request("TOPK 5 1,2,3").contains("error"))
+        assert(c.request("NONSENSE").contains("error"))
+      } finally c.close()
+    } finally srv.close()
+  }
+}
