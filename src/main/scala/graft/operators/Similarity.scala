@@ -647,6 +647,28 @@ object Similarity {
       k: Int, shortlist: Int, m: Int, subDim: Int): DataFrame = {
     val short = pqTopK(queries, encoded, codebook, shortlist, m, subDim)
       .select(col("qid"), col("cid"))
+    rerank(queries, candidates, short, k)
+  }
+
+  /** [[pqTopKRerank]] for multi-stage residual codes — the production
+    * read path on the RQ rung: ADC-shortlist via [[pqResidualTopK]]
+    * (the higher-recall compressed ranking), then exact
+    * full-precision rerank of shortlist·|queries| rows only.
+    */
+  def pqResidualTopKRerank(
+      queries: DataFrame, // (qid, qvec)
+      encoded: DataFrame, // (cid, stage, sub, cell)
+      codebooks: Seq[DataFrame],
+      candidates: DataFrame, // (cid, cvec) — fetched for the shortlist only
+      k: Int, shortlist: Int, m: Int, subDim: Int): DataFrame = {
+    val short = pqResidualTopK(queries, encoded, codebooks, shortlist, m, subDim)
+      .select(col("qid"), col("cid"))
+    rerank(queries, candidates, short, k)
+  }
+
+  private def rerank(
+      queries: DataFrame, candidates: DataFrame,
+      short: DataFrame, k: Int): DataFrame = {
     val scored = short
       .join(candidates, Seq("cid"))
       .join(broadcast(queries), Seq("qid"))

@@ -366,6 +366,14 @@ class SimilaritySpec extends SparkSpec {
     // pin measured-with-margin
     assert(r2 >= 0.7, s"residual ADC recall $r2")
     assert(r2 >= r1 + 0.1, s"residual $r2 not a real margin over single $r1")
+    // the production read path on the rung: RQ shortlist + exact rerank
+    val rer = Similarity.pqResidualTopKRerank(
+      q, enc, cbs, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      k = 5, shortlist = 50, m = 8, subDim = 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val rr = (brute & rer).size.toDouble / brute.size
+    info(f"residual rerank recall $rr%.3f")
+    assert(rr >= 0.95, s"residual rerank recall $rr")
   }
 
   test("residual decode/re-encode bridge is exact: stage sums " +
