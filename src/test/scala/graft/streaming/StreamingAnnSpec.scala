@@ -27,4 +27,36 @@ class StreamingAnnSpec extends SparkSpec {
       graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
     }
   }
+
+  test("the online pipeline end to end: streamed codes feed the live " +
+    "server; wire answers == batch pqTopK") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val scratch = Files.createTempDirectory("graft-spq-serve").toString
+    val codes = StreamingAnn.pqEncodeFromFiles(
+      spark, e, m = 8, subDim = 8, iters = 2, sampleN = 384,
+      nBatches = 4, scratch).localCheckpoint(true)
+    val (cb, _) = Similarity.pqTrainSampleEncode(
+      e, col("vec_id"), col("embedding"), 8, 8, iters = 2, sampleN = 384)
+    val batch = Similarity.pqTopK(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      codes, cb, k = 5, m = 8, subDim = 8)
+      .select("qid", "rnk", "cid", "dot_pq")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val srv = new graft.serving.AnnServer(codes, cb, 8, 8)
+    try {
+      val client = new graft.serving.AnnClient("localhost", srv.boundPort)
+      try {
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val wire = qs.map { case (qid, qv) =>
+          qid -> client.topk(qv, 6).filter(_._1 != qid).take(5)
+        }.toMap
+        assert(wire == batch, "served answers diverged from batch pqTopK")
+      } finally client.close()
+    } finally srv.close()
+    graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+  }
 }
