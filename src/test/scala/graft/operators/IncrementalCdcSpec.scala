@@ -126,4 +126,49 @@ class IncrementalCdcSpec extends SparkSpec {
     assert(packedSet(Incremental.readShardStore(spark, packedDir)) ==
       packedSet(Incremental.pipelineSharded(expected, nShards, seqLen = 16L)))
   }
+
+  test("10-batch churn: per-batch invalidation stays edit-sized and " +
+    "the store tracks the evolving corpus exactly") {
+    val old = corpus(120)
+    val scratch = Files.createTempDirectory("graft-cdc-churn").toString
+    val corpusDir = s"$scratch/corpus"
+    val packedDir = s"$scratch/packed"
+    IncrementalCdc.writeCorpusStore(old, nShards, corpusDir)
+    Incremental.writeShardStore(
+      Incremental.pipelineSharded(old, nShards, seqLen = 16L), packedDir)
+    var kept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
+    // driver-side model of the evolving corpus (id -> text)
+    val model = scala.collection.mutable.Map(
+      (0 until 120).map(i => i.toLong -> s"the doc number $i has a body of the usual words"): _*)
+    var seq = 0L
+    for (b <- 0 until 10) {
+      val editId = (b * 7L) % 120L
+      val delId = (b * 11L + 3L) % 120L
+      val addId = 1000L + b
+      val newText = s"the doc number $editId has a body of the usual words v$b"
+      val evs = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long, Boolean, Long)]()
+      if (editId != delId) {
+        evs += ((editId, newText, "en", "s", 10L, false, { seq += 1; seq }))
+        model(editId) = newText
+      }
+      evs += ((delId, "x", "en", "s", 1L, true, { seq += 1; seq }))
+      model.remove(delId)
+      val addText = s"the doc number $addId arrives with a body of the usual words"
+      evs += ((addId, addText, "en", "s", 10L, false, { seq += 1; seq }))
+      model(addId) = addText
+      val (k2, touched) = IncrementalCdc.applyDocEvents(
+        spark, evDf(evs.toSeq), corpusDir, kept, packedDir, nShards, seqLen = 16L)
+      kept = k2
+      val n = touched.count()
+      assert(n <= 6, s"batch $b touched $n of $nShards shards")
+    }
+    val expected = model.toSeq.map { case (id, text) => (id, text, "en", "s", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(IncrementalCdc.readCorpusStore(spark, corpusDir).drop("shard")
+      .as[(Long, String, String, String, Long)].collect().toSet ==
+      expected.as[(Long, String, String, String, Long)].collect().toSet)
+    assert(packedSet(Incremental.readShardStore(spark, packedDir)) ==
+      packedSet(Incremental.pipelineSharded(expected, nShards, seqLen = 16L)))
+    graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+  }
 }
