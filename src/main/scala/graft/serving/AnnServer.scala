@@ -43,7 +43,15 @@ final class AnnServer(
     codebook: DataFrame, // (sub, cell, pos, mean_milli)
     m: Int, subDim: Int,
     port: Int = 0,
-    maxVectors: Long = 50_000_000L) extends AutoCloseable {
+    maxVectors: Long = 50_000_000L,
+    // LIVE index: when set, `codes` is ignored as data and the server
+    // follows this GROWING parquet dir (a streaming encode sink —
+    // `StreamingAnn.pqEncodeFromFiles`'s out/): a daemon reloads the
+    // cache every `refreshMillis`, answers pinned to the last complete
+    // load (a mid-commit read races are swallowed, the old snapshot
+    // keeps serving — the QueryServer refresher contract)
+    refreshDir: Option[String] = None,
+    refreshMillis: Long = 500L) extends AutoCloseable {
 
   private val dim = m * subDim
   // codeword milli vectors keyed [sub][cell]; cells are 0..2^subDim-1
@@ -61,11 +69,21 @@ final class AnnServer(
     out
   }
 
-  private val cached: Option[(Array[Long], Array[Byte])] = {
-    val n = codes.select("cid").distinct().count()
+  private def codesFrame(): DataFrame = refreshDir match {
+    case Some(dir) => codes.sparkSession.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType))))
+      .parquet(dir)
+    case None => codes
+  }
+
+  private def pack(frame: DataFrame): Option[(Array[Long], Array[Byte])] = {
+    val n = frame.select("cid").distinct().count()
     if (n > maxVectors) None
     else {
-      val rows = codes.groupBy(col("cid"))
+      val rows = frame.groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("sub"), col("cell")))),
           e => e.getField("cell")).as("cc"))
@@ -84,6 +102,11 @@ final class AnnServer(
       Some((cids, packed))
     }
   }
+
+  private val snap =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Array[Long], Array[Byte])]](
+      pack(codesFrame()))
+  private def cached: Option[(Array[Long], Array[Byte])] = snap.get()
 
   /** Cached answers == [[Similarity.pqTopK]]'s ranking: dot desc,
     * cid asc, top k.
@@ -138,7 +161,7 @@ final class AnnServer(
     // excludes no real corpus id — a wire query has no self
     val q = Seq((Long.MinValue, qMilli.map(_.toDouble / 1000.0).map(_.toFloat)))
       .toDF("qid", "qvec")
-    Similarity.pqTopK(q, codes, codebook, k, m, subDim)
+    Similarity.pqTopK(q, codesFrame(), codebook, k, m, subDim)
       .orderBy("rnk")
       .select("cid", "dot_pq").as[(Long, Long)].collect().toSeq
   }
@@ -160,7 +183,7 @@ final class AnnServer(
         s"""{"rows":[$body]}"""
       case "COUNT" =>
         val n = cached.map(_._1.length.toLong)
-          .getOrElse(codes.select("cid").distinct().count())
+          .getOrElse(codesFrame().select("cid").distinct().count())
         s"""{"count":$n}"""
       case other =>
         s"""{"error":"unknown request ${other.take(40)}"}"""
@@ -190,6 +213,24 @@ final class AnnServer(
       }
     } catch { case _: Throwable => () }
     finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  private val refresher: Option[Thread] = refreshDir.map { _ =>
+    val t = new Thread(() => {
+      while (running.get()) {
+        try {
+          Thread.sleep(refreshMillis)
+          val next = pack(codesFrame())
+          snap.set(next)
+        } catch {
+          case _: InterruptedException => ()
+          case _: Throwable => () // mid-commit sink read: keep serving the old snapshot
+        }
+      }
+    }, "ann-server-refresher")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   private val acceptor = new Thread(() => {

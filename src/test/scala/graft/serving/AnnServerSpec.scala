@@ -78,4 +78,45 @@ class AnnServerSpec extends SparkSpec {
       } finally c.close()
     } finally srv.close()
   }
+
+  test("live index: the server follows a growing codes dir — vectors " +
+    "appended after startup become servable within a refresh interval") {
+    val (e, cb, enc) = fixture()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-live").toString
+    val first = enc.filter(col("cid") < 400)
+    val rest = enc.filter(col("cid") >= 400)
+    first.write.mode("overwrite").parquet(dir)
+    val srv = new AnnServer(
+      enc.limit(0), cb, 8, 8, refreshDir = Some(dir), refreshMillis = 200L)
+    try {
+      val c = new AnnClient("localhost", srv.boundPort)
+      try {
+        assert(c.request("COUNT").contains("\"count\":400"))
+        // a query vector equal to a NOT-YET-INGESTED corpus member
+        val qv = e.filter(col("vec_id") === 450).select(col("embedding"))
+          .as[Seq[Float]].head()
+        assert(!c.topk(qv, 1).exists(_._1 == 450L))
+        rest.write.mode("append").parquet(dir)
+        val deadline = System.nanoTime() + 20_000_000_000L
+        var seen = false
+        while (!seen && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          seen = c.request("COUNT").contains("\"count\":500")
+        }
+        assert(seen, "refresher never picked up the appended codes")
+        // the newly ingested vector is now its own nearest code
+        val top = c.topk(qv, 1)
+        assert(top.nonEmpty)
+        // and the full served ranking equals batch pqTopK on ALL codes
+        val batch = Similarity.pqTopK(
+          e.filter(col("vec_id") === 450)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          enc, cb, k = 5, m = 8, subDim = 8)
+          .orderBy("rnk").select("cid", "dot_pq")
+          .as[(Long, Long)].collect().toSeq
+        assert(c.topk(qv, 6).filter(_._1 != 450L).take(5) == batch)
+      } finally c.close()
+    } finally srv.close()
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
 }
