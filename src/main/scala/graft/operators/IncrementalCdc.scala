@@ -167,6 +167,11 @@ object IncrementalCdc {
       rows: DataFrame, batchShards: Seq[Long], corpusDir: String): Unit = {
     rows.persist()
     try {
+      // barrier: `rows` reads the very partitions the write below
+      // replaces — materialize before the overwrite so no task can
+      // observe a half-replaced bucket, whatever the commit protocol
+      // (the mergeBatch discipline)
+      rows.count()
       rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
