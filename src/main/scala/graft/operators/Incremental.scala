@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * pruning at the scan.
   *
   * Invalidation is exact, not heuristic:
-  *  - the diff classifies every id (fingerprint compare — 32-byte
-  *    digests, one full-outer equi-join);
+  *  - the diff classifies every id on fingerprint PLUS the
+  *    sampling-relevant metadata (`lang` keys the stratified sample
+  *    rates and hash, `source` for symmetry with the CDC classifier)
+  *    — a metadata-only flip with unchanged text still invalidates
+  *    its shard, exactly as [[IncrementalCdc]] classifies it; the
+  *    compare moves 32-byte digests + two small strings through one
+  *    full-outer equi-join;
   *  - a fingerprint GROUP is touched iff a member was added, removed
   *    or changed; keep-first dedup state (`fingerprint → min kept id`)
   *    is recomputed for touched groups only and merged with the prior
@@ -220,9 +225,8 @@ object Incremental {
       oldDocs: DataFrame, newDocs: DataFrame,
       priorKept: DataFrame, nShards: Int,
       minQualityMilli: Long = 30L): (DataFrame, DataFrame, DataFrame) = {
-    val diff = Corpus.corpusDiff(
-      oldDocs, col("doc_id"), col("text"), newDocs, col("doc_id"), col("text"))
-    val changed = diff.filter(col("status") =!= "unchanged")
+    val changed = metaDiff(oldDocs, newDocs)
+      .filter(col("status") =!= "unchanged")
       .localCheckpoint(true) // edit-sized; cut so the 3 consumers don't re-diff
     val touchedFps = changed
       .select(explode(array(col("old_fp"), col("new_fp"))).as("fingerprint"))
@@ -250,5 +254,32 @@ object Incremental {
       .distinct()
       .localCheckpoint(true) // ≤ nShards rows
     (keptMerged, touchedFps, touchedShards)
+  }
+
+  /** [[Corpus.corpusDiff]] widened by the sampling-relevant metadata:
+    * an id whose text fingerprint matches but whose `lang` or
+    * `source` differs classifies `changed` — `lang` keys the
+    * stratified-sample rate AND the keep-hash in [[packStage]], so a
+    * metadata-only flip changes the merged output and MUST invalidate
+    * its shard (the [[IncrementalCdc.applyDocEvents]] classification,
+    * mirrored for the batch path). Null-safe compare: a null↔null
+    * metadata pair is equal, null↔value is a change.
+    */
+  private def metaDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("old_fp"),
+      col("lang").as("old_lang"), col("source").as("old_source"))
+    val n = newDocs.select(col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("new_fp"),
+      col("lang").as("new_lang"), col("source").as("new_source"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp")
+            && (col("old_lang") <=> col("new_lang"))
+            && (col("old_source") <=> col("new_source")), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
   }
 }

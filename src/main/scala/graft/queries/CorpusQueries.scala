@@ -17,6 +17,24 @@ object CorpusQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** The shared incremental-gate perturbation: doc_id % 11 flips lang
+    * to 'xx' (METADATA-ONLY change — text untouched), % 7 deletes,
+    * % 10 edits text, % 13 duplicates under id + 10^7. The lang flip
+    * applies BEFORE the re-id, so a duplicated doc carries its
+    * original id's flip (the oracle's nd0 CTE, verbatim).
+    */
+  private def incrPerturbed(old: DataFrame): DataFrame = {
+    val relabeled = old.withColumn("lang",
+      when(col("doc_id") % 11 === 0, lit("xx")).otherwise(col("lang")))
+    relabeled.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      .unionByName(relabeled.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4-style line-level dedup: substantial lines survive only at
     // their corpus-wide first occurrence, documents reassembled
@@ -61,18 +79,15 @@ object CorpusQueries {
     // INCREMENTAL pipeline recompute: the diff-driven composition —
     // prior outputs built from the old snapshot, then only the
     // touched fingerprint groups + shards reprocess against the new
-    // (perturbed) snapshot and merge. The oracle IS the from-scratch
-    // recompute on the new corpus, so the gate proves
-    // incremental == full on every run.
+    // (perturbed) snapshot and merge. The perturbation includes a
+    // METADATA-ONLY flip (doc_id % 11 -> lang 'xx', text unchanged):
+    // lang keys the stratified sample, so the diff must classify it
+    // as changed or the shard silently keeps the stale sample. The
+    // oracle IS the from-scratch recompute on the new corpus, so the
+    // gate proves incremental == full on every run.
     "pipeline_incremental" -> ((s, dir) => {
       val old = docs(s, dir)
-      val newDocs = old.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
-            .otherwise(col("text")))
-        .unionByName(old.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
-            col("lang"), col("source"), col("n_chars")))
+      val newDocs = incrPerturbed(old)
       val priorKept = graft.operators.Incremental.keptState(
         old, col("doc_id"), col("text"), minQualityMilli = 30L)
       val priorPacked = graft.operators.Incremental.pipelineSharded(
@@ -88,13 +103,7 @@ object CorpusQueries {
     // Shares pipeline_incremental's full-recompute oracle verbatim
     "pipeline_incr_store" -> ((s, dir) => {
       val old = docs(s, dir)
-      val newDocs = old.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
-            .otherwise(col("text")))
-        .unionByName(old.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
-            col("lang"), col("source"), col("n_chars")))
+      val newDocs = incrPerturbed(old)
       val store = graft.LocalDir.runDir("incr-store")
       val priorKept = graft.operators.Incremental.keptState(
         old, col("doc_id"), col("text"), minQualityMilli = 30L)
@@ -106,10 +115,11 @@ object CorpusQueries {
         .orderBy("doc_id", "seq_id")
     }),
     // CONTINUOUS pipeline maintenance from a CDC stream: the same
-    // perturbation arrives as upsert/delete doc EVENTS in 3
-    // micro-batches; corpus store, kept state and packed store update
-    // per batch touching only what each batch invalidates; the
-    // drained packed store shares the full-recompute oracle VERBATIM
+    // perturbation (incl. the lang-only metadata flip) arrives as
+    // upsert/delete doc EVENTS in 3 micro-batches; corpus store,
+    // dedup index and packed store update per batch touching only
+    // what each batch invalidates; the drained packed store shares
+    // the full-recompute oracle VERBATIM
     "stream_pipeline_cdc" -> ((s, dir) => {
       val old = docs(s, dir)
       val scratch = graft.LocalDir.runDir("pipeline-cdc")
@@ -117,10 +127,15 @@ object CorpusQueries {
         df.select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"),
           lit(del).as("is_delete"))
+      val relabeled = old.withColumn("lang",
+        when(col("doc_id") % 11 === 0, lit("xx")).otherwise(col("lang")))
       val events = ev(old.filter(col("doc_id") % 7 === 0), del = true)
-        .unionByName(ev(old.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 10 === 0)
-          .withColumn("text", concat(col("text"), lit(" edited"))), del = false))
-        .unionByName(ev(old.filter(col("doc_id") % 13 === 0)
+        .unionByName(ev(relabeled.filter(col("doc_id") % 7 =!= 0
+            && (col("doc_id") % 10 === 0 || col("doc_id") % 11 === 0))
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text"))), del = false))
+        .unionByName(ev(relabeled.filter(col("doc_id") % 13 === 0)
           .withColumn("doc_id", col("doc_id") + 10000000L), del = false))
         .withColumn("ev_seq", col("doc_id"))
       graft.operators.IncrementalCdc.pipelineFromDocEventsFromFiles(
@@ -761,12 +776,16 @@ object CorpusQueries {
     }
 
   private val PipelineIncrementalOracle: String =
-    """WITH nd AS (
+    """WITH nd0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang, text
+        |  FROM documents),
+        |nd AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 7 <> 0
+        |  FROM nd0 WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, lang, text FROM documents WHERE doc_id % 13 = 0),
+        |  SELECT doc_id + 10000000, lang, text FROM nd0 WHERE doc_id % 13 = 0),
         |f AS (
         |  SELECT doc_id, lang, text,
         |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,

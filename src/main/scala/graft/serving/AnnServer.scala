@@ -53,6 +53,12 @@ final class AnnServer(
     refreshDir: Option[String] = None,
     refreshMillis: Long = 500L) extends AutoCloseable {
 
+  // cached codes store one byte per subcode (`cc(j).toByte`, read
+  // back `& 0xff`): cell ids must fit [0, 255], i.e. subDim <= 8
+  require(subDim >= 1 && subDim <= 8,
+    s"subDim=$subDim: cached codes are one byte per subcode (cell ids < 256)")
+  require(m >= 1, s"m=$m must be >= 1")
+
   private val dim = m * subDim
   // codeword milli vectors keyed [sub][cell]; cells are 0..2^subDim-1
   private val cellVecs: Array[Array[Array[Long]]] = {
@@ -104,8 +110,16 @@ final class AnnServer(
   }
 
   private val snap =
-    new java.util.concurrent.atomic.AtomicReference[Option[(Array[Long], Array[Byte])]](
-      pack(codesFrame()))
+    new java.util.concurrent.atomic.AtomicReference[Option[(Array[Long], Array[Byte])]]({
+      // live-follow mode: the sink may not exist (or hold no commit)
+      // yet — start serving an EMPTY snapshot and let the refresher
+      // pick up the first commit, the same swallow-and-keep-serving
+      // contract the refresher itself runs under
+      if (refreshDir.isDefined)
+        try pack(codesFrame())
+        catch { case _: Throwable => Some((Array.empty[Long], Array.empty[Byte])) }
+      else pack(codesFrame())
+    })
   private def cached: Option[(Array[Long], Array[Byte])] = snap.get()
 
   /** Cached answers == [[Similarity.pqTopK]]'s ranking: dot desc,

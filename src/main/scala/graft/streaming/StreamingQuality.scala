@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *  - UNIQUE checks cannot partial-sum (a duplicate can span
   *    batches): each runs a stateful `dropDuplicates` whose appended
   *    first-seen rows count the exact distincts — violations =
-  *    n_rows − first-seens. State is one row per distinct key: the
-  *    honest cost of EXACT streaming uniqueness (the bounded
-  *    alternative is the KMV estimate, row 82).
+  *    n_rows − first-seens. Null-keyed rows are excluded from the
+  *    first-seen stream (batch `count_distinct` ignores null keys, so
+  *    a null key row counts as a violation on both sides — the
+  *    row-identical contract holds with nulls present). State is one
+  *    row per distinct key: the honest cost of EXACT streaming
+  *    uniqueness (the bounded alternative is the KMV estimate,
+  *    row 82).
   *
   * The drained report is row-identical to [[DataQuality.audit]] on
   * the same data — the gate shares `dq_events`' oracle verbatim.
@@ -73,6 +77,10 @@ object StreamingQuality {
         val outDir = new java.io.File(base, s"uniq-$i")
         val q = stream
           .select(u.cs.map(col): _*)
+          // count_distinct (the batch audit) skips rows with any null
+          // key component; drop them here too so first-seens == the
+          // batch distinct count exactly
+          .filter(u.cs.map(c => col(c).isNotNull).reduce(_ && _))
           .dropDuplicates(u.cs)
           .writeStream
           .format("parquet")

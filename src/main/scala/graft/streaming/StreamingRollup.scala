@@ -76,15 +76,20 @@ object StreamingRollup {
         .agg(sum(col("cnt")).as("cnt"), sum(col("cents")).as("cents"),
           max(col("last_batch")).as("last_batch"))
         .select(delta.columns.map(col): _*)
-      merged.persist()
-      try {
-        merged.count() // barrier: consume the read before the overwrite
-        merged.write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(storeDir)
-      } finally merged.unpersist()
+      // materialization barrier: `merged` reads the very partitions
+      // the write below replaces. localCheckpoint TRUNCATES lineage,
+      // so a lost block after the overwrite begins fails the job
+      // (fail-stop) instead of silently recomputing from a
+      // half-replaced bucket — a plain persist+count barrier would
+      // recompute through the original lineage on cache loss. A
+      // multi-node deployment would stage to a temp dir + swap (or
+      // reliable-checkpoint) for retry-through instead of fail-stop.
+      val sealed_ = merged.localCheckpoint(true)
+      sealed_.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(storeDir)
       rewrite.length
     } finally delta.unpersist()
   }

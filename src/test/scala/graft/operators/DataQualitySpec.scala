@@ -75,6 +75,33 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("streamed Unique matches batch semantics when the key column " +
+    "holds NULLs (count_distinct ignores null keys; the first-seen " +
+    "stream must too)") {
+    import graft.streaming.StreamingQuality
+    // three null-keyed rows: batch count_distinct skips them all, so
+    // each counts as a violation; a dropDuplicates that kept the null
+    // group as one first-seen would under-count by one
+    val rows = (0 until 40).map { i =>
+      val k = if (i % 10 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(i.toLong)
+      (i.toLong, k)
+    }
+    val df = rows.toDF("stage_id", "k")
+    val checks = Seq(DataQuality.Unique(Seq("k")))
+    val batch = DataQuality.audit(df, checks)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(batch.head._3 == 4L, s"4 null keys must all violate: $batch")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-sdq-null").toString
+    val streamed = StreamingQuality.auditFromFiles(
+      spark, df, checks, stageCol = "stage_id", nBatches = 3, scratch)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(streamed == batch,
+      s"null-keyed Unique diverged: streamed=$streamed batch=$batch")
+    graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+  }
+
   test("route: first failing check (caller order) wins; clean rows pass; " +
     "quarantine + continuation split the same scan") {
     val df = Seq(

@@ -155,6 +155,33 @@ class IncrementalSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(store))
   }
 
+  test("a lang-only metadata flip (text unchanged) invalidates its " +
+    "shard — incremental == full through the stratified-sample change") {
+    val nShards = 8
+    val rows = (0 until 60).map(i =>
+      (i.toLong, s"the doc number $i has a body of the usual words", "en", "s", 10L))
+    val old = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc 12's lang flips en -> xx: fingerprint identical, but lang
+    // keys both the sample RATE (en 600 vs default 800 per mille) and
+    // the md5 keep-hash — the packed output changes, so the shard
+    // MUST be classified as touched
+    val newDocs = old.withColumn("lang",
+      when(col("doc_id") === 12L, lit("xx")).otherwise(col("lang")))
+    val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
+    val priorPacked = Incremental.pipelineSharded(old, nShards, seqLen = 16L)
+    val (kept2, packed2, touched) = Incremental.pipelineIncremental(
+      old, newDocs, priorKept, priorPacked, nShards, seqLen = 16L)
+    val touchedSet = touched.as[Long].collect().toSet
+    assert(touchedSet.contains(12L % nShards),
+      s"lang-only edit did not invalidate its shard: $touchedSet")
+    val full = Incremental.pipelineSharded(newDocs, nShards, seqLen = 16L)
+    assert(collectPacked(packed2) == collectPacked(full))
+    // text unchanged -> kept state unchanged
+    assert(kept2.as[(String, Long, Long)].collect().toSet ==
+      Incremental.keptState(newDocs, col("doc_id"), col("text"), 30L)
+        .as[(String, Long, Long)].collect().toSet)
+  }
+
   test("empty diff: nothing recomputes, outputs carry over verbatim") {
     val old = Tables.load(spark, Sf0001, "documents")
     val priorKept = Incremental.keptState(old, col("doc_id"), col("text"), 30L)
