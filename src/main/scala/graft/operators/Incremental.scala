@@ -101,7 +101,10 @@ object Incremental {
     * sink discipline applied to the pipeline output.
     */
   def writeShardStore(packed: DataFrame, storeDir: String): Unit =
-    packed.write
+    // cluster by the partition column: each task writes whole shard
+    // dirs (≤1 file per dir) instead of every task touching every dir
+    // — file count (and the commit's rename count) stays O(shards)
+    packed.repartition(col("grp")).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("grp")

@@ -7,25 +7,45 @@ import org.apache.spark.sql.types._
 /** CONTINUOUS pipeline maintenance from a stream of document events —
   * the CDC composition on top of [[Incremental]]: the corpus itself
   * lives in a shard-partitioned parquet store, upsert/delete events
-  * arrive in micro-batches, and each batch updates THREE materialized
+  * arrive in micro-batches, and each batch updates FOUR materialized
   * artifacts touching only what the batch invalidates:
   *
   *  1. the CORPUS store — the batch's buckets rewrite via dynamic
   *     partition overwrite (old rows minus batch ids, plus upserts);
-  *  2. the KEPT state (fingerprint → min kept id) — recomputed
-  *     group-wise for the batch's touched fingerprints only;
-  *  3. the PACKED store — shards holding a classified id or a
+  *  2. the fingerprint→members INDEX — (fingerprint, doc_id) of every
+  *     quality-passing doc, partitioned by fingerprint bucket
+  *     (`fpb = pmod(xxhash64(fingerprint), nFpBuckets)`): the batch
+  *     rewrites only the buckets its touched fingerprints hash to.
+  *     This store IS the durable dedup state — the kept row of any
+  *     group is `min(doc_id)` over its members, recomputable for the
+  *     touched groups from the touched buckets alone (the standard
+  *     dedup-index refinement: no full-corpus fingerprint scan, ever);
+  *  3. the KEEPS store — the keeper ids materialized BY SHARD
+  *     (`pmod(keep_id, nShards)`), so the packed repack reads the
+  *     keeper set of exactly its touched shards (partition-pruned);
+  *     maintained from the same per-batch keeper flips;
+  *  4. the PACKED store — shards holding a classified id or a
   *     possible kept-flip repack from a PARTITION-PRUNED corpus-store
   *     read and dynamic-overwrite their partitions.
   *
-  * The batch IS the diff: no full-corpus fingerprint compare runs —
-  * old fingerprints come from the batch buckets' own rows (read
-  * anyway for the store rewrite). A text-unchanged upsert that flips
-  * `lang`/`source` still classifies as changed (those columns drive
-  * sampling and packing). The one full-corpus read per batch is the
-  * NARROW fingerprint scan feeding the touched-group kept recompute
-  * (at 100 TB, replaceable by a fingerprint→members index — the
-  * standard dedup-index refinement).
+  * The batch IS the diff: old fingerprints come from the batch
+  * buckets' own rows (read anyway for the store rewrite). A
+  * text-unchanged upsert that flips `lang`/`source` still classifies
+  * as changed (those columns drive sampling and packing). Per-batch
+  * cost is O(edit + touched buckets) — nothing reads the corpus, the
+  * index, or the keeps store outside the partitions the batch's own
+  * fingerprints and shards select.
+  *
+  * DURABILITY (exactly-once under foreachBatch replay + restart): the
+  * classification and the pre-state keepers of the touched groups are
+  * the ONLY values that depend on pre-batch store state — they are
+  * journaled per batch id (`cls/batch-…`, written BEFORE any store
+  * mutation). Every store mutation is idempotent given that journal:
+  * a crashed batch replayed after a JVM restart reads its journal
+  * instead of re-classifying against the already-half-updated stores,
+  * re-derives the same touched sets, and converges (spec-drilled with
+  * a crash between the store writes and the checkpoint commit). No
+  * dedup state lives on the driver.
   *
   * Equivalence contract (oracle-gated): after draining any split of
   * the event stream, the packed store is row-identical to a
@@ -43,14 +63,58 @@ object IncrementalCdc {
     StructField("n_chars", LongType),
     StructField("shard", LongType)))
 
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("fingerprint", StringType),
+    StructField("doc_id", LongType),
+    StructField("fpb", LongType)))
+
+  val KeepsSchema: StructType = StructType(Seq(
+    StructField("keep_id", LongType),
+    StructField("shard", LongType)))
+
+  private def fpb(fp: org.apache.spark.sql.Column, nFpBuckets: Int) =
+    pmod(xxhash64(fp), lit(nFpBuckets.toLong))
+
   def writeCorpusStore(docs: DataFrame, nShards: Int, storeDir: String): Unit =
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars").cast("long").as("n_chars"),
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .repartition(col("shard")) // ≤1 file per shard dir
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
       .parquet(storeDir)
+
+  /** Build + write the fingerprint→members index and the keeps store
+    * from an initial corpus snapshot (the from-scratch [[Incremental
+    * .keptState]] semantics, materialized for incremental upkeep).
+    */
+  def writeDedupStores(
+      docs: DataFrame, nShards: Int, nFpBuckets: Int,
+      indexDir: String, keepsDir: String,
+      minQualityMilli: Long = 30L): Unit = {
+    val members = docs
+      .filter(TextAnalysis.qualityMilli(col("text")) >= minQualityMilli)
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"),
+        col("doc_id"))
+      .persist() // one corpus scan feeds both store writes
+    try {
+      members.withColumn("fpb", fpb(col("fingerprint"), nFpBuckets))
+        .repartition(col("fpb")) // ≤1 file per bucket dir
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("fpb")
+        .parquet(indexDir)
+      members.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"),
+          pmod(col("keep_id"), lit(nShards.toLong)).as("shard"))
+        .repartition(col("shard")) // ≤1 file per shard dir
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(keepsDir)
+    } finally members.unpersist()
+  }
 
   /** Read the corpus store; `shards = Some(…)` prunes the read to
     * those partition directories (the touched-bucket read the CDC
@@ -58,18 +122,45 @@ object IncrementalCdc {
     */
   def readCorpusStore(
       spark: SparkSession, storeDir: String,
-      shards: Option[Seq[Long]] = None): DataFrame = shards match {
+      shards: Option[Seq[Long]] = None): DataFrame =
+    readPartitioned(spark, storeDir, CorpusSchema, "shard", shards)
+
+  /** Read the fingerprint→members index, optionally pruned to the
+    * given fingerprint buckets.
+    */
+  def readIndex(
+      spark: SparkSession, indexDir: String,
+      buckets: Option[Seq[Long]] = None): DataFrame =
+    readPartitioned(spark, indexDir, IndexSchema, "fpb", buckets)
+
+  /** Read the keeps store, optionally pruned to the given shards. */
+  def readKeeps(
+      spark: SparkSession, keepsDir: String,
+      shards: Option[Seq[Long]] = None): DataFrame =
+    readPartitioned(spark, keepsDir, KeepsSchema, "shard", shards)
+
+  /** The kept state the index encodes — (fingerprint, keep_id,
+    * n_dups), the [[Incremental.keptState]] shape. Full-index
+    * aggregate: for assertions and bootstraps, not the per-batch path.
+    */
+  def readKept(spark: SparkSession, indexDir: String): DataFrame =
+    readIndex(spark, indexDir)
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  private def readPartitioned(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, vals: Option[Seq[Long]]): DataFrame = vals match {
     case None =>
-      spark.read.schema(CorpusSchema).option("basePath", storeDir).parquet(storeDir)
-    case Some(ss) =>
-      val dirs = ss.distinct
-        .filter(s => new java.io.File(storeDir, s"shard=$s").exists())
-        .map(s => s"$storeDir/shard=$s")
+      spark.read.schema(schema).option("basePath", storeDir).parquet(storeDir)
+    case Some(vs) =>
+      val dirs = vs.distinct
+        .filter(v => new java.io.File(storeDir, s"$partCol=$v").exists())
+        .map(v => s"$storeDir/$partCol=$v")
       if (dirs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], CorpusSchema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else
-        spark.read.schema(CorpusSchema).option("basePath", storeDir)
+        spark.read.schema(schema).option("basePath", storeDir)
           .parquet(dirs: _*)
   }
 
@@ -77,119 +168,257 @@ object IncrementalCdc {
     * (doc_id, text, lang, source, n_chars, is_delete, ev_seq) — the
     * highest `ev_seq` per id wins within the batch (at-least-once
     * redelivery of an identical event is absorbed by the unchanged
-    * classification). Returns (kept', touchedShards); both stores are
-    * updated in place. Feed kept' into the next batch.
+    * classification; a REPLAYED batch — same `batchId` after a crash —
+    * is absorbed by the journal). All four stores update in place;
+    * returns touchedShards (≤ nShards rows) for invalidation-size
+    * assertions.
     */
   def applyDocEvents(
       spark: SparkSession,
       events: DataFrame,
       corpusDir: String,
-      priorKept: DataFrame,
+      indexDir: String,
+      keepsDir: String,
+      clsDir: String,
       packedDir: String,
+      batchId: Long,
       nShards: Int, seqLen: Long,
+      nFpBuckets: Int = 16,
       minQualityMilli: Long = 30L,
       ratesPerMille: Map[String, Int] = Map("en" -> 600),
-      defaultPerMille: Int = 800): (DataFrame, DataFrame) = {
+      defaultPerMille: Int = 800): DataFrame = {
+    import spark.implicits._
+    def t[A](label: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_CDC_TIMING")) {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[cdc-t] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      } else f
     val evCols = Seq("doc_id", "text", "lang", "source", "n_chars", "is_delete")
-    val evs = events
+    val evs = t("evs") { events
       .groupBy(col("doc_id"))
       .agg(max_by(
         struct((evCols :+ "ev_seq").map(col): _*), col("ev_seq")).as("r"))
       .select(evCols.map(c => col(s"r.$c")): _*)
-      .localCheckpoint(true) // batch-sized
-    val batchShards = evs
+      .localCheckpoint(true) } // batch-sized
+    val batchShards = t("batchShards") { evs
       .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .distinct().collect().map(_.getLong(0)).toSeq }
+
+    // ---- classification + pre-state keepers: journaled per batch ----
+    // the ONLY pre-state-dependent values; everything downstream is a
+    // deterministic function of (journal, post-state stores), so a
+    // replayed batch re-derives the same mutations and converges
+    val logDir = new java.io.File(clsDir, f"batch-$batchId%09d")
+    val logSchema = StructType(Seq(
+      StructField("kind", StringType),
+      StructField("doc_id", LongType),
+      StructField("old_fp", StringType),
+      StructField("new_fp", StringType),
+      StructField("keep_id", LongType)))
     val oldBuckets = readCorpusStore(spark, corpusDir, Some(batchShards))
-    val oldOfIds = oldBuckets
-      .join(evs.select("doc_id"), Seq("doc_id"), "left_semi")
+    // the journal frame (chg + pre-state keeper rows) and the touched
+    // fingerprint buckets, or None when the batch classifies empty
+    val logOpt: Option[(DataFrame, Seq[Long])] = t("cls") {
+      if (new java.io.File(logDir, "_SUCCESS").exists()) {
+        // replay: the stores may already be (partially) post-state —
+        // the journal carries the pre-state truth
+        val log = spark.read.schema(logSchema).parquet(logDir.toString)
+          .localCheckpoint(true)
+        val buckets = bucketsOf(spark, touchedFpsOf(
+          log.filter(col("kind") === "chg")), nFpBuckets)
+        Some((log, buckets))
+      } else {
+        val oldOfIds = oldBuckets
+          .join(evs.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("old_fp"),
+            col("lang").as("old_lang"), col("source").as("old_source"))
+        // the batch IS the diff: classify against the batch buckets' rows
+        val chg = evs
+          .join(oldOfIds, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("old_fp"),
+            when(col("is_delete"), lit(null).cast("string"))
+              .otherwise(TextAnalysis.fingerprintMd5(col("text"))).as("new_fp"),
+            when(col("is_delete") && col("old_fp").isNull, "noop")
+              .when(col("is_delete"), "removed")
+              .when(col("old_fp").isNull, "added")
+              .when(col("old_fp") === col("new_fp")
+                && (col("old_lang") <=> col("lang"))
+                && (col("old_source") <=> col("source")), "unchanged")
+              .otherwise(lit("changed")).as("status"))
+          .filter(!col("status").isin("noop", "unchanged"))
+          .select(col("doc_id"), col("old_fp"), col("new_fp"))
+          .localCheckpoint(true) // edit-sized; materialized PRE-mutation
+        val buckets = bucketsOf(spark, touchedFpsOf(chg), nFpBuckets)
+        if (buckets.isEmpty) None // every changed row carries a fp
+        else {
+          // pre-state keepers of the touched groups, from the touched
+          // index buckets only
+          val pk = readIndex(spark, indexDir, Some(buckets))
+            .join(touchedFpsOf(chg), Seq("fingerprint"), "left_semi")
+            .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+          val log = chg.select(lit("chg").as("kind"), col("doc_id"),
+              col("old_fp"), col("new_fp"), lit(null).cast("long").as("keep_id"))
+            .unionByName(pk.select(lit("keep").as("kind"),
+              lit(null).cast("long").as("doc_id"),
+              col("fingerprint").as("old_fp"),
+              lit(null).cast("string").as("new_fp"), col("keep_id")))
+            .localCheckpoint(true) // edit-sized; materialized PRE-mutation
+          log.coalesce(1).write.mode("overwrite").parquet(logDir.toString)
+          Some((log, buckets))
+        }
+      }
+    }
+
+    // ---- 1. CORPUS store: batch buckets rewrite (old rows minus batch
+    //      ids, plus live upserts); idempotent on replay. Runs
+    //      concurrently with the index chain below (different store;
+    //      both consume only sealed/journaled frames) ----
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val corpusF = Future { t("corpus-rw") {
+      val newBuckets = oldBuckets
+        .join(evs.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(evs.filter(!col("is_delete")).drop("is_delete")
+          .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong))))
+      overwriteSelfRead(newBuckets, "shard", batchShards, corpusDir)
+    } }
+
+    if (logOpt.isEmpty) {
+      Await.result(corpusF, scala.concurrent.duration.Duration.Inf)
+      return Seq.empty[Long].toDF("shard")
+    }
+    val (log, touchedBuckets) = logOpt.get
+    val changed = log.filter(col("kind") === "chg")
+      .select(col("doc_id"), col("old_fp"), col("new_fp"))
+    val priorKeep = log.filter(col("kind") === "keep")
+      .select(col("old_fp").as("fingerprint"), col("keep_id"))
+    val touchedFps = touchedFpsOf(changed)
+
+    // ---- 2. INDEX: touched fingerprint buckets rewrite (old member
+    //      rows minus changed ids, plus quality-passing upserts) ----
+    val upsertQ = evs.filter(!col("is_delete"))
       .select(col("doc_id"),
-        TextAnalysis.fingerprintMd5(col("text")).as("old_fp"),
-        col("lang").as("old_lang"), col("source").as("old_source"))
-    // the batch IS the diff: classify against the batch buckets' rows
-    val cls = evs
-      .join(oldOfIds, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("old_fp"),
-        when(col("is_delete"), lit(null).cast("string"))
-          .otherwise(TextAnalysis.fingerprintMd5(col("text"))).as("new_fp"),
-        when(col("is_delete") && col("old_fp").isNull, "noop")
-          .when(col("is_delete"), "removed")
-          .when(col("old_fp").isNull, "added")
-          .when(col("old_fp") === col("new_fp")
-            && col("old_lang") === col("lang")
-            && col("old_source") === col("source"), "unchanged")
-          .otherwise(lit("changed")).as("status"))
-    val changed = cls.filter(!col("status").isin("noop", "unchanged"))
-      .localCheckpoint(true) // edit-sized
-    // 1. CORPUS store: batch buckets rewrite (old rows minus batch
-    //    ids, plus live upserts), partitions not in the batch untouched
-    val newBuckets = oldBuckets
-      .join(evs.select("doc_id"), Seq("doc_id"), "left_anti")
-      .unionByName(evs.filter(!col("is_delete")).drop("is_delete")
-        .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong))))
-    writeCorpusPartitions(newBuckets, batchShards, corpusDir)
-    // 2. KEPT state: touched fingerprint groups recompute from the
-    //    UPDATED corpus (one narrow fingerprint scan)
-    val touchedFps = changed
-      .select(explode(array(col("old_fp"), col("new_fp"))).as("fingerprint"))
-      .filter(col("fingerprint").isNotNull)
-      .distinct()
-    val newCorpus = readCorpusStore(spark, corpusDir)
-    val keptTouched = Dedup.exact(
-      newCorpus.filter(TextAnalysis.qualityMilli(col("text")) >= minQualityMilli),
-      col("text"), col("doc_id"))
+        TextAnalysis.qualityMilli(col("text")).as("__q"))
+    val addRows = changed.filter(col("new_fp").isNotNull)
+      .join(upsertQ, Seq("doc_id"))
+      .filter(col("__q") >= minQualityMilli)
+      .select(col("new_fp").as("fingerprint"), col("doc_id"))
+      .withColumn("fpb", fpb(col("fingerprint"), nFpBuckets))
+    val newIdx = readIndex(spark, indexDir, Some(touchedBuckets))
+      .join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("fingerprint"), col("doc_id"), col("fpb"))
+      .unionByName(addRows)
+    // sealedIdx IS the post-state content of the touched buckets —
+    // the keeper recompute below reuses it instead of re-reading
+    val sealedIdx = t("index-rw") { overwriteSelfRead(newIdx, "fpb", touchedBuckets, indexDir) }
+
+    // ---- 3. KEEPS: touched groups' keepers recompute from the
+    //      UPDATED index buckets (the sealed frame, no store re-read).
+    //      Only the DELTA matters: keeper ids that enter or leave the
+    //      keeper set; when the set is unchanged (the common text-edit
+    //      where the doc stays its group's keeper) the store is not
+    //      touched at all ----
+    val keptTouched = t("keptTouched") { sealedIdx
       .join(touchedFps, Seq("fingerprint"), "left_semi")
-      .localCheckpoint(true)
-    val kept2 = priorKept
-      .join(touchedFps, Seq("fingerprint"), "left_anti")
-      .unionByName(keptTouched)
-      .localCheckpoint(true) // feeds the next batch — cut lineage
-    // 3. PACKED store: classified ids + possible kept-flips repack
-    val flipIds = priorKept
-      .join(touchedFps, Seq("fingerprint"), "left_semi")
-      .select(col("keep_id").as("doc_id"))
-      .unionByName(keptTouched.select(col("keep_id").as("doc_id")))
-    val touchedShards = changed.select(col("doc_id"))
-      .unionByName(flipIds)
+      .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+      .localCheckpoint(true) } // edit-sized
+    val priorIds = priorKeep.select(col("keep_id"))
+    val newIds = keptTouched.select(col("keep_id"))
+    val removals = priorIds.join(newIds, Seq("keep_id"), "left_anti")
+    val adds = newIds.join(priorIds, Seq("keep_id"), "left_anti")
+    val flipIds = removals.unionByName(adds).distinct()
+    val flipShards = flipIds
+      .select(pmod(col("keep_id"), lit(nShards.toLong)).as("shard"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val touchedIds = changed.select(col("doc_id"))
+      .unionByName(flipIds.select(col("keep_id").as("doc_id")))
       .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
       .distinct()
-      .localCheckpoint(true) // ≤ nShards rows
-    val touchedIds = touchedShards.collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq // ≤ nShards scalars
+    // keeper set of the repack's shards, derived from the PRE-state
+    // read + the delta (idempotent on replay: post-state minus
+    // removals union adds is a fixpoint) — sealed now so the keeps
+    // store rewrite below can proceed concurrently with the repack
+    val keepsSlice = readKeeps(spark, keepsDir, Some(touchedIds))
+      .select(col("keep_id"))
+      .join(removals, Seq("keep_id"), "left_anti")
+      .join(adds, Seq("keep_id"), "left_anti")
+      .unionByName(adds.select(col("keep_id")))
+      .localCheckpoint(true) // shard-slice-sized
+    val keepsF = Future {
+      if (flipShards.nonEmpty) t("keeps-rw") {
+        val newKeeps = readKeeps(spark, keepsDir, Some(flipShards))
+          .join(removals, Seq("keep_id"), "left_anti")
+          .join(adds, Seq("keep_id"), "left_anti") // replay: already added
+          .unionByName(adds
+            .select(col("keep_id"),
+              pmod(col("keep_id"), lit(nShards.toLong)).as("shard")))
+        overwriteSelfRead(newKeeps, "shard", flipShards, keepsDir)
+      }
+    }
+
+    // ---- 4. PACKED store: classified ids + keeper-flip ids repack
+    //      from a partition-pruned corpus read + the sealed keeper
+    //      slice ----
+    Await.result(corpusF, scala.concurrent.duration.Duration.Inf)
     val slice = readCorpusStore(spark, corpusDir, Some(touchedIds)).drop("shard")
     val packedTouched = Incremental.packTouched(
-      slice, kept2, nShards, seqLen, minQualityMilli,
+      slice, keepsSlice, nShards, seqLen, minQualityMilli,
       ratesPerMille, defaultPerMille)
-    Incremental.overwriteTouchedPacked(packedTouched, touchedIds, packedDir)
-    (kept2, touchedShards)
+    t("packed-rw") { Incremental.overwriteTouchedPacked(packedTouched, touchedIds, packedDir) }
+    Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
+    touchedIds.toDF("shard")
   }
 
-  private def writeCorpusPartitions(
-      rows: DataFrame, batchShards: Seq[Long], corpusDir: String): Unit = {
-    rows.persist()
-    try {
-      // barrier: `rows` reads the very partitions the write below
-      // replaces — materialize before the overwrite so no task can
-      // observe a half-replaced bucket, whatever the commit protocol
-      // (the mergeBatch discipline)
-      rows.count()
-      rows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(corpusDir)
-      val produced = rows.select(col("shard")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      batchShards.filterNot(produced).foreach { sh =>
-        graft.sources.FileIO.deleteScratch(
-          new java.io.File(corpusDir, s"shard=$sh"))
-      }
-    } finally rows.unpersist()
+  private def touchedFpsOf(changed: DataFrame): DataFrame = changed
+    .select(explode(array(col("old_fp"), col("new_fp"))).as("fingerprint"))
+    .filter(col("fingerprint").isNotNull)
+    .distinct()
+
+  private def bucketsOf(
+      spark: SparkSession, fps: DataFrame, nFpBuckets: Int): Seq[Long] =
+    fps.select(fpb(col("fingerprint"), nFpBuckets).as("fpb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
+  /** Dynamic-overwrite `rows` into partitions `touched` of a store the
+    * rows were READ from, then drop emptied touched partitions.
+    * localCheckpoint TRUNCATES lineage before the write: a lost block
+    * after the overwrite begins fails the job (fail-stop) instead of
+    * silently recomputing through a half-replaced partition — a
+    * persist+count barrier would recompute through the original
+    * lineage on cache loss. (A multi-node deployment would stage to a
+    * temp dir + swap for retry-through instead of fail-stop.)
+    */
+  private def overwriteSelfRead(
+      rows: DataFrame, partCol: String, touched: Seq[Long],
+      storeDir: String): DataFrame = {
+    val sealed_ = rows.localCheckpoint(true)
+    // cluster by the partition column so each task writes whole
+    // partition dirs (≤1 file per dir) instead of every task touching
+    // every dir — at nFpBuckets-scale stores the commit's rename count
+    // is the write's wall clock
+    sealed_.repartition(math.max(touched.size, 1), col(partCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(storeDir)
+    val produced = sealed_.select(col(partCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touched.filterNot(produced).foreach { v =>
+      graft.sources.FileIO.deleteScratch(
+        new java.io.File(storeDir, s"$partCol=$v"))
+    }
+    sealed_ // the exact post-state content of the touched partitions
   }
 
   /** File-fed end-to-end run (the gate-query spelling): doc events
-    * stage as `ev_seq`-ordered micro-batch files; stores initialize
-    * from `initialDocs`; each micro-batch applies through
-    * [[applyDocEvents]] inside `foreachBatch` (the kept state threads
-    * through on the driver); returns the drained packed store.
+    * stage as `ev_seq`-ordered micro-batch files; all four stores
+    * initialize from `initialDocs`; each micro-batch applies through
+    * [[applyDocEvents]] inside `foreachBatch`. NO dedup state lives on
+    * the driver — the kept state is the index + keeps stores, so a
+    * restart resumes from them (and a replayed batch from its
+    * journal). Returns the drained packed store.
     */
   def pipelineFromDocEventsFromFiles(
       spark: SparkSession,
@@ -198,29 +427,41 @@ object IncrementalCdc {
       nBatches: Int,
       scratch: String,
       nShards: Int, seqLen: Long,
+      nFpBuckets: Int = 16,
       statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val corpusDir = new java.io.File(base, "corpus").toString
+    val indexDir = new java.io.File(base, "index").toString
+    val keepsDir = new java.io.File(base, "keeps").toString
+    val clsDir = new java.io.File(base, "cls").toString
     val packedDir = new java.io.File(base, "packed").toString
     graft.sources.FileIO.stageRangeBatches(
       events, col("ev_seq"), nBatches, new java.io.File(base, "stage"), inDir)
     writeCorpusStore(initialDocs, nShards, corpusDir)
+    writeDedupStores(initialDocs, nShards, nFpBuckets, indexDir, keepsDir)
     Incremental.writeShardStore(
       Incremental.pipelineSharded(initialDocs, nShards, seqLen), packedDir)
-    var kept = Incremental.keptState(
-      initialDocs, col("doc_id"), col("text"), minQualityMilli = 30L)
-      .localCheckpoint(true)
     val ss = graft.streaming.StreamSessions.scoped(spark, statePartitions)
+    // file-committer v2 (per-task direct rename) for this CLONED
+    // session only: the job-level commit atomicity v1 buys is already
+    // covered by the journal discipline (torn writes converge on
+    // replay), and v2 halves the rename count of every per-batch
+    // store rewrite
+    ss.conf.set("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString, events.schema, maxFilesPerTrigger = 1)
     val q = stream.writeStream
       .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (k2, _) = applyDocEvents(
-          spark, batch, corpusDir, kept, packedDir, nShards, seqLen)
-        kept = k2
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // run the apply on the SCOPED session: every per-batch shuffle
+        // (edit-sized frames) uses statePartitions, not the parent
+        // session's corpus-scale setting
+        applyDocEvents(
+          ss, batch, corpusDir, indexDir, keepsDir, clsDir, packedDir,
+          id, nShards, seqLen, nFpBuckets)
+        ()
       }
       .start()
     q.awaitTermination()
