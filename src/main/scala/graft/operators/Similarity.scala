@@ -354,17 +354,27 @@ object Similarity {
       df: DataFrame, id: Column, vec: Column,
       m: Int, subDim: Int, iters: Int, sampleN: Int,
       seed: String = "pq"): (DataFrame, DataFrame) = {
-    val sample = df
-      .select(id.as("__sid"), vec.as("__svec"))
-      .orderBy(
-        md5(concat_ws(":", lit(seed), col("__sid").cast("string"))),
-        col("__sid"))
-      .limit(sampleN)
+    val sample = pqSample(df, id, vec, sampleN, seed)
     val (codebook, _) =
       pqTrainEncodeLloyd(sample, col("__sid"), col("__svec"), m, subDim, iters)
     val cb = codebook.localCheckpoint(true)
     (cb, pqEncodeWith(df, id, vec, cb, m, subDim))
   }
+
+  /** The deterministic training sample [[pqTrainSampleEncode]] trains
+    * on — the `sampleN` smallest md5("seed:id"), id-tiebroken. Exposed
+    * package-side so diagnostics (the streaming gate's digest trail)
+    * fingerprint the EXACT frame the trainer consumed, through this
+    * one code path.
+    */
+  private[graft] def pqSample(
+      df: DataFrame, id: Column, vec: Column,
+      sampleN: Int, seed: String): DataFrame = df
+    .select(id.as("__sid"), vec.as("__svec"))
+    .orderBy(
+      md5(concat_ws(":", lit(seed), col("__sid").cast("string"))),
+      col("__sid"))
+    .limit(sampleN)
 
   /** PQ top-k via asymmetric-distance LUTs: per query, precompute
     * dot(query-subvector, codeword) for every (subspace, cell) — a

@@ -28,6 +28,60 @@ class StreamingAnnSpec extends SparkSpec {
     }
   }
 
+  test("determinism drill: N full stage->stream->drain loops under " +
+    "induced concurrent scheduler load land byte-identical codes and " +
+    "identical stage digests (the r11 gate-flake investigation)") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    // induced load: parallel shuffle jobs churning the shared session's
+    // scheduler for the whole drill (the one condition the gate runs
+    // under that solo re-runs don't reproduce)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val noise = (0 until 2).map { i =>
+      val t = new Thread(() => {
+        while (!stop.get()) {
+          spark.range(0, 200000).select(col("id") % 97)
+            .groupBy("id").count().agg(sum("count")).collect()
+        }
+      }, s"pq-drill-noise-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try {
+      def diagFiles() = Option(new java.io.File("target/diag/stream_pq_codes")
+        .listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+      val runs = (0 until 3).map { i =>
+        val scratch = Files.createTempDirectory(s"graft-spq-drill-$i").toString
+        val before = diagFiles()
+        val codes = StreamingAnn.pqEncodeFromFiles(
+          spark, e, m = 8, subDim = 8, iters = 2, sampleN = 384,
+          nBatches = 4, scratch)
+          .orderBy("cid", "sub")
+          .as[(Long, Int, Long)].collect().toSeq
+        val digestFile = (diagFiles() -- before).toSeq match {
+          case Seq(one) => new java.io.File("target/diag/stream_pq_codes", one)
+          case other => fail(s"expected exactly one new digest, got $other")
+        }
+        val digest = new String(
+          java.nio.file.Files.readAllBytes(digestFile.toPath), "UTF-8")
+        // stage hashes only — file names/sizes legitimately differ per run
+        val HashRe = """"(sample_hash|codebook_hash|codes_hash)":(-?\d+)""".r
+        val hashes = HashRe.findAllMatchIn(digest)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        assert(hashes.size == 3, s"digest missing stage hashes: $digest")
+        graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+        (codes, hashes)
+      }
+      assert(runs.map(_._1).distinct.size == 1,
+        "codes diverged across loaded runs")
+      assert(runs.map(_._2).distinct.size == 1,
+        s"stage digests diverged across loaded runs: ${runs.map(_._2)}")
+    } finally {
+      stop.set(true)
+      noise.foreach(_.join(5000))
+    }
+  }
+
   test("the online pipeline end to end: streamed codes feed the live " +
     "server; wire answers == batch pqTopK") {
     val e = Tables.load(spark, Sf0001, "embeddings")
