@@ -75,52 +75,109 @@ final class AnnServer(
     out
   }
 
+  private val codesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
+
   private def codesFrame(): DataFrame = refreshDir match {
-    case Some(dir) => codes.sparkSession.read
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType))))
-      .parquet(dir)
+    case Some(dir) => codes.sparkSession.read.schema(codesSchema).parquet(dir)
     case None => codes
   }
 
-  private def pack(frame: DataFrame): Option[(Array[Long], Array[Byte])] = {
-    val n = frame.select("cid").distinct().count()
-    if (n > maxVectors) None
+  /** The live cache: packed codes + the sink files already absorbed.
+    * `degraded = true` = past `maxVectors`, serve distributed. The
+    * refresher APPENDS — it loads only files it has not seen, so an
+    * idle tick costs zero Spark jobs and a growing sink costs
+    * O(new files), never O(index).
+    */
+  private case class Snap(
+      cids: Array[Long], packed: Array[Byte],
+      seen: Set[String], degraded: Boolean)
+
+  /** Committed data files of the followed sink: through the streaming
+    * commit log when present (never a raw listing racing an in-flight
+    * commit), a plain listing for a static parquet dir.
+    */
+  private def sinkFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (new java.io.File(d, "_spark_metadata").isDirectory)
+      graft.streaming.StreamingAnn.committedSinkFiles(d)
+    else Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** Pack (cid, sub, cell) rows into the cache layout: one byte per
+    * subcode, cells sorted per cid. One collect of exactly the rows
+    * passed in.
+    */
+  private def packRows(frame: DataFrame): (Array[Long], Array[Byte]) = {
+    val rows = frame.groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        e => e.getField("cell")).as("cc"))
+      .orderBy("cid")
+      .collect()
+    val cids = rows.map(_.getLong(0))
+    val packed = new Array[Byte](rows.length * m)
+    var i = 0
+    while (i < rows.length) {
+      val cc = rows(i).getSeq[Long](1)
+      require(cc.length == m, s"cid ${cids(i)} carries ${cc.length} codes")
+      var j = 0
+      while (j < m) { packed(i * m + j) = cc(j).toByte; j += 1 }
+      i += 1
+    }
+    (cids, packed)
+  }
+
+  private val snap = new java.util.concurrent.atomic.AtomicReference[Snap]({
+    refreshDir match {
+      case None =>
+        // static index: one load, degrade past the cap
+        val n = codes.select("cid").distinct().count()
+        if (n > maxVectors)
+          Snap(Array.empty, Array.empty, Set.empty, degraded = true)
+        else {
+          val (cids, packed) = packRows(codes)
+          Snap(cids, packed, Set.empty, degraded = false)
+        }
+      case Some(_) =>
+        // live-follow mode: the sink may not exist (or hold no commit)
+        // yet — start serving an EMPTY snapshot; the refresher absorbs
+        // the first commit (swallow-and-keep-serving contract)
+        val empty = Snap(Array.empty, Array.empty, Set.empty, degraded = false)
+        try refreshedFrom(empty) catch { case _: Throwable => empty }
+    }
+  })
+
+  /** One incremental refresh step: absorb the sink files `cur` has
+    * not seen. No new files → `cur` unchanged (and NO Spark job ran).
+    * Crossing `maxVectors` flips to degraded (distributed serving).
+    * Exactly-once sink contract: a committed file's cids never repeat.
+    */
+  private def refreshedFrom(cur: Snap): Snap = {
+    if (cur.degraded) return cur
+    val fresh = sinkFiles(refreshDir.get).filterNot(cur.seen)
+    if (fresh.isEmpty) return cur
+    val rows = codes.sparkSession.read.schema(codesSchema)
+      .parquet(fresh: _*)
+    val newN = rows.select("cid").distinct().count()
+    if (cur.cids.length + newN > maxVectors)
+      Snap(Array.empty, Array.empty, cur.seen ++ fresh, degraded = true)
     else {
-      val rows = frame.groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("sub"), col("cell")))),
-          e => e.getField("cell")).as("cc"))
-        .orderBy("cid")
-        .collect()
-      val cids = rows.map(_.getLong(0))
-      val packed = new Array[Byte](rows.length * m)
-      var i = 0
-      while (i < rows.length) {
-        val cc = rows(i).getSeq[Long](1)
-        require(cc.length == m, s"cid ${cids(i)} carries ${cc.length} codes")
-        var j = 0
-        while (j < m) { packed(i * m + j) = cc(j).toByte; j += 1 }
-        i += 1
-      }
-      Some((cids, packed))
+      val (addCids, addPacked) = packRows(rows)
+      Snap(cur.cids ++ addCids, cur.packed ++ addPacked,
+        cur.seen ++ fresh, degraded = false)
     }
   }
 
-  private val snap =
-    new java.util.concurrent.atomic.AtomicReference[Option[(Array[Long], Array[Byte])]]({
-      // live-follow mode: the sink may not exist (or hold no commit)
-      // yet — start serving an EMPTY snapshot and let the refresher
-      // pick up the first commit, the same swallow-and-keep-serving
-      // contract the refresher itself runs under
-      if (refreshDir.isDefined)
-        try pack(codesFrame())
-        catch { case _: Throwable => Some((Array.empty[Long], Array.empty[Byte])) }
-      else pack(codesFrame())
-    })
-  private def cached: Option[(Array[Long], Array[Byte])] = snap.get()
+  private def cached: Option[(Array[Long], Array[Byte])] = {
+    val s = snap.get()
+    if (s.degraded) None else Some((s.cids, s.packed))
+  }
 
   /** Cached answers == [[Similarity.pqTopK]]'s ranking: dot desc,
     * cid asc, top k.
@@ -231,11 +288,18 @@ final class AnnServer(
 
   private val refresher: Option[Thread] = refreshDir.map { _ =>
     val t = new Thread(() => {
+      // thread-local tag: every Spark job this thread submits carries
+      // the group id, so tests (and operators) can attribute refresh
+      // cost precisely
+      codes.sparkSession.sparkContext.setJobGroup(
+        "ann-server-refresh", "incremental ANN index refresh", false)
       while (running.get()) {
         try {
           Thread.sleep(refreshMillis)
-          val next = pack(codesFrame())
-          snap.set(next)
+          // incremental: only unseen committed files load; an idle
+          // tick runs no Spark job at all. The refresher is the only
+          // writer of `snap`, so read-modify-set is race-free.
+          snap.set(refreshedFrom(snap.get()))
         } catch {
           case _: InterruptedException => ()
           case _: Throwable => () // mid-commit sink read: keep serving the old snapshot

@@ -76,7 +76,7 @@ object StreamingAnn {
     * the digest can record it and the read can't fall back to a
     * directory listing.
     */
-  private[streaming] def committedSinkFiles(outDir: java.io.File): Seq[String] = {
+  private[graft] def committedSinkFiles(outDir: java.io.File): Seq[String] = {
     val logDir = new java.io.File(outDir, "_spark_metadata")
     val logs = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.endsWith(".crc"))

@@ -119,4 +119,76 @@ class AnnServerSpec extends SparkSpec {
     } finally srv.close()
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
+
+  test("live refresh is INCREMENTAL: idle ticks run ZERO Spark jobs, " +
+    "absorbing an append loads only the new files, wire answers stay " +
+    "bit-identical") {
+    val (e, cb, enc) = fixture()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-incr").toString
+    enc.filter(col("cid") < 400).write.mode("overwrite").parquet(dir)
+    // count ONLY refresher-submitted jobs (tagged by job group) — the
+    // test's own writes/reads run jobs too
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(js.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == "ann-server-refresh"))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    val srv = new AnnServer(
+      enc.limit(0), cb, 8, 8, refreshDir = Some(dir), refreshMillis = 150L)
+    try {
+      val c = new AnnClient("localhost", srv.boundPort)
+      try {
+        assert(c.request("COUNT").contains("\"count\":400"))
+        // ---- idle window: ~6 refresh ticks with no new files must
+        //      schedule NO Spark job (the r11 refresher repacked the
+        //      whole index every tick) ----
+        Thread.sleep(300) // drain in-flight listener events
+        spark.sparkContext.addSparkListener(listener)
+        Thread.sleep(1000)
+        val idleJobs = jobs.get()
+        assert(idleJobs == 0, s"idle refresh ticks ran $idleJobs Spark jobs")
+        // ---- absorb an append: bounded work (count + pack of the NEW
+        //      rows — 2 jobs), not an index repack every tick ----
+        // one-file append: the absorb is a single count + pack round
+        enc.filter(col("cid") >= 400).coalesce(1)
+          .write.mode("append").parquet(dir)
+        val deadline = System.nanoTime() + 20_000_000_000L
+        while (!c.request("COUNT").contains("\"count\":500")
+            && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(c.request("COUNT").contains("\"count\":500"))
+        Thread.sleep(300) // listener events are async
+        val absorbJobs = jobs.get() - idleJobs
+        // one absorb = a count + a pack over the NEW file only; AQE
+        // materializes each shuffle as its own stage-job, so a single
+        // absorb shows up as a handful of jobs — the invariant is that
+        // it is O(1) per append (and zero when idle), not O(index)
+        assert(absorbJobs >= 1 && absorbJobs <= 12,
+          s"absorbing one append ran $absorbJobs refresh jobs")
+        // ---- and idle again: zero jobs ----
+        val before = jobs.get()
+        Thread.sleep(1000)
+        assert(jobs.get() == before,
+          s"post-absorb idle ticks ran ${jobs.get() - before} jobs")
+        // wire answers over the grown index == batch pqTopK
+        val qv = e.filter(col("vec_id") === 450).select(col("embedding"))
+          .as[Seq[Float]].head()
+        val batch = Similarity.pqTopK(
+          e.filter(col("vec_id") === 450)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          enc, cb, k = 5, m = 8, subDim = 8)
+          .orderBy("rnk").select("cid", "dot_pq")
+          .as[(Long, Long)].collect().toSeq
+        assert(c.topk(qv, 6).filter(_._1 != 450L).take(5) == batch)
+      } finally c.close()
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      srv.close()
+    }
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
 }
