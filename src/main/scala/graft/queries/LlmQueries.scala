@@ -318,6 +318,23 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_rq"))
         .orderBy("qid", "rnk")
     }),
+    // the RQ rung's PRODUCTION read path: two-stage ADC shortlists the
+    // top-50 per query, exact quantized dots rerank ONLY the shortlist
+    // (float vectors fetched for shortlist·|queries| rows — the
+    // recall-buyback recipe measured 0.796 -> 0.98+ in PqRecallProbe)
+    "ann_rq_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val (cbs, enc) = Similarity.pqResidualTrainSampleEncode(
+        e, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+        iters = 2, sampleN = Similarity.recommendedPqSample(8), stages = 2)
+      Similarity.pqResidualTopKRerank(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        enc, cbs,
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        k = 5, shortlist = 50, m = 8, subDim = 8)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
+        .orderBy("qid", "rnk")
+    }),
     // the Catalyst rewrite rule in a REAL query: the user writes the
     // engine-portable HOF dot product, the injected QuantizedDotRewrite
     // swaps in the fused native kernel, and the result still matches
@@ -805,6 +822,40 @@ object LlmQueries {
     * DuckDB at sf1; subvectors are also projected to 8 longs BEFORE
     * the join.
     */
+  /** The shared two-stage residual-PQ replay through the compressed-
+    * domain `scored` CTE — `ann_rq` ranks it directly; `ann_rq_rerank`
+    * shortlists it and reranks with exact quantized dots.
+    */
+  private lazy val AnnRqScoredCtes: String =
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+       |  FROM embeddings),
+       |v0 AS (SELECT vec_id, qm FROM v),
+       |${pqStageCtes("0", "pq0")},
+       |dec0 AS (
+       |  SELECT e.cid AS vec_id,
+       |    flatten(list(w.cvec ORDER BY e.sub)) AS dec
+       |  FROM enc0 e JOIN cw0 w ON e.sub = w.sub AND e.cell = w.cell
+       |  GROUP BY e.cid),
+       |v1 AS (
+       |  SELECT v.vec_id,
+       |    list_transform(generate_series(1, 64), i -> v.qm[i] - d.dec[i]) AS qm
+       |  FROM v JOIN dec0 d USING (vec_id)),
+       |${pqStageCtes("1", "pq1")},
+       |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT qid, stage, sub, cell,
+       |    CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
+       |  FROM (SELECT 0 AS stage, * FROM cb0 UNION ALL SELECT 1, * FROM cb1), q
+       |  GROUP BY qid, stage, sub, cell),
+       |encall AS (
+       |  SELECT 0 AS stage, cid, sub, cell FROM enc0
+       |  UNION ALL SELECT 1, cid, sub, cell FROM enc1),
+       |scored AS (
+       |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_rq
+       |  FROM encall JOIN lut USING (stage, sub, cell) WHERE qid <> cid
+       |  GROUP BY qid, cid HAVING count(*) = 16)""".stripMargin
+
   private def pqStageCtes(tag: String, seed: String): String =
     s"""samp$tag AS (
        |  SELECT vec_id, qm FROM v$tag
@@ -1008,38 +1059,32 @@ object LlmQueries {
     // replay (seed pq1) on the residuals, ADC = sum of both stages'
     // LUT hits (dot additivity)
     "ann_rq" ->
-      s"""WITH v AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
-         |  FROM embeddings),
-         |v0 AS (SELECT vec_id, qm FROM v),
-         |${pqStageCtes("0", "pq0")},
-         |dec0 AS (
-         |  SELECT e.cid AS vec_id,
-         |    flatten(list(w.cvec ORDER BY e.sub)) AS dec
-         |  FROM enc0 e JOIN cw0 w ON e.sub = w.sub AND e.cell = w.cell
-         |  GROUP BY e.cid),
-         |v1 AS (
-         |  SELECT v.vec_id,
-         |    list_transform(generate_series(1, 64), i -> v.qm[i] - d.dec[i]) AS qm
-         |  FROM v JOIN dec0 d USING (vec_id)),
-         |${pqStageCtes("1", "pq1")},
-         |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
-         |lut AS (
-         |  SELECT qid, stage, sub, cell,
-         |    CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
-         |  FROM (SELECT 0 AS stage, * FROM cb0 UNION ALL SELECT 1, * FROM cb1), q
-         |  GROUP BY qid, stage, sub, cell),
-         |encall AS (
-         |  SELECT 0 AS stage, cid, sub, cell FROM enc0
-         |  UNION ALL SELECT 1, cid, sub, cell FROM enc1),
-         |scored AS (
-         |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_rq
-         |  FROM encall JOIN lut USING (stage, sub, cell) WHERE qid <> cid
-         |  GROUP BY qid, cid HAVING count(*) = 16),
+      s"""$AnnRqScoredCtes,
          |ranked AS (SELECT qid, cid, dot_rq,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_rq DESC, cid) AS BIGINT) AS rnk
          |  FROM scored)
          |SELECT qid, rnk, cid, dot_rq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // the production RQ read path: the same two-stage ADC chain ranks
+    // a top-`shortlist` candidate set, then ONLY the shortlist is
+    // reranked with exact full-precision quantized dots (the vectors
+    // are fetched for shortlist·|queries| rows, never the corpus)
+    "ann_rq_rerank" ->
+      s"""$AnnRqScoredCtes,
+         |short AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot_rq DESC, cid) AS r
+         |  FROM scored) WHERE r <= 50),
+         |exact AS (
+         |  SELECT qid, cid, CAST(sum(qv * cv) AS BIGINT) AS dot_q
+         |  FROM (SELECT s.qid, s.cid, UNNEST(q.qm) AS qv, UNNEST(c.qm) AS cv
+         |        FROM short s
+         |        JOIN v q ON q.vec_id = s.qid
+         |        JOIN v c ON c.vec_id = s.cid)
+         |  GROUP BY qid, cid),
+         |rankedx AS (SELECT qid, cid, dot_q,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS BIGINT) AS rnk
+         |  FROM exact)
+         |SELECT qid, rnk, cid, dot_q FROM rankedx WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // identical arithmetic to ann_topk: the rewrite rule must not
     // change results, only the physical expression
     "ann_topk_rewrite" ->
