@@ -41,6 +41,56 @@ object PurchaseQueries {
       summarize(bal, "balances").unionAll(summarize(inv, "inventory"))
         .orderBy("namespace", "key")
     }),
+    // BOTH namespaces served LIVE from one endpoint (reference
+    // MultiStateQuery at the serving tier): the two streaming queries
+    // drain off staged files, then a MultiQueryServer fronts BOTH
+    // checkpoints' state stores and a wire client walks each namespace
+    // with namespace-tagged cursor-paged PRED requests — every page
+    // pinned to one committed epoch of its namespace. The final served
+    // state per namespace must equal the batch close (the
+    // t_query_multistate oracle verbatim).
+    "t_query_server_multi" -> ((s, dir) => {
+      val scratch = graft.LocalDir.runDir("purch-multi")
+      val purchases = Purchases.fromEvents(
+        graft.tables.Tables.load(s, dir, "events"))
+      graft.streaming.StreamingPurchases.runFromFiles(
+        s, purchases, nBatches = 4, scratch)
+      val srv = new graft.tgraph.query.MultiQueryServer(Map(
+        "balances" -> new graft.tgraph.query.QueryServer(
+          s, s"$scratch/ckpt-balances", refreshMillis = 25),
+        "inventory" -> new graft.tgraph.query.QueryServer(
+          s, s"$scratch/ckpt-inventory", refreshMillis = 25)))
+      try {
+        val deadline = System.nanoTime() + 30L * 1_000_000_000L
+        while ((srv.servedBatchId("balances") < 0
+            || srv.servedBatchId("inventory") < 0)
+            && System.nanoTime() < deadline) Thread.sleep(25)
+        require(srv.servedBatchId("balances") >= 0
+          && srv.servedBatchId("inventory") >= 0,
+          "multi query server never pinned both namespaces")
+        val client = new graft.tgraph.query.QueryClient("localhost", srv.boundPort)
+        val RowRe = """\[(-?\d+),(-?\d+)\]""".r
+        def walk(ns: String): Seq[(String, Long, Long)] = {
+          val out = Seq.newBuilder[(String, Long, Long)]
+          var cursor = Long.MinValue
+          var done = false
+          while (!done) {
+            val resp = client.request(
+              s"NS $ns PRED GE ${Long.MinValue} AFTER $cursor")
+            require(!resp.contains("\"error\""), s"server error: $resp")
+            val rows = RowRe.findAllMatchIn(resp)
+              .map(m => (ns, m.group(1).toLong, m.group(2).toLong)).toSeq
+            out ++= rows
+            if (resp.contains("\"truncated\":true")) cursor = rows.map(_._2).max
+            else done = true
+          }
+          out.result()
+        }
+        val rows = try walk("balances") ++ walk("inventory") finally client.close()
+        import s.implicits._
+        rows.toDF("namespace", "key", "value").orderBy("namespace", "key")
+      } finally srv.close()
+    }),
     // The multi-state query over TWO REAL transactional state streams
     // (reference `tgraph/query/MultiStateQuery.java`).
     "t_query_multistate" -> ((s, dir) => {
@@ -100,6 +150,18 @@ object PurchaseQueries {
         |  FROM v WHERE committed GROUP BY product)
         |ORDER BY namespace, key""".stripMargin),
     "t_query_multistate" -> (OraclePrefix +
+      """SELECT * FROM (
+        |  SELECT 'balances' AS namespace, customer AS key,
+        |    CAST(sum(-price_cents) AS BIGINT) AS value
+        |  FROM v WHERE committed GROUP BY customer
+        |  UNION ALL
+        |  SELECT 'inventory' AS namespace, product AS key,
+        |    CAST(sum(-1) AS BIGINT) AS value
+        |  FROM v WHERE committed GROUP BY product)
+        |ORDER BY namespace, key""".stripMargin),
+    // the wire-served multi-namespace state replays as the same batch
+    // close — the t_query_multistate oracle VERBATIM
+    "t_query_server_multi" -> (OraclePrefix +
       """SELECT * FROM (
         |  SELECT 'balances' AS namespace, customer AS key,
         |    CAST(sum(-price_cents) AS BIGINT) AS value

@@ -98,10 +98,13 @@ object StreamingPurchases {
     val qInv = run("inventory", inventory(ss, stream))
     qBal.awaitTermination()
     qInv.awaitTermination()
-    // only the sink outputs outlive the run (the returned frames read them)
-    graft.sources.FileIO.deleteScratch(
-      new java.io.File(base, "stage"), inDir,
-      new java.io.File(base, "ckpt-balances"), new java.io.File(base, "ckpt-inventory"))
+    // sink outputs outlive the run (the returned frames read them), and
+    // so do the two checkpoints: a live QueryServer/MultiQueryServer can
+    // front the drained stores' state (exit-swept, not deleted here)
+    graft.sources.FileIO.deleteScratch(new java.io.File(base, "stage"), inDir)
+    graft.sources.FileIO.deleteScratchOnExit(
+      new java.io.File(base, "ckpt-balances"),
+      new java.io.File(base, "ckpt-inventory"))
     (spark.read.parquet(new java.io.File(base, "out-balances").toString),
       spark.read.parquet(new java.io.File(base, "out-inventory").toString))
   }

@@ -256,7 +256,7 @@ final class QueryServer(
       new BatchLru(batchId)
   }
 
-  private def respond(req: String): String = {
+  private[query] def respond(req: String): String = {
     val snap = current.get()
     // `moreBeyond` = the computation already knows rows past the page
     // exist; the defensive size cap additionally bounds POINT and any
