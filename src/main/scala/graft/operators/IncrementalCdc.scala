@@ -286,6 +286,7 @@ object IncrementalCdc {
 
     if (logOpt.isEmpty) {
       Await.result(corpusF, scala.concurrent.duration.Duration.Inf)
+      sweepJournals(clsDir, batchId)
       return Seq.empty[Long].toDF("shard")
     }
     val (log, touchedBuckets) = logOpt.get
@@ -368,8 +369,22 @@ object IncrementalCdc {
       ratesPerMille, defaultPerMille)
     t("packed-rw") { Incremental.overwriteTouchedPacked(packedTouched, touchedIds, packedDir) }
     Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
+    sweepJournals(clsDir, batchId)
     touchedIds.toDF("shard")
   }
+
+  /** Journal retention: a restarted stream replays at most the last
+    * uncommitted batch, so journals more than `JournalRetain` batches
+    * behind are dead weight — swept here, bounding `cls/` at O(retain)
+    * dirs over an unbounded stream.
+    */
+  val JournalRetain = 8L
+  private def sweepJournals(clsDir: String, batchId: Long): Unit =
+    Option(new java.io.File(clsDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .filter(_.getName.stripPrefix("batch-").toLongOption
+        .exists(_ < batchId - JournalRetain))
+      .foreach(f => graft.sources.FileIO.deleteScratch(f))
 
   private def touchedFpsOf(changed: DataFrame): DataFrame = changed
     .select(explode(array(col("old_fp"), col("new_fp"))).as("fingerprint"))
