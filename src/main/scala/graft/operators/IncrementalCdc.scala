@@ -451,12 +451,22 @@ object IncrementalCdc {
     val keepsDir = new java.io.File(base, "keeps").toString
     val clsDir = new java.io.File(base, "cls").toString
     val packedDir = new java.io.File(base, "packed").toString
-    graft.sources.FileIO.stageRangeBatches(
-      events, col("ev_seq"), nBatches, new java.io.File(base, "stage"), inDir)
-    writeCorpusStore(initialDocs, nShards, corpusDir)
-    writeDedupStores(initialDocs, nShards, nFpBuckets, indexDir, keepsDir)
-    Incremental.writeShardStore(
-      Incremental.pipelineSharded(initialDocs, nShards, seqLen), packedDir)
+    // the four bootstrap steps write independent outputs from the
+    // same inputs — run them concurrently (the scheduler interleaves
+    // their jobs across the executor pool)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fs = Seq(
+        Future(graft.sources.FileIO.stageRangeBatches(
+          events, col("ev_seq"), nBatches, new java.io.File(base, "stage"), inDir)),
+        Future(writeCorpusStore(initialDocs, nShards, corpusDir)),
+        Future(writeDedupStores(initialDocs, nShards, nFpBuckets, indexDir, keepsDir)),
+        Future(Incremental.writeShardStore(
+          Incremental.pipelineSharded(initialDocs, nShards, seqLen), packedDir)))
+      fs.foreach(Await.result(_, Duration.Inf))
+    }
     val ss = graft.streaming.StreamSessions.scoped(spark, statePartitions)
     // file-committer v2 (per-task direct rename) for this CLONED
     // session only: the job-level commit atomicity v1 buys is already
