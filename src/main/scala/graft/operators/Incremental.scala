@@ -114,9 +114,11 @@ object Incremental {
     * schema + basePath trick keeps the `grp` partition column typed
     * bigint, exactly as [[Corpus.packSequences]] emits it).
     */
-  def readShardStore(
-      spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
+  /** The packed rows' schema ([[Corpus.packSequences]] output + the
+    * `grp` partition column, kept bigint).
+    */
+  val PackedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("seq_id", org.apache.spark.sql.types.LongType),
@@ -125,8 +127,10 @@ object Incremental {
       org.apache.spark.sql.types.StructField("doc_begin", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_piece", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("starts_doc", org.apache.spark.sql.types.BooleanType)))
-    spark.read.schema(schema).option("basePath", storeDir).parquet(storeDir)
-  }
+
+  def readShardStore(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame =
+    spark.read.schema(PackedSchema).option("basePath", storeDir).parquet(storeDir)
 
   /** The MATERIALIZED-STORE incremental step — the 100 TB shape: the
     * packed output lives as a parquet store partitioned by shard; a

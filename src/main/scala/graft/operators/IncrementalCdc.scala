@@ -367,11 +367,26 @@ object IncrementalCdc {
     val packedTouched = Incremental.packTouched(
       slice, keepsSlice, nShards, seqLen, minQualityMilli,
       ratesPerMille, defaultPerMille)
-    t("packed-rw") { Incremental.overwriteTouchedPacked(packedTouched, touchedIds, packedDir) }
+    // the packed store is the READER-FACING output (training consumers
+    // scan it while the stream keeps committing) — it commits through
+    // the manifest store, so concurrent readers get atomic snapshots
+    // (+ bounded time travel) instead of racing a partition swap
+    t("packed-rw") { graft.sources.ManifestStore.commit(
+      packedTouched, "grp", touchedIds, packedDir) }
     Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
     sweepJournals(clsDir, batchId)
     touchedIds.toDF("shard")
   }
+
+  /** Snapshot read of the CDC packed store (latest or a retained
+    * version) — the consumer-facing read path.
+    */
+  def readPacked(
+      spark: SparkSession, packedDir: String,
+      version: Option[Long] = None): DataFrame =
+    graft.sources.ManifestStore.read(
+      spark, packedDir, Incremental.PackedSchema, "grp",
+      partVals = None, version = version)
 
   /** Journal retention: a restarted stream replays at most the last
     * uncommitted batch, so journals more than `JournalRetain` batches
@@ -463,8 +478,9 @@ object IncrementalCdc {
           events, col("ev_seq"), nBatches, new java.io.File(base, "stage"), inDir)),
         Future(writeCorpusStore(initialDocs, nShards, corpusDir)),
         Future(writeDedupStores(initialDocs, nShards, nFpBuckets, indexDir, keepsDir)),
-        Future(Incremental.writeShardStore(
-          Incremental.pipelineSharded(initialDocs, nShards, seqLen), packedDir)))
+        Future(graft.sources.ManifestStore.init(
+          Incremental.pipelineSharded(initialDocs, nShards, seqLen),
+          "grp", packedDir)))
       fs.foreach(Await.result(_, Duration.Inf))
     }
     val ss = graft.streaming.StreamSessions.scoped(spark, statePartitions)
@@ -493,6 +509,6 @@ object IncrementalCdc {
     graft.sources.FileIO.deleteScratch(
       new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
     graft.sources.FileIO.deleteScratchOnExit(base)
-    Incremental.readShardStore(spark, packedDir)
+    readPacked(spark, packedDir)
   }
 }

@@ -41,8 +41,8 @@ class IncrementalCdcSpec extends SparkSpec {
   private def initStores(old: DataFrame, d: Dirs, seqLen: Long): Unit = {
     IncrementalCdc.writeCorpusStore(old, nShards, d.corpus)
     IncrementalCdc.writeDedupStores(old, nShards, nFpBuckets, d.index, d.keeps)
-    Incremental.writeShardStore(
-      Incremental.pipelineSharded(old, nShards, seqLen), d.packed)
+    graft.sources.ManifestStore.init(
+      Incremental.pipelineSharded(old, nShards, seqLen), "grp", d.packed)
   }
 
   private def apply1(
@@ -91,7 +91,7 @@ class IncrementalCdcSpec extends SparkSpec {
     assert(gotCorpus ==
       expected.as[(Long, String, String, String, Long)].collect().toSet)
     val full = Incremental.pipelineSharded(expected, nShards, seqLen = 16L)
-    assert(packedSet(Incremental.readShardStore(spark, d.packed)) ==
+    assert(packedSet(IncrementalCdc.readPacked(spark, d.packed)) ==
       packedSet(full))
     // the index's kept state equals the from-scratch state
     assert(IncrementalCdc.readKept(spark, d.index)
@@ -140,7 +140,7 @@ class IncrementalCdcSpec extends SparkSpec {
     assert(IncrementalCdc.readKeeps(spark, d.keeps)
       .filter(col("keep_id") === 203L).count() == 1L)
     val expected = old.filter(col("doc_id") =!= 100L)
-    assert(packedSet(Incremental.readShardStore(spark, d.packed)) ==
+    assert(packedSet(IncrementalCdc.readPacked(spark, d.packed)) ==
       packedSet(Incremental.pipelineSharded(expected, nShards, seqLen = 16L)))
   }
 
@@ -209,7 +209,7 @@ class IncrementalCdcSpec extends SparkSpec {
     assert(IncrementalCdc.readCorpusStore(spark, d.corpus).drop("shard")
       .as[(Long, String, String, String, Long)].collect().toSet ==
       expected.as[(Long, String, String, String, Long)].collect().toSet)
-    assert(packedSet(Incremental.readShardStore(spark, d.packed)) ==
+    assert(packedSet(IncrementalCdc.readPacked(spark, d.packed)) ==
       packedSet(Incremental.pipelineSharded(expected, nShards, seqLen = 16L)))
     assert(IncrementalCdc.readKept(spark, d.index)
       .as[(String, Long, Long)].collect().toSet ==
@@ -236,12 +236,12 @@ class IncrementalCdcSpec extends SparkSpec {
     apply1(d, evs, batchId = 0L, seqLen = 16L)
     val keptAfterFirst = IncrementalCdc.readKept(spark, d.index)
       .as[(String, Long, Long)].collect().toSet
-    val packedAfterFirst = packedSet(Incremental.readShardStore(spark, d.packed))
+    val packedAfterFirst = packedSet(IncrementalCdc.readPacked(spark, d.packed))
     // the REPLAY: same batch id, same events, stores already post-state
     apply1(d, evs, batchId = 0L, seqLen = 16L)
     assert(IncrementalCdc.readKept(spark, d.index)
       .as[(String, Long, Long)].collect().toSet == keptAfterFirst)
-    assert(packedSet(Incremental.readShardStore(spark, d.packed)) ==
+    assert(packedSet(IncrementalCdc.readPacked(spark, d.packed)) ==
       packedAfterFirst)
     val expected = old.filter(col("doc_id") =!= 100L)
     assert(packedAfterFirst ==
@@ -306,7 +306,7 @@ class IncrementalCdcSpec extends SparkSpec {
     assert(IncrementalCdc.readCorpusStore(spark, d.corpus).drop("shard")
       .as[(Long, String, String, String, Long)].collect().toSet ==
       expected.as[(Long, String, String, String, Long)].collect().toSet)
-    assert(packedSet(Incremental.readShardStore(spark, d.packed)) ==
+    assert(packedSet(IncrementalCdc.readPacked(spark, d.packed)) ==
       packedSet(Incremental.pipelineSharded(expected, nShards, seqLen = 16L)))
     assert(IncrementalCdc.readKept(spark, d.index)
       .as[(String, Long, Long)].collect().toSet ==

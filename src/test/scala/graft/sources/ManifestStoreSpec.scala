@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType),
+    StructField("p", LongType)))
+
+  private def rows(kvs: (Long, Long, Long)*) =
+    kvs.toSeq.toDF("k", "v", "p")
+
+  private def readAll(dir: String, version: Option[Long] = None) =
+    ManifestStore.read(spark, dir, schema, "p", None, version)
+      .select("k", "v", "p").as[(Long, Long, Long)].collect().toSet
+
+  private def dataFiles(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("p="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}")).toSet
+
+  test("commits are atomic snapshots: a rewrite replaces exactly its " +
+    "partitions, earlier versions stay readable (time travel), GC " +
+    "reclaims past retention") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstore").toString
+    val v0 = ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L)), "p", dir)
+    assert(v0 == 0L)
+    assert(readAll(dir) == Set((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L)))
+
+    // rewrite partition 0 only — partition 1 carried over untouched
+    val v1 = ManifestStore.commit(
+      rows((1L, 11L, 0L), (4L, 40L, 0L)), "p", Seq(0L), dir)
+    assert(v1 == 1L)
+    assert(readAll(dir) == Set((1L, 11L, 0L), (4L, 40L, 0L), (3L, 30L, 1L)))
+    // the superseded snapshot is STILL exactly readable (time travel)
+    assert(readAll(dir, Some(0L)) ==
+      Set((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L)))
+
+    // empty a partition: its entries leave the snapshot
+    val v2 = ManifestStore.commit(rows(), "p", Seq(1L), dir)
+    assert(readAll(dir) == Set((1L, 11L, 0L), (4L, 40L, 0L)))
+    assert(readAll(dir, Some(1L)) ==
+      Set((1L, 11L, 0L), (4L, 40L, 0L), (3L, 30L, 1L)))
+
+    // churn past retention: old manifests AND their exclusive files go
+    (0 until 10).foreach { i =>
+      ManifestStore.commit(
+        rows((1L, 100L + i, 0L)), "p", Seq(0L), dir, retainVersions = 3)
+    }
+    val latest = ManifestStore.latestVersion(dir).get
+    assert(latest == v2 + 10)
+    // version 0 is past retention — a defined error, not a wrong read
+    intercept[IllegalArgumentException](readAll(dir, Some(0L)))
+    // within retention: readable and exact (each churn commit REPLACED
+    // partition 0 wholly, so only its single row survives)
+    assert(readAll(dir, Some(latest - 2)) == Set((1L, 107L, 0L)))
+    assert(readAll(dir) == Set((1L, 109L, 0L)))
+    // on-disk files = exactly the union of the retained manifests
+    val referenced = (latest - 2 to latest)
+      .flatMap(v => ManifestStore.files(dir, v)).toSet
+    assert(dataFiles(dir) == referenced,
+      "GC must delete every unreferenced data file and nothing else")
+    // ... including the local filesystem's hidden .crc siblings: every
+    // remaining checksum file must belong to a referenced data file
+    val orphanCrcs = Option(new java.io.File(dir).listFiles()).get
+      .filter(d => d.isDirectory && d.getName.startsWith("p="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(".") && f.getName.endsWith(".crc"))
+        .map(f => s"${d.getName}/${f.getName.stripPrefix(".").stripSuffix(".crc")}"))
+      .filterNot(referenced.contains)
+    assert(orphanCrcs.isEmpty, s"orphaned checksum files: ${orphanCrcs.toSeq}")
+
+    // a reader that resolved a manifest BEFORE later commits still
+    // reads its full snapshot afterwards, as long as it stays within
+    // the retention window (snapshot isolation — the property dynamic
+    // overwrite lacks); a version that AGES OUT loses its exclusive
+    // files, which is the documented restart signal
+    val pinned = ManifestStore.files(dir, latest)
+    val aging = ManifestStore.files(dir, latest - 2)
+    ManifestStore.commit(rows((9L, 9L, 0L)), "p", Seq(0L), dir, retainVersions = 3)
+    assert(pinned.forall(p => new java.io.File(s"$dir/$p").exists()),
+      "files of a retained version vanished under a reader")
+    assert(!new java.io.File(
+      s"$dir/${aging.filterNot(pinned.contains).head}").exists(),
+      "an aged-out version's exclusive files must be reclaimed")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("replayed commit (same rows, same touched set) converges: the " +
+    "manifest lists only the latest attempt's files and GC reclaims " +
+    "the orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstore-replay").toString
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir, retainVersions = 2)
+    // the replay: identical commit (the CDC journal discipline re-runs
+    // a crashed batch's mutations verbatim)
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir, retainVersions = 2)
+    assert(readAll(dir) == Set((1L, 11L, 0L), (2L, 20L, 1L)))
+    // both retained versions read exactly; no duplicate rows anywhere
+    val latest = ManifestStore.latestVersion(dir).get
+    assert(readAll(dir, Some(latest - 1)) == Set((1L, 11L, 0L), (2L, 20L, 1L)))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+}
