@@ -372,6 +372,53 @@ object Dedup {
         QuantizedDot(col("v_a"), col("v_b")).as("dot_q"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[Corpus.contamination]]'s n-gram flag: flag every corpus member
+    * whose embedding is within `minCosineMilli` cosine of ANY eval-set
+    * embedding (benchmark leakage that survives paraphrasing, which
+    * n-gram overlap misses). BIPARTITE sign-LSH: the (small) eval set
+    * explodes to its (table, bucket) keys and BROADCASTS onto the
+    * corpus side's keys — the corpus streams through once, per-row
+    * work is bounded by the eval rows sharing a bucket (≤ |eval|), and
+    * no all-pairs join exists at any size. Each (corpus, eval) pair is
+    * checked exactly once (first-agreeing-table predicate) with the
+    * exact integer cosine test, so `n_near_eval` is a true distinct
+    * count. Output: one row PER CORPUS MEMBER —
+    * (vec_id, n_near_eval, contaminated).
+    */
+  def semanticContamination(
+      corpus: DataFrame, id: Column, vec: Column,
+      evalSet: DataFrame, evalId: Column, evalVec: Column,
+      minCosineMilli: Long, bits: Int = 6, tables: Int = 8): DataFrame = {
+    import Similarity.{firstAgreeingTable, packedSignBuckets, signBuckets}
+    import graft.functions.QuantizedDot
+    val c = corpus.select(id.as("id"), vec.as("v"),
+        signBuckets(vec, bits, tables).as("bs"),
+        packedSignBuckets(vec, bits, tables).as("sig"))
+      .withColumn("nq", QuantizedDot(col("v"), col("v")))
+      .select(col("id"), col("v"), col("nq"), col("sig"),
+        posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val e = evalSet.select(evalId.as("eid"), evalVec.as("ev"),
+        signBuckets(evalVec, bits, tables).as("ebs"),
+        packedSignBuckets(evalVec, bits, tables).as("esig"))
+      .withColumn("enq", QuantizedDot(col("ev"), col("ev")))
+      .select(col("eid"), col("ev"), col("enq"), col("esig"),
+        posexplode(col("ebs")).as(Seq("tbl", "bucket")))
+    val hits = c.join(broadcast(e), Seq("tbl", "bucket"))
+      .filter(col("tbl") === firstAgreeingTable(
+          col("sig"), col("esig"), bits, tables)
+        && graft.functions.QuantizedCosineGe(
+          col("v"), col("ev"), col("nq"), col("enq"), minCosineMilli))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_near_eval"))
+    corpus.select(id.as("vec_id"))
+      .join(hits.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
+        (coalesce(col("n_near_eval"), lit(0L)) > 0L)
+          .cast("bigint").as("contaminated"))
+  }
+
   /** Portable 32-bit token hashes for [[simHashFromHashes]] — one md5
     * per token; project as its own column so it runs once.
     */

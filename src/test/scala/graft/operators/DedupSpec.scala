@@ -118,6 +118,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size < 5) // random gaussians almost never collide at 0.95
   }
 
+  test("semantic decontamination flags corpus vectors near a planted " +
+    "eval member; distant vectors stay clean; every corpus row reports") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val evalVec = vec()
+    val leaked = evalVec.map(x => x + 0.01f) // ~cos 1.0 to the eval member
+    // corpus: one leaked copy + random noise; eval: the planted vector
+    val corpus = (Seq((100L, leaked)) ++ (101L to 140L).map(i => (i, vec())))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((0L, evalVec), (1L, vec())).toDF("vec_id", "embedding")
+    val got = Dedup.semanticContamination(
+      corpus, col("vec_id"), col("embedding"),
+      evalSet, col("vec_id"), col("embedding"),
+      minCosineMilli = 950)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 41, "one row per corpus member, flagged or not")
+    assert(got(100L) == ((1L, 1L)), s"leaked copy not flagged: ${got(100L)}")
+    val flagged = got.filter(_._2._2 == 1L)
+    assert(flagged.size <= 2, s"noise flagged as contaminated: $flagged")
+  }
+
   test("embedding near-dup (driver-query params) tiered recall vs brute-force cosine") {
     val e = graft.tables.Tables.load(spark, Sf0001, "embeddings")
     val lsh = Dedup.embeddingNearDups(
