@@ -182,6 +182,21 @@ object CorpusQueries {
         minCosineMilli = 350, bits = 6, tables = 8)
         .orderBy("vec_id")
     }),
+    // the SAME semantic flag maintained ONLINE: corpus embeddings
+    // stream as micro-batch files against the frozen eval set
+    // (stateless per row -> any split lands batch-identical flags,
+    // exactly-once per-batch output dirs); shares the batch oracle
+    // VERBATIM
+    "stream_decontaminate" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val scratch = graft.LocalDir.runDir("sem-decon-online")
+      graft.streaming.StreamingDedup.semanticContaminationFromFiles(
+        s, e.filter(col("vec_id") % 20 =!= 0),
+        e.filter(col("vec_id") % 20 === 0),
+        minCosineMilli = 350, bits = 6, tables = 8,
+        nBatches = 4, scratch)
+        .orderBy("vec_id")
+    }),
     // span-level decontamination (the remediation, not just the flag):
     // eval docs = every 20th; corpus windows whose 3-shingle appears
     // in the eval set are cut, docs reassembled from surviving tokens
@@ -788,6 +803,44 @@ object CorpusQueries {
          |ORDER BY d.doc_id""".stripMargin
     }
 
+  private val SemanticDecontaminationOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(generate_series(0,7), t ->
+        |      CAST(list_sum(list_transform(generate_series(1,6), i ->
+        |        CASE WHEN CAST(embedding[t*6 + i] AS DOUBLE) >= 0
+        |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT id, q, bs, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
+        |cx AS (
+        |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
+        |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t WHERE id % 20 <> 0),
+        |ex AS (
+        |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
+        |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t WHERE id % 20 = 0),
+        |p AS (
+        |  SELECT a.id AS id, a.q AS qa, b.q AS qb, a.nq AS nq_a, b.nq AS nq_b
+        |  FROM cx a JOIN ex b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |  WHERE a.tbl = list_position(list_transform(generate_series(1,8),
+        |    i -> a.bs[i] = b.bs[i]), true) - 1),
+        |d AS (
+        |  SELECT id, nq_a, nq_b,
+        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qa[i]*qb[i])) AS BIGINT) AS dot_q
+        |  FROM p),
+        |hits AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_near_eval FROM d
+        |  WHERE dot_q > 0
+        |    AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b
+        |  GROUP BY id)
+        |SELECT c.vec_id,
+        |  CAST(coalesce(h.n_near_eval, 0) AS BIGINT) AS n_near_eval,
+        |  CASE WHEN coalesce(h.n_near_eval, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 0) c
+        |LEFT JOIN hits h ON h.id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin
+
   private val PipelineIncrementalOracle: String =
     """WITH nd0 AS (
         |  SELECT doc_id,
@@ -1030,43 +1083,9 @@ object CorpusQueries {
     // the bipartite sign-LSH (6 bits x 8 tables) replayed: corpus x
     // eval buckets, first-agreeing-table exactly-once pair emission,
     // exact integer cosine threshold (m = 350 -> m^2 = 122500)
-    "decontaminate_semantic" ->
-      """WITH e AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(generate_series(0,7), t ->
-        |      CAST(list_sum(list_transform(generate_series(1,6), i ->
-        |        CASE WHEN CAST(embedding[t*6 + i] AS DOUBLE) >= 0
-        |          THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)) AS bs,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT id, q, bs, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
-        |cx AS (
-        |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
-        |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t WHERE id % 20 <> 0),
-        |ex AS (
-        |  SELECT n.*, t.tbl, bs[t.tbl + 1] AS bucket
-        |  FROM n, (SELECT UNNEST(generate_series(0,7)) AS tbl) t WHERE id % 20 = 0),
-        |p AS (
-        |  SELECT a.id AS id, a.q AS qa, b.q AS qb, a.nq AS nq_a, b.nq AS nq_b
-        |  FROM cx a JOIN ex b ON a.tbl = b.tbl AND a.bucket = b.bucket
-        |  WHERE a.tbl = list_position(list_transform(generate_series(1,8),
-        |    i -> a.bs[i] = b.bs[i]), true) - 1),
-        |d AS (
-        |  SELECT id, nq_a, nq_b,
-        |    CAST(list_sum(list_transform(generate_series(1,64), i -> qa[i]*qb[i])) AS BIGINT) AS dot_q
-        |  FROM p),
-        |hits AS (
-        |  SELECT id, CAST(count(*) AS BIGINT) AS n_near_eval FROM d
-        |  WHERE dot_q > 0
-        |    AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 >= 122500 * CAST(nq_a AS HUGEINT) * nq_b
-        |  GROUP BY id)
-        |SELECT c.vec_id,
-        |  CAST(coalesce(h.n_near_eval, 0) AS BIGINT) AS n_near_eval,
-        |  CASE WHEN coalesce(h.n_near_eval, 0) > 0 THEN 1 ELSE 0 END AS contaminated
-        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 0) c
-        |LEFT JOIN hits h ON h.id = c.vec_id
-        |ORDER BY c.vec_id""".stripMargin,
+    "decontaminate_semantic" -> SemanticDecontaminationOracle,
+    // streamed == batch is the equivalence claim itself
+    "stream_decontaminate" -> SemanticDecontaminationOracle,
     // portable 32-bit hash of "lang:doc_id" mod 1000 under the
     // per-language per-mille rate
     "sample_stratified" ->

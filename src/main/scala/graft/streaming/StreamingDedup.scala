@@ -166,6 +166,59 @@ object StreamingDedup {
     spark.read.parquet(outDir.toString)
   }
 
+  /** SEMANTIC decontamination maintained ONLINE — the streaming
+    * sibling of [[graft.operators.Dedup.semanticContamination]]: new
+    * corpus embeddings arrive as micro-batch files and check against a
+    * FROZEN eval set (model-sized by definition — a benchmark suite —
+    * pinned to the scoped session once, broadcast into every batch).
+    * The check is STATELESS per row, so any micro-batch split lands
+    * flags row-identical to the batch operator; each batch's output
+    * lands under its own batch dir with overwrite (exactly-once on
+    * foreachBatch replay — the [[StreamingQuality]] partials
+    * discipline). The drained union IS the batch report.
+    */
+  def semanticContaminationFromFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, // (vec_id, embedding)
+      evalSet: DataFrame, // (vec_id, embedding)
+      minCosineMilli: Long, bits: Int, tables: Int,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 4): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = corpus.select(col("vec_id"), col("embedding"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("vec_id"), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    // the frozen eval model, re-pinned on the scoped session (frames
+    // from different sessions must not meet in one plan)
+    val evalNarrow = evalSet.select(col("vec_id"), col("embedding"))
+    val evalLocal = ss.createDataFrame(
+      ss.sparkContext.parallelize(evalNarrow.collect().toSeq, 1),
+      evalNarrow.schema).localCheckpoint(true)
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Dedup.semanticContamination(
+          batch, col("vec_id"), col("embedding"),
+          evalLocal, col("vec_id"), col("embedding"),
+          minCosineMilli, bits, tables)
+          .write.mode("overwrite") // exactly-once per batch id on replay
+          .parquet(new java.io.File(outDir, f"batch-$id%05d").toString)
+      }
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir.toString)
+  }
+
   final case class BandedSig(bucket: String, id: Long, sig: Long)
   final case class StoredSig(id: Long, sig: Long)
   final case class HammingPair(doc_a: Long, doc_b: Long, hamming: Long)

@@ -64,6 +64,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(runStreamed(docs, 4) == batch)
   }
 
+  test("streamed semantic decontamination == the batch flag under any " +
+    "split (stateless per row against the frozen eval set)") {
+    val e = graft.tables.Tables.load(spark, Sf0001, "embeddings")
+    val corpusSide = e.filter(col("vec_id") % 20 =!= 0)
+    val evalSide = e.filter(col("vec_id") % 20 === 0)
+    val batch = Dedup.semanticContamination(
+      corpusSide, col("vec_id"), col("embedding"),
+      evalSide, col("vec_id"), col("embedding"),
+      minCosineMilli = 350, bits = 6, tables = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._3 == 1L), "fixture must plant semantic leakage")
+    for (nBatches <- Seq(1, 4)) {
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"graft-sdecon-$nBatches").toString
+      val streamed = StreamingDedup.semanticContaminationFromFiles(
+        spark, corpusSide, evalSide,
+        minCosineMilli = 350, bits = 6, tables = 8,
+        nBatches = nBatches, scratch)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"split into $nBatches batches diverged")
+      graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    }
+  }
+
   test("new arrivals pair against state from EARLIER micro-batches") {
     val a = Doc(1L, "one two three four five six seven eight nine ten eleven twelve")
     val b = Doc(2L, "one two three four five six seven eight nine ten eleven twelve extra")
