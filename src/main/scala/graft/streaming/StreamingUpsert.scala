@@ -73,20 +73,20 @@ object StreamingUpsert {
         .groupBy(col("key"))
         .agg(max_by(struct(latest.columns.map(col): _*), ord).as("r"))
         .select(col("r.*"))
-      // barrier: the merge reads the very partitions the write below
-      // replaces — materialize before the overwrite so no task can
-      // observe a half-replaced bucket, whatever the commit protocol
-      merged.persist()
-      try {
-        merged.count()
-        // dynamic overwrite: only partitions present in `merged` (= the
-        // touched buckets) are replaced; the rest of the store is unread
-        merged.write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(storeDir)
-      } finally merged.unpersist()
+      // materialization barrier: the merge reads the very partitions
+      // the write below replaces. localCheckpoint TRUNCATES lineage,
+      // so a lost block after the overwrite begins fails the job
+      // (fail-stop) instead of silently recomputing from a
+      // half-replaced bucket — a plain persist+count barrier would
+      // recompute through the original lineage on cache loss.
+      val sealed_ = merged.localCheckpoint(true)
+      // dynamic overwrite: only partitions present in the batch (= the
+      // touched buckets) are replaced; the rest of the store is unread
+      sealed_.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(storeDir)
       touched.length
     } finally latest.unpersist()
   }
