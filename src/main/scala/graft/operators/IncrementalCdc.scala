@@ -216,17 +216,21 @@ object IncrementalCdc {
       StructField("new_fp", StringType),
       StructField("keep_id", LongType)))
     val oldBuckets = readCorpusStore(spark, corpusDir, Some(batchShards))
-    // the journal frame (chg + pre-state keeper rows) and the touched
-    // fingerprint buckets, or None when the batch classifies empty
-    val logOpt: Option[(DataFrame, Seq[Long])] = t("cls") {
+    // the journal frame (chg + pre-state keeper rows), the touched
+    // fingerprint buckets, and — on the fresh path — the sealed
+    // CURRENT content of those buckets (reused by the index rewrite so
+    // the hot path scans the pruned index exactly once per batch);
+    // None when the batch classifies empty
+    val logOpt: Option[(DataFrame, Seq[Long], Option[DataFrame])] = t("cls") {
       if (new java.io.File(logDir, "_SUCCESS").exists()) {
         // replay: the stores may already be (partially) post-state —
-        // the journal carries the pre-state truth
+        // the journal carries the pre-state truth; the index rewrite
+        // must read the CURRENT store state, so no sealed read here
         val log = spark.read.schema(logSchema).parquet(logDir.toString)
           .localCheckpoint(true)
         val buckets = bucketsOf(spark, touchedFpsOf(
           log.filter(col("kind") === "chg")), nFpBuckets)
-        Some((log, buckets))
+        Some((log, buckets, None))
       } else {
         val oldOfIds = oldBuckets
           .join(evs.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -252,9 +256,12 @@ object IncrementalCdc {
         val buckets = bucketsOf(spark, touchedFpsOf(chg), nFpBuckets)
         if (buckets.isEmpty) None // every changed row carries a fp
         else {
-          // pre-state keepers of the touched groups, from the touched
-          // index buckets only
-          val pk = readIndex(spark, indexDir, Some(buckets))
+          // ONE sealed read of the touched index buckets (pre-state ==
+          // current: nothing has mutated yet) feeds BOTH the journaled
+          // keepers and the index rewrite below
+          val idxPre = readIndex(spark, indexDir, Some(buckets))
+            .localCheckpoint(true) // touched-buckets-sized
+          val pk = idxPre
             .join(touchedFpsOf(chg), Seq("fingerprint"), "left_semi")
             .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
           val log = chg.select(lit("chg").as("kind"), col("doc_id"),
@@ -265,7 +272,7 @@ object IncrementalCdc {
               lit(null).cast("string").as("new_fp"), col("keep_id")))
             .localCheckpoint(true) // edit-sized; materialized PRE-mutation
           log.coalesce(1).write.mode("overwrite").parquet(logDir.toString)
-          Some((log, buckets))
+          Some((log, buckets, Some(idxPre)))
         }
       }
     }
@@ -289,7 +296,7 @@ object IncrementalCdc {
       sweepJournals(clsDir, batchId)
       return Seq.empty[Long].toDF("shard")
     }
-    val (log, touchedBuckets) = logOpt.get
+    val (log, touchedBuckets, idxPreOpt) = logOpt.get
     val changed = log.filter(col("kind") === "chg")
       .select(col("doc_id"), col("old_fp"), col("new_fp"))
     val priorKeep = log.filter(col("kind") === "keep")
@@ -306,7 +313,8 @@ object IncrementalCdc {
       .filter(col("__q") >= minQualityMilli)
       .select(col("new_fp").as("fingerprint"), col("doc_id"))
       .withColumn("fpb", fpb(col("fingerprint"), nFpBuckets))
-    val newIdx = readIndex(spark, indexDir, Some(touchedBuckets))
+    val newIdx = idxPreOpt
+      .getOrElse(readIndex(spark, indexDir, Some(touchedBuckets)))
       .join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("fingerprint"), col("doc_id"), col("fpb"))
       .unionByName(addRows)

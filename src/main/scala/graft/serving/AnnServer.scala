@@ -97,7 +97,12 @@ final class AnnServer(
 
   /** Committed data files of the followed sink: through the streaming
     * commit log when present (never a raw listing racing an in-flight
-    * commit), a plain listing for a static parquet dir.
+    * commit), a plain listing for a static parquet dir. PLAIN-DIR
+    * CONTRACT: the raw listing cannot distinguish a task-committed
+    * file of a FAILED append job from committed data — point
+    * `refreshDir` at a plain dir only when appends are job-committed
+    * (single-writer batch appends, as in the specs); a production
+    * live index follows a streaming sink's `_spark_metadata`.
     */
   private def sinkFiles(dir: String): Seq[String] = {
     val d = new java.io.File(dir)

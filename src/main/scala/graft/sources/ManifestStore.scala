@@ -93,6 +93,10 @@ object ManifestStore {
   def commit(
       rows: DataFrame, partCol: String, touched: Seq[Long],
       storeDir: String, retainVersions: Int = 8): Long = {
+    // an un-manifested store must fail fast: treating it as empty
+    // would make the GC below delete every pre-existing data file
+    require(latestVersion(storeDir).nonEmpty,
+      s"$storeDir holds no manifest — initialize with ManifestStore.init")
     val touchedDirs = touched.map(v => s"$partCol=$v").toSet
     val before: Map[String, Set[String]] =
       touchedDirs.iterator.map(d => d -> listDataFiles(storeDir, d).toSet).toMap

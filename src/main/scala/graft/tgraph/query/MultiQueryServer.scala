@@ -55,7 +55,10 @@ final class MultiQueryServer(
       s"""{"error":"requests must be NS <namespace> <request>"}"""
     else namespaces.get(parts(1)) match {
       case None =>
-        s"""{"error":"unknown namespace ${parts(1).take(40)}"}"""
+        // raw client input inside a JSON string: strip the two
+        // JSON-breaking characters (the exception path does the same)
+        val safe = parts(1).take(40).replace('"', '\'').replace('\\', '/')
+        s"""{"error":"unknown namespace $safe"}"""
       case Some(inner) =>
         val r = inner.respond(parts(2))
         if (r.startsWith("{")) s"""{"ns":"${parts(1)}",${r.drop(1)}"""

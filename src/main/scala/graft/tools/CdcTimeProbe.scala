@@ -50,8 +50,8 @@ object CdcTimeProbe {
       events, col("ev_seq"), 3, new java.io.File(base, "stage"), inDir) }
     t("init-corpus") { graft.operators.IncrementalCdc.writeCorpusStore(old, 16, corpusDir) }
     t("init-dedup") { graft.operators.IncrementalCdc.writeDedupStores(old, 16, 16, indexDir, keepsDir) }
-    t("init-packed") { graft.operators.Incremental.writeShardStore(
-      graft.operators.Incremental.pipelineSharded(old, 16, 256L), packedDir) }
+    t("init-packed") { graft.sources.ManifestStore.init(
+      graft.operators.Incremental.pipelineSharded(old, 16, 256L), "grp", packedDir) }
     val ss = graft.streaming.StreamSessions.scoped(spark, 4)
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString, events.schema, maxFilesPerTrigger = 1)
@@ -66,7 +66,7 @@ object CdcTimeProbe {
         ()
       }.start()
     t("stream-total") { q.awaitTermination() }
-    t("read-back") { graft.operators.Incremental.readShardStore(spark, packedDir).count() }
+    t("read-back") { graft.operators.IncrementalCdc.readPacked(spark, packedDir).count() }
     spark.stop()
   }
 }
