@@ -120,6 +120,8 @@ object StreamingAnn {
     def hashOf(df: DataFrame, cols: Seq[String]): Long =
       df.agg(sum(pmod(xxhash64(cols.map(col): _*), lit(1000000007L))))
         .collect().head.getLong(0)
+    val nVectors = narrow.count() // disambiguates corpora whose id
+    // sets (and so sample_hash, which hashes ids) coincide
     val sampleHash = hashOf(
       Similarity.pqSample(
         narrow, col("vec_id"), col("embedding"), sampleN, "pq")
@@ -134,7 +136,7 @@ object StreamingAnn {
     val out = new java.io.File(
       dir, f"run-${System.currentTimeMillis()}%d-${sys.env.getOrElse("SPARK_GRAFT_CPUS", "na")}.json")
     val json =
-      s"""{"sample_hash":$sampleHash,"codebook_hash":$cbHash,""" +
+      s"""{"n_vectors":$nVectors,"sample_hash":$sampleHash,"codebook_hash":$cbHash,""" +
         s""""codes_hash":$codesHash,"n_committed":${committed.size},""" +
         s""""committed":[${committed.map(p => s""""$p"""").mkString(",")}],""" +
         s""""staged":[${staged.mkString(",")}]}"""
