@@ -85,7 +85,10 @@ object StreamingRollup {
       // multi-node deployment would stage to a temp dir + swap (or
       // reliable-checkpoint) for retry-through instead of fail-stop.
       val sealed_ = merged.localCheckpoint(true)
-      sealed_.write
+      // cluster by the partition column: each task writes whole bucket
+      // dirs (≤1 file per dir per batch), so a long stream's store
+      // stays O(buckets) files instead of O(batches × tasks)
+      sealed_.repartition(col("bucket")).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")

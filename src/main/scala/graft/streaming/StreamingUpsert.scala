@@ -81,8 +81,10 @@ object StreamingUpsert {
       // recompute through the original lineage on cache loss.
       val sealed_ = merged.localCheckpoint(true)
       // dynamic overwrite: only partitions present in the batch (= the
-      // touched buckets) are replaced; the rest of the store is unread
-      sealed_.write
+      // touched buckets) are replaced; the rest of the store is unread.
+      // Clustered by bucket so each rewrite leaves ≤1 file per dir —
+      // the store stays O(buckets) files over any stream length.
+      sealed_.repartition(col("bucket")).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
