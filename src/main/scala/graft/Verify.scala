@@ -1,7 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, sum, xxhash64}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.Comparator
 import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
 import scala.jdk.CollectionConverters._
@@ -20,6 +23,25 @@ import scala.jdk.CollectionConverters._
   *   - Each query gets its own Spark job group and a watchdog that cancels
   *     the group on timeout, so one outlier records an error and the rest
   *     of the suite still lands.
+  *
+  * Round-13 hardening (the round-11/12 `stream_pq_codes` hash mystery —
+  * engine content digest-proven correct during both red driver runs, so
+  * the remaining suspects were the dump write and the compare window):
+  *   - Every attempt writes its parquet to a UNIQUE temp dir and PUBLISHES
+  *     via atomic rename under a per-query lock with epoch precedence
+  *     (retry=1 beats primary=0). A budget-abandoned first attempt that
+  *     keeps draining can no longer interleave file writes with the
+  *     serial retry on the same published path — the round-12 torn-dump
+  *     candidate.
+  *   - Streaming gates are bracketed with [[graft.streaming.GateStreams]]
+  *     tags: the watchdog/budget cancel path STOPS the gate's streams
+  *     (job-group cancel cannot reach micro-batch jobs on the cloned
+  *     session), so abandoned attempts die instead of draining on.
+  *   - After all publishes, a digest pass re-reads every PUBLISHED dump
+  *     and records `{rows, xxhash64-modular-sum over name-sorted columns}`
+  *     per query (`dump_digest.jsonl` + `dump_digest.json`) — any future
+  *     driver mismatch becomes attributable in one diff: engine digest
+  *     (e.g. StreamingAnn's) vs published-dump digest vs driver hash.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -39,6 +61,8 @@ object Verify {
       .getOrElse(math.max(2, math.min(8, cpus.toInt / 4)))
     val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "240").toLong
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_S", "1080").toLong
+    val digestBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_DIGEST_BUDGET_S", "180").toLong
     new java.io.File(outDir).mkdirs()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -82,6 +106,41 @@ object Verify {
     val watchdog = Executors.newScheduledThreadPool(1)
     val status = new ConcurrentHashMap[String, String]()
 
+    // ---- atomic publish machinery ----------------------------------
+    def deleteRecursively(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    val attemptsRoot = Paths.get(outDir, ".attempts")
+    Files.createDirectories(attemptsRoot)
+    val attemptSeq = new AtomicLong()
+    val publishLocks = new ConcurrentHashMap[String, Object]()
+    val publishedEpoch = new ConcurrentHashMap[String, Integer]()
+    /** Write to a unique temp dir, then publish `$outDir/$name` by
+      * atomic rename under the per-query lock. `epoch` orders attempts:
+      * a late-finishing abandoned primary (epoch 0) can never replace a
+      * retry's publish (epoch 1); equal/higher epochs replace (last good
+      * content wins within an attempt class). The rename is same-
+      * filesystem, so the published path is never half-written.
+      */
+    def writeResult(name: String, df: DataFrame, epoch: Int): Unit = {
+      val tmp = attemptsRoot.resolve(
+        s"$name-e$epoch-a${attemptSeq.incrementAndGet()}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val lock = publishLocks.computeIfAbsent(name, _ => new Object)
+      lock.synchronized {
+        val cur = Option(publishedEpoch.get(name)).fold(-1)(_.intValue)
+        if (epoch >= cur) {
+          val target = Paths.get(outDir, name)
+          deleteRecursively(target)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          publishedEpoch.put(name, epoch)
+        } else {
+          deleteRecursively(tmp)
+        }
+      }
+    }
+
     // Longest-processing-time-first packing: the known-heavy families
     // (multi-pass regex/shingle chains, LSH self-joins, CC iteration,
     // streaming) go first so the tail of the schedule is short queries,
@@ -104,20 +163,27 @@ object Verify {
         // pool), cancelling the job group mid-flight on timeout — and
         // REPEATING every 5 s after that: an iterative driver-side loop
         // (connected components) sits between jobs when a one-shot
-        // cancel fires and then launches the next round anyway.
+        // cancel fires and then launches the next round anyway. The
+        // repeat also stops gate streams: a micro-batch gate's jobs run
+        // on the cloned session's stream thread, outside this group.
         val kill = watchdog.scheduleWithFixedDelay(new Runnable {
-          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+          def run(): Unit = {
+            spark.sparkContext.cancelJobGroup(group)
+            graft.streaming.GateStreams.stopAll(group)
+          }
         }, perQuerySec, 5, TimeUnit.SECONDS)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          graft.streaming.GateStreams.withTag(group) {
+            writeResult(name, fn(spark, sfDir), epoch = 0)
+          }
           status.put(name, "ok")
         } catch { case e: Throwable =>
           status.put(name, s"err: ${e.getMessage}")
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         } finally {
           kill.cancel(false)
+          graft.streaming.GateStreams.clear(group)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           spark.sparkContext.clearJobGroup()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -130,6 +196,10 @@ object Verify {
       catch { case _: concurrent.TimeoutException =>
         status.put(name, "timeout: verify budget exhausted")
         spark.sparkContext.cancelJobGroup(s"verify-$name")
+        // the group cancel cannot reach the gate's cloned-session
+        // micro-batch jobs — stop its registered streams so the
+        // abandoned future terminates instead of draining on
+        graft.streaming.GateStreams.stopAll(s"verify-$name")
         System.err.println(s"[verify] $name abandoned (budget)")
       }
     }
@@ -137,7 +207,10 @@ object Verify {
     // Serial second chance: a query the watchdog cancelled under
     // CONTENTION (host CPU steal / disk stalls make every concurrent
     // query slow at once) usually succeeds run alone — retry the
-    // failures one at a time on whatever budget remains.
+    // failures one at a time on whatever budget remains. Retries
+    // publish at epoch 1: even a still-draining abandoned primary that
+    // reaches its own publish can only land BELOW the retry, never
+    // interleave with it (the round-12 double-writer fix).
     val failed = status.asScala.filter(!_._2.startsWith("ok")).keys.toSeq.sorted
     // separate map: a still-draining cancelled future must not
     // overwrite a successful retry's status
@@ -148,17 +221,22 @@ object Verify {
         val group = s"verify-retry-$name"
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         val kill = watchdog.scheduleWithFixedDelay(new Runnable {
-          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+          def run(): Unit = {
+            spark.sparkContext.cancelJobGroup(group)
+            graft.streaming.GateStreams.stopAll(group)
+          }
         }, math.min(perQuerySec, remainingSec), 5, TimeUnit.SECONDS)
         val t0 = System.nanoTime()
         try {
-          byName(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          graft.streaming.GateStreams.withTag(group) {
+            writeResult(name, byName(name)(spark, sfDir), epoch = 1)
+          }
           retried(name) = "ok"
         } catch { case e: Throwable =>
           retried(name) = s"err: ${e.getMessage}"
         } finally {
           kill.cancel(false)
+          graft.streaming.GateStreams.clear(group)
           spark.sparkContext.clearJobGroup()
           val sec = (System.nanoTime() - t0) / 1e9
           System.err.println(
@@ -170,6 +248,57 @@ object Verify {
     val statusJson = finalStatus.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
+
+    // ---- published-dump digest pass --------------------------------
+    // Re-read each PUBLISHED dump (exactly the bytes the driver will
+    // hash) and record row count + an order-independent content hash:
+    // sum(pmod(xxhash64(<columns in sorted-name order>), 1e9+7)). The
+    // sorted-column convention matches what engine-side digests (e.g.
+    // StreamingAnn's `codes_hash_sorted`) record, so engine vs dump vs
+    // driver divergence is attributable in one diff. JSONL is appended
+    // per query (survives a mid-pass kill); the .json is the rollup.
+    val digestDeadline =
+      System.nanoTime() + digestBudgetSec * 1_000_000_000L
+    val jsonl = Paths.get(s"$outDir/dump_digest.jsonl")
+    val digestLines = scala.collection.mutable.ArrayBuffer[String]()
+    // the query under investigation digests first
+    val digestOrder = finalStatus.keys.toSeq
+      .sortBy(n => (if (n == "stream_pq_codes") 0 else 1, n))
+    digestOrder.foreach { name =>
+      if (System.nanoTime() < digestDeadline &&
+          Files.exists(Paths.get(outDir, name))) {
+        val group = s"digest-$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val kill = watchdog.schedule(new Runnable {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+        }, 30, TimeUnit.SECONDS)
+        val line = try {
+          val df = spark.read.parquet(s"$outDir/$name")
+          val cols = df.columns.sorted.toSeq
+          val row = df.agg(
+            count(lit(1)).as("n"),
+            sum(pmod(xxhash64(cols.map(col): _*), lit(1000000007L))).as("h")
+          ).collect().head
+          val h = if (row.isNullAt(1)) 0L else row.getLong(1)
+          s"""{"query":${q(name)},"rows":${row.getLong(0)},"hash":$h,""" +
+            s""""cols":[${cols.map(q).mkString(",")}],""" +
+            s""""status":${q(finalStatus(name))}}"""
+        } catch { case e: Throwable =>
+          s"""{"query":${q(name)},"error":${q(String.valueOf(e.getMessage))}}"""
+        } finally {
+          kill.cancel(false)
+          spark.sparkContext.clearJobGroup()
+        }
+        digestLines += line
+        Files.writeString(jsonl, line + "\n",
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/dump_digest.json"),
+      digestLines.mkString("[", ",\n", "]"))
+    // best-effort: an abandoned attempt may still be writing in here
+    try deleteRecursively(attemptsRoot) catch { case _: Throwable => () }
+
     watchdog.shutdownNow()
     pool.shutdownNow()
     spark.stop()

@@ -155,7 +155,8 @@ object IncrementalCdc {
       spark.read.schema(schema).option("basePath", storeDir).parquet(storeDir)
     case Some(vs) =>
       val dirs = vs.distinct
-        .filter(v => new java.io.File(storeDir, s"$partCol=$v").exists())
+        .filter(v => graft.sources.StoreFs.exists(
+          new org.apache.hadoop.fs.Path(storeDir, s"$partCol=$v")))
         .map(v => s"$storeDir/$partCol=$v")
       if (dirs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -208,7 +209,7 @@ object IncrementalCdc {
     // the ONLY pre-state-dependent values; everything downstream is a
     // deterministic function of (journal, post-state stores), so a
     // replayed batch re-derives the same mutations and converges
-    val logDir = new java.io.File(clsDir, f"batch-$batchId%09d")
+    val logDir = new org.apache.hadoop.fs.Path(clsDir, f"batch-$batchId%09d")
     val logSchema = StructType(Seq(
       StructField("kind", StringType),
       StructField("doc_id", LongType),
@@ -222,7 +223,8 @@ object IncrementalCdc {
     // the hot path scans the pruned index exactly once per batch);
     // None when the batch classifies empty
     val logOpt: Option[(DataFrame, Seq[Long], Option[DataFrame])] = t("cls") {
-      if (new java.io.File(logDir, "_SUCCESS").exists()) {
+      if (graft.sources.StoreFs.exists(
+          new org.apache.hadoop.fs.Path(logDir, "_SUCCESS"))) {
         // replay: the stores may already be (partially) post-state —
         // the journal carries the pre-state truth; the index rewrite
         // must read the CURRENT store state, so no sealed read here
@@ -379,8 +381,12 @@ object IncrementalCdc {
     // scan it while the stream keeps committing) — it commits through
     // the manifest store, so concurrent readers get atomic snapshots
     // (+ bounded time travel) instead of racing a partition swap
+    // verifyTouched off: packTouched derives grp from the touched
+    // shards by construction — the guard's extra job stays off the
+    // per-micro-batch hot path
     t("packed-rw") { graft.sources.ManifestStore.commit(
-      packedTouched, "grp", touchedIds, packedDir) }
+      packedTouched, "grp", touchedIds, packedDir,
+      verifyTouched = false) }
     Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
     sweepJournals(clsDir, batchId)
     touchedIds.toDF("shard")
@@ -403,11 +409,11 @@ object IncrementalCdc {
     */
   val JournalRetain = 8L
   private def sweepJournals(clsDir: String, batchId: Long): Unit =
-    Option(new java.io.File(clsDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
-      .filter(_.getName.stripPrefix("batch-").toLongOption
+    graft.sources.StoreFs.list(new org.apache.hadoop.fs.Path(clsDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .filter(_.getPath.getName.stripPrefix("batch-").toLongOption
         .exists(_ < batchId - JournalRetain))
-      .foreach(f => graft.sources.FileIO.deleteScratch(f))
+      .foreach(s => graft.sources.StoreFs.delete(s.getPath, recursive = true))
 
   private def touchedFpsOf(changed: DataFrame): DataFrame = changed
     .select(explode(array(col("old_fp"), col("new_fp"))).as("fingerprint"))
@@ -444,8 +450,9 @@ object IncrementalCdc {
     val produced = sealed_.select(col(partCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     touched.filterNot(produced).foreach { v =>
-      graft.sources.FileIO.deleteScratch(
-        new java.io.File(storeDir, s"$partCol=$v"))
+      graft.sources.StoreFs.delete(
+        new org.apache.hadoop.fs.Path(storeDir, s"$partCol=$v"),
+        recursive = true)
     }
     sealed_ // the exact post-state content of the touched partitions
   }

@@ -105,13 +105,25 @@ final class AnnServer(
     * live index follows a streaming sink's `_spark_metadata`.
     */
   private def sinkFiles(dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    if (new java.io.File(d, "_spark_metadata").isDirectory)
-      graft.streaming.StreamingAnn.committedSinkFiles(d)
-    else Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")
-        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.getAbsolutePath).sorted.toSeq
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = graft.sources.StoreFs.fs(base)
+    // ONE canonical spelling (fully-qualified URI) whichever branch
+    // listed the file: the commit log records logged URIs (file:/…)
+    // while a plain listing yields bare paths — without qualification
+    // a dir that gains `_spark_metadata` mid-flight would re-list
+    // already-absorbed files under a new spelling and duplicate their
+    // cids in the packed cache.
+    def qualified(p: org.apache.hadoop.fs.Path): String =
+      fs.makeQualified(p).toString
+    val meta = new org.apache.hadoop.fs.Path(base, "_spark_metadata")
+    if (fs.exists(meta) && fs.getFileStatus(meta).isDirectory)
+      graft.streaming.StreamingAnn.committedSinkFiles(dir)
+        .map(p => qualified(new org.apache.hadoop.fs.Path(p)))
+    else graft.sources.StoreFs.list(base)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+        && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => qualified(s.getPath)).sorted
   }
 
   /** Pack (cid, sub, cell) rows into the cache layout: one byte per

@@ -1,8 +1,17 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
+
+/** Thrown when a manifest publish loses a version race — a second
+  * writer published the same version first. The store is untouched
+  * (this writer's data files are unreferenced and will be GC'd by the
+  * winner); the caller should treat the commit as failed and re-read.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
 
 /** A MANIFEST-COMMITTED partitioned parquet store — snapshot-isolated
   * reads under a continuously rewriting writer, the capability the
@@ -15,9 +24,14 @@ import org.apache.spark.sql.types.StructType
   *    uniquely-named files next to the old ones and never deletes in
   *    place;
   *  - each commit publishes `_manifests/v<NNN>.json` ATOMICALLY
-  *    (temp + rename): the file list of the new snapshot = the
-  *    previous manifest minus the rewritten partitions' entries plus
-  *    the just-written files;
+  *    (temp + rename-no-replace): the file list of the new snapshot =
+  *    the previous manifest minus the rewritten partitions' entries
+  *    plus the just-written files. The no-replace rename doubles as a
+  *    version CAS: if two writers race to the same version, exactly
+  *    one publishes and the other gets [[ConcurrentCommitException]]
+  *    (single-writer is the documented contract — the fence turns the
+  *    "two streams pointed at one store" operator error into a typed
+  *    failure instead of silent corruption);
   *  - readers resolve a manifest FIRST and read exactly its files —
   *    an atomic snapshot however many commits land mid-read; reading
   *    an older retained version is time travel for free;
@@ -28,20 +42,24 @@ import org.apache.spark.sql.types.StructType
   * Partition pruning survives: manifests carry relative paths rooted
   * at the partition dirs, so a pruned read selects the listed files
   * of exactly the requested partition values.
+  *
+  * All metadata I/O goes through the Hadoop FileSystem of the store
+  * path's scheme ([[StoreFs]]) — `file:`/local for the sandbox, HDFS/
+  * object stores in a deployment (see [[StoreFs]] for the per-scheme
+  * rename-atomicity story).
   */
 object ManifestStore {
 
   private val ManifestDir = "_manifests"
   private val VersionRe = """v(\d{12})\.json""".r
 
-  private def manifestFile(storeDir: String, v: Long): java.io.File =
-    new java.io.File(new java.io.File(storeDir, ManifestDir), f"v$v%012d.json")
+  private def manifestPath(storeDir: String, v: Long): Path =
+    new Path(new Path(storeDir, ManifestDir), f"v$v%012d.json")
 
   /** Highest published version, or None for an uninitialized store. */
   def latestVersion(storeDir: String): Option[Long] = {
-    val d = new java.io.File(storeDir, ManifestDir)
-    val vs = Option(d.listFiles()).getOrElse(Array.empty).flatMap(f =>
-      f.getName match {
+    val vs = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
+      s.getPath.getName match {
         case VersionRe(n) => Some(n.toLong)
         case _ => None
       })
@@ -50,19 +68,18 @@ object ManifestStore {
 
   /** The relative data-file paths a version's snapshot consists of. */
   def files(storeDir: String, version: Long): Seq[String] = {
-    val f = manifestFile(storeDir, version)
-    require(f.exists(), s"no manifest v$version at $storeDir (past retention?)")
-    scala.io.Source.fromFile(f, "UTF-8").getLines()
-      .filter(_.nonEmpty).toSeq
+    val p = manifestPath(storeDir, version)
+    require(StoreFs.exists(p),
+      s"no manifest v$version at $storeDir (past retention?)")
+    StoreFs.readLines(p).filter(_.nonEmpty)
   }
 
-  private def listDataFiles(storeDir: String, partDir: String): Seq[String] = {
-    val d = new java.io.File(storeDir, partDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")
-        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(f => s"$partDir/${f.getName}").sorted.toSeq
-  }
+  private def listDataFiles(storeDir: String, partDir: String): Seq[String] =
+    StoreFs.list(new Path(storeDir, partDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+        && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => s"$partDir/${s.getPath.getName}").sorted
 
   /** Initialize the store: write `rows` partitioned by `partCol` and
     * publish manifest v0.
@@ -70,11 +87,10 @@ object ManifestStore {
   def init(rows: DataFrame, partCol: String, storeDir: String): Long = {
     rows.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(storeDir)
-    val parts = Option(new java.io.File(storeDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
-      .map(_.getName).sorted
-    writeManifest(storeDir, 0L, parts.flatMap(listDataFiles(storeDir, _)).toSeq)
+    val parts = StoreFs.list(new Path(storeDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map(_.getPath.getName).sorted
+    writeManifest(storeDir, 0L, parts.flatMap(listDataFiles(storeDir, _)))
     0L
   }
 
@@ -83,7 +99,16 @@ object ManifestStore {
     * next manifest (previous snapshot minus the touched partitions'
     * entries, plus the files this call added), GC unreferenced files
     * past `retainVersions`. Single-writer discipline (the CDC
-    * foreachBatch contract). Returns the published version.
+    * foreachBatch contract); a racing second writer fails the version
+    * CAS with [[ConcurrentCommitException]]. Returns the published
+    * version.
+    *
+    * INVARIANT: every row's `partCol` value must be in `touched` — a
+    * row outside would land in an unlisted partition dir, stay out of
+    * the manifest, and be deleted by this very call's GC. Checked by
+    * default (one small job over the edit-sized `rows`);
+    * `verifyTouched = false` opts a hot caller out when the slices are
+    * touched-bucketed by construction.
     *
     * REPLAY-safe: re-running a crashed commit appends duplicate-
     * content files, but the manifest lists only the LATEST attempt's
@@ -92,11 +117,21 @@ object ManifestStore {
     */
   def commit(
       rows: DataFrame, partCol: String, touched: Seq[Long],
-      storeDir: String, retainVersions: Int = 8): Long = {
+      storeDir: String, retainVersions: Int = 8,
+      verifyTouched: Boolean = true): Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
       s"$storeDir holds no manifest — initialize with ManifestStore.init")
+    if (verifyTouched) {
+      val outside = rows.select(col(partCol)).distinct()
+        .filter(!col(partCol).isin(touched: _*)).limit(5)
+        .collect().map(_.get(0))
+      require(outside.isEmpty,
+        s"commit rows carry $partCol value(s) ${outside.mkString(", ")} " +
+          s"outside touched=${touched.mkString(", ")} — they would be " +
+          "appended unlisted and destroyed by GC")
+    }
     val touchedDirs = touched.map(v => s"$partCol=$v").toSet
     val before: Map[String, Set[String]] =
       touchedDirs.iterator.map(d => d -> listDataFiles(storeDir, d).toSet).toMap
@@ -116,15 +151,13 @@ object ManifestStore {
 
   private def writeManifest(
       storeDir: String, v: Long, fileList: Seq[String]): Unit = {
-    val dir = new java.io.File(storeDir, ManifestDir)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, s".tmp-v$v")
-    java.nio.file.Files.write(
-      tmp.toPath, fileList.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(
-      tmp.toPath, manifestFile(storeDir, v).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    StoreFs.mkdirs(new Path(storeDir, ManifestDir))
+    val target = manifestPath(storeDir, v)
+    if (!StoreFs.writeAtomicNoReplace(target, fileList.mkString("\n")))
+      throw new ConcurrentCommitException(
+        s"manifest v$v already published at $storeDir — a second writer " +
+          "won the version race; this commit's files are unreferenced " +
+          "and will be GC'd by the winner")
   }
 
   /** Drop manifests older than the retention window and every data
@@ -136,36 +169,33 @@ object ManifestStore {
       storeDir: String, partCol: String, latest: Long,
       retainVersions: Int): Unit = {
     val keepFrom = latest - (retainVersions - 1)
-    val mdir = new java.io.File(storeDir, ManifestDir)
-    Option(mdir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
-        case VersionRe(n) if n.toLong < keepFrom => f.delete(); ()
+    StoreFs.list(new Path(storeDir, ManifestDir)).foreach { s =>
+      s.getPath.getName match {
+        case VersionRe(n) if n.toLong < keepFrom =>
+          StoreFs.delete(s.getPath); ()
         case _ => ()
       }
     }
     val referenced: Set[String] =
       (math.max(0L, keepFrom) to latest).iterator
-        .filter(v => manifestFile(storeDir, v).exists())
+        .filter(v => StoreFs.exists(manifestPath(storeDir, v)))
         .flatMap(v => files(storeDir, v)).toSet
-    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
+    StoreFs.list(new Path(storeDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
       .foreach { d =>
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .filter(f => !referenced.contains(s"${d.getName}/${f.getName}"))
-          .foreach { f =>
-            f.delete()
-            // the local ChecksumFileSystem leaves a hidden .crc sibling
-            // per data file — reclaim it too or the dir grows forever
-            new java.io.File(d, s".${f.getName}.crc").delete()
-            ()
+        val dirName = d.getPath.getName
+        StoreFs.list(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .filter(s => !referenced.contains(s"$dirName/${s.getPath.getName}"))
+          .foreach { s =>
+            // ChecksumFileSystem (local) reclaims the hidden .crc
+            // sibling with the data file; HDFS/S3 have none
+            StoreFs.delete(s.getPath); ()
           }
         // a partition emptied by its rewrites and GC'd clean drops its
-        // dir (sweep orphaned checksum files first)
-        val left = Option(d.listFiles()).getOrElse(Array.empty)
-        if (left.forall(f => f.getName.startsWith(".") && f.getName.endsWith(".crc"))) {
-          left.foreach(_.delete())
-          d.delete()
+        // dir (recursive: only hidden checksum leftovers can remain)
+        if (StoreFs.list(d.getPath).isEmpty) {
+          StoreFs.delete(d.getPath, recursive = true)
           ()
         }
       }

@@ -61,6 +61,9 @@ object StreamSessions {
       statePartitions: Int,
       stateStore: Option[String] = None): SparkSession = {
     val ss = parent.newSession()
+    // make the clone's streams stoppable by whoever tagged this gate
+    // (no-op outside a GateStreams.withTag bracket)
+    GateStreams.register(ss)
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // single-sentinel drains (windowedTotalsFromFiles,
     // attributionOuterFromFiles) rely on a no-data micro-batch firing

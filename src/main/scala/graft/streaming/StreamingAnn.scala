@@ -76,17 +76,25 @@ object StreamingAnn {
     * the digest can record it and the read can't fall back to a
     * directory listing.
     */
-  private[graft] def committedSinkFiles(outDir: java.io.File): Seq[String] = {
-    val logDir = new java.io.File(outDir, "_spark_metadata")
-    val logs = Option(logDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.endsWith(".crc"))
-      .sortBy(f => (batchIdOf(f.getName), f.getName))
+  private[graft] def committedSinkFiles(outDir: java.io.File): Seq[String] =
+    committedSinkFiles(outDir.toString)
+
+  /** Hadoop-FS spelling: runs unchanged against `file:`/HDFS/object-
+    * store sink dirs, and every log read closes its stream (this
+    * parses per refresh tick on serving hot loops — a leaked reader
+    * per tick is an EMFILE time bomb).
+    */
+  private[graft] def committedSinkFiles(outDir: String): Seq[String] = {
+    val logDir = new org.apache.hadoop.fs.Path(outDir, "_spark_metadata")
+    val logs = graft.sources.StoreFs.list(logDir)
+      .filter(s => s.isFile && !s.getPath.getName.endsWith(".crc"))
+      .sortBy(s => (batchIdOf(s.getPath.getName), s.getPath.getName))
     val PathRe = """"path":"([^"]+)"""".r
     val ActionRe = """"action":"([a-z]+)"""".r
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
-    logs.foreach { f =>
-      if (f.getName.endsWith(".compact")) files.clear()
-      scala.io.Source.fromFile(f, "UTF-8").getLines().foreach { line =>
+    logs.foreach { s =>
+      if (s.getPath.getName.endsWith(".compact")) files.clear()
+      graft.sources.StoreFs.readLines(s.getPath).foreach { line =>
         if (line.startsWith("{")) {
           val path = PathRe.findFirstMatchIn(line).map(_.group(1))
           val action = ActionRe.findFirstMatchIn(line).map(_.group(1))
@@ -128,6 +136,10 @@ object StreamingAnn {
         .select(col("__sid")), Seq("__sid"))
     val cbHash = hashOf(codebook, Seq("sub", "cell", "pos", "mean_milli"))
     val codesHash = hashOf(drained, Seq("cid", "sub", "cell"))
+    // same value Verify's dump-digest pass records for the published
+    // parquet (columns in sorted-name order) — engine content vs dumped
+    // content becomes a one-line diff
+    val codesHashSorted = hashOf(drained, drained.columns.sorted.toSeq)
     val staged = Option(inDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .map(f => s"""{"name":"${f.getName}","bytes":${f.length()}}""")
@@ -137,7 +149,8 @@ object StreamingAnn {
       dir, f"run-${System.currentTimeMillis()}%d-${sys.env.getOrElse("SPARK_GRAFT_CPUS", "na")}.json")
     val json =
       s"""{"n_vectors":$nVectors,"sample_hash":$sampleHash,"codebook_hash":$cbHash,""" +
-        s""""codes_hash":$codesHash,"n_committed":${committed.size},""" +
+        s""""codes_hash":$codesHash,"codes_hash_sorted":$codesHashSorted,""" +
+        s""""n_committed":${committed.size},""" +
         s""""committed":[${committed.map(p => s""""$p"""").mkString(",")}],""" +
         s""""staged":[${staged.mkString(",")}]}"""
     java.nio.file.Files.write(out.toPath, json.getBytes("UTF-8"))
