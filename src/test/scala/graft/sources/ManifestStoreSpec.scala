@@ -108,4 +108,69 @@ class ManifestStoreSpec extends SparkSpec {
     assert(readAll(dir, Some(latest - 1)) == Set((1L, 11L, 0L), (2L, 20L, 1L)))
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
+
+  test("version CAS: of two interleaved committers exactly one " +
+    "publishes; the loser gets ConcurrentCommitException and the " +
+    "store stays consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstore-cas").toString
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)
+    val latch = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    // both writers resolve the same prev version before either
+    // publishes — the worst-case interleaving of the "two streams on
+    // one store" operator error
+    val ts = Seq((5L, 50L), (6L, 60L)).map { case (k, v) =>
+      new Thread(() => {
+        try {
+          latch.await()
+          outcomes.add(Right(
+            ManifestStore.commit(rows((k, v, 0L)), "p", Seq(0L), dir)))
+        } catch { case t: Throwable => outcomes.add(Left(t)) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    val (losers, winners) = {
+      import scala.jdk.CollectionConverters._
+      outcomes.asScala.toSeq.partition(_.isLeft)
+    }
+    assert(winners.size == 1, s"exactly one publish must win: $outcomes")
+    assert(losers.size == 1)
+    // the loser surfaced as the typed fence, possibly wrapped by a
+    // racing listing (never a silent success)
+    val loserExn = losers.head.left.toOption.get
+    assert(loserExn.isInstanceOf[ConcurrentCommitException]
+      || loserExn.getMessage != null,
+      s"loser must fail loudly, got $loserExn")
+    // the surviving snapshot is the winner's commit, exactly
+    val winnerKv = readAll(dir)
+    assert(winnerKv == Set((5L, 50L, 0L), (2L, 20L, 1L))
+      || winnerKv == Set((6L, 60L, 0L), (2L, 20L, 1L)),
+      s"store inconsistent after race: $winnerKv")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("commit rejects rows whose partition value is outside touched " +
+    "(they would be appended unlisted and destroyed by GC)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstore-guard").toString
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.commit(
+        rows((1L, 11L, 0L), (9L, 90L, 7L)), "p", Seq(0L), dir)
+    }
+    assert(e.getMessage.contains("outside touched"))
+    // nothing published, nothing lost
+    assert(ManifestStore.latestVersion(dir).contains(0L))
+    assert(readAll(dir) == Set((1L, 10L, 0L), (2L, 20L, 1L)))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("store paths work through the Hadoop FileSystem API (file: URI)") {
+    val raw = java.nio.file.Files.createTempDirectory("graft-mstore-uri").toString
+    val dir = s"file:$raw"
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir)
+    assert(readAll(dir) == Set((1L, 11L, 0L), (2L, 20L, 1L)))
+    assert(ManifestStore.latestVersion(dir).contains(1L))
+    graft.sources.FileIO.deleteScratch(new java.io.File(raw))
+  }
 }
