@@ -10,8 +10,8 @@ import org.apache.spark.sql.types._
   * arrive in micro-batches, and each batch updates FOUR materialized
   * artifacts touching only what the batch invalidates:
   *
-  *  1. the CORPUS store — the batch's buckets rewrite via dynamic
-  *     partition overwrite (old rows minus batch ids, plus upserts);
+  *  1. the CORPUS store — the batch's buckets rewrite (old rows minus
+  *     batch ids, plus upserts);
   *  2. the fingerprint→members INDEX — (fingerprint, doc_id) of every
   *     quality-passing doc, partitioned by fingerprint bucket
   *     (`fpb = pmod(xxhash64(fingerprint), nFpBuckets)`): the batch
@@ -26,7 +26,14 @@ import org.apache.spark.sql.types._
   *     maintained from the same per-batch keeper flips;
   *  4. the PACKED store — shards holding a classified id or a
   *     possible kept-flip repack from a PARTITION-PRUNED corpus-store
-  *     read and dynamic-overwrite their partitions.
+  *     read.
+  *
+  * ALL FOUR stores commit through [[graft.sources.ManifestStore]]:
+  * append-only data files + atomically published snapshot manifests.
+  * Concurrent readers get snapshot isolation, and a crash at ANY
+  * point — including mid-write — can never tear a partition: unpub-
+  * lished files are invisible to manifest reads, and the replayed
+  * batch re-derives the same commit from its journal.
   *
   * The batch IS the diff: old fingerprints come from the batch
   * buckets' own rows (read anyway for the store rewrite). A
@@ -44,8 +51,10 @@ import org.apache.spark.sql.types._
   * a crashed batch replayed after a JVM restart reads its journal
   * instead of re-classifying against the already-half-updated stores,
   * re-derives the same touched sets, and converges (spec-drilled with
-  * a crash between the store writes and the checkpoint commit). No
-  * dedup state lives on the driver.
+  * a crash between the store writes and the checkpoint commit; a
+  * crash DURING a store write is covered by the manifest commits —
+  * the torn attempt never published, so replay reads the pre-write
+  * snapshot). No dedup state lives on the driver.
   *
   * Equivalence contract (oracle-gated): after draining any split of
   * the event stream, the packed store is row-identical to a
@@ -75,15 +84,14 @@ object IncrementalCdc {
   private def fpb(fp: org.apache.spark.sql.Column, nFpBuckets: Int) =
     pmod(xxhash64(fp), lit(nFpBuckets.toLong))
 
-  def writeCorpusStore(docs: DataFrame, nShards: Int, storeDir: String): Unit =
-    docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+  def writeCorpusStore(docs: DataFrame, nShards: Int, storeDir: String): Unit = {
+    graft.sources.ManifestStore.init(
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars").cast("long").as("n_chars"),
-        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
-      .repartition(col("shard")) // ≤1 file per shard dir
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard")
-      .parquet(storeDir)
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard")),
+      "shard", storeDir)
+    ()
+  }
 
   /** Build + write the fingerprint→members index and the keeps store
     * from an initial corpus snapshot (the from-scratch [[Incremental
@@ -99,20 +107,15 @@ object IncrementalCdc {
         col("doc_id"))
       .persist() // one corpus scan feeds both store writes
     try {
-      members.withColumn("fpb", fpb(col("fingerprint"), nFpBuckets))
-        .repartition(col("fpb")) // ≤1 file per bucket dir
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("fpb")
-        .parquet(indexDir)
-      members.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
-        .select(col("keep_id"),
-          pmod(col("keep_id"), lit(nShards.toLong)).as("shard"))
-        .repartition(col("shard")) // ≤1 file per shard dir
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(keepsDir)
+      graft.sources.ManifestStore.init(
+        members.withColumn("fpb", fpb(col("fingerprint"), nFpBuckets)),
+        "fpb", indexDir)
+      graft.sources.ManifestStore.init(
+        members.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+          .select(col("keep_id"),
+            pmod(col("keep_id"), lit(nShards.toLong)).as("shard")),
+        "shard", keepsDir)
+      ()
     } finally members.unpersist()
   }
 
@@ -150,20 +153,12 @@ object IncrementalCdc {
 
   private def readPartitioned(
       spark: SparkSession, storeDir: String, schema: StructType,
-      partCol: String, vals: Option[Seq[Long]]): DataFrame = vals match {
-    case None =>
-      spark.read.schema(schema).option("basePath", storeDir).parquet(storeDir)
-    case Some(vs) =>
-      val dirs = vs.distinct
-        .filter(v => graft.sources.StoreFs.exists(
-          new org.apache.hadoop.fs.Path(storeDir, s"$partCol=$v")))
-        .map(v => s"$storeDir/$partCol=$v")
-      if (dirs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else
-        spark.read.schema(schema).option("basePath", storeDir)
-          .parquet(dirs: _*)
-  }
+      partCol: String, vals: Option[Seq[Long]]): DataFrame =
+    // manifest snapshot read (pruned to the requested partitions):
+    // concurrent raw readers can never see a half-committed rewrite,
+    // and a crashed append's un-manifested files are invisible
+    graft.sources.ManifestStore.read(
+      spark, storeDir, schema, partCol, vals.map(_.distinct))
 
   /** Apply ONE micro-batch of document events. `events` columns:
     * (doc_id, text, lang, source, n_chars, is_delete, ev_seq) — the
@@ -290,7 +285,7 @@ object IncrementalCdc {
         .join(evs.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(evs.filter(!col("is_delete")).drop("is_delete")
           .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong))))
-      overwriteSelfRead(newBuckets, "shard", batchShards, corpusDir)
+      commitSelfRead(newBuckets, "shard", batchShards, corpusDir)
     } }
 
     if (logOpt.isEmpty) {
@@ -322,7 +317,7 @@ object IncrementalCdc {
       .unionByName(addRows)
     // sealedIdx IS the post-state content of the touched buckets —
     // the keeper recompute below reuses it instead of re-reading
-    val sealedIdx = t("index-rw") { overwriteSelfRead(newIdx, "fpb", touchedBuckets, indexDir) }
+    val sealedIdx = t("index-rw") { commitSelfRead(newIdx, "fpb", touchedBuckets, indexDir) }
 
     // ---- 3. KEEPS: touched groups' keepers recompute from the
     //      UPDATED index buckets (the sealed frame, no store re-read).
@@ -365,7 +360,7 @@ object IncrementalCdc {
           .unionByName(adds
             .select(col("keep_id"),
               pmod(col("keep_id"), lit(nShards.toLong)).as("shard")))
-        overwriteSelfRead(newKeeps, "shard", flipShards, keepsDir)
+        commitSelfRead(newKeeps, "shard", flipShards, keepsDir)
       }
     }
 
@@ -381,14 +376,19 @@ object IncrementalCdc {
     // scan it while the stream keeps committing) — it commits through
     // the manifest store, so concurrent readers get atomic snapshots
     // (+ bounded time travel) instead of racing a partition swap
-    // verifyTouched off: packTouched derives grp from the touched
-    // shards by construction — the guard's extra job stays off the
-    // per-micro-batch hot path
     t("packed-rw") { graft.sources.ManifestStore.commit(
-      packedTouched, "grp", touchedIds, packedDir,
-      verifyTouched = false) }
+      packedTouched, "grp", touchedIds, packedDir) }
     Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
     sweepJournals(clsDir, batchId)
+    // maintenance sweep every JournalRetain batches: reclaim crashed-
+    // attempt orphans the per-commit manifest-diff GC can't see (the
+    // only pass that LISTs partition dirs — amortized off the hot path)
+    if (batchId > 0 && batchId % JournalRetain == 0) t("vacuum") {
+      Seq(corpusDir -> "shard", indexDir -> "fpb",
+        keepsDir -> "shard", packedDir -> "grp").foreach {
+        case (d, pc) => graft.sources.ManifestStore.vacuum(d, pc)
+      }
+    }
     touchedIds.toDF("shard")
   }
 
@@ -425,35 +425,23 @@ object IncrementalCdc {
     fps.select(fpb(col("fingerprint"), nFpBuckets).as("fpb"))
       .distinct().collect().map(_.getLong(0)).toSeq
 
-  /** Dynamic-overwrite `rows` into partitions `touched` of a store the
-    * rows were READ from, then drop emptied touched partitions.
-    * localCheckpoint TRUNCATES lineage before the write: a lost block
-    * after the overwrite begins fails the job (fail-stop) instead of
-    * silently recomputing through a half-replaced partition — a
-    * persist+count barrier would recompute through the original
-    * lineage on cache loss. (A multi-node deployment would stage to a
-    * temp dir + swap for retry-through instead of fail-stop.)
+  /** Commit `rows` as the new content of partitions `touched` of a
+    * store the rows were READ from, through the manifest store:
+    * append-only data files + an atomically published snapshot, so a
+    * JVM crash ANYWHERE inside the write can never tear a partition —
+    * readers resolve the last published manifest and the replayed
+    * batch re-derives the same rows from its journal (the crash-DURING-
+    * a-store-write case the round-12 dynamic-overwrite path left
+    * open). Emptied touched partitions simply leave the manifest.
+    * localCheckpoint TRUNCATES lineage before the write: the sealed
+    * frame is both what gets committed and the exact post-state the
+    * caller chains on without a store re-read.
     */
-  private def overwriteSelfRead(
+  private def commitSelfRead(
       rows: DataFrame, partCol: String, touched: Seq[Long],
       storeDir: String): DataFrame = {
     val sealed_ = rows.localCheckpoint(true)
-    // cluster by the partition column so each task writes whole
-    // partition dirs (≤1 file per dir) instead of every task touching
-    // every dir — at nFpBuckets-scale stores the commit's rename count
-    // is the write's wall clock
-    sealed_.repartition(math.max(touched.size, 1), col(partCol))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(storeDir)
-    val produced = sealed_.select(col(partCol)).distinct()
-      .collect().map(_.getLong(0)).toSet
-    touched.filterNot(produced).foreach { v =>
-      graft.sources.StoreFs.delete(
-        new org.apache.hadoop.fs.Path(storeDir, s"$partCol=$v"),
-        recursive = true)
-    }
+    graft.sources.ManifestStore.commit(sealed_, partCol, touched, storeDir)
     sealed_ // the exact post-state content of the touched partitions
   }
 

@@ -105,41 +105,64 @@ object ManifestStore {
     *
     * INVARIANT: every row's `partCol` value must be in `touched` — a
     * row outside would land in an unlisted partition dir, stay out of
-    * the manifest, and be deleted by this very call's GC. Checked by
-    * default (one small job over the edit-sized `rows`);
-    * `verifyTouched = false` opts a hot caller out when the slices are
-    * touched-bucketed by construction.
+    * the manifest, and be destroyed by a later sweep. Enforced for
+    * free: the staged write exposes exactly which partitions got rows,
+    * so an outside value fails fast before anything touches the live
+    * tree (no extra Spark job).
     *
-    * REPLAY-safe: re-running a crashed commit appends duplicate-
-    * content files, but the manifest lists only the LATEST attempt's
-    * files for each touched partition; earlier attempts' files are
-    * unreferenced and GC'd.
+    * The commit's own files are KNOWN, not diffed: `rows` lands in a
+    * commit-private staging dir and each data file moves into its live
+    * partition dir under a commit-unique name. A concurrent commit's
+    * in-flight files can therefore never leak into this manifest (a
+    * before/after listing diff would absorb them — spec-caught), and
+    * the hot path does zero live-dir listings.
+    *
+    * REPLAY-safe: re-running a crashed commit stages fresh files, but
+    * the manifest lists only the LATEST attempt's files for each
+    * touched partition; a crashed attempt's never-manifested orphans
+    * are swept by [[vacuum]] (per-commit GC is manifest-diff-based and
+    * never lists the whole store — see [[gc]]).
     */
   def commit(
       rows: DataFrame, partCol: String, touched: Seq[Long],
-      storeDir: String, retainVersions: Int = 8,
-      verifyTouched: Boolean = true): Long = {
+      storeDir: String, retainVersions: Int = 8): Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
       s"$storeDir holds no manifest — initialize with ManifestStore.init")
-    if (verifyTouched) {
-      val outside = rows.select(col(partCol)).distinct()
-        .filter(!col(partCol).isin(touched: _*)).limit(5)
-        .collect().map(_.get(0))
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val staging = new Path(storeDir, s".staging-c$commitId")
+    val fs = StoreFs.fs(staging)
+    val added = try {
+      rows.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(staging.toString)
+      val touchedDirs = touched.map(v => s"$partCol=$v").toSet
+      val stagedDirs = StoreFs.list(staging)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      val outside = stagedDirs.map(_.getPath.getName).filterNot(touchedDirs)
       require(outside.isEmpty,
-        s"commit rows carry $partCol value(s) ${outside.mkString(", ")} " +
+        s"commit rows landed in partition(s) ${outside.mkString(", ")} " +
           s"outside touched=${touched.mkString(", ")} — they would be " +
-          "appended unlisted and destroyed by GC")
+          "unlisted in the manifest and destroyed by a later sweep")
+      stagedDirs.sortBy(_.getPath.getName).flatMap { d =>
+        val liveDir = new Path(storeDir, d.getPath.getName)
+        fs.mkdirs(liveDir)
+        StoreFs.list(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map { s =>
+            val name = s"c$commitId-${s.getPath.getName}"
+            require(fs.rename(s.getPath, new Path(liveDir, name)),
+              s"staging move failed for ${s.getPath}")
+            s"${d.getPath.getName}/$name"
+          }
+      }
+    } finally {
+      StoreFs.delete(staging, recursive = true)
+      ()
     }
     val touchedDirs = touched.map(v => s"$partCol=$v").toSet
-    val before: Map[String, Set[String]] =
-      touchedDirs.iterator.map(d => d -> listDataFiles(storeDir, d).toSet).toMap
-    rows.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol).parquet(storeDir)
-    val added = touchedDirs.toSeq.sorted.flatMap { d =>
-      (listDataFiles(storeDir, d).toSet -- before(d)).toSeq.sorted
-    }
     val prev = latestVersion(storeDir)
     val carry = prev.map(files(storeDir, _)).getOrElse(Nil)
       .filterNot(p => touchedDirs.exists(d => p.startsWith(d + "/")))
@@ -160,26 +183,66 @@ object ManifestStore {
           "and will be GC'd by the winner")
   }
 
-  /** Drop manifests older than the retention window and every data
-    * file no retained manifest references. Runs on the writer after
-    * publish — no append is in flight, so an unreferenced file is
-    * either superseded or an orphan of a crashed attempt.
+  /** Retention GC, MANIFEST-DIFF based: drop manifests older than the
+    * retention window and delete exactly the files they reference that
+    * no retained manifest still does. Cost is O(manifest lines), never
+    * a listing of the store's partition dirs — at 100 TB-scale
+    * partition counts, a per-micro-batch full-store LIST (thousands of
+    * object-store calls) would dominate the commit; the diff touches
+    * only metadata the commit already read. Files that never made a
+    * manifest (a crashed attempt's orphans) are invisible to the diff
+    * by construction — [[vacuum]] sweeps those in a maintenance pass.
     */
   private def gc(
       storeDir: String, partCol: String, latest: Long,
       retainVersions: Int): Unit = {
     val keepFrom = latest - (retainVersions - 1)
-    StoreFs.list(new Path(storeDir, ManifestDir)).foreach { s =>
+    val versions = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
       s.getPath.getName match {
-        case VersionRe(n) if n.toLong < keepFrom =>
-          StoreFs.delete(s.getPath); ()
-        case _ => ()
-      }
+        case VersionRe(n) => Some(n.toLong)
+        case _ => None
+      })
+    val (dropped, retained) = versions.partition(_ < keepFrom)
+    if (dropped.isEmpty) return
+    val referenced = retained.iterator.flatMap(files(storeDir, _)).toSet
+    val dead = dropped.iterator.flatMap(files(storeDir, _)).toSet -- referenced
+    dead.foreach { p =>
+      // ChecksumFileSystem (local) reclaims the hidden .crc sibling
+      // with the data file; HDFS/S3 have none
+      StoreFs.delete(new Path(storeDir, p)); ()
     }
+    dropped.foreach(v => StoreFs.delete(manifestPath(storeDir, v)))
+    // a partition dir emptied by the diff drops (recursive: only
+    // hidden checksum leftovers can remain under it)
+    dead.map(_.takeWhile(_ != '/')).toSeq.distinct.foreach { dirName =>
+      val d = new Path(storeDir, dirName)
+      if (StoreFs.list(d).isEmpty) { StoreFs.delete(d, recursive = true); () }
+    }
+  }
+
+  /** Maintenance sweep: LIST every partition dir and delete data files
+    * no retained manifest references — the crashed-attempt orphans the
+    * per-commit diff GC cannot see. O(partition dirs) listings: run it
+    * from a maintenance window or every N batches, not per commit.
+    * Writer-side only (same single-writer contract as [[commit]]).
+    * Returns the number of files deleted.
+    */
+  def vacuum(storeDir: String, partCol: String): Int = {
+    val versions = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
+      s.getPath.getName match {
+        case VersionRe(n) => Some(n.toLong)
+        case _ => None
+      })
+    require(versions.nonEmpty,
+      s"$storeDir holds no manifest — nothing is safely referenced")
     val referenced: Set[String] =
-      (math.max(0L, keepFrom) to latest).iterator
-        .filter(v => StoreFs.exists(manifestPath(storeDir, v)))
-        .flatMap(v => files(storeDir, v)).toSet
+      versions.iterator.flatMap(files(storeDir, _)).toSet
+    var deleted = 0
+    // crashed commits can leave staging dirs behind their finally —
+    // (hard kill mid-move); they are never referenced, sweep whole
+    StoreFs.list(new Path(storeDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-c"))
+      .foreach { s => StoreFs.delete(s.getPath, recursive = true); () }
     StoreFs.list(new Path(storeDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
       .foreach { d =>
@@ -187,18 +250,13 @@ object ManifestStore {
         StoreFs.list(d.getPath)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .filter(s => !referenced.contains(s"$dirName/${s.getPath.getName}"))
-          .foreach { s =>
-            // ChecksumFileSystem (local) reclaims the hidden .crc
-            // sibling with the data file; HDFS/S3 have none
-            StoreFs.delete(s.getPath); ()
-          }
-        // a partition emptied by its rewrites and GC'd clean drops its
-        // dir (recursive: only hidden checksum leftovers can remain)
+          .foreach { s => StoreFs.delete(s.getPath); deleted += 1 }
         if (StoreFs.list(d.getPath).isEmpty) {
           StoreFs.delete(d.getPath, recursive = true)
           ()
         }
       }
+    deleted
   }
 
   /** Snapshot read: exactly the files of `version` (default latest),

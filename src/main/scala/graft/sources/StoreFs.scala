@@ -20,11 +20,10 @@ import java.nio.charset.StandardCharsets
   * manifest publish (`renameNoReplace`):
   *  - HDFS: `rename` is atomic and fails when the destination exists —
   *    a true compare-and-swap; concurrent publishers race safely.
-  *  - Local FS: `rename` is an atomic `rename(2)` on the same mount;
-  *    the no-replace check is check-then-act (a microsecond window) —
-  *    adequate for the single-writer contract, and the loser of a true
-  *    race still surfaces as a failed rename or a version collision on
-  *    the next publish.
+  *  - Local FS: the claim is `link(2)` (hard link), which fails
+  *    atomically with EEXIST — POSIX `rename(2)` would silently
+  *    REPLACE an existing destination, which a race drill surfaced as
+  *    two "successful" publishes of one version.
   *  - S3/object stores: rename is copy+delete (NOT atomic). Deploying
   *    there, publish the manifest pointer through a conditional put
   *    (S3 `If-None-Match: *`) or a small DynamoDB/metastore CAS — the
@@ -66,22 +65,64 @@ object StoreFs {
     finally in.close()
   }
 
-  /** Write `content` to a temp sibling then rename WITHOUT replace —
-    * returns false if the destination already exists (the loser of a
-    * concurrent publish). See the class doc for per-scheme semantics.
+  /** Write `content` to a temp sibling then CLAIM the target without
+    * replace — returns false if the destination already exists (the
+    * loser of a concurrent publish).
+    *
+    * The claim must be a true compare-and-swap, not check-then-act:
+    *  - local FS: `link(2)` via `Files.createLink` — fails atomically
+    *    with EEXIST when a racer won (POSIX `rename(2)` silently
+    *    REPLACES, which a race drill caught as two "successful"
+    *    publishes of one version, the first silently vanishing);
+    *  - HDFS: `rename` already fails atomically on an existing
+    *    destination;
+    *  - S3/object stores: neither link nor atomic rename exists — see
+    *    the class doc (conditional put for the version pointer).
     */
   def writeAtomicNoReplace(target: Path, content: String): Boolean = {
     val f = fs(target)
-    val tmp = new Path(target.getParent, s".tmp-${target.getName}")
+    // temp name unique PER CALL: two racers sharing one temp path
+    // interleave data/.crc writes and the survivor fails checksum
+    val tmp = new Path(target.getParent,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}-${target.getName}")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(target)) { f.delete(tmp, false); false }
-    else {
-      val ok = f.rename(tmp, target)
-      if (!ok) f.delete(tmp, false)
-      ok
+    val claimed = localNioPath(f, target) match {
+      case Some(localTarget) =>
+        val localTmp = localNioPath(f, tmp).get
+        try {
+          java.nio.file.Files.createLink(localTarget, localTmp)
+          // carry the checksum sibling so the winner's manifest stays
+          // checksummed (best effort — absence only disables the check)
+          try java.nio.file.Files.createLink(
+            localTarget.resolveSibling(s".${target.getName}.crc"),
+            localTmp.resolveSibling(s".${tmp.getName}.crc"))
+          catch { case _: Throwable => () }
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no hard links on this mount: degrade to check-then-rename
+            !f.exists(target) && f.rename(tmp, target)
+        }
+      case None =>
+        if (f.exists(target)) false
+        else f.rename(tmp, target)
     }
+    f.delete(tmp, false) // no-op when a rename already moved it
+    claimed
+  }
+
+  /** The java.nio spelling of `p` when it lives on the local
+    * filesystem (scheme absent or `file`), None otherwise.
+    */
+  private def localNioPath(
+      f: FileSystem, p: Path): Option[java.nio.file.Path] = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
+    if (scheme == null || scheme == "file")
+      Some(java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath))
+    else None
   }
 
   def delete(p: Path, recursive: Boolean = false): Boolean = {

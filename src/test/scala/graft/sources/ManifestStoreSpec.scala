@@ -109,43 +109,62 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
-  test("version CAS: of two interleaved committers exactly one " +
-    "publishes; the loser gets ConcurrentCommitException and the " +
-    "store stays consistent") {
+  test("the publish fence primitive: rename-no-replace loses when the " +
+    "target exists (the CAS a racing second writer hits)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-storefs-cas")
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "v1.json")
+    assert(StoreFs.writeAtomicNoReplace(target, "first"))
+    assert(!StoreFs.writeAtomicNoReplace(target, "second"),
+      "second publish of the same version must lose")
+    assert(StoreFs.readLines(target) == Seq("first"),
+      "the loser must not have replaced the winner's content")
+    // no temp litter left behind by the losing attempt
+    assert(StoreFs.list(new org.apache.hadoop.fs.Path(dir.toString))
+      .map(_.getPath.getName).filter(_.startsWith(".tmp-")).isEmpty)
+    graft.sources.FileIO.deleteScratch(dir.toFile)
+  }
+
+  test("two interleaved committers serialize or fence — never a mixed " +
+    "snapshot, never two writers on one version") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mstore-cas").toString
     ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)
     val latch = new java.util.concurrent.CyclicBarrier(2)
-    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
-    // both writers resolve the same prev version before either
-    // publishes — the worst-case interleaving of the "two streams on
-    // one store" operator error
+    val outcomes =
+      new java.util.concurrent.ConcurrentHashMap[Long, Either[Throwable, Long]]()
+    // both rewrite partition 0, started together: depending on timing
+    // they either fully serialize (both publish, distinct versions) or
+    // overlap (the CAS fences the second publisher) — BOTH are correct;
+    // what must never happen is a manifest mixing the two commits'
+    // rows or two successes on the same version
     val ts = Seq((5L, 50L), (6L, 60L)).map { case (k, v) =>
       new Thread(() => {
         try {
           latch.await()
-          outcomes.add(Right(
+          outcomes.put(k, Right(
             ManifestStore.commit(rows((k, v, 0L)), "p", Seq(0L), dir)))
-        } catch { case t: Throwable => outcomes.add(Left(t)) }
+        } catch { case t: Throwable => outcomes.put(k, Left(t)) }
       })
     }
     ts.foreach(_.start()); ts.foreach(_.join(120000))
-    val (losers, winners) = {
-      import scala.jdk.CollectionConverters._
-      outcomes.asScala.toSeq.partition(_.isLeft)
+    import scala.jdk.CollectionConverters._
+    val byKey = outcomes.asScala.toMap
+    assert(byKey.size == 2)
+    val succeeded = byKey.collect { case (k, Right(v)) => k -> v }
+    assert(succeeded.nonEmpty, s"at least one commit must land: $byKey")
+    assert(succeeded.values.toSeq.distinct.size == succeeded.size,
+      s"two successes on one version: $byKey")
+    // the snapshot holds EXACTLY ONE of the two rows at p=0 — the
+    // committer that published the highest version — never both
+    val finalKv = readAll(dir)
+    val p0 = finalKv.filter(_._3 == 0L)
+    assert(p0.size == 1, s"mixed snapshot after race: $finalKv")
+    val lastKey = succeeded.maxBy(_._2)._1
+    assert(p0.head._1 == lastKey,
+      s"snapshot row ${p0.head} is not the last publisher's ($lastKey)")
+    // a fenced loser surfaced loudly, never as silent data loss
+    byKey.values.collect { case Left(t) => t }.foreach { t =>
+      assert(t.isInstanceOf[ConcurrentCommitException] || t.getMessage != null)
     }
-    assert(winners.size == 1, s"exactly one publish must win: $outcomes")
-    assert(losers.size == 1)
-    // the loser surfaced as the typed fence, possibly wrapped by a
-    // racing listing (never a silent success)
-    val loserExn = losers.head.left.toOption.get
-    assert(loserExn.isInstanceOf[ConcurrentCommitException]
-      || loserExn.getMessage != null,
-      s"loser must fail loudly, got $loserExn")
-    // the surviving snapshot is the winner's commit, exactly
-    val winnerKv = readAll(dir)
-    assert(winnerKv == Set((5L, 50L, 0L), (2L, 20L, 1L))
-      || winnerKv == Set((6L, 60L, 0L), (2L, 20L, 1L)),
-      s"store inconsistent after race: $winnerKv")
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
