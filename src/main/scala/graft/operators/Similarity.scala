@@ -1191,4 +1191,339 @@ object Similarity {
       .select(col("qid"), col("cid"), dotQ(col("qvec"), col("cvec")).as("dot_q"))
     rankTopK(scored, "dot_q", k)
   }
+
+  // ------------------------------------------------------------------
+  // OPQ — optimized product quantization: learn an ORTHOGONAL
+  // transform so the PQ subspaces carry balanced, decorrelated energy
+  // (Ge et al., "Optimized Product Quantization", CVPR 2013; the
+  // recall-per-byte upgrade FAISS applies before PQ).
+  // ------------------------------------------------------------------
+
+  /** The PARAMETRIC-family OPQ fit, exact-integer and oracle-
+    * replayable: a variance-balancing dimension PERMUTATION (a signed-
+    * permutation matrix IS orthogonal). Dims sort by exact per-dim
+    * sdev ([[whitenScales]], integer isqrt — bit-reproducible in SQL)
+    * descending and snake-draft into the m subspaces: round r visits
+    * subspaces 0..m-1, then m-1..0, … so each subspace receives one
+    * dim per variance "tier" and no subspace hoards the energy (the
+    * balanced-allocation half of OPQ, which is what decides sign-cell
+    * init and Lloyd behavior downstream). Returns newPos → oldPos.
+    */
+  def opqPermutation(scales: DataFrame, m: Int, subDim: Int): Array[Int] = {
+    val byVar = scales.orderBy(col("sdev").desc, col("pos"))
+      .select("pos").collect().map(_.getLong(0).toInt)
+    require(byVar.length == m * subDim,
+      s"dim ${byVar.length} != m*subDim ${m * subDim}")
+    val perm = new Array[Int](byVar.length)
+    byVar.zipWithIndex.foreach { case (oldPos, k) =>
+      val round = k / m
+      val idx = k % m
+      val sub = if (round % 2 == 0) idx else m - 1 - idx
+      perm(sub * subDim + round) = oldPos
+    }
+    perm
+  }
+
+  /** Apply a dimension permutation exactly: w[i] = q[perm(i)] — a
+    * narrow codegen'd projection (no join, no shuffle), int64 milli
+    * out like [[whiten]]. Permutations are the one orthogonal family
+    * with NO rounding: dots are preserved bit-exactly.
+    */
+  def applyPermutation(
+      df: DataFrame, id: Column, vec: Column, perm: Array[Int]): DataFrame =
+    df.select(id.as("id"), quantize(vec).as("__q"))
+      .select(col("id"),
+        array(perm.map(p => element_at(col("__q"), p + 1)): _*).as("wvec"))
+
+  /** The FULL alternating OPQ fit (the non-parametric Ge et al.
+    * iteration), driver-side on the model-sized md5 training sample —
+    * exactly where FAISS trains OPQ:
+    *
+    *   repeat `iters`: (1) rotate the sample by the current R; (2)
+    *   train PQ on the rotated sample (sign-cell init + Lloyd rounds,
+    *   the engine's own convention); (3) re-solve R by orthogonal
+    *   Procrustes against the codewords — R = U·Vᵀ from the SVD of
+    *   C·Xᵀ (computed via cyclic-Jacobi eigen of the symmetric MᵀM;
+    *   deterministic sweep order, so the fit is bit-stable across
+    *   runs).
+    *
+    * Returns the dim×dim rotation in milli fixed point for
+    * [[applyDenseMilli]]. Not static-SQL-expressible (iterative SVD),
+    * so its gate rides the spec suite + the SQL-replayable
+    * [[opqPermutation]] rung; the recall ladder is probe-measured
+    * (`OpqRecallProbe`).
+    */
+  def opqTrainRotationMilli(
+      sampleMilli: Array[Array[Long]], m: Int, subDim: Int,
+      iters: Int, lloydRounds: Int = 2,
+      eigenInit: Boolean = true): Array[Array[Long]] = {
+    val d = m * subDim
+    require(sampleMilli.forall(_.length == d), s"sample rows must be dim $d")
+    val x = sampleMilli.map(_.map(_ / 1000.0)) // n × d
+    // Eigenvalue-allocation init (Ge et al. §OPQ-P → OPQ-NP handoff):
+    // rotate to the sample's PCA basis and snake-draft the principal
+    // components into the m subspaces by eigenvalue, so every
+    // subspace starts with a balanced share of the energy. Starting
+    // from identity instead leaves the alternation in a local optimum
+    // next to I on axis-aligned anisotropy (probe-measured: identity
+    // init never moved ADC recall; eigen init matches the
+    // permutation rung and iterates past it).
+    var r =
+      if (!eigenInit) Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      else {
+        val n = x.length
+        val mean = new Array[Double](d)
+        x.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+        var i = 0
+        while (i < d) { mean(i) /= n; i += 1 }
+        val cov = Array.ofDim[Double](d, d)
+        x.foreach { v =>
+          var a = 0
+          while (a < d) {
+            val da = v(a) - mean(a); val row = cov(a)
+            var b = 0
+            while (b < d) { row(b) += da * (v(b) - mean(b)); b += 1 }
+            a += 1
+          }
+        }
+        val (eval, evec) = jacobiEigen(cov)
+        val order = (0 until d).sortBy(k => (-eval(k), k))
+        val slot = new Array[Int](d) // eigen rank -> output row
+        order.indices.foreach { k =>
+          val round = k / m
+          val idx = k % m
+          val sub = if (round % 2 == 0) idx else m - 1 - idx
+          slot(k) = sub * subDim + round
+        }
+        val r0 = Array.ofDim[Double](d, d)
+        order.indices.foreach { k =>
+          val pc = order(k)
+          var j = 0
+          while (j < d) { r0(slot(k))(j) = evec(j)(pc); j += 1 }
+        }
+        r0
+      }
+    var it = 0
+    while (it < iters) {
+      val y = x.map(v => matVec(r, v)) // rotated sample
+      val cb = trainPqDouble(y, m, subDim, lloydRounds)
+      val c = y.map(reconstructWith(cb, _, m, subDim))
+      // Procrustes: maximize tr(Rᵀ Σ c xᵀ) → R = U Vᵀ, M = Σ c xᵀ
+      val mMat = Array.ofDim[Double](d, d)
+      var n = 0
+      while (n < x.length) {
+        val cv = c(n); val xv = x(n)
+        var i = 0
+        while (i < d) {
+          val ci = cv(i); val row = mMat(i)
+          var j = 0
+          while (j < d) { row(j) += ci * xv(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      r = procrustes(mMat)
+      it += 1
+    }
+    r.map(_.map(v => math.round(v * 1000.0)))
+  }
+
+  private def matVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val d = v.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val row = a(i); var s = 0.0; var j = 0
+      while (j < d) { s += row(j) * v(j); j += 1 }
+      out(i) = s; i += 1
+    }
+    out
+  }
+
+  /** PQ-reconstruct one rotated vector against a trained codebook —
+    * the C(X) the Procrustes step aligns to.
+    */
+  private def reconstructWith(
+      cb: Array[Array[Array[Double]]], v: Array[Double],
+      m: Int, subDim: Int): Array[Double] = {
+    val out = new Array[Double](m * subDim)
+    var s = 0
+    while (s < m) {
+      val cw = cb(s)(assignPqDouble(cb(s), v, s, subDim))
+      System.arraycopy(cw, 0, out, s * subDim, subDim)
+      s += 1
+    }
+    out
+  }
+
+  /** Train a PQ codebook on a driver-side sample (sign-cell init +
+    * `rounds` Lloyd rounds, the engine's convention) in doubles.
+    */
+  private def trainPqDouble(
+      sample: Array[Array[Double]], m: Int, subDim: Int,
+      rounds: Int): Array[Array[Array[Double]]] = {
+    val built = Array.tabulate(m) { s =>
+      // sign-cell init (the engine's pqCells convention on quantized
+      // milli signs — here sign of the double subcomponent)
+      var assign: Array[Int] = sample.map { v =>
+        var cell = 0; var p = 0
+        while (p < subDim) {
+          if (v(s * subDim + p) >= 0) cell |= 1 << p
+          p += 1
+        }
+        cell
+      }
+      var cb: Array[Array[Double]] = null
+      var round = 0
+      while (round <= rounds) {
+        val sums = Array.ofDim[Double](1 << subDim, subDim)
+        val cnt = new Array[Int](1 << subDim)
+        var n = 0
+        while (n < sample.length) {
+          val cell = assign(n); cnt(cell) += 1
+          var p = 0
+          while (p < subDim) {
+            sums(cell)(p) += sample(n)(s * subDim + p); p += 1
+          }
+          n += 1
+        }
+        cb = Array.tabulate(1 << subDim)(cell =>
+          if (cnt(cell) == 0) null
+          else sums(cell).map(_ / cnt(cell)))
+        if (round < rounds)
+          assign = sample.map(v => assignPqDouble(cb, v, s, subDim))
+        round += 1
+      }
+      cb
+    }
+    built
+  }
+
+  /** argmax over populated cells of 2·dot − ‖c‖², ties to the largest
+    * cell — the engine's PqAssign convention, in doubles.
+    */
+  private def assignPqDouble(
+      cb: Array[Array[Double]], v: Array[Double], s: Int,
+      subDim: Int): Int = {
+    var best = -1; var bestScore = Double.NegativeInfinity
+    var cell = 0
+    while (cell < cb.length) {
+      val c = cb(cell)
+      if (c != null) {
+        var dot = 0.0; var nrm = 0.0; var p = 0
+        while (p < subDim) {
+          dot += c(p) * v(s * subDim + p); nrm += c(p) * c(p); p += 1
+        }
+        val score = 2 * dot - nrm
+        if (score > bestScore || (score == bestScore && cell > best)) {
+          best = cell; bestScore = score
+        }
+      }
+      cell += 1
+    }
+    best
+  }
+
+  /** Orthogonal Procrustes: the R = U·Vᵀ of M's SVD, computed from the
+    * cyclic-Jacobi eigen-decomposition of the symmetric MᵀM (V, Σ²)
+    * with U = M·V·Σ⁻¹; near-null singular directions keep V's column
+    * (R stays orthogonal). Deterministic sweep order → bit-stable.
+    */
+  private def procrustes(mMat: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mMat.length
+    val mtm = Array.tabulate(d, d)((i, j) => {
+      var s = 0.0; var k = 0
+      while (k < d) { s += mMat(k)(i) * mMat(k)(j); k += 1 }
+      s
+    })
+    val (eval, v) = jacobiEigen(mtm)
+    // U column k = M v_k / σ_k
+    val u = Array.ofDim[Double](d, d)
+    var k = 0
+    while (k < d) {
+      val sigma = math.sqrt(math.max(eval(k), 0.0))
+      if (sigma > 1e-9) {
+        var i = 0
+        while (i < d) {
+          var s = 0.0; var j = 0
+          while (j < d) { s += mMat(i)(j) * v(j)(k); j += 1 }
+          u(i)(k) = s / sigma
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < d) { u(i)(k) = v(i)(k); i += 1 }
+      }
+      k += 1
+    }
+    Array.tabulate(d, d)((i, j) => {
+      var s = 0.0; var x = 0
+      while (x < d) { s += u(i)(x) * v(j)(x); x += 1 }
+      s
+    })
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix: fixed
+    * (p,q) sweep order, rotations applied until off-diagonal mass
+    * vanishes (or 30 sweeps). Returns (eigenvalues, eigenvector
+    * columns), both in the algorithm's deterministic order.
+    */
+  private def jacobiEigen(
+      aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < 30 && off > 1e-12) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1))
+                case tv => tv
+              }
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
 }

@@ -335,6 +335,38 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
+    // OPQ — optimized product quantization (the recall-per-byte
+    // upgrade FAISS applies before PQ): the ORTHOGONAL transform here
+    // is the exact-integer variance-balancing dimension permutation
+    // (sdevs from the Gram diagonal, snake-drafted into the 8
+    // subspaces — the balanced-allocation rung of Ge et al.; the full
+    // alternating-Procrustes dense fit is opqTrainRotationMilli,
+    // spec-gated since an iterative SVD is not static-SQL-
+    // expressible). The oracle replays gram → sdev → permutation →
+    // sample → training → encode → ADC end to end. Fixture-measured
+    // (OpqRecallProbe, planted anisotropy): ADC 0.568 plain → 0.880
+    // permuted at equal bytes; parity on the near-isotropic parquet
+    // embeddings, as theory predicts.
+    "ann_opq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val scales = Similarity.whitenScales(
+        Similarity.embGram(e, col("embedding")))
+      val perm = Similarity.opqPermutation(scales, m = 8, subDim = 8)
+      val rot = Similarity.applyPermutation(
+        e, col("vec_id"), col("embedding"), perm)
+        .select(col("id").as("vec_id"),
+          Similarity.milliToVec(col("wvec")).as("embedding"))
+      val (cb, enc) = Similarity.pqTrainSampleEncode(
+        rot, col("vec_id"), col("embedding"), m = 8, subDim = 8,
+        iters = 2, sampleN = Similarity.recommendedPqSample(8),
+        seed = "opq")
+      Similarity.pqTopK(
+        rot.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        enc, cb, k = 5, m = 8, subDim = 8)
+        .select(col("qid"), col("rnk"), col("cid"), col("dot_pq"))
+        .orderBy("qid", "rnk")
+    }),
     // the Catalyst rewrite rule in a REAL query: the user writes the
     // engine-portable HOF dot product, the injected QuantizedDotRewrite
     // swaps in the fused native kernel, and the result still matches
@@ -1018,6 +1050,50 @@ object LlmQueries {
     "ann_pq" -> AnnPqOracle,
     // the SERVED ranking is the same integer ADC arithmetic -> same oracle
     "ann_server" -> AnnPqOracle,
+    // OPQ permutation rung: gram diagonal -> exact sdevs -> snake-
+    // draft allocation (round r of the variance order visits
+    // subspaces 0..7 then 7..0) -> permuted vectors feed the standard
+    // PQ replay (seed 'opq') and ADC ranking
+    "ann_opq" ->
+      s"""WITH vr AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+         |  FROM embeddings),
+         |d AS (
+         |  SELECT pos, CAST(sum(qd * qd) AS BIGINT) AS g,
+         |    CAST(sum(qd) AS BIGINT) AS s, count(*) AS n
+         |  FROM (SELECT vec_id, UNNEST(generate_series(0, 63)) AS pos,
+         |          UNNEST(qm) AS qd FROM vr)
+         |  GROUP BY pos),
+         |sc AS (
+         |  SELECT pos, GREATEST(
+         |    CASE WHEN (s0+1)*(s0+1) <= vn THEN s0+1
+         |         WHEN s0*s0 > vn THEN s0-1 ELSE s0 END, 1) AS sdev
+         |  FROM (SELECT pos, vn,
+         |          CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS s0
+         |        FROM (SELECT pos, n*g - s*s AS vn FROM d))),
+         |rk AS (SELECT pos AS oldpos,
+         |    row_number() OVER (ORDER BY sdev DESC, pos) - 1 AS rn FROM sc),
+         |pm AS (SELECT CASE WHEN (rn // 8) % 2 = 0
+         |      THEN (rn % 8) * 8 + rn // 8
+         |      ELSE (7 - (rn % 8)) * 8 + rn // 8 END AS newpos, oldpos
+         |  FROM rk),
+         |pl AS (SELECT list(oldpos ORDER BY newpos) AS perm FROM pm),
+         |v AS (SELECT vec_id,
+         |    list_transform(pl.perm, p -> qm[p + 1]) AS qm FROM vr, pl),
+         |v0 AS (SELECT vec_id, qm FROM v),
+         |${pqStageCtes("0", "opq")},
+         |q AS (SELECT vec_id AS qid, qm FROM v WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT qid, sub, cell, CAST(sum(qm[sub*8 + pos + 1] * mean_milli) AS BIGINT) AS lut
+         |  FROM cb0, q GROUP BY qid, sub, cell),
+         |scored AS (
+         |  SELECT qid, cid, CAST(sum(lut) AS BIGINT) AS dot_pq
+         |  FROM enc0 JOIN lut USING (sub, cell) WHERE qid <> cid
+         |  GROUP BY qid, cid HAVING count(*) = 8),
+         |ranked AS (SELECT qid, cid, dot_pq,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dot_pq DESC, cid) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, cid, dot_pq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // gram diagonal -> exact floor-sqrt scales -> floor-div projection
     "emb_whiten" ->
       """WITH q AS (
