@@ -335,6 +335,47 @@ object LlmQueries {
         .select(col("qid"), col("rnk"), col("cid"), col("dot_q"))
         .orderBy("qid", "rnk")
     }),
+    // the vector index under the CDC discipline: upsert/delete vector
+    // events drain in 3 micro-batches against a codebook FROZEN on
+    // the initial corpus (delete = rows drop from the touched shard's
+    // rewrite; upsert = stateless re-encode), every batch committing
+    // through the manifest store. The drained store must equal a
+    // one-shot encode of the POST-CHURN corpus — the oracle replays
+    // training, the last-event-wins fold, and every assignment
+    "cdc_vectors" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val scratch = graft.LocalDir.runDir("cdc-vectors")
+      def ev(df: org.apache.spark.sql.DataFrame, del: Boolean) =
+        df.select(col("vec_id"), col("embedding"),
+          lit(del).as("is_delete"))
+      // deletes at %7; in-place re-embeds (reversed vector) at %10;
+      // fresh adds (negated, shifted ids) at %13; delete-then-re-add
+      // at %14 (re-add sequenced into the LAST batch via +2·10⁷)
+      val events =
+        ev(e.filter(col("vec_id") % 7 === 0), del = true)
+          .withColumn("ev_seq", col("vec_id"))
+        .unionByName(
+          ev(e.filter(col("vec_id") % 7 =!= 0 && col("vec_id") % 10 === 0)
+            .withColumn("embedding", reverse(col("embedding"))), del = false)
+            .withColumn("ev_seq", col("vec_id")))
+        .unionByName(
+          ev(e.filter(col("vec_id") % 13 === 0)
+            .withColumn("vec_id", col("vec_id") + 10000000L)
+            .withColumn("embedding",
+              transform(col("embedding"), x => -x)), del = false)
+            .withColumn("ev_seq", col("vec_id")))
+        .unionByName(
+          ev(e.filter(col("vec_id") % 14 === 0)
+            .withColumn("embedding", reverse(col("embedding"))), del = false)
+            .withColumn("ev_seq", col("vec_id") + 20000000L))
+      graft.operators.CdcVectors.pipelineFromVectorEventsFromFiles(
+        s, events, e.select(col("vec_id"), col("embedding")),
+        m = 8, subDim = 8, iters = 2,
+        sampleN = Similarity.recommendedPqSample(8),
+        nBatches = 3, scratch)
+        .select(col("cid"), col("sub").cast("bigint").as("sub"), col("cell"))
+        .orderBy("cid", "sub")
+    }),
     // OPQ — optimized product quantization (the recall-per-byte
     // upgrade FAISS applies before PQ): the ORTHOGONAL transform here
     // is the exact-integer variance-balancing dimension permutation
@@ -1050,6 +1091,55 @@ object LlmQueries {
     "ann_pq" -> AnnPqOracle,
     // the SERVED ranking is the same integer ADC arithmetic -> same oracle
     "ann_server" -> AnnPqOracle,
+    // the CDC-maintained codes store: codebook trains on the INITIAL
+    // corpus (seed 'cdc'), events fold last-ev_seq-wins, the final
+    // corpus encodes against the frozen codebook — the drained store
+    // must hash-match this one-shot replay
+    "cdc_vectors" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |evs AS (
+         |  SELECT vec_id, embedding, TRUE AS is_delete,
+         |    CAST(vec_id AS BIGINT) AS ev_seq
+         |  FROM base WHERE vec_id % 7 = 0
+         |  UNION ALL
+         |  SELECT vec_id, list_reverse(embedding), FALSE, CAST(vec_id AS BIGINT)
+         |  FROM base WHERE vec_id % 7 <> 0 AND vec_id % 10 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 10000000, list_transform(embedding, x -> -x),
+         |    FALSE, CAST(vec_id + 10000000 AS BIGINT)
+         |  FROM base WHERE vec_id % 13 = 0
+         |  UNION ALL
+         |  SELECT vec_id, list_reverse(embedding), FALSE,
+         |    CAST(vec_id + 20000000 AS BIGINT)
+         |  FROM base WHERE vec_id % 14 = 0),
+         |mx AS (SELECT vec_id, max(ev_seq) AS mseq FROM evs GROUP BY vec_id),
+         |lastev AS (
+         |  SELECT e.vec_id, e.embedding, e.is_delete
+         |  FROM evs e JOIN mx ON e.vec_id = mx.vec_id AND e.ev_seq = mx.mseq),
+         |final AS (
+         |  SELECT b.vec_id, b.embedding FROM base b
+         |  LEFT JOIN lastev l ON b.vec_id = l.vec_id WHERE l.vec_id IS NULL
+         |  UNION ALL
+         |  SELECT vec_id, embedding FROM lastev WHERE NOT is_delete),
+         |v0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+         |  FROM base),
+         |${pqStageCtes("0", "cdc")},
+         |vf AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qm
+         |  FROM final),
+         |vfq AS (
+         |  SELECT vec_id, sub, qm[sub*8+1 : sub*8+8] AS qsub
+         |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM vf)),
+         |encf AS (
+         |  SELECT c.vec_id AS cid, c.sub AS sub,
+         |    arg_max(w.cell,
+         |      (2 * CAST(list_sum(list_transform(generate_series(1,8),
+         |         i -> c.qsub[i] * w.cvec[i])) AS BIGINT) - w.nrm) * 256 + w.cell) AS cell
+         |  FROM vfq c JOIN cw0 w ON c.sub = w.sub
+         |  GROUP BY c.vec_id, c.sub)
+         |SELECT cid, CAST(sub AS BIGINT) AS sub, cell
+         |FROM encf ORDER BY cid, sub""".stripMargin,
     // OPQ permutation rung: gram diagonal -> exact sdevs -> snake-
     // draft allocation (round r of the variance order visits
     // subspaces 0..7 then 7..0) -> permuted vectors feed the standard

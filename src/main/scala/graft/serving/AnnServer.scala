@@ -51,7 +51,20 @@ final class AnnServer(
     // load (a mid-commit read races are swallowed, the old snapshot
     // keeps serving — the QueryServer refresher contract)
     refreshDir: Option[String] = None,
-    refreshMillis: Long = 500L) extends AutoCloseable {
+    refreshMillis: Long = 500L,
+    // CHURNED live index: when set, the server follows a
+    // manifest-committed codes store (CdcVectors — document edits
+    // delete/re-encode rows, so files are REWRITTEN, not appended):
+    // each refresh tick compares the store's latest version against
+    // the one served; a new version reloads that SNAPSHOT wholesale
+    // (incremental absorb is an append-only notion — under churn a
+    // seen file can vanish), an unchanged version costs zero Spark
+    // jobs. Mutually exclusive with `refreshDir`.
+    storeDir: Option[String] = None) extends AutoCloseable {
+
+  require(refreshDir.isEmpty || storeDir.isEmpty,
+    "refreshDir (append-only sink) and storeDir (manifest store) are " +
+      "mutually exclusive follow modes")
 
   // cached codes store one byte per subcode (`cc(j).toByte`, read
   // back `& 0xff`): cell ids must fit [0, 255], i.e. subDim <= 8
@@ -80,9 +93,12 @@ final class AnnServer(
     org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
 
-  private def codesFrame(): DataFrame = refreshDir match {
-    case Some(dir) => codes.sparkSession.read.schema(codesSchema).parquet(dir)
-    case None => codes
+  private def codesFrame(): DataFrame = (refreshDir, storeDir) match {
+    case (Some(dir), _) =>
+      codes.sparkSession.read.schema(codesSchema).parquet(dir)
+    case (_, Some(dir)) =>
+      graft.operators.CdcVectors.readCodes(codes.sparkSession, dir)
+    case _ => codes
   }
 
   /** The live cache: packed codes + the sink files already absorbed.
@@ -151,7 +167,7 @@ final class AnnServer(
   }
 
   private val snap = new java.util.concurrent.atomic.AtomicReference[Snap]({
-    refreshDir match {
+    refreshDir.orElse(storeDir) match {
       case None =>
         // static index: one load, degrade past the cap
         val n = codes.select("cid").distinct().count()
@@ -166,9 +182,37 @@ final class AnnServer(
         // yet — start serving an EMPTY snapshot; the refresher absorbs
         // the first commit (swallow-and-keep-serving contract)
         val empty = Snap(Array.empty, Array.empty, Set.empty, degraded = false)
-        try refreshedFrom(empty) catch { case _: Throwable => empty }
+        try refreshStep(empty) catch { case _: Throwable => empty }
     }
   })
+
+  /** One refresh step, dispatched by follow mode. */
+  private def refreshStep(cur: Snap): Snap =
+    if (storeDir.isDefined) refreshedFromStore(cur) else refreshedFrom(cur)
+
+  /** Store-follow refresh: reload the snapshot IF the manifest
+    * version moved (the `seen` set carries a "v<N>" sentinel); same
+    * version → `cur` unchanged, zero Spark jobs (spec-asserted).
+    */
+  private def refreshedFromStore(cur: Snap): Snap = {
+    graft.sources.ManifestStore.latestVersion(storeDir.get) match {
+      case None => cur
+      case Some(v) =>
+        val tag = s"v$v"
+        if (cur.seen.contains(tag)) cur
+        else {
+          val rows = graft.operators.CdcVectors
+            .readCodes(codes.sparkSession, storeDir.get, Some(v))
+          val n = rows.select("cid").distinct().count()
+          if (n > maxVectors)
+            Snap(Array.empty, Array.empty, Set(tag), degraded = true)
+          else {
+            val (cids, packed) = packRows(rows)
+            Snap(cids, packed, Set(tag), degraded = false)
+          }
+        }
+    }
+  }
 
   /** One incremental refresh step: absorb the sink files `cur` has
     * not seen. No new files → `cur` unchanged (and NO Spark job ran).
@@ -303,7 +347,7 @@ final class AnnServer(
     finally { try sock.close() catch { case _: Throwable => () } }
   }
 
-  private val refresher: Option[Thread] = refreshDir.map { _ =>
+  private val refresher: Option[Thread] = refreshDir.orElse(storeDir).map { _ =>
     val t = new Thread(() => {
       // thread-local tag: every Spark job this thread submits carries
       // the group id, so tests (and operators) can attribute refresh
@@ -313,10 +357,11 @@ final class AnnServer(
       while (running.get()) {
         try {
           Thread.sleep(refreshMillis)
-          // incremental: only unseen committed files load; an idle
-          // tick runs no Spark job at all. The refresher is the only
-          // writer of `snap`, so read-modify-set is race-free.
-          snap.set(refreshedFrom(snap.get()))
+          // incremental (sink mode: only unseen committed files load;
+          // store mode: only a moved manifest version reloads) — an
+          // idle tick runs no Spark job at all. The refresher is the
+          // only writer of `snap`, so read-modify-set is race-free.
+          snap.set(refreshStep(snap.get()))
         } catch {
           case _: InterruptedException => ()
           case _: Throwable => () // mid-commit sink read: keep serving the old snapshot
@@ -368,6 +413,12 @@ final class AnnClient(host: String, port: Int) extends AutoCloseable {
       request(s"TOPK $k ${qvec.mkString(",")}"))
       .map(mm => (mm.group(1).toLong, mm.group(2).toLong)).toSeq
 
+  /** The served index's vector count. */
+  def count(): Long =
+    AnnClient.CountRe.findFirstMatchIn(request("COUNT"))
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error("malformed COUNT response"))
+
   override def close(): Unit = {
     try sock.close() catch { case _: Throwable => () }
   }
@@ -375,4 +426,5 @@ final class AnnClient(host: String, port: Int) extends AutoCloseable {
 
 object AnnClient {
   private val RowRe = """\[(-?\d+),(-?\d+)\]""".r
+  private val CountRe = """"count":(\d+)""".r
 }
