@@ -1,0 +1,60 @@
+package graft.serving
+
+import graft.SparkSpec
+import graft.sources.ManifestStore
+import org.apache.spark.sql.DataFrame
+
+/** PackedStoreServer — AT VERSION reads over the wire: a pinned
+  * client keeps a consistent snapshot under a publishing writer;
+  * past retention is a defined error.
+  */
+class PackedStoreServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def packedRows(
+      tag: Long, grps: Long*): DataFrame =
+    grps.flatMap(g => (0 until 3).map(i =>
+      (tag * 100 + g * 10 + i, g, g * 10 + i, 0L, 255L, 0L, 4L, true)))
+      .toDF("doc_id", "grp", "seq_id", "begin_in_seq", "end_in_seq",
+        "doc_begin", "n_piece", "starts_doc")
+
+  test("a client pinned to an old version reads a consistent snapshot " +
+    "while the writer publishes; past retention is a defined error") {
+    val dir = java.nio.file.Files.createTempDirectory("packed-serve").toString
+    ManifestStore.init(packedRows(0, 0L, 1L), "grp", dir)
+    val srv = new PackedStoreServer(spark, dir)
+    try {
+      val client = new PackedStoreClient("localhost", srv.boundPort)
+      try {
+        val pinned = client.version()
+        assert(pinned == 0L)
+        val snap0 = client.scan(0L, Some(pinned))
+        assert(snap0.contains("\"rows\":[[") && !snap0.contains("error"))
+        assert(client.count(Some(pinned)) == 6L)
+
+        // the writer rewrites grp 0 and publishes v1: the pinned read
+        // is BYTE-identical to before, the latest read sees the new rows
+        ManifestStore.commit(packedRows(9, 0L), "grp", Seq(0L), dir)
+        assert(client.version() == 1L)
+        assert(client.scan(0L, Some(pinned)) == snap0,
+          "pinned snapshot changed under a publishing writer")
+        assert(client.scan(0L, Some(1L)) != snap0)
+        assert(client.count(Some(pinned)) == 6L)
+        assert(client.count(None) == 6L) // 3 rewritten + 3 of grp 1
+
+        // churn past retention: v0's manifest ages out; the pinned
+        // read becomes a typed error, never a wrong answer
+        (0 until 4).foreach { i =>
+          ManifestStore.commit(
+            packedRows(10L + i, 0L), "grp", Seq(0L), dir, retainVersions = 2)
+        }
+        val err = client.scan(0L, Some(pinned))
+        assert(err.contains("error") && err.contains("past retention"),
+          s"expected a defined past-retention error, got $err")
+        // the latest version still serves
+        assert(client.count(None) == 6L)
+      } finally client.close()
+    } finally srv.close()
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+}
