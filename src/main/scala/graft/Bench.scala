@@ -51,12 +51,30 @@ object Bench {
     val watchdog = Executors.newScheduledThreadPool(1, (r: Runnable) => {
       val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
     })
+
+    // Host contention evidence rides in the artifact: round 12's
+    // committed bench was ~1.6× a quiet-band run purely from load
+    // (loadavg 3.4 → 8.8) and cost a day of adjudication — so the
+    // JSON now carries /proc/loadavg snapshots AND each query keeps
+    // the MIN of (up to) two serial passes, which strips one-off
+    // contention spikes without hiding a real regression (a plan
+    // change slows BOTH passes).
+    def loadavg: Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    val loadBefore = loadavg
+
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passOf = scala.collection.mutable.LinkedHashMap[String, Int]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (remainingSec <= perQuerySec / 2) skipped += name
-      else {
+
+    def runPass(pass: Int): Unit =
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (remainingSec <= perQuerySec / 2) {
+        if (pass == 1) skipped += name
+      } else {
         val group = s"bench-$name"
         val done = new java.util.concurrent.CompletableFuture[Either[String, Double]]()
         val t0 = System.nanoTime()
@@ -75,10 +93,15 @@ object Bench {
         runner.start()
         val waitSec = math.min(perQuerySec, math.max(1L, remainingSec))
         try done.get(waitSec, TimeUnit.SECONDS) match {
-          case Right(sec) => times(name) = sec
-          case Left(err)  => errors(name) = err
+          case Right(sec) =>
+            if (!times.contains(name) || sec < times(name)) {
+              times(name) = sec
+              passOf(name) = pass
+            }
+            errors.remove(name)
+          case Left(err) => if (!times.contains(name)) errors(name) = err
         } catch { case _: java.util.concurrent.TimeoutException =>
-          errors(name) = s"timeout after ${waitSec}s"
+          if (!times.contains(name)) errors(name) = s"timeout after ${waitSec}s"
           // keep cancelling until the runner actually dies — an iterative
           // query re-launches jobs after any single cancel
           runner.interrupt()
@@ -96,6 +119,14 @@ object Bench {
         }
       }
     }
+
+    runPass(1)
+    val loadMid = loadavg
+    // second pass only with real budget left: min-of-2 is contention
+    // insurance, not a requirement — pass 1 already covered everything
+    val passes =
+      if (remainingSec > perQuerySec) { runPass(2); 2 } else 1
+    val loadAfter = loadavg
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -128,7 +159,11 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       out
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"skipped":$skipJson,$latency,"sf":"$sfDir"}"""
+    def jload(l: Seq[Double]): String = l.mkString("[", ",", "]")
+    val loadJson =
+      s""""load":{"before":${jload(loadBefore)},"mid":${jload(loadMid)},""" +
+        s""""after":${jload(loadAfter)}},"passes":$passes"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"skipped":$skipJson,$latency,$loadJson,"sf":"$sfDir"}"""
     println(line)
     // The stdout line is also persisted to a file: the driver captures a
     // bounded tail of stdout, and one round a large errors map scrolled
