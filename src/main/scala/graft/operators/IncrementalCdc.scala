@@ -182,7 +182,8 @@ object IncrementalCdc {
       nFpBuckets: Int = 16,
       minQualityMilli: Long = 30L,
       ratesPerMille: Map[String, Int] = Map("en" -> 600),
-      defaultPerMille: Int = 800): DataFrame = {
+      defaultPerMille: Int = 800,
+      txDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     def t[A](label: String)(f: => A): A =
       if (sys.env.contains("GRAFT_CDC_TIMING")) {
@@ -288,8 +289,27 @@ object IncrementalCdc {
       commitSelfRead(newBuckets, "shard", batchShards, corpusDir)
     } }
 
+    // publish the batch's CROSS-STORE tx record: one atomic pin of all
+    // four stores' just-committed versions, so a consumer can read the
+    // COMBINATION as one consistent snapshot (see TxLog). Stores that
+    // this batch never touched pin their current latest — their content
+    // at this tx is whatever the last touching batch committed.
+    def publishTx(corpusV: Long, idxV: Option[Long], keepsV: Option[Long],
+        packedV: Option[Long]): Unit = txDir.foreach { td =>
+      def latest(d: String) =
+        graft.sources.ManifestStore.latestVersion(d).getOrElse(0L)
+      graft.sources.TxLog.publish(td, batchId, Map(
+        "corpus" -> corpusV,
+        "index" -> idxV.getOrElse(latest(indexDir)),
+        "keeps" -> keepsV.getOrElse(latest(keepsDir)),
+        "packed" -> packedV.getOrElse(latest(packedDir))))
+      ()
+    }
+
     if (logOpt.isEmpty) {
-      Await.result(corpusF, scala.concurrent.duration.Duration.Inf)
+      val (_, corpusV) =
+        Await.result(corpusF, scala.concurrent.duration.Duration.Inf)
+      publishTx(corpusV, None, None, None)
       sweepJournals(clsDir, batchId)
       return Seq.empty[Long].toDF("shard")
     }
@@ -317,7 +337,8 @@ object IncrementalCdc {
       .unionByName(addRows)
     // sealedIdx IS the post-state content of the touched buckets —
     // the keeper recompute below reuses it instead of re-reading
-    val sealedIdx = t("index-rw") { commitSelfRead(newIdx, "fpb", touchedBuckets, indexDir) }
+    val (sealedIdx, idxV) =
+      t("index-rw") { commitSelfRead(newIdx, "fpb", touchedBuckets, indexDir) }
 
     // ---- 3. KEEPS: touched groups' keepers recompute from the
     //      UPDATED index buckets (the sealed frame, no store re-read).
@@ -352,7 +373,7 @@ object IncrementalCdc {
       .join(adds, Seq("keep_id"), "left_anti")
       .unionByName(adds.select(col("keep_id")))
       .localCheckpoint(true) // shard-slice-sized
-    val keepsF = Future {
+    val keepsF: Future[Option[Long]] = Future {
       if (flipShards.nonEmpty) t("keeps-rw") {
         val newKeeps = readKeeps(spark, keepsDir, Some(flipShards))
           .join(removals, Seq("keep_id"), "left_anti")
@@ -360,14 +381,15 @@ object IncrementalCdc {
           .unionByName(adds
             .select(col("keep_id"),
               pmod(col("keep_id"), lit(nShards.toLong)).as("shard")))
-        commitSelfRead(newKeeps, "shard", flipShards, keepsDir)
-      }
+        Some(commitSelfRead(newKeeps, "shard", flipShards, keepsDir)._2)
+      } else None
     }
 
     // ---- 4. PACKED store: classified ids + keeper-flip ids repack
     //      from a partition-pruned corpus read + the sealed keeper
     //      slice ----
-    Await.result(corpusF, scala.concurrent.duration.Duration.Inf)
+    val (_, corpusV) =
+      Await.result(corpusF, scala.concurrent.duration.Duration.Inf)
     val slice = readCorpusStore(spark, corpusDir, Some(touchedIds)).drop("shard")
     val packedTouched = Incremental.packTouched(
       slice, keepsSlice, nShards, seqLen, minQualityMilli,
@@ -376,9 +398,10 @@ object IncrementalCdc {
     // scan it while the stream keeps committing) — it commits through
     // the manifest store, so concurrent readers get atomic snapshots
     // (+ bounded time travel) instead of racing a partition swap
-    t("packed-rw") { graft.sources.ManifestStore.commit(
+    val packedV = t("packed-rw") { graft.sources.ManifestStore.commit(
       packedTouched, "grp", touchedIds, packedDir) }
-    Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
+    val keepsV = Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
+    publishTx(corpusV, Some(idxV), keepsV, Some(packedV))
     sweepJournals(clsDir, batchId)
     // maintenance sweep every JournalRetain batches: reclaim crashed-
     // attempt orphans the per-commit manifest-diff GC can't see (the
@@ -390,6 +413,38 @@ object IncrementalCdc {
       }
     }
     touchedIds.toDF("shard")
+  }
+
+  /** The four store dirs + tx log of one CDC pipeline scratch root —
+    * the layout [[pipelineFromDocEventsFromFiles]] writes.
+    */
+  final case class CdcDirs(scratch: String) {
+    private def sub(n: String) = new java.io.File(scratch, n).toString
+    val corpus: String = sub("corpus")
+    val index: String = sub("index")
+    val keeps: String = sub("keeps")
+    val packed: String = sub("packed")
+    val tx: String = sub("tx")
+  }
+
+  /** CONSISTENT cross-store read: resolve one tx record (latest or
+    * pinned) and read every member store AT its recorded manifest
+    * version — the combination a single batch committed, however many
+    * batches the writer publishes mid-scan. Returns (tx, corpus, index,
+    * keeps, packed).
+    */
+  def readAtTx(
+      spark: SparkSession, dirs: CdcDirs, txId: Option[Long] = None):
+      (graft.sources.TxLog.Tx, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tx = graft.sources.TxLog.read(dirs.tx, txId)
+    def rd(d: String, schema: StructType, pc: String, store: String) =
+      graft.sources.ManifestStore.read(
+        spark, d, schema, pc, None, Some(tx.versions(store)))
+    (tx,
+      rd(dirs.corpus, CorpusSchema, "shard", "corpus"),
+      rd(dirs.index, IndexSchema, "fpb", "index"),
+      rd(dirs.keeps, KeepsSchema, "shard", "keeps"),
+      readPacked(spark, dirs.packed, Some(tx.versions("packed"))))
   }
 
   /** Snapshot read of the CDC packed store (latest or a retained
@@ -439,10 +494,11 @@ object IncrementalCdc {
     */
   private def commitSelfRead(
       rows: DataFrame, partCol: String, touched: Seq[Long],
-      storeDir: String): DataFrame = {
+      storeDir: String): (DataFrame, Long) = {
     val sealed_ = rows.localCheckpoint(true)
-    graft.sources.ManifestStore.commit(sealed_, partCol, touched, storeDir)
-    sealed_ // the exact post-state content of the touched partitions
+    val v = graft.sources.ManifestStore.commit(
+      sealed_, partCol, touched, storeDir)
+    (sealed_, v) // the exact post-state content + the published version
   }
 
   /** File-fed end-to-end run (the gate-query spelling): doc events
@@ -464,11 +520,12 @@ object IncrementalCdc {
       statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
-    val corpusDir = new java.io.File(base, "corpus").toString
-    val indexDir = new java.io.File(base, "index").toString
-    val keepsDir = new java.io.File(base, "keeps").toString
+    val dirs = CdcDirs(scratch)
+    val corpusDir = dirs.corpus
+    val indexDir = dirs.index
+    val keepsDir = dirs.keeps
     val clsDir = new java.io.File(base, "cls").toString
-    val packedDir = new java.io.File(base, "packed").toString
+    val packedDir = dirs.packed
     // the four bootstrap steps write independent outputs from the
     // same inputs — run them concurrently (the scheduler interleaves
     // their jobs across the executor pool)
@@ -486,6 +543,9 @@ object IncrementalCdc {
           "grp", packedDir)))
       fs.foreach(Await.result(_, Duration.Inf))
     }
+    // tx0: the bootstrap snapshot — all four stores at manifest v0
+    graft.sources.TxLog.publish(dirs.tx, batchId = -1L,
+      Map("corpus" -> 0L, "index" -> 0L, "keeps" -> 0L, "packed" -> 0L))
     val ss = graft.streaming.StreamSessions.scoped(spark, statePartitions)
     // file-committer v2 (per-task direct rename) for this CLONED
     // session only: the job-level commit atomicity v1 buys is already
@@ -504,7 +564,7 @@ object IncrementalCdc {
         // session's corpus-scale setting
         applyDocEvents(
           ss, batch, corpusDir, indexDir, keepsDir, clsDir, packedDir,
-          id, nShards, seqLen, nFpBuckets)
+          id, nShards, seqLen, nFpBuckets, txDir = Some(dirs.tx))
         ()
       }
       .start()

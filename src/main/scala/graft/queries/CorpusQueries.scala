@@ -35,6 +35,40 @@ object CorpusQueries {
           col("lang"), col("source"), col("n_chars")))
   }
 
+  /** One drained CDC pipeline run per (session, sf dir), shared by the
+    * gates that read its stores (`stream_pipeline_cdc` reads the
+    * packed store, `cdc_tx_corpus` the corpus store at the final tx):
+    * each consumer is oracled independently, the 4-store churn runs
+    * once.
+    */
+  private val cdcRuns =
+    graft.evaluation.GraphMemo[graft.operators.IncrementalCdc.CdcDirs]()
+
+  private def cdcRun(
+      s: SparkSession, dir: String): graft.operators.IncrementalCdc.CdcDirs =
+    cdcRuns.getOrElseUpdate(s, dir, {
+      val old = docs(s, dir)
+      val scratch = graft.LocalDir.runDir("pipeline-cdc")
+      def ev(df: DataFrame, del: Boolean) =
+        df.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          lit(del).as("is_delete"))
+      val relabeled = old.withColumn("lang",
+        when(col("doc_id") % 11 === 0, lit("xx")).otherwise(col("lang")))
+      val events = ev(old.filter(col("doc_id") % 7 === 0), del = true)
+        .unionByName(ev(relabeled.filter(col("doc_id") % 7 =!= 0
+            && (col("doc_id") % 10 === 0 || col("doc_id") % 11 === 0))
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text"))), del = false))
+        .unionByName(ev(relabeled.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L), del = false))
+        .withColumn("ev_seq", col("doc_id"))
+      graft.operators.IncrementalCdc.pipelineFromDocEventsFromFiles(
+        s, events, old, nBatches = 3, scratch, nShards = 16, seqLen = 256L)
+      graft.operators.IncrementalCdc.CdcDirs(scratch)
+    }, _ => ())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4-style line-level dedup: substantial lines survive only at
     // their corpus-wide first occurrence, documents reassembled
@@ -119,28 +153,26 @@ object CorpusQueries {
     // upsert/delete doc EVENTS in 3 micro-batches; corpus store,
     // dedup index and packed store update per batch touching only
     // what each batch invalidates; the drained packed store shares
-    // the full-recompute oracle VERBATIM
-    "stream_pipeline_cdc" -> ((s, dir) => {
-      val old = docs(s, dir)
-      val scratch = graft.LocalDir.runDir("pipeline-cdc")
-      def ev(df: org.apache.spark.sql.DataFrame, del: Boolean) =
-        df.select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars").cast("long").as("n_chars"),
-          lit(del).as("is_delete"))
-      val relabeled = old.withColumn("lang",
-        when(col("doc_id") % 11 === 0, lit("xx")).otherwise(col("lang")))
-      val events = ev(old.filter(col("doc_id") % 7 === 0), del = true)
-        .unionByName(ev(relabeled.filter(col("doc_id") % 7 =!= 0
-            && (col("doc_id") % 10 === 0 || col("doc_id") % 11 === 0))
-          .withColumn("text",
-            when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
-              .otherwise(col("text"))), del = false))
-        .unionByName(ev(relabeled.filter(col("doc_id") % 13 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000000L), del = false))
-        .withColumn("ev_seq", col("doc_id"))
-      graft.operators.IncrementalCdc.pipelineFromDocEventsFromFiles(
-        s, events, old, nBatches = 3, scratch, nShards = 16, seqLen = 256L)
-        .orderBy("doc_id", "seq_id")
+    // the full-recompute oracle VERBATIM. The run is memoized per
+    // (session, sf dir): `cdc_tx_corpus` reads ANOTHER store of the
+    // same drained run at its final tx — one pipeline, two
+    // independently-oracled consumers
+    "stream_pipeline_cdc" -> ((s, dir) =>
+      graft.operators.IncrementalCdc.readPacked(s, cdcRun(s, dir).packed)
+        .orderBy("doc_id", "seq_id")),
+    // CROSS-STORE tx read (TxLog): resolve the drained run's FINAL tx
+    // and read the CORPUS store at the version that tx pinned — the
+    // consistent-combination read path (the packed store of the SAME
+    // tx is what stream_pipeline_cdc checks; the spec suite drills
+    // mid-churn pins, retention errors and the publish CAS). Oracle =
+    // the event fold replayed in SQL over the documents table
+    "cdc_tx_corpus" -> ((s, dir) => {
+      val d = cdcRun(s, dir)
+      graft.operators.IncrementalCdc.readAtTx(s, d)._2
+        .drop("shard")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     }),
     // deterministic corpus shuffle into training shards: same seed =
     // same order on any engine
@@ -970,6 +1002,23 @@ object CorpusQueries {
     "pipeline_incr_store" -> PipelineIncrementalOracle,
     // the CDC drain lands on the same final corpus -> same oracle
     "stream_pipeline_cdc" -> PipelineIncrementalOracle,
+    // the CORPUS store at the drained run's final tx == the event fold
+    // replayed over the documents table: %7 deletes, %10 text edits,
+    // %11 lang flips (upserts reach only %10/%11 docs — every other
+    // surviving row is the UNTOUCHED original), %13 re-adds at +10^7
+    "cdc_tx_corpus" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END
+        |    AS text,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+        |  source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, text,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END,
+        |  source, CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin,
     // full-outer fingerprint join over the same planted perturbation
     "corpus_diff" ->
       """WITH old AS (

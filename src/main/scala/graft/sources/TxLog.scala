@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+/** A CROSS-STORE transaction log — one atomic record per CDC batch
+  * pinning every member store's manifest version, so a reader can
+  * resolve a single tx id and scan N stores as ONE consistent
+  * snapshot.
+  *
+  * Why it exists: [[ManifestStore]] gives each store atomic snapshots
+  * in isolation, but the CDC pipeline (graft.operators.IncrementalCdc)
+  * commits FOUR stores per batch — corpus, dedup index, keeps, packed
+  * — each versioning independently. A consumer joining two of them
+  * (e.g. "which corpus row backs this packed sequence?") can observe
+  * store A post-batch-N and store B post-batch-N-1: each read is
+  * atomic, the COMBINATION is not. The reference engine solves exactly
+  * this class of problem with cross-state transactions (t-spoon's
+  * multi-state 2PC — compare `t_multi_ns_commit`); this is the
+  * lakehouse-side analog for the store tier.
+  *
+  * Discipline (mirrors ManifestStore's):
+  *  - a tx record is published ONLY after every member store's commit
+  *    for the batch has published — so any readable tx points at fully
+  *    committed store versions;
+  *  - the record itself publishes via the same no-replace CAS
+  *    ([[StoreFs.writeAtomicNoReplace]]): a second writer racing the
+  *    same tx id gets [[ConcurrentCommitException]], never a silent
+  *    overwrite;
+  *  - readers resolve a tx FIRST (latest or pinned), then read each
+  *    store `AT` the recorded version — however many batches the
+  *    writer publishes mid-scan, the combination stays the one the tx
+  *    froze;
+  *  - retention: tx records older than `retainTx` are dropped at
+  *    publish time. A tx must not outlive its stores' manifests, so
+  *    keep `retainTx` ≤ the stores' `retainVersions` (both default 8
+  *    here and in ManifestStore) — a reader pinned to a retained tx
+  *    never loses a manifest under it.
+  *
+  * CRASH-replay: a batch replayed after a crash re-commits its stores
+  * (journal/fixpoint discipline, see IncrementalCdc) and then publishes
+  * a FRESH tx id pinning the re-committed versions. The crashed
+  * attempt's tx — if it published at all — points at equivalent
+  * content; if it never published, no reader could name the torn
+  * combination. Either way every READABLE tx is consistent.
+  */
+object TxLog {
+
+  /** One committed cross-store snapshot: member store name → the
+    * manifest version the tx pinned.
+    */
+  final case class Tx(txId: Long, batchId: Long, versions: Map[String, Long])
+
+  private val TxRe = """tx(\d{12})\.txt""".r
+
+  private def txPath(txDir: String, id: Long): Path =
+    new Path(txDir, f"tx$id%012d.txt")
+
+  private def ids(txDir: String): Seq[Long] =
+    StoreFs.list(new Path(txDir)).flatMap(s =>
+      s.getPath.getName match {
+        case TxRe(n) => Some(n.toLong)
+        case _ => None
+      })
+
+  /** Highest published tx id, or None for an empty log. */
+  def latestId(txDir: String): Option[Long] = {
+    val all = ids(txDir)
+    if (all.isEmpty) None else Some(all.max)
+  }
+
+  /** Publish the next tx record pinning `versions` (store → manifest
+    * version just committed for `batchId`). CAS on the tx id: a racing
+    * second publisher fails typed. Returns the published id.
+    */
+  def publish(
+      txDir: String, batchId: Long, versions: Map[String, Long],
+      retainTx: Int = 8): Long = {
+    StoreFs.mkdirs(new Path(txDir))
+    val id = latestId(txDir).getOrElse(-1L) + 1L
+    val body = (s"batch=$batchId" +:
+      versions.toSeq.sortBy(_._1).map { case (s, v) => s"$s=$v" })
+      .mkString("\n")
+    if (!StoreFs.writeAtomicNoReplace(txPath(txDir, id), body))
+      throw new ConcurrentCommitException(
+        s"tx$id already published at $txDir — a second writer won the race")
+    ids(txDir).filter(_ < id - (retainTx - 1))
+      .foreach(old => StoreFs.delete(txPath(txDir, old)))
+    id
+  }
+
+  /** Resolve a tx record (default: latest). Fails with a defined error
+    * for an id past retention — never a wrong combination.
+    */
+  def read(txDir: String, txId: Option[Long] = None): Tx = {
+    val id = txId.orElse(latestId(txDir)).getOrElse(
+      throw new IllegalArgumentException(s"no tx published at $txDir"))
+    val p = txPath(txDir, id)
+    require(StoreFs.exists(p), s"no tx$id at $txDir (past retention?)")
+    val lines = StoreFs.readLines(p).filter(_.nonEmpty)
+    val kv = lines.map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+    Tx(id, kv("batch"), kv - "batch")
+  }
+}
