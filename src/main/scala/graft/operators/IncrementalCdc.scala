@@ -399,7 +399,8 @@ object IncrementalCdc {
     // the manifest store, so concurrent readers get atomic snapshots
     // (+ bounded time travel) instead of racing a partition swap
     val packedV = t("packed-rw") { graft.sources.ManifestStore.commit(
-      packedTouched, "grp", touchedIds, packedDir) }
+      packedTouched, "grp", touchedIds, packedDir,
+      statsCols = Seq("doc_id")) }
     val keepsV = Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
     publishTx(corpusV, Some(idxV), keepsV, Some(packedV))
     sweepJournals(clsDir, batchId)
@@ -448,14 +449,20 @@ object IncrementalCdc {
   }
 
   /** Snapshot read of the CDC packed store (latest or a retained
-    * version) — the consumer-facing read path.
+    * version) — the consumer-facing read path. `idRange` engages the
+    * manifest zone maps (per-file doc_id bounds harvested at commit):
+    * a range-predicated consumer opens only the files whose bounds
+    * intersect — callers still apply the exact predicate (skipping is
+    * file-granular).
     */
   def readPacked(
       spark: SparkSession, packedDir: String,
-      version: Option[Long] = None): DataFrame =
+      version: Option[Long] = None,
+      idRange: Option[(Long, Long)] = None): DataFrame =
     graft.sources.ManifestStore.read(
       spark, packedDir, Incremental.PackedSchema, "grp",
-      partVals = None, version = version)
+      partVals = None, version = version,
+      range = idRange.map { case (lo, hi) => ("doc_id", lo, hi) })
 
   /** Journal retention: a restarted stream replays at most the last
     * uncommitted batch, so journals more than `JournalRetain` batches
@@ -540,7 +547,7 @@ object IncrementalCdc {
         Future(writeDedupStores(initialDocs, nShards, nFpBuckets, indexDir, keepsDir)),
         Future(graft.sources.ManifestStore.init(
           Incremental.pipelineSharded(initialDocs, nShards, seqLen),
-          "grp", packedDir)))
+          "grp", packedDir, statsCols = Seq("doc_id"))))
       fs.foreach(Await.result(_, Duration.Inf))
     }
     // tx0: the bootstrap snapshot — all four stores at manifest v0

@@ -160,6 +160,45 @@ object CorpusQueries {
     "stream_pipeline_cdc" -> ((s, dir) =>
       graft.operators.IncrementalCdc.readPacked(s, cdcRun(s, dir).packed)
         .orderBy("doc_id", "seq_id")),
+    // ZONE-MAP-skipped store read: the events table lands in a
+    // ManifestStore in two arrival-ordered commits (low event_id half
+    // at init, high half on top — per-commit files are id-clustered,
+    // the natural ingest shape), each commit harvesting per-file
+    // event_id bounds from the parquet footers. The range read prunes
+    // files AT THE MANIFEST (the low-half files never reach Spark's
+    // listing — spec-asserted), then applies the exact predicate.
+    // Oracle = the same range aggregate straight off the events table
+    "store_skip_read" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"))
+        .withColumn("ub", pmod(col("user_id"), lit(8L)))
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("skip-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id"))
+      val newer = ev.filter(col("event_id") > split)
+      val touched = newer.select("ub").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      graft.sources.ManifestStore.commit(
+        newer, "ub", touched, store, statsCols = Seq("event_id"))
+      val lo = maxId - maxId * 2L / 5L
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.ManifestStore.read(
+        s, store, schema, "ub", range = Some(("event_id", lo, maxId)))
+        .filter(col("event_id").between(lo, maxId))
+        .groupBy("ub")
+        .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_id"))
+        .orderBy("ub")
+    }),
     // CROSS-STORE tx read (TxLog): resolve the drained run's FINAL tx
     // and read the CORPUS store at the version that tx pinned — the
     // consistent-combination read path (the packed store of the SAME
@@ -1002,6 +1041,17 @@ object CorpusQueries {
     "pipeline_incr_store" -> PipelineIncrementalOracle,
     // the CDC drain lands on the same final corpus -> same oracle
     "stream_pipeline_cdc" -> PipelineIncrementalOracle,
+    // the store read with zone-map skipping == the same range aggregate
+    // off the raw table (skipping may drop FILES, never rows)
+    "store_skip_read" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id BETWEEN mx - (mx * 2) // 5 AND mx)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
     // the CORPUS store at the drained run's final tx == the event fold
     // replayed over the documents table: %7 deletes, %10 text edits,
     // %11 lang flips (upserts reach only %10/%11 docs — every other

@@ -56,6 +56,9 @@ object ManifestStore {
   private def manifestPath(storeDir: String, v: Long): Path =
     new Path(new Path(storeDir, ManifestDir), f"v$v%012d.json")
 
+  private def statsPath(storeDir: String, v: Long): Path =
+    new Path(new Path(storeDir, ManifestDir), f"s$v%012d.json")
+
   /** Highest published version, or None for an uninitialized store. */
   def latestVersion(storeDir: String): Option[Long] = {
     val vs = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
@@ -81,16 +84,112 @@ object ManifestStore {
         && !s.getPath.getName.startsWith("."))
       .map(s => s"$partDir/${s.getPath.getName}").sorted
 
-  /** Initialize the store: write `rows` partitioned by `partCol` and
-    * publish manifest v0.
+  // ---- ZONE MAPS (per-file column min/max, Delta-style skipping) ----
+  // A version's optional stats sidecar `_manifests/s<NNN>.json` maps
+  // each manifest entry to integral-column bounds harvested from the
+  // file's own parquet FOOTER at commit time (pure metadata reads — no
+  // Spark job, no data scan). A range read prunes files whose bounds
+  // cannot intersect BEFORE Spark ever lists them: at 100 TB the
+  // manifest-level skip is the read-side lever after partition pruning
+  // — per-commit files are naturally clustered on arrival order (time,
+  // id ranges), so a range-predicated consumer opens a fraction of the
+  // snapshot. Skipping is best-effort by construction: a file or
+  // column without bounds is always kept, so a missing/stale sidecar
+  // degrades to a full snapshot read, never a wrong one.
+
+  /** Footer bounds of `cols` (INT32/INT64 only) for one data file; a
+    * column is reported only when EVERY row group carries usable
+    * stats — a single statless chunk makes the file unprunable on
+    * that column (all-null chunks are fine: nulls never match a range).
     */
-  def init(rows: DataFrame, partCol: String, storeDir: String): Long = {
+  private def footerStats(
+      storeDir: String, rel: String, cols: Seq[String]):
+      Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(storeDir, rel), StoreFs.conf))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { name =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == name))
+        val bounds = chunks.map { c =>
+          val tn = c.getPrimitiveType.getPrimitiveTypeName
+          val st = c.getStatistics
+          if (st == null || (tn != INT64 && tn != INT32)) None
+          else if (!st.hasNonNullValue)
+            // all-null chunk: no values to bound, nothing to widen
+            if (st.isNumNullsSet && st.getNumNulls == c.getValueCount)
+              Some(None)
+            else None
+          else Some(Some((st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              (mn.longValue, mx.longValue)
+            case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+              (mn.longValue, mx.longValue)
+            case _ => return Map.empty
+          }))
+        }
+        if (chunks.size != blocks.size || bounds.contains(None)) None
+        else {
+          val vs = bounds.flatMap(_.get)
+          if (vs.isEmpty) None
+          else Some(name -> ((vs.map(_._1).min, vs.map(_._2).max)))
+        }
+      }.toMap
+    } finally rd.close()
+  }
+
+  /** The stats sidecar of a version: manifest entry → column bounds.
+    * Empty when the version published without `statsCols` (older
+    * stores, stats-free commits) — every file then reads as unprunable.
+    */
+  def stats(
+      storeDir: String, version: Long):
+      Map[String, Map[String, (Long, Long)]] = {
+    val p = statsPath(storeDir, version)
+    if (!StoreFs.exists(p)) Map.empty
+    else StoreFs.readLines(p).filter(_.nonEmpty).map { line =>
+      val parts = line.split('|')
+      parts.head -> parts.tail.map { kv =>
+        val Array(c, range) = kv.split("=", 2)
+        val Array(lo, hi) = range.split("\\.\\.", 2)
+        c -> ((lo.toLong, hi.toLong))
+      }.toMap
+    }.toMap
+  }
+
+  private def writeStats(
+      storeDir: String, v: Long,
+      entries: Map[String, Map[String, (Long, Long)]]): Unit = {
+    val body = entries.toSeq.sortBy(_._1).map { case (rel, cols) =>
+      (rel +: cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"$c=$lo..$hi"
+      }).mkString("|")
+    }.mkString("\n")
+    // only this version's manifest winner writes s<v> — no race to lose
+    StoreFs.writeAtomicNoReplace(statsPath(storeDir, v), body)
+    ()
+  }
+
+  /** Initialize the store: write `rows` partitioned by `partCol` and
+    * publish manifest v0 (+ a stats sidecar when `statsCols` is set).
+    */
+  def init(
+      rows: DataFrame, partCol: String, storeDir: String,
+      statsCols: Seq[String] = Nil): Long = {
     rows.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(storeDir)
     val parts = StoreFs.list(new Path(storeDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath.getName).sorted
-    writeManifest(storeDir, 0L, parts.flatMap(listDataFiles(storeDir, _)))
+    val fileList = parts.flatMap(listDataFiles(storeDir, _))
+    writeManifest(storeDir, 0L, fileList)
+    if (statsCols.nonEmpty)
+      writeStats(storeDir, 0L,
+        fileList.map(f => f -> footerStats(storeDir, f, statsCols)).toMap)
     0L
   }
 
@@ -125,7 +224,8 @@ object ManifestStore {
     */
   def commit(
       rows: DataFrame, partCol: String, touched: Seq[Long],
-      storeDir: String, retainVersions: Int = 8): Long = {
+      storeDir: String, retainVersions: Int = 8,
+      statsCols: Seq[String] = Nil): Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
@@ -168,6 +268,14 @@ object ManifestStore {
       .filterNot(p => touchedDirs.exists(d => p.startsWith(d + "/")))
     val v = prev.getOrElse(-1L) + 1L
     writeManifest(storeDir, v, (carry ++ added).sorted)
+    if (statsCols.nonEmpty) {
+      // carried files keep their previous bounds (the files are
+      // immutable); only the just-added files pay a footer read
+      val carried = prev.map(stats(storeDir, _)).getOrElse(Map.empty)
+      writeStats(storeDir, v,
+        carry.flatMap(f => carried.get(f).map(f -> _)).toMap ++
+          added.map(f => f -> footerStats(storeDir, f, statsCols)).toMap)
+    }
     gc(storeDir, partCol, v, retainVersions)
     v
   }
@@ -211,7 +319,10 @@ object ManifestStore {
       // with the data file; HDFS/S3 have none
       StoreFs.delete(new Path(storeDir, p)); ()
     }
-    dropped.foreach(v => StoreFs.delete(manifestPath(storeDir, v)))
+    dropped.foreach { v =>
+      StoreFs.delete(manifestPath(storeDir, v))
+      StoreFs.delete(statsPath(storeDir, v))
+    }
     // a partition dir emptied by the diff drops (recursive: only
     // hidden checksum leftovers can remain under it)
     dead.map(_.takeWhile(_ != '/')).toSeq.distinct.foreach { dirName =>
@@ -259,22 +370,48 @@ object ManifestStore {
     deleted
   }
 
-  /** Snapshot read: exactly the files of `version` (default latest),
-    * optionally pruned to the partitions holding `partVals`. An empty
-    * store (or an empty pruned selection) reads as an empty frame.
+  /** The snapshot's file selection: `version`'s manifest entries,
+    * pruned to `partVals`' partitions, then zone-map-pruned to files
+    * whose recorded `range` column bounds can intersect `[lo, hi]`
+    * (files or columns without bounds are always kept — skipping is
+    * never allowed to change a result).
     */
-  def read(
-      spark: SparkSession, storeDir: String, schema: StructType,
-      partCol: String, partVals: Option[Seq[Long]] = None,
-      version: Option[Long] = None): DataFrame = {
+  def selectFiles(
+      storeDir: String, partCol: String,
+      partVals: Option[Seq[Long]] = None,
+      version: Option[Long] = None,
+      range: Option[(String, Long, Long)] = None): Seq[String] = {
     val v = version.orElse(latestVersion(storeDir))
     val all = v.map(files(storeDir, _)).getOrElse(Nil)
-    val wanted = partVals match {
+    val parted = partVals match {
       case None => all
       case Some(vs) =>
         val dirs = vs.map(x => s"$partCol=$x/").toSet
         all.filter(p => dirs.exists(p.startsWith))
     }
+    range match {
+      case None => parted
+      case Some((c, lo, hi)) =>
+        val st = v.map(stats(storeDir, _)).getOrElse(Map.empty)
+        parted.filter(p => st.get(p).flatMap(_.get(c)).forall {
+          case (mn, mx) => mx >= lo && mn <= hi
+        })
+    }
+  }
+
+  /** Snapshot read: exactly the files of `version` (default latest),
+    * optionally pruned to the partitions holding `partVals` and
+    * zone-map-pruned by `range` (a [lo, hi] bound on an integral
+    * column — file-granular, so callers still apply the exact
+    * predicate). An empty store (or an empty pruned selection) reads
+    * as an empty frame.
+    */
+  def read(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, partVals: Option[Seq[Long]] = None,
+      version: Option[Long] = None,
+      range: Option[(String, Long, Long)] = None): DataFrame = {
+    val wanted = selectFiles(storeDir, partCol, partVals, version, range)
     if (wanted.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else

@@ -192,4 +192,81 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.latestVersion(dir).contains(1L))
     graft.sources.FileIO.deleteScratch(new java.io.File(raw))
   }
+
+  test("zone maps: footer-harvested per-file bounds prune a range read " +
+    "to the intersecting files only; carried files keep their bounds; " +
+    "results never change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+    // two partitions, low k values — one file each
+    ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L), (4L, 40L, 1L)),
+      "p", dir, statsCols = Seq("k"))
+    // a second commit adds HIGH-k files into the SAME partitions: each
+    // partition now holds a low-range and a high-range file — the case
+    // partition pruning alone cannot separate
+    ManifestStore.commit(
+      rows((1L, 10L, 0L), (2L, 20L, 0L), (100L, 1L, 0L)),
+      "p", Seq(0L), dir, statsCols = Seq("k"))
+    ManifestStore.commit(
+      rows((3L, 30L, 1L), (4L, 40L, 1L), (200L, 2L, 1L), (201L, 3L, 1L)),
+      "p", Seq(1L), dir, statsCols = Seq("k"))
+    val all = ManifestStore.selectFiles(dir, "p")
+    assert(all.size == 2, "one file per rewritten partition")
+    // v1 carried partition p=1's INIT file; its bounds must have
+    // carried into v1's sidecar (no re-read of an immutable file)
+    val v1 = ManifestStore.stats(dir, 1L)
+    val carriedP1 = v1.collect {
+      case (f, st) if f.startsWith("p=1/") => st("k")
+    }.toSeq
+    assert(carriedP1 == Seq((3L, 4L)), s"carried bounds wrong: $v1")
+    // range [150, 250] intersects only p=1's rewrite (k 3..201)
+    val hit = ManifestStore.selectFiles(
+      dir, "p", range = Some(("k", 150L, 250L)))
+    assert(hit.size == 1 && hit.head.startsWith("p=1/"),
+      s"expected only the high-k p=1 file, got $hit")
+    // range below every bound selects nothing — the read is an empty
+    // frame without opening a single data file
+    assert(ManifestStore.selectFiles(
+      dir, "p", range = Some(("k", 1000L, 2000L))).isEmpty)
+    // the skip path returns exactly what a full read + exact filter
+    // does (file-granular pruning + the caller's predicate)
+    val viaSkip = ManifestStore.read(
+      spark, dir, schema, "p", range = Some(("k", 150L, 250L)))
+      .filter(col("k").between(150L, 250L))
+      .select("k", "v", "p").as[(Long, Long, Long)].collect().toSet
+    assert(viaSkip == Set((200L, 2L, 1L), (201L, 3L, 1L)))
+    assert(readAll(dir).filter(r => r._1 >= 150 && r._1 <= 250) == viaSkip)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("zone maps degrade safely: a stats-free version prunes nothing; " +
+    "GC drops sidecars with their manifests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
+    // v0 without stats: range reads keep every file (correct, unpruned)
+    ManifestStore.init(rows((1L, 10L, 0L), (50L, 20L, 1L)), "p", dir)
+    assert(ManifestStore.stats(dir, 0L).isEmpty)
+    assert(ManifestStore.selectFiles(
+      dir, "p", range = Some(("k", 40L, 60L))).size == 2)
+    // stats appear from the first stats-carrying commit; the carried
+    // stat-less file stays unprunable (kept on any range)
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir,
+      statsCols = Seq("k"))
+    val sel = ManifestStore.selectFiles(
+      dir, "p", range = Some(("k", 40L, 60L)))
+    assert(sel.size == 1 && sel.head.startsWith("p=1/"),
+      "the new p=0 file (k=1..1) prunes; the carried stat-less p=1 " +
+        s"file must stay — got $sel")
+    // retention GC reclaims sidecars alongside manifests
+    (0 until 9).foreach { i =>
+      ManifestStore.commit(rows((1L, 20L + i, 0L)), "p", Seq(0L), dir,
+        statsCols = Seq("k"))
+    }
+    val mdir = new java.io.File(dir, "_manifests")
+    val names = mdir.listFiles().map(_.getName).toSet
+    assert(!names.contains("v000000000000.json")
+      && !names.contains("s000000000001.json"),
+      s"dropped versions must lose manifest AND sidecar — got $names")
+    assert(names.exists(_.startsWith("s0000000000")), "retained sidecars stay")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
 }
