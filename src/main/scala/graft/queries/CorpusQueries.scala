@@ -161,13 +161,14 @@ object CorpusQueries {
       graft.operators.IncrementalCdc.readPacked(s, cdcRun(s, dir).packed)
         .orderBy("doc_id", "seq_id")),
     // ZONE-MAP-skipped store read: the events table lands in a
-    // ManifestStore in two arrival-ordered commits (low event_id half
-    // at init, high half on top — per-commit files are id-clustered,
-    // the natural ingest shape), each commit harvesting per-file
-    // event_id bounds from the parquet footers. The range read prunes
-    // files AT THE MANIFEST (the low-half files never reach Spark's
-    // listing — spec-asserted), then applies the exact predicate.
-    // Oracle = the same range aggregate straight off the events table
+    // ManifestStore in two arrival-ordered batches (low event_id half
+    // at init, high half APPENDED on top — per-batch files are
+    // id-clustered, the fact-table ingest shape; every partition then
+    // holds one low-range and one high-range file, which partition
+    // pruning alone cannot separate). The range read prunes files AT
+    // THE MANIFEST (the low-half files never reach Spark's listing —
+    // spec-asserted), then applies the exact predicate. Oracle = the
+    // same range aggregate straight off the events table
     "store_skip_read" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id").cast("long").as("event_id"),
@@ -179,11 +180,9 @@ object CorpusQueries {
       graft.sources.ManifestStore.init(
         ev.filter(col("event_id") <= split), "ub", store,
         statsCols = Seq("event_id"))
-      val newer = ev.filter(col("event_id") > split)
-      val touched = newer.select("ub").distinct()
-        .collect().map(_.getLong(0)).toSeq
-      graft.sources.ManifestStore.commit(
-        newer, "ub", touched, store, statsCols = Seq("event_id"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id"))
       val lo = maxId - maxId * 2L / 5L
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",

@@ -24,14 +24,19 @@ import java.util.concurrent.atomic.AtomicBoolean
   *   VERSION            → {"version":N}
   *   COUNT [v]          → {"version":v,"count":N}
   *   SCAN grp [v]       → {"version":v,"rows":[[doc_id,seq_id,begin_in_seq,end_in_seq,doc_begin,n_piece,starts_doc],...]}
+  *   RANGE grp lo hi [v] → same rows shape, doc_id ∈ [lo, hi]
   *   anything else      → {"error":"..."}
   * }}}
   *
   * SCAN reads exactly the pinned manifest's files of one `grp`
   * partition (pruned — nothing else opens), ordered (seq_id,
-  * begin_in_seq, doc_begin): the shard-consumer read shape. Requests
-  * run Spark jobs (this is the bulk-consumer tier, not the
-  * microsecond point-query tier — that is [[graft.tgraph.query.QueryServer]]).
+  * begin_in_seq, doc_begin): the shard-consumer read shape. RANGE
+  * additionally prunes by the manifest ZONE MAPS (the per-file doc_id
+  * bounds the CDC packed commits record) before the exact predicate —
+  * a consumer after one doc-id slice opens only the partition files
+  * whose bounds intersect. Requests run Spark jobs (this is the
+  * bulk-consumer tier, not the microsecond point-query tier — that is
+  * [[graft.tgraph.query.QueryServer]]).
   */
 final class PackedStoreServer(
     spark: SparkSession,
@@ -66,19 +71,38 @@ final class PackedStoreServer(
         val v = if (parts.length == 3) parts(2).toLong
           else latest.getOrElse(
             return s"""{"error":"empty store (no manifest)"}""")
-        val rows = graft.sources.ManifestStore.read(
-          spark, storeDir, Incremental.PackedSchema, "grp",
-          partVals = Some(Seq(grp)), version = Some(v))
-          .orderBy("seq_id", "begin_in_seq", "doc_begin")
-          .select(col("doc_id"), col("seq_id"), col("begin_in_seq"),
-            col("end_in_seq"), col("doc_begin"), col("n_piece"),
-            col("starts_doc").cast("int"))
-          .collect()
-          .map(r => s"[${(0 until 7).map(r.get(_)).mkString(",")}]")
-        s"""{"version":$v,"rows":[${rows.mkString(",")}]}"""
+        scanRows(grp, v, idRange = None)
+      case "RANGE" if parts.length == 4 || parts.length == 5 =>
+        val grp = parts(1).toLong
+        val (lo, hi) = (parts(2).toLong, parts(3).toLong)
+        val v = if (parts.length == 5) parts(4).toLong
+          else latest.getOrElse(
+            return s"""{"error":"empty store (no manifest)"}""")
+        scanRows(grp, v, idRange = Some((lo, hi)))
       case other =>
         s"""{"error":"unknown request ${other.take(40)}"}"""
     }
+  }
+
+  /** One partition's rows at a pinned version; `idRange` engages the
+    * manifest zone maps (file-granular) and then the exact predicate.
+    */
+  private def scanRows(
+      grp: Long, v: Long, idRange: Option[(Long, Long)]): String = {
+    val base = graft.sources.ManifestStore.read(
+      spark, storeDir, Incremental.PackedSchema, "grp",
+      partVals = Some(Seq(grp)), version = Some(v),
+      range = idRange.map { case (lo, hi) => ("doc_id", lo, hi) })
+    val exact = idRange.fold(base) { case (lo, hi) =>
+      base.filter(col("doc_id").between(lo, hi)) }
+    val rows = exact
+      .orderBy("seq_id", "begin_in_seq", "doc_begin")
+      .select(col("doc_id"), col("seq_id"), col("begin_in_seq"),
+        col("end_in_seq"), col("doc_begin"), col("n_piece"),
+        col("starts_doc").cast("int"))
+      .collect()
+      .map(r => s"[${(0 until 7).map(r.get(_)).mkString(",")}]")
+    s"""{"version":$v,"rows":[${rows.mkString(",")}]}"""
   }
 
   private def handle(sock: Socket): Unit = {
@@ -151,6 +175,13 @@ final class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
   /** Raw SCAN response line (callers parse rows or check errors). */
   def scan(grp: Long, at: Option[Long] = None): String =
     request(s"SCAN $grp${at.fold("")(v => s" $v")}")
+
+  /** Raw RANGE response line: one partition, doc_id ∈ [lo, hi],
+    * zone-map-pruned server-side.
+    */
+  def scanRange(
+      grp: Long, lo: Long, hi: Long, at: Option[Long] = None): String =
+    request(s"RANGE $grp $lo $hi${at.fold("")(v => s" $v")}")
 
   override def close(): Unit = {
     try sock.close() catch { case _: Throwable => () }

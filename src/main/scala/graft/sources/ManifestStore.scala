@@ -225,7 +225,31 @@ object ManifestStore {
   def commit(
       rows: DataFrame, partCol: String, touched: Seq[Long],
       storeDir: String, retainVersions: Int = 8,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+    publish(rows, partCol, Some(touched), storeDir, retainVersions,
+      statsCols)
+
+  /** APPEND one batch: stage + move `rows`' files like [[commit]], but
+    * the next manifest KEEPS every previous entry — partitions
+    * accumulate files instead of rewriting (the fact-table ingest
+    * shape). Arrival-ordered appends make the zone maps bite: each
+    * appended file carries tight bounds on whatever the batch was
+    * clustered by (time, id ranges), so range reads skip historic
+    * files at the manifest. Same single-writer/CAS/GC discipline.
+    */
+  def append(
+      rows: DataFrame, partCol: String, storeDir: String,
+      retainVersions: Int = 8, statsCols: Seq[String] = Nil): Long =
+    publish(rows, partCol, None, storeDir, retainVersions, statsCols)
+
+  /** Shared publish path: `touched = Some(vals)` rewrites those
+    * partitions (carry drops their previous entries), `None` appends
+    * (carry keeps everything).
+    */
+  private def publish(
+      rows: DataFrame, partCol: String, touched: Option[Seq[Long]],
+      storeDir: String, retainVersions: Int,
+      statsCols: Seq[String]): Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
@@ -237,14 +261,16 @@ object ManifestStore {
       rows.repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(staging.toString)
-      val touchedDirs = touched.map(v => s"$partCol=$v").toSet
       val stagedDirs = StoreFs.list(staging)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
-      val outside = stagedDirs.map(_.getPath.getName).filterNot(touchedDirs)
-      require(outside.isEmpty,
-        s"commit rows landed in partition(s) ${outside.mkString(", ")} " +
-          s"outside touched=${touched.mkString(", ")} — they would be " +
-          "unlisted in the manifest and destroyed by a later sweep")
+      touched.foreach { t =>
+        val touchedDirs = t.map(v => s"$partCol=$v").toSet
+        val outside = stagedDirs.map(_.getPath.getName).filterNot(touchedDirs)
+        require(outside.isEmpty,
+          s"commit rows landed in partition(s) ${outside.mkString(", ")} " +
+            s"outside touched=${t.mkString(", ")} — they would be " +
+            "unlisted in the manifest and destroyed by a later sweep")
+      }
       stagedDirs.sortBy(_.getPath.getName).flatMap { d =>
         val liveDir = new Path(storeDir, d.getPath.getName)
         fs.mkdirs(liveDir)
@@ -262,10 +288,14 @@ object ManifestStore {
       StoreFs.delete(staging, recursive = true)
       ()
     }
-    val touchedDirs = touched.map(v => s"$partCol=$v").toSet
     val prev = latestVersion(storeDir)
-    val carry = prev.map(files(storeDir, _)).getOrElse(Nil)
-      .filterNot(p => touchedDirs.exists(d => p.startsWith(d + "/")))
+    val carry = touched match {
+      case Some(t) =>
+        val touchedDirs = t.map(v => s"$partCol=$v").toSet
+        prev.map(files(storeDir, _)).getOrElse(Nil)
+          .filterNot(p => touchedDirs.exists(d => p.startsWith(d + "/")))
+      case None => prev.map(files(storeDir, _)).getOrElse(Nil)
+    }
     val v = prev.getOrElse(-1L) + 1L
     writeManifest(storeDir, v, (carry ++ added).sorted)
     if (statsCols.nonEmpty) {

@@ -57,4 +57,39 @@ class PackedStoreServerSpec extends SparkSpec {
     } finally srv.close()
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
+
+  test("RANGE serves a doc_id slice through the zone maps: answers " +
+    "match the exact filter, and the manifest-level selection opens " +
+    "only the intersecting files") {
+    val dir = java.nio.file.Files.createTempDirectory("packed-range").toString
+    // grp 0 accumulates two FILES with DISJOINT doc_id bands (the
+    // arrival-ordered ingest shape): ids 0..2 at init, 900..902
+    // APPENDED on top — partition pruning alone cannot separate them
+    ManifestStore.init(packedRows(0, 0L, 1L), "grp", dir,
+      statsCols = Seq("doc_id"))
+    ManifestStore.append(packedRows(9, 0L), "grp", dir,
+      statsCols = Seq("doc_id"))
+    val srv = new PackedStoreServer(spark, dir)
+    try {
+      val client = new PackedStoreClient("localhost", srv.boundPort)
+      try {
+        // the full scan sees both bands; the range slices the high one
+        val all = client.scan(0L)
+        assert(all.contains("[900,") && all.contains("[0,"))
+        val hi = client.scanRange(0L, 850L, 1000L)
+        assert(hi.contains("[900,") && hi.contains("[901,")
+          && hi.contains("[902,") && !hi.contains("[0,"),
+          s"range must return exactly the high band: $hi")
+        // an empty slice answers no rows, not an error
+        assert(client.scanRange(0L, 5000L, 6000L).contains("\"rows\":[]"))
+        // pruning proof at the manifest: one commit's file intersects
+        assert(ManifestStore.selectFiles(dir, "grp",
+          partVals = Some(Seq(0L)),
+          range = Some(("doc_id", 850L, 1000L))).size <
+          ManifestStore.selectFiles(dir, "grp",
+            partVals = Some(Seq(0L))).size)
+      } finally client.close()
+    } finally srv.close()
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
 }

@@ -239,6 +239,38 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("append accumulates files under the same partitions: content is " +
+    "the union, earlier versions stay readable, zone maps prune WITHIN " +
+    "a partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir, statsCols = Seq("k"))
+    ManifestStore.append(
+      rows((100L, 30L, 0L), (200L, 40L, 1L)), "p", dir,
+      statsCols = Seq("k"))
+    // union content; both files live under each partition
+    assert(readAll(dir) == Set(
+      (1L, 10L, 0L), (2L, 20L, 1L), (100L, 30L, 0L), (200L, 40L, 1L)))
+    assert(ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(0L))).size == 2)
+    // v0 time travel still reads the pre-append snapshot
+    assert(readAll(dir, Some(0L)) == Set((1L, 10L, 0L), (2L, 20L, 1L)))
+    // zone maps prune within p=0: the appended file (k=100) alone
+    // intersects [50, 150] — partition pruning alone cannot do this
+    val sel = ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(0L)), range = Some(("k", 50L, 150L)))
+    assert(sel.size == 1, s"expected only the appended p=0 file: $sel")
+    // a rewrite commit on top of appends replaces ALL of a partition's
+    // accumulated files
+    ManifestStore.commit(rows((7L, 70L, 0L)), "p", Seq(0L), dir,
+      statsCols = Seq("k"))
+    assert(readAll(dir) == Set(
+      (7L, 70L, 0L), (2L, 20L, 1L), (200L, 40L, 1L)))
+    assert(ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(0L))).size == 1)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("zone maps degrade safely: a stats-free version prunes nothing; " +
     "GC drops sidecars with their manifests") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
