@@ -361,6 +361,36 @@ object ManifestStore {
     }
   }
 
+  /** MAINTENANCE compaction for appended stores: rewrite every
+    * partition holding more than `maxFilesPerPartition` accumulated
+    * files into one file, publishing a content-identical new version
+    * (readers pinned to earlier versions are untouched — same
+    * append-only/CAS/retention discipline as any commit). Append-heavy
+    * ingest accumulates a file per batch per partition; at object-
+    * store scale the per-file open cost eventually dominates a scan,
+    * and this is the standard OPTIMIZE-style remedy. Zone-map bounds
+    * are re-harvested for the compacted files (the union of the old
+    * bounds, wider per file — the compaction trade: fewer opens,
+    * coarser skipping). Writer-side only. Returns the new version,
+    * or None when nothing exceeded the threshold.
+    */
+  def compact(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, maxFilesPerPartition: Int = 4,
+      retainVersions: Int = 8, statsCols: Seq[String] = Nil):
+      Option[Long] = {
+    val v = latestVersion(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir holds no manifest — nothing to compact"))
+    val byPart = files(storeDir, v).groupBy(_.takeWhile(_ != '/'))
+    val crowded = byPart.filter(_._2.size > maxFilesPerPartition)
+    if (crowded.isEmpty) return None
+    val vals = crowded.keys.map(_.stripPrefix(s"$partCol=").toLong).toSeq
+    val rows = read(spark, storeDir, schema, partCol,
+      partVals = Some(vals), version = Some(v))
+    Some(commit(rows, partCol, vals, storeDir, retainVersions, statsCols))
+  }
+
   /** Maintenance sweep: LIST every partition dir and delete data files
     * no retained manifest references — the crashed-attempt orphans the
     * per-commit diff GC cannot see. O(partition dirs) listings: run it

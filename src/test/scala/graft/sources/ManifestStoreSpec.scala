@@ -271,6 +271,42 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("compaction folds an appended partition's files into one: " +
+    "content identical, pinned readers untouched, idle when nothing " +
+    "is crowded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    ManifestStore.init(rows((0L, 0L, 0L), (1000L, 0L, 1L)), "p", dir,
+      statsCols = Seq("k"))
+    (1 to 5).foreach { i =>
+      ManifestStore.append(rows((i.toLong, i.toLong, 0L)), "p", dir,
+        statsCols = Seq("k"))
+    }
+    val before = readAll(dir)
+    val pinned = ManifestStore.latestVersion(dir).get
+    assert(ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(0L))).size == 6, "init + 5 appends")
+    // p=0 (6 files) compacts; p=1 (1 file) is left alone
+    val v = ManifestStore.compact(spark, dir, schema, "p",
+      maxFilesPerPartition = 4, statsCols = Seq("k"))
+    assert(v.nonEmpty)
+    assert(ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(0L))).size == 1)
+    assert(ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(1L))).size == 1)
+    assert(readAll(dir) == before, "compaction must not change content")
+    // the pre-compaction version still reads (append-only files +
+    // retention) — a pinned consumer never notices the rewrite
+    assert(readAll(dir, Some(pinned)) == before)
+    // the compacted file's bounds are the union of the old files'
+    assert(ManifestStore.stats(dir, v.get).collect {
+      case (f, st) if f.startsWith("p=0/") => st("k")
+    }.toSeq == Seq((0L, 5L)))
+    // nothing crowded anymore: compact is a no-op
+    assert(ManifestStore.compact(spark, dir, schema, "p",
+      maxFilesPerPartition = 4).isEmpty)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("zone maps degrade safely: a stats-free version prunes nothing; " +
     "GC drops sidecars with their manifests") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
