@@ -69,6 +69,37 @@ object CorpusQueries {
       graft.operators.IncrementalCdc.CdcDirs(scratch)
     }, _ => ())
 
+  /** The store-gates' events projection: (event_id, user_id, ub). */
+  private def eventsForStore(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"))
+      .withColumn("ub", pmod(col("user_id"), lit(8L)))
+
+  private val EventsStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ub",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The store-gates' shared consumer: the top-2/5 event_id range
+    * aggregated per user bucket, read through the zone-map skip + the
+    * exact predicate.
+    */
+  private def skipReadAggregate(
+      s: SparkSession, store: String, maxId: Long): DataFrame = {
+    val lo = maxId - maxId * 2L / 5L
+    graft.sources.ManifestStore.read(
+      s, store, EventsStoreSchema, "ub",
+      range = Some(("event_id", lo, maxId)))
+      .filter(col("event_id").between(lo, maxId))
+      .groupBy("ub")
+      .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_id"))
+      .orderBy("ub")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4-style line-level dedup: substantial lines survive only at
     // their corpus-wide first occurrence, documents reassembled
@@ -170,10 +201,7 @@ object CorpusQueries {
     // spec-asserted), then applies the exact predicate. Oracle = the
     // same range aggregate straight off the events table
     "store_skip_read" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_id").cast("long").as("event_id"),
-          col("user_id").cast("long").as("user_id"))
-        .withColumn("ub", pmod(col("user_id"), lit(8L)))
+      val ev = eventsForStore(s, dir)
       val maxId = ev.agg(max("event_id")).head.getLong(0)
       val split = maxId / 2
       val store = graft.LocalDir.runDir("skip-store")
@@ -183,20 +211,26 @@ object CorpusQueries {
       graft.sources.ManifestStore.append(
         ev.filter(col("event_id") > split), "ub", store,
         statsCols = Seq("event_id"))
-      val lo = maxId - maxId * 2L / 5L
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ub",
-          org.apache.spark.sql.types.LongType)))
-      graft.sources.ManifestStore.read(
-        s, store, schema, "ub", range = Some(("event_id", lo, maxId)))
-        .filter(col("event_id").between(lo, maxId))
-        .groupBy("ub")
-        .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_id"))
-        .orderBy("ub")
+      skipReadAggregate(s, store, maxId)
+    }),
+    // the SAME store built ONLINE — the full streaming lakehouse-
+    // ingest lifecycle: 4 arrival-ordered micro-batches land as
+    // EXACTLY-ONCE tagged appends (batch id = append tag, so a
+    // replayed batch finds its files manifested and skips), zone-map
+    // stats harvested per batch, a mid-stream compaction folds
+    // crowded partitions, and the drained store answers the same
+    // range read through the manifest skip. Shares store_skip_read's
+    // raw-table oracle VERBATIM
+    "stream_append_store" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val scratch = graft.LocalDir.runDir("append-ingest")
+      val store = new java.io.File(scratch, "store").toString
+      graft.streaming.StreamingIngest.appendStoreFromFiles(
+        s, ev, orderCol = "event_id", partCol = "ub", nBatches = 4,
+        scratch, store, statsCols = Seq("event_id"),
+        compactEvery = 2, maxFilesPerPartition = 2)
+      skipReadAggregate(s, store, maxId)
     }),
     // CROSS-STORE tx read (TxLog): resolve the drained run's FINAL tx
     // and read the CORPUS store at the version that tx pinned — the
@@ -1043,6 +1077,17 @@ object CorpusQueries {
     // the store read with zone-map skipping == the same range aggregate
     // off the raw table (skipping may drop FILES, never rows)
     "store_skip_read" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id BETWEEN mx - (mx * 2) // 5 AND mx)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the streamed append-ingest drains to the same store content ->
+    // same oracle
+    "stream_append_store" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |f AS (
         |  SELECT user_id % 8 AS ub, event_id

@@ -236,11 +236,30 @@ object ManifestStore {
     * appended file carries tight bounds on whatever the batch was
     * clustered by (time, id ranges), so range reads skip historic
     * files at the manifest. Same single-writer/CAS/GC discipline.
+    *
+    * `tag` makes the append EXACTLY-ONCE under foreachBatch replay:
+    * the tag becomes the commit-unique file prefix, so a replayed
+    * batch finds its own files already manifested and returns the
+    * current version without appending a duplicate. A crash mid-append
+    * (files moved, manifest unpublished) leaves only orphans —
+    * invisible to readers, swept by [[vacuum]] — and the replay
+    * appends cleanly. Tags must be unique per logical batch
+    * (`b<batchId>` from a checkpointed stream is exactly that).
     */
   def append(
       rows: DataFrame, partCol: String, storeDir: String,
-      retainVersions: Int = 8, statsCols: Seq[String] = Nil): Long =
-    publish(rows, partCol, None, storeDir, retainVersions, statsCols)
+      retainVersions: Int = 8, statsCols: Seq[String] = Nil,
+      tag: Option[String] = None): Long = {
+    tag.foreach { t =>
+      require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
+      latestVersion(storeDir).foreach { v =>
+        val marker = s"c$t-"
+        if (files(storeDir, v).exists(_.split('/').last.startsWith(marker)))
+          return v // this batch already appended (foreachBatch replay)
+      }
+    }
+    publish(rows, partCol, None, storeDir, retainVersions, statsCols, tag)
+  }
 
   /** Shared publish path: `touched = Some(vals)` rewrites those
     * partitions (carry drops their previous entries), `None` appends
@@ -249,12 +268,13 @@ object ManifestStore {
   private def publish(
       rows: DataFrame, partCol: String, touched: Option[Seq[Long]],
       storeDir: String, retainVersions: Int,
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String], tag: Option[String] = None): Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
       s"$storeDir holds no manifest — initialize with ManifestStore.init")
-    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val commitId =
+      tag.getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val staging = new Path(storeDir, s".staging-c$commitId")
     val fs = StoreFs.fs(staging)
     val added = try {

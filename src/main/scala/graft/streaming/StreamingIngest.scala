@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.sources.{FileIO, ManifestStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** STREAMING lakehouse ingest — the full append-store lifecycle under
+  * Structured Streaming: micro-batches land as EXACTLY-ONCE tagged
+  * appends into a [[ManifestStore]] (zone-map stats harvested per
+  * batch), crowded partitions fold through [[ManifestStore.compact]]
+  * on a cadence, and consumers answer range reads through the
+  * manifest-level skip at any point — snapshot-isolated from the
+  * ingest.
+  *
+  * Exactly-once: the batch id IS the append tag (`b<id>`), so a
+  * foreachBatch replay after a crash finds its own files manifested
+  * and skips; a crash mid-append leaves unmanifested orphans (invisible
+  *, vacuum-swept) and the replay appends cleanly. No state
+  * beyond the store itself — the manifest is the ledger.
+  *
+  * This is the ingest shape where the zone maps pay: each arrival-
+  * ordered batch's files carry tight bounds on the arrival key, so a
+  * range-predicated consumer skips historic files at the manifest,
+  * and compaction bounds per-partition file counts (the fewer-opens
+  * vs coarser-skipping trade, taken deliberately every
+  * `compactEvery` batches).
+  */
+object StreamingIngest {
+
+  /** Drain `rows` (staged as `orderCol`-ranged micro-batch files) into
+    * a fresh manifest store at `storeDir` via tagged appends; compact
+    * partitions holding more than `maxFilesPerPartition` files every
+    * `compactEvery` batches. Returns the drained store's latest
+    * version.
+    */
+  def appendStoreFromFiles(
+      spark: SparkSession,
+      rows: DataFrame,
+      orderCol: String,
+      partCol: String,
+      nBatches: Int,
+      scratch: String,
+      storeDir: String,
+      statsCols: Seq[String],
+      compactEvery: Int = 0,
+      maxFilesPerPartition: Int = 4,
+      statePartitions: Int = 4): Long = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    FileIO.stageRangeBatches(
+      rows, col(orderCol), nBatches, new java.io.File(base, "stage"), inDir)
+    // bootstrap an EMPTY v0 so every data batch goes through the one
+    // exactly-once append path (an init'd first batch would have no
+    // replay marker)
+    ManifestStore.init(rows.limit(0), partCol, storeDir, statsCols)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = FileIO.streamParquet(
+      ss, inDir.toString, rows.schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ManifestStore.append(
+          batch, partCol, storeDir, statsCols = statsCols,
+          tag = Some(f"b$id%05d"))
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          ManifestStore.compact(
+            ss, storeDir, batch.schema, partCol,
+            maxFilesPerPartition, statsCols = statsCols)
+          ()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    FileIO.deleteScratchOnExit(base)
+    ManifestStore.latestVersion(storeDir).getOrElse(0L)
+  }
+}
