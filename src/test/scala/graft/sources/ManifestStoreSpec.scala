@@ -307,6 +307,27 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("add-column schema evolution: old files read the new column as " +
+    "null under the explicit snapshot schema; appended files carry it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)
+    // the store's schema grows a column; new batches carry it
+    val widened = StructType(schema.fields :+
+      StructField("w", LongType))
+    ManifestStore.append(
+      Seq((5L, 50L, 0L, 777L)).toDF("k", "v", "p", "w"), "p", dir)
+    val got = ManifestStore.read(spark, dir, widened, "p")
+      .select("k", "v", "p", "w")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 0L, None), (2L, 20L, 1L, None),
+      (5L, 50L, 0L, Some(777L))),
+      "pre-evolution files must read the new column as null")
+    // the old schema still reads every file (the column is ignored)
+    assert(readAll(dir) == Set((1L, 10L, 0L), (2L, 20L, 1L), (5L, 50L, 0L)))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("zone maps degrade safely: a stats-free version prunes nothing; " +
     "GC drops sidecars with their manifests") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
