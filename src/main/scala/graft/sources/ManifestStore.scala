@@ -249,7 +249,7 @@ object ManifestStore {
   def append(
       rows: DataFrame, partCol: String, storeDir: String,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None, maxRetries: Int = 8): Long = {
     tag.foreach { t =>
       require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
       latestVersion(storeDir).foreach { v =>
@@ -258,8 +258,32 @@ object ManifestStore {
           return v // this batch already appended (foreachBatch replay)
       }
     }
-    publish(rows, partCol, None, storeDir, retainVersions, statsCols, tag)
+    // OPTIMISTIC concurrency for appends: appends COMMUTE (no append
+    // ever drops another's entries), so a lost version CAS is not a
+    // conflict — re-derive the next manifest over the winner's and
+    // re-publish. Only the metadata step retries; the data files moved
+    // once and stay valid. Rewrite commits keep the typed failure:
+    // two writers rewriting one partition is a REAL conflict.
+    var attempt = 0
+    while (true) {
+      try {
+        return publish(
+          rows, partCol, None, storeDir, retainVersions, statsCols, tag,
+          reuseAdded = if (attempt == 0) None else Some(lastAdded.get()))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
+
+  /** The data files the current thread's in-flight publish moved into
+    * the live tree — reused across append retries so a metadata race
+    * never re-stages (or double-appends) the batch.
+    */
+  private val lastAdded = new ThreadLocal[Seq[String]]()
 
   /** Shared publish path: `touched = Some(vals)` rewrites those
     * partitions (carry drops their previous entries), `None` appends
@@ -268,7 +292,8 @@ object ManifestStore {
   private def publish(
       rows: DataFrame, partCol: String, touched: Option[Seq[Long]],
       storeDir: String, retainVersions: Int,
-      statsCols: Seq[String], tag: Option[String] = None): Long = {
+      statsCols: Seq[String], tag: Option[String] = None,
+      reuseAdded: Option[Seq[String]] = None): Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
@@ -277,7 +302,7 @@ object ManifestStore {
       tag.getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val staging = new Path(storeDir, s".staging-c$commitId")
     val fs = StoreFs.fs(staging)
-    val added = try {
+    val added = reuseAdded.getOrElse(try {
       rows.repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(staging.toString)
@@ -307,7 +332,8 @@ object ManifestStore {
     } finally {
       StoreFs.delete(staging, recursive = true)
       ()
-    }
+    })
+    lastAdded.set(added)
     val prev = latestVersion(storeDir)
     val carry = touched match {
       case Some(t) =>
@@ -415,8 +441,11 @@ object ManifestStore {
     * no retained manifest references — the crashed-attempt orphans the
     * per-commit diff GC cannot see. O(partition dirs) listings: run it
     * from a maintenance window or every N batches, not per commit.
-    * Writer-side only (same single-writer contract as [[commit]]).
-    * Returns the number of files deleted.
+    * Writer-side only (same single-writer contract as [[commit]]) and
+    * NOT concurrent with in-flight appends: an appender between its
+    * file moves and its manifest publish (or mid-retry of a lost
+    * version race) holds moved-but-unmanifested files a sweep would
+    * misread as orphans. Returns the number of files deleted.
     */
   def vacuum(storeDir: String, partCol: String): Int = {
     val versions = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>

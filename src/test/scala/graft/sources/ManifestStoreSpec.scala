@@ -328,6 +328,36 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("appends commute: concurrent appenders racing the version CAS " +
+    "all land (optimistic metadata retry), no rows lost, rewrite " +
+    "commits keep the typed conflict") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-app-race").toString
+    ManifestStore.init(rows((0L, 0L, 0L)), "p", dir)
+    val threads = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (1 to threads).map { th =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          ManifestStore.append(
+            rows((th.toLong, th.toLong * 10, th.toLong % 2)), "p", dir,
+            retainVersions = 100)
+          ()
+        } catch { case e: Throwable => failures.add(e); () }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(failures.isEmpty,
+      s"racing appends must all succeed: ${failures.peek()}")
+    assert(ManifestStore.latestVersion(dir).contains(threads.toLong),
+      "each append publishes exactly one version")
+    assert(readAll(dir) == (0 to threads).map(i =>
+      (i.toLong, i.toLong * 10, i.toLong % 2)).toSet,
+      "no append's rows may be lost to the race")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("zone maps degrade safely: a stats-free version prunes nothing; " +
     "GC drops sidecars with their manifests") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
