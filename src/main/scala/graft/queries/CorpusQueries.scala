@@ -232,6 +232,35 @@ object CorpusQueries {
         compactEvery = 2, maxFilesPerPartition = 2)
       skipReadAggregate(s, store, maxId)
     }),
+    // BLOOM point-location: the same two-batch store keyed by a HASHED
+    // unique column u — per-file min/max span the whole domain for u,
+    // so zone maps cannot prune and the parquet blooms (written at
+    // commit) are what excludes non-holding files. Five point lookups
+    // answer through locate + the exact predicate; oracle = the same
+    // IN-list straight off the events table
+    "store_point_read" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("u", (col("event_id") * 7919L) % 100003L)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("bloom-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id", "u"), bloomCols = Seq("u"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id", "u"), bloomCols = Seq("u"))
+      val schema = org.apache.spark.sql.types.StructType(
+        EventsStoreSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "u", org.apache.spark.sql.types.LongType))
+      val keys = (1 to 5).map(i => (maxId / 6 * i * 7919L) % 100003L)
+      keys.map(u => graft.sources.ManifestStore.readPoint(
+          s, store, schema, "ub", "u", u))
+        .reduce(_.unionByName(_))
+        .select(col("event_id"), col("ub"), col("u"))
+        .distinct() // two keys may collide on the same hashed u
+        .orderBy("event_id")
+    }),
     // CROSS-STORE tx read (TxLog): resolve the drained run's FINAL tx
     // and read the CORPUS store at the version that tx pinned — the
     // consistent-combination read path (the packed store of the SAME
@@ -1096,6 +1125,18 @@ object CorpusQueries {
         |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the bloom-located point reads == the same hashed-key IN-list off
+    // the raw table (location may open extra files, never skip a hit)
+    "store_point_read" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |t(i) AS (VALUES (1),(2),(3),(4),(5)),
+        |keys AS (
+        |  SELECT (mx // 6 * i * 7919) % 100003 AS u FROM m, t)
+        |SELECT DISTINCT e.event_id, e.user_id % 8 AS ub,
+        |  (e.event_id * 7919) % 100003 AS u
+        |FROM events e
+        |WHERE (e.event_id * 7919) % 100003 IN (SELECT u FROM keys)
+        |ORDER BY e.event_id""".stripMargin,
     // the CORPUS store at the drained run's final tx == the event fold
     // replayed over the documents table: %7 deletes, %10 text edits,
     // %11 lang flips (upserts reach only %10/%11 docs — every other

@@ -179,9 +179,10 @@ object ManifestStore {
     */
   def init(
       rows: DataFrame, partCol: String, storeDir: String,
-      statsCols: Seq[String] = Nil): Long = {
-    rows.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(storeDir)
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    bloomCols.foldLeft(rows.repartition(col(partCol)).write) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.mode("overwrite").partitionBy(partCol).parquet(storeDir)
     val parts = StoreFs.list(new Path(storeDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath.getName).sorted
@@ -249,7 +250,8 @@ object ManifestStore {
   def append(
       rows: DataFrame, partCol: String, storeDir: String,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
-      tag: Option[String] = None, maxRetries: Int = 8): Long = {
+      tag: Option[String] = None, maxRetries: Int = 8,
+      bloomCols: Seq[String] = Nil): Long = {
     tag.foreach { t =>
       require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
       latestVersion(storeDir).foreach { v =>
@@ -269,7 +271,8 @@ object ManifestStore {
       try {
         return publish(
           rows, partCol, None, storeDir, retainVersions, statsCols, tag,
-          reuseAdded = if (attempt == 0) None else Some(lastAdded.get()))
+          reuseAdded = if (attempt == 0) None else Some(lastAdded.get()),
+          bloomCols = bloomCols)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -293,7 +296,8 @@ object ManifestStore {
       rows: DataFrame, partCol: String, touched: Option[Seq[Long]],
       storeDir: String, retainVersions: Int,
       statsCols: Seq[String], tag: Option[String] = None,
-      reuseAdded: Option[Seq[String]] = None): Long = {
+      reuseAdded: Option[Seq[String]] = None,
+      bloomCols: Seq[String] = Nil): Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
@@ -303,8 +307,9 @@ object ManifestStore {
     val staging = new Path(storeDir, s".staging-c$commitId")
     val fs = StoreFs.fs(staging)
     val added = reuseAdded.getOrElse(try {
-      rows.repartition(col(partCol))
-        .write.mode("overwrite").partitionBy(partCol)
+      bloomCols.foldLeft(rows.repartition(col(partCol)).write) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }.mode("overwrite").partitionBy(partCol)
         .parquet(staging.toString)
       val stagedDirs = StoreFs.list(staging)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
@@ -506,6 +511,58 @@ object ManifestStore {
           case (mn, mx) => mx >= lo && mn <= hi
         })
     }
+  }
+
+  /** BLOOM point-location: the files of a snapshot that MIGHT hold
+    * `value` in integral column `col` — the skipping tier zone maps
+    * cannot provide when the lookup key is not arrival-clustered
+    * (per-file min/max span the whole domain for a hashed/random key;
+    * a bloom still excludes almost every file). Zone maps filter
+    * first, then each surviving file's parquet BLOOM FILTER (written
+    * when the store was given `bloomCols`) is probed — footer-sized
+    * metadata reads, no data pages. Files or columns without a bloom
+    * are kept: location is best-effort-exclusionary, never wrong.
+    */
+  def locate(
+      storeDir: String, partCol: String, colName: String, value: Long,
+      partVals: Option[Seq[Long]] = None,
+      version: Option[Long] = None): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val candidates = selectFiles(storeDir, partCol, partVals, version,
+      range = Some((colName, value, value)))
+    candidates.filter { rel =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(storeDir, rel), StoreFs.conf))
+      try {
+        rd.getFooter.getBlocks.asScala.exists { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+            case None => true // column absent (pre-evolution file): keep
+            case Some(c) =>
+              val bf = rd.getBloomFilterDataReader(b).readBloomFilter(c)
+              if (bf == null) true // no bloom written: cannot exclude
+              else bf.findHash(bf.hash(value))
+          }
+        }
+      } finally rd.close()
+    }
+  }
+
+  /** Point read: exactly the rows with `colName == value`, opening
+    * only the bloom-located files.
+    */
+  def readPoint(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, colName: String, value: Long,
+      partVals: Option[Seq[Long]] = None,
+      version: Option[Long] = None): DataFrame = {
+    val wanted = locate(storeDir, partCol, colName, value, partVals, version)
+    if (wanted.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).option("basePath", storeDir)
+        .parquet(wanted.map(p => s"$storeDir/$p"): _*)
+        .filter(col(colName) === value)
   }
 
   /** Snapshot read: exactly the files of `version` (default latest),

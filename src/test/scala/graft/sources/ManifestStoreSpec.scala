@@ -358,6 +358,50 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("bloom point-location: a hashed (non-clustered) key locates its " +
+    "file through the parquet blooms where zone maps cannot prune; " +
+    "point reads stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // k is arrival-clustered (zone maps work for k); u is a hashed
+    // unique key whose per-file min/max span the whole domain — the
+    // bloom is the only thing that can exclude files for a u-lookup
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, (k * 7919L) % 100003L, k % 2))
+        .toDF("k", "u", "p")
+    ManifestStore.init(batch(0, 40), "p", dir,
+      statsCols = Seq("k", "u"), bloomCols = Seq("u"))
+    (1 to 4).foreach(i =>
+      ManifestStore.append(batch(i * 40L, i * 40L + 40L), "p", dir,
+        statsCols = Seq("k", "u"), bloomCols = Seq("u")))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("u", LongType), StructField("p", LongType)))
+    val total = ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(0L))).size
+    assert(total == 5, "init + 4 appends, one file per batch in p=0")
+    // the lookup key: row k=130 (batch 3), u = 130*7919 % 100003
+    val u = (130L * 7919L) % 100003L
+    // zone maps alone keep (almost) everything — u is hashed
+    val zoneOnly = ManifestStore.selectFiles(dir, "p",
+      partVals = Some(Seq(0L)), range = Some(("u", u, u))).size
+    assert(zoneOnly >= 4, s"hashed key should defeat min/max pruning: $zoneOnly")
+    // the blooms exclude the other batches' files (≤1 false positive
+    // tolerated; the true file must survive)
+    val located = ManifestStore.locate(dir, "p", "u", u,
+      partVals = Some(Seq(0L)))
+    assert(located.size <= 2,
+      s"blooms must exclude non-holding files: $located")
+    assert(located.nonEmpty, "the holding file must survive")
+    // the point read is exact regardless of bloom false positives
+    assert(ManifestStore.readPoint(spark, dir, schema, "p", "u", u)
+      .select("k", "u", "p").as[(Long, Long, Long)].collect().toSet ==
+      Set((130L, u, 0L)))
+    // an absent key point-reads empty (any false-positive file opens,
+    // the exact filter drops it)
+    assert(ManifestStore.readPoint(
+      spark, dir, schema, "p", "u", 99991L).isEmpty)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("zone maps degrade safely: a stats-free version prunes nothing; " +
     "GC drops sidecars with their manifests") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
