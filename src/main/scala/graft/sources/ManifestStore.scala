@@ -226,9 +226,9 @@ object ManifestStore {
   def commit(
       rows: DataFrame, partCol: String, touched: Seq[Long],
       storeDir: String, retainVersions: Int = 8,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
     publish(rows, partCol, Some(touched), storeDir, retainVersions,
-      statsCols)
+      statsCols, bloomCols = bloomCols)
 
   /** APPEND one batch: stage + move `rows`' files like [[commit]], but
     * the next manifest KEEPS every previous entry — partitions
@@ -428,8 +428,8 @@ object ManifestStore {
   def compact(
       spark: SparkSession, storeDir: String, schema: StructType,
       partCol: String, maxFilesPerPartition: Int = 4,
-      retainVersions: Int = 8, statsCols: Seq[String] = Nil):
-      Option[Long] = {
+      retainVersions: Int = 8, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[Long] = {
     val v = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"$storeDir holds no manifest — nothing to compact"))
@@ -439,7 +439,8 @@ object ManifestStore {
     val vals = crowded.keys.map(_.stripPrefix(s"$partCol=").toLong).toSeq
     val rows = read(spark, storeDir, schema, partCol,
       partVals = Some(vals), version = Some(v))
-    Some(commit(rows, partCol, vals, storeDir, retainVersions, statsCols))
+    Some(commit(
+      rows, partCol, vals, storeDir, retainVersions, statsCols, bloomCols))
   }
 
   /** Maintenance sweep: LIST every partition dir and delete data files
