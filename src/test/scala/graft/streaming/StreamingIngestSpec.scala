@@ -42,6 +42,59 @@ class StreamingIngestSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("kill-and-restart drill: a crash AFTER the append but BEFORE " +
+    "the checkpoint commit replays the batch; the tagged append " +
+    "dedupes and the drained store is exact") {
+    val all = rows(80)
+    val scratch = Files.createTempDirectory("graft-ingest-crash").toString
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val store = new java.io.File(base, "store").toString
+    graft.sources.FileIO.stageRangeBatches(
+      all, col("k"), 4, new java.io.File(base, "stage"), inDir)
+    ManifestStore.init(all.limit(0), "ub", store, statsCols = Seq("k"))
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val ss = StreamSessions.scoped(spark, 4)
+    // run 1: batch 2's append PUBLISHES, then the "process dies"
+    // before foreachBatch returns — the checkpoint never commits it
+    val boom = new RuntimeException("simulated crash post-append")
+    val q1 = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, all.schema, maxFilesPerTrigger = 1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestStore.append(batch, "ub", store,
+          statsCols = Seq("k"), tag = Some(f"b$id%05d"))
+        if (id == 2L) throw boom
+        ()
+      }.start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("simulated crash")
+      || Option(died.getCause).exists(_.getMessage.contains("simulated crash")))
+    // batch 2's rows ARE in the store (append published before the
+    // crash) — the restart will replay batch 2 against them
+    val midCount = ManifestStore.read(spark, store, all.schema, "ub").count()
+    assert(midCount == 60L, s"batches 0-2 should be in the store: $midCount")
+    // run 2: same checkpoint — batch 2 replays (same id, same tag), the
+    // append dedupes, batch 3 lands; the drain is exact, no duplicates
+    val q2 = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, all.schema, maxFilesPerTrigger = 1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestStore.append(batch, "ub", store,
+          statsCols = Seq("k"), tag = Some(f"b$id%05d"))
+        ()
+      }.start()
+    q2.awaitTermination()
+    assert(content(store) ==
+      all.as[(Long, Long, Long)].collect().toSet,
+      "restart must replay without duplicating the crashed batch")
+    graft.sources.FileIO.deleteScratch(base)
+  }
+
   test("drained ingest == the batch table at any split; mid-stream " +
     "compaction bounds per-partition files; zone maps skip on the " +
     "drained store") {
