@@ -121,6 +121,69 @@ object CorpusStats {
       col("id").as("bucket"),
       (pmod(col("id") * 2654435761L, lit(1997L)) - 998L).as("w_milli"))
 
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score
+    * every corpus document by how much its hashed-bigram distribution
+    * looks like a TARGET domain sample versus the corpus itself —
+    * the standard recipe for tilting a 100 TB crawl toward a domain
+    * without training a classifier. Exact integer end to end:
+    *
+    *  - features: hashed bigrams into `buckets` (the DSIR hashed
+    *    n-gram feature space);
+    *  - per-bucket importance w(b) = p_target(b) / p_corpus(b) with
+    *    Laplace smoothing, in milli fixed point:
+    *    `w_milli(b) = (1000·(t_b+1)·(C+B)) div ((c_b+1)·(T+B))`
+    *    (t/c = bucket counts, T/C = totals, B = buckets);
+    *  - per-doc score = mean importance over its bigram OCCURRENCES
+    *    (`score_milli = Σ w div n`), `keep` = score ≥ 1000 (more
+    *    domain-like than corpus-average) — the deterministic
+    *    selection analog of DSIR's weight-proportional sampling.
+    *
+    * Shape at scale: both count tables are ≤ `buckets` rows —
+    * BROADCAST onto the occurrence stream; totals are two scalar
+    * aggregates. One corpus scan per side plus the broadcast-joined
+    * scoring pass; no shuffle keyed on anything wider than the doc id.
+    * Int64 bounds: the numerator `1000·(t_b+1)·(C+B)` needs
+    * t_b·C ≲ 9·10^15 — fine to ~10^7 target × 10^8 corpus bigrams; at
+    * larger totals divide in two steps (scale after the ratio).
+    * Docs with no bigram score (0, 0, keep=0).
+    */
+  def importanceScore(
+      corpus: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column,
+      buckets: Int = 4096): DataFrame = {
+    def occs(df: DataFrame, cols: Seq[Column], t: Column) =
+      df.select((cols :+
+        explode_outer(ngramStrings(TextAnalysis.tokens(t), 2)).as("bg")): _*)
+        .withColumn("bucket", when(col("bg").isNotNull,
+          pmod(TextAnalysis.portableHash32(col("bg")), lit(buckets.toLong))))
+    val co = occs(corpus, Seq(id.as("doc_id")), text)
+    val tgtCnt = occs(target, Seq(lit(1L).as("one")), targetText)
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
+    val corCnt = co.filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_cnt"))
+    val totT = tgtCnt.agg(coalesce(sum("t_cnt"), lit(0L))).head.getLong(0)
+    val totC = corCnt.agg(coalesce(sum("c_cnt"), lit(0L))).head.getLong(0)
+    val b = buckets.toLong
+    co
+      .join(broadcast(tgtCnt), Seq("bucket"), "left")
+      .join(broadcast(corCnt), Seq("bucket"), "left")
+      .withColumn("__num", lit(1000L)
+        * (coalesce(col("t_cnt"), lit(0L)) + 1L) * lit(totC + b))
+      .withColumn("__den",
+        (coalesce(col("c_cnt"), lit(0L)) + 1L) * lit(totT + b))
+      .withColumn("w_milli",
+        when(col("bucket").isNotNull, expr("__num div __den")))
+      .groupBy(col("doc_id"))
+      .agg(count(col("bucket")).as("n_feats"),
+        coalesce(sum(col("w_milli")), lit(0L)).as("w_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        when(col("n_feats") === 0, lit(0L))
+          .otherwise(expr("w_sum div n_feats")).as("score_milli"))
+      .withColumn("keep", (col("score_milli") >= 1000L).cast("bigint"))
+  }
+
   /** Bigram-LM familiarity scoring — the exact-integer analog of the
     * KenLM-perplexity quality filter: train bigram occurrence counts
     * on the corpus itself (one aggregate), then score every document

@@ -589,6 +589,18 @@ object CorpusQueries {
     "heavy_ngrams" -> ((s, dir) =>
       CorpusStats.heavyNgrams(docs(s, dir), col("text"), n = 3, k = 50)
         .orderBy("rank")),
+    // DSIR-style importance scoring: every 20th doc plays the TARGET
+    // domain sample; every other doc scores by its hashed-bigram
+    // distribution's target-vs-corpus likelihood ratio (Laplace-
+    // smoothed, milli fixed point), keep = more domain-like than
+    // corpus-average. Both count tables are bucket-bounded broadcasts
+    "domain_importance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusStats.importanceScore(
+        d.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 20 === 0), col("text"))
+        .orderBy("doc_id")
+    }),
     // bigram-LM familiarity scoring: the integer-exact analog of the
     // KenLM-perplexity quality filter, trained on the corpus itself
     "lm_familiarity" -> ((s, dir) =>
@@ -1526,6 +1538,40 @@ object CorpusQueries {
     "stream_heavy_ngrams" -> HeavyNgramsOracle,
     // bigram occurrence counts trained on the corpus itself; per-doc
     // mean corpus frequency + unique-bigram share, exact integer math
+    // the importance fold replayed: hashed-bigram buckets, smoothed
+    // ratio per occurrence, per-doc mean, keep at >= 1000 milli
+    "domain_importance" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_split(substr(md5(bg), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 4096 AS bucket
+        |  FROM (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |        FROM t WHERE len(toks) >= 2)),
+        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+        |        FROM occ WHERE doc_id % 20 = 0 GROUP BY bucket),
+        |cor AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_cnt
+        |        FROM occ WHERE doc_id % 20 <> 0 GROUP BY bucket),
+        |tot AS (SELECT (SELECT COALESCE(sum(t_cnt), 0) FROM tgt) AS tt,
+        |               (SELECT COALESCE(sum(c_cnt), 0) FROM cor) AS tc),
+        |sc AS (
+        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum((1000 * (COALESCE(g.t_cnt, 0) + 1) * (tot.tc + 4096))
+        |        // ((COALESCE(c.c_cnt, 0) + 1) * (tot.tt + 4096))) AS BIGINT) AS w_sum
+        |  FROM occ o LEFT JOIN tgt g USING (bucket)
+        |    LEFT JOIN cor c USING (bucket), tot
+        |  WHERE o.doc_id % 20 <> 0
+        |  GROUP BY o.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(CASE WHEN sc.n_feats IS NULL THEN 0
+        |    ELSE sc.w_sum // sc.n_feats END AS BIGINT) AS score_milli,
+        |  CAST(CASE WHEN sc.n_feats IS NULL THEN 0
+        |    WHEN sc.w_sum // sc.n_feats >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "lm_familiarity" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |occ AS (SELECT doc_id, substr(md5(bg), 1, 14) AS h FROM (

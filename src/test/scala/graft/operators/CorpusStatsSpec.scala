@@ -235,4 +235,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 2L, 1L, 500L)))
     assert(out(2L) == ((2L, 1L, 2L, 0L)))
   }
+
+  test("importance scoring tilts toward the planted domain: docs " +
+    "sharing the target's bigrams keep, disjoint docs drop, empty " +
+    "docs score zero") {
+    // target domain: medical-ish bigram space
+    val target = Seq(
+      "patient dose trial patient dose outcome",
+      "dose trial outcome patient dose trial")
+      .toDF("text")
+    val corpus = Seq(
+      (1L, "patient dose trial outcome patient dose"), // in-domain
+      (2L, "stock market price stock market index"),   // out-of-domain
+      (3L, "patient dose stock market patient dose"),  // mixed
+      (4L, "x"))                                       // no bigrams
+      .toDF("doc_id", "text")
+    val out = CorpusStats.importanceScore(
+      corpus, col("doc_id"), col("text"), target, col("text"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 1L, s"in-domain doc must keep: ${out(1L)}")
+    assert(out(2L)._4 == 0L, s"out-of-domain doc must drop: ${out(2L)}")
+    assert(out(1L)._3 > out(3L)._3 && out(3L)._3 > out(2L)._3,
+      s"scores must order in-domain > mixed > out: $out")
+    assert(out(4L) == ((4L, 0L, 0L, 0L)), "no-bigram doc scores zero")
+  }
 }
