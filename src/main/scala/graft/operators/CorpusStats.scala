@@ -148,33 +148,53 @@ object CorpusStats {
     * larger totals divide in two steps (scale after the ratio).
     * Docs with no bigram score (0, 0, keep=0).
     */
-  def importanceScore(
-      corpus: DataFrame, id: Column, text: Column,
+  private def bigramBuckets(
+      df: DataFrame, cols: Seq[Column], t: Column, buckets: Int) =
+    df.select((cols :+
+      explode_outer(ngramStrings(TextAnalysis.tokens(t), 2)).as("bg")): _*)
+      .withColumn("bucket", when(col("bg").isNotNull,
+        pmod(TextAnalysis.portableHash32(col("bg")), lit(buckets.toLong))))
+
+  /** The frozen DSIR weight table: `(bucket, w_milli)` for EVERY
+    * bucket (absent-on-both-sides buckets get the smoothed neutral
+    * ratio), derivable once and broadcast/pinned wherever scoring
+    * happens — including a streaming scorer that must not rescan
+    * either corpus.
+    */
+  def importanceWeights(
+      corpus: DataFrame, text: Column,
       target: DataFrame, targetText: Column,
       buckets: Int = 4096): DataFrame = {
-    def occs(df: DataFrame, cols: Seq[Column], t: Column) =
-      df.select((cols :+
-        explode_outer(ngramStrings(TextAnalysis.tokens(t), 2)).as("bg")): _*)
-        .withColumn("bucket", when(col("bg").isNotNull,
-          pmod(TextAnalysis.portableHash32(col("bg")), lit(buckets.toLong))))
-    val co = occs(corpus, Seq(id.as("doc_id")), text)
-    val tgtCnt = occs(target, Seq(lit(1L).as("one")), targetText)
+    val spark = corpus.sparkSession
+    val tgtCnt = bigramBuckets(target, Seq(lit(1L).as("one")), targetText, buckets)
       .filter(col("bucket").isNotNull)
       .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
-    val corCnt = co.filter(col("bucket").isNotNull)
+    val corCnt = bigramBuckets(corpus, Seq(lit(1L).as("one")), text, buckets)
+      .filter(col("bucket").isNotNull)
       .groupBy(col("bucket")).agg(count(lit(1)).as("c_cnt"))
     val totT = tgtCnt.agg(coalesce(sum("t_cnt"), lit(0L))).head.getLong(0)
     val totC = corCnt.agg(coalesce(sum("c_cnt"), lit(0L))).head.getLong(0)
     val b = buckets.toLong
-    co
-      .join(broadcast(tgtCnt), Seq("bucket"), "left")
-      .join(broadcast(corCnt), Seq("bucket"), "left")
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(tgtCnt, Seq("bucket"), "left")
+      .join(corCnt, Seq("bucket"), "left")
       .withColumn("__num", lit(1000L)
         * (coalesce(col("t_cnt"), lit(0L)) + 1L) * lit(totC + b))
       .withColumn("__den",
         (coalesce(col("c_cnt"), lit(0L)) + 1L) * lit(totT + b))
+      .select(col("bucket"), expr("__num div __den").as("w_milli"))
+  }
+
+  /** Score docs against a frozen weight table (stateless per doc —
+    * any batch split lands identical scores).
+    */
+  def scoreWithImportanceWeights(
+      docs: DataFrame, id: Column, text: Column,
+      weights: DataFrame, buckets: Int = 4096): DataFrame =
+    bigramBuckets(docs, Seq(id.as("doc_id")), text, buckets)
+      .join(broadcast(weights), Seq("bucket"), "left")
       .withColumn("w_milli",
-        when(col("bucket").isNotNull, expr("__num div __den")))
+        when(col("bucket").isNotNull, col("w_milli")))
       .groupBy(col("doc_id"))
       .agg(count(col("bucket")).as("n_feats"),
         coalesce(sum(col("w_milli")), lit(0L)).as("w_sum"))
@@ -182,7 +202,13 @@ object CorpusStats {
         when(col("n_feats") === 0, lit(0L))
           .otherwise(expr("w_sum div n_feats")).as("score_milli"))
       .withColumn("keep", (col("score_milli") >= 1000L).cast("bigint"))
-  }
+
+  def importanceScore(
+      corpus: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column,
+      buckets: Int = 4096): DataFrame =
+    scoreWithImportanceWeights(corpus, id, text,
+      importanceWeights(corpus, text, target, targetText, buckets), buckets)
 
   /** Bigram-LM familiarity scoring — the exact-integer analog of the
     * KenLM-perplexity quality filter: train bigram occurrence counts

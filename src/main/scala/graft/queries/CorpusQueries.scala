@@ -601,6 +601,22 @@ object CorpusQueries {
         d.filter(col("doc_id") % 20 === 0), col("text"))
         .orderBy("doc_id")
     }),
+    // the SAME importance scoring maintained ONLINE: weights trained
+    // once and frozen, corpus docs stream as micro-batch files and
+    // score statelessly (any split lands identical scores, exactly-
+    // once per-batch outputs); shares the batch oracle VERBATIM
+    "stream_domain_importance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 20 =!= 0)
+      val weights = CorpusStats.importanceWeights(
+        corpus, col("text"), d.filter(col("doc_id") % 20 === 0),
+        col("text"))
+      val scratch = graft.LocalDir.runDir("dsir-online")
+      graft.streaming.StreamingImportance.scoreFromFiles(
+        s, corpus.select(col("doc_id"), col("text")), weights,
+        buckets = 4096, nBatches = 4, scratch)
+        .orderBy("doc_id")
+    }),
     // bigram-LM familiarity scoring: the integer-exact analog of the
     // KenLM-perplexity quality filter, trained on the corpus itself
     "lm_familiarity" -> ((s, dir) =>
@@ -995,6 +1011,42 @@ object CorpusQueries {
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 0) c
         |LEFT JOIN hits h ON h.id = c.vec_id
         |ORDER BY c.vec_id""".stripMargin
+
+  /** The DSIR importance fold replayed in SQL — shared VERBATIM by
+    * the batch and streaming gates (stateless scoring: same rows).
+    */
+  private val DomainImportanceOracle: String =
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_split(substr(md5(bg), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 4096 AS bucket
+        |  FROM (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |        FROM t WHERE len(toks) >= 2)),
+        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+        |        FROM occ WHERE doc_id % 20 = 0 GROUP BY bucket),
+        |cor AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_cnt
+        |        FROM occ WHERE doc_id % 20 <> 0 GROUP BY bucket),
+        |tot AS (SELECT (SELECT COALESCE(sum(t_cnt), 0) FROM tgt) AS tt,
+        |               (SELECT COALESCE(sum(c_cnt), 0) FROM cor) AS tc),
+        |sc AS (
+        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum((1000 * (COALESCE(g.t_cnt, 0) + 1) * (tot.tc + 4096))
+        |        // ((COALESCE(c.c_cnt, 0) + 1) * (tot.tt + 4096))) AS BIGINT) AS w_sum
+        |  FROM occ o LEFT JOIN tgt g USING (bucket)
+        |    LEFT JOIN cor c USING (bucket), tot
+        |  WHERE o.doc_id % 20 <> 0
+        |  GROUP BY o.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(CASE WHEN sc.n_feats IS NULL THEN 0
+        |    ELSE sc.w_sum // sc.n_feats END AS BIGINT) AS score_milli,
+        |  CAST(CASE WHEN sc.n_feats IS NULL THEN 0
+        |    WHEN sc.w_sum // sc.n_feats >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private val PipelineIncrementalOracle: String =
     """WITH nd0 AS (
@@ -1540,38 +1592,8 @@ object CorpusQueries {
     // mean corpus frequency + unique-bigram share, exact integer math
     // the importance fold replayed: hashed-bigram buckets, smoothed
     // ratio per occurrence, per-doc mean, keep at >= 1000 milli
-    "domain_importance" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |occ AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_transform(string_split(substr(md5(bg), 1, 8), ''),
-        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) % 4096 AS bucket
-        |  FROM (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 1),
-        |          i -> toks[i] || ' ' || toks[i+1])) AS bg
-        |        FROM t WHERE len(toks) >= 2)),
-        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
-        |        FROM occ WHERE doc_id % 20 = 0 GROUP BY bucket),
-        |cor AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_cnt
-        |        FROM occ WHERE doc_id % 20 <> 0 GROUP BY bucket),
-        |tot AS (SELECT (SELECT COALESCE(sum(t_cnt), 0) FROM tgt) AS tt,
-        |               (SELECT COALESCE(sum(c_cnt), 0) FROM cor) AS tc),
-        |sc AS (
-        |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |    CAST(sum((1000 * (COALESCE(g.t_cnt, 0) + 1) * (tot.tc + 4096))
-        |        // ((COALESCE(c.c_cnt, 0) + 1) * (tot.tt + 4096))) AS BIGINT) AS w_sum
-        |  FROM occ o LEFT JOIN tgt g USING (bucket)
-        |    LEFT JOIN cor c USING (bucket), tot
-        |  WHERE o.doc_id % 20 <> 0
-        |  GROUP BY o.doc_id)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
-        |  CAST(CASE WHEN sc.n_feats IS NULL THEN 0
-        |    ELSE sc.w_sum // sc.n_feats END AS BIGINT) AS score_milli,
-        |  CAST(CASE WHEN sc.n_feats IS NULL THEN 0
-        |    WHEN sc.w_sum // sc.n_feats >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
-        |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "domain_importance" -> DomainImportanceOracle,
+    "stream_domain_importance" -> DomainImportanceOracle,
     "lm_familiarity" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |occ AS (SELECT doc_id, substr(md5(bg), 1, 14) AS h FROM (

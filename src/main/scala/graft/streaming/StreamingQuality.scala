@@ -117,3 +117,55 @@ object StreamingQuality {
       .orderBy("check")
   }
 }
+
+/** DSIR importance scoring maintained ONLINE: the weight table is
+  * trained once (batch — target + corpus bucket counts) and FROZEN;
+  * new documents stream through as micro-batch files and score
+  * statelessly against it (broadcast-sized table pinned on the scoped
+  * session). Stateless per doc → any batch split lands identical
+  * scores, so the `stream_domain_importance` gate shares the batch
+  * oracle VERBATIM; exactly-once via per-batch-id output dirs.
+  */
+object StreamingImportance {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+
+  def scoreFromFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, // (doc_id, text)
+      weights: DataFrame, // (bucket, w_milli) — the frozen table
+      buckets: Int,
+      nBatches: Int,
+      scratch: String,
+      statePartitions: Int = 4): DataFrame = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out")
+    val narrow = docs.select(col("doc_id"), col("text"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow, col("doc_id"), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    // the frozen weights, re-pinned on the scoped session (frames from
+    // different sessions must not meet in one plan)
+    val wLocal = ss.createDataFrame(
+      ss.sparkContext.parallelize(weights.collect().toSeq, 1),
+      weights.schema).localCheckpoint(true)
+    val stream = graft.sources.FileIO.streamParquet(
+      ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.CorpusStats.scoreWithImportanceWeights(
+          batch, col("doc_id"), col("text"), wLocal, buckets)
+          .write.mode("overwrite") // exactly-once per batch id on replay
+          .parquet(new java.io.File(outDir, f"batch-$id%05d").toString)
+      }
+      .start()
+    q.awaitTermination()
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    graft.sources.FileIO.deleteScratchOnExit(base)
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir.toString)
+  }
+}
