@@ -271,6 +271,43 @@ object CorpusQueries {
         .distinct() // two keys may collide on the same hashed u
         .orderBy("event_id")
     }),
+    // MERGE by key (the Delta MERGE INTO analog): point upserts +
+    // bloom-LOCATED deletes against the events store — delete
+    // partitions are discovered through the file blooms (footer-sized
+    // reads, no store scan), upserts rewrite exactly their partitions.
+    // Oracle = the same edit set replayed over the raw table
+    "store_merge" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("merge-store")
+      graft.sources.ManifestStore.init(ev, "ub", store,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val upIds = (1 to 3).map(i => maxId / 5 * i)
+      val delIds = (1 to 2).map(i => maxId / 7 * i)
+        .filterNot(upIds.contains)
+      val inserts = {
+        import s.implicits._
+        (1 to 2).map(i => (maxId + i, (maxId + i) % 8, 777000L + maxId + i))
+          .toDF("event_id", "ub", "val_milli")
+      }
+      val upserts = ev.filter(col("event_id").isin(upIds: _*))
+        .withColumn("val_milli", lit(777000L) + col("event_id"))
+        .unionByName(inserts)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("val_milli",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.ManifestStore.merge(s, store, schema, "ub",
+        "event_id", upserts, delIds,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      graft.sources.ManifestStore.read(s, store, schema, "ub")
+        .orderBy("event_id")
+    }),
     // CROSS-STORE tx read (TxLog): resolve the drained run's FINAL tx
     // and read the CORPUS store at the version that tx pinned — the
     // consistent-combination read path (the packed store of the SAME
@@ -1199,6 +1236,25 @@ object CorpusQueries {
         |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the merged store == the edit set replayed over the raw table
+    "store_merge" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
+        |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)
+        |        WHERE (mx // 7) * i NOT IN (SELECT id FROM up)),
+        |base AS (SELECT event_id, user_id % 8 AS ub,
+        |           event_id * 3 AS val_milli FROM events),
+        |ins AS (SELECT mx + i AS event_id, (mx + i) % 8 AS ub,
+        |          777000 + mx + i AS val_milli
+        |        FROM m, (VALUES (1),(2)) t(i))
+        |SELECT event_id, CAST(ub AS BIGINT) AS ub,
+        |  CAST(val_milli AS BIGINT) AS val_milli FROM (
+        |  SELECT b.event_id, b.ub,
+        |    CASE WHEN b.event_id IN (SELECT id FROM up)
+        |      THEN 777000 + b.event_id ELSE b.val_milli END AS val_milli
+        |  FROM base b WHERE b.event_id NOT IN (SELECT id FROM del)
+        |  UNION ALL SELECT * FROM ins)
+        |ORDER BY event_id""".stripMargin,
     // the bloom-located point reads == the same hashed-key IN-list off
     // the raw table (location may open extra files, never skip a hit)
     "store_point_read" ->

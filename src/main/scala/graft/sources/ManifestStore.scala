@@ -412,6 +412,55 @@ object ManifestStore {
     }
   }
 
+  /** MERGE by key — the Delta MERGE INTO analog for point upserts and
+    * deletes: rewrite ONLY the partitions holding affected keys, as
+    * one atomic commit. `upserts` rows replace same-key rows and
+    * insert new ones (they carry `partCol`, so their partitions are
+    * known); `deleteKeys` may live ANYWHERE — their partitions are
+    * discovered through [[locate]] (zone maps + blooms, footer-sized
+    * metadata reads), which is what makes a "delete row N wherever it
+    * is" request (the GDPR-erasure shape) affordable without a store
+    * scan. Point-edit tier: per delete key one locate pass — for bulk
+    * edit streams use the CDC rewrite path instead. Same
+    * single-writer/CAS/retention discipline; readers pinned to earlier
+    * versions are untouched.
+    *
+    * CONTRACT: upsert keys must be partition-stable (the row's
+    * `partCol` derives from the key — pmod layouts), so the old row
+    * lives in the partition the upsert touches. A key that MOVES
+    * partitions must also be listed in `deleteKeys`, or its old row
+    * would survive untouched elsewhere.
+    */
+  def merge(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, keyCol: String,
+      upserts: DataFrame, deleteKeys: Seq[Long] = Nil,
+      retainVersions: Int = 8, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val upParts = upserts.select(c(partCol)).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val delParts = deleteKeys
+      .flatMap(k => locate(storeDir, partCol, keyCol, k))
+      .map(_.takeWhile(_ != '/').stripPrefix(s"$partCol="))
+      .map(_.toLong).distinct
+    val touched = (upParts ++ delParts).distinct
+    if (touched.isEmpty)
+      return latestVersion(storeDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$storeDir holds no manifest — initialize with init"))
+    val current = read(spark, storeDir, schema, partCol, Some(touched))
+    val editedKeys = upserts.select(c(keyCol)).distinct()
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(deleteKeys.map(Row(_)), 1),
+        StructType(Seq(schema(keyCol)))))
+    val next = current
+      .join(editedKeys, Seq(keyCol), "left_anti")
+      .unionByName(upserts.select(schema.fieldNames.map(c): _*))
+    commit(next, partCol, touched, storeDir, retainVersions,
+      statsCols, bloomCols)
+  }
+
   /** MAINTENANCE compaction for appended stores: rewrite every
     * partition holding more than `maxFilesPerPartition` accumulated
     * files into one file, publishing a content-identical new version

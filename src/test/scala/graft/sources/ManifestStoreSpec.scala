@@ -402,6 +402,44 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("merge by key: upserts replace and insert, deletes are LOCATED " +
+    "through the blooms without a store scan, untouched partitions' " +
+    "files survive byte-identical, pinned readers unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    // k is the key; p = k % 4 (partition-stable); blooms on k
+    def kRows(ks: Long*) = ks.map(k => (k, k * 10, k % 4))
+      .toDF("k", "v", "p")
+    ManifestStore.init(kRows(0L to 15L: _*), "p", dir,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    val pinned = ManifestStore.latestVersion(dir).get
+    val before = readAll(dir)
+    val untouchedFiles = ManifestStore.files(dir, pinned)
+      .filter(f => f.startsWith("p=2/") || f.startsWith("p=3/"))
+    // merge: update k=1 (p=1), insert k=100 (p=0), delete k=5 (p=1 —
+    // located via bloom, NOT passed a partition)
+    val v = ManifestStore.merge(spark, dir, schema, "p", "k",
+      upserts = kRows(1L).withColumn("v", lit(999L))
+        .unionByName(kRows(100L)),
+      deleteKeys = Seq(5L),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    val expected = before - ((1L, 10L, 1L)) - ((5L, 50L, 1L)) +
+      ((1L, 999L, 1L)) + ((100L, 1000L, 0L))
+    assert(readAll(dir) == expected)
+    // only p=0 and p=1 rewrote: p=2/p=3 entries carried verbatim
+    assert(ManifestStore.files(dir, v)
+      .filter(f => f.startsWith("p=2/") || f.startsWith("p=3/"))
+      == untouchedFiles, "untouched partitions must carry, not rewrite")
+    // the pinned pre-merge snapshot still reads the old rows
+    assert(readAll(dir, Some(pinned)) == before)
+    // a delete-only merge whose key is nowhere touches nothing
+    val v2 = ManifestStore.merge(spark, dir, schema, "p", "k",
+      upserts = kRows().limit(0), deleteKeys = Seq(777777L),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    assert(readAll(dir) == expected)
+    assert(v2 <= v + 1, s"absent-key delete published $v2 after $v")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("zone maps degrade safely: a stats-free version prunes nothing; " +
     "GC drops sidecars with their manifests") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
