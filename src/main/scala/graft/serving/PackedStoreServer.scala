@@ -41,7 +41,8 @@ import java.util.concurrent.atomic.AtomicBoolean
 final class PackedStoreServer(
     spark: SparkSession,
     storeDir: String,
-    port: Int = 0) extends AutoCloseable {
+    port: Int = 0,
+    txDir: Option[String] = None) extends AutoCloseable {
 
   private val running = new AtomicBoolean(true)
   private val server = new ServerSocket(port)
@@ -57,6 +58,20 @@ final class PackedStoreServer(
         latest match {
           case Some(v) => s"""{"version":$v}"""
           case None => s"""{"error":"empty store (no manifest)"}"""
+        }
+      case "TX" if parts.length <= 2 =>
+        // resolve a CROSS-STORE tx record (latest or pinned): the
+        // client reads "packed" for its SCAN pins here and the other
+        // stores' versions for whatever else it consults — N reads,
+        // ONE consistent combination (rows 132 + 133 composed)
+        txDir match {
+          case None => s"""{"error":"no tx log behind this store"}"""
+          case Some(td) =>
+            val tx = graft.sources.TxLog.read(td,
+              if (parts.length == 2) Some(parts(1).toLong) else None)
+            val vs = tx.versions.toSeq.sortBy(_._1)
+              .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+            s"""{"tx":${tx.txId},"batch":${tx.batchId},"versions":{$vs}}"""
         }
       case "COUNT" if parts.length <= 2 =>
         val v = if (parts.length == 2) parts(1).toLong
@@ -183,6 +198,20 @@ final class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
       grp: Long, lo: Long, hi: Long, at: Option[Long] = None): String =
     request(s"RANGE $grp $lo $hi${at.fold("")(v => s" $v")}")
 
+  /** Resolve a cross-store tx (latest or pinned): (txId, store →
+    * version). Pin SCANs to `versions("packed")` and read any other
+    * store AT its recorded version for one consistent combination.
+    */
+  def tx(at: Option[Long] = None): (Long, Map[String, Long]) = {
+    val r = request(s"TX${at.fold("")(v => s" $v")}")
+    require(!r.contains("\"error\""), s"TX failed: $r")
+    val id = PackedStoreClient.TxRe.findFirstMatchIn(r)
+      .map(_.group(1).toLong).getOrElse(sys.error(s"malformed TX: $r"))
+    val vs = PackedStoreClient.KvRe.findAllMatchIn(r)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap - "tx" - "batch"
+    (id, vs)
+  }
+
   override def close(): Unit = {
     try sock.close() catch { case _: Throwable => () }
   }
@@ -191,4 +220,6 @@ final class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
 object PackedStoreClient {
   private val VerRe = """"version":(\d+)""".r
   private val CountRe = """"count":(\d+)""".r
+  private[serving] val TxRe = """"tx":(\d+)""".r
+  private[serving] val KvRe = """"(\w+)":(\d+)""".r
 }

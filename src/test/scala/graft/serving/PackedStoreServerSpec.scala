@@ -58,6 +58,37 @@ class PackedStoreServerSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("TX resolution over the wire: a client pins one cross-store tx " +
+    "and its packed SCAN stays consistent while the writer publishes " +
+    "new txs on top") {
+    val dir = java.nio.file.Files.createTempDirectory("packed-tx").toString
+    val txd = s"$dir-txlog"
+    ManifestStore.init(packedRows(0, 0L), "grp", dir)
+    graft.sources.TxLog.publish(txd, -1L, Map("packed" -> 0L, "corpus" -> 0L))
+    val srv = new PackedStoreServer(spark, dir, txDir = Some(txd))
+    try {
+      val client = new PackedStoreClient("localhost", srv.boundPort)
+      try {
+        val (txId, vs) = client.tx()
+        assert(txId == 0L && vs == Map("packed" -> 0L, "corpus" -> 0L))
+        val pinnedScan = client.scan(0L, Some(vs("packed")))
+        // the writer commits a batch and publishes the next tx
+        val v1 = ManifestStore.commit(packedRows(9, 0L), "grp", Seq(0L), dir)
+        graft.sources.TxLog.publish(txd, 0L,
+          Map("packed" -> v1, "corpus" -> 3L))
+        // the pinned tx still resolves and its scan is byte-identical
+        assert(client.tx(Some(txId))._2("packed") == 0L)
+        assert(client.scan(0L, Some(0L)) == pinnedScan)
+        // the latest tx names the new combination
+        val (tx1, vs1) = client.tx()
+        assert(tx1 == 1L && vs1 == Map("packed" -> v1, "corpus" -> 3L))
+        assert(client.scan(0L, Some(vs1("packed"))) != pinnedScan)
+      } finally client.close()
+    } finally srv.close()
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+    graft.sources.FileIO.deleteScratch(new java.io.File(txd))
+  }
+
   test("RANGE serves a doc_id slice through the zone maps: answers " +
     "match the exact filter, and the manifest-level selection opens " +
     "only the intersecting files") {
