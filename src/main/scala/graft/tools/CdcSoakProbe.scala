@@ -46,23 +46,48 @@ object CdcSoakProbe {
       (0 until corpusN).map(i => i.toLong -> text(i.toLong, 0L)): _*)
     val init = model.toSeq.map { case (id, t) => (id, t, "en", "s", 10L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val txDir = s"$scratch/tx"
     IncrementalCdc.writeCorpusStore(init, nShards, corpusDir)
     IncrementalCdc.writeDedupStores(init, nShards, nFpBuckets, indexDir, keepsDir)
     graft.sources.ManifestStore.init(
       Incremental.pipelineSharded(init, nShards, seqLen), "grp", packedDir)
+    graft.sources.TxLog.publish(txDir, -1L,
+      Map("corpus" -> 0L, "index" -> 0L, "keeps" -> 0L, "packed" -> 0L))
 
     // concurrent packed-store reader — the live consumer the stores
     // must stay readable under (dynamic overwrite commits per
     // partition; readers see either version of a partition)
     val reads = new java.util.concurrent.atomic.AtomicLong(0)
     val readErrors = new java.util.concurrent.atomic.AtomicLong(0)
+    val txReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val txErrors = new java.util.concurrent.atomic.AtomicLong(0)
+    val txInconsistent = new java.util.concurrent.atomic.AtomicLong(0)
     val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cdcDirs = IncrementalCdc.CdcDirs(scratch)
     val reader = new Thread(() => {
+      var tick = 0L
       while (!stopReader.get()) {
-        try {
-          IncrementalCdc.readPacked(spark, packedDir).count()
-          reads.incrementAndGet()
-        } catch { case _: Throwable => readErrors.incrementAndGet() }
+        tick += 1
+        if (tick % 2 == 0) {
+          // a TX-CONSISTENT cross-store read under full churn: resolve
+          // the latest tx, read keeps + index AT its pinned versions,
+          // and check the keeper invariant the combination must hold
+          // (keeps@tx == keeper set of index@tx) — any version mixing
+          // across the two stores breaks the count equality
+          try {
+            val (_, _, idx, keeps, _) =
+              IncrementalCdc.readAtTx(spark, cdcDirs, None)
+            val nKeeps = keeps.count()
+            val nGroups = idx.select("fingerprint").distinct().count()
+            if (nKeeps != nGroups) txInconsistent.incrementAndGet()
+            txReads.incrementAndGet()
+          } catch { case _: Throwable => txErrors.incrementAndGet() }
+        } else {
+          try {
+            IncrementalCdc.readPacked(spark, packedDir).count()
+            reads.incrementAndGet()
+          } catch { case _: Throwable => readErrors.incrementAndGet() }
+        }
         Thread.sleep(50)
       }
     }, "cdc-soak-reader")
@@ -104,7 +129,7 @@ object CdcSoakProbe {
         spark,
         evs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars", "is_delete", "ev_seq"),
         corpusDir, indexDir, keepsDir, clsDir, packedDir,
-        b.toLong, nShards, seqLen, nFpBuckets)
+        b.toLong, nShards, seqLen, nFpBuckets, txDir = Some(txDir))
       batchMs(b) = (System.nanoTime() - t0) / 1000000L
       if ((b + 1) % 50 == 0) {
         val (pf, pb) = du(packedDir); val (ifl, ib) = du(indexDir)
@@ -146,6 +171,8 @@ object CdcSoakProbe {
       s""""packed_files":$pf,"packed_bytes":$pb,""" +
       s""""journal_dirs":$jd,"concurrent_reads":${reads.get()},""" +
       s""""read_errors":${readErrors.get()},""" +
+      s""""tx_reads":${txReads.get()},"tx_errors":${txErrors.get()},""" +
+      s""""tx_inconsistent":${txInconsistent.get()},""" +
       s""""packed_exact":$exact,"kept_exact":$keptExact}""")
     val flatMs = lastMs <= firstMs * 3
     val journalBounded = jd <= IncrementalCdc.JournalRetain + 2
@@ -160,7 +187,12 @@ object CdcSoakProbe {
     // dynamic-overwrite baseline measured a 0.6% transient
     // FileNotFound rate on this exact drill)
     val readsOk = reads.get() > 0 && readErrors.get() == 0
-    if (!(flatMs && journalBounded && exact && keptExact && readsOk))
+    // every concurrent tx-resolved combination must satisfy the
+    // keeper invariant and resolve without error — cross-store
+    // consistency under sustained churn, zero tolerance
+    val txOk = txReads.get() > 0 && txErrors.get() == 0 &&
+      txInconsistent.get() == 0
+    if (!(flatMs && journalBounded && exact && keptExact && readsOk && txOk))
       System.exit(1)
   }
 }
