@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.StructType
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+/** Thrown when a commit's rows violate a declared expectation — the
+  * store is untouched (nothing was published; staged files are swept).
+  */
+final class ExpectationViolation(msg: String)
+  extends RuntimeException(msg)
+
 /** A MANIFEST-COMMITTED partitioned parquet store — snapshot-isolated
   * reads under a continuously rewriting writer, the capability the
   * CDC soak measured dynamic partition overwrite to lack (a raw
@@ -226,9 +232,35 @@ object ManifestStore {
   def commit(
       rows: DataFrame, partCol: String, touched: Seq[Long],
       storeDir: String, retainVersions: Int = 8,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil):
+      Long =
     publish(rows, partCol, Some(touched), storeDir, retainVersions,
-      statsCols, bloomCols = bloomCols)
+      statsCols, bloomCols = bloomCols, expectations = expectations)
+
+  /** COMMIT-TIME CHECK constraints (the Delta expectation analog):
+    * every predicate must hold on every row of the batch, evaluated in
+    * ONE aggregate over the (edit-sized) batch BEFORE anything is
+    * staged — a violating publish throws [[ExpectationViolation]] with
+    * per-expectation violation counts and the store stays exactly as
+    * it was. SQL CHECK semantics: a NULL predicate result passes
+    * (constrain nullability explicitly with `isNotNull`).
+    */
+  def checkExpectations(
+      rows: DataFrame,
+      expectations: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    if (expectations.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce => cl, lit => l, sum => sm, when => wn}
+    val aggs = expectations.map { case (n, c) =>
+      sm(wn(cl(c, l(true)) === false, 1L).otherwise(0L)).as(n) }
+    val row = rows.agg(aggs.head, aggs.tail: _*).head
+    val bad = expectations.zipWithIndex.collect {
+      case ((n, _), i) if row.getLong(i) > 0 => s"$n: ${row.getLong(i)} rows"
+    }
+    if (bad.nonEmpty)
+      throw new ExpectationViolation(
+        s"commit rejected — expectation(s) violated: ${bad.mkString("; ")}")
+  }
 
   /** APPEND one batch: stage + move `rows`' files like [[commit]], but
     * the next manifest KEEPS every previous entry — partitions
@@ -251,7 +283,9 @@ object ManifestStore {
       rows: DataFrame, partCol: String, storeDir: String,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
       tag: Option[String] = None, maxRetries: Int = 8,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil):
+      Long = {
     tag.foreach { t =>
       require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
       latestVersion(storeDir).foreach { v =>
@@ -272,7 +306,8 @@ object ManifestStore {
         return publish(
           rows, partCol, None, storeDir, retainVersions, statsCols, tag,
           reuseAdded = if (attempt == 0) None else Some(lastAdded.get()),
-          bloomCols = bloomCols)
+          bloomCols = bloomCols,
+          expectations = if (attempt == 0) expectations else Nil)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -297,11 +332,14 @@ object ManifestStore {
       storeDir: String, retainVersions: Int,
       statsCols: Seq[String], tag: Option[String] = None,
       reuseAdded: Option[Seq[String]] = None,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil):
+      Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
       s"$storeDir holds no manifest — initialize with ManifestStore.init")
+    checkExpectations(rows, expectations)
     val commitId =
       tag.getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val staging = new Path(storeDir, s".staging-c$commitId")

@@ -440,6 +440,39 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("commit-time expectations: a violating publish fails typed " +
+    "BEFORE anything stages, the store is untouched; passing commits " +
+    "and null predicates (SQL CHECK semantics) go through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-expect").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)
+    val checks = Seq(
+      "v_positive" -> (col("v") > 0L),
+      "k_not_null" -> col("k").isNotNull)
+    // a passing commit goes through
+    ManifestStore.commit(rows((2L, 20L, 0L)), "p", Seq(0L), dir,
+      expectations = checks)
+    assert(readAll(dir) == Set((2L, 20L, 0L)))
+    // a violating append fails typed with the counts; nothing changes
+    val e = intercept[ExpectationViolation] {
+      ManifestStore.append(
+        rows((3L, -5L, 0L), (4L, -6L, 0L), (5L, 50L, 0L)), "p", dir,
+        expectations = checks)
+    }
+    assert(e.getMessage.contains("v_positive: 2 rows"), e.getMessage)
+    assert(readAll(dir) == Set((2L, 20L, 0L)), "store must be untouched")
+    assert(ManifestStore.latestVersion(dir).contains(1L))
+    // NULL predicate results PASS (SQL CHECK): a null v is not a
+    // violation of v > 0 — constrain nullability explicitly
+    val withNull = Seq((6L, Some(60L), 0L), (7L, None, 0L))
+      .toDF("k", "v", "p")
+    ManifestStore.append(withNull, "p", dir, expectations = checks)
+    assert(ManifestStore.read(spark, dir,
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType), StructField("p", LongType))), "p")
+      .count() == 3L)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("zone maps degrade safely: a stats-free version prunes nothing; " +
     "GC drops sidecars with their manifests") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zonemap-deg").toString
