@@ -197,6 +197,23 @@ object Similarity {
           element_at(lit(powers), (p + 1).cast("int"))).otherwise(0L)))
   }
 
+  /** Rounded elementwise mean in EXACT int64 — half-away-from-zero
+    * spelled without touching floating point:
+    * `sign(s) · fdiv(2·|s| + c, 2·c)`. With nonnegative operands the
+    * floor division is plain integer division, so no engine, libm, or
+    * SQL dialect has latitude on a sum that lands exactly on a .5
+    * boundary (2,221 of 12,712 first-round codebook means do at
+    * sf0.01). Oracles replay it as
+    * `CASE WHEN s<0 THEN -1 ELSE 1 END * ((2*abs(s) + c) // (2*c))` —
+    * bit-identical by construction. Replaces `round(s / c)`, whose
+    * double quotient left half-way cases to the engine's rounding
+    * mode and divide ULP.
+    */
+  private[graft] def meanHalfAway(s: Column, c: Column): Column =
+    (when(s < 0, lit(-1L)).otherwise(lit(1L)) *
+      graft.operators.CorpusStats.fdiv(abs(s) * lit(2L) + c, c * lit(2L)))
+      .cast("bigint")
+
   /** Product-quantization codebook: per (subspace, sign-cell,
     * position) elementwise mean of the quantized components — the same
     * one-aggregate training as [[centroids]], per subspace. Codebook
@@ -209,7 +226,7 @@ object Similarity {
         posexplode(slice(col("qm"), col("sub") * subDim + 1, lit(subDim)))
           .as(Seq("pos", "q")))
       .groupBy(col("sub"), col("cell"), col("pos"))
-      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+      .agg(meanHalfAway(sum(col("q")), count(lit(1))).as("mean_milli"))
   }
 
   /** PQ-encode the corpus: m bytes of code per vector (subDim ≤ 8 →
@@ -239,7 +256,7 @@ object Similarity {
     val codebook = exploded
       .select(col("sub"), col("cell"), posexplode(col("qsub")).as(Seq("pos", "q")))
       .groupBy(col("sub"), col("cell"), col("pos"))
-      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+      .agg(meanHalfAway(sum(col("q")), count(lit(1))).as("mean_milli"))
     (codebook, exploded.select(col("cid"), col("sub"), col("cell")))
   }
 
@@ -274,7 +291,7 @@ object Similarity {
     def means(assigned: DataFrame): DataFrame = assigned
       .select(col("sub"), col("cell"), posexplode(col("qsub")).as(Seq("pos", "q")))
       .groupBy(col("sub"), col("cell"), col("pos"))
-      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+      .agg(meanHalfAway(sum(col("q")), count(lit(1))).as("mean_milli"))
     var assigned = exploded
     var codebook = means(assigned)
     var i = 0
@@ -855,7 +872,7 @@ object Similarity {
   def centroids(df: DataFrame, cell: Column, vec: Column): DataFrame =
     df.select(cell.as("cell"), posexplode(quantize(vec)).as(Seq("pos", "q")))
       .groupBy(col("cell"), col("pos"))
-      .agg(round(sum(col("q")) / count(lit(1))).cast("bigint").as("mean_milli"))
+      .agg(meanHalfAway(sum(col("q")), count(lit(1))).as("mean_milli"))
 
   /** Collect a (cell, pos, mean_milli) codebook to the driver as
     * per-cell milli-component arrays. A codebook is small by

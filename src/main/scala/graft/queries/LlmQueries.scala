@@ -939,7 +939,7 @@ object LlmQueries {
        |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell
        |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM samp$tag)),
        |cba$tag AS (
-       |  SELECT sub, cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  SELECT sub, cell, pos, CAST(CASE WHEN sum(q) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(q)) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli
        |  FROM (SELECT sub, cell,
        |          UNNEST(generate_series(0, 7)) AS pos,
        |          UNNEST(qsub) AS q
@@ -957,7 +957,7 @@ object LlmQueries {
        |  FROM sq$tag c JOIN cwa$tag w ON c.sub = w.sub
        |  GROUP BY c.vec_id, c.sub),
        |cbb$tag AS (
-       |  SELECT a.sub, a.cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  SELECT a.sub, a.cell, pos, CAST(CASE WHEN sum(q) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(q)) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli
        |  FROM (SELECT a1.sub, a1.cell,
        |          UNNEST(generate_series(0, 7)) AS pos,
        |          UNNEST(s.qsub) AS q
@@ -975,7 +975,7 @@ object LlmQueries {
        |  FROM sq$tag c JOIN cwb$tag w ON c.sub = w.sub
        |  GROUP BY c.vec_id, c.sub),
        |cb$tag AS (
-       |  SELECT a.sub, a.cell, pos, CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+       |  SELECT a.sub, a.cell, pos, CAST(CASE WHEN sum(q) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(q)) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli
        |  FROM (SELECT a2.sub, a2.cell,
        |          UNNEST(generate_series(0, 7)) AS pos,
        |          UNNEST(s.qsub) AS q
@@ -1306,7 +1306,7 @@ object LlmQueries {
         |    CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
         |  FROM embeddings)
         |SELECT label, pos,
-        |  CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |  CAST(CASE WHEN sum(q) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(q)) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli
         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "emb_label_stats" ->
       """SELECT label, count(*) AS n,
@@ -1611,7 +1611,7 @@ object LlmQueries {
         |  FROM embeddings),
         |cb0 AS (
         |  SELECT cell, pos,
-        |    CAST(round(CAST(sum(qe) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |    CAST(CASE WHEN sum(qe) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(qe)) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli
         |  FROM (
         |    SELECT CAST(vec_id % (SELECT cells FROM params) AS BIGINT) AS cell,
         |      UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
@@ -1633,7 +1633,7 @@ object LlmQueries {
         |    FROM s1) WHERE rn = 1),
         |cb1 AS (
         |  SELECT a1.cell, p.pos,
-        |    CAST(round(CAST(sum(q.qv[p.pos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |    CAST(CASE WHEN sum(q.qv[p.pos + 1]) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(q.qv[p.pos + 1])) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli
         |  FROM a1 JOIN q USING (vec_id), (SELECT UNNEST(generate_series(0,63)) AS pos) p
         |  GROUP BY a1.cell, p.pos),
         |c1 AS (
@@ -1651,7 +1651,7 @@ object LlmQueries {
         |    FROM s2) WHERE rn = 1),
         |cb2 AS (
         |  SELECT a2.cell, p.pos,
-        |    CAST(round(CAST(sum(q.qv[p.pos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS mean_milli
+        |    CAST(CASE WHEN sum(q.qv[p.pos + 1]) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(q.qv[p.pos + 1])) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli
         |  FROM a2 JOIN q USING (vec_id), (SELECT UNNEST(generate_series(0,63)) AS pos) p
         |  GROUP BY a2.cell, p.pos),
         |c2 AS (
