@@ -242,6 +242,32 @@ object CorpusQueries {
         compactEvery = 2, maxFilesPerPartition = 2)
       skipReadAggregate(s, store, maxId)
     }),
+    // the ONLINE-built store serving store_point_read's lookups:
+    // bloomCols thread through the streaming ingest (init + every
+    // tagged append + mid-stream compaction), so the drained store's
+    // parquet blooms locate hashed keys the zone maps cannot prune —
+    // same five-point IN-list oracle off the raw table
+    "stream_point_read" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("u", (col("event_id") * 7919L) % 100003L)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val scratch = graft.LocalDir.runDir("stream-bloom")
+      val store = new java.io.File(scratch, "store").toString
+      graft.streaming.StreamingIngest.appendStoreFromFiles(
+        s, ev, orderCol = "event_id", partCol = "ub", nBatches = 4,
+        scratch, store, statsCols = Seq("event_id", "u"),
+        compactEvery = 2, maxFilesPerPartition = 2, bloomCols = Seq("u"))
+      val schema = org.apache.spark.sql.types.StructType(
+        EventsStoreSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "u", org.apache.spark.sql.types.LongType))
+      val keys = (1 to 5).map(i => (maxId / 6 * i * 7919L) % 100003L)
+      keys.map(u => graft.sources.ManifestStore.readPoint(
+          s, store, schema, "ub", "u", u))
+        .reduce(_.unionByName(_))
+        .select(col("event_id"), col("ub"), col("u"))
+        .distinct() // two keys may collide on the same hashed u
+        .orderBy("event_id")
+    }),
     // BLOOM point-location: the same two-batch store keyed by a HASHED
     // unique column u — per-file min/max span the whole domain for u,
     // so zone maps cannot prune and the parquet blooms (written at
@@ -1255,6 +1281,18 @@ object CorpusQueries {
         |  FROM base b WHERE b.event_id NOT IN (SELECT id FROM del)
         |  UNION ALL SELECT * FROM ins)
         |ORDER BY event_id""".stripMargin,
+    // the ONLINE-built store's bloom point reads answer the same
+    // IN-list — the oracle is identical to store_point_read's
+    "stream_point_read" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |t(i) AS (VALUES (1),(2),(3),(4),(5)),
+        |keys AS (
+        |  SELECT (mx // 6 * i * 7919) % 100003 AS u FROM m, t)
+        |SELECT DISTINCT e.event_id, e.user_id % 8 AS ub,
+        |  (e.event_id * 7919) % 100003 AS u
+        |FROM events e
+        |WHERE (e.event_id * 7919) % 100003 IN (SELECT u FROM keys)
+        |ORDER BY e.event_id""".stripMargin,
     // the bloom-located point reads == the same hashed-key IN-list off
     // the raw table (location may open extra files, never skip a hit)
     "store_point_read" ->

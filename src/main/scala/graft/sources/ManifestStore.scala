@@ -65,6 +65,34 @@ object ManifestStore {
   private def statsPath(storeDir: String, v: Long): Path =
     new Path(new Path(storeDir, ManifestDir), f"s$v%012d.json")
 
+  private def tagsPath(storeDir: String, v: Long): Path =
+    new Path(new Path(storeDir, ManifestDir), f"t$v%012d.json")
+
+  /** The applied-tag ledger is bounded: a foreachBatch replay only ever
+    * asks about the LAST uncommitted logical batch, so carrying the
+    * most recent entries (insertion-ordered) is sufficient — the
+    * ledger stays metadata-sized forever instead of growing one line
+    * per batch for the life of the store (the Delta per-appId-txn
+    * idea, specialized to unique-per-batch tags).
+    */
+  private val TagLedgerKeep = 64
+
+  /** Applied append tags for a version (newest last). The ledger is a
+    * manifest SIDECAR, carried forward by every publish — including
+    * [[compact]]'s content-identical rewrites, which republish data
+    * files under a fresh commit id and therefore ERASE the `c<tag>-`
+    * filename markers. Before the ledger existed, replay dedup
+    * inferred tags from those filenames alone; a crash after a
+    * same-batch compaction (markers gone, checkpoint not yet
+    * committed) would have made the replay re-append the batch —
+    * duplicated rows. The ledger survives compaction by construction.
+    */
+  def tags(storeDir: String, version: Long): Seq[String] = {
+    val p = tagsPath(storeDir, version)
+    if (!StoreFs.exists(p)) Nil
+    else StoreFs.readLines(p).filter(_.nonEmpty)
+  }
+
   /** Highest published version, or None for an uninitialized store. */
   def latestVersion(storeDir: String): Option[Long] = {
     val vs = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
@@ -289,8 +317,13 @@ object ManifestStore {
     tag.foreach { t =>
       require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
       latestVersion(storeDir).foreach { v =>
+        // the DURABLE check is the tag ledger (survives compaction's
+        // filename rewrites); the `c<tag>-` filename marker remains as
+        // a fallback for one crash window — a manifest published
+        // before its tag sidecar landed
         val marker = s"c$t-"
-        if (files(storeDir, v).exists(_.split('/').last.startsWith(marker)))
+        if (tags(storeDir, v).contains(t) ||
+            files(storeDir, v).exists(_.split('/').last.startsWith(marker)))
           return v // this batch already appended (foreachBatch replay)
       }
     }
@@ -387,6 +420,17 @@ object ManifestStore {
     }
     val v = prev.getOrElse(-1L) + 1L
     writeManifest(storeDir, v, (carry ++ added).sorted)
+    // tag ledger: every publish carries the previous version's applied
+    // tags forward (bounded; newest last), appending this commit's tag
+    // if it has one — so compaction/merge rewrites never lose replay
+    // evidence with the filenames they fold away
+    val prevTags = prev.map(tags(storeDir, _)).getOrElse(Nil)
+    val newTags =
+      (prevTags ++ tag.filterNot(prevTags.contains)).takeRight(TagLedgerKeep)
+    if (newTags.nonEmpty) {
+      StoreFs.writeAtomicNoReplace(tagsPath(storeDir, v), newTags.mkString("\n"))
+      ()
+    }
     if (statsCols.nonEmpty) {
       // carried files keep their previous bounds (the files are
       // immutable); only the just-added files pay a footer read
@@ -441,6 +485,7 @@ object ManifestStore {
     dropped.foreach { v =>
       StoreFs.delete(manifestPath(storeDir, v))
       StoreFs.delete(statsPath(storeDir, v))
+      StoreFs.delete(tagsPath(storeDir, v))
     }
     // a partition dir emptied by the diff drops (recursive: only
     // hidden checksum leftovers can remain under it)

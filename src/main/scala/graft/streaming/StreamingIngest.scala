@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions.col
   * manifest-level skip at any point — snapshot-isolated from the
   * ingest.
   *
-  * Exactly-once: the batch id IS the append tag (`b<id>`), so a
-  * foreachBatch replay after a crash finds its own files manifested
-  * and skips; a crash mid-append leaves unmanifested orphans (invisible
-  *, vacuum-swept) and the replay appends cleanly. No state
+  * Exactly-once: the batch id IS the append tag (`b<id>`), recorded in
+  * the manifest's DURABLE tag ledger ([[ManifestStore.tags]]), so a
+  * foreachBatch replay after a crash finds its batch applied and
+  * skips — including after a same-batch COMPACTION, which republishes
+  * data files under a fresh commit id and so erases the `c<tag>-`
+  * filename markers the pre-ledger dedup relied on (crash after
+  * compact, before the checkpoint commit, used to replay as a
+  * duplicate append). A crash mid-append leaves unmanifested orphans
+  * (invisible, vacuum-swept) and the replay appends cleanly. No state
   * beyond the store itself — the manifest is the ledger.
   *
   * This is the ingest shape where the zone maps pay: each arrival-
@@ -44,7 +49,8 @@ object StreamingIngest {
       statsCols: Seq[String],
       compactEvery: Int = 0,
       maxFilesPerPartition: Int = 4,
-      statePartitions: Int = 4): Long = {
+      statePartitions: Int = 4,
+      bloomCols: Seq[String] = Nil): Long = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     FileIO.stageRangeBatches(
@@ -52,7 +58,7 @@ object StreamingIngest {
     // bootstrap an EMPTY v0 so every data batch goes through the one
     // exactly-once append path (an init'd first batch would have no
     // replay marker)
-    ManifestStore.init(rows.limit(0), partCol, storeDir, statsCols)
+    ManifestStore.init(rows.limit(0), partCol, storeDir, statsCols, bloomCols)
     val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = FileIO.streamParquet(
       ss, inDir.toString, rows.schema, maxFilesPerTrigger = 1)
@@ -62,11 +68,12 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ManifestStore.append(
           batch, partCol, storeDir, statsCols = statsCols,
-          tag = Some(f"b$id%05d"))
+          tag = Some(f"b$id%05d"), bloomCols = bloomCols)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           ManifestStore.compact(
             ss, storeDir, batch.schema, partCol,
-            maxFilesPerPartition, statsCols = statsCols)
+            maxFilesPerPartition, statsCols = statsCols,
+            bloomCols = bloomCols)
           ()
         }
         ()

@@ -95,6 +95,85 @@ class StreamingIngestSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(base)
   }
 
+  test("crash AFTER a same-batch compaction replays exactly-once: the " +
+    "compact republishes files under a fresh commit id (the c<tag>- " +
+    "markers are gone) but the manifest's tag ledger survives") {
+    val all = rows(80)
+    val scratch = Files.createTempDirectory("graft-ingest-crash2").toString
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    val store = new java.io.File(base, "store").toString
+    graft.sources.FileIO.stageRangeBatches(
+      all, col("k"), 4, new java.io.File(base, "stage"), inDir)
+    ManifestStore.init(all.limit(0), "ub", store, statsCols = Seq("k"))
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val ss = StreamSessions.scoped(spark, 4)
+    // run 1: batch 2 appends, COMPACTS (threshold 1 folds every
+    // partition — all of batch 2's own files are rewritten under a
+    // fresh commit id), then "dies" before the checkpoint commits
+    val boom = new RuntimeException("simulated crash post-compact")
+    val q1 = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, all.schema, maxFilesPerTrigger = 1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestStore.append(batch, "ub", store,
+          statsCols = Seq("k"), tag = Some(f"b$id%05d"))
+        if (id == 2L) {
+          ManifestStore.compact(ss, store, all.schema, "ub",
+            maxFilesPerPartition = 1, statsCols = Seq("k"))
+          throw boom
+        }
+        ()
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // the compacted head carries NO b00002 filename marker anymore —
+    // this is the window the pre-ledger dedup lost
+    val vHead = ManifestStore.latestVersion(store).get
+    assert(!ManifestStore.files(store, vHead)
+      .exists(_.split('/').last.startsWith("cb00002-")),
+      "drill precondition: compaction must have folded batch 2's files")
+    assert(ManifestStore.tags(store, vHead).contains("b00002"),
+      "the tag ledger must survive the compaction")
+    // run 2: batch 2 replays — the ledger dedupes it, batch 3 lands
+    val q2 = graft.sources.FileIO
+      .streamParquet(ss, inDir.toString, all.schema, maxFilesPerTrigger = 1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestStore.append(batch, "ub", store,
+          statsCols = Seq("k"), tag = Some(f"b$id%05d"))
+        ()
+      }.start()
+    q2.awaitTermination()
+    assert(content(store) == all.as[(Long, Long, Long)].collect().toSet,
+      "restart after compact must replay without duplicating")
+    graft.sources.FileIO.deleteScratch(base)
+  }
+
+  test("online-built store serves bloom point-reads: bloomCols thread " +
+    "through init/append/compact to the streamed files") {
+    val all = rows(120)
+    val scratch = Files.createTempDirectory("graft-ingest-bloom").toString
+    val store = new java.io.File(scratch, "store").toString
+    StreamingIngest.appendStoreFromFiles(
+      spark, all, orderCol = "k", partCol = "ub", nBatches = 4,
+      scratch, store, statsCols = Seq("k", "u"),
+      compactEvery = 2, maxFilesPerPartition = 2, bloomCols = Seq("u"))
+    // u = k % 5: per-file min/max on u span the whole domain (every
+    // batch holds every residue), so zone maps cannot prune — only the
+    // blooms can exclude files for a point key
+    val hit = ManifestStore.readPoint(
+      spark, store, all.schema, "ub", "u", 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hit == all.filter(col("u") === 3L)
+      .as[(Long, Long, Long)].collect().toSet,
+      "bloom point-read must return exactly the matching rows")
+    graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+  }
+
   test("drained ingest == the batch table at any split; mid-stream " +
     "compaction bounds per-partition files; zone maps skip on the " +
     "drained store") {
