@@ -23,8 +23,10 @@ import java.util.concurrent.atomic.AtomicBoolean
   * {{{
   *   VERSION            → {"version":N}
   *   COUNT [v]          → {"version":v,"count":N}
-  *   SCAN grp [v]       → {"version":v,"rows":[[doc_id,seq_id,begin_in_seq,end_in_seq,doc_begin,n_piece,starts_doc],...]}
-  *   RANGE grp lo hi [v] → same rows shape, doc_id ∈ [lo, hi]
+  *   SCAN grp [v | AT TX [t]] [LIMIT m] [AFTER s b]
+  *                      → {"version":v,"rows":[[doc_id,seq_id,begin_in_seq,end_in_seq,doc_begin,n_piece,starts_doc],...][,"truncated":true]}
+  *   RANGE grp lo hi [v | AT TX [t]] [LIMIT m] [AFTER s b]
+  *                      → same rows shape, doc_id ∈ [lo, hi]
   *   anything else      → {"error":"..."}
   * }}}
   *
@@ -37,12 +39,33 @@ import java.util.concurrent.atomic.AtomicBoolean
   * whose bounds intersect. Requests run Spark jobs (this is the
   * bulk-consumer tier, not the microsecond point-query tier — that is
   * [[graft.tgraph.query.QueryServer]]).
+  *
+  * EVERY rows response is bounded — by `maxResponseRows`, or the
+  * request's own LIMIT if smaller (the row-13b QueryServer
+  * discipline: a packed `grp` partition is GBs at scale, and an
+  * unbounded collect is a driver OOM wearing a protocol). The page is
+  * computed as `orderBy(keys).limit(page+1)` — TakeOrderedAndProject's
+  * bounded per-partition heaps, never a full-partition sort-collect —
+  * and a response that left rows unreturned carries
+  * `"truncated":true`; the client resumes IN PROTOCOL with
+  * `AFTER <last seq_id> <last begin_in_seq>` (strictly-past
+  * lexicographic cursor on the response order's unique prefix:
+  * (seq_id, begin_in_seq) identifies a packed piece within a grp).
+  * Paging is byte-stable at a pinned version: the cursor re-reads the
+  * same immutable manifest snapshot.
+  *
+  * `AT TX [t]` (in place of a bare version) resolves the cross-store
+  * tx pin SERVER-side — `SCAN grp AT TX 7` is sugar for `TX 7` →
+  * `SCAN grp <versions["packed"]>` in ONE round trip, so a consumer
+  * cannot accidentally mix a tx-pinned packed read with a
+  * latest-version read of the same store.
   */
 final class PackedStoreServer(
     spark: SparkSession,
     storeDir: String,
     port: Int = 0,
-    txDir: Option[String] = None) extends AutoCloseable {
+    txDir: Option[String] = None,
+    maxResponseRows: Int = 100_000) extends AutoCloseable {
 
   private val running = new AtomicBoolean(true)
   private val server = new ServerSocket(port)
@@ -81,43 +104,99 @@ final class PackedStoreServer(
           spark, storeDir, Incremental.PackedSchema, "grp",
           partVals = None, version = Some(v)).count()
         s"""{"version":$v,"count":$n}"""
-      case "SCAN" if parts.length == 2 || parts.length == 3 =>
+      case "SCAN" if parts.length >= 2 =>
         val grp = parts(1).toLong
-        val v = if (parts.length == 3) parts(2).toLong
-          else latest.getOrElse(
-            return s"""{"error":"empty store (no manifest)"}""")
-        scanRows(grp, v, idRange = None)
-      case "RANGE" if parts.length == 4 || parts.length == 5 =>
+        parseClauses(parts.drop(2)) match {
+          case Left(err) => err
+          case Right((v, limit, after)) =>
+            scanRows(grp, v, idRange = None, limit, after)
+        }
+      case "RANGE" if parts.length >= 4 =>
         val grp = parts(1).toLong
         val (lo, hi) = (parts(2).toLong, parts(3).toLong)
-        val v = if (parts.length == 5) parts(4).toLong
-          else latest.getOrElse(
-            return s"""{"error":"empty store (no manifest)"}""")
-        scanRows(grp, v, idRange = Some((lo, hi)))
+        parseClauses(parts.drop(4)) match {
+          case Left(err) => err
+          case Right((v, limit, after)) =>
+            scanRows(grp, v, idRange = Some((lo, hi)), limit, after)
+        }
       case other =>
         s"""{"error":"unknown request ${other.take(40)}"}"""
     }
   }
 
+  /** Trailing clauses of SCAN/RANGE: `[v | AT TX [t]] [LIMIT m]
+    * [AFTER s b]`. Returns (resolved version, limit, cursor) or an
+    * error response line.
+    */
+  private def parseClauses(toks: Array[String])
+      : Either[String, (Long, Option[Int], Option[(Long, Long)])] = {
+    var i = 0
+    var v: Option[Long] = None
+    var limit: Option[Int] = None
+    var after: Option[(Long, Long)] = None
+    // a bare leading number is the pinned version (legacy spelling)
+    if (i < toks.length && toks(i).forall(_.isDigit)) {
+      v = Some(toks(i).toLong); i += 1
+    }
+    while (i < toks.length) {
+      toks(i).toUpperCase match {
+        case "AT" if i + 1 < toks.length && v.isEmpty
+            && toks(i + 1).toUpperCase == "TX" =>
+          val td = txDir.getOrElse(
+            return Left(s"""{"error":"no tx log behind this store"}"""))
+          val txId =
+            if (i + 2 < toks.length && toks(i + 2).forall(_.isDigit)) {
+              i += 3; Some(toks(i - 1).toLong)
+            } else { i += 2; None }
+          val tx = graft.sources.TxLog.read(td, txId)
+          v = Some(tx.versions.getOrElse("packed",
+            return Left(s"""{"error":"tx ${tx.txId} pins no packed store"}""")))
+        case "LIMIT" if i + 1 < toks.length && limit.isEmpty =>
+          limit = Some(toks(i + 1).toInt); i += 2
+        case "AFTER" if i + 2 < toks.length && after.isEmpty =>
+          after = Some((toks(i + 1).toLong, toks(i + 2).toLong)); i += 3
+        case t =>
+          return Left(s"""{"error":"bad clause ${t.take(40)}"}""")
+      }
+    }
+    val resolved = v.orElse(latest).getOrElse(
+      return Left(s"""{"error":"empty store (no manifest)"}"""))
+    Right((resolved, limit, after))
+  }
+
   /** One partition's rows at a pinned version; `idRange` engages the
     * manifest zone maps (file-granular) and then the exact predicate.
+    * BOUNDED: at most min(limit, maxResponseRows) rows come back; the
+    * page is a TakeOrderedAndProject (orderBy+limit — per-partition
+    * bounded heaps), an over-fetch of one row detects truncation, and
+    * `after` resumes strictly past a (seq_id, begin_in_seq) cursor.
     */
   private def scanRows(
-      grp: Long, v: Long, idRange: Option[(Long, Long)]): String = {
+      grp: Long, v: Long, idRange: Option[(Long, Long)],
+      limit: Option[Int], after: Option[(Long, Long)]): String = {
+    val page = math.max(1,
+      math.min(limit.getOrElse(maxResponseRows), maxResponseRows))
     val base = graft.sources.ManifestStore.read(
       spark, storeDir, Incremental.PackedSchema, "grp",
       partVals = Some(Seq(grp)), version = Some(v),
       range = idRange.map { case (lo, hi) => ("doc_id", lo, hi) })
     val exact = idRange.fold(base) { case (lo, hi) =>
       base.filter(col("doc_id").between(lo, hi)) }
-    val rows = exact
+    val resumed = after.fold(exact) { case (s, b) =>
+      exact.filter(col("seq_id") > s ||
+        (col("seq_id") === s && col("begin_in_seq") > b)) }
+    val taken = resumed
       .orderBy("seq_id", "begin_in_seq", "doc_begin")
       .select(col("doc_id"), col("seq_id"), col("begin_in_seq"),
         col("end_in_seq"), col("doc_begin"), col("n_piece"),
         col("starts_doc").cast("int"))
+      .limit(page + 1)
       .collect()
+    val truncated = taken.length > page
+    val rows = taken.take(page)
       .map(r => s"[${(0 until 7).map(r.get(_)).mkString(",")}]")
-    s"""{"version":$v,"rows":[${rows.mkString(",")}]}"""
+    val t = if (truncated) ""","truncated":true""" else ""
+    s"""{"version":$v,"rows":[${rows.mkString(",")}]$t}"""
   }
 
   private def handle(sock: Socket): Unit = {
@@ -187,16 +266,61 @@ final class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
       .map(_.group(1).toLong)
       .getOrElse(sys.error("malformed COUNT response"))
 
-  /** Raw SCAN response line (callers parse rows or check errors). */
-  def scan(grp: Long, at: Option[Long] = None): String =
-    request(s"SCAN $grp${at.fold("")(v => s" $v")}")
+  private def clauses(
+      limit: Option[Int], after: Option[(Long, Long)]): String =
+    limit.fold("")(m => s" LIMIT $m") +
+      after.fold("") { case (s, b) => s" AFTER $s $b" }
+
+  /** Raw SCAN response line (callers parse rows or check errors).
+    * `limit` pages; `after` resumes strictly past a
+    * (seq_id, begin_in_seq) cursor.
+    */
+  def scan(grp: Long, at: Option[Long] = None, limit: Option[Int] = None,
+      after: Option[(Long, Long)] = None): String =
+    request(s"SCAN $grp${at.fold("")(v => s" $v")}${clauses(limit, after)}")
+
+  /** SCAN pinned to a cross-store tx, resolved SERVER-side in one
+    * round trip: `SCAN grp AT TX [t]` — the server reads the tx
+    * record and scans at its pinned packed version, so this read can
+    * never mix with a latest-version resolution.
+    */
+  def scanAtTx(grp: Long, tx: Option[Long] = None,
+      limit: Option[Int] = None,
+      after: Option[(Long, Long)] = None): String =
+    request(s"SCAN $grp AT TX${tx.fold("")(t => s" $t")}" +
+      clauses(limit, after))
 
   /** Raw RANGE response line: one partition, doc_id ∈ [lo, hi],
     * zone-map-pruned server-side.
     */
   def scanRange(
-      grp: Long, lo: Long, hi: Long, at: Option[Long] = None): String =
-    request(s"RANGE $grp $lo $hi${at.fold("")(v => s" $v")}")
+      grp: Long, lo: Long, hi: Long, at: Option[Long] = None,
+      limit: Option[Int] = None,
+      after: Option[(Long, Long)] = None): String =
+    request(s"RANGE $grp $lo $hi${at.fold("")(v => s" $v")}" +
+      clauses(limit, after))
+
+  /** Page a SCAN to completion at a pinned version by following
+    * `truncated` cursors — every response stays inside the server's
+    * bound; the concatenation is the full partition (byte-stable: the
+    * pin re-reads one immutable manifest snapshot page after page).
+    */
+  def scanAll(grp: Long, at: Option[Long],
+      limit: Option[Int] = None): Seq[String] = {
+    var out = Vector.empty[String]
+    var after: Option[(Long, Long)] = None
+    var done = false
+    while (!done) {
+      val (rs, trunc) =
+        PackedStoreClient.parseRows(scan(grp, at, limit, after))
+      out ++= rs
+      if (trunc) {
+        val last = rs.last.stripPrefix("[").stripSuffix("]").split(',')
+        after = Some((last(1).toLong, last(2).toLong))
+      } else done = true
+    }
+    out
+  }
 
   /** Resolve a cross-store tx (latest or pinned): (txId, store →
     * version). Pin SCANs to `versions("packed")` and read any other
@@ -222,4 +346,21 @@ object PackedStoreClient {
   private val CountRe = """"count":(\d+)""".r
   private[serving] val TxRe = """"tx":(\d+)""".r
   private[serving] val KvRe = """"(\w+)":(\d+)""".r
+
+  /** Split a SCAN/RANGE response into (row literals, truncated). */
+  def parseRows(resp: String): (Seq[String], Boolean) = {
+    require(!resp.contains("\"error\""), s"scan failed: $resp")
+    val start = resp.indexOf("\"rows\":[")
+    require(start >= 0, s"malformed scan response: ${resp.take(80)}")
+    val tail = resp.substring(start + 8)
+    val truncated = resp.contains(""""truncated":true""")
+    val end = tail.indexOf(if (truncated) "],\"truncated\"" else "]}")
+    require(end >= 0, s"malformed scan response: ${resp.take(80)}")
+    val content = tail.take(end)
+    val rows =
+      if (content.isEmpty) Nil
+      else content.split("""\],\[""").toSeq.map(s =>
+        "[" + s.stripPrefix("[").stripSuffix("]") + "]")
+    (rows, truncated)
+  }
 }

@@ -89,6 +89,70 @@ class PackedStoreServerSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(txd))
   }
 
+  test("every rows response is bounded: a partition larger than the " +
+    "bound pages exactly and byte-stably at a pinned version; LIMIT " +
+    "pages below the bound; AT TX resolves the pin server-side") {
+    val dir = java.nio.file.Files.createTempDirectory("packed-page").toString
+    val txd = s"$dir-txlog"
+    val rows20 = (0 until 20).map(i =>
+      (100L + i, 0L, i.toLong, 0L, 255L, 0L, 4L, true))
+      .toDF("doc_id", "grp", "seq_id", "begin_in_seq", "end_in_seq",
+        "doc_begin", "n_piece", "starts_doc")
+    ManifestStore.init(rows20, "grp", dir)
+    graft.sources.TxLog.publish(txd, -1L, Map("packed" -> 0L))
+    val srv = new PackedStoreServer(
+      spark, dir, txDir = Some(txd), maxResponseRows = 7)
+    val srvBig = new PackedStoreServer(spark, dir, maxResponseRows = 1000)
+    try {
+      val client = new PackedStoreClient("localhost", srv.boundPort)
+      val ref = new PackedStoreClient("localhost", srvBig.boundPort)
+      try {
+        val (refRows, refTrunc) =
+          PackedStoreClient.parseRows(ref.scan(0L, Some(0L)))
+        assert(refRows.size == 20 && !refTrunc)
+        // a single bounded response: exactly maxResponseRows + truncated
+        val (p1, t1) = PackedStoreClient.parseRows(client.scan(0L, Some(0L)))
+        assert(p1.size == 7 && t1,
+          s"bound must cap the page and mark truncation: ${p1.size}/$t1")
+        // cursor-following concatenation == the unbounded reference,
+        // and repeats byte-stably at the pinned version
+        val all1 = client.scanAll(0L, Some(0L))
+        assert(all1 == refRows, "paged concatenation must equal the full scan")
+        assert(client.scanAll(0L, Some(0L)) == all1, "paging must be stable")
+        // a request LIMIT below the bound pages at the LIMIT; above it,
+        // the server clamps to its own bound
+        val (p3, t3) =
+          PackedStoreClient.parseRows(client.scan(0L, Some(0L), Some(3)))
+        assert(p3.size == 3 && t3 && p3 == refRows.take(3))
+        val (p100, _) =
+          PackedStoreClient.parseRows(client.scan(0L, Some(0L), Some(100)))
+        assert(p100.size == 7, "LIMIT above the bound must clamp")
+        // RANGE pages under the same discipline
+        val (pr, tr) = PackedStoreClient.parseRows(
+          client.scanRange(0L, 100L, 119L, Some(0L)))
+        assert(pr.size == 7 && tr)
+        // AT TX: server-side pin resolution — byte-identical to the
+        // per-version spelling, and stable mid-churn
+        val viaTx = client.scanAtTx(0L, Some(0L))
+        assert(viaTx == client.scan(0L, Some(0L)),
+          "SCAN AT TX must equal the per-version spelling byte-for-byte")
+        val v1 = ManifestStore.commit(
+          packedRows(9, 0L), "grp", Seq(0L), dir)
+        graft.sources.TxLog.publish(txd, 0L, Map("packed" -> v1))
+        assert(client.scanAtTx(0L, Some(0L)) == viaTx,
+          "a pinned tx scan must not move under a publishing writer")
+        assert(client.scanAtTx(0L).contains(s""""version":$v1"""),
+          "AT TX without an id must resolve the LATEST tx's pin")
+        // paged AT TX composes with cursors
+        val (ptx, ttx) = PackedStoreClient.parseRows(
+          client.scanAtTx(0L, Some(0L), Some(3)))
+        assert(ptx.size == 3 && ttx && ptx == refRows.take(3))
+      } finally { client.close(); ref.close() }
+    } finally { srv.close(); srvBig.close() }
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+    graft.sources.FileIO.deleteScratch(new java.io.File(txd))
+  }
+
   test("RANGE serves a doc_id slice through the zone maps: answers " +
     "match the exact filter, and the manifest-level selection opens " +
     "only the intersecting files") {
