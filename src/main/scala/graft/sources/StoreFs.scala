@@ -24,11 +24,13 @@ import java.nio.charset.StandardCharsets
   *    atomically with EEXIST — POSIX `rename(2)` would silently
   *    REPLACE an existing destination, which a race drill surfaced as
   *    two "successful" publishes of one version.
-  *  - S3/object stores: rename is copy+delete (NOT atomic). Deploying
-  *    there, publish the manifest pointer through a conditional put
-  *    (S3 `If-None-Match: *`) or a small DynamoDB/metastore CAS — the
-  *    manifest FILE content can still live on S3; only the version
-  *    pointer needs the conditional primitive. Data files are
+  *  - S3/object stores: rename is copy+delete (NOT atomic) — the
+  *    publish dispatches to a CONDITIONAL PUT instead: one
+  *    `create(target, overwrite = false)` straight at the target,
+  *    which S3A maps to `If-None-Match: *` and object stores commit
+  *    all-or-nothing at close (see `conditionalPutClaim`; spec'd
+  *    against an in-memory object FileSystem whose duplicate creates
+  *    are rejected at create AND at close). Data files are
   *    append-only/uniquely named, so they need no atomicity anywhere.
   */
 object StoreFs {
@@ -65,22 +67,49 @@ object StoreFs {
     finally in.close()
   }
 
-  /** Write `content` to a temp sibling then CLAIM the target without
-    * replace — returns false if the destination already exists (the
-    * loser of a concurrent publish).
-    *
-    * The claim must be a true compare-and-swap, not check-then-act:
-    *  - local FS: `link(2)` via `Files.createLink` — fails atomically
-    *    with EEXIST when a racer won (POSIX `rename(2)` silently
-    *    REPLACES, which a race drill caught as two "successful"
-    *    publishes of one version, the first silently vanishing);
-    *  - HDFS: `rename` already fails atomically on an existing
-    *    destination;
-    *  - S3/object stores: neither link nor atomic rename exists — see
-    *    the class doc (conditional put for the version pointer).
+  /** Default object-store schemes that publish through the
+    * CONDITIONAL-PUT strategy; extend per-deployment with the Hadoop
+    * conf key `graft.store.objectstore.schemes` (comma-separated).
+    */
+  private val ObjectStoreSchemes: Set[String] = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cos", "swift")
+
+  private def isObjectStore(f: FileSystem, target: Path): Boolean = {
+    val scheme =
+      Option(target.toUri.getScheme).getOrElse(f.getScheme)
+    scheme != null && (ObjectStoreSchemes(scheme) ||
+      conf.getTrimmedStrings("graft.store.objectstore.schemes")
+        .contains(scheme))
+  }
+
+  /** Write `content` to the target without replace — returns false if
+    * the destination already exists (the loser of a concurrent
+    * publish). The claim DISPATCHES per scheme, and must be a true
+    * compare-and-swap, not check-then-act:
+    *  - local FS: write a temp sibling, claim via `link(2)`
+    *    (`Files.createLink`) — fails atomically with EEXIST when a
+    *    racer won (POSIX `rename(2)` silently REPLACES, which a race
+    *    drill caught as two "successful" publishes of one version);
+    *  - HDFS (and any rename-atomic FS): temp sibling + `rename`,
+    *    which fails atomically on an existing destination. The temp
+    *    hop matters here: a direct `create` is VISIBLE empty while
+    *    content streams — a reader could parse a partial manifest;
+    *  - object stores ([[ObjectStoreSchemes]] + conf-registered):
+    *    CONDITIONAL PUT straight at the target — `create(target,
+    *    overwrite = false)`, which S3A maps to `If-None-Match: *`
+    *    (conditional create, Hadoop 3.4+) and every object store
+    *    commits all-or-nothing at close, so there is no partial
+    *    visibility and no temp hop. A duplicate surfaces as
+    *    FileAlreadyExistsException — at create time (the fast
+    *    precheck) or at CLOSE time (the commit-side conditional
+    *    losing the race) — both map to false. Rename on these stores
+    *    is copy+delete and silently replaces: never a claim.
     */
   def writeAtomicNoReplace(target: Path, content: String): Boolean = {
     val f = fs(target)
+    if (isObjectStore(f, target))
+      return conditionalPutClaim(f, target, content)
     // temp name unique PER CALL: two racers sharing one temp path
     // interleave data/.crc writes and the survivor fails checksum
     val tmp = new Path(target.getParent,
@@ -113,6 +142,24 @@ object StoreFs {
     f.delete(tmp, false) // no-op when a rename already moved it
     claimed
   }
+
+  /** The object-store claim: one conditional create AT the target.
+    * Visibility is all-or-nothing at close (object semantics), and the
+    * duplicate rejection may fire at `create` (precheck) or at `close`
+    * (the store's conditional commit — S3 `If-None-Match: *` evaluates
+    * when the PUT completes) — both are the CAS loss, both → false.
+    */
+  private def conditionalPutClaim(
+      f: FileSystem, target: Path, content: String): Boolean =
+    try {
+      val out = f.create(target, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
 
   /** The java.nio spelling of `p` when it lives on the local
     * filesystem (scheme absent or `file`), None otherwise.

@@ -124,6 +124,54 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(dir.toFile)
   }
 
+  test("object-store publish dispatches to the CONDITIONAL PUT: eight " +
+    "racers on the mem scheme produce exactly one winner, content is " +
+    "all-or-nothing, and no temp litter exists (no tmp hop)") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mem.impl", classOf[MemObjectFileSystem].getName)
+    hconf.set("graft.store.objectstore.schemes", "mem")
+    MemObjectFileSystem.clear()
+    val target = new org.apache.hadoop.fs.Path(
+      "mem:///store/_manifests/v000000000001.json")
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val wins = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val ts = (0 until n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        wins.put(i, StoreFs.writeAtomicNoReplace(target, s"writer-$i"))
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    import scala.jdk.CollectionConverters._
+    val winners = wins.asScala.collect { case (i, true) => i }.toSeq
+    assert(winners.size == 1,
+      s"exactly one conditional put must win: $winners")
+    // the committed object is the winner's FULL content — objects
+    // become visible all-or-nothing at close, never partially
+    assert(StoreFs.readLines(target) == Seq(s"writer-${winners.head}"))
+    assert(MemObjectFileSystem.contentOf(
+      "/store/_manifests/v000000000001.json")
+      .contains(s"writer-${winners.head}"))
+    // a late sequential duplicate loses at the create precheck
+    assert(!StoreFs.writeAtomicNoReplace(target, "late"))
+    assert(StoreFs.readLines(target) == Seq(s"writer-${winners.head}"))
+    // the seven losers left no temp litter: the object-store claim has
+    // no tmp hop (rename is copy+delete there — never part of a claim)
+    assert(StoreFs.list(new org.apache.hadoop.fs.Path(
+      "mem:///store/_manifests")).map(_.getPath.getName).toSeq ==
+      Seq("v000000000001.json"))
+    // and the scheme's rename really would have replaced silently —
+    // the reason the dispatch exists
+    val other = new org.apache.hadoop.fs.Path("mem:///store/tmp.json")
+    assert(StoreFs.writeAtomicNoReplace(other, "would-replace"))
+    assert(StoreFs.fs(other).rename(other, target),
+      "mem rename models S3 copy+delete: it replaces")
+    assert(StoreFs.readLines(target) == Seq("would-replace"),
+      "drill premise: rename on an object store silently replaces")
+    MemObjectFileSystem.clear()
+  }
+
   test("two interleaved committers serialize or fence — never a mixed " +
     "snapshot, never two writers on one version") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mstore-cas").toString
