@@ -298,11 +298,16 @@ object IncrementalCdc {
         packedV: Option[Long]): Unit = txDir.foreach { td =>
       def latest(d: String) =
         graft.sources.ManifestStore.latestVersion(d).getOrElse(0L)
+      // all four stores commit with ManifestStore's default retention
+      // (8); declaring it here lets TxLog fail fast if either side's
+      // window ever drifts
       graft.sources.TxLog.publish(td, batchId, Map(
         "corpus" -> corpusV,
         "index" -> idxV.getOrElse(latest(indexDir)),
         "keeps" -> keepsV.getOrElse(latest(keepsDir)),
-        "packed" -> packedV.getOrElse(latest(packedDir))))
+        "packed" -> packedV.getOrElse(latest(packedDir))),
+        memberRetention =
+          Map("corpus" -> 8, "index" -> 8, "keeps" -> 8, "packed" -> 8))
       ()
     }
 

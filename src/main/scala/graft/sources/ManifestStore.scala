@@ -176,6 +176,35 @@ object ManifestStore {
     } finally rd.close()
   }
 
+  /** Harvest [[footerStats]] for MANY files in one parallel pass — a
+    * bounded IO pool, not a serial driver loop: an init/compact over a
+    * large store is O(files) footer reads, and at object-store latency
+    * (tens of ms each) the serial spelling turns a 10k-file init into
+    * minutes of driver idle. Edit-sized commits (a handful of added
+    * files) skip the pool entirely.
+    */
+  private def harvestStats(
+      storeDir: String, rels: Seq[String], cols: Seq[String]):
+      Map[String, Map[String, (Long, Long)]] = {
+    if (rels.lengthCompare(4) <= 0)
+      return rels.map(f => f -> footerStats(storeDir, f, cols)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, rels.size),
+      (r: Runnable) => {
+        val t = new Thread(r, "manifest-footer-harvest")
+        t.setDaemon(true)
+        t
+      })
+    try {
+      rels.map(f => f -> pool.submit(
+          new java.util.concurrent.Callable[Map[String, (Long, Long)]] {
+            override def call(): Map[String, (Long, Long)] =
+              footerStats(storeDir, f, cols)
+          }))
+        .map { case (f, fut) => f -> fut.get() }.toMap
+    } finally pool.shutdown()
+  }
+
   /** The stats sidecar of a version: manifest entry → column bounds.
     * Empty when the version published without `statsCols` (older
     * stores, stats-free commits) — every file then reads as unprunable.
@@ -223,8 +252,7 @@ object ManifestStore {
     val fileList = parts.flatMap(listDataFiles(storeDir, _))
     writeManifest(storeDir, 0L, fileList)
     if (statsCols.nonEmpty)
-      writeStats(storeDir, 0L,
-        fileList.map(f => f -> footerStats(storeDir, f, statsCols)).toMap)
+      writeStats(storeDir, 0L, harvestStats(storeDir, fileList, statsCols))
     0L
   }
 
@@ -268,10 +296,13 @@ object ManifestStore {
 
   /** COMMIT-TIME CHECK constraints (the Delta expectation analog):
     * every predicate must hold on every row of the batch, evaluated in
-    * ONE aggregate over the (edit-sized) batch BEFORE anything is
-    * staged — a violating publish throws [[ExpectationViolation]] with
-    * per-expectation violation counts and the store stays exactly as
-    * it was. SQL CHECK semantics: a NULL predicate result passes
+    * ONE aggregate over the STAGED FILES before any of them moves into
+    * the live tree — the checked rows are byte-for-byte the rows the
+    * manifest would publish, so a nondeterministic batch plan cannot
+    * pass the check and stage something else. A violating publish
+    * throws [[ExpectationViolation]] with per-expectation violation
+    * counts, staging is deleted, and the store stays exactly as it
+    * was. SQL CHECK semantics: a NULL predicate result passes
     * (constrain nullability explicitly with `isNotNull`).
     */
   def checkExpectations(
@@ -372,7 +403,6 @@ object ManifestStore {
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
       s"$storeDir holds no manifest — initialize with ManifestStore.init")
-    checkExpectations(rows, expectations)
     val commitId =
       tag.getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val staging = new Path(storeDir, s".staging-c$commitId")
@@ -384,6 +414,18 @@ object ManifestStore {
         .parquet(staging.toString)
       val stagedDirs = StoreFs.list(staging)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      // CHECK constraints run against the STAGED FILES — the exact
+      // bytes this commit will publish, not a second execution of the
+      // batch's plan (a nondeterministic source could pass a
+      // plan-level check yet stage different, violating rows). The
+      // staging dir is still private here: a violation deletes it in
+      // the finally and the store is untouched. An empty batch stages
+      // no files and passes vacuously (CHECK over zero rows).
+      if (expectations.nonEmpty && stagedDirs.nonEmpty)
+        checkExpectations(
+          rows.sparkSession.read.option("basePath", staging.toString)
+            .parquet(staging.toString),
+          expectations)
       touched.foreach { t =>
         val touchedDirs = t.map(v => s"$partCol=$v").toSet
         val outside = stagedDirs.map(_.getPath.getName).filterNot(touchedDirs)
@@ -437,7 +479,7 @@ object ManifestStore {
       val carried = prev.map(stats(storeDir, _)).getOrElse(Map.empty)
       writeStats(storeDir, v,
         carry.flatMap(f => carried.get(f).map(f -> _)).toMap ++
-          added.map(f => f -> footerStats(storeDir, f, statsCols)).toMap)
+          harvestStats(storeDir, added, statsCols))
     }
     gc(storeDir, partCol, v, retainVersions)
     v
@@ -523,10 +565,12 @@ object ManifestStore {
     import org.apache.spark.sql.functions.{col => c}
     val upParts = upserts.select(c(partCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val delParts = deleteKeys
-      .flatMap(k => locate(storeDir, partCol, keyCol, k))
+    // one batched location pass: every candidate file's footer opens
+    // ONCE for all K delete keys (not K times)
+    val delParts = locateAll(storeDir, partCol, keyCol, deleteKeys)
+      .valuesIterator.flatten
       .map(_.takeWhile(_ != '/').stripPrefix(s"$partCol="))
-      .map(_.toLong).distinct
+      .map(_.toLong).toSeq.distinct
     val touched = (upParts ++ delParts).distinct
     if (touched.isEmpty)
       return latestVersion(storeDir).getOrElse(
@@ -659,26 +703,77 @@ object ManifestStore {
   def locate(
       storeDir: String, partCol: String, colName: String, value: Long,
       partVals: Option[Seq[Long]] = None,
-      version: Option[Long] = None): Seq[String] = {
+      version: Option[Long] = None): Seq[String] =
+    locateAll(storeDir, partCol, colName, Seq(value), partVals, version)
+      .getOrElse(value, Nil)
+
+  /** Batched [[locate]]: probe EVERY key against each candidate file
+    * in ONE footer open (a K-key merge used to reopen each surviving
+    * file's footer K times — at object-store latency the reopen, not
+    * the probe, is the cost). Zone maps prefilter per (file, key), so
+    * a file is opened only when at least one key's bounds intersect.
+    * Returns key → files that might hold it (missing key = no file).
+    */
+  def locateAll(
+      storeDir: String, partCol: String, colName: String,
+      lookupKeys: Seq[Long], partVals: Option[Seq[Long]] = None,
+      version: Option[Long] = None): Map[Long, Seq[String]] = {
     import scala.jdk.CollectionConverters._
-    val candidates = selectFiles(storeDir, partCol, partVals, version,
-      range = Some((colName, value, value)))
-    candidates.filter { rel =>
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (lookupKeys.isEmpty) return Map.empty
+    val v = version.orElse(latestVersion(storeDir))
+    val snapshot = v.map(files(storeDir, _)).getOrElse(Nil)
+    val parted = partVals match {
+      case None => snapshot
+      case Some(vals) =>
+        val dirs = vals.map(x => s"$partCol=$x").toSet
+        snapshot.filter(p => dirs.exists(d => p.startsWith(d + "/")))
+    }
+    val st = v.map(stats(storeDir, _)).getOrElse(Map.empty)
+    // zone-map prefilter: which keys COULD this file hold
+    val candidates = parted.map { rel =>
+      rel -> lookupKeys.filter(value =>
+        st.get(rel).flatMap(_.get(colName)).forall {
+          case (mn, mx) => value >= mn && value <= mx
+        })
+    }.filter(_._2.nonEmpty)
+    val hits = scala.collection.mutable.Map.empty[Long, Vector[String]]
+    candidates.foreach { case (rel, keys) =>
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(storeDir, rel), StoreFs.conf))
-      try {
-        rd.getFooter.getBlocks.asScala.exists { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
-            case None => true // column absent (pre-evolution file): keep
-            case Some(c) =>
-              val bf = rd.getBloomFilterDataReader(b).readBloomFilter(c)
-              if (bf == null) true // no bloom written: cannot exclude
-              else bf.findHash(bf.hash(value))
+      val kept =
+        try {
+          keys.filter { value =>
+            rd.getFooter.getBlocks.asScala.exists { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == colName) match {
+                case None => true // column absent (pre-evolution): keep
+                case Some(c) =>
+                  val bf = rd.getBloomFilterDataReader(b).readBloomFilter(c)
+                  if (bf == null) true // no bloom written: cannot exclude
+                  else c.getPrimitiveType.getPrimitiveTypeName match {
+                    // the bloom hashes the column's PHYSICAL type: an
+                    // INT32 bloom was fed 4-byte values — probing it
+                    // with a Long produces different hashes and
+                    // GUARANTEED false negatives (dropped hits would
+                    // make readPoint silently lossy and merge leave
+                    // deleted rows in place)
+                    case INT64 => bf.findHash(bf.hash(value))
+                    case INT32 =>
+                      // a value outside int32 cannot be IN an INT32
+                      // column: excluding the file is exact, not lossy
+                      value >= Int.MinValue && value <= Int.MaxValue &&
+                        bf.findHash(bf.hash(value.toInt))
+                    case _ => true // unsupported physical type: keep
+                  }
+              }
+            }
           }
-        }
-      } finally rd.close()
+        } finally rd.close()
+      kept.foreach(k => hits(k) = hits.getOrElse(k, Vector.empty) :+ rel)
     }
+    hits.toMap
   }
 
   /** Point read: exactly the rows with `colName == value`, opening

@@ -34,7 +34,9 @@ import org.apache.hadoop.fs.Path
   *    publish time. A tx must not outlive its stores' manifests, so
   *    keep `retainTx` ≤ the stores' `retainVersions` (both default 8
   *    here and in ManifestStore) — a reader pinned to a retained tx
-  *    never loses a manifest under it.
+  *    never loses a manifest under it. ENFORCED at [[publish]] when
+  *    the caller declares `memberRetention`: a violating
+  *    configuration is rejected before any tx record exists.
   *
   * CRASH-replay: a batch replayed after a crash re-commits its stores
   * (journal/fixpoint discipline, see IncrementalCdc) and then publishes
@@ -71,10 +73,26 @@ object TxLog {
   /** Publish the next tx record pinning `versions` (store → manifest
     * version just committed for `batchId`). CAS on the tx id: a racing
     * second publisher fails typed. Returns the published id.
+    *
+    * `memberRetention` (store → that store's `retainVersions`)
+    * ENFORCES the retention coupling the class doc states: a store
+    * commits ≤1 version per batch, so a tx ≤ `retainTx` behind pins
+    * versions each ≤ `retainVersions` behind — but only when
+    * `retainTx` ≤ every member's retention. A violating configuration
+    * fails FAST here, at publish, instead of surfacing later as a
+    * pinned reader's missing-manifest error.
     */
   def publish(
       txDir: String, batchId: Long, versions: Map[String, Long],
-      retainTx: Int = 8): Long = {
+      retainTx: Int = 8,
+      memberRetention: Map[String, Int] = Map.empty): Long = {
+    memberRetention.foreach { case (store, keep) =>
+      require(retainTx <= keep,
+        s"retainTx=$retainTx outlives member store '$store' " +
+          s"(retainVersions=$keep): a reader pinned to a retained tx " +
+          "would resolve a GC'd manifest — lower retainTx or raise " +
+          "the store's retention")
+    }
     StoreFs.mkdirs(new Path(txDir))
     val id = latestId(txDir).getOrElse(-1L) + 1L
     val body = (s"batch=$batchId" +:

@@ -194,4 +194,30 @@ class TxLogSpec extends SparkSpec {
     }
     assert(raced.get > 0, "the drill should actually produce races")
   }
+
+  test("the retention coupling is enforced at publish: retainTx " +
+    "outliving a member store's retainVersions is rejected FAST, not " +
+    "discovered as a pinned reader's missing manifest") {
+    val txDir = java.nio.file.Files
+      .createTempDirectory("graft-txguard").toString + "/tx"
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.TxLog.publish(txDir, -1L,
+        Map("corpus" -> 0L, "packed" -> 0L),
+        retainTx = 16,
+        memberRetention = Map("corpus" -> 16, "packed" -> 8))
+    }
+    assert(err.getMessage.contains("packed")
+      && err.getMessage.contains("retainTx=16"),
+      s"guard must name the violating store: ${err.getMessage}")
+    assert(graft.sources.TxLog.latestId(txDir).isEmpty,
+      "a rejected configuration must publish NOTHING")
+    // the conforming configuration publishes normally
+    val id = graft.sources.TxLog.publish(txDir, -1L,
+      Map("corpus" -> 0L, "packed" -> 0L),
+      retainTx = 8,
+      memberRetention = Map("corpus" -> 16, "packed" -> 8))
+    assert(id == 0L)
+    graft.sources.FileIO.deleteScratch(
+      new java.io.File(txDir).getParentFile)
+  }
 }

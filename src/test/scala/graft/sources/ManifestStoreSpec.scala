@@ -450,6 +450,47 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("INT32 bloom columns probe with 4-byte hashes: a Long-valued " +
+    "lookup against an int column still finds its file (the Long hash " +
+    "would be a guaranteed false negative), multi-key location answers " +
+    "all keys in one pass, out-of-int32 values exclude exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom32").toString
+    // u is INT32 physical (IntegerType): its blooms were fed 4-byte
+    // hashes — probing them with hash(Long) finds nothing, ever
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(k =>
+        (k, ((k * 7919L) % 100003L).toInt, k % 2)).toDF("k", "u", "p")
+    ManifestStore.init(batch(0, 40), "p", dir,
+      statsCols = Seq("k", "u"), bloomCols = Seq("u"))
+    (1 to 4).foreach(i =>
+      ManifestStore.append(batch(i * 40L, i * 40L + 40L), "p", dir,
+        statsCols = Seq("k", "u"), bloomCols = Seq("u")))
+    val schema32 = StructType(Seq(StructField("k", LongType),
+      StructField("u", org.apache.spark.sql.types.IntegerType),
+      StructField("p", LongType)))
+    val u = (130L * 7919L) % 100003L // row k=130 lives in batch 3, p=0
+    val located = ManifestStore.locate(dir, "p", "u", u,
+      partVals = Some(Seq(0L)))
+    assert(located.nonEmpty,
+      "the holding file must survive an INT32 bloom probe")
+    assert(located.size <= 2,
+      s"blooms must still exclude non-holding files: $located")
+    assert(ManifestStore.readPoint(spark, dir, schema32, "p", "u", u)
+      .select("k", "p").as[(Long, Long)].collect().toSet ==
+      Set((130L, 0L)))
+    // several keys at once: one footer pass answers all of them — the
+    // present keys locate their files, the absent key locates none
+    // (bloom-excluded) and the out-of-int32 key is EXACTLY excluded
+    // (an INT32 column cannot hold it)
+    val u2 = (131L * 7919L) % 100003L // batch 3, p=1
+    val all = ManifestStore.locateAll(dir, "p", "u",
+      Seq(u, u2, Int.MaxValue.toLong + 5L))
+    assert(all.getOrElse(u, Nil).nonEmpty && all.getOrElse(u2, Nil).nonEmpty)
+    assert(all.getOrElse(Int.MaxValue.toLong + 5L, Nil).isEmpty,
+      "a value outside int32 cannot be in an INT32 column")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("merge by key: upserts replace and insert, deletes are LOCATED " +
     "through the blooms without a store scan, untouched partitions' " +
     "files survive byte-identical, pinned readers unaffected") {
