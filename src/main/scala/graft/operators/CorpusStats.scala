@@ -210,6 +210,24 @@ object CorpusStats {
     scoreWithImportanceWeights(corpus, id, text,
       importanceWeights(corpus, text, target, targetText, buckets), buckets)
 
+  /** DSIR importance RESAMPLING — the paper's actual selection rule:
+    * keep each scored doc with probability PROPORTIONAL to its
+    * importance weight (milli weight 1000 = corpus-average = keep at
+    * rate 1), via the same deterministic portable-hash per-mille
+    * sampler every other curation stage uses. No RNG, no state, a
+    * pure narrow filter — the same sample on every run/engine. The
+    * hard `keep` flag ("strictly more target-like than average") is
+    * for diagnostics; composing a TILT needs the proportional rule,
+    * since a weakly-differentiated target domain can leave the hard
+    * gate empty while the resample still shifts the mixture.
+    */
+  def importanceResample(
+      scored: DataFrame, id: Column, salt: String = "dsir"): DataFrame =
+    scored.filter(
+      pmod(TextAnalysis.portableHash32(
+        concat(lit(salt), lit(":"), id.cast("string"))), lit(1000L))
+        < least(lit(1000L), col("score_milli")))
+
   /** Bigram-LM familiarity scoring — the exact-integer analog of the
     * KenLM-perplexity quality filter: train bigram occurrence counts
     * on the corpus itself (one aggregate), then score every document

@@ -465,6 +465,41 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"), col("score_sum"), col("rate_permille"))
         .orderBy("doc_id")
     }),
+    // curation v4 — v3 with DSIR target-domain tilting composed in:
+    // train the classifier (exact fixed-point GD) and gate on its
+    // score, RESAMPLE the survivors proportional to frozen importance
+    // weights (every 20th doc plays the target sample; the row-137
+    // scoring verbatim, selection by the DSIR proportional rule —
+    // hash permille < min(1000, weight)), then temperature-mix what
+    // survives both stages. One declarative plan: the classifier
+    // score, the importance score, and the mixture rates are all
+    // exact int64, so the oracle chains the validated stage oracles
+    "curate_v4" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // stage 1: trained-classifier gate (the curate_v3 stage)
+      val w = CorpusStats.trainClassifier(d, col("doc_id"), col("text"),
+        buckets = ClassifierTrainBuckets, iters = ClassifierTrainIters)
+      val scored = CorpusStats.classifierScore(d, col("doc_id"), col("text"),
+        w.select(col("bucket"), col("w_micro").as("w_milli")),
+        buckets = ClassifierTrainBuckets)
+      // stage 2: DSIR tilt — weights trained once against the held-out
+      // target sample, frozen, selection proportional to weight
+      val candidates = d.filter(col("doc_id") % 20 =!= 0)
+      val imp = CorpusStats.importanceScore(
+        candidates, col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 20 === 0), col("text"))
+      val kept = candidates
+        .join(scored.filter(col("keep") === 1L)
+          .select(col("doc_id"), col("score_sum")), Seq("doc_id"))
+        .join(CorpusStats.importanceResample(imp, col("doc_id"))
+          .select(col("doc_id"), col("score_milli")), Seq("doc_id"))
+      // stage 3: temperature mixing over the twice-gated survivors
+      Corpus.temperatureSample(kept, col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint"))
+        .select(col("doc_id"), col("source"), col("score_sum"),
+          col("score_milli"), col("rate_permille"))
+        .orderBy("doc_id")
+    }),
     // the mixture rates STREAMED: per-stratum token totals maintained
     // as bounded keyed state (one long per stratum), drained totals ==
     // batch aggregate exactly (associative addition), the same rate
@@ -1483,6 +1518,80 @@ object CorpusQueries {
          |  FROM sw, sm)
          |SELECT k.doc_id, k.source, k.score_sum, sr.rate_permille
          |FROM keepd k JOIN sr ON k.source = sr.stratum
+         |WHERE $hashPm < sr.rate_permille
+         |ORDER BY k.doc_id""".stripMargin
+    },
+    // curate_v4 = the three validated stage oracles chained as CTEs:
+    // classifier train+gate (curate_v3's CTEs verbatim), DSIR
+    // importance tilt (domain_importance's CTEs, d-prefixed), then
+    // temperature rates over the docs surviving BOTH gates
+    "curate_v4" -> {
+      val k = ClassifierTrainIters
+      val hashPm =
+        """list_reduce(list_transform(
+          |    string_split(substr(md5(k.source || ':' || CAST(k.doc_id AS VARCHAR)), 1, 8), ''),
+          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          |    (a, b) -> a * 16 + b) % 1000""".stripMargin
+      s"""WITH ${classifierTrainCtes(ClassifierTrainBuckets, k)},
+         |score AS MATERIALIZED (
+         |  SELECT t.doc_id, CAST(sum(t.cnt * w.w_micro) AS BIGINT) AS score_sum
+         |  FROM tok t JOIN w$k w USING (bucket) GROUP BY t.doc_id),
+         |ckeep AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text, s.score_sum
+         |  FROM documents d JOIN score s USING (doc_id)
+         |  WHERE s.score_sum >= 0),
+         |dt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |docc AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_transform(string_split(substr(md5(bg), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) % 4096 AS bucket
+         |  FROM (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |        FROM dt WHERE len(toks) >= 2)),
+         |dtgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+         |        FROM docc WHERE doc_id % 20 = 0 GROUP BY bucket),
+         |dcor AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_cnt
+         |        FROM docc WHERE doc_id % 20 <> 0 GROUP BY bucket),
+         |dtot AS (SELECT (SELECT COALESCE(sum(t_cnt), 0) FROM dtgt) AS tt,
+         |               (SELECT COALESCE(sum(c_cnt), 0) FROM dcor) AS tc),
+         |dsc AS (
+         |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum((1000 * (COALESCE(g.t_cnt, 0) + 1) * (dtot.tc + 4096))
+         |        // ((COALESCE(c.c_cnt, 0) + 1) * (dtot.tt + 4096))) AS BIGINT) AS w_sum
+         |  FROM docc o LEFT JOIN dtgt g USING (bucket)
+         |    LEFT JOIN dcor c USING (bucket), dtot
+         |  WHERE o.doc_id % 20 <> 0
+         |  GROUP BY o.doc_id),
+         |ikeep AS (
+         |  SELECT doc_id, CAST(w_sum // n_feats AS BIGINT) AS score_milli
+         |  FROM dsc
+         |  WHERE list_reduce(list_transform(
+         |      string_split(substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) % 1000
+         |    < LEAST(1000, w_sum // n_feats)),
+         |kept AS MATERIALIZED (
+         |  SELECT c.doc_id, c.source, c.text, c.score_sum, i.score_milli
+         |  FROM ckeep c JOIN ikeep i USING (doc_id)
+         |  WHERE c.doc_id % 20 <> 0),
+         |tw AS (SELECT source AS stratum,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t
+         |  FROM kept GROUP BY source),
+         |sw AS (SELECT stratum, t,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= t THEN s0 + 1
+         |         WHEN s0 * s0 > t THEN s0 - 1 ELSE s0 END AS w
+         |  FROM (SELECT stratum, t,
+         |          CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s0
+         |        FROM tw WHERE t > 0)),
+         |sm AS (SELECT t AS m_t, w AS m_w FROM sw
+         |       ORDER BY ${sqlFdiv("t * 256", "w")}, stratum LIMIT 1),
+         |sr AS (SELECT stratum,
+         |    LEAST(1000, ${sqlFdiv(s"w * ${sqlFdiv("1000000 * m_t", "t")}", "1000 * m_w")})
+         |      AS rate_permille
+         |  FROM sw, sm)
+         |SELECT k.doc_id, k.source, k.score_sum, k.score_milli, sr.rate_permille
+         |FROM kept k JOIN sr ON k.source = sr.stratum
          |WHERE $hashPm < sr.rate_permille
          |ORDER BY k.doc_id""".stripMargin
     },
