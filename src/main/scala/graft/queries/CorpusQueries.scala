@@ -297,6 +297,102 @@ object CorpusQueries {
         .distinct() // two keys may collide on the same hashed u
         .orderBy("event_id")
     }),
+    // CHANGE-DATA-FEED: the row-level diff between two store versions,
+    // derived from the MANIFEST diff — only the files the merge added
+    // or removed are read (rewritten partitions' unchanged rows cancel
+    // through the multiplicity-aware diff), so an edit-sized commit
+    // yields an edit-sized change read. Consumers build incremental
+    // downstream views from exactly this feed
+    "store_changes" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("changes-store")
+      val v0 = graft.sources.ManifestStore.init(ev, "ub", store,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val upIds = (1 to 3).map(i => maxId / 5 * i)
+      val delIds = (1 to 2).map(i => maxId / 7 * i)
+        .filterNot(upIds.contains)
+      val inserts = {
+        import s.implicits._
+        (1 to 2).map(i =>
+            (maxId + i, (maxId + i) % 8, (maxId + i) * 3L + 111L))
+          .toDF("event_id", "ub", "val_milli")
+      }
+      val upserts = ev.filter(col("event_id").isin(upIds: _*))
+        .withColumn("val_milli", col("event_id") * 3L + 111L)
+        .unionByName(inserts)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("val_milli",
+          org.apache.spark.sql.types.LongType)))
+      val v1 = graft.sources.ManifestStore.merge(s, store, schema, "ub",
+        "event_id", upserts, delIds, statsCols = Seq("event_id"),
+        bloomCols = Seq("event_id"))
+      graft.sources.ManifestStore.readChanges(
+        s, store, schema, "ub", v0, v1)
+        .orderBy("event_id", "change")
+    }),
+    // OPTIMIZE ZORDER: the arrival-ordered store (event_id clusters
+    // per file, user_id spans everything) is re-clustered by the
+    // z-value of (event_id, user_id) — each rewritten file covers a
+    // compact box of the 2-D key space, so a USER_ID range read (a
+    // dim arrival order could never prune) skips files at the
+    // manifest; content identity vs the raw table is the oracle
+    "store_zorder_read" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val agg0 = ev.agg(max("event_id"), max("user_id")).head
+      val (maxId, maxUid) = (agg0.getLong(0), agg0.getLong(1))
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("zorder-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id", "user_id"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id", "user_id"))
+      graft.sources.ManifestStore.compactClustered(
+        s, store, EventsStoreSchema, "ub",
+        dims = Seq("event_id", "user_id"), bits = 12,
+        filesPerPartition = 4, statsCols = Seq("event_id", "user_id"))
+      val (uLo, uHi) = (maxUid / 4, maxUid / 2)
+      graft.sources.ManifestStore.read(
+        s, store, EventsStoreSchema, "ub",
+        range = Some(("user_id", uLo, uHi)))
+        .filter(col("user_id").between(uLo, uHi))
+        .groupBy("ub")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("ub")
+    }),
+    // METADATA-ONLY aggregates: COUNT(*)/MIN/MAX answered from the
+    // manifest + stats sidecar alone — zero data-file opens, zero
+    // Spark jobs for the answer (per-file row counts and bounds were
+    // harvested from footers at commit); the Iceberg/Delta
+    // aggregate-pushdown shape, served straight off the metadata tier
+    "store_meta_agg" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("meta-agg-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id", "user_id"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id", "user_id"))
+      val n = graft.sources.ManifestStore.metaCount(store, "ub").get
+      val (mnE, mxE) =
+        graft.sources.ManifestStore.metaMinMax(store, "event_id", "ub").get
+      val (mnU, mxU) =
+        graft.sources.ManifestStore.metaMinMax(store, "user_id", "ub").get
+      import s.implicits._
+      Seq((n, mnE, mxE, mnU, mxU))
+        .toDF("n_rows", "min_id", "max_id", "min_uid", "max_uid")
+    }),
     // MERGE by key (the Delta MERGE INTO analog): point upserts +
     // bloom-LOCATED deletes against the events store — delete
     // partitions are discovered through the file blooms (footer-sized
@@ -1328,6 +1424,48 @@ object CorpusQueries {
         |FROM events e
         |WHERE (e.event_id * 7919) % 100003 IN (SELECT u FROM keys)
         |ORDER BY e.event_id""".stripMargin,
+    // the derived change feed == the edit set spelled as explicit
+    // delete/insert rows (updates are their delete+insert pair)
+    "store_changes" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
+        |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)
+        |        WHERE (mx // 7) * i NOT IN (SELECT id FROM up)),
+        |base AS (SELECT event_id, user_id % 8 AS ub,
+        |           event_id * 3 AS val_milli FROM events),
+        |changes AS (
+        |  SELECT b.event_id, b.ub, b.val_milli, 'delete' AS change
+        |  FROM base b WHERE b.event_id IN (SELECT id FROM up)
+        |  UNION ALL
+        |  SELECT b.event_id, b.ub, b.event_id * 3 + 111, 'insert'
+        |  FROM base b WHERE b.event_id IN (SELECT id FROM up)
+        |  UNION ALL
+        |  SELECT b.event_id, b.ub, b.val_milli, 'delete'
+        |  FROM base b WHERE b.event_id IN (SELECT id FROM del)
+        |  UNION ALL
+        |  SELECT mx + i, (mx + i) % 8, (mx + i) * 3 + 111, 'insert'
+        |  FROM m, (VALUES (1),(2)) t(i))
+        |SELECT event_id, CAST(ub AS BIGINT) AS ub,
+        |  CAST(val_milli AS BIGINT) AS val_milli, change
+        |FROM changes ORDER BY event_id, change""".stripMargin,
+    // the z-clustered store's user_id slice == the same aggregate off
+    // the raw table (clustering is a content-identical rewrite)
+    "store_zorder_read" ->
+      """WITH m AS (SELECT max(user_id) AS mu FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE user_id BETWEEN mu // 4 AND mu // 2)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the metadata-served aggregates == the same aggregates computed
+    // the hard way over the raw table
+    "store_meta_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(user_id) AS min_uid, max(user_id) AS max_uid
+        |FROM events""".stripMargin,
     // the bloom-located point reads == the same hashed-key IN-list off
     // the raw table (location may open extra files, never skip a hit)
     "store_point_read" ->

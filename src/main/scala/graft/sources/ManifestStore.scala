@@ -131,10 +131,20 @@ object ManifestStore {
   // column without bounds is always kept, so a missing/stale sidecar
   // degrades to a full snapshot read, never a wrong one.
 
-  /** Footer bounds of `cols` (INT32/INT64 only) for one data file; a
-    * column is reported only when EVERY row group carries usable
-    * stats — a single statless chunk makes the file unprunable on
-    * that column (all-null chunks are fine: nulls never match a range).
+  /** The stats-sidecar key carrying a file's exact ROW COUNT (written
+    * as `#rows=N..N` — parse-compatible with the bounds format, and
+    * `#` keeps it out of any real column's namespace). Harvested from
+    * the same footer read as the bounds, it powers metadata-only
+    * COUNT ([[metaCount]]) and file-sizing decisions
+    * ([[compactClustered]]) with zero file opens.
+    */
+  private val RowsKey = "#rows"
+
+  /** Footer bounds of `cols` (INT32/INT64 only) for one data file,
+    * plus the file's exact row count under [[RowsKey]]; a column is
+    * reported only when EVERY row group carries usable stats — a
+    * single statless chunk makes the file unprunable on that column
+    * (all-null chunks are fine: nulls never match a range).
     */
   private def footerStats(
       storeDir: String, rel: String, cols: Seq[String]):
@@ -146,7 +156,8 @@ object ManifestStore {
         new Path(storeDir, rel), StoreFs.conf))
     try {
       val blocks = rd.getFooter.getBlocks.asScala.toSeq
-      cols.flatMap { name =>
+      val rowCount = blocks.map(_.getRowCount).sum
+      def boundsOf(): Map[String, (Long, Long)] = cols.flatMap { name =>
         val chunks = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == name))
         val bounds = chunks.map { c =>
@@ -173,7 +184,44 @@ object ManifestStore {
           else Some(name -> ((vs.map(_._1).min, vs.map(_._2).max)))
         }
       }.toMap
+      boundsOf() + (RowsKey -> ((rowCount, rowCount)))
     } finally rd.close()
+  }
+
+  /** Metadata-only COUNT(*): the snapshot's row count summed from the
+    * stats sidecar's per-file [[RowsKey]] entries — zero file opens,
+    * zero Spark jobs. None when any selected file predates row-count
+    * harvesting (the answer would be a guess, never a wrong number).
+    */
+  def metaCount(
+      storeDir: String, partCol: String,
+      partVals: Option[Seq[Long]] = None,
+      version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(latestVersion(storeDir)).getOrElse(return None)
+    val snap = selectFiles(storeDir, partCol, partVals, Some(v))
+    val st = stats(storeDir, v)
+    val counts = snap.map(f => st.get(f).flatMap(_.get(RowsKey)).map(_._1))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** Metadata-only MIN/MAX of an integral column: folded from the
+    * per-file zone-map bounds — zero file opens. SQL semantics (nulls
+    * ignored — parquet bounds already exclude them). None when any
+    * selected file lacks bounds for the column (statless or all-null
+    * files make the exact answer unknowable from metadata) or the
+    * selection is empty.
+    */
+  def metaMinMax(
+      storeDir: String, colName: String, partCol: String,
+      partVals: Option[Seq[Long]] = None,
+      version: Option[Long] = None): Option[(Long, Long)] = {
+    val v = version.orElse(latestVersion(storeDir)).getOrElse(return None)
+    val snap = selectFiles(storeDir, partCol, partVals, Some(v))
+    if (snap.isEmpty) return None
+    val st = stats(storeDir, v)
+    val bounds = snap.map(f => st.get(f).flatMap(_.get(colName)))
+    if (bounds.exists(_.isEmpty)) None
+    else Some((bounds.flatten.map(_._1).min, bounds.flatten.map(_._2).max))
   }
 
   /** Harvest [[footerStats]] for MANY files in one parallel pass — a
@@ -397,7 +445,9 @@ object ManifestStore {
       statsCols: Seq[String], tag: Option[String] = None,
       reuseAdded: Option[Seq[String]] = None,
       bloomCols: Seq[String] = Nil,
-      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil):
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      orderWithin: Seq[org.apache.spark.sql.Column] = Nil,
+      maxRecordsPerFile: Long = 0L):
       Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
@@ -408,9 +458,24 @@ object ManifestStore {
     val staging = new Path(storeDir, s".staging-c$commitId")
     val fs = StoreFs.fs(staging)
     val added = reuseAdded.getOrElse(try {
-      bloomCols.foldLeft(rows.repartition(col(partCol)).write) {
+      // `orderWithin` CLUSTERS each partition's rows before the write
+      // (one local sort, no extra shuffle) and `maxRecordsPerFile`
+      // cuts the sorted stream into several files per partition — so
+      // each file covers a contiguous slice of the sort key and its
+      // zone-map bounds tile the key space in compact boxes (the
+      // OPTIMIZE ZORDER write shape; see [[compactClustered]])
+      val shaped =
+        if (orderWithin.isEmpty) rows.repartition(col(partCol))
+        else rows.repartition(col(partCol))
+          .sortWithinPartitions(col(partCol) +: orderWithin: _*)
+      val w0 = bloomCols.foldLeft(shaped.write) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      }.mode("overwrite").partitionBy(partCol)
+      }
+      val w1 =
+        if (maxRecordsPerFile > 0)
+          w0.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+        else w0
+      w1.mode("overwrite").partitionBy(partCol)
         .parquet(staging.toString)
       val stagedDirs = StoreFs.list(staging)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
@@ -617,6 +682,93 @@ object ManifestStore {
       partVals = Some(vals), version = Some(v))
     Some(commit(
       rows, partCol, vals, storeDir, retainVersions, statsCols, bloomCols))
+  }
+
+  /** CHANGE-DATA-FEED between two retained versions (the Delta CDF
+    * analog, derived instead of logged): the row-level diff computed
+    * from the MANIFEST diff — only files added or removed between the
+    * versions are read, so an edit-sized commit yields an edit-sized
+    * change read, never a snapshot scan; unchanged files (the common
+    * case) are never opened. Rewritten partitions re-carry their
+    * unchanged rows in new files; `exceptAll` (multiplicity-aware)
+    * cancels those, leaving exactly the rows that left (`delete`) and
+    * arrived (`insert`) — an update is its delete + insert pair.
+    * Both endpoints must still be retained (same contract as any
+    * pinned read; a defined error otherwise).
+    */
+  def readChanges(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChanges wants fromVersion <= toVersion, got $fromVersion > $toVersion")
+    val from = files(storeDir, fromVersion).toSet
+    val to = files(storeDir, toVersion).toSet
+    def readF(fs: Seq[String]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else
+        spark.read.schema(schema).option("basePath", storeDir)
+          .parquet(fs.map(p => s"$storeDir/$p"): _*)
+    val old = readF((from -- to).toSeq.sorted)
+    val neu = readF((to -- from).toSeq.sorted)
+    old.exceptAll(neu)
+      .withColumn("change", org.apache.spark.sql.functions.lit("delete"))
+      .unionByName(neu.exceptAll(old)
+        .withColumn("change", org.apache.spark.sql.functions.lit("insert")))
+  }
+
+  /** OPTIMIZE ZORDER — [[compact]]'s skipping-aware sibling: rewrite
+    * the selected partitions (default: ALL) with their rows
+    * re-CLUSTERED by the interleaved z-value of `dims`, cut into
+    * ~`filesPerPartition` files each covering a compact BOX of the
+    * key space — so the manifest zone maps prune range reads on EVERY
+    * clustered dimension, not just whatever the arrival order
+    * happened to sort by (an append-ingested store bounds tightly on
+    * its arrival key and spans the whole domain on everything else).
+    * The quantization bounds and the file-sizing row counts come from
+    * the METADATA tier when complete ([[metaMinMax]]/[[metaCount]] —
+    * zero extra jobs) and fall back to one aggregate otherwise.
+    * Content-identical publish, same single-writer/CAS/retention
+    * discipline, pinned readers untouched. One shuffle (the partition
+    * exchange the publish pays anyway) + one local sort.
+    */
+  def compactClustered(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, dims: Seq[String], bits: Int = 12,
+      filesPerPartition: Int = 4,
+      partVals: Option[Seq[Long]] = None,
+      retainVersions: Int = 8, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{lit => l, max => mx, min => mn}
+    require(dims.nonEmpty, "compactClustered needs at least one dim")
+    val v = latestVersion(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir holds no manifest — nothing to cluster"))
+    val targets = partVals.getOrElse(
+      files(storeDir, v).map(_.takeWhile(_ != '/'))
+        .distinct.map(_.stripPrefix(s"$partCol=").toLong).sorted)
+    if (targets.isEmpty) return v
+    val rows = read(spark, storeDir, schema, partCol, Some(targets), Some(v))
+    val dimBounds: Map[String, (Long, Long)] = dims.map { d =>
+      d -> metaMinMax(storeDir, d, partCol, Some(targets), Some(v))
+        .getOrElse {
+          val r = rows.agg(mn(col(d)), mx(col(d))).head
+          if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+        }
+    }.toMap
+    val z = graft.operators.Layout.zValue(
+      dims.map { d =>
+        val (lo, hi) = dimBounds(d)
+        if (hi > lo) graft.operators.Layout.quantize(col(d), lo, hi, bits)
+        else l(0L)
+      }, bits)
+    val totalRows = metaCount(storeDir, partCol, Some(targets), Some(v))
+      .getOrElse(rows.count())
+    val perFile = math.max(1L,
+      totalRows / math.max(1L, targets.size.toLong * filesPerPartition))
+    publish(rows, partCol, Some(targets), storeDir, retainVersions,
+      statsCols, bloomCols = bloomCols,
+      orderWithin = Seq(z), maxRecordsPerFile = perFile)
   }
 
   /** Maintenance sweep: LIST every partition dir and delete data files

@@ -450,6 +450,107 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("change-data-feed: the manifest diff yields exactly the " +
+    "row-level edits — rewritten partitions' unchanged rows cancel, " +
+    "untouched partitions never enter the diff, appends feed pure " +
+    "inserts, a self-diff is empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-changes").toString
+    val v0 = ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L)), "p", dir)
+    // rewrite p=0: update k=1, drop k=2, insert k=4 — p=1 untouched
+    val v1 = ManifestStore.commit(
+      rows((1L, 11L, 0L), (4L, 40L, 0L)), "p", Seq(0L), dir)
+    def changes(a: Long, b: Long) =
+      ManifestStore.readChanges(spark, dir, schema, "p", a, b)
+        .select("k", "v", "p", "change")
+        .as[(Long, Long, Long, String)].collect().toSet
+    assert(changes(v0, v1) == Set(
+      (1L, 10L, 0L, "delete"), (1L, 11L, 0L, "insert"),
+      (2L, 20L, 0L, "delete"), (4L, 40L, 0L, "insert")),
+      "the feed must carry exactly the edits (k=3's partition is " +
+        "untouched and must not appear)")
+    // an append-only commit feeds pure inserts
+    val v2 = ManifestStore.append(rows((9L, 90L, 1L)), "p", dir)
+    assert(changes(v1, v2) == Set((9L, 90L, 1L, "insert")))
+    // identity and composition sanity
+    assert(changes(v1, v1).isEmpty, "a self-diff must be empty")
+    assert(changes(v0, v2) == Set(
+      (1L, 10L, 0L, "delete"), (1L, 11L, 0L, "insert"),
+      (2L, 20L, 0L, "delete"), (4L, 40L, 0L, "insert"),
+      (9L, 90L, 1L, "insert")))
+    // a from-version past retention is a defined error, never a guess
+    (0 until 8).foreach(i => ManifestStore.append(
+      rows((100L + i, 1L, 1L)), "p", dir, retainVersions = 3))
+    val err = intercept[IllegalArgumentException] {
+      ManifestStore.readChanges(spark, dir, schema, "p", v0, v2)
+    }
+    assert(err.getMessage.contains("past retention"))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("OPTIMIZE ZORDER: clustered compaction makes the zone maps " +
+    "prune on a SECOND dimension arrival order never sorted by; " +
+    "metadata aggregates answer exactly with zero file opens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // k arrival-clusters per batch; u = (k*37)%400 visits the whole
+    // domain inside every batch — per-file u bounds span everything
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, (k * 37L) % 400L, k % 2)).toDF("k", "u", "p")
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("u", LongType), StructField("p", LongType)))
+    ManifestStore.init(batch(0, 100), "p", dir, statsCols = Seq("k", "u"))
+    (1 to 3).foreach(i =>
+      ManifestStore.append(batch(i * 100L, i * 100L + 100L), "p", dir,
+        statsCols = Seq("k", "u")))
+    val expected = batch(0, 400).as[(Long, Long, Long)].collect().toSet
+    def readAllZ(version: Option[Long] = None) =
+      ManifestStore.read(spark, dir, sch, "p", None, version)
+        .select("k", "u", "p").as[(Long, Long, Long)].collect().toSet
+    // metadata-only aggregates: exact, no data file opened
+    assert(ManifestStore.metaCount(dir, "p").contains(400L))
+    assert(ManifestStore.metaMinMax(dir, "k", "p").contains((0L, 399L)))
+    assert(ManifestStore.metaMinMax(dir, "u", "p")
+      .exists { case (lo, hi) => lo == 0L && hi >= 390L })
+    assert(ManifestStore.metaCount(dir, "p", partVals = Some(Seq(0L)))
+      .contains(200L), "partition-pruned metadata count")
+    // BEFORE clustering a u-slice keeps (nearly) every file
+    val total0 = ManifestStore.selectFiles(dir, "p").size
+    val uBefore = ManifestStore.selectFiles(dir, "p",
+      range = Some(("u", 0L, 99L))).size
+    assert(uBefore >= total0 - 1,
+      s"drill premise: arrival order must not bound u: $uBefore/$total0")
+    val pinned = ManifestStore.latestVersion(dir).get
+    // 8 files/partition: sequential row-count cuts land INSIDE the
+    // z-quadrants (a 4-way cut straddles quadrant boundaries, which
+    // widens the secondary dim's bounds on the straddling files)
+    ManifestStore.compactClustered(spark, dir, sch, "p",
+      dims = Seq("k", "u"), bits = 8, filesPerPartition = 8,
+      statsCols = Seq("k", "u"))
+    // content-identical rewrite; the pinned pre-cluster version intact
+    assert(readAllZ() == expected, "clustering must not change content")
+    assert(readAllZ(Some(pinned)) == expected)
+    // AFTER: both a u-slice AND a k-slice prune at the manifest
+    val total1 = ManifestStore.selectFiles(dir, "p").size
+    assert(total1 > 2, s"clustered rewrite should cut several files: $total1")
+    val uAfter = ManifestStore.selectFiles(dir, "p",
+      range = Some(("u", 0L, 99L))).size
+    val kAfter = ManifestStore.selectFiles(dir, "p",
+      range = Some(("k", 0L, 49L))).size
+    assert(uAfter < total1,
+      s"z-clustering must bound the second dim: $uAfter/$total1")
+    assert(kAfter < total1,
+      s"z-clustering must still bound the first dim: $kAfter/$total1")
+    // the sliced read stays exact
+    assert(ManifestStore.read(spark, dir, sch, "p",
+      range = Some(("u", 0L, 99L)))
+      .filter(col("u").between(0L, 99L))
+      .as[(Long, Long, Long)].collect().toSet ==
+      expected.filter(r => r._2 <= 99L))
+    // metadata aggregates survive the rewrite
+    assert(ManifestStore.metaCount(dir, "p").contains(400L))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("INT32 bloom columns probe with 4-byte hashes: a Long-valued " +
     "lookup against an int column still finds its file (the Long hash " +
     "would be a guaranteed false negative), multi-key location answers " +
