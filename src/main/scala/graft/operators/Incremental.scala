@@ -47,6 +47,32 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
+  /** Maintain a keyed (count, sum) VIEW from a change feed
+    * ([[graft.sources.ManifestStore.readChanges]]): associative
+    * aggregates update by SIGNED deltas — inserts add, deletes
+    * subtract — so an edit-sized feed updates the view with
+    * edit-sized work, never re-reading the snapshot. `view` carries
+    * (keyCols..., countCol, sumCol); `changes` carries the feed's
+    * rows + `change`. Keys whose count reaches zero drop out
+    * (matching a fresh aggregate over the new snapshot exactly).
+    */
+  def viewApplyChanges(
+      view: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      valueCol: String, countCol: String, sumCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    val sgn = when(col("change") === "insert", 1L).otherwise(-1L)
+    val delta = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sgn).as("__dn"), sum(sgn * col(valueCol)).as("__dv"))
+    view.join(delta, keyCols, "full")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(countCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+          .as(sumCol)): _*)
+      .filter(col(countCol) > 0L)
+  }
+
   /** Keep-first dedup state over the quality-passing corpus:
     * (fingerprint, keep_id, n_dups) — [[Dedup.exact]] on the gated
     * docs. Model of the corpus' duplicate structure; the incremental

@@ -337,6 +337,80 @@ object CorpusQueries {
         s, store, schema, "ub", v0, v1)
         .orderBy("event_id", "change")
     }),
+    // INCREMENTAL downstream view — the change feed CONSUMED: a keyed
+    // (count, sum) view updates by the feed's signed deltas (insert
+    // adds, delete subtracts — edit-sized work), and the maintained
+    // view must equal a fresh aggregate over the new snapshot, which
+    // is what the oracle computes from the edit replay
+    "store_incr_view" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("incr-view-store")
+      val v0 = graft.sources.ManifestStore.init(ev, "ub", store,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("val_milli",
+          org.apache.spark.sql.types.LongType)))
+      val view0 = graft.sources.ManifestStore.read(
+        s, store, schema, "ub", version = Some(v0))
+        .groupBy("ub")
+        .agg(count(lit(1)).as("n_rows"), sum(col("val_milli")).as("sum_milli"))
+      val upIds = (1 to 3).map(i => maxId / 5 * i)
+      val delIds = (1 to 2).map(i => maxId / 7 * i)
+        .filterNot(upIds.contains)
+      val inserts = {
+        import s.implicits._
+        (1 to 2).map(i =>
+            (maxId + i, (maxId + i) % 8, (maxId + i) * 3L + 111L))
+          .toDF("event_id", "ub", "val_milli")
+      }
+      val upserts = ev.filter(col("event_id").isin(upIds: _*))
+        .withColumn("val_milli", col("event_id") * 3L + 111L)
+        .unionByName(inserts)
+      val v1 = graft.sources.ManifestStore.merge(s, store, schema, "ub",
+        "event_id", upserts, delIds, statsCols = Seq("event_id"),
+        bloomCols = Seq("event_id"))
+      val feed = graft.sources.ManifestStore.readChanges(
+        s, store, schema, "ub", v0, v1)
+      graft.operators.Incremental.viewApplyChanges(
+        view0, feed, Seq("ub"), "val_milli", "n_rows", "sum_milli")
+        .orderBy("ub")
+    }),
+    // SCHEMA EVOLUTION: the second half of the ingest arrives with a
+    // NEW column; old files read as null for it (parquet
+    // read-schema evolution), zone maps bound it only on the files
+    // that carry it (older files stay unprunable on the new column —
+    // kept, never wrong). The unified read aggregates both eras
+    "store_evolve" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .select("event_id", "user_id", "ub")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("evolve-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id"))
+      // the evolved era: a new column lands with the append
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split)
+          .withColumn("tag", col("event_id") % 100L),
+        "ub", store, statsCols = Seq("event_id", "tag"))
+      val evolved = org.apache.spark.sql.types.StructType(
+        EventsStoreSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "tag", org.apache.spark.sql.types.LongType))
+      graft.sources.ManifestStore.read(s, store, evolved, "ub")
+        .groupBy("ub")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("tag"), lit(-1L))).as("sum_tag"),
+          count(col("tag")).as("n_tagged"))
+        .orderBy("ub")
+    }),
     // OPTIMIZE ZORDER: the arrival-ordered store (event_id clusters
     // per file, user_id spans everything) is re-clustered by the
     // z-value of (event_id, user_id) — each rewritten file covers a
@@ -1424,6 +1498,39 @@ object CorpusQueries {
         |FROM events e
         |WHERE (e.event_id * 7919) % 100003 IN (SELECT u FROM keys)
         |ORDER BY e.event_id""".stripMargin,
+    // the incrementally-maintained view == the aggregate over the
+    // edited table (the edit replay feeding a fresh GROUP BY)
+    "store_incr_view" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
+        |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)
+        |        WHERE (mx // 7) * i NOT IN (SELECT id FROM up)),
+        |base AS (SELECT event_id, user_id % 8 AS ub,
+        |           event_id * 3 AS val_milli FROM events),
+        |final AS (
+        |  SELECT b.event_id, b.ub,
+        |    CASE WHEN b.event_id IN (SELECT id FROM up)
+        |      THEN b.event_id * 3 + 111 ELSE b.val_milli END AS val_milli
+        |  FROM base b WHERE b.event_id NOT IN (SELECT id FROM del)
+        |  UNION ALL
+        |  SELECT mx + i, (mx + i) % 8, (mx + i) * 3 + 111
+        |  FROM m, (VALUES (1),(2)) t(i))
+        |SELECT CAST(ub AS BIGINT) AS ub,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(val_milli) AS BIGINT) AS sum_milli
+        |FROM final GROUP BY ub ORDER BY ub""".stripMargin,
+    // both eras aggregated: old rows read the new column as null
+    // (counted out of n_tagged, -1 into the sum), new rows carry it
+    "store_evolve" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub,
+        |    CASE WHEN event_id > mx // 2 THEN event_id % 100 END AS tag
+        |  FROM events, m)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(COALESCE(tag, -1)) AS BIGINT) AS sum_tag,
+        |  CAST(count(tag) AS BIGINT) AS n_tagged
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
     // the derived change feed == the edit set spelled as explicit
     // delete/insert rows (updates are their delete+insert pair)
     "store_changes" ->

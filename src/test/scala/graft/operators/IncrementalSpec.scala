@@ -192,4 +192,23 @@ class IncrementalSpec extends SparkSpec {
     assert(collectPacked(packed2) == collectPacked(priorPacked))
     assert(kept2.count() == priorKept.count())
   }
+
+  test("viewApplyChanges: signed deltas maintain a keyed (count, sum) " +
+    "view — keys drain to zero and drop out, new keys arrive, and the " +
+    "result equals a fresh aggregate") {
+    val view0 = Seq((0L, 2L, 30L), (1L, 1L, 5L), (2L, 3L, 60L))
+      .toDF("k", "n", "s")
+    // key 1 drains entirely; key 0 updates one row (delete+insert);
+    // key 9 is brand new
+    val feed = Seq(
+      (1L, 5L, "delete"),
+      (0L, 10L, "delete"), (0L, 17L, "insert"),
+      (9L, 100L, "insert"), (9L, 1L, "insert"))
+      .toDF("k", "v", "change")
+    val out = Incremental.viewApplyChanges(
+      view0, feed, Seq("k"), "v", "n", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 2L, 37L), (2L, 3L, 60L), (9L, 2L, 101L)),
+      s"drained keys must drop out and new keys arrive: $out")
+  }
 }
