@@ -337,6 +337,79 @@ object CorpusQueries {
         s, store, schema, "ub", v0, v1)
         .orderBy("event_id", "change")
     }),
+    // the change feed FOLLOWED live: a StoreViewFollower maintains the
+    // keyed view across a churning writer — tick 1 seeds from the v0
+    // snapshot, tick 2 applies one single-version feed, tick 3 applies
+    // ONE feed spanning two missed versions (the net edit, not a
+    // snapshot re-read); the final view shares store_incr_view's
+    // fresh-aggregate oracle VERBATIM
+    "stream_follow_view" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("follow-view-store")
+      graft.sources.ManifestStore.init(ev, "ub", store,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("val_milli",
+          org.apache.spark.sql.types.LongType)))
+      val follower = new graft.streaming.StoreViewFollower(
+        s, store, schema, "ub", Seq("ub"), "val_milli",
+        countCol = "n_rows", sumCol = "sum_milli")
+      follower.tick() // seed from the v0 snapshot
+      val upIds = (1 to 3).map(i => maxId / 5 * i)
+      val delIds = (1 to 2).map(i => maxId / 7 * i)
+        .filterNot(upIds.contains)
+      val upserts = ev.filter(col("event_id").isin(upIds: _*))
+        .withColumn("val_milli", col("event_id") * 3L + 111L)
+      graft.sources.ManifestStore.merge(s, store, schema, "ub",
+        "event_id", upserts, Nil, statsCols = Seq("event_id"),
+        bloomCols = Seq("event_id"))
+      follower.tick() // one-version feed
+      graft.sources.ManifestStore.merge(s, store, schema, "ub",
+        "event_id", ev.limit(0), delIds, statsCols = Seq("event_id"),
+        bloomCols = Seq("event_id"))
+      val inserts = {
+        import s.implicits._
+        (1 to 2).map(i =>
+            (maxId + i, (maxId + i) % 8, (maxId + i) * 3L + 111L))
+          .toDF("event_id", "ub", "val_milli")
+      }
+      graft.sources.ManifestStore.merge(s, store, schema, "ub",
+        "event_id", inserts, Nil, statsCols = Seq("event_id"),
+        bloomCols = Seq("event_id"))
+      follower.tick() // ONE feed spanning the two missed versions
+      follower.current.orderBy("ub")
+    }),
+    // DELETE WHERE a range predicate (retention sweeps, date-range
+    // erasure): zone maps name the intersecting partitions, only
+    // those rewrite from filtered content, the rest carry verbatim —
+    // then the surviving store aggregates against the raw-table minus
+    // the range
+    "store_delete_range" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("delrange-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id"))
+      graft.sources.ManifestStore.deleteWhere(
+        s, store, EventsStoreSchema, "ub", "event_id",
+        maxId / 3, maxId / 2, statsCols = Seq("event_id"))
+      graft.sources.ManifestStore.read(s, store, EventsStoreSchema, "ub")
+        .groupBy("ub")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("ub")
+    }),
     // INCREMENTAL downstream view — the change feed CONSUMED: a keyed
     // (count, sum) view updates by the feed's signed deltas (insert
     // adds, delete subtracts — edit-sized work), and the maintained
@@ -433,11 +506,15 @@ object CorpusQueries {
         s, store, EventsStoreSchema, "ub",
         dims = Seq("event_id", "user_id"), bits = 12,
         filesPerPartition = 4, statsCols = Seq("event_id", "user_id"))
+      // the consumer is a CONJUNCTIVE 2-D slice — the read shape the
+      // z-clustering exists for: both predicates prune files at the
+      // manifest, their intersection opens only the matching boxes
       val (uLo, uHi) = (maxUid / 4, maxUid / 2)
       graft.sources.ManifestStore.read(
         s, store, EventsStoreSchema, "ub",
-        range = Some(("user_id", uLo, uHi)))
-        .filter(col("user_id").between(uLo, uHi))
+        ranges = Seq(("user_id", uLo, uHi), ("event_id", 0L, split)))
+        .filter(col("user_id").between(uLo, uHi)
+          && col("event_id") <= split)
         .groupBy("ub")
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("ub")
@@ -1283,6 +1360,32 @@ object CorpusQueries {
   /** The DSIR importance fold replayed in SQL — shared VERBATIM by
     * the batch and streaming gates (stateless scoring: same rows).
     */
+  /** The per-ub (count, sum) view over the standard edit replay
+    * (3 upserts at val = 3·id + 111, 2 bloom-located deletes, 2
+    * inserts) — shared VERBATIM by the batch-maintained view
+    * (`store_incr_view`) and the live follower (`stream_follow_view`):
+    * both must land on the fresh aggregate over the edited table.
+    */
+  private val EditedViewOracle: String =
+    """WITH m AS (SELECT max(event_id) AS mx FROM events),
+      |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
+      |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)
+      |        WHERE (mx // 7) * i NOT IN (SELECT id FROM up)),
+      |base AS (SELECT event_id, user_id % 8 AS ub,
+      |           event_id * 3 AS val_milli FROM events),
+      |final AS (
+      |  SELECT b.event_id, b.ub,
+      |    CASE WHEN b.event_id IN (SELECT id FROM up)
+      |      THEN b.event_id * 3 + 111 ELSE b.val_milli END AS val_milli
+      |  FROM base b WHERE b.event_id NOT IN (SELECT id FROM del)
+      |  UNION ALL
+      |  SELECT mx + i, (mx + i) % 8, (mx + i) * 3 + 111
+      |  FROM m, (VALUES (1),(2)) t(i))
+      |SELECT CAST(ub AS BIGINT) AS ub,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(val_milli) AS BIGINT) AS sum_milli
+      |FROM final GROUP BY ub ORDER BY ub""".stripMargin
+
   private val DomainImportanceOracle: String =
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |occ AS (
@@ -1498,27 +1601,23 @@ object CorpusQueries {
         |FROM events e
         |WHERE (e.event_id * 7919) % 100003 IN (SELECT u FROM keys)
         |ORDER BY e.event_id""".stripMargin,
+    // the swept store == the raw table minus the deleted range
+    "store_delete_range" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id NOT BETWEEN mx // 3 AND mx // 2)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
     // the incrementally-maintained view == the aggregate over the
     // edited table (the edit replay feeding a fresh GROUP BY)
-    "store_incr_view" ->
-      """WITH m AS (SELECT max(event_id) AS mx FROM events),
-        |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
-        |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)
-        |        WHERE (mx // 7) * i NOT IN (SELECT id FROM up)),
-        |base AS (SELECT event_id, user_id % 8 AS ub,
-        |           event_id * 3 AS val_milli FROM events),
-        |final AS (
-        |  SELECT b.event_id, b.ub,
-        |    CASE WHEN b.event_id IN (SELECT id FROM up)
-        |      THEN b.event_id * 3 + 111 ELSE b.val_milli END AS val_milli
-        |  FROM base b WHERE b.event_id NOT IN (SELECT id FROM del)
-        |  UNION ALL
-        |  SELECT mx + i, (mx + i) % 8, (mx + i) * 3 + 111
-        |  FROM m, (VALUES (1),(2)) t(i))
-        |SELECT CAST(ub AS BIGINT) AS ub,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(val_milli) AS BIGINT) AS sum_milli
-        |FROM final GROUP BY ub ORDER BY ub""".stripMargin,
+    "store_incr_view" -> EditedViewOracle,
+    // the LIVE follower lands on the same view — shares the oracle
+    // VERBATIM (the follower invariant: view == fresh aggregate at
+    // the version it last applied)
+    "stream_follow_view" -> EditedViewOracle,
     // both eras aggregated: old rows read the new column as null
     // (counted out of n_tagged, -1 into the sum), new rows carry it
     "store_evolve" ->
@@ -1558,11 +1657,13 @@ object CorpusQueries {
     // the z-clustered store's user_id slice == the same aggregate off
     // the raw table (clustering is a content-identical rewrite)
     "store_zorder_read" ->
-      """WITH m AS (SELECT max(user_id) AS mu FROM events),
+      """WITH m AS (SELECT max(user_id) AS mu, max(event_id) AS mx
+        |           FROM events),
         |f AS (
         |  SELECT user_id % 8 AS ub, event_id
         |  FROM events, m
-        |  WHERE user_id BETWEEN mu // 4 AND mu // 2)
+        |  WHERE user_id BETWEEN mu // 4 AND mu // 2
+        |    AND event_id <= mx // 2)
         |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,

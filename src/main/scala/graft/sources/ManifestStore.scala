@@ -684,6 +684,38 @@ object ManifestStore {
       rows, partCol, vals, storeDir, retainVersions, statsCols, bloomCols))
   }
 
+  /** DELETE WHERE `colName BETWEEN lo AND hi` — the range-predicate
+    * delete (retention sweeps, GDPR date-range erasure) MERGE's
+    * point-key path doesn't cover: the zone maps name the partitions
+    * whose files intersect the range (metadata only), ONLY those
+    * rewrite from their filtered content, every other partition's
+    * files carry verbatim. One atomic commit, pinned readers
+    * untouched; a range no file intersects is a no-op returning the
+    * current version.
+    */
+  def deleteWhere(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, colName: String, lo: Long, hi: Long,
+      retainVersions: Int = 8, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    val v = latestVersion(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir holds no manifest — nothing to delete from"))
+    val touched = selectFiles(storeDir, partCol, None, Some(v),
+      range = Some((colName, lo, hi)))
+      .map(_.takeWhile(_ != '/').stripPrefix(s"$partCol="))
+      .map(_.toLong).distinct.sorted
+    if (touched.isEmpty) return v
+    // SQL DELETE semantics: only predicate-TRUE rows leave — a NULL
+    // predicate (null key) keeps its row, so the negation must not
+    // swallow nulls
+    val kept = read(spark, storeDir, schema, partCol,
+      Some(touched), Some(v))
+      .filter(col(colName).isNull || !col(colName).between(lo, hi))
+    commit(kept, partCol, touched, storeDir, retainVersions,
+      statsCols, bloomCols)
+  }
+
   /** CHANGE-DATA-FEED between two retained versions (the Delta CDF
     * analog, derived instead of logged): the row-level diff computed
     * from the MANIFEST diff — only files added or removed between the
@@ -823,7 +855,8 @@ object ManifestStore {
       storeDir: String, partCol: String,
       partVals: Option[Seq[Long]] = None,
       version: Option[Long] = None,
-      range: Option[(String, Long, Long)] = None): Seq[String] = {
+      range: Option[(String, Long, Long)] = None,
+      ranges: Seq[(String, Long, Long)] = Nil): Seq[String] = {
     val v = version.orElse(latestVersion(storeDir))
     val all = v.map(files(storeDir, _)).getOrElse(Nil)
     val parted = partVals match {
@@ -832,13 +865,19 @@ object ManifestStore {
         val dirs = vs.map(x => s"$partCol=$x/").toSet
         all.filter(p => dirs.exists(p.startsWith))
     }
-    range match {
-      case None => parted
-      case Some((c, lo, hi)) =>
-        val st = v.map(stats(storeDir, _)).getOrElse(Map.empty)
-        parted.filter(p => st.get(p).flatMap(_.get(c)).forall {
+    // a file survives only if EVERY predicate's bounds intersect —
+    // the conjunctive multi-column shape a z-clustered store
+    // (row 142) exists to serve; per-column misses keep the file
+    // (best-effort, never wrong)
+    val preds = range.toSeq ++ ranges
+    if (preds.isEmpty) parted
+    else {
+      val st = v.map(stats(storeDir, _)).getOrElse(Map.empty)
+      parted.filter(p => preds.forall { case (c, lo, hi) =>
+        st.get(p).flatMap(_.get(c)).forall {
           case (mn, mx) => mx >= lo && mn <= hi
-        })
+        }
+      })
     }
   }
 
@@ -956,8 +995,9 @@ object ManifestStore {
       spark: SparkSession, storeDir: String, schema: StructType,
       partCol: String, partVals: Option[Seq[Long]] = None,
       version: Option[Long] = None,
-      range: Option[(String, Long, Long)] = None): DataFrame = {
-    val wanted = selectFiles(storeDir, partCol, partVals, version, range)
+      range: Option[(String, Long, Long)] = None,
+      ranges: Seq[(String, Long, Long)] = Nil): DataFrame = {
+    val wanted = selectFiles(storeDir, partCol, partVals, version, range, ranges)
     if (wanted.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else

@@ -450,6 +450,37 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("deleteWhere: the zone maps name the intersecting partitions, " +
+    "untouched partitions' files carry byte-identical, emptied " +
+    "partitions drop, a non-intersecting range is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delrange").toString
+    // p=0 holds k 0..9, p=1 holds k 100..109 — a [100, 104] sweep
+    // must never touch p=0's file
+    ManifestStore.init(
+      rows((0L until 10L).map(k => (k, k * 10, 0L)) ++
+        (100L until 110L).map(k => (k, k * 10, 1L)): _*),
+      "p", dir, statsCols = Seq("k"))
+    val p0Files = ManifestStore.files(dir, 0L).filter(_.startsWith("p=0/"))
+    val v1 = ManifestStore.deleteWhere(
+      spark, dir, schema, "p", "k", 100L, 104L, statsCols = Seq("k"))
+    assert(v1 == 1L)
+    assert(readAll(dir) ==
+      ((0L until 10L).map(k => (k, k * 10, 0L)) ++
+        (105L until 110L).map(k => (k, k * 10, 1L))).toSet)
+    assert(ManifestStore.files(dir, v1).filter(_.startsWith("p=0/"))
+      == p0Files, "the non-intersecting partition's files must carry")
+    // a range no file intersects: no-op, no new version
+    assert(ManifestStore.deleteWhere(
+      spark, dir, schema, "p", "k", 5000L, 6000L) == v1)
+    // sweeping a whole partition empties it out of the snapshot
+    val v2 = ManifestStore.deleteWhere(
+      spark, dir, schema, "p", "k", 105L, 109L, statsCols = Seq("k"))
+    assert(readAll(dir) == (0L until 10L).map(k => (k, k * 10, 0L)).toSet)
+    assert(!ManifestStore.files(dir, v2).exists(_.startsWith("p=1/")),
+      "an emptied partition must leave the manifest")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("change-data-feed: the manifest diff yields exactly the " +
     "row-level edits — rewritten partitions' unchanged rows cancel, " +
     "untouched partitions never enter the diff, appends feed pure " +
@@ -546,6 +577,17 @@ class ManifestStoreSpec extends SparkSpec {
       .filter(col("u").between(0L, 99L))
       .as[(Long, Long, Long)].collect().toSet ==
       expected.filter(r => r._2 <= 99L))
+    // a CONJUNCTIVE 2-D slice prunes at least as hard as either dim
+    // alone and reads exactly
+    val both = ManifestStore.selectFiles(dir, "p",
+      ranges = Seq(("u", 0L, 99L), ("k", 0L, 49L))).size
+    assert(both <= math.min(uAfter, kAfter),
+      s"conjunction must intersect the per-dim selections: $both")
+    assert(ManifestStore.read(spark, dir, sch, "p",
+      ranges = Seq(("u", 0L, 99L), ("k", 0L, 49L)))
+      .filter(col("u").between(0L, 99L) && col("k") <= 49L)
+      .as[(Long, Long, Long)].collect().toSet ==
+      expected.filter(r => r._2 <= 99L && r._1 <= 49L))
     // metadata aggregates survive the rewrite
     assert(ManifestStore.metaCount(dir, "p").contains(400L))
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
