@@ -770,15 +770,25 @@ object ManifestStore {
       filesPerPartition: Int = 4,
       partVals: Option[Seq[Long]] = None,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      onlyPartitionsOver: Option[Int] = None): Long = {
     import org.apache.spark.sql.functions.{lit => l, max => mx, min => mn}
     require(dims.nonEmpty, "compactClustered needs at least one dim")
     val v = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"$storeDir holds no manifest — nothing to cluster"))
-    val targets = partVals.getOrElse(
-      files(storeDir, v).map(_.takeWhile(_ != '/'))
-        .distinct.map(_.stripPrefix(s"$partCol=").toLong).sorted)
+    // `onlyPartitionsOver` is the CADENCE mode ([[compact]]'s
+    // crowded-only trigger): a maintenance tick rewrites only
+    // partitions that accumulated more than the threshold's files —
+    // a per-batch cadence must never rewrite the whole store
+    val targets = partVals.getOrElse {
+      val byPart = files(storeDir, v).groupBy(_.takeWhile(_ != '/'))
+      val picked = onlyPartitionsOver match {
+        case Some(t) => byPart.filter(_._2.size > t)
+        case None => byPart
+      }
+      picked.keys.map(_.stripPrefix(s"$partCol=").toLong).toSeq.sorted
+    }
     if (targets.isEmpty) return v
     val rows = read(spark, storeDir, schema, partCol, Some(targets), Some(v))
     val dimBounds: Map[String, (Long, Long)] = dims.map { d =>

@@ -50,7 +50,8 @@ object StreamingIngest {
       compactEvery: Int = 0,
       maxFilesPerPartition: Int = 4,
       statePartitions: Int = 4,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Long = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     FileIO.stageRangeBatches(
@@ -70,11 +71,24 @@ object StreamingIngest {
           batch, partCol, storeDir, statsCols = statsCols,
           tag = Some(f"b$id%05d"), bloomCols = bloomCols)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
-          ManifestStore.compact(
-            ss, storeDir, batch.schema, partCol,
-            maxFilesPerPartition, statsCols = statsCols,
-            bloomCols = bloomCols)
-          ()
+          // the maintenance rung on a cadence: plain small-file folding
+          // by default; with `clusterBy` set, the fold is an OPTIMIZE
+          // ZORDER — crowded partitions rewrite z-clustered so the
+          // zone maps bound EVERY listed dim, not just arrival order
+          if (clusterBy.isEmpty) {
+            ManifestStore.compact(
+              ss, storeDir, batch.schema, partCol,
+              maxFilesPerPartition, statsCols = statsCols,
+              bloomCols = bloomCols)
+            ()
+          } else {
+            ManifestStore.compactClustered(
+              ss, storeDir, batch.schema, partCol, clusterBy,
+              filesPerPartition = maxFilesPerPartition,
+              statsCols = statsCols, bloomCols = bloomCols,
+              onlyPartitionsOver = Some(maxFilesPerPartition))
+            ()
+          }
         }
         ()
       }

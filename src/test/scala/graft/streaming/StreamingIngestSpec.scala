@@ -174,6 +174,32 @@ class StreamingIngestSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
   }
 
+  test("clusterBy turns the compaction cadence into OPTIMIZE ZORDER: " +
+    "the drained store bounds the SECOND dimension too, content exact") {
+    val all = (0 until 160).map(i =>
+      (i.toLong, (i * 37L) % 160L, i.toLong % 2)).toDF("k", "u", "ub")
+    val scratch = Files.createTempDirectory("graft-ingest-zorder").toString
+    val store = new java.io.File(scratch, "store").toString
+    StreamingIngest.appendStoreFromFiles(
+      spark, all, orderCol = "k", partCol = "ub", nBatches = 4,
+      scratch, store, statsCols = Seq("k", "u"),
+      compactEvery = 3, maxFilesPerPartition = 2,
+      clusterBy = Seq("k", "u"))
+    assert(ManifestStore.read(spark, store, all.schema, "ub")
+      .select("k", "u", "ub").as[(Long, Long, Long)].collect().toSet ==
+      all.as[(Long, Long, Long)].collect().toSet,
+      "clustered online compaction must not change content")
+    // u spans everything per arrival batch; the clustered fold bounds
+    // it — a slice past u's top z-bit (u >= 128 on a [0,159] domain)
+    // skips the low-quadrant files at the manifest
+    val total = ManifestStore.selectFiles(store, "ub").size
+    val uSlice = ManifestStore.selectFiles(store, "ub",
+      range = Some(("u", 128L, 159L))).size
+    assert(uSlice < total,
+      s"clustered cadence must bound the second dim: $uSlice/$total")
+    graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+  }
+
   test("drained ingest == the batch table at any split; mid-stream " +
     "compaction bounds per-partition files; zone maps skip on the " +
     "drained store") {
