@@ -100,9 +100,15 @@ final class PackedStoreServer(
         val v = if (parts.length == 2) parts(1).toLong
           else latest.getOrElse(
             return s"""{"error":"empty store (no manifest)"}""")
-        val n = graft.sources.ManifestStore.read(
-          spark, storeDir, Incremental.PackedSchema, "grp",
-          partVals = None, version = Some(v)).count()
+        // metadata-first: the stats sidecar's per-file row counts
+        // answer COUNT with zero file opens and zero Spark jobs; a
+        // snapshot whose files predate row-count harvesting falls
+        // back to the exact scan (never a guess)
+        val n = graft.sources.ManifestStore
+          .metaCount(storeDir, "grp", version = Some(v))
+          .getOrElse(graft.sources.ManifestStore.read(
+            spark, storeDir, Incremental.PackedSchema, "grp",
+            partVals = None, version = Some(v)).count())
         s"""{"version":$v,"count":$n}"""
       case "SCAN" if parts.length >= 2 =>
         val grp = parts(1).toLong

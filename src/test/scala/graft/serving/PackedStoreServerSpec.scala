@@ -153,6 +153,32 @@ class PackedStoreServerSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(txd))
   }
 
+  test("COUNT serves from the metadata tier when the sidecar carries " +
+    "row counts, and falls back to the exact scan when it does not") {
+    // stats-bearing store: the sidecar's #rows answers with zero jobs
+    val dirA = java.nio.file.Files.createTempDirectory("packed-cnt-a").toString
+    ManifestStore.init(packedRows(0, 0L, 1L), "grp", dirA,
+      statsCols = Seq("doc_id"))
+    assert(ManifestStore.metaCount(dirA, "grp").contains(6L),
+      "spec premise: the sidecar must carry row counts")
+    val srvA = new PackedStoreServer(spark, dirA)
+    try {
+      val c = new PackedStoreClient("localhost", srvA.boundPort)
+      try assert(c.count() == 6L) finally c.close()
+    } finally srvA.close()
+    // stats-free store: no sidecar — the exact scan still answers
+    val dirB = java.nio.file.Files.createTempDirectory("packed-cnt-b").toString
+    ManifestStore.init(packedRows(0, 0L), "grp", dirB)
+    assert(ManifestStore.metaCount(dirB, "grp").isEmpty)
+    val srvB = new PackedStoreServer(spark, dirB)
+    try {
+      val c = new PackedStoreClient("localhost", srvB.boundPort)
+      try assert(c.count() == 3L) finally c.close()
+    } finally srvB.close()
+    graft.sources.FileIO.deleteScratch(new java.io.File(dirA))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dirB))
+  }
+
   test("RANGE serves a doc_id slice through the zone maps: answers " +
     "match the exact filter, and the manifest-level selection opens " +
     "only the intersecting files") {
