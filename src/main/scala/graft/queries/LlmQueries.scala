@@ -935,8 +935,8 @@ object LlmQueries {
        |  ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 384),
        |sq$tag AS (
        |  SELECT vec_id, sub, qm[sub*8+1 : sub*8+8] AS qsub,
-       |    list_sum(list_transform(generate_series(1, 8),
-       |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS cell
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |      p -> CASE WHEN qm[sub*8 + p] >= 0 THEN (CAST(1 AS BIGINT) << (p-1)) ELSE 0 END)) AS BIGINT) AS cell
        |  FROM (SELECT vec_id, qm, UNNEST(generate_series(0, 7)) AS sub FROM samp$tag)),
        |cba$tag AS (
        |  SELECT sub, cell, pos, CAST(CASE WHEN sum(q) < 0 THEN -1 ELSE 1 END * ((2*abs(sum(q)) + count(*)) // (2*count(*))) AS BIGINT) AS mean_milli

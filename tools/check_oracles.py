@@ -22,6 +22,38 @@ oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 # optional 3rd arg: comma-separated query names (targeted / sharded runs)
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 ok, bad = [], []
+
+# Output-type lint: every oracle's result schema must use only
+# engine-portable types. DuckDB-internal widenings (HUGEINT from
+# list_sum / sum(BIGINT), DECIMAL, unsigned ints) hash differently
+# from the engine's int64 dumps even when values are identical —
+# the r13/r14 stream_pq_codes/cdc_vectors signature. Fail loudly.
+import re
+NON_PORTABLE = re.compile(
+    r"\b(U?HUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT|DECIMAL|"
+    r"INTERVAL|BIT|UUID)\b", re.IGNORECASE)
+def portable(t):
+    return NON_PORTABLE.search(t) is None
+lint_bad = []
+for name in (sorted(only) if only is not None else sorted(oracles)):
+    if name not in oracles:
+        continue
+    try:
+        cols = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+    except Exception as e:
+        lint_bad.append((name, f"DESCRIBE failed: {e}"))
+        continue
+    for cname, ctype, *_ in cols:
+        if not portable(ctype):
+            lint_bad.append((name, f"column {cname} has non-portable type {ctype}"))
+if lint_bad:
+    print("== ORACLE TYPE LINT FAILURES ==")
+    for n, m in lint_bad:
+        print(f"  {n}: {m}")
+    bad.extend(lint_bad)
+else:
+    n_linted = len(only & set(oracles)) if only is not None else len(oracles)
+    print(f"[lint] oracle output types portable: {n_linted} oracles OK")
 import time
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
