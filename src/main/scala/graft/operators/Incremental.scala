@@ -64,8 +64,15 @@ object Incremental {
     val delta = changes
       .groupBy(keyCols.map(col): _*)
       .agg(sum(sgn).as("__dn"), sum(sgn * col(valueCol)).as("__dv"))
-    view.join(delta, keyCols, "full")
-      .select(keyCols.map(col) ++ Seq(
+    // NULL-SAFE key match (<=>): a fresh groupBy puts all null keys in
+    // ONE group, so the view row and the delta group for a null key
+    // must merge — plain equality would keep them apart and the view
+    // would diverge from the fresh aggregate on null-keyed data
+    val d = keyCols.foldLeft(delta)(
+      (df, k) => df.withColumnRenamed(k, s"__k_$k"))
+    val cond = keyCols.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    view.join(d, cond, "full")
+      .select(keyCols.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
         (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as(countCol),
         (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L)))

@@ -246,8 +246,11 @@ final class PackedStoreServer(
   }
 }
 
-/** Minimal line-protocol client for [[PackedStoreServer]]. */
-final class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
+/** Minimal line-protocol client for [[PackedStoreServer]]. Non-final
+  * so a drill can interpose on `scan` (e.g. inject a publish between
+  * pages to pin down [[scanAll]]'s snapshot stability).
+  */
+class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
   private val in = new BufferedReader(
@@ -310,15 +313,24 @@ final class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
     * `truncated` cursors — every response stays inside the server's
     * bound; the concatenation is the full partition (byte-stable: the
     * pin re-reads one immutable manifest snapshot page after page).
+    * With `at = None` the FIRST response's version becomes the pin for
+    * every later page — a publish landing between pages must not yield
+    * a mixed-version concatenation (the cursor would be resuming
+    * against a different snapshot).
     */
   def scanAll(grp: Long, at: Option[Long],
       limit: Option[Int] = None): Seq[String] = {
     var out = Vector.empty[String]
+    var pin = at
     var after: Option[(Long, Long)] = None
     var done = false
     while (!done) {
+      val resp = scan(grp, pin, limit, after)
+      if (pin.isEmpty)
+        pin = PackedStoreClient.VerRe.findFirstMatchIn(resp)
+          .map(_.group(1).toLong)
       val (rs, trunc) =
-        PackedStoreClient.parseRows(scan(grp, at, limit, after))
+        PackedStoreClient.parseRows(resp, paging = true)
       out ++= rs
       if (trunc) {
         val last = rs.last.stripPrefix("[").stripSuffix("]").split(',')
@@ -348,18 +360,31 @@ final class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
 }
 
 object PackedStoreClient {
-  private val VerRe = """"version":(\d+)""".r
+  private[serving] val VerRe = """"version":(\d+)""".r
   private val CountRe = """"count":(\d+)""".r
   private[serving] val TxRe = """"tx":(\d+)""".r
   private[serving] val KvRe = """"(\w+)":(\d+)""".r
 
-  /** Split a SCAN/RANGE response into (row literals, truncated). */
-  def parseRows(resp: String): (Seq[String], Boolean) = {
+  /** Split a SCAN/RANGE response into (row literals, truncated).
+    *
+    * `paging = false` (the default) FAILS LOUDLY on a truncated
+    * response: server-side capping was added to a protocol that never
+    * truncated, so a caller that isn't following cursors would
+    * otherwise quietly treat a partial page as the full partition.
+    * Cursor-following callers ([[PackedStoreClient.scanAll]], or any
+    * loop passing AFTER) opt in with `paging = true`.
+    */
+  def parseRows(
+      resp: String, paging: Boolean = false): (Seq[String], Boolean) = {
     require(!resp.contains("\"error\""), s"scan failed: $resp")
     val start = resp.indexOf("\"rows\":[")
     require(start >= 0, s"malformed scan response: ${resp.take(80)}")
     val tail = resp.substring(start + 8)
     val truncated = resp.contains(""""truncated":true""")
+    require(paging || !truncated,
+      "scan response is TRUNCATED and this caller is not paging — " +
+        "follow the (seq_id, begin_in_seq) cursor with AFTER (see " +
+        "scanAll), or raise maxResponseRows")
     val end = tail.indexOf(if (truncated) "],\"truncated\"" else "]}")
     require(end >= 0, s"malformed scan response: ${resp.take(80)}")
     val content = tail.take(end)

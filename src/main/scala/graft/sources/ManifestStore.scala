@@ -19,6 +19,16 @@ final class ConcurrentCommitException(msg: String)
 final class ExpectationViolation(msg: String)
   extends RuntimeException(msg)
 
+/** Thrown when a requested version (manifest or tx record) has been
+  * dropped by retention GC. Consumers DISPATCH ON THIS TYPE — a
+  * follower rebuilds from the current snapshot, a server answers the
+  * defined error — never on the message text (a rewording must not be
+  * able to change behavior). Subtypes IllegalArgumentException so
+  * pre-existing catch/intercept sites keep working.
+  */
+final class RetentionException(msg: String)
+  extends IllegalArgumentException(msg)
+
 /** A MANIFEST-COMMITTED partitioned parquet store — snapshot-isolated
   * reads under a continuously rewriting writer, the capability the
   * CDC soak measured dynamic partition overwrite to lack (a raw
@@ -103,11 +113,15 @@ object ManifestStore {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The relative data-file paths a version's snapshot consists of. */
+  /** The relative data-file paths a version's snapshot consists of.
+    * A version whose manifest aged out throws the typed
+    * [[RetentionException]].
+    */
   def files(storeDir: String, version: Long): Seq[String] = {
     val p = manifestPath(storeDir, version)
-    require(StoreFs.exists(p),
-      s"no manifest v$version at $storeDir (past retention?)")
+    if (!StoreFs.exists(p))
+      throw new RetentionException(
+        s"no manifest v$version at $storeDir (past retention?)")
     StoreFs.readLines(p).filter(_.nonEmpty)
   }
 

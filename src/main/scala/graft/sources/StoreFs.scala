@@ -67,20 +67,93 @@ object StoreFs {
     finally in.close()
   }
 
-  /** Default object-store schemes that publish through the
-    * CONDITIONAL-PUT strategy; extend per-deployment with the Hadoop
-    * conf key `graft.store.objectstore.schemes` (comma-separated).
+  /** Object-store schemes — where RENAME is copy+delete and silently
+    * replaces, so a publish claim must go through the conditional-PUT
+    * path instead (and [[requireVerifiedCas]] decides whether that
+    * path is actually trustworthy on this connector). The set decides
+    * DISPATCH only: membership never grants the claim by itself.
+    * Extend per-deployment with the Hadoop conf key
+    * `graft.store.objectstore.schemes` (comma-separated) — a
+    * conf-registered scheme is an explicit operator opt-in and is
+    * trusted for the claim.
     */
   private val ObjectStoreSchemes: Set[String] = Set(
     "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
     "oss", "cos", "swift")
 
+  /** Legacy connectors with NO conditional-create support in any
+    * Hadoop release — create(overwrite=false) is a HEAD precheck then
+    * an unconditional PUT (check-then-act), so two racing publishers
+    * can both "succeed". The claim on these always fails fast.
+    */
+  private val LegacyObjectSchemes: Set[String] =
+    Set("s3n", "swift", "wasb", "wasbs")
+
+  private def schemeOf(f: FileSystem, target: Path): String =
+    Option(target.toUri.getScheme).getOrElse(f.getScheme)
+
   private def isObjectStore(f: FileSystem, target: Path): Boolean = {
-    val scheme =
-      Option(target.toUri.getScheme).getOrElse(f.getScheme)
+    val scheme = schemeOf(f, target)
     scheme != null && (ObjectStoreSchemes(scheme) ||
       conf.getTrimmedStrings("graft.store.objectstore.schemes")
         .contains(scheme))
+  }
+
+  /** Conditional-create path capabilities a connector may declare
+    * (HADOOP-19256 family — S3A publishes conditional-overwrite
+    * support on Hadoop 3.4.1+ when `fs.s3a.create.conditional.enabled`
+    * is on). Probed best-effort: an older connector that doesn't know
+    * the key simply answers false.
+    */
+  private val ConditionalCreateCapabilities = Seq(
+    "fs.capability.create.conditional.overwrite",
+    "fs.option.create.conditional.overwrite",
+    "fs.s3a.capability.conditional.create")
+
+  /** FAIL FAST unless this connector's `create(target, overwrite =
+    * false)` is a TRUE close-time conditional PUT — the claim must be
+    * compare-and-swap, and on a connector that prechecks-then-PUTs
+    * unconditionally (default/older S3A, every legacy connector) two
+    * racing publishers would both "succeed", silently replacing a
+    * published manifest. Trusted when ANY of:
+    *  - the FileSystem declares a conditional-create path capability
+    *    ([[ConditionalCreateCapabilities]]);
+    *  - the scheme was conf-registered via
+    *    `graft.store.objectstore.schemes` (explicit operator opt-in,
+    *    e.g. a custom connector known to behave);
+    *  - `graft.store.objectstore.cas.confirmed = true` (the operator
+    *    asserts the deployment runs Hadoop >= 3.4.1 with S3A
+    *    conditional create enabled — `fs.s3a.create.conditional.enabled`
+    *    — or an equivalent connector).
+    * Legacy schemes (s3n/swift/wasb/wasbs) never pass: no release of
+    * those connectors supports conditional create.
+    */
+  private def requireVerifiedCas(f: FileSystem, target: Path): Unit = {
+    val scheme = schemeOf(f, target)
+    if (LegacyObjectSchemes(scheme))
+      throw new UnsupportedOperationException(
+        s"scheme '$scheme' has no conditional-create support in any " +
+          "Hadoop release — its create(overwrite=false) is check-then-act " +
+          "and cannot serve as a publish CAS; migrate the store to a " +
+          "connector with conditional create (s3a on Hadoop >= 3.4.1, " +
+          "gs, abfs)")
+    val declared =
+      try ConditionalCreateCapabilities.exists(f.hasPathCapability(target, _))
+      catch { case _: Throwable => false }
+    val optedIn =
+      conf.getBoolean("graft.store.objectstore.cas.confirmed", false) ||
+        conf.getTrimmedStrings("graft.store.objectstore.schemes")
+          .contains(scheme)
+    if (!declared && !optedIn)
+      throw new UnsupportedOperationException(
+        s"connector for scheme '$scheme' does not declare conditional-" +
+          "create support (checked path capabilities: " +
+          s"${ConditionalCreateCapabilities.mkString(", ")}) — a publish " +
+          "claim through it would be check-then-act, not CAS. On S3A " +
+          "this needs Hadoop >= 3.4.1 with " +
+          "fs.s3a.create.conditional.enabled=true; once verified, set " +
+          "graft.store.objectstore.cas.confirmed=true (or register the " +
+          "scheme in graft.store.objectstore.schemes) to opt in")
   }
 
   /** Write `content` to the target without replace — returns false if
@@ -108,8 +181,10 @@ object StoreFs {
     */
   def writeAtomicNoReplace(target: Path, content: String): Boolean = {
     val f = fs(target)
-    if (isObjectStore(f, target))
+    if (isObjectStore(f, target)) {
+      requireVerifiedCas(f, target)
       return conditionalPutClaim(f, target, content)
+    }
     // temp name unique PER CALL: two racers sharing one temp path
     // interleave data/.crc writes and the survivor fails checksum
     val tmp = new Path(target.getParent,

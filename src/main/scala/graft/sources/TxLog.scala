@@ -113,7 +113,8 @@ object TxLog {
     val id = txId.orElse(latestId(txDir)).getOrElse(
       throw new IllegalArgumentException(s"no tx published at $txDir"))
     val p = txPath(txDir, id)
-    require(StoreFs.exists(p), s"no tx$id at $txDir (past retention?)")
+    if (!StoreFs.exists(p))
+      throw new RetentionException(s"no tx$id at $txDir (past retention?)")
     val lines = StoreFs.readLines(p).filter(_.nonEmpty)
     val kv = lines.map { l =>
       val i = l.indexOf('=')

@@ -70,9 +70,11 @@ final class StoreViewFollower(
               view, feed, keyCols, valueCol, countCol, sumCol)
             .localCheckpoint(true)
         } catch {
-          case e: IllegalArgumentException
-              if Option(e.getMessage).exists(_.contains("past retention")) =>
-            // slept past the window: the diff base is gone — rebuild
+          case _: graft.sources.RetentionException =>
+            // slept past the window: the diff base is gone — rebuild.
+            // Typed dispatch: readChanges' OTHER IllegalArgumentExceptions
+            // (bad version order) stay fatal, and a reworded retention
+            // message cannot silently turn a rebuild into a crash.
             aggregateSnapshot(latest).localCheckpoint(true)
         }
     applied = latest

@@ -211,4 +211,24 @@ class IncrementalSpec extends SparkSpec {
     assert(out == Set((0L, 2L, 37L), (2L, 3L, 60L), (9L, 2L, 101L)),
       s"drained keys must drop out and new keys arrive: $out")
   }
+
+  test("viewApplyChanges: NULL keys merge into one group exactly as a " +
+    "fresh aggregate would — the null-safe join keeps view == fresh") {
+    val view0 = Seq(
+      (Option(0L), 2L, 30L), (Option.empty[Long], 2L, 10L))
+      .toDF("k", "n", "s")
+    // the null-keyed group updates (one delete, two inserts) — plain
+    // equality would leave the old null row AND a new null delta row
+    val feed = Seq(
+      (Option.empty[Long], 4L, "delete"),
+      (Option.empty[Long], 7L, "insert"),
+      (Option.empty[Long], 9L, "insert"),
+      (Option(0L), 1L, "insert"))
+      .toDF("k", "v", "change")
+    val out = Incremental.viewApplyChanges(
+      view0, feed, Seq("k"), "v", "n", "s")
+      .as[(Option[Long], Long, Long)].collect().toSet
+    assert(out == Set((Option(0L), 3L, 31L), (Option.empty[Long], 3L, 22L)),
+      s"null keys must merge like a fresh groupBy: $out")
+  }
 }

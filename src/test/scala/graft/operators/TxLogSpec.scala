@@ -139,7 +139,7 @@ class TxLogSpec extends SparkSpec {
     }
     val latest = graft.sources.TxLog.latestId(d.tx).get
     assert(latest == 9L)
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[graft.sources.RetentionException] {
       IncrementalCdc.readAtTx(spark, d, Some(0L))
     }
     assert(err.getMessage.contains("past retention"))

@@ -111,7 +111,7 @@ class PackedStoreServerSpec extends SparkSpec {
           PackedStoreClient.parseRows(ref.scan(0L, Some(0L)))
         assert(refRows.size == 20 && !refTrunc)
         // a single bounded response: exactly maxResponseRows + truncated
-        val (p1, t1) = PackedStoreClient.parseRows(client.scan(0L, Some(0L)))
+        val (p1, t1) = PackedStoreClient.parseRows(client.scan(0L, Some(0L)), paging = true)
         assert(p1.size == 7 && t1,
           s"bound must cap the page and mark truncation: ${p1.size}/$t1")
         // cursor-following concatenation == the unbounded reference,
@@ -122,14 +122,15 @@ class PackedStoreServerSpec extends SparkSpec {
         // a request LIMIT below the bound pages at the LIMIT; above it,
         // the server clamps to its own bound
         val (p3, t3) =
-          PackedStoreClient.parseRows(client.scan(0L, Some(0L), Some(3)))
+          PackedStoreClient.parseRows(client.scan(0L, Some(0L), Some(3)), paging = true)
         assert(p3.size == 3 && t3 && p3 == refRows.take(3))
         val (p100, _) =
-          PackedStoreClient.parseRows(client.scan(0L, Some(0L), Some(100)))
+          PackedStoreClient.parseRows(
+            client.scan(0L, Some(0L), Some(100)), paging = true)
         assert(p100.size == 7, "LIMIT above the bound must clamp")
         // RANGE pages under the same discipline
         val (pr, tr) = PackedStoreClient.parseRows(
-          client.scanRange(0L, 100L, 119L, Some(0L)))
+          client.scanRange(0L, 100L, 119L, Some(0L)), paging = true)
         assert(pr.size == 7 && tr)
         // AT TX: server-side pin resolution — byte-identical to the
         // per-version spelling, and stable mid-churn
@@ -145,12 +146,59 @@ class PackedStoreServerSpec extends SparkSpec {
           "AT TX without an id must resolve the LATEST tx's pin")
         // paged AT TX composes with cursors
         val (ptx, ttx) = PackedStoreClient.parseRows(
-          client.scanAtTx(0L, Some(0L), Some(3)))
+          client.scanAtTx(0L, Some(0L), Some(3)), paging = true)
         assert(ptx.size == 3 && ttx && ptx == refRows.take(3))
       } finally { client.close(); ref.close() }
     } finally { srv.close(); srvBig.close() }
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
     graft.sources.FileIO.deleteScratch(new java.io.File(txd))
+  }
+
+  test("scanAll with at=None pins the FIRST page's version: a publish " +
+    "landing between pages cannot produce a mixed-version " +
+    "concatenation; an un-paging parse of a truncated response fails " +
+    "loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("packed-pin").toString
+    val rows9 = (0 until 9).map(i =>
+      (100L + i, 0L, i.toLong, 0L, 255L, 0L, 4L, true))
+      .toDF("doc_id", "grp", "seq_id", "begin_in_seq", "end_in_seq",
+        "doc_begin", "n_piece", "starts_doc")
+    ManifestStore.init(rows9, "grp", dir)
+    val srv = new PackedStoreServer(spark, dir, maxResponseRows = 4)
+    try {
+      val plain = new PackedStoreClient("localhost", srv.boundPort)
+      try {
+        val expected = plain.scanAll(0L, Some(0L))
+        assert(expected.size == 9)
+        // a truncated response parsed WITHOUT paging opt-in is a loud
+        // failure, never a silently partial partition
+        val truncated = plain.scan(0L, Some(0L))
+        intercept[IllegalArgumentException](
+          PackedStoreClient.parseRows(truncated))
+        // a client whose first page triggers a grp-0 REWRITE: unpinned
+        // paging would resume against the new snapshot and mix versions
+        var fired = false
+        val racy = new PackedStoreClient("localhost", srv.boundPort) {
+          override def scan(grp: Long, at: Option[Long],
+              limit: Option[Int], after: Option[(Long, Long)]): String = {
+            val r = super.scan(grp, at, limit, after)
+            if (!fired) {
+              fired = true
+              ManifestStore.commit(packedRows(7, 0L), "grp", Seq(0L), dir)
+              ()
+            }
+            r
+          }
+        }
+        try {
+          val got = racy.scanAll(0L, None)
+          assert(got == expected,
+            s"scanAll must pin the first page's version: got ${got.size} " +
+              s"rows vs ${expected.size} expected")
+        } finally racy.close()
+      } finally plain.close()
+    } finally srv.close()
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
   test("COUNT serves from the metadata tier when the sidecar carries " +

@@ -56,8 +56,8 @@ class ManifestStoreSpec extends SparkSpec {
     }
     val latest = ManifestStore.latestVersion(dir).get
     assert(latest == v2 + 10)
-    // version 0 is past retention — a defined error, not a wrong read
-    intercept[IllegalArgumentException](readAll(dir, Some(0L)))
+    // version 0 is past retention — the TYPED defined error
+    intercept[graft.sources.RetentionException](readAll(dir, Some(0L)))
     // within retention: readable and exact (each churn commit REPLACED
     // partition 0 wholly, so only its single row survives)
     assert(readAll(dir, Some(latest - 2)) == Set((1L, 107L, 0L)))
@@ -170,6 +170,47 @@ class ManifestStoreSpec extends SparkSpec {
     assert(StoreFs.readLines(target) == Seq("would-replace"),
       "drill premise: rename on an object store silently replaces")
     MemObjectFileSystem.clear()
+  }
+
+  test("the object-store claim FAILS FAST on unverified connectors: " +
+    "no capability + no opt-in throws with guidance; the explicit " +
+    "opt-in conf unlocks it; legacy schemes never pass") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.s3a.impl", classOf[MemObjectFileSystem].getName)
+    hconf.set("fs.wasb.impl", classOf[MemObjectFileSystem].getName)
+    hconf.set("fs.s3a.impl.disable.cache", "true")
+    hconf.set("fs.wasb.impl.disable.cache", "true")
+    MemObjectFileSystem.clear()
+    val target = new org.apache.hadoop.fs.Path(
+      "s3a:///gate/_manifests/v000000000001.json")
+    // s3a is in the dispatch set, but this connector declares no
+    // conditional-create capability and nothing opted in: the claim
+    // must fail fast (check-then-act would double-publish), not
+    // silently degrade
+    val e = intercept[UnsupportedOperationException](
+      StoreFs.writeAtomicNoReplace(target, "unverified"))
+    assert(e.getMessage.contains("conditional"),
+      s"the failure must say WHY and how to opt in: ${e.getMessage}")
+    assert(MemObjectFileSystem.contentOf(
+      "/gate/_manifests/v000000000001.json").isEmpty,
+      "nothing may be written on the failed gate")
+    // the operator asserts the deployment supports conditional create:
+    // the claim proceeds and stays a true CAS
+    hconf.setBoolean("graft.store.objectstore.cas.confirmed", true)
+    try {
+      assert(StoreFs.writeAtomicNoReplace(target, "verified"))
+      assert(!StoreFs.writeAtomicNoReplace(target, "late"))
+      assert(StoreFs.readLines(target) == Seq("verified"))
+      // legacy connectors (s3n/swift/wasb) NEVER pass — no release of
+      // those supports conditional create, opt-in or not
+      val lw = intercept[UnsupportedOperationException](
+        StoreFs.writeAtomicNoReplace(new org.apache.hadoop.fs.Path(
+          "wasb:///gate/_manifests/v000000000001.json"), "legacy"))
+      assert(lw.getMessage.contains("no conditional-create support"))
+    } finally {
+      hconf.unset("graft.store.objectstore.cas.confirmed")
+      MemObjectFileSystem.clear()
+    }
   }
 
   test("two interleaved committers serialize or fence — never a mixed " +
@@ -512,10 +553,16 @@ class ManifestStoreSpec extends SparkSpec {
     // a from-version past retention is a defined error, never a guess
     (0 until 8).foreach(i => ManifestStore.append(
       rows((100L + i, 1L, 1L)), "p", dir, retainVersions = 3))
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[graft.sources.RetentionException] {
       ManifestStore.readChanges(spark, dir, schema, "p", v0, v2)
     }
     assert(err.getMessage.contains("past retention"))
+    // and the OTHER IllegalArgument path (bad version order) must NOT
+    // read as retention — typed dispatch keeps them apart
+    val order = intercept[IllegalArgumentException] {
+      ManifestStore.readChanges(spark, dir, schema, "p", v2, v1)
+    }
+    assert(!order.isInstanceOf[graft.sources.RetentionException])
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
