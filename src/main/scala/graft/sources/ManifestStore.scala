@@ -87,31 +87,91 @@ object ManifestStore {
     */
   private val TagLedgerKeep = 64
 
-  /** Applied append tags for a version (newest last). The ledger is a
-    * manifest SIDECAR, carried forward by every publish — including
-    * [[compact]]'s content-identical rewrites, which republish data
-    * files under a fresh commit id and therefore ERASE the `c<tag>-`
-    * filename markers. Before the ledger existed, replay dedup
-    * inferred tags from those filenames alone; a crash after a
-    * same-batch compaction (markers gone, checkpoint not yet
-    * committed) would have made the replay re-append the batch —
-    * duplicated rows. The ledger survives compaction by construction.
+  /** Applied append tags for a version (newest last). The ledger is
+    * EMBEDDED in the manifest body (a `#tags=` header line), so it is
+    * ATOMIC with the version — there is no ordering window in which a
+    * crash publishes a manifest without its ledger (the old sidecar
+    * spelling had exactly that window: a same-batch compaction rewrote
+    * the `c<tag>-` filename markers AND could die before the sidecar
+    * landed, reopening the duplicate-append replay the ledger exists
+    * to close). The ledger is carried forward by every publish —
+    * including [[compact]]'s content-identical rewrites. Versions
+    * published before the embedding read their legacy `t<NNN>.json`
+    * sidecar.
     */
   def tags(storeDir: String, version: Long): Seq[String] = {
-    val p = tagsPath(storeDir, version)
-    if (!StoreFs.exists(p)) Nil
-    else StoreFs.readLines(p).filter(_.nonEmpty)
+    val p = manifestPath(storeDir, version)
+    val header =
+      if (!StoreFs.exists(p)) None
+      else StoreFs.readLines(p).find(_.startsWith(TagsHeader))
+        .map(_.stripPrefix(TagsHeader).split(',').filter(_.nonEmpty).toSeq)
+    header.getOrElse {
+      val legacy = tagsPath(storeDir, version)
+      if (!StoreFs.exists(legacy)) Nil
+      else StoreFs.readLines(legacy).filter(_.nonEmpty)
+    }
   }
 
-  /** Highest published version, or None for an uninitialized store. */
-  def latestVersion(storeDir: String): Option[Long] = {
-    val vs = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
+  private val TsHeader = "#ts="
+  private val TagsHeader = "#tags="
+
+  /** Commit wall-time of a version (epoch millis) — recorded in the
+    * manifest header at publish, STRICTLY increasing across versions
+    * (a burst inside one millisecond is nudged forward), so
+    * `TIMESTAMP AS OF` resolution is unambiguous. None for manifests
+    * published before timestamps existed.
+    */
+  def commitTs(storeDir: String, version: Long): Option[Long] = {
+    val p = manifestPath(storeDir, version)
+    if (!StoreFs.exists(p)) None
+    else StoreFs.readLines(p).find(_.startsWith(TsHeader))
+      .map(_.stripPrefix(TsHeader).toLong)
+  }
+
+  private def listVersions(storeDir: String): Seq[Long] =
+    StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
       s.getPath.getName match {
         case VersionRe(n) => Some(n.toLong)
         case _ => None
       })
+
+  /** Highest published version, or None for an uninitialized store. */
+  def latestVersion(storeDir: String): Option[Long] = {
+    val vs = listVersions(storeDir)
     if (vs.isEmpty) None else Some(vs.max)
   }
+
+  /** `TIMESTAMP AS OF` resolution: the newest retained version whose
+    * commit timestamp is <= `asOfTs`. Timestamps are strictly
+    * increasing, so the answer is unique. [[RetentionException]] when
+    * every retained version is newer (the snapshot as of that time
+    * aged out — a defined error, never an approximation); plain
+    * IllegalArgumentException for an uninitialized store. Versions
+    * without a recorded timestamp (published pre-upgrade) are skipped
+    * — never guessed at.
+    */
+  def versionAt(storeDir: String, asOfTs: Long): Long = {
+    val vs = listVersions(storeDir)
+    require(vs.nonEmpty, s"$storeDir holds no manifest")
+    val eligible = vs.filter(v => commitTs(storeDir, v).exists(_ <= asOfTs))
+    if (eligible.isEmpty)
+      throw new RetentionException(
+        s"no retained version of $storeDir at or before ts=$asOfTs " +
+          "(past retention?)")
+    eligible.max
+  }
+
+  /** Snapshot read pinned by TIMESTAMP instead of version number:
+    * [[read]] at [[versionAt]]`(asOfTs)`. Byte-stable mid-churn for
+    * the same reason a version pin is — the resolved manifest is
+    * immutable.
+    */
+  def readAsOf(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, asOfTs: Long,
+      partVals: Option[Seq[Long]] = None): DataFrame =
+    read(spark, storeDir, schema, partCol, partVals,
+      version = Some(versionAt(storeDir, asOfTs)))
 
   /** The relative data-file paths a version's snapshot consists of.
     * A version whose manifest aged out throws the typed
@@ -122,7 +182,7 @@ object ManifestStore {
     if (!StoreFs.exists(p))
       throw new RetentionException(
         s"no manifest v$version at $storeDir (past retention?)")
-    StoreFs.readLines(p).filter(_.nonEmpty)
+    StoreFs.readLines(p).filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   private def listDataFiles(storeDir: String, partDir: String): Seq[String] =
@@ -312,7 +372,8 @@ object ManifestStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath.getName).sorted
     val fileList = parts.flatMap(listDataFiles(storeDir, _))
-    writeManifest(storeDir, 0L, fileList)
+    writeManifest(storeDir, 0L, fileList,
+      ts = System.currentTimeMillis(), tags = Nil)
     if (statsCols.nonEmpty)
       writeStats(storeDir, 0L, harvestStats(storeDir, fileList, statsCols))
     0L
@@ -351,10 +412,12 @@ object ManifestStore {
       rows: DataFrame, partCol: String, touched: Seq[Long],
       storeDir: String, retainVersions: Int = 8,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil):
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      retainAgeMillis: Option[Long] = None):
       Long =
     publish(rows, partCol, Some(touched), storeDir, retainVersions,
-      statsCols, bloomCols = bloomCols, expectations = expectations)
+      statsCols, bloomCols = bloomCols, expectations = expectations,
+      retainAgeMillis = retainAgeMillis)
 
   /** COMMIT-TIME CHECK constraints (the Delta expectation analog):
     * every predicate must hold on every row of the batch, evaluated in
@@ -405,7 +468,8 @@ object ManifestStore {
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
       tag: Option[String] = None, maxRetries: Int = 8,
       bloomCols: Seq[String] = Nil,
-      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil):
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      retainAgeMillis: Option[Long] = None):
       Long = {
     tag.foreach { t =>
       require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
@@ -433,7 +497,8 @@ object ManifestStore {
           rows, partCol, None, storeDir, retainVersions, statsCols, tag,
           reuseAdded = if (attempt == 0) None else Some(lastAdded.get()),
           bloomCols = bloomCols,
-          expectations = if (attempt == 0) expectations else Nil)
+          expectations = if (attempt == 0) expectations else Nil,
+          retainAgeMillis = retainAgeMillis)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -461,7 +526,8 @@ object ManifestStore {
       bloomCols: Seq[String] = Nil,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       orderWithin: Seq[org.apache.spark.sql.Column] = Nil,
-      maxRecordsPerFile: Long = 0L):
+      maxRecordsPerFile: Long = 0L,
+      retainAgeMillis: Option[Long] = None):
       Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
@@ -540,18 +606,20 @@ object ManifestStore {
       case None => prev.map(files(storeDir, _)).getOrElse(Nil)
     }
     val v = prev.getOrElse(-1L) + 1L
-    writeManifest(storeDir, v, (carry ++ added).sorted)
     // tag ledger: every publish carries the previous version's applied
     // tags forward (bounded; newest last), appending this commit's tag
     // if it has one — so compaction/merge rewrites never lose replay
-    // evidence with the filenames they fold away
+    // evidence with the filenames they fold away. The ledger rides IN
+    // the manifest body (one atomic CAS), so a crash can never publish
+    // a version without its ledger
     val prevTags = prev.map(tags(storeDir, _)).getOrElse(Nil)
     val newTags =
       (prevTags ++ tag.filterNot(prevTags.contains)).takeRight(TagLedgerKeep)
-    if (newTags.nonEmpty) {
-      StoreFs.writeAtomicNoReplace(tagsPath(storeDir, v), newTags.mkString("\n"))
-      ()
-    }
+    // commit wall-time: strictly increasing across versions (a burst
+    // inside one ms is nudged +1), so TIMESTAMP AS OF is unambiguous
+    val ts = math.max(System.currentTimeMillis(),
+      prev.flatMap(commitTs(storeDir, _)).getOrElse(0L) + 1L)
+    writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags)
     if (statsCols.nonEmpty) {
       // carried files keep their previous bounds (the files are
       // immutable); only the just-added files pay a footer read
@@ -560,15 +628,22 @@ object ManifestStore {
         carry.flatMap(f => carried.get(f).map(f -> _)).toMap ++
           harvestStats(storeDir, added, statsCols))
     }
-    gc(storeDir, partCol, v, retainVersions)
+    gc(storeDir, partCol, v, retainVersions, retainAgeMillis)
     v
   }
 
   private def writeManifest(
-      storeDir: String, v: Long, fileList: Seq[String]): Unit = {
+      storeDir: String, v: Long, fileList: Seq[String],
+      ts: Long, tags: Seq[String]): Unit = {
     StoreFs.mkdirs(new Path(storeDir, ManifestDir))
     val target = manifestPath(storeDir, v)
-    if (!StoreFs.writeAtomicNoReplace(target, fileList.mkString("\n")))
+    // header lines (`#`-prefixed — no data file starts with '#') ride
+    // in the same atomic CAS as the file list: commit time + ledger
+    // can never be torn from their version
+    val header = s"$TsHeader$ts" +:
+      (if (tags.nonEmpty) Seq(s"$TagsHeader${tags.mkString(",")}") else Nil)
+    if (!StoreFs.writeAtomicNoReplace(
+        target, (header ++ fileList).mkString("\n")))
       throw new ConcurrentCommitException(
         s"manifest v$v already published at $storeDir — a second writer " +
           "won the version race; this commit's files are unreferenced " +
@@ -584,17 +659,27 @@ object ManifestStore {
     * only metadata the commit already read. Files that never made a
     * manifest (a crashed attempt's orphans) are invisible to the diff
     * by construction — [[vacuum]] sweeps those in a maintenance pass.
+    *
+    * Retention is the COUNT window, tightened by the optional AGE
+    * bound: with `retainAgeMillis` set, a version older than the bound
+    * drops even when inside the count window (the GDPR-friendly "keep
+    * at most 7 days" contract) — except the latest, which always
+    * survives. Commit timestamps are strictly increasing, so age
+    * dropping is contiguous from the bottom; a pre-timestamp manifest
+    * has no recorded age and is never age-dropped (count-dropped
+    * only — retention must never guess).
     */
   private def gc(
       storeDir: String, partCol: String, latest: Long,
-      retainVersions: Int): Unit = {
+      retainVersions: Int,
+      retainAgeMillis: Option[Long] = None): Unit = {
     val keepFrom = latest - (retainVersions - 1)
-    val versions = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
-      s.getPath.getName match {
-        case VersionRe(n) => Some(n.toLong)
-        case _ => None
-      })
-    val (dropped, retained) = versions.partition(_ < keepFrom)
+    val ageCutoff = retainAgeMillis.map(System.currentTimeMillis() - _)
+    val versions = listVersions(storeDir)
+    val (dropped, retained) = versions.partition(v =>
+      v < keepFrom ||
+        (v != latest && ageCutoff.exists(c =>
+          commitTs(storeDir, v).exists(_ < c))))
     if (dropped.isEmpty) return
     val referenced = retained.iterator.flatMap(files(storeDir, _)).toSet
     val dead = dropped.iterator.flatMap(files(storeDir, _)).toSet -- referenced

@@ -172,6 +172,106 @@ class ManifestStoreSpec extends SparkSpec {
     MemObjectFileSystem.clear()
   }
 
+  test("TIMESTAMP AS OF: commit timestamps are strictly increasing, " +
+    "versionAt resolves the newest version at-or-before the pin " +
+    "(byte-stable mid-churn), too-early pins are the typed retention " +
+    "error, and pre-timestamp manifests are skipped, never guessed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)                 // v0
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir)      // v1
+    ManifestStore.commit(rows((1L, 12L, 0L)), "p", Seq(0L), dir)      // v2
+    val ts = (0L to 2L).map(v => ManifestStore.commitTs(dir, v).get)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"commit timestamps must be strictly increasing: $ts")
+    // exact pin, in-between pin (resolves DOWN), and a pin after all
+    assert(ManifestStore.versionAt(dir, ts(1)) == 1L)
+    assert(ManifestStore.versionAt(dir, ts(2) - 1L) == 1L)
+    assert(ManifestStore.versionAt(dir, ts(2) + 1000L) == 2L)
+    val pinned = ManifestStore.readAsOf(spark, dir, schema, "p", ts(1))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pinned == Set((1L, 11L, 0L)))
+    // churn on top: the as-of read is byte-stable
+    ManifestStore.commit(rows((1L, 13L, 0L)), "p", Seq(0L), dir)      // v3
+    assert(ManifestStore.readAsOf(spark, dir, schema, "p", ts(1))
+      .as[(Long, Long, Long)].collect().toSet == pinned,
+      "an as-of pin must not move under a publishing writer")
+    // a pin before the first retained commit: typed retention error
+    intercept[RetentionException](
+      ManifestStore.versionAt(dir, ts(0) - 1L))
+    // a manifest WITHOUT a recorded timestamp (pre-upgrade format) is
+    // never resolved by a timestamp pin — hand-write one as v4's elder
+    val legacy = new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v000000000099.json")
+    StoreFs.writeAtomicNoReplace(legacy, "p=0/nonexistent.parquet")
+    assert(ManifestStore.versionAt(dir, ts(2) + 1000L) == 3L,
+      "a timestampless manifest must be skipped by versionAt")
+    StoreFs.delete(legacy)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("AGE-based retention: a version older than the bound drops " +
+    "even inside the count window — exactly the aged versions go, " +
+    "the latest always survives, and their exclusive files are " +
+    "reclaimed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-age").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)                 // v0
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir)      // v1
+    Thread.sleep(60)
+    // v2 publishes with a 50 ms age bound: v0/v1 are older -> dropped
+    // although retainVersions=8 would have kept them
+    ManifestStore.commit(rows((1L, 12L, 0L)), "p", Seq(0L), dir,
+      retainVersions = 8, retainAgeMillis = Some(50L))                // v2
+    intercept[RetentionException](readAll(dir, Some(0L)))
+    intercept[RetentionException](readAll(dir, Some(1L)))
+    assert(readAll(dir, Some(2L)) == Set((1L, 12L, 0L)))
+    // v0/v1's exclusive files are gone from disk; v2's remain
+    assert(dataFiles(dir) == ManifestStore.files(dir, 2L).toSet)
+    // the LATEST always survives an age sweep, however old: an
+    // immediate next publish with a tiny bound keeps its predecessor
+    // only if young — but never drops its own version
+    Thread.sleep(60)
+    ManifestStore.commit(rows((1L, 13L, 0L)), "p", Seq(0L), dir,
+      retainVersions = 8, retainAgeMillis = Some(50L))                // v3
+    assert(ManifestStore.latestVersion(dir).contains(3L))
+    assert(readAll(dir) == Set((1L, 13L, 0L)))
+    intercept[RetentionException](readAll(dir, Some(2L)))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("the tag ledger is ATOMIC with its manifest: tags ride in the " +
+    "manifest body (no sidecar ordering window), survive a rewrite, " +
+    "and a legacy sidecar still reads for pre-embedding versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)                 // v0
+    ManifestStore.append(rows((2L, 20L, 1L)), "p", dir,
+      tag = Some("b00042"))                                           // v1
+    assert(ManifestStore.tags(dir, 1L) == Seq("b00042"))
+    // the ledger is IN the manifest file itself — one atomic CAS, and
+    // no t-sidecar exists for the new format
+    val mLines = StoreFs.readLines(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v000000000001.json"))
+    assert(mLines.exists(_.startsWith("#tags=b00042")),
+      s"the ledger must be embedded: $mLines")
+    assert(!StoreFs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/t000000000001.json")),
+      "no sidecar may be written for embedded-ledger manifests")
+    // a content rewrite (compaction-shaped commit) carries it forward
+    ManifestStore.commit(rows((2L, 21L, 1L)), "p", Seq(1L), dir)      // v2
+    assert(ManifestStore.tags(dir, 2L) == Seq("b00042"),
+      "rewrites must carry the ledger forward atomically")
+    // legacy fallback: a manifest without the header reads its sidecar
+    val legacyM = new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v000000000077.json")
+    val legacyT = new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/t000000000077.json")
+    StoreFs.writeAtomicNoReplace(legacyM, "p=0/none.parquet")
+    StoreFs.writeAtomicNoReplace(legacyT, "old1\nold2")
+    assert(ManifestStore.tags(dir, 77L) == Seq("old1", "old2"),
+      "pre-embedding versions must fall back to the sidecar ledger")
+    StoreFs.delete(legacyM); StoreFs.delete(legacyT)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("the object-store claim FAILS FAST on unverified connectors: " +
     "no capability + no opt-in throws with guidance; the explicit " +
     "opt-in conf unlocks it; legacy schemes never pass") {
