@@ -413,11 +413,12 @@ object ManifestStore {
       storeDir: String, retainVersions: Int = 8,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      retainAgeMillis: Option[Long] = None):
+      retainAgeMillis: Option[Long] = None,
+      baseVersion: Option[Long] = None):
       Long =
     publish(rows, partCol, Some(touched), storeDir, retainVersions,
       statsCols, bloomCols = bloomCols, expectations = expectations,
-      retainAgeMillis = retainAgeMillis)
+      retainAgeMillis = retainAgeMillis, baseVersion = baseVersion)
 
   /** COMMIT-TIME CHECK constraints (the Delta expectation analog):
     * every predicate must hold on every row of the batch, evaluated in
@@ -484,60 +485,72 @@ object ManifestStore {
           return v // this batch already appended (foreachBatch replay)
       }
     }
-    // OPTIMISTIC concurrency for appends: appends COMMUTE (no append
-    // ever drops another's entries), so a lost version CAS is not a
-    // conflict — re-derive the next manifest over the winner's and
-    // re-publish. Only the metadata step retries; the data files moved
-    // once and stay valid. Rewrite commits keep the typed failure:
-    // two writers rewriting one partition is a REAL conflict.
-    var attempt = 0
-    while (true) {
-      try {
-        return publish(
-          rows, partCol, None, storeDir, retainVersions, statsCols, tag,
-          reuseAdded = if (attempt == 0) None else Some(lastAdded.get()),
-          bloomCols = bloomCols,
-          expectations = if (attempt == 0) expectations else Nil,
-          retainAgeMillis = retainAgeMillis)
-      } catch {
-        case e: ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-      }
-    }
-    -1L // unreachable
+    publish(
+      rows, partCol, None, storeDir, retainVersions, statsCols, tag,
+      bloomCols = bloomCols, expectations = expectations,
+      retainAgeMillis = retainAgeMillis, maxRetries = maxRetries)
   }
 
-  /** The data files the current thread's in-flight publish moved into
-    * the live tree — reused across append retries so a metadata race
-    * never re-stages (or double-appends) the batch.
+  /** The partition dirs whose entry sets CHANGED between two retained
+    * versions — the winner's footprint a losing committer rebases
+    * against (appended, rewritten or dropped entries all count).
     */
-  private val lastAdded = new ThreadLocal[Seq[String]]()
+  private def changedPartitions(
+      storeDir: String, from: Long, to: Long): Set[String] = {
+    def byPart(v: Long): Map[String, Set[String]] =
+      files(storeDir, v).groupBy(_.takeWhile(_ != '/'))
+        .view.mapValues(_.toSet).toMap
+    val a = byPart(from)
+    val b = byPart(to)
+    (a.keySet ++ b.keySet).filter(d =>
+      a.getOrElse(d, Set.empty) != b.getOrElse(d, Set.empty))
+  }
 
   /** Shared publish path: `touched = Some(vals)` rewrites those
     * partitions (carry drops their previous entries), `None` appends
     * (carry keeps everything).
+    *
+    * OPTIMISTIC concurrency on the metadata step (the data files move
+    * once and stay valid; only the manifest CAS retries):
+    *  - APPENDS always rebase a lost CAS — appends commute (no append
+    *    drops another's entries), so re-deriving the next manifest
+    *    over the winner's and re-publishing is always sound.
+    *  - REWRITES rebase IFF the winners' touched partitions are
+    *    DISJOINT from this commit's (the Delta/Iceberg conflict rule):
+    *    the winner's entries carry for every partition we did not
+    *    rewrite, ours replace the partitions we did — content equals
+    *    the serial order. A winner that touched one of OUR partitions
+    *    (rewrote it, appended into it, dropped it) is a REAL conflict:
+    *    our staged rows were derived from a stale read of exactly that
+    *    partition, and the typed [[ConcurrentCommitException]]
+    *    surfaces so the caller re-reads and retries the whole edit.
+    *    `baseVersion` is the version the caller's rows were READ from
+    *    (merge/compact/deleteWhere pass theirs); commits landing
+    *    between that read and this publish are conflict-checked too,
+    *    not just commits racing the CAS itself.
     */
   private def publish(
       rows: DataFrame, partCol: String, touched: Option[Seq[Long]],
       storeDir: String, retainVersions: Int,
       statsCols: Seq[String], tag: Option[String] = None,
-      reuseAdded: Option[Seq[String]] = None,
       bloomCols: Seq[String] = Nil,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       orderWithin: Seq[org.apache.spark.sql.Column] = Nil,
       maxRecordsPerFile: Long = 0L,
-      retainAgeMillis: Option[Long] = None):
+      retainAgeMillis: Option[Long] = None,
+      baseVersion: Option[Long] = None,
+      maxRetries: Int = 8):
       Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
     require(latestVersion(storeDir).nonEmpty,
       s"$storeDir holds no manifest — initialize with ManifestStore.init")
+    val base = baseVersion.orElse(latestVersion(storeDir)).get
     val commitId =
       tag.getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val staging = new Path(storeDir, s".staging-c$commitId")
     val fs = StoreFs.fs(staging)
-    val added = reuseAdded.getOrElse(try {
+    val added = (try {
       // `orderWithin` CLUSTERS each partition's rows before the write
       // (one local sort, no extra shuffle) and `maxRecordsPerFile`
       // cuts the sorted stream into several files per partition — so
@@ -596,40 +609,74 @@ object ManifestStore {
       StoreFs.delete(staging, recursive = true)
       ()
     })
-    lastAdded.set(added)
-    val prev = latestVersion(storeDir)
-    val carry = touched match {
-      case Some(t) =>
-        val touchedDirs = t.map(v => s"$partCol=$v").toSet
-        prev.map(files(storeDir, _)).getOrElse(Nil)
-          .filterNot(p => touchedDirs.exists(d => p.startsWith(d + "/")))
-      case None => prev.map(files(storeDir, _)).getOrElse(Nil)
+    // added-file stats harvested ONCE — rebase retries are
+    // metadata-only and must not re-read footers
+    val addedStats =
+      if (statsCols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else harvestStats(storeDir, added, statsCols)
+    var attempt = 0
+    while (true) {
+      val prev = latestVersion(storeDir).get
+      // REWRITE conflict check against everything that landed since
+      // the caller's read: winners must have touched only DISJOINT
+      // partitions for this commit's staged rows to still be valid
+      touched.foreach { t =>
+        if (prev != base) {
+          val ourDirs = t.map(x => s"$partCol=$x").toSet
+          val conflict = changedPartitions(storeDir, base, prev) & ourDirs
+          if (conflict.nonEmpty)
+            throw new ConcurrentCommitException(
+              s"rewrite conflict at $storeDir: version(s) ${base + 1}.." +
+                s"$prev touched partition(s) ${conflict.mkString(", ")} " +
+                "this commit also rewrites — the staged rows are stale; " +
+                "re-read and retry the edit")
+        }
+      }
+      val carry = touched match {
+        case Some(t) =>
+          val touchedDirs = t.map(x => s"$partCol=$x").toSet
+          files(storeDir, prev)
+            .filterNot(p => touchedDirs.exists(d => p.startsWith(d + "/")))
+        case None => files(storeDir, prev)
+      }
+      val v = prev + 1L
+      // tag ledger: every publish carries the previous version's applied
+      // tags forward (bounded; newest last), appending this commit's tag
+      // if it has one — so compaction/merge rewrites never lose replay
+      // evidence with the filenames they fold away. The ledger rides IN
+      // the manifest body (one atomic CAS), so a crash can never publish
+      // a version without its ledger
+      val prevTags = tags(storeDir, prev)
+      val newTags =
+        (prevTags ++ tag.filterNot(prevTags.contains)).takeRight(TagLedgerKeep)
+      // commit wall-time: strictly increasing across versions (a burst
+      // inside one ms is nudged +1), so TIMESTAMP AS OF is unambiguous
+      val ts = math.max(System.currentTimeMillis(),
+        commitTs(storeDir, prev).getOrElse(0L) + 1L)
+      try {
+        writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags)
+        // CAS won — only this version's winner writes its sidecars
+        if (statsCols.nonEmpty) {
+          // carried files keep their previous bounds (the files are
+          // immutable); only the just-added files paid a footer read
+          val carried = stats(storeDir, prev)
+          writeStats(storeDir, v,
+            carry.flatMap(f => carried.get(f).map(f -> _)).toMap ++
+              addedStats)
+        }
+        gc(storeDir, partCol, v, retainVersions, retainAgeMillis)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          // a racer won this version: loop — rebase over the new
+          // latest and retry the metadata step only (appends
+          // re-derive unconditionally; rewrites re-run the
+          // disjointness check first)
+      }
     }
-    val v = prev.getOrElse(-1L) + 1L
-    // tag ledger: every publish carries the previous version's applied
-    // tags forward (bounded; newest last), appending this commit's tag
-    // if it has one — so compaction/merge rewrites never lose replay
-    // evidence with the filenames they fold away. The ledger rides IN
-    // the manifest body (one atomic CAS), so a crash can never publish
-    // a version without its ledger
-    val prevTags = prev.map(tags(storeDir, _)).getOrElse(Nil)
-    val newTags =
-      (prevTags ++ tag.filterNot(prevTags.contains)).takeRight(TagLedgerKeep)
-    // commit wall-time: strictly increasing across versions (a burst
-    // inside one ms is nudged +1), so TIMESTAMP AS OF is unambiguous
-    val ts = math.max(System.currentTimeMillis(),
-      prev.flatMap(commitTs(storeDir, _)).getOrElse(0L) + 1L)
-    writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags)
-    if (statsCols.nonEmpty) {
-      // carried files keep their previous bounds (the files are
-      // immutable); only the just-added files pay a footer read
-      val carried = prev.map(stats(storeDir, _)).getOrElse(Map.empty)
-      writeStats(storeDir, v,
-        carry.flatMap(f => carried.get(f).map(f -> _)).toMap ++
-          harvestStats(storeDir, added, statsCols))
-    }
-    gc(storeDir, partCol, v, retainVersions, retainAgeMillis)
-    v
+    -1L // unreachable
   }
 
   private def writeManifest(
@@ -727,20 +774,22 @@ object ManifestStore {
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col => c}
+    val base = latestVersion(storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir holds no manifest — initialize with init"))
     val upParts = upserts.select(c(partCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
     // one batched location pass: every candidate file's footer opens
     // ONCE for all K delete keys (not K times)
-    val delParts = locateAll(storeDir, partCol, keyCol, deleteKeys)
+    val delParts = locateAll(storeDir, partCol, keyCol, deleteKeys,
+        version = Some(base))
       .valuesIterator.flatten
       .map(_.takeWhile(_ != '/').stripPrefix(s"$partCol="))
       .map(_.toLong).toSeq.distinct
     val touched = (upParts ++ delParts).distinct
-    if (touched.isEmpty)
-      return latestVersion(storeDir).getOrElse(
-        throw new IllegalArgumentException(
-          s"$storeDir holds no manifest — initialize with init"))
-    val current = read(spark, storeDir, schema, partCol, Some(touched))
+    if (touched.isEmpty) return base
+    val current = read(spark, storeDir, schema, partCol, Some(touched),
+      version = Some(base))
     val editedKeys = upserts.select(c(keyCol)).distinct()
       .unionByName(spark.createDataFrame(
         spark.sparkContext.parallelize(deleteKeys.map(Row(_)), 1),
@@ -749,7 +798,7 @@ object ManifestStore {
       .join(editedKeys, Seq(keyCol), "left_anti")
       .unionByName(upserts.select(schema.fieldNames.map(c): _*))
     commit(next, partCol, touched, storeDir, retainVersions,
-      statsCols, bloomCols)
+      statsCols, bloomCols, baseVersion = Some(base))
   }
 
   /** MAINTENANCE compaction for appended stores: rewrite every
@@ -780,7 +829,8 @@ object ManifestStore {
     val rows = read(spark, storeDir, schema, partCol,
       partVals = Some(vals), version = Some(v))
     Some(commit(
-      rows, partCol, vals, storeDir, retainVersions, statsCols, bloomCols))
+      rows, partCol, vals, storeDir, retainVersions, statsCols, bloomCols,
+      baseVersion = Some(v)))
   }
 
   /** DELETE WHERE `colName BETWEEN lo AND hi` — the range-predicate
@@ -812,7 +862,7 @@ object ManifestStore {
       Some(touched), Some(v))
       .filter(col(colName).isNull || !col(colName).between(lo, hi))
     commit(kept, partCol, touched, storeDir, retainVersions,
-      statsCols, bloomCols)
+      statsCols, bloomCols, baseVersion = Some(v))
   }
 
   /** CHANGE-DATA-FEED between two retained versions (the Delta CDF
@@ -909,7 +959,8 @@ object ManifestStore {
       totalRows / math.max(1L, targets.size.toLong * filesPerPartition))
     publish(rows, partCol, Some(targets), storeDir, retainVersions,
       statsCols, bloomCols = bloomCols,
-      orderWithin = Seq(z), maxRecordsPerFile = perFile)
+      orderWithin = Seq(z), maxRecordsPerFile = perFile,
+      baseVersion = Some(v))
   }
 
   /** Maintenance sweep: LIST every partition dir and delete data files

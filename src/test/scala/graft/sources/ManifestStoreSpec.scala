@@ -172,6 +172,75 @@ class ManifestStoreSpec extends SparkSpec {
     MemObjectFileSystem.clear()
   }
 
+  test("optimistic REWRITE concurrency: a rewrite staged against an " +
+    "older version REBASES when the interim commits touched only " +
+    "disjoint partitions (content = serial order); an overlapping " +
+    "rewrite fails typed; an interim append INTO a touched partition " +
+    "is a conflict too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-occ").toString
+    ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 1L), (3L, 30L, 2L)), "p", dir)    // v0
+    // X rewrites p=0 at head
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir)      // v1
+    // Y was staged against v0 and lands AFTER X: X touched only p=0,
+    // Y rewrites p=1 — disjoint, so Y rebases over X's manifest
+    val v2 = ManifestStore.commit(rows((2L, 21L, 1L)), "p", Seq(1L),
+      dir, baseVersion = Some(0L))
+    assert(v2 == 2L)
+    assert(readAll(dir) == Set((1L, 11L, 0L), (2L, 21L, 1L), (3L, 30L, 2L)),
+      "the rebased commit must carry the winner's rewrite — serial order")
+    // Z also staged against v0 and rewrites p=0 — X already rewrote
+    // it: a REAL conflict, typed, store untouched
+    val e = intercept[ConcurrentCommitException](
+      ManifestStore.commit(rows((1L, 99L, 0L)), "p", Seq(0L), dir,
+        baseVersion = Some(0L)))
+    assert(e.getMessage.contains("conflict"))
+    assert(readAll(dir) == Set((1L, 11L, 0L), (2L, 21L, 1L), (3L, 30L, 2L)),
+      "a conflicting rewrite must leave the store exactly as it was")
+    // an interim APPEND into a partition the stale rewrite touches is
+    // a conflict as well: the rewrite's staged rows were derived
+    // without the appended rows and would drop them
+    ManifestStore.append(rows((9L, 90L, 2L)), "p", dir)               // v3
+    intercept[ConcurrentCommitException](
+      ManifestStore.commit(rows((3L, 31L, 2L)), "p", Seq(2L), dir,
+        baseVersion = Some(2L)))
+    assert(readAll(dir) == Set(
+      (1L, 11L, 0L), (2L, 21L, 1L), (3L, 30L, 2L), (9L, 90L, 2L)))
+    // and interim appends into OTHER partitions rebase fine
+    val v4 = ManifestStore.commit(rows((2L, 22L, 1L)), "p", Seq(1L),
+      dir, baseVersion = Some(2L))
+    assert(v4 == 4L)
+    assert(readAll(dir) == Set(
+      (1L, 11L, 0L), (2L, 22L, 1L), (3L, 30L, 2L), (9L, 90L, 2L)))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("two rewrites racing the version CAS on DISJOINT partitions " +
+    "both land whatever the interleaving; the result equals the " +
+    "serial order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-occ2").toString
+    ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)                   // v0
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(part: Long, v: Long): Thread = new Thread(() => {
+      try {
+        barrier.await()
+        ManifestStore.commit(
+          rows((part + 1L, v, part)), "p", Seq(part), dir,
+          baseVersion = Some(0L))
+        ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val ts = Seq(racer(0L, 111L), racer(1L, 222L))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"disjoint racers must both land: ${errs.peek()}")
+    assert(ManifestStore.latestVersion(dir).contains(2L))
+    assert(readAll(dir) == Set((1L, 111L, 0L), (2L, 222L, 1L)),
+      "both racing rewrites must be visible — serial-order content")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("TIMESTAMP AS OF: commit timestamps are strictly increasing, " +
     "versionAt resolves the newest version at-or-before the pin " +
     "(byte-stable mid-churn), too-early pins are the typed retention " +
