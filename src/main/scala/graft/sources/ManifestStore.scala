@@ -29,6 +29,16 @@ final class ExpectationViolation(msg: String)
 final class RetentionException(msg: String)
   extends IllegalArgumentException(msg)
 
+/** Thrown when the vacuum/writer exclusion refuses an operation: a
+  * vacuum saw an in-flight writer (whose moved-but-unmanifested files
+  * it must never reclaim), a writer saw a running vacuum, or a second
+  * vacuum raced the lease. The store is untouched; retry after the
+  * other party finishes (leases expire, so a crash never wedges the
+  * store).
+  */
+final class StoreBusyException(msg: String)
+  extends RuntimeException(msg)
+
 /** A MANIFEST-COMMITTED partitioned parquet store — snapshot-isolated
   * reads under a continuously rewriting writer, the capability the
   * CDC soak measured dynamic partition overwrite to lack (a raw
@@ -77,6 +87,23 @@ object ManifestStore {
 
   private def tagsPath(storeDir: String, v: Long): Path =
     new Path(new Path(storeDir, ManifestDir), f"t$v%012d.json")
+
+  private def vacuumLockPath(storeDir: String): Path =
+    new Path(new Path(storeDir, ManifestDir), ".vacuum-lock")
+
+  private def writerMarkerPath(storeDir: String, id: String): Path =
+    new Path(new Path(storeDir, ManifestDir), s".w-$id")
+
+  /** A lease file is held while its recorded expiry (epoch millis, the
+    * whole content) is in the future; a crashed holder's lease simply
+    * expires — the exclusion protocol can never wedge the store. A
+    * concurrent delete of the file reads as not-held.
+    */
+  private def leaseHeld(p: Path): Boolean =
+    StoreFs.exists(p) && (
+      try StoreFs.readLines(p).headOption
+        .exists(_.trim.toLong > System.currentTimeMillis())
+      catch { case _: Exception => false })
 
   /** The applied-tag ledger is bounded: a foreachBatch replay only ever
     * asks about the LAST uncommitted logical batch, so carrying the
@@ -539,7 +566,8 @@ object ManifestStore {
       maxRecordsPerFile: Long = 0L,
       retainAgeMillis: Option[Long] = None,
       baseVersion: Option[Long] = None,
-      maxRetries: Int = 8):
+      maxRetries: Int = 8,
+      writerLeaseTtlMillis: Long = 30L * 60L * 1000L):
       Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
@@ -550,6 +578,24 @@ object ManifestStore {
       tag.getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val staging = new Path(storeDir, s".staging-c$commitId")
     val fs = StoreFs.fs(staging)
+    // VACUUM/WRITER EXCLUSION, two-flag protocol: the writer plants
+    // its presence marker FIRST, then checks the vacuum lease; vacuum
+    // takes its lease first, then checks markers. Whatever the
+    // interleaving, at least one party sees the other — a sweep can
+    // never run while this commit's files sit moved-but-unmanifested
+    // (or still in a staging dir vacuum would reclaim as crash litter).
+    // Markers are per-commit (concurrent appenders never serialize)
+    // and expire, so a crashed writer cannot wedge maintenance.
+    val marker = writerMarkerPath(storeDir, commitId)
+    StoreFs.writeOverwrite(marker,
+      (System.currentTimeMillis() + writerLeaseTtlMillis).toString)
+    if (leaseHeld(vacuumLockPath(storeDir))) {
+      StoreFs.delete(marker)
+      throw new StoreBusyException(
+        s"a vacuum holds the lease on $storeDir — retry this commit " +
+          "after it finishes (leases expire)")
+    }
+    try {
     val added = (try {
       // `orderWithin` CLUSTERS each partition's rows before the write
       // (one local sort, no extra shuffle) and `maxRecordsPerFile`
@@ -677,6 +723,7 @@ object ManifestStore {
       }
     }
     -1L // unreachable
+    } finally { StoreFs.delete(marker); () }
   }
 
   private def writeManifest(
@@ -967,42 +1014,76 @@ object ManifestStore {
     * no retained manifest references — the crashed-attempt orphans the
     * per-commit diff GC cannot see. O(partition dirs) listings: run it
     * from a maintenance window or every N batches, not per commit.
-    * Writer-side only (same single-writer contract as [[commit]]) and
-    * NOT concurrent with in-flight appends: an appender between its
-    * file moves and its manifest publish (or mid-retry of a lost
-    * version race) holds moved-but-unmanifested files a sweep would
-    * misread as orphans. Returns the number of files deleted.
+    *
+    * The "not concurrent with in-flight writers" contract is ENFORCED,
+    * not documented: vacuum takes a CAS lease and aborts typed
+    * ([[StoreBusyException]]) when any unexpired writer marker exists
+    * — an appender between its file moves and its manifest publish
+    * holds moved-but-unmanifested files a sweep would misread as
+    * orphans; commits starting during a vacuum abort typed the same
+    * way (publish's two-flag protocol). Leases expire, so a crashed
+    * party never wedges the other. Returns the number of files
+    * deleted.
     */
-  def vacuum(storeDir: String, partCol: String): Int = {
-    val versions = StoreFs.list(new Path(storeDir, ManifestDir)).flatMap(s =>
-      s.getPath.getName match {
-        case VersionRe(n) => Some(n.toLong)
-        case _ => None
-      })
+  def vacuum(
+      storeDir: String, partCol: String,
+      leaseTtlMillis: Long = 30L * 60L * 1000L): Int = {
+    val versions = listVersions(storeDir)
     require(versions.nonEmpty,
       s"$storeDir holds no manifest — nothing is safely referenced")
-    val referenced: Set[String] =
-      versions.iterator.flatMap(files(storeDir, _)).toSet
-    var deleted = 0
-    // crashed commits can leave staging dirs behind their finally —
-    // (hard kill mid-move); they are never referenced, sweep whole
-    StoreFs.list(new Path(storeDir))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-c"))
-      .foreach { s => StoreFs.delete(s.getPath, recursive = true); () }
-    StoreFs.list(new Path(storeDir))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
-      .foreach { d =>
-        val dirName = d.getPath.getName
-        StoreFs.list(d.getPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .filter(s => !referenced.contains(s"$dirName/${s.getPath.getName}"))
-          .foreach { s => StoreFs.delete(s.getPath); deleted += 1 }
-        if (StoreFs.list(d.getPath).isEmpty) {
-          StoreFs.delete(d.getPath, recursive = true)
-          ()
+    // WRITER EXCLUSION (the other half of publish's two-flag
+    // protocol): take the vacuum lease FIRST — a commit that starts
+    // after this point sees the lease and aborts typed — then check
+    // for writers already in flight; any unexpired marker aborts the
+    // sweep, because that writer may hold staged or
+    // moved-but-unmanifested files a listing would misread as orphans.
+    // The lease is a CAS (two vacuums cannot both hold it) and
+    // expires, so a crashed vacuum never wedges the writer.
+    val lock = vacuumLockPath(storeDir)
+    val expiry = (System.currentTimeMillis() + leaseTtlMillis).toString
+    var acquired = StoreFs.writeAtomicNoReplace(lock, expiry)
+    if (!acquired && !leaseHeld(lock)) {
+      // a crashed vacuum's expired lease: break and re-claim
+      StoreFs.delete(lock)
+      acquired = StoreFs.writeAtomicNoReplace(lock, expiry)
+    }
+    if (!acquired)
+      throw new StoreBusyException(
+        s"another vacuum holds the lease on $storeDir")
+    try {
+      val markers = StoreFs.list(new Path(storeDir, ManifestDir))
+        .filter(_.getPath.getName.startsWith(".w-"))
+      val (live, stale) = markers.partition(m => leaseHeld(m.getPath))
+      // a crashed writer's expired marker is litter — reclaim it
+      stale.foreach { m => StoreFs.delete(m.getPath); () }
+      if (live.nonEmpty)
+        throw new StoreBusyException(
+          s"writer(s) in flight on $storeDir (${live.size} unexpired " +
+            "marker(s)) — their moved-but-unmanifested files must not " +
+            "be reclaimed; retry after they publish")
+      val referenced: Set[String] =
+        versions.iterator.flatMap(files(storeDir, _)).toSet
+      var deleted = 0
+      // crashed commits can leave staging dirs behind their finally —
+      // (hard kill mid-move); they are never referenced, sweep whole
+      StoreFs.list(new Path(storeDir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-c"))
+        .foreach { s => StoreFs.delete(s.getPath, recursive = true); () }
+      StoreFs.list(new Path(storeDir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+        .foreach { d =>
+          val dirName = d.getPath.getName
+          StoreFs.list(d.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .filter(s => !referenced.contains(s"$dirName/${s.getPath.getName}"))
+            .foreach { s => StoreFs.delete(s.getPath); deleted += 1 }
+          if (StoreFs.list(d.getPath).isEmpty) {
+            StoreFs.delete(d.getPath, recursive = true)
+            ()
+          }
         }
-      }
-    deleted
+      deleted
+    } finally { StoreFs.delete(lock); () }
   }
 
   /** The snapshot's file selection: `version`'s manifest entries,

@@ -247,6 +247,17 @@ object StoreFs {
     else None
   }
 
+  /** Plain overwrite write for small PRESENCE files (writer markers):
+    * visibility is whole-file on object stores (all-or-nothing at
+    * close) and effectively so for the metadata-sized content on
+    * POSIX; no CAS — markers are commit-unique flags, not claims.
+    */
+  def writeOverwrite(target: Path, content: String): Unit = {
+    val out = fs(target).create(target, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def delete(p: Path, recursive: Boolean = false): Boolean = {
     val f = fs(p)
     f.exists(p) && f.delete(p, recursive)

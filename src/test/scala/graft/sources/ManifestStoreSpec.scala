@@ -172,6 +172,64 @@ class ManifestStoreSpec extends SparkSpec {
     MemObjectFileSystem.clear()
   }
 
+  test("vacuum/writer exclusion is ENFORCED: vacuum aborts typed " +
+    "while a writer marker is live (a moved-but-unmanifested file is " +
+    "never reclaimed), a commit aborts typed under a vacuum lease, " +
+    "expired leases never wedge, and a second vacuum fails typed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease").toString
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)  // v0
+    val mdir = s"$dir/_manifests"
+    def path(rel: String) = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+    val future = (System.currentTimeMillis() + 600000L).toString
+    val past = (System.currentTimeMillis() - 1L).toString
+    // an in-flight writer: live marker + a moved-but-unmanifested file
+    StoreFs.writeOverwrite(path("_manifests/.w-inflight"), future)
+    StoreFs.writeOverwrite(path("p=0/cinflight-part-9.parquet"), "x")
+    val ve = intercept[StoreBusyException](ManifestStore.vacuum(dir, "p"))
+    assert(ve.getMessage.contains("writer"))
+    assert(StoreFs.exists(path("p=0/cinflight-part-9.parquet")),
+      "vacuum must NEVER reclaim a file a live writer may be publishing")
+    assert(!StoreFs.exists(path("_manifests/.vacuum-lock")),
+      "an aborted vacuum must release its lease")
+    // the writer published (marker gone): the sweep reclaims the file
+    // it now knows to be an orphan
+    StoreFs.delete(path("_manifests/.w-inflight"))
+    assert(ManifestStore.vacuum(dir, "p") == 1)
+    assert(!StoreFs.exists(path("p=0/cinflight-part-9.parquet")))
+    // a commit starting while vacuum holds the lease aborts typed and
+    // leaves no marker litter; the store is untouched
+    StoreFs.writeOverwrite(path("_manifests/.vacuum-lock"), future)
+    val ce = intercept[StoreBusyException](
+      ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir))
+    assert(ce.getMessage.contains("vacuum"))
+    assert(readAll(dir) == Set((1L, 10L, 0L), (2L, 20L, 1L)))
+    assert(!StoreFs.list(new org.apache.hadoop.fs.Path(mdir))
+      .exists(_.getPath.getName.startsWith(".w-")),
+      "the refused commit must remove its own marker")
+    // a second vacuum while the lease is held fails typed
+    val v2e = intercept[StoreBusyException](ManifestStore.vacuum(dir, "p"))
+    assert(v2e.getMessage.contains("another vacuum"))
+    // EXPIRED leases never wedge: a crashed vacuum's stale lock is
+    // broken by the next writer and the next vacuum alike
+    StoreFs.writeOverwrite(path("_manifests/.vacuum-lock"), past)
+    ManifestStore.commit(rows((1L, 12L, 0L)), "p", Seq(0L), dir)      // v1
+    assert(readAll(dir) == Set((1L, 12L, 0L), (2L, 20L, 1L)))
+    // (the commit ignores the expired lock but leaves it; vacuum
+    // re-claims over it)
+    ManifestStore.vacuum(dir, "p")
+    // a crashed WRITER's expired marker is reclaimed by the sweep
+    StoreFs.writeOverwrite(path("_manifests/.w-crashed"), past)
+    ManifestStore.vacuum(dir, "p")
+    assert(!StoreFs.exists(path("_manifests/.w-crashed")))
+    // after everything, no lease litter and a normal commit works
+    assert(!StoreFs.exists(path("_manifests/.vacuum-lock")))
+    ManifestStore.commit(rows((2L, 21L, 1L)), "p", Seq(1L), dir)
+    assert(!StoreFs.list(new org.apache.hadoop.fs.Path(mdir))
+      .exists(_.getPath.getName.startsWith(".w-")),
+      "a successful commit must remove its own marker")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("optimistic REWRITE concurrency: a rewrite staged against an " +
     "older version REBASES when the interim commits touched only " +
     "disjoint partitions (content = serial order); an overlapping " +
