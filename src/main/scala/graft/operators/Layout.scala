@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Space-filling curve selector for clustered layout rewrites
+    * ([[graft.sources.ManifestStore.compactClustered]]): [[Z]] is the
+    * bit-interleave (any dimension count), [[Hilbert]] the 2-D
+    * stronger-locality curve — its unit steps are 4-adjacent, so
+    * equal-count file cuts cover strictly contiguous boxes and a slice
+    * grid prunes at least as well as under Z's diagonal jumps.
+    */
+  sealed trait Curve
+  case object Z extends Curve
+  case object Hilbert extends Curve
+
   /** Bit-interleaved z-value of `cols` (already quantized to
     * non-negative ints < 2^bits each): bit b of dimension d lands at
     * position b·n + d. `bits·n` must fit a signed long. Columns are

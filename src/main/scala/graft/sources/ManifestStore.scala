@@ -967,9 +967,14 @@ object ManifestStore {
       partVals: Option[Seq[Long]] = None,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      onlyPartitionsOver: Option[Int] = None): Long = {
+      onlyPartitionsOver: Option[Int] = None,
+      curve: graft.operators.Layout.Curve = graft.operators.Layout.Z):
+      Long = {
     import org.apache.spark.sql.functions.{lit => l, max => mx, min => mn}
     require(dims.nonEmpty, "compactClustered needs at least one dim")
+    require(curve == graft.operators.Layout.Z || dims.size == 2,
+      "HILBERT clustering is 2-D (the rotation state is defined on a " +
+        "plane); use Z for other dimension counts")
     val v = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"$storeDir holds no manifest — nothing to cluster"))
@@ -994,12 +999,21 @@ object ManifestStore {
           if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
         }
     }.toMap
-    val z = graft.operators.Layout.zValue(
-      dims.map { d =>
-        val (lo, hi) = dimBounds(d)
-        if (hi > lo) graft.operators.Layout.quantize(col(d), lo, hi, bits)
-        else l(0L)
-      }, bits)
+    val quantized = dims.map { d =>
+      val (lo, hi) = dimBounds(d)
+      if (hi > lo) graft.operators.Layout.quantize(col(d), lo, hi, bits)
+      else l(0L)
+    }
+    // Z interleaves any dimension count; HILBERT (2-D) walks
+    // 4-adjacent unit steps, so the equal-count file cuts below cover
+    // strictly contiguous boxes — tighter zone maps on both dims
+    val z = curve match {
+      case graft.operators.Layout.Hilbert =>
+        graft.operators.Layout.hilbertValue(
+          quantized(0), quantized(1), bits)
+      case graft.operators.Layout.Z =>
+        graft.operators.Layout.zValue(quantized, bits)
+    }
     val totalRows = metaCount(storeDir, partCol, Some(targets), Some(v))
       .getOrElse(rows.count())
     val perFile = math.max(1L,

@@ -867,6 +867,57 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("OPTIMIZE ZORDER with curve = HILBERT: strictly-contiguous " +
+    "file boxes prune a 2-D slice grid at least as hard as Z on the " +
+    "same data, content stays identical, and >2 dims reject typed") {
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, (k * 37L) % 400L, k % 2)).toDF("k", "u", "p")
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("u", LongType), StructField("p", LongType)))
+    val expected = batch(0, 400).as[(Long, Long, Long)].collect().toSet
+    def build(curve: graft.operators.Layout.Curve): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-curve-$curve").toString
+      ManifestStore.init(batch(0, 100), "p", dir, statsCols = Seq("k", "u"))
+      (1 to 3).foreach(i =>
+        ManifestStore.append(batch(i * 100L, i * 100L + 100L), "p", dir,
+          statsCols = Seq("k", "u")))
+      ManifestStore.compactClustered(spark, dir, sch, "p",
+        dims = Seq("k", "u"), bits = 8, filesPerPartition = 8,
+        statsCols = Seq("k", "u"), curve = curve)
+      dir
+    }
+    val zDir = build(graft.operators.Layout.Z)
+    val hDir = build(graft.operators.Layout.Hilbert)
+    // identical content either way (clustering is layout, not data)
+    assert(ManifestStore.read(spark, hDir, sch, "p")
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    // the same 4x4 slice grid over (k, u): hilbert's contiguous boxes
+    // must prune at least as well as z's in total, and every slice
+    // still reads exactly
+    def gridCost(dir: String): Int =
+      (for { i <- 0 until 4; j <- 0 until 4 } yield
+        ManifestStore.selectFiles(dir, "p", ranges = Seq(
+          ("k", i * 100L, i * 100L + 99L),
+          ("u", j * 100L, j * 100L + 99L))).size).sum
+    val (zCost, hCost) = (gridCost(zDir), gridCost(hDir))
+    assert(hCost <= zCost,
+      s"hilbert must prune the slice grid at least as hard as z: " +
+        s"hilbert=$hCost z=$zCost")
+    assert(ManifestStore.read(spark, hDir, sch, "p",
+      ranges = Seq(("k", 0L, 99L), ("u", 100L, 199L)))
+      .filter(col("k") <= 99L && col("u").between(100L, 199L))
+      .as[(Long, Long, Long)].collect().toSet ==
+      expected.filter(r => r._1 <= 99L && r._2 >= 100L && r._2 <= 199L))
+    // the 2-D-only contract is typed, not silent
+    intercept[IllegalArgumentException](
+      ManifestStore.compactClustered(spark, hDir, sch, "p",
+        dims = Seq("k", "u", "p"), bits = 8,
+        curve = graft.operators.Layout.Hilbert))
+    graft.sources.FileIO.deleteScratch(new java.io.File(zDir))
+    graft.sources.FileIO.deleteScratch(new java.io.File(hDir))
+  }
+
   test("INT32 bloom columns probe with 4-byte hashes: a Long-valued " +
     "lookup against an int column still finds its file (the Long hash " +
     "would be a guaranteed false negative), multi-key location answers " +
