@@ -128,15 +128,46 @@ object ManifestStore {
     */
   def tags(storeDir: String, version: Long): Seq[String] = {
     val p = manifestPath(storeDir, version)
-    val header =
-      if (!StoreFs.exists(p)) None
-      else StoreFs.readLines(p).find(_.startsWith(TagsHeader))
-        .map(_.stripPrefix(TagsHeader).split(',').filter(_.nonEmpty).toSeq)
-    header.getOrElse {
-      val legacy = tagsPath(storeDir, version)
-      if (!StoreFs.exists(legacy)) Nil
-      else StoreFs.readLines(legacy).filter(_.nonEmpty)
-    }
+    if (!StoreFs.exists(p)) legacyTags(storeDir, version)
+    else tagsOf(parseManifest(StoreFs.readLines(p)), storeDir, version)
+  }
+
+  private def legacyTags(storeDir: String, version: Long): Seq[String] = {
+    val legacy = tagsPath(storeDir, version)
+    if (!StoreFs.exists(legacy)) Nil
+    else StoreFs.readLines(legacy).filter(_.nonEmpty)
+  }
+
+  /** One manifest, parsed once: header timestamp + embedded ledger +
+    * data-file entries. Publish's hot path reads the previous manifest
+    * through this (ONE metadata GET instead of one per field — at
+    * object-store latency the re-reads, not the parse, were the cost).
+    */
+  private final case class Manifest(
+      ts: Option[Long], hdrTags: Option[Seq[String]], files: Seq[String])
+
+  private def parseManifest(lines: Seq[String]): Manifest = Manifest(
+    lines.find(_.startsWith(TsHeader)).map(_.stripPrefix(TsHeader).toLong),
+    lines.find(_.startsWith(TagsHeader))
+      .map(_.stripPrefix(TagsHeader).split(',').filter(_.nonEmpty).toSeq),
+    lines.filter(l => l.nonEmpty && !l.startsWith("#")))
+
+  /** The ledger of a parsed manifest: the embedded header when
+    * present; a NEW-format manifest without a tags line (any `#`
+    * header proves the format) is tagless by construction — only a
+    * headerless legacy manifest pays the sidecar existence check.
+    */
+  private def tagsOf(
+      m: Manifest, storeDir: String, version: Long): Seq[String] =
+    m.hdrTags.getOrElse(
+      if (m.ts.isDefined) Nil else legacyTags(storeDir, version))
+
+  private def readManifest(storeDir: String, version: Long): Manifest = {
+    val p = manifestPath(storeDir, version)
+    if (!StoreFs.exists(p))
+      throw new RetentionException(
+        s"no manifest v$version at $storeDir (past retention?)")
+    parseManifest(StoreFs.readLines(p))
   }
 
   private val TsHeader = "#ts="
@@ -151,8 +182,7 @@ object ManifestStore {
   def commitTs(storeDir: String, version: Long): Option[Long] = {
     val p = manifestPath(storeDir, version)
     if (!StoreFs.exists(p)) None
-    else StoreFs.readLines(p).find(_.startsWith(TsHeader))
-      .map(_.stripPrefix(TsHeader).toLong)
+    else parseManifest(StoreFs.readLines(p)).ts
   }
 
   private def listVersions(storeDir: String): Seq[Long] =
@@ -204,13 +234,8 @@ object ManifestStore {
     * A version whose manifest aged out throws the typed
     * [[RetentionException]].
     */
-  def files(storeDir: String, version: Long): Seq[String] = {
-    val p = manifestPath(storeDir, version)
-    if (!StoreFs.exists(p))
-      throw new RetentionException(
-        s"no manifest v$version at $storeDir (past retention?)")
-    StoreFs.readLines(p).filter(l => l.nonEmpty && !l.startsWith("#"))
-  }
+  def files(storeDir: String, version: Long): Seq[String] =
+    readManifest(storeDir, version).files
 
   private def listDataFiles(storeDir: String, partDir: String): Seq[String] =
     StoreFs.list(new Path(storeDir, partDir))
@@ -678,12 +703,15 @@ object ManifestStore {
                 "re-read and retry the edit")
         }
       }
+      // ONE read of the previous manifest serves carry, ledger and
+      // timestamp alike (object-store GETs are the metadata cost)
+      val prevM = readManifest(storeDir, prev)
       val carry = touched match {
         case Some(t) =>
           val touchedDirs = t.map(x => s"$partCol=$x").toSet
-          files(storeDir, prev)
+          prevM.files
             .filterNot(p => touchedDirs.exists(d => p.startsWith(d + "/")))
-        case None => files(storeDir, prev)
+        case None => prevM.files
       }
       val v = prev + 1L
       // tag ledger: every publish carries the previous version's applied
@@ -692,13 +720,13 @@ object ManifestStore {
       // evidence with the filenames they fold away. The ledger rides IN
       // the manifest body (one atomic CAS), so a crash can never publish
       // a version without its ledger
-      val prevTags = tags(storeDir, prev)
+      val prevTags = tagsOf(prevM, storeDir, prev)
       val newTags =
         (prevTags ++ tag.filterNot(prevTags.contains)).takeRight(TagLedgerKeep)
       // commit wall-time: strictly increasing across versions (a burst
       // inside one ms is nudged +1), so TIMESTAMP AS OF is unambiguous
       val ts = math.max(System.currentTimeMillis(),
-        commitTs(storeDir, prev).getOrElse(0L) + 1L)
+        prevM.ts.getOrElse(0L) + 1L)
       try {
         writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags)
         // CAS won — only this version's winner writes its sidecars
