@@ -51,7 +51,9 @@ object StreamingIngest {
       maxFilesPerPartition: Int = 4,
       statePartitions: Int = 4,
       bloomCols: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      curve: graft.operators.Layout.Curve = graft.operators.Layout.Z):
+      Long = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     FileIO.stageRangeBatches(
@@ -73,8 +75,9 @@ object StreamingIngest {
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           // the maintenance rung on a cadence: plain small-file folding
           // by default; with `clusterBy` set, the fold is an OPTIMIZE
-          // ZORDER — crowded partitions rewrite z-clustered so the
-          // zone maps bound EVERY listed dim, not just arrival order
+          // ZORDER — crowded partitions rewrite curve-clustered (Z, or
+          // HILBERT for 2-D) so the zone maps bound EVERY listed
+          // dim, not just arrival order
           if (clusterBy.isEmpty) {
             ManifestStore.compact(
               ss, storeDir, batch.schema, partCol,
@@ -86,7 +89,8 @@ object StreamingIngest {
               ss, storeDir, batch.schema, partCol, clusterBy,
               filesPerPartition = maxFilesPerPartition,
               statsCols = statsCols, bloomCols = bloomCols,
-              onlyPartitionsOver = Some(maxFilesPerPartition))
+              onlyPartitionsOver = Some(maxFilesPerPartition),
+              curve = curve)
             ()
           }
         }

@@ -198,6 +198,25 @@ class StreamingIngestSpec extends SparkSpec {
     assert(uSlice < total,
       s"clustered cadence must bound the second dim: $uSlice/$total")
     graft.sources.FileIO.deleteScratch(new java.io.File(scratch))
+    // the HILBERT spelling of the same cadence: identical content,
+    // second dimension still bounded online
+    val scratchH = Files.createTempDirectory("graft-ingest-hilbert").toString
+    val storeH = new java.io.File(scratchH, "store").toString
+    StreamingIngest.appendStoreFromFiles(
+      spark, all, orderCol = "k", partCol = "ub", nBatches = 4,
+      scratchH, storeH, statsCols = Seq("k", "u"),
+      compactEvery = 3, maxFilesPerPartition = 2,
+      clusterBy = Seq("k", "u"), curve = graft.operators.Layout.Hilbert)
+    assert(ManifestStore.read(spark, storeH, all.schema, "ub")
+      .select("k", "u", "ub").as[(Long, Long, Long)].collect().toSet ==
+      all.as[(Long, Long, Long)].collect().toSet,
+      "hilbert online compaction must not change content")
+    val totalH = ManifestStore.selectFiles(storeH, "ub").size
+    val uSliceH = ManifestStore.selectFiles(storeH, "ub",
+      range = Some(("u", 128L, 159L))).size
+    assert(uSliceH < totalH,
+      s"hilbert cadence must bound the second dim: $uSliceH/$totalH")
+    graft.sources.FileIO.deleteScratch(new java.io.File(scratchH))
   }
 
   test("drained ingest == the batch table at any split; mid-stream " +
