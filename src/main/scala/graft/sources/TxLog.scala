@@ -48,9 +48,13 @@ import org.apache.hadoop.fs.Path
 object TxLog {
 
   /** One committed cross-store snapshot: member store name → the
-    * manifest version the tx pinned.
+    * manifest version the tx pinned. `ts` is the publish wall-time
+    * (strictly increasing across tx ids, like manifest commit times);
+    * None for records published before timestamps existed.
     */
-  final case class Tx(txId: Long, batchId: Long, versions: Map[String, Long])
+  final case class Tx(
+      txId: Long, batchId: Long, versions: Map[String, Long],
+      ts: Option[Long] = None)
 
   private val TxRe = """tx(\d{12})\.txt""".r
 
@@ -94,8 +98,16 @@ object TxLog {
           "the store's retention")
     }
     StoreFs.mkdirs(new Path(txDir))
-    val id = latestId(txDir).getOrElse(-1L) + 1L
-    val body = (s"batch=$batchId" +:
+    val prev = latestId(txDir)
+    val id = prev.getOrElse(-1L) + 1L
+    // publish wall-time, strictly increasing across records (a burst
+    // inside one ms nudges +1) — `TIMESTAMP AS OF` over the whole
+    // cross-store combination resolves unambiguously
+    val ts = math.max(System.currentTimeMillis(),
+      prev.flatMap(pv =>
+        try read(txDir, Some(pv)).ts catch { case _: Exception => None })
+        .getOrElse(0L) + 1L)
+    val body = (s"#ts=$ts" +: s"batch=$batchId" +:
       versions.toSeq.sortBy(_._1).map { case (s, v) => s"$s=$v" })
       .mkString("\n")
     if (!StoreFs.writeAtomicNoReplace(txPath(txDir, id), body))
@@ -116,10 +128,28 @@ object TxLog {
     if (!StoreFs.exists(p))
       throw new RetentionException(s"no tx$id at $txDir (past retention?)")
     val lines = StoreFs.readLines(p).filter(_.nonEmpty)
-    val kv = lines.map { l =>
+    val ts = lines.find(_.startsWith("#ts="))
+      .map(_.stripPrefix("#ts=").toLong)
+    val kv = lines.filterNot(_.startsWith("#")).map { l =>
       val i = l.indexOf('=')
       l.substring(0, i) -> l.substring(i + 1).toLong
     }.toMap
-    Tx(id, kv("batch"), kv - "batch")
+    Tx(id, kv("batch"), kv - "batch", ts)
+  }
+
+  /** `TIMESTAMP AS OF` over the cross-store combination: the newest
+    * RETAINED tx whose publish time is <= `asOfTs` — so a reader can
+    * pin "the pipeline as of 14:00" and scan every member store at
+    * that one consistent moment. Typed [[RetentionException]] when
+    * every retained record is newer (that moment aged out);
+    * timestampless legacy records are skipped, never guessed.
+    */
+  def readAsOf(txDir: String, asOfTs: Long): Tx = {
+    val all = ids(txDir).sorted
+    require(all.nonEmpty, s"no tx published at $txDir")
+    val eligible = all.reverseIterator.map(id => read(txDir, Some(id)))
+      .find(_.ts.exists(_ <= asOfTs))
+    eligible.getOrElse(throw new RetentionException(
+      s"no retained tx at $txDir at or before ts=$asOfTs (past retention?)"))
   }
 }

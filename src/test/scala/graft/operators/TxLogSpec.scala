@@ -146,6 +146,41 @@ class TxLogSpec extends SparkSpec {
     assertConsistentAt(d, latest)
   }
 
+  test("tx publish records a strictly-increasing timestamp; readAsOf " +
+    "pins the cross-store combination as of a wall-time, byte-stable " +
+    "mid-churn; too-early pins answer the typed retention error; " +
+    "legacy timestampless records are skipped") {
+    val dir = Files.createTempDirectory("graft-tx-asof").toString
+    graft.sources.TxLog.publish(dir, 0L, Map("a" -> 0L, "b" -> 0L))
+    graft.sources.TxLog.publish(dir, 1L, Map("a" -> 1L, "b" -> 1L))
+    graft.sources.TxLog.publish(dir, 2L, Map("a" -> 2L, "b" -> 1L))
+    val txs = (0L to 2L).map(i => graft.sources.TxLog.read(dir, Some(i)))
+    val ts = txs.map(_.ts.get)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"tx timestamps must be strictly increasing: $ts")
+    // exact / in-between / after-all pins
+    assert(graft.sources.TxLog.readAsOf(dir, ts(1)).txId == 1L)
+    assert(graft.sources.TxLog.readAsOf(dir, ts(2) - 1L).txId == 1L)
+    val pinned = graft.sources.TxLog.readAsOf(dir, ts(1))
+    assert(pinned.versions == Map("a" -> 1L, "b" -> 1L))
+    // churn on top: the as-of resolution is stable
+    graft.sources.TxLog.publish(dir, 3L, Map("a" -> 3L, "b" -> 2L))
+    assert(graft.sources.TxLog.readAsOf(dir, ts(1)) == pinned,
+      "an as-of tx pin must not move under a publishing writer")
+    // before the first retained record: typed
+    intercept[graft.sources.RetentionException](
+      graft.sources.TxLog.readAsOf(dir, ts(0) - 1L))
+    // a legacy record without #ts is never resolved by a time pin
+    graft.sources.StoreFs.writeOverwrite(
+      new org.apache.hadoop.fs.Path(s"$dir/tx000000000099.txt"),
+      "batch=9\na=9")
+    assert(graft.sources.TxLog.readAsOf(
+      dir, System.currentTimeMillis() + 10000L).txId == 3L,
+      "timestampless records must be skipped by readAsOf")
+    assert(graft.sources.TxLog.read(dir, Some(99L)).ts.isEmpty)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("tx publish is a CAS: racing publishers never silently " +
     "overwrite — every published record is distinct and well-formed, " +
     "losers fail typed") {
