@@ -527,13 +527,15 @@ object ManifestStore {
     tag.foreach { t =>
       require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
       latestVersion(storeDir).foreach { v =>
-        // the DURABLE check is the tag ledger (survives compaction's
-        // filename rewrites); the `c<tag>-` filename marker remains as
-        // a fallback for one crash window — a manifest published
-        // before its tag sidecar landed
+        // the DURABLE check is the tag ledger (embedded in the
+        // manifest, so it survives compaction's filename rewrites);
+        // the `c<tag>-` filename marker remains as a fallback for
+        // legacy manifests published before the embedding. One
+        // manifest read serves both checks.
+        val m = readManifest(storeDir, v)
         val marker = s"c$t-"
-        if (tags(storeDir, v).contains(t) ||
-            files(storeDir, v).exists(_.split('/').last.startsWith(marker)))
+        if (tagsOf(m, storeDir, v).contains(t) ||
+            m.files.exists(_.split('/').last.startsWith(marker)))
           return v // this batch already appended (foreachBatch replay)
       }
     }
