@@ -346,6 +346,51 @@ object CorpusQueries {
           s, store, schema, "ub", pinTs)
         .orderBy("event_id")
     }),
+    // RESTORE: the same edit recipe, two junk churn appends on top,
+    // then a metadata-only ROLLBACK to the merge's version — the
+    // restored head must read exactly the merged content (nothing from
+    // the churn), sharing store_merge's replayed-edit oracle VERBATIM.
+    // No data file is written by the restore itself
+    "store_restore" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("restore-store")
+      graft.sources.ManifestStore.init(ev, "ub", store,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val upIds = (1 to 3).map(i => maxId / 5 * i)
+      val delIds = (1 to 2).map(i => maxId / 7 * i)
+        .filterNot(upIds.contains)
+      val inserts = {
+        import s.implicits._
+        (1 to 2).map(i => (maxId + i, (maxId + i) % 8, 777000L + maxId + i))
+          .toDF("event_id", "ub", "val_milli")
+      }
+      val upserts = ev.filter(col("event_id").isin(upIds: _*))
+        .withColumn("val_milli", lit(777000L) + col("event_id"))
+        .unionByName(inserts)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("val_milli",
+          org.apache.spark.sql.types.LongType)))
+      val vMerge = graft.sources.ManifestStore.merge(s, store, schema,
+        "ub", "event_id", upserts, delIds,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      (1 to 2).foreach { i =>
+        import s.implicits._
+        graft.sources.ManifestStore.append(
+          Seq((maxId + 500L + i, (maxId + 500L + i) % 8, -1L))
+            .toDF("event_id", "ub", "val_milli"),
+          "ub", store, statsCols = Seq("event_id"))
+      }
+      graft.sources.ManifestStore.restore(store, "ub", vMerge)
+      graft.sources.ManifestStore.read(s, store, schema, "ub")
+        .orderBy("event_id")
+    }),
     // CHANGE-DATA-FEED: the row-level diff between two store versions,
     // derived from the MANIFEST diff — only the files the merge added
     // or removed are read (rewritten partitions' unchanged rows cancel
@@ -1621,6 +1666,26 @@ object CorpusQueries {
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
     // the merged store == the edit set replayed over the raw table
     "store_merge" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
+        |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)
+        |        WHERE (mx // 7) * i NOT IN (SELECT id FROM up)),
+        |base AS (SELECT event_id, user_id % 8 AS ub,
+        |           event_id * 3 AS val_milli FROM events),
+        |ins AS (SELECT mx + i AS event_id, (mx + i) % 8 AS ub,
+        |          777000 + mx + i AS val_milli
+        |        FROM m, (VALUES (1),(2)) t(i))
+        |SELECT event_id, CAST(ub AS BIGINT) AS ub,
+        |  CAST(val_milli AS BIGINT) AS val_milli FROM (
+        |  SELECT b.event_id, b.ub,
+        |    CASE WHEN b.event_id IN (SELECT id FROM up)
+        |      THEN 777000 + b.event_id ELSE b.val_milli END AS val_milli
+        |  FROM base b WHERE b.event_id NOT IN (SELECT id FROM del)
+        |  UNION ALL SELECT * FROM ins)
+        |ORDER BY event_id""".stripMargin,
+    // the metadata-only ROLLBACK republishes the merged content —
+    // same replayed-edit oracle as store_merge VERBATIM
+    "store_restore" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
         |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)

@@ -1054,6 +1054,77 @@ object ManifestStore {
       baseVersion = Some(v))
   }
 
+  /** One commit's metadata, as [[history]] reports it: version,
+    * wall-time (None pre-upgrade), applied-tag ledger, manifest entry
+    * count, and the exact row count when the stats sidecar carries
+    * every file's `#rows` (None otherwise — never a guess).
+    */
+  final case class CommitInfo(
+      version: Long, ts: Option[Long], tags: Seq[String],
+      nFiles: Int, rows: Option[Long])
+
+  /** DESCRIBE HISTORY — the retained commit log, oldest first, from
+    * metadata alone (one manifest + one sidecar read per retained
+    * version; zero data-file opens, zero Spark jobs). What an operator
+    * reads before a [[restore]] or a `TIMESTAMP AS OF` pin.
+    */
+  def history(storeDir: String): Seq[CommitInfo] =
+    listVersions(storeDir).sorted.map { v =>
+      val m = readManifest(storeDir, v)
+      val st = stats(storeDir, v)
+      val counts = m.files.map(f => st.get(f).flatMap(_.get(RowsKey)).map(_._1))
+      CommitInfo(v, m.ts, tagsOf(m, storeDir, v), m.files.size,
+        if (counts.isEmpty || counts.exists(_.isEmpty)) None
+        else Some(counts.flatten.sum))
+    }
+
+  /** RESTORE — roll the store back to a RETAINED version's content as
+    * a NEW commit (the Delta RESTORE shape): the published manifest
+    * lists exactly `version`'s files — METADATA-ONLY, no data is
+    * copied or rewritten (the files still exist because the version is
+    * retained), and the rolled-back-over versions stay readable until
+    * retention drops them. The restored version's zone-map bounds
+    * carry with its files. Restore is a whole-snapshot replacement, so
+    * it never rebases: a commit racing it fails one side typed
+    * ([[ConcurrentCommitException]]) rather than silently discarding
+    * the other's edit. Past-retention sources answer the typed
+    * [[RetentionException]].
+    */
+  def restore(
+      storeDir: String, partCol: String, version: Long,
+      retainVersions: Int = 8,
+      writerLeaseTtlMillis: Long = 30L * 60L * 1000L): Long = {
+    val src = readManifest(storeDir, version) // typed if aged out
+    // same two-flag vacuum exclusion as any publish: the restored
+    // manifest re-references files a concurrent sweep must keep
+    val marker = writerMarkerPath(storeDir,
+      java.util.UUID.randomUUID().toString.take(12))
+    StoreFs.writeOverwrite(marker,
+      (System.currentTimeMillis() + writerLeaseTtlMillis).toString)
+    if (leaseHeld(vacuumLockPath(storeDir))) {
+      StoreFs.delete(marker)
+      throw new StoreBusyException(
+        s"a vacuum holds the lease on $storeDir — retry the restore " +
+          "after it finishes (leases expire)")
+    }
+    try {
+      val prev = latestVersion(storeDir).get
+      if (prev == version) return prev
+      val v = prev + 1L
+      val prevM = readManifest(storeDir, prev)
+      val prevTags = tagsOf(prevM, storeDir, prev)
+      val ts = math.max(System.currentTimeMillis(), prevM.ts.getOrElse(0L) + 1L)
+      writeManifest(storeDir, v, src.files.sorted, ts, prevTags)
+      // the restored files' bounds are already in the source version's
+      // sidecar — carry them verbatim (immutable files, no re-harvest)
+      val srcStats = stats(storeDir, version)
+      val carried = src.files.flatMap(f => srcStats.get(f).map(f -> _)).toMap
+      if (carried.nonEmpty) writeStats(storeDir, v, carried)
+      gc(storeDir, partCol, v, retainVersions)
+      v
+    } finally { StoreFs.delete(marker); () }
+  }
+
   /** Maintenance sweep: LIST every partition dir and delete data files
     * no retained manifest references — the crashed-attempt orphans the
     * per-commit diff GC cannot see. O(partition dirs) listings: run it

@@ -172,6 +172,50 @@ class ManifestStoreSpec extends SparkSpec {
     MemObjectFileSystem.clear()
   }
 
+  test("RESTORE rolls back to a retained version metadata-only and " +
+    "DESCRIBE HISTORY reads the commit log from metadata alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-restore").toString
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir,
+      statsCols = Seq("k"))                                           // v0
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir,
+      statsCols = Seq("k"))                                           // v1
+    ManifestStore.append(rows((3L, 30L, 1L)), "p", dir,
+      statsCols = Seq("k"), tag = Some("b00007"))                     // v2
+    val v1Content = readAll(dir, Some(1L))
+    val filesBefore = dataFiles(dir)
+    // restore to v1: a NEW version with exactly v1's content — no data
+    // file was written or copied (metadata-only)
+    val v3 = ManifestStore.restore(dir, "p", 1L)
+    assert(v3 == 3L)
+    assert(readAll(dir) == v1Content, "restore must republish v1's content")
+    assert(dataFiles(dir) == filesBefore,
+      "restore is metadata-only: no data file may appear or vanish")
+    // the rolled-back-over v2 stays readable (time travel intact)
+    assert(readAll(dir, Some(2L)).contains((3L, 30L, 1L)))
+    // the restored files' zone-map bounds carried (metadata aggregates
+    // still answer) and the ledger carried from the PREVIOUS head
+    assert(ManifestStore.metaMinMax(dir, "k", "p", version = Some(3L))
+      .contains((1L, 2L)))
+    assert(ManifestStore.tags(dir, 3L) == Seq("b00007"),
+      "restore must carry the ledger forward like any publish")
+    // restoring the current head is a no-op returning it
+    assert(ManifestStore.restore(dir, "p", 3L) == 3L)
+    // HISTORY: every retained commit with ts/tags/file/row counts from
+    // metadata alone
+    val h = ManifestStore.history(dir)
+    assert(h.map(_.version) == Seq(0L, 1L, 2L, 3L))
+    assert(h.forall(_.ts.nonEmpty) &&
+      h.map(_.ts.get) == h.map(_.ts.get).sorted)
+    assert(h.map(_.rows) == Seq(Some(2L), Some(2L), Some(3L), Some(2L)),
+      s"history row counts must be exact from the sidecars: $h")
+    assert(h.last.tags == Seq("b00007"))
+    // a restore source past retention answers the typed error
+    (0 until 8).foreach(i => ManifestStore.commit(
+      rows((1L, 50L + i, 0L)), "p", Seq(0L), dir, retainVersions = 3))
+    intercept[RetentionException](ManifestStore.restore(dir, "p", 0L))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("vacuum/writer exclusion is ENFORCED: vacuum aborts typed " +
     "while a writer marker is live (a moved-but-unmanifested file is " +
     "never reclaimed), a commit aborts typed under a vacuum lease, " +
