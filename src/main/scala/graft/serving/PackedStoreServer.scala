@@ -23,9 +23,9 @@ import java.util.concurrent.atomic.AtomicBoolean
   * {{{
   *   VERSION            → {"version":N}
   *   COUNT [v]          → {"version":v,"count":N}
-  *   SCAN grp [v | AT TX [t]] [LIMIT m] [AFTER s b]
+  *   SCAN grp [v | AT TX [t] | AT TS ms] [LIMIT m] [AFTER s b]
   *                      → {"version":v,"rows":[[doc_id,seq_id,begin_in_seq,end_in_seq,doc_begin,n_piece,starts_doc],...][,"truncated":true]}
-  *   RANGE grp lo hi [v | AT TX [t]] [LIMIT m] [AFTER s b]
+  *   RANGE grp lo hi [v | AT TX [t] | AT TS ms] [LIMIT m] [AFTER s b]
   *                      → same rows shape, doc_id ∈ [lo, hi]
   *   anything else      → {"error":"..."}
   * }}}
@@ -58,7 +58,9 @@ import java.util.concurrent.atomic.AtomicBoolean
   * tx pin SERVER-side — `SCAN grp AT TX 7` is sugar for `TX 7` →
   * `SCAN grp <versions["packed"]>` in ONE round trip, so a consumer
   * cannot accidentally mix a tx-pinned packed read with a
-  * latest-version read of the same store.
+  * latest-version read of the same store. `AT TS ms` pins by COMMIT
+  * WALL-TIME the same way ([[graft.sources.ManifestStore.versionAt]]
+  * server-side) — a too-early pin answers the typed retention error.
   */
 final class PackedStoreServer(
     spark: SparkSession,
@@ -130,9 +132,9 @@ final class PackedStoreServer(
     }
   }
 
-  /** Trailing clauses of SCAN/RANGE: `[v | AT TX [t]] [LIMIT m]
-    * [AFTER s b]`. Returns (resolved version, limit, cursor) or an
-    * error response line.
+  /** Trailing clauses of SCAN/RANGE: `[v | AT TX [t] | AT TS ms]
+    * [LIMIT m] [AFTER s b]`. Returns (resolved version, limit, cursor)
+    * or an error response line.
     */
   private def parseClauses(toks: Array[String])
       : Either[String, (Long, Option[Int], Option[(Long, Long)])] = {
@@ -146,6 +148,16 @@ final class PackedStoreServer(
     }
     while (i < toks.length) {
       toks(i).toUpperCase match {
+        case "AT" if i + 2 < toks.length && v.isEmpty
+            && toks(i + 1).toUpperCase == "TS" =>
+          // TIMESTAMP AS OF over the wire: the server resolves the
+          // newest retained version at-or-before the pin — same
+          // immutability story as a version pin, so paging stays
+          // byte-stable; a too-early pin surfaces the typed
+          // retention error through the defined-error path
+          v = Some(graft.sources.ManifestStore.versionAt(
+            storeDir, toks(i + 2).toLong))
+          i += 3
         case "AT" if i + 1 < toks.length && v.isEmpty
             && toks(i + 1).toUpperCase == "TX" =>
           val td = txDir.getOrElse(
@@ -298,6 +310,15 @@ class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
       after: Option[(Long, Long)] = None): String =
     request(s"SCAN $grp AT TX${tx.fold("")(t => s" $t")}" +
       clauses(limit, after))
+
+  /** SCAN pinned by TIMESTAMP, resolved SERVER-side: `SCAN grp AT TS
+    * ms` reads the newest retained version at-or-before the wall-time
+    * — byte-identical to the per-version spelling of whatever version
+    * that resolves to.
+    */
+  def scanAtTs(grp: Long, ts: Long, limit: Option[Int] = None,
+      after: Option[(Long, Long)] = None): String =
+    request(s"SCAN $grp AT TS $ts" + clauses(limit, after))
 
   /** Raw RANGE response line: one partition, doc_id ∈ [lo, hi],
     * zone-map-pruned server-side.

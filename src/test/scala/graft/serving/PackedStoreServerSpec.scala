@@ -148,6 +148,15 @@ class PackedStoreServerSpec extends SparkSpec {
         val (ptx, ttx) = PackedStoreClient.parseRows(
           client.scanAtTx(0L, Some(0L), Some(3)), paging = true)
         assert(ptx.size == 3 && ttx && ptx == refRows.take(3))
+        // AT TS: the server resolves the commit-time pin — byte-equal
+        // to the per-version spelling of whatever version it names,
+        // and a pre-history pin is a defined error
+        val ts0 = ManifestStore.commitTs(dir, 0L).get
+        assert(client.scanAtTs(0L, ts0) == client.scan(0L, Some(0L)),
+          "SCAN AT TS must equal the per-version spelling byte-for-byte")
+        val tooEarly = client.scanAtTs(0L, ts0 - 1L)
+        assert(tooEarly.contains("error") && tooEarly.contains("before"),
+          s"a pre-history AT TS pin must be a defined error: $tooEarly")
       } finally { client.close(); ref.close() }
     } finally { srv.close(); srvBig.close() }
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
