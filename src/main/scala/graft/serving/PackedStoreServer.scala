@@ -22,6 +22,7 @@ import java.util.concurrent.atomic.AtomicBoolean
   * everywhere, default = the store's latest at request time):
   * {{{
   *   VERSION            → {"version":N}
+  *   HISTORY            → {"history":[{"version":v,"ts":ms,"files":n,"rows":n,"tags":[...]},...]}
   *   COUNT [v]          → {"version":v,"count":N}
   *   SCAN grp [v | AT TX [t] | AT TS ms] [LIMIT m] [AFTER s b]
   *                      → {"version":v,"rows":[[doc_id,seq_id,begin_in_seq,end_in_seq,doc_begin,n_piece,starts_doc],...][,"truncated":true]}
@@ -84,6 +85,20 @@ final class PackedStoreServer(
           case Some(v) => s"""{"version":$v}"""
           case None => s"""{"error":"empty store (no manifest)"}"""
         }
+      case "HISTORY" if parts.length == 1 =>
+        // the retained commit log from metadata alone (DESCRIBE
+        // HISTORY over the wire): what an operator reads before an
+        // AT TS / AT VERSION pin or a restore
+        val items = graft.sources.ManifestStore.history(storeDir)
+          .map { c =>
+            val ts = c.ts.fold("")(t => s""","ts":$t""")
+            val rows = c.rows.fold("")(r => s""","rows":$r""")
+            val tags =
+              if (c.tags.isEmpty) ""
+              else s""","tags":[${c.tags.map("\"" + _ + "\"").mkString(",")}]"""
+            s"""{"version":${c.version}$ts,"files":${c.nFiles}$rows$tags}"""
+          }.mkString(",")
+        s"""{"history":[$items]}"""
       case "TX" if parts.length <= 2 =>
         // resolve a CROSS-STORE tx record (latest or pinned): the
         // client reads "packed" for its SCAN pins here and the other
@@ -275,6 +290,9 @@ class PackedStoreClient(host: String, port: Int) extends AutoCloseable {
     require(r != null, "server closed the connection")
     r
   }
+
+  /** Raw HISTORY response line: the retained commit log. */
+  def history(): String = request("HISTORY")
 
   def version(): Long =
     PackedStoreClient.VerRe.findFirstMatchIn(request("VERSION"))

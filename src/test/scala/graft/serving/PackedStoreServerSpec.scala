@@ -157,6 +157,13 @@ class PackedStoreServerSpec extends SparkSpec {
         val tooEarly = client.scanAtTs(0L, ts0 - 1L)
         assert(tooEarly.contains("error") && tooEarly.contains("before"),
           s"a pre-history AT TS pin must be a defined error: $tooEarly")
+        // HISTORY: the retained commit log over the wire, oldest first
+        val hist = client.history()
+        assert(hist.contains("\"history\":[") &&
+          hist.contains("\"version\":0") &&
+          hist.contains(s""""version":${ManifestStore.latestVersion(dir).get}""") &&
+          hist.contains("\"ts\":") && hist.contains("\"files\":"),
+          s"HISTORY must list retained commits with metadata: $hist")
       } finally { client.close(); ref.close() }
     } finally { srv.close(); srvBig.close() }
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
