@@ -144,13 +144,15 @@ object ManifestStore {
     * object-store latency the re-reads, not the parse, were the cost).
     */
   private final case class Manifest(
-      ts: Option[Long], hdrTags: Option[Seq[String]], files: Seq[String])
+      ts: Option[Long], hdrTags: Option[Seq[String]], files: Seq[String],
+      op: Option[String])
 
   private def parseManifest(lines: Seq[String]): Manifest = Manifest(
     lines.find(_.startsWith(TsHeader)).map(_.stripPrefix(TsHeader).toLong),
     lines.find(_.startsWith(TagsHeader))
       .map(_.stripPrefix(TagsHeader).split(',').filter(_.nonEmpty).toSeq),
-    lines.filter(l => l.nonEmpty && !l.startsWith("#")))
+    lines.filter(l => l.nonEmpty && !l.startsWith("#")),
+    lines.find(_.startsWith(OpHeader)).map(_.stripPrefix(OpHeader)))
 
   /** The ledger of a parsed manifest: the embedded header when
     * present; a NEW-format manifest without a tags line (any `#`
@@ -172,6 +174,7 @@ object ManifestStore {
 
   private val TsHeader = "#ts="
   private val TagsHeader = "#tags="
+  private val OpHeader = "#op="
 
   /** Commit wall-time of a version (epoch millis) — recorded in the
     * manifest header at publish, STRICTLY increasing across versions
@@ -425,7 +428,7 @@ object ManifestStore {
       .map(_.getPath.getName).sorted
     val fileList = parts.flatMap(listDataFiles(storeDir, _))
     writeManifest(storeDir, 0L, fileList,
-      ts = System.currentTimeMillis(), tags = Nil)
+      ts = System.currentTimeMillis(), tags = Nil, op = "init")
     if (statsCols.nonEmpty)
       writeStats(storeDir, 0L, harvestStats(storeDir, fileList, statsCols))
     0L
@@ -729,8 +732,13 @@ object ManifestStore {
       // inside one ms is nudged +1), so TIMESTAMP AS OF is unambiguous
       val ts = math.max(System.currentTimeMillis(),
         prevM.ts.getOrElse(0L) + 1L)
+      val op = (touched, orderWithin) match {
+        case (None, _) => "append"
+        case (Some(_), ow) if ow.nonEmpty => "cluster"
+        case (Some(_), _) => "commit"
+      }
       try {
-        writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags)
+        writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags, op)
         // CAS won — only this version's winner writes its sidecars
         if (statsCols.nonEmpty) {
           // carried files keep their previous bounds (the files are
@@ -758,13 +766,13 @@ object ManifestStore {
 
   private def writeManifest(
       storeDir: String, v: Long, fileList: Seq[String],
-      ts: Long, tags: Seq[String]): Unit = {
+      ts: Long, tags: Seq[String], op: String): Unit = {
     StoreFs.mkdirs(new Path(storeDir, ManifestDir))
     val target = manifestPath(storeDir, v)
     // header lines (`#`-prefixed — no data file starts with '#') ride
-    // in the same atomic CAS as the file list: commit time + ledger
-    // can never be torn from their version
-    val header = s"$TsHeader$ts" +:
+    // in the same atomic CAS as the file list: commit time + ledger +
+    // operation kind can never be torn from their version
+    val header = Seq(s"$TsHeader$ts", s"$OpHeader$op") ++
       (if (tags.nonEmpty) Seq(s"$TagsHeader${tags.mkString(",")}") else Nil)
     if (!StoreFs.writeAtomicNoReplace(
         target, (header ++ fileList).mkString("\n")))
@@ -1061,7 +1069,7 @@ object ManifestStore {
     */
   final case class CommitInfo(
       version: Long, ts: Option[Long], tags: Seq[String],
-      nFiles: Int, rows: Option[Long])
+      nFiles: Int, rows: Option[Long], op: Option[String] = None)
 
   /** DESCRIBE HISTORY — the retained commit log, oldest first, from
     * metadata alone (one manifest + one sidecar read per retained
@@ -1075,7 +1083,7 @@ object ManifestStore {
       val counts = m.files.map(f => st.get(f).flatMap(_.get(RowsKey)).map(_._1))
       CommitInfo(v, m.ts, tagsOf(m, storeDir, v), m.files.size,
         if (counts.isEmpty || counts.exists(_.isEmpty)) None
-        else Some(counts.flatten.sum))
+        else Some(counts.flatten.sum), m.op)
     }
 
   /** RESTORE — roll the store back to a RETAINED version's content as
@@ -1114,7 +1122,8 @@ object ManifestStore {
       val prevM = readManifest(storeDir, prev)
       val prevTags = tagsOf(prevM, storeDir, prev)
       val ts = math.max(System.currentTimeMillis(), prevM.ts.getOrElse(0L) + 1L)
-      writeManifest(storeDir, v, src.files.sorted, ts, prevTags)
+      writeManifest(storeDir, v, src.files.sorted, ts, prevTags,
+        op = s"restore:v$version")
       // the restored files' bounds are already in the source version's
       // sidecar — carry them verbatim (immutable files, no re-harvest)
       val srcStats = stats(storeDir, version)

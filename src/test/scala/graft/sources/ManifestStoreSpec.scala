@@ -209,6 +209,11 @@ class ManifestStoreSpec extends SparkSpec {
     assert(h.map(_.rows) == Seq(Some(2L), Some(2L), Some(3L), Some(2L)),
       s"history row counts must be exact from the sidecars: $h")
     assert(h.last.tags == Seq("b00007"))
+    // the operation kind rides in the header: init/commit/append and
+    // the restore's source version are all named
+    assert(h.map(_.op) == Seq(Some("init"), Some("commit"),
+      Some("append"), Some("restore:v1")),
+      s"history must name each commit's operation: ${h.map(_.op)}")
     // a restore source past retention answers the typed error
     (0 until 8).foreach(i => ManifestStore.commit(
       rows((1L, 50L + i, 0L)), "p", Seq(0L), dir, retainVersions = 3))
