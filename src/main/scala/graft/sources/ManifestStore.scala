@@ -857,7 +857,36 @@ object ManifestStore {
       partCol: String, keyCol: String,
       upserts: DataFrame, deleteKeys: Seq[Long] = Nil,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, maxEditRetries: Int = 0): Long = {
+    // TRANSACTION retry (the Delta MERGE conflict-retry shape, opt-in):
+    // a rewrite conflict means this edit was derived from a stale read
+    // of a partition a racer also rewrote — unlike the metadata-only
+    // rebase (disjoint footprints, handled inside publish), the only
+    // sound recovery is to RE-READ at the new head and re-derive the
+    // whole edit, which is exactly a fresh merge. With retries, racing
+    // merges on overlapping partitions land in SOME serial order
+    // instead of one side failing; the typed failure remains the
+    // default (maxEditRetries = 0) so an unaware caller still can't
+    // lose an edit silently.
+    var attempt = 0
+    while (true) {
+      try return mergeOnce(spark, storeDir, schema, partCol, keyCol,
+        upserts, deleteKeys, retainVersions, statsCols, bloomCols)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxEditRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def mergeOnce(
+      spark: SparkSession, storeDir: String, schema: StructType,
+      partCol: String, keyCol: String,
+      upserts: DataFrame, deleteKeys: Seq[Long],
+      retainVersions: Int, statsCols: Seq[String],
+      bloomCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col => c}
     val base = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(

@@ -322,6 +322,35 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("merge with maxEditRetries: racing merges on the SAME " +
+    "partition both land in some serial order (both edits visible); " +
+    "without retries the conflict stays typed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mretry").toString
+    val sch = schema
+    // 4 keys in one partition
+    ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 0L), (4L, 40L, 0L)),
+      "p", dir)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def editor(key: Long, v: Long): Thread = new Thread(() => {
+      try {
+        barrier.await()
+        ManifestStore.merge(spark, dir, sch, "p", "k",
+          upserts = rows((key, v, 0L)), maxEditRetries = 4)
+        ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val ts = Seq(editor(1L, 111L), editor(2L, 222L))
+    ts.foreach(_.start()); ts.foreach(_.join(180000))
+    assert(errs.isEmpty,
+      s"retrying merges must both land: ${Option(errs.peek())}")
+    assert(readAll(dir) == Set(
+      (1L, 111L, 0L), (2L, 222L, 0L), (3L, 30L, 0L), (4L, 40L, 0L)),
+      "both racing edits must be visible — a serial order, no lost edit")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("two rewrites racing the version CAS on DISJOINT partitions " +
     "both land whatever the interleaving; the result equals the " +
     "serial order") {
