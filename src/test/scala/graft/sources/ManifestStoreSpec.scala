@@ -408,7 +408,11 @@ class ManifestStoreSpec extends SparkSpec {
     val legacy = new org.apache.hadoop.fs.Path(
       s"$dir/_manifests/v000000000099.json")
     StoreFs.writeAtomicNoReplace(legacy, "p=0/nonexistent.parquet")
-    assert(ManifestStore.versionAt(dir, ts(2) + 1000L) == 3L,
+    // pin at v3's OWN commit time (wall-clock-window-free: a loaded
+    // host can stretch any fixed offset): v99 is newer-numbered but
+    // timestampless, so the pin must resolve v3, never v99
+    val ts3 = ManifestStore.commitTs(dir, 3L).get
+    assert(ManifestStore.versionAt(dir, ts3) == 3L,
       "a timestampless manifest must be skipped by versionAt")
     StoreFs.delete(legacy)
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
