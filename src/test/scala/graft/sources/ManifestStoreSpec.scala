@@ -221,6 +221,36 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("restore interplay with GC and vacuum: re-referenced files " +
+    "survive every sweep; the rolled-over version's exclusive files " +
+    "reclaim exactly when retention drops it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgc").toString
+    ManifestStore.init(rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)  // v0
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir)      // v1
+    ManifestStore.commit(rows((1L, 12L, 0L)), "p", Seq(0L), dir)      // v2
+    val v1Files = ManifestStore.files(dir, 1L).toSet
+    val v2Only = ManifestStore.files(dir, 2L).toSet -- v1Files
+    ManifestStore.restore(dir, "p", 1L)                               // v3 = v1
+    // a sweep right after the restore: the restored (re-referenced)
+    // files and v2's still-retained files all survive
+    assert(ManifestStore.vacuum(dir, "p") == 0,
+      "nothing is orphaned right after a restore")
+    assert(v1Files.subsetOf(dataFiles(dir)) && v2Only.subsetOf(dataFiles(dir)))
+    // churn v2 out of retention: its exclusive files reclaim, the
+    // restored head keeps reading v1's content through v1's files
+    (0 until 6).foreach(i => ManifestStore.append(
+      rows((100L + i, 1L, 1L)), "p", dir, retainVersions = 3))
+    intercept[RetentionException](ManifestStore.files(dir, 2L))
+    assert((v2Only -- dataFiles(dir)) == v2Only,
+      "the rolled-over version's exclusive files must be reclaimed")
+    assert(v1Files.subsetOf(dataFiles(dir)),
+      "files the restore re-referenced must survive its source aging out")
+    assert(readAll(dir).contains((1L, 11L, 0L)),
+      "the restored content must keep reading through retention churn")
+    assert(ManifestStore.vacuum(dir, "p") == 0, "no orphans linger")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("vacuum/writer exclusion is ENFORCED: vacuum aborts typed " +
     "while a writer marker is live (a moved-but-unmanifested file is " +
     "never reclaimed), a commit aborts typed under a vacuum lease, " +
