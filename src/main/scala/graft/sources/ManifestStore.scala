@@ -39,6 +39,16 @@ final class RetentionException(msg: String)
 final class StoreBusyException(msg: String)
   extends RuntimeException(msg)
 
+/** Thrown when a manifest declares a FORMAT GENERATION newer than this
+  * reader understands (`#fmt=N` header, N > [[ManifestStore.CurrentFormat]]):
+  * a future writer changed the manifest layout and an old reader must
+  * refuse typed instead of misparsing — unknown `#` header LINES are
+  * forward-compatible by construction (skipped as comments), so the
+  * generation only bumps when the file-list encoding itself changes.
+  */
+final class UnsupportedFormatException(msg: String)
+  extends RuntimeException(msg)
+
 /** A MANIFEST-COMMITTED partitioned parquet store — snapshot-isolated
   * reads under a continuously rewriting writer, the capability the
   * CDC soak measured dynamic partition overwrite to lack (a raw
@@ -94,16 +104,45 @@ object ManifestStore {
   private def writerMarkerPath(storeDir: String, id: String): Path =
     new Path(new Path(storeDir, ManifestDir), s".w-$id")
 
-  /** A lease file is held while its recorded expiry (epoch millis, the
-    * whole content) is in the future; a crashed holder's lease simply
-    * expires — the exclusion protocol can never wedge the store. A
-    * concurrent delete of the file reads as not-held.
+  /** Clock-skew allowance when judging ANOTHER party's lease expired.
+    * Lease expiries are wall-clock epochs written by OTHER hosts, so the
+    * exclusion protocol assumes roughly synchronized clocks (NTP-class);
+    * the margin is the safety buffer that assumption gets — a lease is
+    * treated as expired only `graft.store.clock.skew.ms` (default 60 s)
+    * PAST its recorded instant, so a host whose clock runs ahead within
+    * the margin can never vacuum files whose writer still holds them.
+    * SELF-checks (a writer judging its own marker before publishing) use
+    * the strict bound instead: same clock, and the conservative
+    * direction there is to abort, not to proceed.
+    */
+  private def skewMarginMillis: Long =
+    StoreFs.conf.getLong("graft.store.clock.skew.ms", 60000L)
+
+  /** The recorded expiry of a lease file (first `|`-separated field of
+    * the first line — vacuum leases carry a fencing token after the
+    * bar, writer markers are a bare expiry). None when missing or
+    * concurrently deleted (reads as not-held).
+    */
+  private def leaseExpiry(p: Path): Option[Long] =
+    if (!StoreFs.exists(p)) None
+    else try StoreFs.readLines(p).headOption
+      .map(_.trim.takeWhile(_ != '|').toLong)
+    catch { case _: Exception => None }
+
+  /** A lease file is held while its recorded expiry is in the future —
+    * judged with the clock-skew margin (this is always an assessment of
+    * ANOTHER party's lease). A crashed holder's lease simply expires —
+    * the exclusion protocol can never wedge the store.
     */
   private def leaseHeld(p: Path): Boolean =
-    StoreFs.exists(p) && (
-      try StoreFs.readLines(p).headOption
-        .exists(_.trim.toLong > System.currentTimeMillis())
-      catch { case _: Exception => false })
+    leaseExpiry(p).exists(_ + skewMarginMillis > System.currentTimeMillis())
+
+  /** Strict self-check of this process's OWN marker: live iff present
+    * with an unexpired recorded instant on the local clock (no skew
+    * margin — the writer wrote the expiry with this same clock).
+    */
+  private def selfMarkerLive(p: Path): Boolean =
+    leaseExpiry(p).exists(_ > System.currentTimeMillis())
 
   /** The applied-tag ledger is bounded: a foreachBatch replay only ever
     * asks about the LAST uncommitted logical batch, so carrying the
@@ -147,12 +186,26 @@ object ManifestStore {
       ts: Option[Long], hdrTags: Option[Seq[String]], files: Seq[String],
       op: Option[String])
 
-  private def parseManifest(lines: Seq[String]): Manifest = Manifest(
-    lines.find(_.startsWith(TsHeader)).map(_.stripPrefix(TsHeader).toLong),
-    lines.find(_.startsWith(TagsHeader))
-      .map(_.stripPrefix(TagsHeader).split(',').filter(_.nonEmpty).toSeq),
-    lines.filter(l => l.nonEmpty && !l.startsWith("#")),
-    lines.find(_.startsWith(OpHeader)).map(_.stripPrefix(OpHeader)))
+  private def parseManifest(lines: Seq[String]): Manifest = {
+    // PROTOCOL gate first: a `#fmt=` generation above ours means the
+    // file-list encoding itself changed — every field read below would
+    // be a misparse, so refuse typed before touching any of them.
+    // Headerless/legacy manifests and unknown EXTRA `#` headers are
+    // fine (same generation, skipped as comments).
+    lines.find(_.startsWith(FmtHeader))
+      .map(_.stripPrefix(FmtHeader).trim.toInt)
+      .filter(_ > CurrentFormat)
+      .foreach(gen => throw new UnsupportedFormatException(
+        s"manifest declares format generation $gen but this reader " +
+          s"understands <= $CurrentFormat — upgrade the reader before " +
+          "touching this store (refusing to misparse)"))
+    Manifest(
+      lines.find(_.startsWith(TsHeader)).map(_.stripPrefix(TsHeader).toLong),
+      lines.find(_.startsWith(TagsHeader))
+        .map(_.stripPrefix(TagsHeader).split(',').filter(_.nonEmpty).toSeq),
+      lines.filter(l => l.nonEmpty && !l.startsWith("#")),
+      lines.find(_.startsWith(OpHeader)).map(_.stripPrefix(OpHeader)))
+  }
 
   /** The ledger of a parsed manifest: the embedded header when
     * present; a NEW-format manifest without a tags line (any `#`
@@ -175,6 +228,14 @@ object ManifestStore {
   private val TsHeader = "#ts="
   private val TagsHeader = "#tags="
   private val OpHeader = "#op="
+  private val FmtHeader = "#fmt="
+
+  /** The manifest format generation this code writes AND the highest it
+    * reads. Bump ONLY when the file-list encoding changes shape (new
+    * `#` header lines don't — readers skip unknown headers); a reader
+    * meeting a higher generation throws [[UnsupportedFormatException]].
+    */
+  val CurrentFormat = 1
 
   /** Commit wall-time of a version (epoch millis) — recorded in the
     * manifest header at publish, STRICTLY increasing across versions
@@ -469,11 +530,13 @@ object ManifestStore {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       retainAgeMillis: Option[Long] = None,
-      baseVersion: Option[Long] = None):
+      baseVersion: Option[Long] = None,
+      writerLeaseTtlMillis: Long = DefaultWriterLeaseTtlMillis):
       Long =
     publish(rows, partCol, Some(touched), storeDir, retainVersions,
       statsCols, bloomCols = bloomCols, expectations = expectations,
-      retainAgeMillis = retainAgeMillis, baseVersion = baseVersion)
+      retainAgeMillis = retainAgeMillis, baseVersion = baseVersion,
+      writerLeaseTtlMillis = writerLeaseTtlMillis)
 
   /** COMMIT-TIME CHECK constraints (the Delta expectation analog):
     * every predicate must hold on every row of the batch, evaluated in
@@ -525,7 +588,8 @@ object ManifestStore {
       tag: Option[String] = None, maxRetries: Int = 8,
       bloomCols: Seq[String] = Nil,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      retainAgeMillis: Option[Long] = None):
+      retainAgeMillis: Option[Long] = None,
+      writerLeaseTtlMillis: Long = DefaultWriterLeaseTtlMillis):
       Long = {
     tag.foreach { t =>
       require(t.matches("[A-Za-z0-9_-]+"), s"unsafe append tag: $t")
@@ -545,7 +609,8 @@ object ManifestStore {
     publish(
       rows, partCol, None, storeDir, retainVersions, statsCols, tag,
       bloomCols = bloomCols, expectations = expectations,
-      retainAgeMillis = retainAgeMillis, maxRetries = maxRetries)
+      retainAgeMillis = retainAgeMillis, maxRetries = maxRetries,
+      writerLeaseTtlMillis = writerLeaseTtlMillis)
   }
 
   /** The partition dirs whose entry sets CHANGED between two retained
@@ -597,7 +662,7 @@ object ManifestStore {
       retainAgeMillis: Option[Long] = None,
       baseVersion: Option[Long] = None,
       maxRetries: Int = 8,
-      writerLeaseTtlMillis: Long = 30L * 60L * 1000L):
+      writerLeaseTtlMillis: Long = DefaultWriterLeaseTtlMillis):
       Long = {
     // an un-manifested store must fail fast: treating it as empty
     // would make the GC below delete every pre-existing data file
@@ -625,6 +690,28 @@ object ManifestStore {
         s"a vacuum holds the lease on $storeDir — retry this commit " +
           "after it finishes (leases expire)")
     }
+    // RENEW the marker for as long as the commit runs: a data write
+    // outliving a fixed TTL would let a concurrent vacuum read the
+    // marker as stale, reclaim it, and sweep this commit's moved-but-
+    // unmanifested files — the manifest CAS would then publish
+    // references to deleted files. A daemon heartbeat (every TTL/3)
+    // keeps the marker live however long the Spark write takes; if the
+    // heartbeat itself dies, the marker expires and the LIVENESS CHECK
+    // before the CAS (below) aborts the publish instead of risking a
+    // swept-file reference.
+    val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"manifest-writer-lease-$commitId")
+        t.setDaemon(true)
+        t
+      })
+    renewer.scheduleAtFixedRate(
+      () => try StoreFs.writeOverwrite(marker,
+          (System.currentTimeMillis() + writerLeaseTtlMillis).toString)
+        catch { case _: Exception => () }, // missed beat: the pre-CAS check decides
+      math.max(1L, writerLeaseTtlMillis / 3),
+      math.max(1L, writerLeaseTtlMillis / 3),
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     try {
     val added = (try {
       // `orderWithin` CLUSTERS each partition's rows before the write
@@ -699,7 +786,21 @@ object ManifestStore {
       touched.foreach { t =>
         if (prev != base) {
           val ourDirs = t.map(x => s"$partCol=$x").toSet
-          val conflict = changedPartitions(storeDir, base, prev) & ourDirs
+          // a RetentionException here means the BASE manifest aged out
+          // under a racing winner's GC (tight retention + churn) — the
+          // staged read is stale by definition, which is exactly the
+          // re-read-and-retry case: surface the retryable conflict so
+          // merge's maxEditRetries loop handles it, not a retention
+          // error it would rethrow
+          val conflict =
+            try changedPartitions(storeDir, base, prev) & ourDirs
+            catch {
+              case e: RetentionException =>
+                throw new ConcurrentCommitException(
+                  s"rewrite base v$base of $storeDir aged out under a " +
+                    "racing winner's retention GC — the staged rows are " +
+                    s"stale; re-read and retry the edit (${e.getMessage})")
+            }
           if (conflict.nonEmpty)
             throw new ConcurrentCommitException(
               s"rewrite conflict at $storeDir: version(s) ${base + 1}.." +
@@ -737,6 +838,17 @@ object ManifestStore {
         case (Some(_), ow) if ow.nonEmpty => "cluster"
         case (Some(_), _) => "commit"
       }
+      // LIVENESS CHECK at the publish instant (strict, own clock): an
+      // expired or vacuum-reclaimed marker means a concurrent sweep may
+      // already have treated this commit's moved-but-unmanifested files
+      // as orphans — publishing would reference deleted files. Abort
+      // typed; the caller re-stages (the staged data was consumed, the
+      // store is untouched).
+      if (!selfMarkerLive(marker))
+        throw new StoreBusyException(
+          s"writer marker for commit $commitId on $storeDir expired or " +
+            "was reclaimed before the manifest CAS — a concurrent vacuum " +
+            "may have swept this commit's files; re-run the commit")
       try {
         writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags, op)
         // CAS won — only this version's winner writes its sidecars
@@ -761,8 +873,21 @@ object ManifestStore {
       }
     }
     -1L // unreachable
-    } finally { StoreFs.delete(marker); () }
+    } finally {
+      renewer.shutdownNow()
+      StoreFs.delete(marker)
+      ()
+    }
   }
+
+  /** Default writer-marker lease: long enough for an edit-sized commit
+    * with headroom; the publish heartbeat renews it for however long
+    * the data write actually runs, so the TTL only matters for CRASHED
+    * writers (how long maintenance waits before reclaiming their
+    * marker). Long batches on slow stores can still raise it through
+    * commit/append's `writerLeaseTtlMillis`.
+    */
+  val DefaultWriterLeaseTtlMillis: Long = 30L * 60L * 1000L
 
   private def writeManifest(
       storeDir: String, v: Long, fileList: Seq[String],
@@ -772,7 +897,8 @@ object ManifestStore {
     // header lines (`#`-prefixed — no data file starts with '#') ride
     // in the same atomic CAS as the file list: commit time + ledger +
     // operation kind can never be torn from their version
-    val header = Seq(s"$TsHeader$ts", s"$OpHeader$op") ++
+    val header = Seq(s"$FmtHeader$CurrentFormat", s"$TsHeader$ts",
+      s"$OpHeader$op") ++
       (if (tags.nonEmpty) Seq(s"$TagsHeader${tags.mkString(",")}") else Nil)
     if (!StoreFs.writeAtomicNoReplace(
         target, (header ++ fileList).mkString("\n")))
@@ -857,7 +983,8 @@ object ManifestStore {
       partCol: String, keyCol: String,
       upserts: DataFrame, deleteKeys: Seq[Long] = Nil,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, maxEditRetries: Int = 0): Long = {
+      bloomCols: Seq[String] = Nil, maxEditRetries: Int = 0,
+      retainAgeMillis: Option[Long] = None): Long = {
     // TRANSACTION retry (the Delta MERGE conflict-retry shape, opt-in):
     // a rewrite conflict means this edit was derived from a stale read
     // of a partition a racer also rewrote — unlike the metadata-only
@@ -871,7 +998,8 @@ object ManifestStore {
     var attempt = 0
     while (true) {
       try return mergeOnce(spark, storeDir, schema, partCol, keyCol,
-        upserts, deleteKeys, retainVersions, statsCols, bloomCols)
+        upserts, deleteKeys, retainVersions, statsCols, bloomCols,
+        retainAgeMillis)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -886,7 +1014,8 @@ object ManifestStore {
       partCol: String, keyCol: String,
       upserts: DataFrame, deleteKeys: Seq[Long],
       retainVersions: Int, statsCols: Seq[String],
-      bloomCols: Seq[String]): Long = {
+      bloomCols: Seq[String],
+      retainAgeMillis: Option[Long]): Long = {
     import org.apache.spark.sql.functions.{col => c}
     val base = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
@@ -912,7 +1041,8 @@ object ManifestStore {
       .join(editedKeys, Seq(keyCol), "left_anti")
       .unionByName(upserts.select(schema.fieldNames.map(c): _*))
     commit(next, partCol, touched, storeDir, retainVersions,
-      statsCols, bloomCols, baseVersion = Some(base))
+      statsCols, bloomCols, baseVersion = Some(base),
+      retainAgeMillis = retainAgeMillis)
   }
 
   /** MAINTENANCE compaction for appended stores: rewrite every
@@ -932,7 +1062,8 @@ object ManifestStore {
       spark: SparkSession, storeDir: String, schema: StructType,
       partCol: String, maxFilesPerPartition: Int = 4,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Option[Long] = {
+      bloomCols: Seq[String] = Nil,
+      retainAgeMillis: Option[Long] = None): Option[Long] = {
     val v = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"$storeDir holds no manifest — nothing to compact"))
@@ -944,7 +1075,7 @@ object ManifestStore {
       partVals = Some(vals), version = Some(v))
     Some(commit(
       rows, partCol, vals, storeDir, retainVersions, statsCols, bloomCols,
-      baseVersion = Some(v)))
+      baseVersion = Some(v), retainAgeMillis = retainAgeMillis))
   }
 
   /** DELETE WHERE `colName BETWEEN lo AND hi` — the range-predicate
@@ -960,7 +1091,8 @@ object ManifestStore {
       spark: SparkSession, storeDir: String, schema: StructType,
       partCol: String, colName: String, lo: Long, hi: Long,
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      retainAgeMillis: Option[Long] = None): Long = {
     val v = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"$storeDir holds no manifest — nothing to delete from"))
@@ -976,7 +1108,8 @@ object ManifestStore {
       Some(touched), Some(v))
       .filter(col(colName).isNull || !col(colName).between(lo, hi))
     commit(kept, partCol, touched, storeDir, retainVersions,
-      statsCols, bloomCols, baseVersion = Some(v))
+      statsCols, bloomCols, baseVersion = Some(v),
+      retainAgeMillis = retainAgeMillis)
   }
 
   /** CHANGE-DATA-FEED between two retained versions (the Delta CDF
@@ -1035,7 +1168,8 @@ object ManifestStore {
       retainVersions: Int = 8, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       onlyPartitionsOver: Option[Int] = None,
-      curve: graft.operators.Layout.Curve = graft.operators.Layout.Z):
+      curve: graft.operators.Layout.Curve = graft.operators.Layout.Z,
+      retainAgeMillis: Option[Long] = None):
       Long = {
     import org.apache.spark.sql.functions.{lit => l, max => mx, min => mn}
     require(dims.nonEmpty, "compactClustered needs at least one dim")
@@ -1088,7 +1222,7 @@ object ManifestStore {
     publish(rows, partCol, Some(targets), storeDir, retainVersions,
       statsCols, bloomCols = bloomCols,
       orderWithin = Seq(z), maxRecordsPerFile = perFile,
-      baseVersion = Some(v))
+      baseVersion = Some(v), retainAgeMillis = retainAgeMillis)
   }
 
   /** One commit's metadata, as [[history]] reports it: version,
@@ -1106,13 +1240,19 @@ object ManifestStore {
     * reads before a [[restore]] or a `TIMESTAMP AS OF` pin.
     */
   def history(storeDir: String): Seq[CommitInfo] =
-    listVersions(storeDir).sorted.map { v =>
-      val m = readManifest(storeDir, v)
-      val st = stats(storeDir, v)
-      val counts = m.files.map(f => st.get(f).flatMap(_.get(RowsKey)).map(_._1))
-      CommitInfo(v, m.ts, tagsOf(m, storeDir, v), m.files.size,
-        if (counts.isEmpty || counts.exists(_.isEmpty)) None
-        else Some(counts.flatten.sum), m.op)
+    listVersions(storeDir).sorted.flatMap { v =>
+      // a version dropped by a concurrent commit's GC between the
+      // listing and this read simply leaves the log — HISTORY reports
+      // the RETAINED set as of read time and must not transiently
+      // error under write churn (r15 ADVICE)
+      try {
+        val m = readManifest(storeDir, v)
+        val st = stats(storeDir, v)
+        val counts = m.files.map(f => st.get(f).flatMap(_.get(RowsKey)).map(_._1))
+        Some(CommitInfo(v, m.ts, tagsOf(m, storeDir, v), m.files.size,
+          if (counts.isEmpty || counts.exists(_.isEmpty)) None
+          else Some(counts.flatten.sum), m.op))
+      } catch { case _: RetentionException => None }
     }
 
   /** RESTORE — roll the store back to a RETAINED version's content as
@@ -1130,7 +1270,8 @@ object ManifestStore {
   def restore(
       storeDir: String, partCol: String, version: Long,
       retainVersions: Int = 8,
-      writerLeaseTtlMillis: Long = 30L * 60L * 1000L): Long = {
+      retainAgeMillis: Option[Long] = None,
+      writerLeaseTtlMillis: Long = DefaultWriterLeaseTtlMillis): Long = {
     val src = readManifest(storeDir, version) // typed if aged out
     // same two-flag vacuum exclusion as any publish: the restored
     // manifest re-references files a concurrent sweep must keep
@@ -1158,7 +1299,7 @@ object ManifestStore {
       val srcStats = stats(storeDir, version)
       val carried = src.files.flatMap(f => srcStats.get(f).map(f -> _)).toMap
       if (carried.nonEmpty) writeStats(storeDir, v, carried)
-      gc(storeDir, partCol, v, retainVersions)
+      gc(storeDir, partCol, v, retainVersions, retainAgeMillis)
       v
     } finally { StoreFs.delete(marker); () }
   }
@@ -1193,14 +1334,34 @@ object ManifestStore {
     // The lease is a CAS (two vacuums cannot both hold it) and
     // expires, so a crashed vacuum never wedges the writer.
     val lock = vacuumLockPath(storeDir)
-    val expiry = (System.currentTimeMillis() + leaseTtlMillis).toString
-    var acquired = StoreFs.writeAtomicNoReplace(lock, expiry)
+    // the lease content carries a FENCING TOKEN after the expiry: any
+    // doubt about ownership is settled by re-reading the lock and
+    // comparing content — only the one breaker whose write survived
+    // proceeds to the destructive phase
+    val content = s"${System.currentTimeMillis() + leaseTtlMillis}|" +
+      java.util.UUID.randomUUID().toString
+    def lockIsOurs(): Boolean =
+      try StoreFs.readLines(lock).headOption.exists(_.trim == content)
+      catch { case _: Exception => false }
+    var acquired = StoreFs.writeAtomicNoReplace(lock, content)
     if (!acquired && !leaseHeld(lock)) {
-      // a crashed vacuum's expired lease: break and re-claim
-      StoreFs.delete(lock)
-      acquired = StoreFs.writeAtomicNoReplace(lock, expiry)
+      // BREAK a crashed vacuum's expired lease, FENCED: rename the
+      // expired lock to a unique tombstone first — rename is atomic on
+      // HDFS/local, so exactly ONE of several breakers wins (the
+      // source vanishes for the others) and only the winner CAS-claims
+      // the fresh lease. A blind delete-then-CAS lets breaker B's
+      // delete remove breaker A's JUST-WRITTEN fresh lease; both then
+      // "hold" it and a writer can slip into the gap while A sweeps
+      // (r15 ADVICE). A third party claiming in the rename→CAS window
+      // simply wins: this breaker's CAS then fails and it aborts typed.
+      val tomb = new Path(lock.getParent,
+        s".vacuum-lock.broken-${java.util.UUID.randomUUID().toString.take(12)}")
+      if (StoreFs.rename(lock, tomb)) {
+        StoreFs.delete(tomb)
+        acquired = StoreFs.writeAtomicNoReplace(lock, content)
+      }
     }
-    if (!acquired)
+    if (!acquired || !lockIsOurs())
       throw new StoreBusyException(
         s"another vacuum holds the lease on $storeDir")
     try {
@@ -1214,8 +1375,24 @@ object ManifestStore {
           s"writer(s) in flight on $storeDir (${live.size} unexpired " +
             "marker(s)) — their moved-but-unmanifested files must not " +
             "be reclaimed; retry after they publish")
+      // FENCE VERIFY at the edge of the destructive phase: the lease
+      // must still be OURS (token match) after the marker listing — a
+      // racing breaker that stomped this lease invalidates the listing
+      // (a writer may have planted its marker after the stomp, unseen
+      // by us); abort typed rather than sweep files it may hold
+      if (!lockIsOurs())
+        throw new StoreBusyException(
+          s"vacuum lease on $storeDir was broken by a racer mid-sweep — " +
+            "aborting before reclaiming anything")
+      // versions are RE-listed here, inside the lease and after the
+      // live-marker check: a commit that finished before the marker
+      // listing published its manifest first (publish precedes marker
+      // deletion), so the fresh listing sees its files; one still in
+      // flight held a live marker and aborted us above. The entry
+      // listing taken before the lease could miss a commit that landed
+      // whole in the gap — its new files would read as orphans.
       val referenced: Set[String] =
-        versions.iterator.flatMap(files(storeDir, _)).toSet
+        listVersions(storeDir).iterator.flatMap(files(storeDir, _)).toSet
       var deleted = 0
       // crashed commits can leave staging dirs behind their finally —
       // (hard kill mid-move); they are never referenced, sweep whole

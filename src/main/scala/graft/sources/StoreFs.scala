@@ -258,6 +258,16 @@ object StoreFs {
     finally out.close()
   }
 
+  /** Atomic rename used as a FENCE (lease breaking): returns false when
+    * the source vanished or the destination exists — on HDFS/local,
+    * rename is atomic, so exactly ONE of several racers renaming the
+    * same source succeeds. NOT a fence on object stores (copy+delete);
+    * callers there must verify ownership by content after claiming.
+    */
+  def rename(src: Path, dst: Path): Boolean =
+    try fs(src).rename(src, dst)
+    catch { case _: java.io.IOException => false }
+
   def delete(p: Path, recursive: Boolean = false): Boolean = {
     val f = fs(p)
     f.exists(p) && f.delete(p, recursive)

@@ -260,7 +260,9 @@ class ManifestStoreSpec extends SparkSpec {
     val mdir = s"$dir/_manifests"
     def path(rel: String) = new org.apache.hadoop.fs.Path(s"$dir/$rel")
     val future = (System.currentTimeMillis() + 600000L).toString
-    val past = (System.currentTimeMillis() - 1L).toString
+    // "expired" means BEYOND the clock-skew margin — another party's
+    // lease is honored for graft.store.clock.skew.ms past its expiry
+    val past = (System.currentTimeMillis() - 120000L).toString
     // an in-flight writer: live marker + a moved-but-unmanifested file
     StoreFs.writeOverwrite(path("_manifests/.w-inflight"), future)
     StoreFs.writeOverwrite(path("p=0/cinflight-part-9.parquet"), "x")
@@ -1170,6 +1172,172 @@ class ManifestStoreSpec extends SparkSpec {
       && !names.contains("s000000000001.json"),
       s"dropped versions must lose manifest AND sidecar — got $names")
     assert(names.exists(_.startsWith("s0000000000")), "retained sidecars stay")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("#fmt= protocol gate: a manifest from a FUTURE format generation " +
+    "refuses typed instead of misparsing; unknown extra # headers are " +
+    "forward-compatible (skipped)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)
+    // written manifests carry the current generation
+    val v0 = new java.io.File(dir, "_manifests/v000000000000.json")
+    val lines = java.nio.file.Files.readAllLines(v0.toPath)
+    assert(lines.get(0) == s"#fmt=${ManifestStore.CurrentFormat}")
+    // rewriting the manifest bytes in place invalidates the local FS's
+    // hidden checksum sibling — drop it (absence only disables the check)
+    def dropCrc(): Unit = {
+      new java.io.File(dir, "_manifests/.v000000000000.json.crc").delete()
+      ()
+    }
+    // an unknown EXTRA header from a same-generation future writer is
+    // skipped as a comment — never read as a data-file path
+    val withExtra = new java.util.ArrayList(lines)
+    withExtra.add(1, "#shiny-new-header=whatever")
+    java.nio.file.Files.write(v0.toPath, withExtra)
+    dropCrc()
+    assert(readAll(dir) == Set((1L, 10L, 0L)))
+    assert(!ManifestStore.files(dir, 0L).exists(_.startsWith("#")))
+    // a HIGHER generation refuses typed on every metadata read
+    val future = new java.util.ArrayList(lines)
+    future.set(0, s"#fmt=${ManifestStore.CurrentFormat + 1}")
+    java.nio.file.Files.write(v0.toPath, future)
+    dropCrc()
+    intercept[UnsupportedFormatException](ManifestStore.files(dir, 0L))
+    intercept[UnsupportedFormatException](ManifestStore.commitTs(dir, 0L))
+    intercept[UnsupportedFormatException](readAll(dir))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("restore applies AGE-based retention: its GC honors " +
+    "retainAgeMillis exactly like any commit's (r15 omission)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-restore-age").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)                 // v0
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir)      // v1
+    Thread.sleep(60)
+    // restore to v0 with a 50 ms age bound: v0/v1 are both older than
+    // the bound -> dropped even though retainVersions=8 keeps them by
+    // count; the restored v2 (latest) always survives, and it carries
+    // v0's CONTENT even as v0's manifest ages out (files re-referenced)
+    val v2 = ManifestStore.restore(dir, "p", 0L,
+      retainVersions = 8, retainAgeMillis = Some(50L))
+    assert(v2 == 2L)
+    intercept[RetentionException](readAll(dir, Some(0L)))
+    intercept[RetentionException](readAll(dir, Some(1L)))
+    assert(readAll(dir) == Set((1L, 10L, 0L)))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("writer-marker renewal: a commit whose data write outlives the " +
+    "marker TTL still publishes — the heartbeat keeps the marker live " +
+    "(a fixed TTL would let a concurrent vacuum reclaim in-flight files)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-renew").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)
+    // the batch takes ~1s to evaluate; the marker TTL is 250 ms, so
+    // WITHOUT renewal the pre-CAS liveness check would abort typed
+    val slow = spark.range(0, 4, 1, 1).map { i =>
+      Thread.sleep(250); i
+    }.toDF("k").withColumn("v", col("k") * 10L)
+      .withColumn("p", pmod(col("k"), lit(2L)))
+    val v = ManifestStore.commit(slow, "p", Seq(0L, 1L), dir,
+      writerLeaseTtlMillis = 250L)
+    assert(v == 1L)
+    assert(readAll(dir) == Set((0L, 0L, 0L), (1L, 10L, 1L),
+      (2L, 20L, 0L), (3L, 30L, 1L)))
+    // the marker is gone after publish (no leak to wedge maintenance)
+    assert(!new java.io.File(dir, "_manifests").listFiles()
+      .exists(_.getName.startsWith(".w-")))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("clock-skew margin: another party's lease reads as HELD until " +
+    "the margin past its expiry — a slightly-ahead clock cannot " +
+    "vacuum a writer's files or write under a vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_manifests/.vacuum-lock")
+    // expired 5 s ago — INSIDE the 60 s skew margin: still held
+    StoreFs.writeOverwrite(lock,
+      s"${System.currentTimeMillis() - 5000L}|sometoken")
+    intercept[StoreBusyException](
+      ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir))
+    // expired beyond the margin: treated as dead, the commit proceeds
+    StoreFs.writeOverwrite(lock,
+      s"${System.currentTimeMillis() - 120000L}|sometoken")
+    assert(ManifestStore.commit(
+      rows((1L, 11L, 0L)), "p", Seq(0L), dir) == 1L)
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("vacuum lease-break is FENCED: an expired lease is broken by " +
+    "exactly one racer (rename tombstone + token verify); a live " +
+    "lease never breaks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    val v0 = ManifestStore.init(
+      rows((1L, 10L, 0L), (2L, 20L, 1L)), "p", dir)
+    // plant an orphan (a crashed attempt's never-manifested file)
+    val orphan = new java.io.File(dir, "p=0/corphan-part-0.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(dir, ManifestStore.files(dir, v0).head).toPath,
+      orphan.toPath)
+    // a LIVE foreign lease: vacuum aborts typed, nothing swept
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_manifests/.vacuum-lock")
+    StoreFs.writeOverwrite(lock,
+      s"${System.currentTimeMillis() + 60000L}|foreign")
+    intercept[StoreBusyException](ManifestStore.vacuum(dir, "p"))
+    assert(orphan.exists())
+    // an EXPIRED foreign lease (beyond the skew margin): racers break
+    // it fenced — every thread either sweeps or aborts typed; the
+    // orphan is reclaimed, referenced files stay, the lock is released
+    StoreFs.writeOverwrite(lock,
+      s"${System.currentTimeMillis() - 120000L}|foreign")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try { ManifestStore.vacuum(dir, "p"); () }
+        catch {
+          case _: StoreBusyException => ()
+          case t: Throwable => errs.add(t); ()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failures: $errs")
+    assert(!orphan.exists(), "the orphan must be reclaimed")
+    assert(readAll(dir) == Set((1L, 10L, 0L), (2L, 20L, 1L)))
+    assert(!StoreFs.exists(lock), "the lease must be released")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("an aged-out rewrite BASE surfaces as the retryable conflict: " +
+    "the conflict check translates RetentionException into " +
+    "ConcurrentCommitException (merge's retry loop re-reads; a " +
+    "retention error would abort it)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-agedbase").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)
+    // churn v0 out of retention
+    (0 until 4).foreach { i =>
+      ManifestStore.commit(rows((1L, 20L + i, 0L)), "p", Seq(0L), dir,
+        retainVersions = 2)
+    }
+    assert(intercept[ConcurrentCommitException] {
+      ManifestStore.commit(rows((1L, 99L, 0L)), "p", Seq(0L), dir,
+        baseVersion = Some(0L))
+    }.getMessage.contains("aged out"))
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("HISTORY under churn: a version dropped between the listing and " +
+    "its read leaves the log silently — the retained set reports, " +
+    "never a transient error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-histchurn").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)
+    ManifestStore.commit(rows((1L, 11L, 0L)), "p", Seq(0L), dir)
+    ManifestStore.commit(rows((1L, 12L, 0L)), "p", Seq(0L), dir)
+    // simulate the race: v1's manifest vanishes after listing would
+    // have seen it (a concurrent commit's GC)
+    assert(new java.io.File(dir, "_manifests/v000000000001.json").delete())
+    val h = ManifestStore.history(dir)
+    assert(h.map(_.version) == Seq(0L, 2L))
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 }
