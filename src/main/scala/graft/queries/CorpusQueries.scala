@@ -223,6 +223,55 @@ object CorpusQueries {
         statsCols = Seq("event_id"))
       skipReadAggregate(s, store, maxId)
     }),
+    // the SAME consumer through the SQL SURFACE: the store becomes a
+    // NAMED table via spark.read.format("graft") and the aggregate is
+    // plain spark.sql — the ManifestFileIndex prunes the low-half
+    // files at the manifest (spec-asserted) and the scan keeps the
+    // native vectorized parquet path with pushed filters. Shares
+    // store_skip_read's raw-table oracle VERBATIM
+    "store_sql_read" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id"))
+      val lo = maxId - maxId * 2L / 5L
+      s.read.format("graft").option("path", store).load()
+        .createOrReplaceTempView("store_sql_read_events")
+      s.sql(
+        s"""SELECT ub, count(*) AS n_events, sum(event_id) AS sum_id
+           |FROM store_sql_read_events
+           |WHERE event_id BETWEEN $lo AND $maxId
+           |GROUP BY ub ORDER BY ub""".stripMargin)
+    }),
+    // TIME TRAVEL through the SQL surface: versionAsOf pins the read
+    // to the init-only snapshot (the low event_id half) however many
+    // appends landed since — the oracle replays the same bound off
+    // the raw table
+    "store_sql_travel" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-travel-store")
+      val v0 = graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id"))
+      s.read.format("graft").option("path", store)
+        .option("versionAsOf", v0.toString).load()
+        .createOrReplaceTempView("store_sql_travel_events")
+      s.sql(
+        """SELECT ub, count(*) AS n_events, sum(event_id) AS sum_id
+          |FROM store_sql_travel_events
+          |GROUP BY ub ORDER BY ub""".stripMargin)
+    }),
     // the SAME store built ONLINE — the full streaming lakehouse-
     // ingest lifecycle: 4 arrival-ordered micro-batches land as
     // EXACTLY-ONCE tagged appends (batch id = append tag, so a
@@ -1650,6 +1699,27 @@ object CorpusQueries {
         |  SELECT user_id % 8 AS ub, event_id
         |  FROM events, m
         |  WHERE event_id BETWEEN mx - (mx * 2) // 5 AND mx)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the SQL-surface read of the same store content -> shares
+    // store_skip_read's oracle verbatim
+    "store_sql_read" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id BETWEEN mx - (mx * 2) // 5 AND mx)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // versionAsOf pins the init-only snapshot: the low event_id half
+    "store_sql_travel" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id <= mx // 2)
         |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,

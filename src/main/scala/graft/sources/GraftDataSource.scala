@@ -1,0 +1,242 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** The SQL surface of [[ManifestStore]] — `spark.read.format("graft")`
+  * and `CREATE [TEMPORARY] VIEW/TABLE ... USING graft`, so a store is a
+  * NAMED table any SQL query (or BI tool on a thrift endpoint) can hit
+  * without touching the Scala API. Options:
+  *
+  *  - `path` (required): the store directory;
+  *  - `versionAsOf` (long): pin the snapshot to a retained version;
+  *  - `timestampAsOf` (epoch millis): pin via commit timestamps
+  *    ([[ManifestStore.versionAt]] — typed [[RetentionException]] when
+  *    the pinned snapshot aged out);
+  *  - `partCol`: the partition column name (inferred from the manifest
+  *    entries when absent);
+  *  - `mergeSchema` (bool): infer the unified schema across file eras
+  *    after [[ManifestStore]] schema evolution (default reads one
+  *    footer; callers can also supply `.schema(...)` explicitly).
+  *
+  * ARCHITECTURE: not a hand-rolled row reader. The relation is Spark's
+  * own [[HadoopFsRelation]] + [[ParquetFileFormat]] over a
+  * [[ManifestFileIndex]] — the Delta-lake production shape — so the
+  * scan keeps the FULL native path: vectorized parquet decode,
+  * whole-stage codegen, predicate pushdown into footers/pages
+  * (`PushedFilters` in explain), and column pruning. The manifest
+  * contributes exactly what a listing cannot: the snapshot's exact
+  * file set (atomic under a churning writer), partition pruning from
+  * the manifest's partition dirs, and ZONE-MAP file skipping from the
+  * stats sidecar — both applied at [[FileIndex.listFiles]] time, so
+  * pruned files never reach Spark's scan at all (a DSv2
+  * `PartitionReader` spelling would have abandoned the vectorized
+  * reader for a row-at-a-time reimplementation — strictly worse at
+  * 100 TB).
+  *
+  * Reference: the reference system exposed its state to EXTERNAL
+  * queries through a server tier (`runtime/QueryServer.java`); this
+  * gives the lakehouse store tier the same first-class query surface,
+  * Spark-first.
+  */
+final class GraftDataSource
+  extends RelationProvider with SchemaRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    relation(sqlContext.sparkSession, parameters, None)
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    relation(sqlContext.sparkSession, parameters, Option(schema))
+
+  private def relation(
+      spark: SparkSession, parameters: Map[String, String],
+      userSchema: Option[StructType]): BaseRelation = {
+    // option keys arrive case-preserved or case-insensitive depending
+    // on the entry point — normalize once
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val storeDir = opts.getOrElse("path", throw new IllegalArgumentException(
+      "the graft source needs a store directory: option(\"path\", ...)"))
+    val version = opts.get("versionasof").map(_.toLong)
+      .orElse(opts.get("timestampasof")
+        .map(ts => ManifestStore.versionAt(storeDir, ts.toLong)))
+      .getOrElse(ManifestStore.latestVersion(storeDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$storeDir holds no manifest — not a graft store")))
+    val rels = ManifestStore.files(storeDir, version)
+    val partCol = opts.get("partcol").orElse(
+      rels.headOption.map(_.takeWhile(_ != '='))).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir v$version is empty — pass option(\"partCol\", ...) " +
+          "so the schema is known"))
+    val partitionSchema = StructType(Seq(StructField(partCol, LongType)))
+    val dataSchema = userSchema match {
+      case Some(s) =>
+        StructType(s.fields.filterNot(_.name == partCol)) // partCol rides in dir names
+      case None =>
+        require(rels.nonEmpty,
+          s"$storeDir v$version is empty — supply .schema(...) to read it")
+        // footer-only inference: newest file by default (evolution adds
+        // columns to newer files); mergeSchema unifies all eras
+        val paths =
+          if (opts.get("mergeschema").exists(_.toBoolean))
+            rels.map(r => s"$storeDir/$r")
+          else Seq(s"$storeDir/${rels.last}")
+        spark.read
+          .option("mergeSchema", opts.getOrElse("mergeschema", "false"))
+          .parquet(paths: _*).schema
+    }
+    val index = new ManifestFileIndex(
+      storeDir, version, partCol, partitionSchema)
+    HadoopFsRelation(index, partitionSchema, dataSchema, None,
+      new ParquetFileFormat, parameters)(spark)
+  }
+}
+
+/** A [[FileIndex]] whose listing IS the manifest: the snapshot's exact
+  * file set (never a directory walk — atomic under a churning writer,
+  * O(manifest lines) instead of O(store listing) at plan time), with
+  *
+  *  - PARTITION PRUNING evaluated against the manifest's partition-dir
+  *    values (the catalyst partition filters run on the driver over
+  *    metadata — a pruned partition's files are never stat'ed), and
+  *  - ZONE-MAP FILE SKIPPING from the stats sidecar: range/point/IN
+  *    data filters on integral columns drop files whose recorded
+  *    bounds cannot intersect, BEFORE Spark plans a single task
+  *    (files or columns without bounds are always kept — skipping may
+  *    drop files, never rows; the exact predicate still runs in the
+  *    scan via the normal parquet pushdown).
+  */
+final class ManifestFileIndex(
+    storeDir: String, version: Long, partCol: String,
+    override val partitionSchema: StructType) extends FileIndex {
+
+  private val rels: Seq[String] = ManifestStore.files(storeDir, version)
+  private val zoneStats = ManifestStore.stats(storeDir, version)
+
+  /** One listing per partition dir (not per file): the snapshot's
+    * FileStatuses keyed by manifest entry. A manifest entry whose file
+    * vanished fails loudly — it means retention was misconfigured
+    * under a pinned reader, never something to silently drop.
+    */
+  private lazy val statusByRel: Map[String, FileStatus] = {
+    val byDir = rels.groupBy(_.takeWhile(_ != '/'))
+    byDir.iterator.flatMap { case (dirName, entries) =>
+      val listed = StoreFs.list(new Path(storeDir, dirName))
+        .map(s => s.getPath.getName -> s).toMap
+      entries.map { rel =>
+        val name = rel.drop(dirName.length + 1)
+        rel -> listed.getOrElse(name, throw new RetentionException(
+          s"manifest v$version of $storeDir references missing file " +
+            s"$rel — retention/vacuum misconfiguration"))
+      }
+    }.toMap
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(storeDir))
+
+  override def refresh(): Unit = () // a manifest version is immutable
+
+  override def inputFiles: Array[String] =
+    rels.map(r => new Path(storeDir, r).toString).toArray
+
+  override def sizeInBytes: Long = statusByRel.valuesIterator.map(_.getLen).sum
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = ZoneMapBounds.extract(dataFilters)
+    rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).flatMap {
+      case (dirName, entries) =>
+        val value = dirName.stripPrefix(s"$partCol=").toLong
+        // partition pruning: substitute the partition value for the
+        // attribute and fold — pure driver-side metadata, no binding
+        // machinery needed for a single long column
+        val keep = partitionFilters.forall { f =>
+          f.transform {
+            case a: AttributeReference if a.name == partCol =>
+              Literal(value, a.dataType)
+          }.eval(InternalRow.empty) == true
+        }
+        if (!keep) None
+        else {
+          val kept = entries.filter { rel =>
+            val st = zoneStats.getOrElse(rel, Map.empty)
+            bounds.forall { case (c, (lo, hi)) =>
+              st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+            }
+          }
+          if (kept.isEmpty) None
+          else Some(PartitionDirectory(
+            InternalRow(value), kept.map(statusByRel).toArray))
+        }
+    }
+  }
+}
+
+/** Conjunctive per-column [lo, hi] bounds harvested from catalyst data
+  * filters — the zone-map prunable shapes: comparisons and IN-lists of
+  * integral literals against a bare column. Anything else contributes
+  * no bound (the file is kept; the scan's own pushdown handles it).
+  */
+private[sources] object ZoneMapBounds {
+
+  private def longOf(l: Literal): Option[Long] = l.dataType match {
+    case LongType => Option(l.value).map(_.asInstanceOf[Long])
+    case IntegerType => Option(l.value).map(_.asInstanceOf[Int].toLong)
+    case _ => None
+  }
+
+  private def boundsOf(e: Expression): Seq[(String, (Long, Long))] = e match {
+    case And(l, r) => boundsOf(l) ++ boundsOf(r)
+    case EqualTo(a: Attribute, l: Literal) =>
+      longOf(l).map(v => a.name -> ((v, v))).toSeq
+    case EqualTo(l: Literal, a: Attribute) =>
+      longOf(l).map(v => a.name -> ((v, v))).toSeq
+    case GreaterThan(a: Attribute, l: Literal) =>
+      longOf(l).filter(_ < Long.MaxValue)
+        .map(v => a.name -> ((v + 1, Long.MaxValue))).toSeq
+    case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+      longOf(l).map(v => a.name -> ((v, Long.MaxValue))).toSeq
+    case LessThan(a: Attribute, l: Literal) =>
+      longOf(l).filter(_ > Long.MinValue)
+        .map(v => a.name -> ((Long.MinValue, v - 1))).toSeq
+    case LessThanOrEqual(a: Attribute, l: Literal) =>
+      longOf(l).map(v => a.name -> ((Long.MinValue, v))).toSeq
+    case LessThan(l: Literal, a: Attribute) =>
+      longOf(l).filter(_ < Long.MaxValue)
+        .map(v => a.name -> ((v + 1, Long.MaxValue))).toSeq
+    case LessThanOrEqual(l: Literal, a: Attribute) =>
+      longOf(l).map(v => a.name -> ((v, Long.MaxValue))).toSeq
+    case GreaterThan(l: Literal, a: Attribute) =>
+      longOf(l).filter(_ > Long.MinValue)
+        .map(v => a.name -> ((Long.MinValue, v - 1))).toSeq
+    case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+      longOf(l).map(v => a.name -> ((Long.MinValue, v))).toSeq
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+        case l: Literal => longOf(l).isDefined
+        case _ => false
+      } =>
+      val longs = vs.map { case l: Literal => longOf(l).get }
+      Seq(a.name -> ((longs.min, longs.max)))
+    case _ => Nil
+  }
+
+  /** column → intersected [lo, hi] across every conjunct that named it. */
+  def extract(filters: Seq[Expression]): Map[String, (Long, Long)] =
+    filters.flatMap(boundsOf)
+      .groupBy(_._1).map { case (c, bs) =>
+        c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
+      }
+}
