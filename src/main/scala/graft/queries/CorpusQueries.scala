@@ -529,6 +529,68 @@ object CorpusQueries {
       follower.tick() // ONE feed spanning the two missed versions
       follower.current.orderBy("ub")
     }),
+    // the change feed as an ORDINARY STREAMING SOURCE (the row-131
+    // follower re-expressed as one checkpointed query): the readStream
+    // seeds the keyed view from the v0 snapshot-as-inserts batch, a
+    // merge lands while the query runs, and the next micro-batch
+    // applies its edit-sized net diff through the same signed-delta
+    // fold. The drained view shares store_incr_view's fresh-aggregate
+    // oracle VERBATIM
+    "stream_cdf_view" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("cdf-view-store")
+      graft.sources.ManifestStore.init(ev, "ub", store,
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("val_milli",
+          org.apache.spark.sql.types.LongType)))
+      val ss = graft.streaming.StreamSessions.scoped(s, 4)
+      val ckpt = graft.LocalDir.runDir("cdf-view-ckpt")
+      val viewSchema = org.apache.spark.sql.types.StructType(Seq(
+        schema("ub"),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_milli",
+          org.apache.spark.sql.types.LongType)))
+      @volatile var view = ss.createDataFrame(
+        ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], viewSchema)
+      val q = ss.readStream.format("graft-cdf").schema(schema)
+        .option("path", store).option("partCol", "ub").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          view = graft.operators.Incremental.viewApplyChanges(
+              view, b.drop("_commit_version"),
+              Seq("ub"), "val_milli", "n_rows", "sum_milli")
+            .localCheckpoint(true)
+        })
+        .start()
+      q.processAllAvailable() // seed: the v0 snapshot as inserts
+      val upIds = (1 to 3).map(i => maxId / 5 * i)
+      val delIds = (1 to 2).map(i => maxId / 7 * i)
+        .filterNot(upIds.contains)
+      val inserts = {
+        import s.implicits._
+        (1 to 2).map(i =>
+            (maxId + i, (maxId + i) % 8, (maxId + i) * 3L + 111L))
+          .toDF("event_id", "ub", "val_milli")
+      }
+      val upserts = ev.filter(col("event_id").isin(upIds: _*))
+        .withColumn("val_milli", col("event_id") * 3L + 111L)
+        .unionByName(inserts)
+      graft.sources.ManifestStore.merge(s, store, schema, "ub",
+        "event_id", upserts, delIds, statsCols = Seq("event_id"),
+        bloomCols = Seq("event_id"))
+      q.processAllAvailable() // the edit-sized (v0, v1] net diff
+      q.stop()
+      view.orderBy("ub")
+    }),
     // DELETE WHERE a range predicate (retention sweeps, date-range
     // erasure): zone maps name the intersecting partitions, only
     // those rewrite from filtered content, the rest carry verbatim —
@@ -1818,6 +1880,8 @@ object CorpusQueries {
     // the incrementally-maintained view == the aggregate over the
     // edited table (the edit replay feeding a fresh GROUP BY)
     "store_incr_view" -> EditedViewOracle,
+    // the feed-subscribed streaming view lands on the same content
+    "stream_cdf_view" -> EditedViewOracle,
     // the LIVE follower lands on the same view — shares the oracle
     // VERBATIM (the follower invariant: view == fresh aggregate at
     // the version it last applied)
