@@ -81,6 +81,20 @@ object Layout {
     graft.functions.HilbertIndex2D(x.cast("bigint"), y.cast("bigint"), bits)
   }
 
+  /** d-DIMENSIONAL Hilbert index (Skilling transpose walk) — the
+    * any-dimension sibling of [[hilbertValue]], through the native
+    * codegen'd [[graft.functions.HilbertIndexN]] kernel. Two columns
+    * keep routing through the classic 2-D kernel (the curves are
+    * reflections of each other — both Hilbert, not bit-identical — and
+    * existing 2-D layouts must stay byte-stable).
+    */
+  def hilbertValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "hilbertValueN needs at least two dims")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits x ${cols.size} dims must fit a long")
+    graft.functions.HilbertIndexN(cols.map(_.cast("bigint")), bits)
+  }
+
   /** Cluster `df` for data skipping: range-partition into
     * `numPartitions` by the z-value of the quantized dimensions and
     * sort within each partition, so a parquet write of the result

@@ -1173,9 +1173,8 @@ object ManifestStore {
       Long = {
     import org.apache.spark.sql.functions.{lit => l, max => mx, min => mn}
     require(dims.nonEmpty, "compactClustered needs at least one dim")
-    require(curve == graft.operators.Layout.Z || dims.size == 2,
-      "HILBERT clustering is 2-D (the rotation state is defined on a " +
-        "plane); use Z for other dimension counts")
+    require(curve == graft.operators.Layout.Z || dims.size >= 2,
+      "HILBERT clustering needs at least two dims; use Z for one")
     val v = latestVersion(storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"$storeDir holds no manifest — nothing to cluster"))
@@ -1205,13 +1204,17 @@ object ManifestStore {
       if (hi > lo) graft.operators.Layout.quantize(col(d), lo, hi, bits)
       else l(0L)
     }
-    // Z interleaves any dimension count; HILBERT (2-D) walks
-    // 4-adjacent unit steps, so the equal-count file cuts below cover
-    // strictly contiguous boxes — tighter zone maps on both dims
+    // Z interleaves any dimension count; HILBERT walks 2d-adjacent
+    // unit steps, so the equal-count file cuts below cover strictly
+    // contiguous boxes — tighter zone maps on every clustered dim.
+    // d=2 keeps the classic kernel (existing layouts stay byte-
+    // stable); d>2 routes through the Skilling transpose walk
     val z = curve match {
-      case graft.operators.Layout.Hilbert =>
+      case graft.operators.Layout.Hilbert if dims.size == 2 =>
         graft.operators.Layout.hilbertValue(
           quantized(0), quantized(1), bits)
+      case graft.operators.Layout.Hilbert =>
+        graft.operators.Layout.hilbertValueN(quantized, bits)
       case graft.operators.Layout.Z =>
         graft.operators.Layout.zValue(quantized, bits)
     }

@@ -983,7 +983,7 @@ class ManifestStoreSpec extends SparkSpec {
 
   test("OPTIMIZE ZORDER with curve = HILBERT: strictly-contiguous " +
     "file boxes prune a 2-D slice grid at least as hard as Z on the " +
-    "same data, content stays identical, and >2 dims reject typed") {
+    "same data, content stays identical, and 1 dim rejects typed") {
     def batch(lo: Long, hi: Long) =
       (lo until hi).map(k => (k, (k * 37L) % 400L, k % 2)).toDF("k", "u", "p")
     val sch = StructType(Seq(StructField("k", LongType),
@@ -1023,11 +1023,60 @@ class ManifestStoreSpec extends SparkSpec {
       .filter(col("k") <= 99L && col("u").between(100L, 199L))
       .as[(Long, Long, Long)].collect().toSet ==
       expected.filter(r => r._1 <= 99L && r._2 >= 100L && r._2 <= 199L))
-    // the 2-D-only contract is typed, not silent
+    // hilbert needs at least two dims — typed, not silent
     intercept[IllegalArgumentException](
       ManifestStore.compactClustered(spark, hDir, sch, "p",
-        dims = Seq("k", "u", "p"), bits = 8,
+        dims = Seq("k"), bits = 8,
         curve = graft.operators.Layout.Hilbert))
+    graft.sources.FileIO.deleteScratch(new java.io.File(zDir))
+    graft.sources.FileIO.deleteScratch(new java.io.File(hDir))
+  }
+
+  test("HILBERT clustering in 3-D (the d-dim Skilling kernel): the " +
+    "4x4x4 slice grid prunes at least as hard as Z on identical " +
+    "data, and content stays identical") {
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, (k * 37L) % 400L, (k * 91L) % 400L, k % 2))
+        .toDF("k", "u", "w", "p")
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("u", LongType), StructField("w", LongType),
+      StructField("p", LongType)))
+    val expected = batch(0, 400).as[(Long, Long, Long, Long)].collect().toSet
+    def build(curve: graft.operators.Layout.Curve): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-curve3-$curve").toString
+      ManifestStore.init(batch(0, 100), "p", dir,
+        statsCols = Seq("k", "u", "w"))
+      (1 to 3).foreach(i =>
+        ManifestStore.append(batch(i * 100L, i * 100L + 100L), "p", dir,
+          statsCols = Seq("k", "u", "w")))
+      ManifestStore.compactClustered(spark, dir, sch, "p",
+        dims = Seq("k", "u", "w"), bits = 8, filesPerPartition = 8,
+        statsCols = Seq("k", "u", "w"), curve = curve)
+      dir
+    }
+    val zDir = build(graft.operators.Layout.Z)
+    val hDir = build(graft.operators.Layout.Hilbert)
+    assert(ManifestStore.read(spark, hDir, sch, "p")
+      .as[(Long, Long, Long, Long)].collect().toSet == expected)
+    def gridCost(dir: String): Int =
+      (for { i <- 0 until 4; j <- 0 until 4; l <- 0 until 4 } yield
+        ManifestStore.selectFiles(dir, "p", ranges = Seq(
+          ("k", i * 100L, i * 100L + 99L),
+          ("u", j * 100L, j * 100L + 99L),
+          ("w", l * 100L, l * 100L + 99L))).size).sum
+    val (zCost, hCost) = (gridCost(zDir), gridCost(hDir))
+    assert(hCost <= zCost,
+      s"3-D hilbert must prune the slice grid at least as hard as z: " +
+        s"hilbert=$hCost z=$zCost")
+    // a sliced read still answers exactly through the pruned files
+    assert(ManifestStore.read(spark, hDir, sch, "p",
+      ranges = Seq(("k", 0L, 99L), ("u", 100L, 199L), ("w", 200L, 299L)))
+      .filter(col("k") <= 99L && col("u").between(100L, 199L) &&
+        col("w").between(200L, 299L))
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      expected.filter(r => r._1 <= 99L && r._2 >= 100L && r._2 <= 199L &&
+        r._3 >= 200L && r._3 <= 299L))
     graft.sources.FileIO.deleteScratch(new java.io.File(zDir))
     graft.sources.FileIO.deleteScratch(new java.io.File(hDir))
   }
