@@ -1370,7 +1370,17 @@ object ManifestStore {
     try {
       val markers = StoreFs.list(new Path(storeDir, ManifestDir))
         .filter(_.getPath.getName.startsWith(".w-"))
-      val (live, stale) = markers.partition(m => leaseHeld(m.getPath))
+      // a marker is reclaimable litter only when its recorded lease is
+      // expired AND it hasn't been touched within the skew margin: a
+      // marker MID-CREATION (created empty, content streaming in) or
+      // mid-renewal parses as expired for a moment — deleting it would
+      // both break the exclusion for a perfectly live writer and race
+      // the local FS's create/chmod on the checksum sibling (the churn
+      // soak caught exactly this). Fresh modtime = treat as live.
+      val now = System.currentTimeMillis()
+      val (live, stale) = markers.partition(m =>
+        leaseHeld(m.getPath) ||
+          m.getModificationTime + skewMarginMillis > now)
       // a crashed writer's expired marker is litter — reclaim it
       stale.foreach { m => StoreFs.delete(m.getPath); () }
       if (live.nonEmpty)

@@ -298,10 +298,28 @@ class ManifestStoreSpec extends SparkSpec {
     // (the commit ignores the expired lock but leaves it; vacuum
     // re-claims over it)
     ManifestStore.vacuum(dir, "p")
-    // a crashed WRITER's expired marker is reclaimed by the sweep
+    // a crashed WRITER's expired marker is reclaimed by the sweep —
+    // but ONLY once it is also old by MODTIME: a fresh file whose
+    // content reads expired/empty is a marker mid-creation or
+    // mid-renewal (the churn soak caught vacuum racing the local FS's
+    // create on exactly that window) and must be treated as live
     StoreFs.writeOverwrite(path("_manifests/.w-crashed"), past)
+    intercept[StoreBusyException](ManifestStore.vacuum(dir, "p"))
+    assert(StoreFs.exists(path("_manifests/.w-crashed")),
+      "a content-expired but modtime-fresh marker must survive")
+    // an EMPTY marker (a writer between create and content write) is
+    // live the same way
+    StoreFs.writeOverwrite(path("_manifests/.w-creating"), "")
+    intercept[StoreBusyException](ManifestStore.vacuum(dir, "p"))
+    assert(StoreFs.exists(path("_manifests/.w-creating")))
+    // age both by modtime: now they are genuine crash litter
+    Seq(".w-crashed", ".w-creating").foreach { n =>
+      assert(new java.io.File(s"$dir/_manifests/$n")
+        .setLastModified(System.currentTimeMillis() - 120000L))
+    }
     ManifestStore.vacuum(dir, "p")
     assert(!StoreFs.exists(path("_manifests/.w-crashed")))
+    assert(!StoreFs.exists(path("_manifests/.w-creating")))
     // after everything, no lease litter and a normal commit works
     assert(!StoreFs.exists(path("_manifests/.vacuum-lock")))
     ManifestStore.commit(rows((2L, 21L, 1L)), "p", Seq(1L), dir)
