@@ -1300,14 +1300,18 @@ class ManifestStoreSpec extends SparkSpec {
     "(a fixed TTL would let a concurrent vacuum reclaim in-flight files)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-renew").toString
     ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)
-    // the batch takes ~1s to evaluate; the marker TTL is 250 ms, so
-    // WITHOUT renewal the pre-CAS liveness check would abort typed
+    // the batch takes ~4 s to evaluate against a 1.5 s marker TTL, so
+    // WITHOUT renewal the pre-CAS liveness check would abort typed.
+    // (TTL is deliberately several heartbeats wide: a too-tight TTL
+    // makes the test assert the suite host's scheduling latency, not
+    // the renewal mechanism — it flaked at 250 ms under full-suite
+    // load.)
     val slow = spark.range(0, 4, 1, 1).map { i =>
-      Thread.sleep(250); i
+      Thread.sleep(1000); i
     }.toDF("k").withColumn("v", col("k") * 10L)
       .withColumn("p", pmod(col("k"), lit(2L)))
     val v = ManifestStore.commit(slow, "p", Seq(0L, 1L), dir,
-      writerLeaseTtlMillis = 250L)
+      writerLeaseTtlMillis = 1500L)
     assert(v == 1L)
     assert(readAll(dir) == Set((0L, 0L, 0L), (1L, 10L, 1L),
       (2L, 20L, 0L), (3L, 30L, 1L)))
