@@ -529,6 +529,34 @@ object CorpusQueries {
       follower.tick() // ONE feed spanning the two missed versions
       follower.current.orderBy("ub")
     }),
+    // BLOOM point-location through the SQL SURFACE: the hashed key u
+    // spans the whole domain in every file (zone maps cannot prune),
+    // so the IN-list probe rides the parquet bloom filters at PLAN
+    // time (option bloomProbe) and the scan opens only the located
+    // files — store_point_read's five-key lookup re-spelled as one
+    // spark.sql statement, sharing its oracle VERBATIM
+    "store_sql_point" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("u", (col("event_id") * 7919L) % 100003L)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-bloom-store")
+      graft.sources.ManifestStore.init(
+        ev.filter(col("event_id") <= split), "ub", store,
+        statsCols = Seq("event_id", "u"), bloomCols = Seq("u"))
+      graft.sources.ManifestStore.append(
+        ev.filter(col("event_id") > split), "ub", store,
+        statsCols = Seq("event_id", "u"), bloomCols = Seq("u"))
+      val keys = (1 to 5).map(i => (maxId / 6 * i * 7919L) % 100003L)
+      s.read.format("graft").option("path", store)
+        .option("bloomProbe", "true").load()
+        .createOrReplaceTempView("store_sql_point_events")
+      s.sql(
+        s"""SELECT DISTINCT event_id, ub, u
+           |FROM store_sql_point_events
+           |WHERE u IN (${keys.mkString(", ")})
+           |ORDER BY event_id""".stripMargin)
+    }),
     // the change feed as an ORDINARY STREAMING SOURCE (the row-131
     // follower re-expressed as one checkpointed query): the readStream
     // seeds the keyed view from the v0 snapshot-as-inserts batch, a
@@ -1945,6 +1973,17 @@ object CorpusQueries {
     // the bloom-located point reads == the same hashed-key IN-list off
     // the raw table (location may open extra files, never skip a hit)
     "store_point_read" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |t(i) AS (VALUES (1),(2),(3),(4),(5)),
+        |keys AS (
+        |  SELECT (mx // 6 * i * 7919) % 100003 AS u FROM m, t)
+        |SELECT DISTINCT e.event_id, e.user_id % 8 AS ub,
+        |  (e.event_id * 7919) % 100003 AS u
+        |FROM events e
+        |WHERE (e.event_id * 7919) % 100003 IN (SELECT u FROM keys)
+        |ORDER BY e.event_id""".stripMargin,
+    // the SQL-surface bloom probe answers the same IN-list
+    "store_sql_point" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |t(i) AS (VALUES (1),(2),(3),(4),(5)),
         |keys AS (

@@ -23,7 +23,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *    entries when absent);
   *  - `mergeSchema` (bool): infer the unified schema across file eras
   *    after [[ManifestStore]] schema evolution (default reads one
-  *    footer; callers can also supply `.schema(...)` explicitly).
+  *    footer; callers can also supply `.schema(...)` explicitly);
+  *  - `bloomProbe` (bool): equality/IN predicates additionally probe
+  *    the parquet bloom filters at plan time, for the point-lookup
+  *    path on hashed/non-clustered keys (see
+  *    [[ManifestFileIndex.bloomLocated]]).
   *
   * ARCHITECTURE: not a hand-rolled row reader. The relation is Spark's
   * own [[HadoopFsRelation]] + [[ParquetFileFormat]] over a
@@ -98,7 +102,8 @@ final class GraftDataSource
           .parquet(paths: _*).schema
     }
     val index = new ManifestFileIndex(
-      storeDir, version, partCol, partitionSchema)
+      storeDir, version, partCol, partitionSchema,
+      bloomProbe = opts.get("bloomprobe").exists(_.toBoolean))
     HadoopFsRelation(index, partitionSchema, dataSchema, None,
       new ParquetFileFormat, parameters)(spark)
   }
@@ -120,7 +125,8 @@ final class GraftDataSource
   */
 final class ManifestFileIndex(
     storeDir: String, version: Long, partCol: String,
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    bloomProbe: Boolean = false) extends FileIndex {
 
   private val rels: Seq[String] = ManifestStore.files(storeDir, version)
   private val zoneStats = ManifestStore.stats(storeDir, version)
@@ -153,10 +159,30 @@ final class ManifestFileIndex(
 
   override def sizeInBytes: Long = statusByRel.valuesIterator.map(_.getLen).sum
 
+  /** With `option("bloomProbe", true)`: equality/IN data filters probe
+    * the parquet BLOOM FILTERS of their zone-map survivors
+    * ([[ManifestStore.locateAll]] — footer-sized metadata reads at
+    * plan time), so a point lookup on a hashed/non-clustered key opens
+    * only the files that might hold it. OPT-IN because the probe cost
+    * is O(candidate files) driver-side footer opens — right for the
+    * point-lookup path, wrong as a default for full scans. Files
+    * without a bloom are kept (best-effort-exclusionary, never wrong).
+    */
+  private def bloomLocated(dataFilters: Seq[Expression]): Option[Set[String]] = {
+    if (!bloomProbe) return None
+    val eqs = ZoneMapBounds.equalityKeys(dataFilters)
+    if (eqs.isEmpty) None
+    else Some(eqs.map { case (c, keys) =>
+      ManifestStore.locateAll(storeDir, partCol, c, keys,
+        version = Some(version)).values.flatten.toSet
+    }.reduce(_ intersect _))
+  }
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = ZoneMapBounds.extract(dataFilters)
+    val located = bloomLocated(dataFilters)
     rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).flatMap {
       case (dirName, entries) =>
         val value = dirName.stripPrefix(s"$partCol=").toLong
@@ -175,7 +201,7 @@ final class ManifestFileIndex(
             val st = zoneStats.getOrElse(rel, Map.empty)
             bounds.forall { case (c, (lo, hi)) =>
               st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-            }
+            } && located.forall(_.contains(rel))
           }
           if (kept.isEmpty) None
           else Some(PartitionDirectory(
@@ -239,4 +265,27 @@ private[sources] object ZoneMapBounds {
       .groupBy(_._1).map { case (c, bs) =>
         c -> ((bs.map(_._2._1).max, bs.map(_._2._2).min))
       }
+
+  private def keysOf(e: Expression): Seq[(String, Seq[Long])] = e match {
+    case And(l, r) => keysOf(l) ++ keysOf(r)
+    case EqualTo(a: Attribute, l: Literal) =>
+      longOf(l).map(v => a.name -> Seq(v)).toSeq
+    case EqualTo(l: Literal, a: Attribute) =>
+      longOf(l).map(v => a.name -> Seq(v)).toSeq
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+        case l: Literal => longOf(l).isDefined
+        case _ => false
+      } =>
+      Seq(a.name -> vs.map { case l: Literal => longOf(l).get })
+    case _ => Nil
+  }
+
+  /** column → the exact integral keys a conjunctive equality/IN filter
+    * pins it to (the bloom-probeable shapes). A column named by TWO
+    * conjuncts keeps the intersection.
+    */
+  def equalityKeys(filters: Seq[Expression]): Map[String, Seq[Long]] =
+    filters.flatMap(keysOf).groupBy(_._1).map { case (c, ks) =>
+      c -> ks.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+    }.filter(_._2.nonEmpty)
 }

@@ -103,6 +103,34 @@ class GraftDataSourceSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("bloomProbe: an equality lookup on a HASHED key (zone maps " +
+    "useless — every file spans the domain) opens only the " +
+    "bloom-located files; rows identical with and without the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsvb").toString
+    val ev = spark.range(0, 400).select(
+      col("id").as("event_id"),
+      pmod(col("id") * 7L, lit(4L)).as("p"),
+      (col("id") * 7919L % 101L).as("u"))
+    ManifestStore.init(ev.filter(col("event_id") < 200), "p", dir,
+      statsCols = Seq("event_id", "u"), bloomCols = Seq("u"))
+    ManifestStore.append(ev.filter(col("event_id") >= 200), "p", dir,
+      statsCols = Seq("event_id", "u"), bloomCols = Seq("u"))
+    val total = ManifestStore.files(dir,
+      ManifestStore.latestVersion(dir).get).size
+    def read(probe: Boolean) = spark.read.format("graft")
+      .option("path", dir).option("bloomProbe", probe.toString).load()
+      .filter(col("u") === 55L)
+    // fresh DataFrame per measurement: re-executing one plan RESETS
+    // its SQLMetrics without re-setting numFiles (inputRDD is cached)
+    assert(read(true).collect().map(_.getLong(0)).sorted.sameElements(
+      read(false).collect().map(_.getLong(0)).sorted))
+    assert(filesScanned(read(false)) == total,
+      "zone maps cannot prune a hashed key — every file spans the domain")
+    assert(filesScanned(read(true)) < total,
+      s"the bloom probe must drop files ($total scanned)")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("USING graft: the store is a NAMED table for plain spark.sql — " +
     "views, aggregates, joins, user-supplied schema all through SQL") {
     val (dir, _) = buildStore()
