@@ -177,14 +177,25 @@ object ManifestStore {
     else StoreFs.readLines(legacy).filter(_.nonEmpty)
   }
 
-  /** One manifest, parsed once: header timestamp + embedded ledger +
+  /** One manifest, parsed once: header timestamp + embedded ledgers +
     * data-file entries. Publish's hot path reads the previous manifest
     * through this (ONE metadata GET instead of one per field — at
     * object-store latency the re-reads, not the parse, were the cost).
     */
   private final case class Manifest(
       ts: Option[Long], hdrTags: Option[Seq[String]], files: Seq[String],
-      op: Option[String])
+      op: Option[String], tsIdx: Option[Seq[(Long, Long)]] = None)
+
+  /** The version→timestamp ledger (`#tsidx=` header) keeps this many
+    * newest entries — the bounded LOG-CHECKPOINT analog: `TIMESTAMP AS
+    * OF` resolution reads ONE manifest (the latest carries every
+    * retained version's commit time) instead of one GET per retained
+    * version, which at long retention and object-store latency is the
+    * difference between O(1) and a scan of the commit log. Covers any
+    * retention window up to the keep count; older/legacy versions fall
+    * back to their own manifest's `#ts=` — never guessed.
+    */
+  private val TsIdxKeep = 1024
 
   private def parseManifest(lines: Seq[String]): Manifest = {
     // PROTOCOL gate first: a `#fmt=` generation above ours means the
@@ -204,7 +215,13 @@ object ManifestStore {
       lines.find(_.startsWith(TagsHeader))
         .map(_.stripPrefix(TagsHeader).split(',').filter(_.nonEmpty).toSeq),
       lines.filter(l => l.nonEmpty && !l.startsWith("#")),
-      lines.find(_.startsWith(OpHeader)).map(_.stripPrefix(OpHeader)))
+      lines.find(_.startsWith(OpHeader)).map(_.stripPrefix(OpHeader)),
+      lines.find(_.startsWith(TsIdxHeader))
+        .map(_.stripPrefix(TsIdxHeader).split(',').filter(_.nonEmpty).toSeq
+          .map { pair =>
+            val Array(v, t) = pair.split(':')
+            (v.toLong, t.toLong)
+          }))
   }
 
   /** The ledger of a parsed manifest: the embedded header when
@@ -229,6 +246,7 @@ object ManifestStore {
   private val TagsHeader = "#tags="
   private val OpHeader = "#op="
   private val FmtHeader = "#fmt="
+  private val TsIdxHeader = "#tsidx="
 
   /** The manifest format generation this code writes AND the highest it
     * reads. Bump ONLY when the file-list encoding changes shape (new
@@ -274,7 +292,19 @@ object ManifestStore {
   def versionAt(storeDir: String, asOfTs: Long): Long = {
     val vs = listVersions(storeDir)
     require(vs.nonEmpty, s"$storeDir holds no manifest")
-    val eligible = vs.filter(v => commitTs(storeDir, v).exists(_ <= asOfTs))
+    // O(1) resolution: the LATEST manifest's `#tsidx=` ledger carries
+    // every recent version's commit time — one GET + the listing
+    // instead of a GET per retained version (the log-checkpoint idea;
+    // at long retention and object-store latency the per-version scan
+    // was the cost of every AS OF pin). Versions outside the ledger
+    // (legacy, or beyond the keep window) fall back to their own
+    // manifest's header — never guessed.
+    val idx: Map[Long, Long] =
+      try readManifest(storeDir, vs.max).tsIdx
+        .map(_.toMap).getOrElse(Map.empty)
+      catch { case _: RetentionException => Map.empty }
+    val eligible = vs.filter(v =>
+      idx.get(v).orElse(commitTs(storeDir, v)).exists(_ <= asOfTs))
     if (eligible.isEmpty)
       throw new RetentionException(
         s"no retained version of $storeDir at or before ts=$asOfTs " +
@@ -488,8 +518,9 @@ object ManifestStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath.getName).sorted
     val fileList = parts.flatMap(listDataFiles(storeDir, _))
+    val ts = System.currentTimeMillis()
     writeManifest(storeDir, 0L, fileList,
-      ts = System.currentTimeMillis(), tags = Nil, op = "init")
+      ts, tags = Nil, op = "init", tsIdx = Seq(0L -> ts))
     if (statsCols.nonEmpty)
       writeStats(storeDir, 0L, harvestStats(storeDir, fileList, statsCols))
     0L
@@ -849,8 +880,14 @@ object ManifestStore {
           s"writer marker for commit $commitId on $storeDir expired or " +
             "was reclaimed before the manifest CAS — a concurrent vacuum " +
             "may have swept this commit's files; re-run the commit")
+      // version→ts ledger carried forward + this commit appended (a
+      // legacy predecessor without the ledger seeds from its own ts)
+      val newTsIdx = (prevM.tsIdx.getOrElse(
+        prevM.ts.map(t => Seq(prev -> t)).getOrElse(Nil)) :+ (v -> ts))
+        .takeRight(TsIdxKeep)
       try {
-        writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags, op)
+        writeManifest(storeDir, v, (carry ++ added).sorted, ts, newTags, op,
+          tsIdx = newTsIdx)
         // CAS won — only this version's winner writes its sidecars
         if (statsCols.nonEmpty) {
           // carried files keep their previous bounds (the files are
@@ -891,15 +928,20 @@ object ManifestStore {
 
   private def writeManifest(
       storeDir: String, v: Long, fileList: Seq[String],
-      ts: Long, tags: Seq[String], op: String): Unit = {
+      ts: Long, tags: Seq[String], op: String,
+      tsIdx: Seq[(Long, Long)] = Nil): Unit = {
     StoreFs.mkdirs(new Path(storeDir, ManifestDir))
     val target = manifestPath(storeDir, v)
     // header lines (`#`-prefixed — no data file starts with '#') ride
-    // in the same atomic CAS as the file list: commit time + ledger +
+    // in the same atomic CAS as the file list: commit time + ledgers +
     // operation kind can never be torn from their version
     val header = Seq(s"$FmtHeader$CurrentFormat", s"$TsHeader$ts",
       s"$OpHeader$op") ++
-      (if (tags.nonEmpty) Seq(s"$TagsHeader${tags.mkString(",")}") else Nil)
+      (if (tags.nonEmpty) Seq(s"$TagsHeader${tags.mkString(",")}") else Nil) ++
+      (if (tsIdx.nonEmpty)
+        Seq(s"$TsIdxHeader${tsIdx.map { case (iv, it) => s"$iv:$it" }
+          .mkString(",")}")
+      else Nil)
     if (!StoreFs.writeAtomicNoReplace(
         target, (header ++ fileList).mkString("\n")))
       throw new ConcurrentCommitException(
@@ -1295,8 +1337,11 @@ object ManifestStore {
       val prevM = readManifest(storeDir, prev)
       val prevTags = tagsOf(prevM, storeDir, prev)
       val ts = math.max(System.currentTimeMillis(), prevM.ts.getOrElse(0L) + 1L)
+      val newTsIdx = (prevM.tsIdx.getOrElse(
+        prevM.ts.map(t => Seq(prev -> t)).getOrElse(Nil)) :+ (v -> ts))
+        .takeRight(TsIdxKeep)
       writeManifest(storeDir, v, src.files.sorted, ts, prevTags,
-        op = s"restore:v$version")
+        op = s"restore:v$version", tsIdx = newTsIdx)
       // the restored files' bounds are already in the source version's
       // sidecar — carry them verbatim (immutable files, no re-harvest)
       val srcStats = stats(storeDir, version)

@@ -56,11 +56,18 @@ object StoreFs {
     if (f.exists(dir)) f.listStatus(dir).toSeq else Seq.empty
   }
 
+  /** Metadata GETs served since JVM start — the observable the O(1)
+    * resolution specs pin (an "AS OF reads one manifest" claim is a
+    * counting claim; asserting it beats trusting it).
+    */
+  val metadataReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** All lines of a (small, metadata-sized) file, stream closed on
     * every path — commit logs and manifests are parsed on hot loops,
     * where a leaked InputStream per tick accumulates descriptors.
     */
   def readLines(p: Path): Seq[String] = {
+    metadataReads.incrementAndGet()
     val in = new BufferedReader(
       new InputStreamReader(fs(p).open(p), StandardCharsets.UTF_8))
     try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector

@@ -1397,6 +1397,39 @@ class ManifestStoreSpec extends SparkSpec {
     graft.sources.FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("TIMESTAMP AS OF resolves in O(1) metadata reads: the latest " +
+    "manifest's #tsidx ledger carries every recent version's commit " +
+    "time — one GET + the listing, not a GET per retained version; " +
+    "a ledger-less legacy head falls back to per-version reads with " +
+    "identical answers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsidx").toString
+    ManifestStore.init(rows((1L, 10L, 0L)), "p", dir)                 // v0
+    (1 to 5).foreach(i =>
+      ManifestStore.commit(rows((1L, 10L + i, 0L)), "p", Seq(0L), dir))
+    val pin = ManifestStore.commitTs(dir, 3L).get
+    val before = StoreFs.metadataReads.get()
+    assert(ManifestStore.versionAt(dir, pin) == 3L)
+    val reads = StoreFs.metadataReads.get() - before
+    assert(reads <= 2L,
+      s"AS OF must resolve from the latest manifest's ledger alone, " +
+        s"paid $reads metadata reads over 6 retained versions")
+    // strip the ledger from the head (a legacy writer's manifest):
+    // resolution falls back to one read per retained version — same
+    // answer, never a guess
+    val head = new java.io.File(dir, "_manifests/v000000000005.json")
+    val lines = java.nio.file.Files.readAllLines(head.toPath)
+    java.nio.file.Files.write(head.toPath,
+      new java.util.ArrayList(
+        java.util.List.copyOf(lines.stream
+          .filter((l: String) => !l.startsWith("#tsidx=")).toList)))
+    new java.io.File(dir, "_manifests/.v000000000005.json.crc").delete()
+    val before2 = StoreFs.metadataReads.get()
+    assert(ManifestStore.versionAt(dir, pin) == 3L)
+    assert(StoreFs.metadataReads.get() - before2 > 2L,
+      "the fallback really is per-version (proves the ledger was load-bearing)")
+    graft.sources.FileIO.deleteScratch(new java.io.File(dir))
+  }
+
   test("HISTORY under churn: a version dropped between the listing and " +
     "its read leaves the log silently — the retained set reports, " +
     "never a transient error") {
