@@ -31,6 +31,7 @@ object Bench {
     val probeSec = sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_S", "180").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

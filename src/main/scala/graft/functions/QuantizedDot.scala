@@ -508,6 +508,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.pqCellsDescriptor)
     ext.injectFunction(GraftFunctions.hilbert2dDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRewrite)
+    // SQL DML on the manifest store: INSERT INTO / INSERT OVERWRITE a
+    // `USING graft` view become manifest commits instead of the raw
+    // parquet write DataSourceAnalysis would plan (which would bypass
+    // the manifest — see GraftInsertRule)
+    ext.injectPostHocResolutionRule(s => graft.plans.GraftInsertRule(s))
   }
 }
 

@@ -272,6 +272,48 @@ object CorpusQueries {
           |FROM store_sql_travel_events
           |GROUP BY ub ORDER BY ub""".stripMargin)
     }),
+    // the SAME store built through the WRITE surface: both halves
+    // land via df.write.format("graft") — overwrite-create then a
+    // mode("append") with partCol INFERRED from the manifest — and
+    // the skip-read consumer answers over the published zone maps.
+    // Shares store_skip_read's raw-table oracle VERBATIM
+    "store_sql_write" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-write-store")
+      ev.filter(col("event_id") <= split).write.format("graft")
+        .option("partCol", "ub").option("statsCols", "event_id")
+        .mode("overwrite").save(store)
+      ev.filter(col("event_id") > split).write.format("graft")
+        .option("statsCols", "event_id")
+        .mode("append").save(store)
+      skipReadAggregate(s, store, maxId)
+    }),
+    // SQL DML: the high half arrives via INSERT INTO a USING-graft
+    // view — GraftInsertRule turns the insert into a manifest append
+    // (never a raw file dump). Shares store_skip_read's oracle
+    // VERBATIM
+    "store_sql_insert" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-insert-store")
+      ev.filter(col("event_id") <= split).write.format("graft")
+        .option("partCol", "ub").option("statsCols", "event_id")
+        .mode("overwrite").save(store)
+      ev.filter(col("event_id") > split)
+        .createOrReplaceTempView("store_sql_insert_src")
+      s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW store_sql_insert_store " +
+          s"USING graft OPTIONS (path '$store', partCol 'ub', " +
+          "statsCols 'event_id')")
+      // the view's schema orders the partition column LAST
+      s.sql(
+        "INSERT INTO store_sql_insert_store " +
+          "SELECT event_id, user_id, ub FROM store_sql_insert_src")
+      skipReadAggregate(s, store, maxId)
+    }),
     // the SAME store built ONLINE — the full streaming lakehouse-
     // ingest lifecycle: 4 arrival-ordered micro-batches land as
     // EXACTLY-ONCE tagged appends (batch id = append tag, so a
@@ -286,6 +328,21 @@ object CorpusQueries {
       val scratch = graft.LocalDir.runDir("append-ingest")
       val store = new java.io.File(scratch, "store").toString
       graft.streaming.StreamingIngest.appendStoreFromFiles(
+        s, ev, orderCol = "event_id", partCol = "ub", nBatches = 4,
+        scratch, store, statsCols = Seq("event_id"),
+        compactEvery = 2, maxFilesPerPartition = 2)
+      skipReadAggregate(s, store, maxId)
+    }),
+    // the same online drain through the NAMED SINK: writeStream
+    // .format("graft") — each micro-batch one exactly-once tagged
+    // append (batch id = ledger tag), compaction on a cadence, no
+    // foreachBatch anywhere. Shares store_skip_read's oracle VERBATIM
+    "stream_sink_store" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val scratch = graft.LocalDir.runDir("sink-ingest")
+      val store = new java.io.File(scratch, "store").toString
+      graft.streaming.StreamingIngest.sinkStoreFromFiles(
         s, ev, orderCol = "event_id", partCol = "ub", nBatches = 4,
         scratch, store, statsCols = Seq("event_id"),
         compactEvery = 2, maxFilesPerPartition = 2)
@@ -1810,6 +1867,39 @@ object CorpusQueries {
         |  SELECT user_id % 8 AS ub, event_id
         |  FROM events, m
         |  WHERE event_id <= mx // 2)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the write surface (df.write.format) publishes the same store
+    // content -> shares store_skip_read's oracle verbatim
+    "store_sql_write" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id BETWEEN mx - (mx * 2) // 5 AND mx)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // INSERT INTO a USING-graft view appends the same content ->
+    // same oracle
+    "store_sql_insert" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id BETWEEN mx - (mx * 2) // 5 AND mx)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the named streaming sink drains to the same store content ->
+    // same oracle
+    "stream_sink_store" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id BETWEEN mx - (mx * 2) // 5 AND mx)
         |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,

@@ -1,12 +1,14 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** The SQL surface of [[ManifestStore]] — `spark.read.format("graft")`
@@ -50,7 +52,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * Spark-first.
   */
 final class GraftDataSource
-  extends RelationProvider with SchemaRelationProvider with DataSourceRegister {
+  extends RelationProvider with SchemaRelationProvider
+  with CreatableRelationProvider with StreamSinkProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -63,6 +67,54 @@ final class GraftDataSource
       sqlContext: SQLContext, parameters: Map[String, String],
       schema: StructType): BaseRelation =
     relation(sqlContext.sparkSession, parameters, Option(schema))
+
+  /** `df.write.format("graft").mode(...)` — the batch write surface:
+    * every mode is a manifest commit through [[GraftWriter.write]]
+    * (append = [[ManifestStore.append]], overwrite = a whole-content
+    * [[ManifestStore.commit]] — a new VERSION, never a directory
+    * wipe), so the SQL write surface and the Scala API publish
+    * indistinguishable stores and time travel spans both.
+    */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    GraftWriter.write(mode, GraftWriter.parse(parameters), data)
+    try relation(sqlContext.sparkSession, parameters, None)
+    catch {
+      // an empty-batch init leaves a store with no file to infer a
+      // schema from — the writer's contract is still satisfied, so
+      // answer a schema-only relation instead of failing the save
+      case _: IllegalArgumentException =>
+        val ctx = sqlContext
+        new BaseRelation {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = data.schema
+        }
+    }
+  }
+
+  /** `df.writeStream.format("graft")` — each micro-batch lands as one
+    * exactly-once tagged manifest append ([[graft.streaming.GraftSink]];
+    * the batch id is the replay-dedup tag). Append-only: update or
+    * complete mode would need a keyed rewrite — that is
+    * [[ManifestStore.merge]] under `foreachBatch`.
+    */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      "the graft sink is append-only — each micro-batch is one " +
+        s"exactly-once manifest append; got $outputMode")
+    val opts = GraftWriter.parse(parameters)
+    val partCol = opts.partCol.orElse(partitionColumns.headOption)
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink needs the partition column: " +
+          "option(\"partCol\", ...) or partitionBy(...)"))
+    require(partitionColumns.isEmpty || partitionColumns == Seq(partCol),
+      s"the graft store partitions by ONE column ($partCol) — " +
+        s"got partitionBy(${partitionColumns.mkString(", ")})")
+    new graft.streaming.GraftSink(opts, partCol)
+  }
 
   private def relation(
       spark: SparkSession, parameters: Map[String, String],

@@ -103,4 +103,46 @@ object StreamingIngest {
     FileIO.deleteScratchOnExit(base)
     ManifestStore.latestVersion(storeDir).getOrElse(0L)
   }
+
+  /** The same drain through the NAMED SINK — `writeStream
+    * .format("graft")` ([[GraftSink]]) instead of `foreachBatch`: the
+    * whole exactly-once ingest lifecycle (empty-v0 bootstrap, tagged
+    * appends, per-batch stats, cadenced compaction) reachable with
+    * nothing but format names and options. Returns the drained store's
+    * latest version.
+    */
+  def sinkStoreFromFiles(
+      spark: SparkSession,
+      rows: DataFrame,
+      orderCol: String,
+      partCol: String,
+      nBatches: Int,
+      scratch: String,
+      storeDir: String,
+      statsCols: Seq[String],
+      compactEvery: Int = 0,
+      maxFilesPerPartition: Int = 4,
+      statePartitions: Int = 4): Long = {
+    val base = new java.io.File(scratch)
+    val inDir = new java.io.File(base, "in")
+    FileIO.stageRangeBatches(
+      rows, col(orderCol), nBatches, new java.io.File(base, "stage"), inDir)
+    val ss = StreamSessions.scoped(spark, statePartitions)
+    val stream = FileIO.streamParquet(
+      ss, inDir.toString, rows.schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream.format("graft")
+      .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+      .option("path", storeDir)
+      .option("partCol", partCol)
+      .option("statsCols", statsCols.mkString(","))
+      .option("compactEvery", compactEvery.toString)
+      .option("maxFilesPerPartition", maxFilesPerPartition.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    FileIO.deleteScratch(
+      new java.io.File(base, "stage"), inDir, new java.io.File(base, "ckpt"))
+    FileIO.deleteScratchOnExit(base)
+    ManifestStore.latestVersion(storeDir).getOrElse(0L)
+  }
 }
