@@ -513,6 +513,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parquet write DataSourceAnalysis would plan (which would bypass
     // the manifest — see GraftInsertRule)
     ext.injectPostHocResolutionRule(s => graft.plans.GraftInsertRule(s))
+    // row-level SQL DML: DELETE FROM / UPDATE / MERGE INTO a USING-
+    // graft view become copy-on-write partition rewrites in one
+    // atomic manifest commit (left alone they fail at planning —
+    // Spark only plans these statements for DSv2 tables)
+    ext.injectPostHocResolutionRule(s => graft.plans.GraftDmlRule(s))
   }
 }
 

@@ -681,6 +681,101 @@ object CorpusQueries {
     // those rewrite from filtered content, the rest carry verbatim —
     // then the surviving store aggregates against the raw-table minus
     // the range
+    // the SAME range sweep through SQL: DELETE FROM a USING-graft
+    // view — GraftDmlRule plans it as the copy-on-write partition
+    // rewrite (zone maps name the touched partitions at the manifest).
+    // Shares store_delete_range's oracle VERBATIM
+    "store_sql_delete" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-delete-store")
+      ev.filter(col("event_id") <= split).write.format("graft")
+        .option("partCol", "ub").option("statsCols", "event_id")
+        .mode("overwrite").save(store)
+      ev.filter(col("event_id") > split).write.format("graft")
+        .option("statsCols", "event_id").mode("append").save(store)
+      s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW store_sql_delete_v " +
+          s"USING graft OPTIONS (path '$store', partCol 'ub', " +
+          "statsCols 'event_id')")
+      s.sql(
+        s"DELETE FROM store_sql_delete_v WHERE event_id " +
+          s"BETWEEN ${maxId / 3} AND ${maxId / 2}")
+      s.read.format("graft").option("path", store).load()
+        .groupBy("ub")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("ub")
+    }),
+    // UPDATE through SQL: the same 777000-milli rewrite shape as the
+    // merge gates, spelled as one UPDATE statement — predicate-true
+    // rows of the touched partitions take the assignment, everything
+    // else carries; oracle replays the CASE over the raw table
+    "store_sql_update" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("sql-update-store")
+      ev.write.format("graft").option("partCol", "ub")
+        .option("statsCols", "event_id").mode("overwrite").save(store)
+      s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW store_sql_update_v " +
+          s"USING graft OPTIONS (path '$store', partCol 'ub', " +
+          "statsCols 'event_id')")
+      s.sql(
+        s"UPDATE store_sql_update_v SET val_milli = 777000 + event_id " +
+          s"WHERE event_id BETWEEN ${maxId / 3} AND ${maxId / 2}")
+      s.read.format("graft").option("path", store).load()
+        .select("event_id", "ub", "val_milli").orderBy("event_id")
+    }),
+    // MERGE INTO through SQL: store_merge's exact edit recipe —
+    // upserts, inserts and point deletes — as ONE MERGE statement
+    // (ordered WHEN MATCHED delete-guard then update, NOT MATCHED
+    // insert). Shares store_merge's replayed-edit oracle VERBATIM
+    "store_sql_merge" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+        .withColumn("val_milli", col("event_id") * 3L)
+        .select("event_id", "ub", "val_milli")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val store = graft.LocalDir.runDir("sql-merge-store")
+      ev.write.format("graft").option("partCol", "ub")
+        .option("statsCols", "event_id").option("bloomCols", "event_id")
+        .mode("overwrite").save(store)
+      val upIds = (1 to 3).map(i => maxId / 5 * i)
+      val delIds = (1 to 2).map(i => maxId / 7 * i)
+        .filterNot(upIds.contains)
+      val inserts = {
+        import s.implicits._
+        (1 to 2).map(i => (maxId + i, (maxId + i) % 8, 777000L + maxId + i))
+          .toDF("event_id", "ub", "val_milli")
+      }
+      val upserts = ev.filter(col("event_id").isin(upIds: _*))
+        .withColumn("val_milli", lit(777000L) + col("event_id"))
+        .unionByName(inserts)
+        .withColumn("del", lit(false))
+      val dels = {
+        import s.implicits._
+        delIds.map(id => (id, 0L, 0L, true))
+          .toDF("event_id", "ub", "val_milli", "del")
+      }
+      upserts.unionByName(dels)
+        .createOrReplaceTempView("store_sql_merge_src")
+      s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW store_sql_merge_v " +
+          s"USING graft OPTIONS (path '$store', partCol 'ub', " +
+          "statsCols 'event_id', bloomCols 'event_id')")
+      s.sql(
+        """MERGE INTO store_sql_merge_v t USING store_sql_merge_src s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED AND s.del THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET val_milli = s.val_milli
+          |WHEN NOT MATCHED AND NOT s.del THEN
+          |  INSERT (event_id, ub, val_milli)
+          |  VALUES (s.event_id, s.ub, s.val_milli)""".stripMargin)
+      s.read.format("graft").option("path", store).load()
+        .select("event_id", "ub", "val_milli").orderBy("event_id")
+    }),
     "store_delete_range" -> ((s, dir) => {
       val ev = eventsForStore(s, dir)
       val maxId = ev.agg(max("event_id")).head.getLong(0)
@@ -1995,6 +2090,45 @@ object CorpusQueries {
         |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // SQL DELETE sweeps the same band -> shares store_delete_range's
+    // oracle verbatim
+    "store_sql_delete" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id NOT BETWEEN mx // 3 AND mx // 2)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // SQL UPDATE == the CASE replayed over the raw table
+    "store_sql_update" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events)
+        |SELECT event_id, CAST(user_id % 8 AS BIGINT) AS ub,
+        |  CAST(CASE WHEN event_id BETWEEN mx // 3 AND mx // 2
+        |    THEN 777000 + event_id ELSE event_id * 3 END AS BIGINT)
+        |    AS val_milli
+        |FROM events, m ORDER BY event_id""".stripMargin,
+    // SQL MERGE lands store_merge's exact edit -> shares its
+    // replayed-edit oracle verbatim
+    "store_sql_merge" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |up AS (SELECT (mx // 5) * i AS id FROM m, (VALUES (1),(2),(3)) t(i)),
+        |del AS (SELECT (mx // 7) * i AS id FROM m, (VALUES (1),(2)) t(i)
+        |        WHERE (mx // 7) * i NOT IN (SELECT id FROM up)),
+        |base AS (SELECT event_id, user_id % 8 AS ub,
+        |           event_id * 3 AS val_milli FROM events),
+        |ins AS (SELECT mx + i AS event_id, (mx + i) % 8 AS ub,
+        |          777000 + mx + i AS val_milli
+        |        FROM m, (VALUES (1),(2)) t(i))
+        |SELECT event_id, CAST(ub AS BIGINT) AS ub,
+        |  CAST(val_milli AS BIGINT) AS val_milli FROM (
+        |  SELECT b.event_id, b.ub,
+        |    CASE WHEN b.event_id IN (SELECT id FROM up)
+        |      THEN 777000 + b.event_id ELSE b.val_milli END AS val_milli
+        |  FROM base b WHERE b.event_id NOT IN (SELECT id FROM del)
+        |  UNION ALL SELECT * FROM ins)
+        |ORDER BY event_id""".stripMargin,
     // the incrementally-maintained view == the aggregate over the
     // edited table (the edit replay feeding a fresh GROUP BY)
     "store_incr_view" -> EditedViewOracle,

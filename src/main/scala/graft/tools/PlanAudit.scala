@@ -75,6 +75,7 @@ object PlanAudit {
     val only = args.drop(1).filterNot(_ == "--write-budgets").toSet
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
