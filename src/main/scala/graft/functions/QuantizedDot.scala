@@ -518,6 +518,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // atomic manifest commit (left alone they fail at planning —
     // Spark only plans these statements for DSv2 tables)
     ext.injectPostHocResolutionRule(s => graft.plans.GraftDmlRule(s))
+    // SQL time travel (VERSION AS OF / FOR SYSTEM_TIME AS OF) on
+    // graft relations: rewritten on the PARSED tree — the analyzer
+    // resolves (and rejects) RelationTimeTravel over a temp view
+    // before any injectable rule batch sees the node, so a delegating
+    // parser (the Delta pattern) is the only injection point early
+    // enough
+    ext.injectParser((s, delegate) => new graft.plans.GraftSqlParser(s, delegate))
   }
 }
 

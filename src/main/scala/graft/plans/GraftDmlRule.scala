@@ -52,22 +52,23 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case d: DeleteFromTable => GraftDml.target(d.table) match {
-      case Some((opts, out)) => GraftDeleteCommand(opts, out, d.condition)
+      case Some((opts, out, tbl)) =>
+        GraftDeleteCommand(opts, out, d.condition, tbl)
       case None => d
     }
     case u: UpdateTable => GraftDml.target(u.table) match {
-      case Some((opts, out)) =>
-        GraftUpdateCommand(opts, out, u.assignments, u.condition)
+      case Some((opts, out, tbl)) =>
+        GraftUpdateCommand(opts, out, u.assignments, u.condition, tbl)
       case None => u
     }
     case m: MergeIntoTable => GraftDml.target(m.targetTable) match {
-      case Some((opts, out)) =>
+      case Some((opts, out, tbl)) =>
         require(!m.withSchemaEvolution,
           "MERGE WITH SCHEMA EVOLUTION is not supported on a graft " +
             "store — evolve the schema by appending evolved-era files")
         GraftMergeCommand(opts, out, m.sourceTable, m.mergeCondition,
           m.matchedActions, m.notMatchedActions,
-          m.notMatchedBySourceActions)
+          m.notMatchedBySourceActions, tbl)
       case None => m
     }
   }
@@ -76,10 +77,16 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 private[plans] object GraftDml {
 
   /** Unwrap a DML statement's target down to the graft relation:
-    * `Some((relation options, statement-visible output))` when the
-    * location is a [[ManifestFileIndex]].
+    * `Some((relation options, statement-visible output, catalog
+    * identity))` when the location is a [[ManifestFileIndex]]. The
+    * identity (present for `CREATE TABLE ... USING graft` names, absent
+    * for temp views) lets a command invalidate Spark's relation cache
+    * after its commit, so the NAME re-pins to the new version — a temp
+    * view stays pinned to its creation-time snapshot by design (it is
+    * a named pin, like a held DataFrame).
     */
-  def target(plan: LogicalPlan): Option[(Map[String, String], Seq[Attribute])] = {
+  def target(plan: LogicalPlan): Option[(Map[String, String],
+      Seq[Attribute], Option[org.apache.spark.sql.catalyst.TableIdentifier])] = {
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => strip(c)
       case v: View => strip(v.child)
@@ -88,12 +95,23 @@ private[plans] object GraftDml {
     strip(plan) match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation if fs.location.isInstanceOf[ManifestFileIndex] =>
-          Some((fs.options, plan.output))
+          Some((fs.options, plan.output, lr.catalogTable.map(_.identifier)))
         case _ => None
       }
       case _ => None
     }
   }
+
+  /** Post-commit: drop the catalog's cached relation so the TABLE name
+    * resolves to the new version on its next use.
+    */
+  def refreshName(
+      spark: SparkSession,
+      table: Option[org.apache.spark.sql.catalyst.TableIdentifier]): Unit =
+    table.foreach { t =>
+      try spark.sessionState.catalog.refreshTable(t)
+      catch { case _: Exception => () }
+    }
 
   /** The store re-read at the CURRENT latest version: (frame, pinned
     * version, write opts, partition column, fresh output attrs).
@@ -167,7 +185,7 @@ private[plans] object GraftDml {
       content, partCol, touched, w.storeDir, w.retainVersions,
       w.statsCols, bloomCols = w.bloomCols,
       retainAgeMillis = w.retainAgeMillis, baseVersion = Some(base))
-    ()
+    GraftWriter.refreshPath(content, w.storeDir)
   }
 }
 
@@ -178,7 +196,9 @@ private[plans] object GraftDml {
 case class GraftDeleteCommand(
     options: Map[String, String],
     stmtOut: Seq[Attribute],
-    condition: Expression) extends LeafRunnableCommand {
+    condition: Expression,
+    table: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
+  extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (tgt, v, w, partCol, fresh) = GraftDml.freshTarget(spark, options)
@@ -188,6 +208,7 @@ case class GraftDeleteCommand(
     val kept = tgt.filter(col(partCol).isin(touched: _*))
       .filter(not(coalesce(cond, lit(false))))
     GraftDml.commitRewrite(kept, partCol, touched, w, v)
+    GraftDml.refreshName(spark, table)
     Seq.empty
   }
 }
@@ -201,7 +222,9 @@ case class GraftUpdateCommand(
     options: Map[String, String],
     stmtOut: Seq[Attribute],
     assignments: Seq[Assignment],
-    condition: Option[Expression]) extends LeafRunnableCommand {
+    condition: Option[Expression],
+    table: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
+  extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (tgt, v, w, partCol, fresh) = GraftDml.freshTarget(spark, options)
@@ -225,6 +248,7 @@ case class GraftUpdateCommand(
       }
     }: _*)
     GraftDml.commitRewrite(updated, partCol, touched, w, v)
+    GraftDml.refreshName(spark, table)
     Seq.empty
   }
 }
@@ -240,7 +264,8 @@ case class GraftMergeCommand(
     mergeCondition: Expression,
     matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction],
-    notMatchedBySourceActions: Seq[MergeAction])
+    notMatchedBySourceActions: Seq[MergeAction],
+    table: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -384,6 +409,7 @@ case class GraftMergeCommand(
       case None => rewritten
     }
     GraftDml.commitRewrite(content, partCol, touched, w, v)
+    GraftDml.refreshName(spark, table)
     Seq.empty
   }
 }

@@ -314,6 +314,30 @@ object CorpusQueries {
           "SELECT event_id, user_id, ub FROM store_sql_insert_src")
       skipReadAggregate(s, store, maxId)
     }),
+    // TIME TRAVEL through SQL SYNTAX: the same init-only pin as
+    // store_sql_travel, spelled `VERSION AS OF` in the query text
+    // (the parser-injected rewrite — Spark itself only resolves the
+    // clause for DSv2 catalogs). Shares store_sql_travel's oracle
+    // VERBATIM
+    "store_sql_asof" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-asof-store")
+      ev.filter(col("event_id") <= split).write.format("graft")
+        .option("partCol", "ub").option("statsCols", "event_id")
+        .mode("overwrite").save(store)
+      ev.filter(col("event_id") > split).write.format("graft")
+        .option("statsCols", "event_id").mode("append").save(store)
+      s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW store_sql_asof_v " +
+          s"USING graft OPTIONS (path '$store', partCol 'ub', " +
+          "statsCols 'event_id')")
+      s.sql(
+        """SELECT ub, count(*) AS n_events, sum(event_id) AS sum_id
+          |FROM store_sql_asof_v VERSION AS OF 0
+          |GROUP BY ub ORDER BY ub""".stripMargin)
+    }),
     // the SAME store built ONLINE — the full streaming lakehouse-
     // ingest lifecycle: 4 arrival-ordered micro-batches land as
     // EXACTLY-ONCE tagged appends (batch id = append tag, so a
@@ -1957,6 +1981,17 @@ object CorpusQueries {
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
     // versionAsOf pins the init-only snapshot: the low event_id half
     "store_sql_travel" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE event_id <= mx // 2)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // VERSION AS OF syntax pins the init-only snapshot -> shares
+    // store_sql_travel's oracle verbatim
+    "store_sql_asof" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |f AS (
         |  SELECT user_id % 8 AS ub, event_id

@@ -97,6 +97,18 @@ object GraftWriter {
     *  - `ErrorIfExists` refuses an existing store typed; `Ignore`
     *    leaves it untouched.
     */
+  /** Invalidate catalog-relation and DataFrame caches over the store
+    * path after a commit: a `CREATE TABLE ... USING graft` name
+    * resolves through Spark's relation cache, which would otherwise
+    * keep serving the pre-commit snapshot (pinned DataFrames the user
+    * already holds keep theirs — that is snapshot isolation, not
+    * staleness). Same post-write contract as Spark's own
+    * InsertIntoHadoopFsRelationCommand.
+    */
+  def refreshPath(data: DataFrame, storeDir: String): Unit =
+    try data.sparkSession.catalog.refreshByPath(storeDir)
+    catch { case _: Exception => () }
+
   def write(mode: SaveMode, opts: Opts, data: DataFrame): Unit = {
     val partCol = resolvePartCol(opts)
     require(data.columns.contains(partCol),
@@ -106,7 +118,7 @@ object GraftWriter {
       case None =>
         ManifestStore.init(
           data, partCol, opts.storeDir, opts.statsCols, opts.bloomCols)
-        ()
+        refreshPath(data, opts.storeDir)
       case Some(v) => mode match {
         case SaveMode.ErrorIfExists =>
           throw new IllegalStateException(
@@ -118,7 +130,7 @@ object GraftWriter {
             data, partCol, opts.storeDir, opts.retainVersions,
             opts.statsCols, opts.tag, bloomCols = opts.bloomCols,
             retainAgeMillis = opts.retainAgeMillis)
-          ()
+          refreshPath(data, opts.storeDir)
         case SaveMode.Overwrite =>
           // partition values are bounded by design (it's a partition
           // column), so the driver-side distinct-collect is metadata-
@@ -134,7 +146,7 @@ object GraftWriter {
             data, partCol, (oldVals ++ newVals).distinct, opts.storeDir,
             opts.retainVersions, opts.statsCols, bloomCols = opts.bloomCols,
             retainAgeMillis = opts.retainAgeMillis)
-          ()
+          refreshPath(data, opts.storeDir)
       }
     }
   }

@@ -62,7 +62,9 @@ final class GraftSink(opts: GraftWriter.Opts, partCol: String)
         retainAgeMillis = opts.retainAgeMillis)
       ()
     }
-    ()
+    // a CREATE TABLE ... USING graft name over this store re-pins to
+    // the freshly appended version on its next resolution
+    GraftWriter.refreshPath(batch, opts.storeDir)
   }
 
   override def toString: String = s"GraftSink[${opts.storeDir}]"
