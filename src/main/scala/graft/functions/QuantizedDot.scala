@@ -525,6 +525,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parser (the Delta pattern) is the only injection point early
     // enough
     ext.injectParser((s, delegate) => new graft.plans.GraftSqlParser(s, delegate))
+    // metadata-tier table functions: DESCRIBE HISTORY / file
+    // inventory as plain SQL (zero data-file opens, zero jobs)
+    ext.injectTableFunction(GraftTableFunctions.historyDescriptor)
+    ext.injectTableFunction(GraftTableFunctions.filesDescriptor)
   }
 }
 

@@ -338,6 +338,24 @@ object CorpusQueries {
           |FROM store_sql_asof_v VERSION AS OF 0
           |GROUP BY ub ORDER BY ub""".stripMargin)
     }),
+    // DESCRIBE HISTORY as SQL: graft_history() reads the commit log
+    // off metadata alone — versions and EXACT row counts (the stats
+    // sidecar's footer-harvested #rows). Oracle recomputes the same
+    // per-version counts off the raw table
+    "store_sql_history" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-history-store")
+      ev.filter(col("event_id") <= split).write.format("graft")
+        .option("partCol", "ub").option("statsCols", "event_id")
+        .mode("overwrite").save(store)
+      ev.filter(col("event_id") > split).write.format("graft")
+        .option("statsCols", "event_id").mode("append").save(store)
+      s.sql(
+        s"""SELECT version, n_rows FROM graft_history('$store')
+           |ORDER BY version""".stripMargin)
+    }),
     // the SAME store built ONLINE — the full streaming lakehouse-
     // ingest lifecycle: 4 arrival-ordered micro-batches land as
     // EXACTLY-ONCE tagged appends (batch id = append tag, so a
@@ -2000,6 +2018,17 @@ object CorpusQueries {
         |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // graft_history's per-version exact row counts == the raw-table
+    // counts of what each commit's snapshot holds
+    "store_sql_history" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events)
+        |SELECT CAST(v AS BIGINT) AS version, CAST(n AS BIGINT) AS n_rows
+        |FROM (
+        |  SELECT 0 AS v, count(*) AS n FROM events, m
+        |  WHERE event_id <= mx // 2
+        |  UNION ALL
+        |  SELECT 1 AS v, count(*) AS n FROM events)
+        |ORDER BY version""".stripMargin,
     // the write surface (df.write.format) publishes the same store
     // content -> shares store_skip_read's oracle verbatim
     "store_sql_write" ->

@@ -157,6 +157,67 @@ class GraftDmlSpec extends SparkSpec {
     FileIO.deleteScratch(new java.io.File(dir))
   }
 
+  test("SQL DML inherits the store's OCC: concurrent statements on " +
+    "DISJOINT partitions all land (publish rebase), and racing " +
+    "same-partition updates never lose an edit — each either lands " +
+    "or fails typed") {
+    val (dir, view) = build("o")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // disjoint: four concurrent per-partition updates all land
+      val fs = (0 until 4).map { pv => Future {
+        spark.sql(s"UPDATE $view SET val = val + 1 WHERE p = $pv")
+      }}
+      Await.result(Future.sequence(fs), 120.seconds)
+      assert(readStore(dir).agg(sum("val")).head.getLong(0)
+        == (0 until 200).map(_ * 3L).sum + 200,
+        "every partition's edit must land")
+      // overlapping: racing updates of the SAME partition — count the
+      // typed conflicts; landed edits and conflicts must account for
+      // every attempt (no silent lost update)
+      val results = (0 until 4).map { _ => Future {
+        try { spark.sql(s"UPDATE $view SET val = val + 1 WHERE p = 0"); 1L }
+        catch {
+          case _: graft.sources.ConcurrentCommitException => 0L
+          case e: Exception
+              if e.getCause.isInstanceOf[graft.sources.ConcurrentCommitException] => 0L
+        }
+      }}
+      val landed = Await.result(Future.sequence(results), 120.seconds).sum
+      val expected = (0 until 200).filter(_ % 4 == 0).map(_ * 3L + 1).sum +
+        landed * 50
+      assert(readStore(dir).filter(col("p") === 0)
+        .agg(sum("val")).head.getLong(0) == expected,
+        s"content must reflect exactly the $landed landed updates")
+    } finally pool.shutdown()
+    FileIO.deleteScratch(new java.io.File(dir))
+  }
+
+  test("CTAS: CREATE TABLE ... USING graft AS SELECT initializes the " +
+    "store through the write surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctas").toString
+    FileIO.deleteScratch(new java.io.File(dir)) // CTAS wants a fresh path
+    spark.sql("DROP TABLE IF EXISTS graft_ctas")
+    spark.sql(
+      s"CREATE TABLE graft_ctas USING graft " +
+        s"OPTIONS (path '$dir', partCol 'p') " +
+        "AS SELECT id AS event_id, id % 4 AS p, id * 3 AS val " +
+        "FROM range(100)")
+    try {
+      assert(ManifestStore.latestVersion(dir).contains(0L),
+        "CTAS must publish manifest v0")
+      assert(spark.sql("SELECT count(*) FROM graft_ctas").head.getLong(0) == 100)
+      assert(readStore(dir).count() == 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ctas")
+      FileIO.deleteScratch(new java.io.File(dir))
+    }
+  }
+
   test("DELETE null semantics: a NULL predicate keeps its row (SQL " +
     "three-valued logic), exactly like the Scala deleteWhere path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dmln").toString
