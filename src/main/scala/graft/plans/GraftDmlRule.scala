@@ -113,6 +113,40 @@ private[plans] object GraftDml {
       catch { case _: Exception => () }
     }
 
+  /** Resolve a (possibly still-unanalyzed) relation NAME through the
+    * session catalog WITHOUT a nested analyzer pass: temp / global
+    * temp view plans are stored analyzed (read via [[target]]), a
+    * catalog table's options live in its metadata (`USING graft`
+    * provider; the `path` option becomes the storage location).
+    * Returns the graft options plus the catalog identity (for
+    * relation-cache invalidation), or None for non-graft names.
+    */
+  def optionsForName(session: SparkSession, name: Seq[String]):
+      Option[(Map[String, String],
+        Option[org.apache.spark.sql.catalyst.TableIdentifier])] = {
+    val cat = session.sessionState.catalog
+    def fromView(v: LogicalPlan) = target(v).map(t => (t._1, None))
+    def fromTable(db: Option[String], n: String) =
+      try {
+        val t = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(n, db))
+        if (!t.provider.exists(_.equalsIgnoreCase("graft"))) None
+        else Some((t.storage.locationUri
+          .map(u => t.storage.properties + ("path" -> u.toString))
+          .getOrElse(t.storage.properties), Some(t.identifier)))
+      } catch { case _: Exception => None }
+    name match {
+      case Seq(n) =>
+        cat.getTempView(n).flatMap(fromView).orElse(fromTable(None, n))
+      case Seq(db, n) =>
+        (if (db.equalsIgnoreCase(cat.globalTempDatabase))
+          cat.getGlobalTempView(n).flatMap(fromView)
+        else None).orElse(fromTable(Some(db), n))
+      case Seq(_, db, n) => fromTable(Some(db), n)
+      case _ => None
+    }
+  }
+
   /** The store re-read at the CURRENT latest version: (frame, pinned
     * version, write opts, partition column, fresh output attrs).
     */

@@ -30,38 +30,8 @@ import org.apache.spark.sql.types.TimestampType
 case class GraftTimeTravelRule(session: SparkSession)
   extends Rule[LogicalPlan] {
 
-  /** Resolve the still-unanalyzed name through the session catalog
-    * WITHOUT a nested analyzer pass: temp view / global temp view
-    * plans are stored analyzed (the [[GraftDml.target]] extractor
-    * reads their options), and a catalog table's options live in its
-    * metadata (`USING graft` provider; the `path` option becomes the
-    * storage location).
-    */
-  private def graftOptions(name: Seq[String]): Option[Map[String, String]] = {
-    val cat = session.sessionState.catalog
-    def fromView(v: LogicalPlan): Option[Map[String, String]] =
-      GraftDml.target(v).map(_._1)
-    def fromTable(
-        db: Option[String], n: String): Option[Map[String, String]] =
-      try {
-        val t = cat.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(n, db))
-        if (!t.provider.exists(_.equalsIgnoreCase("graft"))) None
-        else Some(t.storage.locationUri
-          .map(u => t.storage.properties + ("path" -> u.toString))
-          .getOrElse(t.storage.properties))
-      } catch { case _: Exception => None }
-    name match {
-      case Seq(n) =>
-        cat.getTempView(n).flatMap(fromView).orElse(fromTable(None, n))
-      case Seq(db, n) =>
-        (if (db.equalsIgnoreCase(cat.globalTempDatabase))
-          cat.getGlobalTempView(n).flatMap(fromView)
-        else None).orElse(fromTable(Some(db), n))
-      case Seq(_, db, n) => fromTable(Some(db), n)
-      case _ => None
-    }
-  }
+  private def graftOptions(name: Seq[String]): Option[Map[String, String]] =
+    GraftDml.optionsForName(session, name).map(_._1)
 
   /** Evaluate the AS OF expression: it arrives UNRESOLVED (this
     * rewrite runs at parse time), so resolve + fold it through a
@@ -113,7 +83,10 @@ class GraftSqlParser(
   private lazy val rule = GraftTimeTravelRule(session)
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rule(delegate.parsePlan(sqlText))
+    // maintenance DDL first: OPTIMIZE / VACUUM / RESTORE exist in no
+    // Spark grammar — anything unmatched falls straight through
+    GraftMaintenanceParser.parse(session, sqlText)
+      .getOrElse(rule(delegate.parsePlan(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rule(delegate.parseQuery(sqlText))

@@ -946,6 +946,40 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("ub")
     }),
+    // the SAME clustered-store consumer with the WHOLE lifecycle in
+    // SQL: df.write builds the two-batch store, `OPTIMIZE ... ZORDER
+    // BY` (the maintenance DDL the injected parser adds) re-clusters
+    // it, and the 2-D slice is plain spark.sql over the view — the
+    // zone maps prune both dims at the manifest exactly like the
+    // Scala path. Shares store_zorder_read's oracle VERBATIM
+    "store_sql_optimize" -> ((s, dir) => {
+      val ev = eventsForStore(s, dir)
+      val agg0 = ev.agg(max("event_id"), max("user_id")).head
+      val (maxId, maxUid) = (agg0.getLong(0), agg0.getLong(1))
+      val split = maxId / 2
+      val store = graft.LocalDir.runDir("sql-optimize-store")
+      ev.filter(col("event_id") <= split).write.format("graft")
+        .option("partCol", "ub")
+        .option("statsCols", "event_id,user_id")
+        .mode("overwrite").save(store)
+      ev.filter(col("event_id") > split).write.format("graft")
+        .option("statsCols", "event_id,user_id")
+        .mode("append").save(store)
+      s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW store_sql_optimize_v " +
+          s"USING graft OPTIONS (path '$store', partCol 'ub', " +
+          "statsCols 'event_id,user_id')")
+      s.sql("OPTIMIZE store_sql_optimize_v ZORDER BY (event_id, user_id)")
+      val (uLo, uHi) = (maxUid / 4, maxUid / 2)
+      // the view predates the optimize — name the CURRENT snapshot
+      s.read.format("graft").option("path", store).load()
+        .createOrReplaceTempView("store_sql_optimize_now")
+      s.sql(
+        s"""SELECT ub, count(*) AS n_events, sum(event_id) AS sum_id
+           |FROM store_sql_optimize_now
+           |WHERE user_id BETWEEN $uLo AND $uHi AND event_id <= $split
+           |GROUP BY ub ORDER BY ub""".stripMargin)
+    }),
     // METADATA-ONLY aggregates: COUNT(*)/MIN/MAX answered from the
     // manifest + stats sidecar alone — zero data-file opens, zero
     // Spark jobs for the answer (per-file row counts and bounds were
@@ -2241,6 +2275,19 @@ object CorpusQueries {
     // the z-clustered store's user_id slice == the same aggregate off
     // the raw table (clustering is a content-identical rewrite)
     "store_zorder_read" ->
+      """WITH m AS (SELECT max(user_id) AS mu, max(event_id) AS mx
+        |           FROM events),
+        |f AS (
+        |  SELECT user_id % 8 AS ub, event_id
+        |  FROM events, m
+        |  WHERE user_id BETWEEN mu // 4 AND mu // 2
+        |    AND event_id <= mx // 2)
+        |SELECT ub, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY ub ORDER BY ub""".stripMargin,
+    // the all-SQL lifecycle lands the same clustered content ->
+    // shares store_zorder_read's oracle verbatim
+    "store_sql_optimize" ->
       """WITH m AS (SELECT max(user_id) AS mu, max(event_id) AS mx
         |           FROM events),
         |f AS (
