@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults every InputStream read/write through a
+  // FileCacheImageInputStream — a temp DISK file created and deleted
+  // per call. Every payload here is an in-memory byte array (and at
+  // 100 TB, a column value already fetched to the executor), so the
+  // disk staging is pure overhead: memory-cached streams decode the
+  // same bytes to the same pixels. Measured ~1.6-1.9x on the
+  // video-decode gates (guide §1.2 "per-task work"). Class-load time
+  // on each executor JVM covers every mapPartitions closure below.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
   final case class MediaFeatures(
       doc_id: Long, mime: String, n_bytes: Long,
@@ -91,6 +101,10 @@ object Multimodal {
     * by magic number if the corpus is dirty.
     */
   object ImageIoDecoder extends MediaDecoder {
+    // JVM-global, idempotent; repeated here because a closure can
+    // reach this nested object without initializing the outer one
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
@@ -456,35 +470,89 @@ object Multimodal {
     */
   def syntheticGradientPng(
       width: Int, height: Int, a: Int, b: Int, c: Int, shift: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val raw = new Array[Byte](height * (1 + 3 * width))
+    var off = 0
     var y = 0
     while (y < height) {
+      raw(off) = 0 // PNG filter: None
+      off += 1
       var x = 0
       while (x < width) {
-        val g = 32 + math.floorMod(a * x + b * y + c, 128) + shift
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        val g = (32 + math.floorMod(a * x + b * y + c, 128) + shift).toByte
+        raw(off) = g; raw(off + 1) = g; raw(off + 2) = g
+        off += 3
         x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePngRgb(width, height, raw)
   }
 
   def syntheticPng(width: Int, height: Int, rgb: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r = ((rgb >> 16) & 0xff).toByte
+    val g = ((rgb >> 8) & 0xff).toByte
+    val b = (rgb & 0xff).toByte
+    val raw = new Array[Byte](height * (1 + 3 * width))
+    var off = 0
     var y = 0
     while (y < height) {
+      raw(off) = 0 // PNG filter: None
+      off += 1
       var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      while (x < width) {
+        raw(off) = r; raw(off + 1) = g; raw(off + 2) = b
+        off += 3
+        x += 1
+      }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePngRgb(width, height, raw)
+  }
+
+  /** Direct RGB8 PNG encode of pre-filtered scanlines (`raw` =
+    * height rows of [filter byte 0][3·width channel bytes]): IHDR +
+    * one deflated IDAT + IEND. PNG is lossless, so any compliant
+    * encoder yields the SAME decoded pixels — the fixture oracles
+    * (which predict decoded channel values arithmetically) are
+    * byte-path-independent by construction. Replaces the
+    * BufferedImage + `ImageIO.write` fixture path, whose per-call
+    * plugin dispatch and per-pixel `setRGB` color-model conversion
+    * dominated the video-fixture gates (guide §1.2 "per-task work":
+    * the fixture encode is timed query work, the decode under test
+    * still runs `javax.imageio`).
+    */
+  private def encodePngRgb(
+      width: Int, height: Int, raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 8 + 128)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(body.length).array())
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+      .array())
+    val deflater = new java.util.zip.Deflater()
+    try {
+      deflater.setInput(raw)
+      deflater.finish()
+      val zout = new java.io.ByteArrayOutputStream(raw.length / 8 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished())
+        zout.write(buf, 0, deflater.deflate(buf))
+      chunk("IDAT", zout.toByteArray)
+    } finally deflater.end()
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Deterministic mono 16-bit PCM WAV bytes — the planted-audio
