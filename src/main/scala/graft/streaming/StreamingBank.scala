@@ -425,7 +425,7 @@ object StreamingBank {
       nBatches: Int,
       scratch: String,
       isolation: IsolationLevel = IsolationLevel.PL3,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = new java.io.File(scratch)
     val stage = new java.io.File(base, "stage")
@@ -467,7 +467,7 @@ object StreamingBank {
       hotKeys: Set[Long],
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = new java.io.File(scratch)
     val stage = new java.io.File(base, "stage")
@@ -516,7 +516,7 @@ object StreamingBank {
       hotThreshold: Long,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): (DataFrame, Set[Long]) = {
+      statePartitions: Int = 4): (DataFrame, Set[Long]) = {
     import org.apache.spark.sql.functions.col
     val base = new java.io.File(scratch)
     val stage = new java.io.File(base, "stage")

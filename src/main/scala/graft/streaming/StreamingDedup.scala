@@ -146,7 +146,7 @@ object StreamingDedup {
       idCol: String,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
@@ -342,7 +342,7 @@ object StreamingDedup {
       maxHamming: Int,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")

@@ -93,7 +93,7 @@ object StreamingFunnel {
       horizonUs: Long,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")

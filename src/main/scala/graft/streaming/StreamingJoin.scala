@@ -81,7 +81,7 @@ object StreamingJoin {
       horizonUs: Long,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val vIn = new java.io.File(base, "vin")
     val pIn = new java.io.File(base, "pin")
@@ -92,12 +92,21 @@ object StreamingJoin {
         col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
         col("tb").cast("long").as("tb"))
-    graft.sources.FileIO.stageRangeBatches(
-      narrow(viewType), col("ts"), nBatches,
-      new java.io.File(base, "vstage"), vIn)
-    graft.sources.FileIO.stageRangeBatches(
-      narrow(purchaseType), col("ts"), nBatches,
-      new java.io.File(base, "pstage"), pIn)
+    // the two sources' staging writes are independent — overlap them
+    // (guide §2.6: submit independent jobs concurrently)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fs = Seq(
+        Future(graft.sources.FileIO.stageRangeBatches(
+          narrow(viewType), col("ts"), nBatches,
+          new java.io.File(base, "vstage"), vIn)),
+        Future(graft.sources.FileIO.stageRangeBatches(
+          narrow(purchaseType), col("ts"), nBatches,
+          new java.io.File(base, "pstage"), pIn)))
+      fs.foreach(Await.result(_, Duration.Inf))
+    }
     val ss = StreamSessions.scoped(spark, statePartitions)
     val schema = narrow(viewType).schema
     def src(dir: java.io.File) = graft.sources.FileIO
@@ -146,7 +155,7 @@ object StreamingJoin {
       horizonUs: Long,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val vIn = new java.io.File(base, "vin")
     val pIn = new java.io.File(base, "pin")
@@ -157,12 +166,21 @@ object StreamingJoin {
         col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
         col("tb").cast("long").as("tb"))
-    graft.sources.FileIO.stageRangeBatches(
-      narrow(viewType), col("ts"), nBatches,
-      new java.io.File(base, "vstage"), vIn)
-    graft.sources.FileIO.stageRangeBatches(
-      narrow(purchaseType), col("ts"), nBatches,
-      new java.io.File(base, "pstage"), pIn)
+    // the two sources' staging writes are independent — overlap them
+    // (guide §2.6: submit independent jobs concurrently)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fs = Seq(
+        Future(graft.sources.FileIO.stageRangeBatches(
+          narrow(viewType), col("ts"), nBatches,
+          new java.io.File(base, "vstage"), vIn)),
+        Future(graft.sources.FileIO.stageRangeBatches(
+          narrow(purchaseType), col("ts"), nBatches,
+          new java.io.File(base, "pstage"), pIn)))
+      fs.foreach(Await.result(_, Duration.Inf))
+    }
     val maxTs = events.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
     val flushMs = maxTs.getTime + horizonUs / 1000L + 7200000L
     val schema = narrow(viewType).schema
@@ -239,7 +257,7 @@ object StreamingJoin {
       customer: DataFrame, // (c_custkey, c_mktsegment)
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")

@@ -77,7 +77,7 @@ object StreamingPurchases {
       purchases: DataFrame,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): (DataFrame, DataFrame) = {
+      statePartitions: Int = 4): (DataFrame, DataFrame) = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     graft.sources.FileIO.stageRangeBatches(

@@ -108,7 +108,7 @@ object StreamingRollup {
       nBuckets: Int,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val storeDir = new java.io.File(base, "store").toString

@@ -75,7 +75,7 @@ object StreamingStats {
       k: Int,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8,
+      statePartitions: Int = 4,
       onBatchRows: Option[(Long, Long) => Unit] = None): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
@@ -134,7 +134,7 @@ object StreamingStats {
       width: Int,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
@@ -182,7 +182,7 @@ object StreamingStats {
       permille: Seq[Int],
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
@@ -235,7 +235,7 @@ object StreamingStats {
       salts: Int,
       nBatches: Int,
       scratch: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
