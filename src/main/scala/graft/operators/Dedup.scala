@@ -89,16 +89,14 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band_id", "band_hash")))
-    val a = banded.select(
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band_id"), col("band_hash"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+    // self-join via alias (identical subtrees → one shuffle of the
+    // banded signature table, exchange-reused by both sides)
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / numHashes).as("est_jaccard"))
       .distinct()
@@ -133,22 +131,20 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * r + 1, lit(r))))
         .as(Seq("band_id", "band_key")))
-    val a = banded.select(
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band_id"), col("band_key"))
-    val b = banded.select(
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band_id"), col("band_key"))
     val firstAgreeingBand = array_position(
       transform(sequence(lit(0), lit(bands - 1)), bi =>
-        slice(col("sig_a"), bi * r + 1, lit(r)) ===
-          slice(col("sig_b"), bi * r + 1, lit(r))),
+        slice(col("a.sig"), bi * r + 1, lit(r)) ===
+          slice(col("b.sig"), bi * r + 1, lit(r))),
       true) - 1
-    a.join(b, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b") &&
-        firstAgreeingBand === col("band_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+    // self-join via alias (identical subtrees → one shuffle of the
+    // banded signature table, exchange-reused by both sides)
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        firstAgreeingBand === col("a.band_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(aggregate(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") * 1000 / numHashes)
           .cast("bigint").as("est_jaccard_milli"))
@@ -238,11 +234,13 @@ object Dedup {
     val perDoc = keptInv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val kept = keptInv.join(perDoc, "doc_id")
       .select(col("doc_id"), col("n_sh"), col("h"))
-    val a = kept.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
-    a.hint("merge").join(b.hint("merge"), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .hint("merge")
+    // self-join via alias (identical subtrees → one shuffle + sort of
+    // the inverted index, exchange-reused by both sides)
+    kept.as("a").join(kept.as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).cast("bigint").as("uni"),
@@ -305,17 +303,20 @@ object Dedup {
       withSig.select(col("id"), col("sig"),
         posexplode(array(bands: _*)).as(Seq("tbl", "bucket"))),
       maxBucketSize, tables)
-    val a = e.select(col("id").as("doc_a"), col("sig").as("sig_a"),
-      col("__surv").as("surv_a"), col("tbl"), col("bucket"))
-    val b = e.select(col("id").as("doc_b"), col("sig").as("sig_b"),
-      col("__surv").as("surv_b"), col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("tbl") === Similarity.emissionPredicate(maxBucketSize,
-          col("sig_a"), col("sig_b"), col("surv_a"), col("surv_b"), bits, tables) &&
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint").as("hamming"))
+    // SELF-join on identical subtrees (alias-rename AFTER the join):
+    // both inputs canonicalize equal, so exchange reuse computes the
+    // signature + banding chain ONCE — per-side projections before
+    // the join made the subtrees differ and ran it twice (guide §2.4)
+    e.as("a").join(e.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id") &&
+        col("a.tbl") === Similarity.emissionPredicate(maxBucketSize,
+          col("a.sig"), col("b.sig"), col("a.__surv"), col("b.__surv"),
+          bits, tables) &&
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+          .cast("bigint").as("hamming"))
   }
 
   /** Embedding-cosine near-duplicates (semantic dedup): sign-LSH
@@ -355,21 +356,19 @@ object Dedup {
       pre.select(col("id"), col("v"), col("nq"), col("sig"),
         posexplode(col("bs")).as(Seq("tbl", "bucket"))),
       maxBucketSize, tables)
-    val l = e.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("nq").as("nq_a"), col("sig").as("sig_a"),
-      col("__surv").as("surv_a"), col("tbl"), col("bucket"))
-    val r = e.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("nq").as("nq_b"), col("sig").as("sig_b"),
-      col("__surv").as("surv_b"), col("tbl"), col("bucket"))
-    l.join(r, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b") &&
-        col("tbl") === Similarity.emissionPredicate(maxBucketSize,
-          col("sig_a"), col("sig_b"), col("surv_a"), col("surv_b"), bits, tables) &&
+    // self-join via alias (identical subtrees → one shuffle of the
+    // bucketed vector table, exchange-reused by both sides)
+    e.as("l").join(e.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") < col("r.id") &&
+        col("l.tbl") === Similarity.emissionPredicate(maxBucketSize,
+          col("l.sig"), col("r.sig"), col("l.__surv"), col("r.__surv"),
+          bits, tables) &&
         graft.functions.QuantizedCosineGe(
-          col("v_a"), col("v_b"), col("nq_a"), col("nq_b"), minCosineMilli))
+          col("l.v"), col("r.v"), col("l.nq"), col("r.nq"), minCosineMilli))
       // recompute the dot only for the (tiny) surviving pair set
-      .select(col("id_a"), col("id_b"),
-        QuantizedDot(col("v_a"), col("v_b")).as("dot_q"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        QuantizedDot(col("l.v"), col("r.v")).as("dot_q"))
   }
 
   /** SEMANTIC decontamination — the embedding-space sibling of

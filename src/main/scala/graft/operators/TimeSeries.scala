@@ -114,20 +114,31 @@ object TimeSeries {
       .withColumn("b",
         array_join(transform(paaSketch(col("win"), w, paa, shift),
           _.cast("string")), ","))
-    val healthy = wins.groupBy(col("b"))
-      .agg(count(lit(1)).as("__n"))
+    // The hot-bucket cap rides the SAME shuffle as the join sides: a
+    // count over a window partitioned by the bucket key replaces the
+    // separate groupBy + semi-join (which re-ran the whole window-
+    // construction chain — scan → collect_list → explode — a third
+    // time). Same cap semantics: a bucket's windows all share one
+    // count, compared after it's complete.
+    val side = wins
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
       .filter(col("__n") <= maxBucket)
-      .select(col("b"))
-    val side = wins.join(healthy, Seq("b"))
-    val l = side.select(col("b"), col("k").as("k1"), col("idx").as("i1"), col("win").as("w1"))
-    val r = side.select(col("b"), col("k").as("k2"), col("idx").as("i2"), col("win").as("w2"))
-    val cands = l.join(r, Seq("b"))
-      .filter(col("k1") < col("k2") ||
-        (col("k1") === col("k2") && col("i1") + w <= col("i2")))
+      .select(col("b"), col("k"), col("idx"), col("win"))
+    // SELF-join on identical subtrees (rename via alias AFTER the
+    // join, not with per-side projections): both join inputs
+    // canonicalize equal, so Spark's exchange reuse feeds both sides
+    // from ONE shuffle of the window table — the former l/r
+    // projections made the subtrees differ and the chain ran once per
+    // side (guide §2.4: remove shuffles outright)
+    val cands = side.as("l").join(side.as("r"),
+      col("l.b") === col("r.b") &&
+        (col("l.k") < col("r.k") ||
+          (col("l.k") === col("r.k") && col("l.idx") + w <= col("r.idx"))))
     cands
-      .select(col("k1"), col("i1").cast("bigint").as("i1"),
-        col("k2"), col("i2").cast("bigint").as("i2"),
-        centeredDistancePair(col("w1"), col("w2"), w).as("dist"))
+      .select(col("l.k").as("k1"), col("l.idx").cast("bigint").as("i1"),
+        col("r.k").as("k2"), col("r.idx").cast("bigint").as("i2"),
+        centeredDistancePair(col("l.win"), col("r.win"), w).as("dist"))
       .orderBy(col("dist").asc, col("k1").asc, col("i1").asc,
         col("k2").asc, col("i2").asc)
       .limit(k)
