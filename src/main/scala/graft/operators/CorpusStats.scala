@@ -484,6 +484,15 @@ object CorpusStats {
       labelThreshold: Long = 30L): DataFrame = {
     val spark = docs.sparkSession
     val base = docs.select(id.as("doc_id"), text.as("text"))
+    // Both reused-every-iteration tables are sealed PRE-PARTITIONED on
+    // doc_id (guide §2.4: operations keyed the same way share one
+    // exchange): each GD iteration below aggregates tok by doc_id,
+    // joins lab on doc_id, then joins tok on doc_id again — with the
+    // checkpoint pinned to hashpartitioning(doc_id), none of those
+    // re-shuffles the corpus-sized feature table; the only per-
+    // iteration exchange left is the model-sized bucket rollup.
+    // (Integer arithmetic end to end, so the result is partitioning-
+    // independent — this changes plan shape only.)
     val tok = base
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -491,12 +500,14 @@ object CorpusStats {
         pmod(TextAnalysis.portableHash32(col("token")), lit(buckets.toLong)))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .repartition(col("doc_id"))
       .localCheckpoint(true)
     val lab = base.select(
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_toks"),
       when(TextAnalysis.qualityMilli(col("text")) >= labelThreshold,
         lit(1000000L)).otherwise(lit(0L)).as("y_micro"))
+      .repartition(col("doc_id"))
       .localCheckpoint(true)
     val cnts = lab.agg(
       sum(when(col("y_micro") > 0, lit(1L)).otherwise(lit(0L))),

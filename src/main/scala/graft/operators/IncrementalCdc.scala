@@ -262,14 +262,19 @@ object IncrementalCdc {
           val pk = idxPre
             .join(touchedFpsOf(chg), Seq("fingerprint"), "left_semi")
             .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
-          val log = chg.select(lit("chg").as("kind"), col("doc_id"),
+          // ONE action materializes AND durably journals the log (the
+          // write IS the materialization); the frame handed downstream
+          // re-reads the journal file — byte-identical to what a
+          // replay would consume, and one fewer Spark job per batch
+          // than the former localCheckpoint-then-write pair
+          chg.select(lit("chg").as("kind"), col("doc_id"),
               col("old_fp"), col("new_fp"), lit(null).cast("long").as("keep_id"))
             .unionByName(pk.select(lit("keep").as("kind"),
               lit(null).cast("long").as("doc_id"),
               col("fingerprint").as("old_fp"),
               lit(null).cast("string").as("new_fp"), col("keep_id")))
-            .localCheckpoint(true) // edit-sized; materialized PRE-mutation
-          log.coalesce(1).write.mode("overwrite").parquet(logDir.toString)
+            .coalesce(1).write.mode("overwrite").parquet(logDir.toString)
+          val log = spark.read.schema(logSchema).parquet(logDir.toString)
           Some((log, buckets, Some(idxPre)))
         }
       }
@@ -341,9 +346,19 @@ object IncrementalCdc {
       .select(col("fingerprint"), col("doc_id"), col("fpb"))
       .unionByName(addRows)
     // sealedIdx IS the post-state content of the touched buckets —
-    // the keeper recompute below reuses it instead of re-reading
-    val (sealedIdx, idxV) =
-      t("index-rw") { commitSelfRead(newIdx, "fpb", touchedBuckets, indexDir) }
+    // the keeper recompute below reuses it instead of re-reading.
+    // Seal eagerly, then publish the manifest commit CONCURRENTLY with
+    // the keeper chain: everything downstream consumes only the sealed
+    // frame (never the index STORE), and the cross-store tx record —
+    // the only consumer-visible ordering point — still awaits the
+    // commit before publishing. Replay stays idempotent: a crash
+    // between this commit and publishTx re-derives the same content
+    // from the journal either way.
+    val sealedIdx = t("index-seal") { newIdx.localCheckpoint(true) }
+    val idxF = Future { t("index-commit") {
+      graft.sources.ManifestStore.commit(
+        sealedIdx, "fpb", touchedBuckets, indexDir)
+    } }
 
     // ---- 3. KEEPS: touched groups' keepers recompute from the
     //      UPDATED index buckets (the sealed frame, no store re-read).
@@ -360,14 +375,20 @@ object IncrementalCdc {
     val removals = priorIds.join(newIds, Seq("keep_id"), "left_anti")
     val adds = newIds.join(priorIds, Seq("keep_id"), "left_anti")
     val flipIds = removals.unionByName(adds).distinct()
-    val flipShards = flipIds
-      .select(pmod(col("keep_id"), lit(nShards.toLong)).as("shard"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val touchedIds = changed.select(col("doc_id"))
-      .unionByName(flipIds.select(col("keep_id").as("doc_id")))
-      .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
-      .distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ nShards scalars
+    // ONE job yields both shard lists (≤ nShards rows): flip shards =
+    // shards with any keeper-flip row; touched shards = every shard in
+    // the union — formerly two separate collects re-running the flip
+    // join chain
+    val shardRows = flipIds
+      .select(pmod(col("keep_id"), lit(nShards.toLong)).as("shard"),
+        lit(true).as("is_flip"))
+      .unionByName(changed
+        .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+          lit(false).as("is_flip")))
+      .groupBy(col("shard")).agg(max(col("is_flip")).as("has_flip"))
+      .collect()
+    val flipShards = shardRows.filter(_.getBoolean(1)).map(_.getLong(0)).toSeq
+    val touchedIds = shardRows.map(_.getLong(0)).toSeq // ≤ nShards scalars
     // keeper set of the repack's shards, derived from the PRE-state
     // read + the delta (idempotent on replay: post-state minus
     // removals union adds is a fixpoint) — sealed now so the keeps
@@ -407,6 +428,7 @@ object IncrementalCdc {
       packedTouched, "grp", touchedIds, packedDir,
       statsCols = Seq("doc_id")) }
     val keepsV = Await.result(keepsF, scala.concurrent.duration.Duration.Inf)
+    val idxV = Await.result(idxF, scala.concurrent.duration.Duration.Inf)
     publishTx(corpusV, Some(idxV), keepsV, Some(packedV))
     sweepJournals(clsDir, batchId)
     // maintenance sweep every JournalRetain batches: reclaim crashed-
