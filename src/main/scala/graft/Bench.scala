@@ -181,6 +181,13 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
+    // At 212 queries the full line is ~10 kB and the driver captures only
+    // a bounded stdout tail, so the per-query map scrolls the totals out
+    // of view. Emit a compact totals-only summary as the LAST stdout line
+    // (guaranteed inside any tail >= ~300 chars); the per-query map lives
+    // in the long line above and in the bench.json artifact. Timing
+    // methodology is unchanged — this is output plumbing only.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${times.size},"n_errors":${errors.size},"n_skipped":${skipped.size},"passes":$passes,"cpus":$cpus,"sf":"$sfDir","queries_in":"$outFile"}""")
     watchdog.shutdownNow()
     probePool.shutdownNow()
     spark.stop()
