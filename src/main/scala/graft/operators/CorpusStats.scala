@@ -210,6 +210,74 @@ object CorpusStats {
     scoreWithImportanceWeights(corpus, id, text,
       importanceWeights(corpus, text, target, targetText, buckets), buckets)
 
+  /** Per-doc hashed-bigram counts (doc_id, bucket, cnt) — the shared
+    * DSIR feature table: weight training needs the corpus-side bucket
+    * totals, scoring needs the per-doc rollup, and both otherwise
+    * re-run the bigram explode (an md5 per bigram occurrence) over
+    * the corpus (guide §6 read-once). A doc with no bigram keeps one
+    * null-bucket row so the scorer still emits its (0, 0, keep=0).
+    * Sealed pre-partitioned on doc_id — the scorer's groupBy rides
+    * the checkpoint partitioning with no exchange.
+    */
+  def bigramBucketCounts(
+      df: DataFrame, id: Column, text: Column,
+      buckets: Int = 4096): DataFrame =
+    bigramBuckets(df, Seq(id.as("doc_id")), text, buckets)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .repartition(col("doc_id"))
+      .localCheckpoint(true)
+
+  /** [[importanceWeights]] with the corpus side fed from a pre-built
+    * [[bigramBucketCounts]] table — value-identical (the bucket totals
+    * are Σ cnt = occurrence counts), one corpus bigram pass cheaper.
+    */
+  def importanceWeightsFromCounts(
+      corpusCnts: DataFrame,
+      target: DataFrame, targetText: Column,
+      buckets: Int = 4096): DataFrame = {
+    val spark = corpusCnts.sparkSession
+    val tgtCnt = bigramBuckets(target, Seq(lit(1L).as("one")), targetText, buckets)
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
+    val corCnt = corpusCnts
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("c_cnt"))
+    val totT = tgtCnt.agg(coalesce(sum("t_cnt"), lit(0L))).head.getLong(0)
+    val totC = corCnt.agg(coalesce(sum("c_cnt"), lit(0L))).head.getLong(0)
+    val b = buckets.toLong
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(tgtCnt, Seq("bucket"), "left")
+      .join(corCnt, Seq("bucket"), "left")
+      .withColumn("__num", lit(1000L)
+        * (coalesce(col("t_cnt"), lit(0L)) + 1L) * lit(totC + b))
+      .withColumn("__den",
+        (coalesce(col("c_cnt"), lit(0L)) + 1L) * lit(totT + b))
+      .select(col("bucket"), expr("__num div __den").as("w_milli"))
+  }
+
+  /** [[scoreWithImportanceWeights]] over a pre-built
+    * [[bigramBucketCounts]] table — value-identical: n_feats counts
+    * non-null-bucket occurrences (Σ cnt), w_sum sums their weights
+    * (Σ cnt·w; the null-bucket marker row joins no weight and
+    * contributes null, exactly like the occurrence spelling).
+    */
+  def scoreWithImportanceWeightsFromCounts(
+      cnts: DataFrame, weights: DataFrame): DataFrame =
+    cnts
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .withColumn("w_milli",
+        when(col("bucket").isNotNull, col("w_milli")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("bucket").isNotNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_feats"),
+        coalesce(sum(col("cnt") * col("w_milli")), lit(0L)).as("w_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        when(col("n_feats") === 0, lit(0L))
+          .otherwise(expr("w_sum div n_feats")).as("score_milli"))
+      .withColumn("keep", (col("score_milli") >= 1000L).cast("bigint"))
+
   /** DSIR importance RESAMPLING — the paper's actual selection rule:
     * keep each scored doc with probability PROPORTIONAL to its
     * importance weight (milli weight 1000 = corpus-average = keep at
@@ -482,17 +550,31 @@ object CorpusStats {
       docs: DataFrame, id: Column, text: Column,
       buckets: Int, iters: Int,
       labelThreshold: Long = 30L): DataFrame = {
-    val spark = docs.sparkSession
+    val (tok, lab) = classifierFeatures(docs, id, text, buckets, labelThreshold)
+    trainClassifierOnFeatures(tok, lab, buckets, iters)
+  }
+
+  /** The classifier's two sealed feature tables, built ONCE from one
+    * corpus pass each and shared by training AND scoring (guide §6
+    * read-once: a composed curation pipeline otherwise re-tokenizes
+    * the corpus per stage — each token pays an md5):
+    *  - `tok` (doc_id, bucket, cnt): hashed bag-of-words occurrence
+    *    counts;
+    *  - `lab` (doc_id, n_toks, y_micro): token counts + distillation
+    *    labels.
+    * Both sealed PRE-PARTITIONED on doc_id (guide §2.4: operations
+    * keyed the same way share one exchange): each GD iteration
+    * aggregates tok by doc_id, joins lab on doc_id, then joins tok on
+    * doc_id again — with the checkpoint pinned to
+    * hashpartitioning(doc_id), none of those re-shuffles the
+    * corpus-sized feature table; the only per-iteration exchange left
+    * is the model-sized bucket rollup. (Integer arithmetic end to
+    * end, so results are partitioning-independent — plan shape only.)
+    */
+  def classifierFeatures(
+      docs: DataFrame, id: Column, text: Column,
+      buckets: Int, labelThreshold: Long = 30L): (DataFrame, DataFrame) = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
-    // Both reused-every-iteration tables are sealed PRE-PARTITIONED on
-    // doc_id (guide §2.4: operations keyed the same way share one
-    // exchange): each GD iteration below aggregates tok by doc_id,
-    // joins lab on doc_id, then joins tok on doc_id again — with the
-    // checkpoint pinned to hashpartitioning(doc_id), none of those
-    // re-shuffles the corpus-sized feature table; the only per-
-    // iteration exchange left is the model-sized bucket rollup.
-    // (Integer arithmetic end to end, so the result is partitioning-
-    // independent — this changes plan shape only.)
     val tok = base
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -509,6 +591,34 @@ object CorpusStats {
         lit(1000000L)).otherwise(lit(0L)).as("y_micro"))
       .repartition(col("doc_id"))
       .localCheckpoint(true)
+    (tok, lab)
+  }
+
+  /** Score docs from the PRE-BUILT [[classifierFeatures]] `tok` table
+    * instead of re-tokenizing the corpus — value-identical to
+    * [[classifierScore]] (n_tokens = Σ cnt = token occurrences;
+    * score_sum = Σ cnt·w over the same occurrences; docs whose token
+    * array is empty appear in neither spelling), one corpus pass
+    * cheaper, and the groupBy rides tok's pinned doc_id partitioning
+    * with no exchange.
+    */
+  def classifierScoreFromFeatures(
+      tok: DataFrame, weights: DataFrame): DataFrame =
+    tok
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        coalesce(sum(col("cnt") * col("w_milli")), lit(0L)).as("score_sum"))
+      .withColumn("keep", (col("score_sum") >= 0).cast("bigint"))
+
+  /** The GD loop of [[trainClassifier]] over pre-built
+    * [[classifierFeatures]] tables.
+    */
+  def trainClassifierOnFeatures(
+      tok: DataFrame, lab: DataFrame,
+      buckets: Int, iters: Int): DataFrame = {
+    val spark = tok.sparkSession
     val cnts = lab.agg(
       sum(when(col("y_micro") > 0, lit(1L)).otherwise(lit(0L))),
       count(lit(1))).head()

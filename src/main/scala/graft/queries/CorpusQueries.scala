@@ -1160,16 +1160,25 @@ object CorpusQueries {
     // hand-configured rates; the oracle replays all three stages
     "curate_v3" -> ((s, dir) => {
       val d = docs(s, dir)
-      val w = CorpusStats.trainClassifier(d, col("doc_id"), col("text"),
-        buckets = ClassifierTrainBuckets, iters = ClassifierTrainIters)
-      val scored = CorpusStats.classifierScore(d, col("doc_id"), col("text"),
-        w.select(col("bucket"), col("w_micro").as("w_milli")),
-        buckets = ClassifierTrainBuckets)
-      val kept = d.join(
-        scored.filter(col("keep") === 1L).select(col("doc_id"), col("score_sum")),
-        Seq("doc_id"))
+      // ONE tokenize pass builds the sealed feature tables; training
+      // and scoring both consume them (guide §6 read-once — scoring
+      // formerly re-tokenized the corpus, an md5 per occurrence)
+      val (tok, lab) = CorpusStats.classifierFeatures(
+        d, col("doc_id"), col("text"), buckets = ClassifierTrainBuckets)
+      val w = CorpusStats.trainClassifierOnFeatures(
+        tok, lab, buckets = ClassifierTrainBuckets, iters = ClassifierTrainIters)
+      val scored = CorpusStats.classifierScoreFromFeatures(
+        tok, w.select(col("bucket"), col("w_micro").as("w_milli")))
+      // slim sealed survivors: the sampler's rate pass + sample pass
+      // otherwise recompute the gate joins twice, and lab already
+      // holds the exact tokenCount — no re-tokenization (§6 read-once)
+      val kept = d.select(col("doc_id"), col("source"))
+        .join(scored.filter(col("keep") === 1L)
+          .select(col("doc_id"), col("score_sum")), Seq("doc_id"))
+        .join(lab.select(col("doc_id"), col("n_toks")), Seq("doc_id"))
+        .localCheckpoint(true)
       Corpus.temperatureSample(kept, col("doc_id"), col("source"),
-        TextAnalysis.tokenCount(col("text")).cast("bigint"))
+        col("n_toks"))
         .select(col("doc_id"), col("source"), col("score_sum"), col("rate_permille"))
         .orderBy("doc_id")
     }),
@@ -1184,26 +1193,36 @@ object CorpusQueries {
     // exact int64, so the oracle chains the validated stage oracles
     "curate_v4" -> ((s, dir) => {
       val d = docs(s, dir)
-      // stage 1: trained-classifier gate (the curate_v3 stage)
-      val w = CorpusStats.trainClassifier(d, col("doc_id"), col("text"),
-        buckets = ClassifierTrainBuckets, iters = ClassifierTrainIters)
-      val scored = CorpusStats.classifierScore(d, col("doc_id"), col("text"),
-        w.select(col("bucket"), col("w_micro").as("w_milli")),
-        buckets = ClassifierTrainBuckets)
+      // stage 1: trained-classifier gate (the curate_v3 stage) — one
+      // tokenize pass feeds training AND scoring (guide §6 read-once)
+      val (tok, lab) = CorpusStats.classifierFeatures(
+        d, col("doc_id"), col("text"), buckets = ClassifierTrainBuckets)
+      val w = CorpusStats.trainClassifierOnFeatures(
+        tok, lab, buckets = ClassifierTrainBuckets, iters = ClassifierTrainIters)
+      val scored = CorpusStats.classifierScoreFromFeatures(
+        tok, w.select(col("bucket"), col("w_micro").as("w_milli")))
       // stage 2: DSIR tilt — weights trained once against the held-out
-      // target sample, frozen, selection proportional to weight
+      // target sample, frozen, selection proportional to weight; ONE
+      // bigram pass feeds both the weight fit and the scoring
       val candidates = d.filter(col("doc_id") % 20 =!= 0)
-      val imp = CorpusStats.importanceScore(
-        candidates, col("doc_id"), col("text"),
-        d.filter(col("doc_id") % 20 === 0), col("text"))
-      val kept = candidates
+      val bgCnts = CorpusStats.bigramBucketCounts(
+        candidates, col("doc_id"), col("text"))
+      val imp = CorpusStats.scoreWithImportanceWeightsFromCounts(
+        bgCnts, CorpusStats.importanceWeightsFromCounts(
+          bgCnts, d.filter(col("doc_id") % 20 === 0), col("text")))
+      // slim sealed survivors (§6 read-once): the sampler's rate pass
+      // + sample pass otherwise recompute the two gate joins twice,
+      // and lab already holds the exact tokenCount — no re-tokenization
+      val kept = candidates.select(col("doc_id"), col("source"))
         .join(scored.filter(col("keep") === 1L)
           .select(col("doc_id"), col("score_sum")), Seq("doc_id"))
         .join(CorpusStats.importanceResample(imp, col("doc_id"))
           .select(col("doc_id"), col("score_milli")), Seq("doc_id"))
+        .join(lab.select(col("doc_id"), col("n_toks")), Seq("doc_id"))
+        .localCheckpoint(true)
       // stage 3: temperature mixing over the twice-gated survivors
       Corpus.temperatureSample(kept, col("doc_id"), col("source"),
-        TextAnalysis.tokenCount(col("text")).cast("bigint"))
+        col("n_toks"))
         .select(col("doc_id"), col("source"), col("score_sum"),
           col("score_milli"), col("rate_permille"))
         .orderBy("doc_id")

@@ -260,4 +260,37 @@ class CorpusStatsSpec extends SparkSpec {
       s"scores must order in-domain > mixed > out: $out")
     assert(out(4L) == ((4L, 0L, 0L, 0L)), "no-bigram doc scores zero")
   }
+
+  test("from-features scoring paths are row-identical to the re-scan spellings") {
+    // the shared-feature-table spellings (one tokenize/bigram pass for
+    // train + score) must reproduce the original operators bit-exactly,
+    // including the no-token / no-bigram edge docs
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .unionByName(Seq((900001L, "x", "en", "webz", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val w = CorpusStats.syntheticWeights(spark, 512)
+      .select(col("bucket"), col("w_milli"))
+    val (tok, _) = CorpusStats.classifierFeatures(
+      docs, col("doc_id"), col("text"), buckets = 512)
+    val a = CorpusStats.classifierScore(
+      docs, col("doc_id"), col("text"), w, buckets = 512)
+    val b = CorpusStats.classifierScoreFromFeatures(tok, w)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "classifier scoring diverged between spellings")
+
+    val target = docs.filter(col("doc_id") % 20 === 0)
+    val iw = CorpusStats.importanceWeights(
+      docs, col("text"), target, col("text"), buckets = 512)
+    val cnts = CorpusStats.bigramBucketCounts(
+      docs, col("doc_id"), col("text"), buckets = 512)
+    val iw2 = CorpusStats.importanceWeightsFromCounts(
+      cnts, target, col("text"), buckets = 512)
+    assert(iw.exceptAll(iw2).isEmpty && iw2.exceptAll(iw).isEmpty,
+      "importance weights diverged between spellings")
+    val s1 = CorpusStats.scoreWithImportanceWeights(
+      docs, col("doc_id"), col("text"), iw, buckets = 512)
+    val s2 = CorpusStats.scoreWithImportanceWeightsFromCounts(cnts, iw2)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty,
+      "importance scoring diverged between spellings")
+  }
 }
