@@ -59,7 +59,8 @@ object StreamSessions {
   def scoped(
       parent: SparkSession,
       statePartitions: Int,
-      stateStore: Option[String] = None): SparkSession = {
+      stateStore: Option[String] = None,
+      noDataBatches: Boolean = true): SparkSession = {
     val ss = parent.newSession()
     // make the clone's streams stoppable by whoever tagged this gate
     // (no-op outside a GateStreams.withTag bracket)
@@ -69,8 +70,13 @@ object StreamSessions {
     // attributionOuterFromFiles) rely on a no-data micro-batch firing
     // after the sentinel advances the watermark to emit the final
     // windows / null verdicts; pin the option so drain completeness
-    // is a property of the scoped session, not an ambient config
-    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // is a property of the scoped session, not an ambient config.
+    // Queries whose OUTPUT never waits on the watermark (inner
+    // stream-stream joins: pairs emit the moment both rows exist, and
+    // eviction emits nothing) pass noDataBatches=false — the trailing
+    // no-data batch is one whole micro-batch of pure fixed cost.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     val provider = providerClass(parent, stateStore)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     if (provider == RocksDbProvider) {
