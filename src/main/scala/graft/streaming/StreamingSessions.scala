@@ -127,27 +127,27 @@ object StreamingSessions {
       col("ts").cast("timestamp").as("ts"),
       col("tb").cast("long").as("tb"),
       col("cents").cast("long").as("cents"))
-    graft.sources.FileIO.stageRangeBatches(
-      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
-    // sentinel staging: far-future rows that only drive the watermark
+    // sentinel staging: far-future rows that only drive the watermark.
+    // The FIRST sentinel rides INSIDE the last staged data file (it
+    // carries the max ts, so range staging lands it there) — the
+    // watermark then advances past every real timeout at the end of
+    // the last DATA batch; the SECOND stays a trailing file so the
+    // timeouts fire in a real data batch (the flush still does not
+    // depend on no-data-batch scheduling). One fewer micro-batch per
+    // drain than the former two trailing sentinel-only files.
     val maxTsm = narrow.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val sentinelDir = new java.io.File(base, "sentinel")
-    (0 until 2).foreach { i =>
-      val tsm = maxTsm + 3L * gapUs + i * 1000000L
-      spark
-        .range(1)
-        .select(
-          lit(-1L).as("user_id"),
-          timestamp_micros(lit(tsm)).as("ts"),
-          lit(0L).as("tb"), lit(0L).as("cents"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(sentinelDir.toString)
-      val part = Option(sentinelDir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("part-")).head
-      val dst = new java.io.File(inDir, f"b${nBatches + i}%05d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(System.currentTimeMillis() + i * 2000L)
-    }
+    def sentinelRow(tsm: Long) = spark
+      .range(1)
+      .select(
+        lit(-1L).as("user_id"),
+        timestamp_micros(lit(tsm)).as("ts"),
+        lit(0L).as("tb"), lit(0L).as("cents"))
+    graft.sources.FileIO.stageRangeBatches(
+      narrow.unionByName(sentinelRow(maxTsm + 3L * gapUs)),
+      col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    graft.sources.FileIO.appendSentinelFile(
+      spark, inDir, sentinelRow(maxTsm + 3L * gapUs + 1000000L),
+      name = f"b$nBatches%05d.parquet")
     val ss = StreamSessions.scoped(spark, statePartitions)
     import ss.implicits._
     val stream = graft.sources.FileIO.streamParquet(
@@ -165,7 +165,7 @@ object StreamingSessions {
       new java.io.File(base, "ckpt").toString).start()
     q.awaitTermination()
     graft.sources.FileIO.deleteScratch(
-      new java.io.File(base, "stage"), sentinelDir, inDir,
+      new java.io.File(base, "stage"), inDir,
       new java.io.File(base, "ckpt"))
     spark.read.parquet(outDir.toString).filter(col("user_id") >= 0L)
   }

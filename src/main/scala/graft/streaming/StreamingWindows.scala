@@ -114,19 +114,22 @@ object StreamingWindows {
       col("ts").cast("timestamp").as("ts"),
       col("event_type").cast("string").as("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
-    graft.sources.FileIO.stageRangeBatches(
-      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
-    // flush sentinel: one row past every real window's close point —
-    // a single scalar (max ts) crosses the driver, never data rows
+    // flush sentinel: one row past every real window's close point — a
+    // single scalar (max ts) crosses the driver, never data rows. It
+    // rides INSIDE the last staged file (it carries the max ts, so
+    // range staging lands it there): the watermark advances at the end
+    // of the last DATA batch and the engine's no-data batch flushes —
+    // a trailing sentinel-only file was one extra micro-batch of pure
+    // fixed cost (measured 0.3-0.8 s/batch at gate scale).
     val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
     val margin = 2L * windowMicros(windowDur) + windowMicros(delay)
-    graft.sources.FileIO.appendSentinelFile(
-      spark, inDir,
-      spark.createDataFrame(
+    graft.sources.FileIO.stageRangeBatches(
+      narrow.unionByName(spark.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
           new java.sql.Timestamp(maxTs.getTime + margin / 1000L),
           FlushSentinel, 0L)),
-        narrow.schema))
+        narrow.schema)),
+      col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
     val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO
       .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
@@ -225,17 +228,17 @@ object StreamingWindows {
       col("ts").cast("timestamp").as("ts"),
       col("event_type").cast("string").as("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
-    graft.sources.FileIO.stageRangeBatches(
-      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    // sentinel folded into the last staged file — see
+    // [[windowedTotalsFromFiles]]: one fewer micro-batch per drain
     val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
     val margin = 2L * windowMicros(windowDur) + windowMicros(delay)
-    graft.sources.FileIO.appendSentinelFile(
-      spark, inDir,
-      spark.createDataFrame(
+    graft.sources.FileIO.stageRangeBatches(
+      narrow.unionByName(spark.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
           new java.sql.Timestamp(maxTs.getTime + margin / 1000L),
           FlushSentinel, 0L)),
-        narrow.schema))
+        narrow.schema)),
+      col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
     val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO
       .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)
@@ -294,16 +297,16 @@ object StreamingWindows {
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("timestamp").as("ts"),
       round(col("value") * 100).cast("long").as("cents"))
-    graft.sources.FileIO.stageRangeBatches(
-      narrow, col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
+    // sentinel folded into the last staged file — see
+    // [[windowedTotalsFromFiles]]: one fewer micro-batch per drain
     val maxTs = narrow.agg(max(col("ts"))).head().getTimestamp(0)
     val margin = 2L * windowMicros(gap) + windowMicros(delay)
-    graft.sources.FileIO.appendSentinelFile(
-      spark, inDir,
-      spark.createDataFrame(
+    graft.sources.FileIO.stageRangeBatches(
+      narrow.unionByName(spark.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
           -1L, new java.sql.Timestamp(maxTs.getTime + margin / 1000L), 0L)),
-        narrow.schema))
+        narrow.schema)),
+      col("ts"), nBatches, new java.io.File(base, "stage"), inDir)
     val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO
       .streamParquet(ss, inDir.toString, narrow.schema, maxFilesPerTrigger = 1)

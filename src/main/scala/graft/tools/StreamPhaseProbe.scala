@@ -45,19 +45,17 @@ object StreamPhaseProbe {
         col("ts").cast("timestamp").as("ts"),
         col("event_type").cast("string").as("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
+      // sentinel folded into the last staged file, mirroring
+      // StreamingWindows.windowedTotalsFromFiles' current shape
+      val maxTs = t("maxTs") { narrow.agg(max(col("ts"))).head().getTimestamp(0) }
       t("stageRangeBatches") {
         graft.sources.FileIO.stageRangeBatches(
-          narrow, col("ts"), 4, new java.io.File(base, "stage"), inDir)
-      }
-      val maxTs = t("maxTs") { narrow.agg(max(col("ts"))).head().getTimestamp(0) }
-      t("sentinel") {
-        graft.sources.FileIO.appendSentinelFile(
-          spark, inDir,
-          spark.createDataFrame(
+          narrow.unionByName(spark.createDataFrame(
             java.util.List.of(org.apache.spark.sql.Row(
               new java.sql.Timestamp(maxTs.getTime + 7200000L),
               graft.streaming.StreamingWindows.FlushSentinel, 0L)),
-            narrow.schema))
+            narrow.schema)),
+          col("ts"), 4, new java.io.File(base, "stage"), inDir)
       }
       val ss = t("scoped session") {
         graft.streaming.StreamSessions.scoped(spark, 4)
