@@ -41,17 +41,27 @@ object StreamingDocs {
     * corpus that's 30% less regex work, and the state rows stay
     * minimal. First-seen document per fingerprint survives.
     *
-    * @param eventTimeCol name of the event-time column the watermark
-    *                     tracks (must exist on `docs`)
+    * `projectionParallelism` > 0 re-spreads the survivors over that
+    * many partitions BEFORE the feature projection (guide §2: the
+    * regex-heavy projection otherwise inherits the stateful stage's
+    * shard count, which is sized to per-batch STATE, not to CPU — on
+    * a 32-core session with 4 state shards that leaves 7/8 of the
+    * cores idle for the most expensive stage). The extra exchange
+    * moves only the batch's survivors; features are stateless, so
+    * results are partitioning-independent.
     */
   def ingest(
       docs: DataFrame,
       eventTimeCol: String,
-      watermark: String = "10 minutes"): DataFrame = {
-    val deduped = docs
+      watermark: String = "10 minutes",
+      projectionParallelism: Int = 0): DataFrame = {
+    val survivors = docs
       .withColumn("fingerprint", TextAnalysis.fingerprintMd5(col("text")))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicates("fingerprint")
+    val deduped =
+      if (projectionParallelism > 0) survivors.repartition(projectionParallelism)
+      else survivors
     deduped
       .withColumn("quality_milli", TextAnalysis.qualityMilli(col("text")))
       .withColumn("predicted_lang", TextAnalysis.predictedLang(col("text")))
@@ -76,7 +86,7 @@ object StreamingDocs {
       nBatches: Int,
       scratch: String,
       watermark: String = "10 minutes",
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out")
@@ -88,11 +98,17 @@ object StreamingDocs {
     // batch is the fixed cost that dominates small batches. The cloned
     // session scopes that + the RocksDB state store to this query (the
     // shared session's concurrent batch queries keep their own conf).
+    // The regex projection is DECOUPLED from the shard count (it runs
+    // at the session's core count via projectionParallelism), so the
+    // state sizing no longer drags the projection down to 4-8 tasks —
+    // formerly this helper pinned 8 shards as a compromise between
+    // state fixed cost and projection parallelism.
     val ss = StreamSessions.scoped(spark, statePartitions)
     val stream = graft.sources.FileIO.streamParquet(
       ss, inDir.toString, docs.schema, maxFilesPerTrigger = 1)
     val q = graft.sources.FileIO.streamingParquetSink(
-      ingest(stream, eventTimeCol, watermark),
+      ingest(stream, eventTimeCol, watermark,
+        projectionParallelism = ss.sparkContext.defaultParallelism),
       outDir.toString, new java.io.File(base, "ckpt").toString).start()
     q.awaitTermination()
     // only the sink output outlives the run (the returned frame reads it)
