@@ -102,9 +102,12 @@ object CdcVectors {
       evs.select(col("vec_id").as("cid")), Seq("cid"), "left_anti")
     val upserts = evs.filter(!col("is_delete"))
       .select(col("vec_id"), col("embedding"))
+    // no seal before the commit: nothing downstream consumes the new
+    // shard content (unlike IncrementalCdc's chained frames) — the
+    // manifest commit's staged write is the single materialization,
+    // one fewer Spark job per batch than checkpoint-then-commit
     val next = kept.unionByName(
       encodeShards(upserts, codebook, m, subDim, nShards))
-      .localCheckpoint(true) // touched-shards-sized
     graft.sources.ManifestStore.commit(next, "shard", shards, codesDir)
     shards
   }
@@ -126,17 +129,22 @@ object CdcVectors {
     val base = new java.io.File(scratch)
     val inDir = new java.io.File(base, "in")
     val codesDir = new java.io.File(base, "codes").toString
-    val cb = trainCodebook(initial, m, subDim, iters, sampleN)
-    locally {
+    // codebook training and event staging are independent — overlap
+    // them (guide §2.6); only the initial encode needs the codebook,
+    // so it chains on the training future
+    val cb = locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fs = Seq(
-        Future(graft.sources.FileIO.stageRangeBatches(
-          events, col("ev_seq"), nBatches,
-          new java.io.File(base, "stage"), inDir)),
-        Future(initCodes(initial, cb, m, subDim, nShards, codesDir)))
-      fs.foreach(Await.result(_, Duration.Inf))
+      val stagingF = Future(graft.sources.FileIO.stageRangeBatches(
+        events, col("ev_seq"), nBatches,
+        new java.io.File(base, "stage"), inDir))
+      val cbF = Future(trainCodebook(initial, m, subDim, iters, sampleN))
+      val initF = cbF.map(cb =>
+        initCodes(initial, cb, m, subDim, nShards, codesDir))
+      Await.result(stagingF, Duration.Inf)
+      Await.result(initF, Duration.Inf)
+      Await.result(cbF, Duration.Inf)
     }
     val ss = graft.streaming.StreamSessions.scoped(spark, statePartitions)
     ss.conf.set(
