@@ -16,12 +16,17 @@ object QueryProbe {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTENSIONS=1 mirrors the bench session exactly
+    // (GraftExtensions injected); default stays the bare session so
+    // historical probe numbers remain comparable
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", graft.LocalDir.scratch)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (sys.env.contains("SPARK_GRAFT_EXTENSIONS"))
+      b0.withExtensions(new graft.functions.GraftExtensions) else b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.tables.Tables.All.foreach(t => graft.tables.Tables.load(spark, dir, t).count())
