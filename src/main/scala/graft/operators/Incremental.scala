@@ -107,6 +107,22 @@ object Incremental {
       keptState(docs, col("doc_id"), col("text"), minQualityMilli),
       nShards, seqLen, minQualityMilli, ratesPerMille, defaultPerMille)
 
+  /** [[pipelineSharded]] against an EXPLICIT kept state — for callers
+    * that already hold (or seal) `keptState(docs)`: the incremental
+    * gates otherwise pay the corpus-sized fingerprint aggregate once
+    * for the bootstrap pack and again for the prior state (guide §6
+    * read-once). Value-identical to [[pipelineSharded]] when `kept` =
+    * `keptState(docs)`.
+    */
+  def pipelineShardedWith(
+      docs: DataFrame, kept: DataFrame, nShards: Int, seqLen: Long,
+      minQualityMilli: Long = 30L,
+      ratesPerMille: Map[String, Int] = Map("en" -> 600),
+      defaultPerMille: Int = 800): DataFrame =
+    packStage(
+      docs, kept, nShards, seqLen, minQualityMilli, ratesPerMille,
+      defaultPerMille)
+
   /** quality → kept-semi-join → sample → shard-pack over `docs`,
     * against an EXPLICIT kept state (the full path passes its own;
     * the incremental path passes the merged state while scanning only

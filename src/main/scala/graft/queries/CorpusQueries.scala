@@ -163,10 +163,14 @@ object CorpusQueries {
     "pipeline_incremental" -> ((s, dir) => {
       val old = docs(s, dir)
       val newDocs = incrPerturbed(old)
+      // sealed once: the prior kept state (a corpus-sized fingerprint
+      // aggregate) is otherwise recomputed for the bootstrap pack, the
+      // kept-merge anti-join and the flip-id semi-join (§6 read-once)
       val priorKept = graft.operators.Incremental.keptState(
         old, col("doc_id"), col("text"), minQualityMilli = 30L)
-      val priorPacked = graft.operators.Incremental.pipelineSharded(
-        old, nShards = 16, seqLen = 256L)
+        .localCheckpoint(true)
+      val priorPacked = graft.operators.Incremental.pipelineShardedWith(
+        old, priorKept, nShards = 16, seqLen = 256L)
       val (_, packed, _) = graft.operators.Incremental.pipelineIncremental(
         old, newDocs, priorKept, priorPacked, nShards = 16, seqLen = 256L)
       packed.orderBy("doc_id", "seq_id")
@@ -180,10 +184,14 @@ object CorpusQueries {
       val old = docs(s, dir)
       val newDocs = incrPerturbed(old)
       val store = graft.LocalDir.runDir("incr-store")
+      // sealed once and shared by the bootstrap pack and the
+      // incremental step's two prior-state consumers (§6 read-once)
       val priorKept = graft.operators.Incremental.keptState(
         old, col("doc_id"), col("text"), minQualityMilli = 30L)
+        .localCheckpoint(true)
       graft.operators.Incremental.writeShardStore(
-        graft.operators.Incremental.pipelineSharded(old, 16, 256L), store)
+        graft.operators.Incremental.pipelineShardedWith(
+          old, priorKept, 16, 256L), store)
       graft.operators.Incremental.pipelineIncrementalToStore(
         old, newDocs, priorKept, store, nShards = 16, seqLen = 256L)
       graft.operators.Incremental.readShardStore(s, store)
